@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Parquet stage-table loader (reference: GCS folder-as-table scans,
+  * `utils/gcs_reader.py:64-171` — replaced wholesale by Spark's parquet
+  * source, which does listing, schema merge, column pruning and predicate
+  * pushdown natively).
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
+    // rejects unless spark.sql.legacy.parquet.nanosAsLong=true (set by our
+    // session builders). Under that conf the column arrives as epoch-nanos
+    // Long; normalize to a true TimestampType here so downstream operators
+    // see one type regardless of file encoding.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
+      case Some(_) =>
+        df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      case None => df
+    }
+  }
+}

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational semantics of the reference pipeline: dedup, anti/semi
+  * joins, union-with-schema-drift, closed-world reference filtering.
+  *
+  * Reference behaviors re-expressed (see SURVEY.md §2.4/§2.6/§2.8):
+  *  - F1 keep-first dedup: `main.py:576-595`, `upload_papers_to_supabase.py:308-316`
+  *  - F2 anti-join vs existing ids: `upload_papers_to_supabase.py:247-276`
+  *  - F3 closed-world reference filter: `main.py:597-608`
+  *  - U1 union of drifting-schema files: `gcs_reader.py:64-171`
+  *
+  * Scale notes: dedupKeepFirst is one hash shuffle on the key (window sort is
+  * per-key within shuffle partitions, never a global sort). Anti/semi joins
+  * let Catalyst/AQE pick broadcast vs shuffled hash vs sort-merge; callers
+  * pass `broadcast(other)` when the right side is known-small.
+  */
+object Relational {
+
+  /** Keep-first dedup. Spark's `dropDuplicates` keeps an *arbitrary* row per
+    * key; the reference keeps the first in arrival order. We make the
+    * survivor explicit and oracle-stable with a priority ordering.
+    */
+  def dedupKeepFirst(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Rows of `df` whose key is absent from `other` (reference F2: skip papers
+    * already present in the DB before upserting).
+    */
+  def antiJoin(df: DataFrame, other: DataFrame, keys: Seq[String]): DataFrame =
+    df.join(other, keys, "left_anti")
+
+  /** Rows of `df` whose key is present in `other` (EXISTS). */
+  def semiJoin(df: DataFrame, other: DataFrame, keys: Seq[String]): DataFrame =
+    df.join(other, keys, "left_semi")
+
+  /** Union of per-file/per-term DataFrames whose schemas drift (reference U1:
+    * processed files gain columns over time).
+    */
+  def unionAll(dfs: Seq[DataFrame]): DataFrame =
+    dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** Closed-world filter (reference F3): restrict an array-of-ids column to
+    * ids that exist in `universe(idCol)`. Implemented shuffle-side
+    * (explode → semi join → regroup) so it scales past a broadcastable id
+    * set; for small universes Catalyst/AQE will still broadcast the join.
+    * Rows with empty/null arrays are preserved with an empty array, matching
+    * the reference's `[]` default.
+    */
+  def closedWorldFilter(df: DataFrame, rowKey: String, arrCol: String,
+                        universe: DataFrame, idCol: String): DataFrame = {
+    val ids = universe.select(col(idCol).as("__id")).distinct()
+    val kept = df
+      .select(col(rowKey), explode(col(arrCol)).as("__id"))
+      .join(ids, Seq("__id"), "left_semi")
+      .groupBy(col(rowKey))
+      .agg(sort_array(collect_list(col("__id"))).as("__kept"))
+    df.drop(arrCol)
+      .join(kept, Seq(rowKey), "left")
+      .withColumn(arrCol, coalesce(col("__kept"), array().cast("array<string>")))
+      .drop("__kept")
+  }
+
+  /** Top-k by a measure with a deterministic tie-break (reference O3
+    * `value_counts().head(N)` family). Spark plans this as
+    * TakeOrderedAndProject — a per-partition top-k + merge, no global sort.
+    */
+  def topK(df: DataFrame, k: Int, order: Column*): DataFrame =
+    df.orderBy(order: _*).limit(k)
+}

@@ -1,0 +1,193 @@
+package graft.queries
+
+import graft.{QDef, Tables}
+import graft.operators.{Profiling, Relational}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational operator surface (SURVEY.md §2.4–§2.8) exercised over the
+  * driver's TPC-H-ish testdata, each with a DuckDB oracle.
+  *
+  * Determinism rules used throughout (the driver hash-compares):
+  *  - every computed column is aliased identically in Spark and SQL;
+  *  - double aggregates are rounded (sums→2dp, avgs/ratios→6dp) so that
+  *    summation-order FP noise can't flip the hash;
+  *  - any LIMIT is preceded by a total order with a unique tie-break key.
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  /** TPC-H Q1-shaped pricing summary: the reference's grouped-stats family
+    * (A1/A8/A19) over lineitem. One hash-aggregate pass, map-side partial
+    * aggregation; ~6 groups regardless of scale.
+    */
+  def pricingSummary(li: DataFrame): DataFrame =
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).cast("long").as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  val defs: Seq[QDef] = Seq(
+    QDef("q01_pricing_summary",
+      (s, d) => pricingSummary(t(s, d, "lineitem")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |round(sum(l_quantity), 2) AS sum_qty,
+             |round(sum(l_extendedprice), 2) AS sum_base_price,
+             |round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+             |round(avg(l_quantity), 6) AS avg_qty,
+             |round(avg(l_discount), 6) AS avg_disc,
+             |count(*) AS count_order
+             |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // A1/A2: group-mean slices (mean citationCount by domain → mean
+    // o_totalprice by o_orderpriority), ordered desc like the MetricFrame.
+    QDef("q02_group_mean_slices",
+      (s, d) => t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(round(avg(col("o_totalprice")), 6).as("avg_total"),
+             count(lit(1)).cast("long").as("n"))
+        .orderBy(col("avg_total").desc, col("o_orderpriority")),
+      Some("""SELECT o_orderpriority, round(avg(o_totalprice), 6) AS avg_total,
+             |count(*) AS n FROM orders GROUP BY 1
+             |ORDER BY avg_total DESC, o_orderpriority""".stripMargin)),
+
+    // A6: value_counts + global share.
+    QDef("q03_value_counts",
+      (s, d) => Profiling.valueCounts(t(s, d, "events"), "event_type"),
+      Some("""SELECT event_type, n, round(n / sum(n) OVER (), 6) AS share
+             |FROM (SELECT event_type, count(*) AS n FROM events GROUP BY 1)
+             |ORDER BY n DESC, event_type""".stripMargin)),
+
+    // A7: per-column missing profile, one row.
+    QDef("q04_missing_profile",
+      (s, d) => Profiling.missingProfile(t(s, d, "documents")),
+      Some("""SELECT count(*) AS n_rows,
+             |count(*) - count(doc_id) AS doc_id_nulls,
+             |count(*) - count(text) AS text_nulls,
+             |count(*) - count(lang) AS lang_nulls,
+             |count(*) - count(source) AS source_nulls,
+             |count(*) - count(n_chars) AS n_chars_nulls
+             |FROM documents""".stripMargin)),
+
+    // A8: numeric stats (min/max exact, avg/std rounded).
+    QDef("q05_numeric_stats",
+      (s, d) => Profiling.numericStats(t(s, d, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount")),
+      Some("""SELECT
+             |min(l_quantity) AS l_quantity_min, max(l_quantity) AS l_quantity_max,
+             |round(avg(l_quantity), 6) AS l_quantity_avg,
+             |round(stddev_samp(l_quantity), 6) AS l_quantity_std,
+             |min(l_extendedprice) AS l_extendedprice_min,
+             |max(l_extendedprice) AS l_extendedprice_max,
+             |round(avg(l_extendedprice), 6) AS l_extendedprice_avg,
+             |round(stddev_samp(l_extendedprice), 6) AS l_extendedprice_std,
+             |min(l_discount) AS l_discount_min, max(l_discount) AS l_discount_max,
+             |round(avg(l_discount), 6) AS l_discount_avg,
+             |round(stddev_samp(l_discount), 6) AS l_discount_std
+             |FROM lineitem""".stripMargin)),
+
+    // F1: keep-first dedup via explicit priority window (earliest order per
+    // customer, orderkey tie-break) — oracle-stable survivor choice.
+    QDef("q06_dedup_keepfirst",
+      (s, d) => Relational.dedupKeepFirst(
+          t(s, d, "orders").select("o_custkey", "o_orderkey", "o_orderdate"),
+          Seq("o_custkey"), Seq(col("o_orderdate"), col("o_orderkey")))
+        .orderBy(col("o_custkey")),
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate FROM (
+             |  SELECT o_custkey, o_orderkey, o_orderdate,
+             |    row_number() OVER (PARTITION BY o_custkey
+             |                       ORDER BY o_orderdate, o_orderkey) AS rn
+             |  FROM orders) WHERE rn = 1 ORDER BY o_custkey""".stripMargin)),
+
+    // J1/J4: fact→dim enrichment chain. Dims are broadcast (reference did
+    // dict lookups); at 100 TB the orders side streams, dims stay broadcast.
+    QDef("q07_join_enrich",
+      (s, d) => t(s, d, "orders")
+        .join(broadcast(t(s, d, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+             round(sum(col("o_totalprice")), 2).as("sum_total"))
+        .orderBy(col("r_name"), col("n_name")),
+      Some("""SELECT r_name, n_name, count(*) AS n_orders,
+             |round(sum(o_totalprice), 2) AS sum_total
+             |FROM orders
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // F2/J2: anti join — customers with no orders (reference: skip papers
+    // already in the DB).
+    QDef("q08_anti_join",
+      (s, d) => Relational.antiJoin(
+          t(s, d, "customer").select("c_custkey", "c_name"),
+          t(s, d, "orders").select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"))
+        .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // F3/J3 shape: semi join — parts that appear in lineitem.
+    QDef("q09_semi_join",
+      (s, d) => Relational.semiJoin(
+          t(s, d, "part").select("p_partkey", "p_name"),
+          t(s, d, "lineitem").select(col("l_partkey").as("p_partkey")),
+          Seq("p_partkey"))
+        .orderBy(col("p_partkey")),
+      Some("""SELECT p_partkey, p_name FROM part
+             |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+             |ORDER BY p_partkey""".stripMargin)),
+
+    // O3: top-k by measure with unique tie-break; planned as
+    // TakeOrderedAndProject (no global sort).
+    QDef("q10_topk_customers",
+      (s, d) => Relational.topK(
+          t(s, d, "orders").groupBy(col("o_custkey"))
+            .agg(round(sum(col("o_totalprice")), 2).as("sum_total"),
+                 count(lit(1)).cast("long").as("n_orders")),
+          10, col("sum_total").desc, col("o_custkey").asc),
+      Some("""SELECT o_custkey, round(sum(o_totalprice), 2) AS sum_total,
+             |count(*) AS n_orders FROM orders GROUP BY 1
+             |ORDER BY sum_total DESC, o_custkey LIMIT 10""".stripMargin)),
+
+    // F6/A13: validity predicates + completeness/validity quality score.
+    QDef("q11_quality_score",
+      (s, d) => Profiling.qualityScore(t(s, d, "orders"),
+        yearCol = "o_orderdate", minYear = 1992, maxYear = 1998,
+        nonNegCol = "o_totalprice"),
+      Some("""SELECT n_rows, n_missing_cells, n_bad_year, n_negative,
+             |round((1 - n_missing_cells / (n_rows * 6.0)) * 100, 6) AS completeness,
+             |round(((2.0 * n_rows - (n_bad_year + n_negative)) / (2.0 * n_rows)) * 100, 6) AS validity,
+             |round((round((1 - n_missing_cells / (n_rows * 6.0)) * 100, 6)
+             |     + round(((2.0 * n_rows - (n_bad_year + n_negative)) / (2.0 * n_rows)) * 100, 6)) / 2.0, 6) AS overall_quality
+             |FROM (SELECT count(*) AS n_rows,
+             |  CAST(6 * count(*) - count(o_orderkey) - count(o_custkey)
+             |    - count(o_orderstatus) - count(o_totalprice) - count(o_orderdate)
+             |    - count(o_orderpriority) AS BIGINT) AS n_missing_cells,
+             |  CAST(sum(CASE WHEN year(o_orderdate) < 1992 OR year(o_orderdate) > 1998
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_year,
+             |  CAST(sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative
+             |FROM orders)""".stripMargin)),
+
+    // A9: duplicate audit by content hash.
+    QDef("q12_duplicate_audit",
+      (s, d) => Profiling.duplicateAudit(
+        t(s, d, "documents").withColumn("text_hash", md5(col("text"))), "text_hash"),
+      Some("""SELECT count(*) AS n_rows,
+             |CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+             |count(*) - CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_dup
+             |FROM documents""".stripMargin))
+  )
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class RelationalQueriesSpec extends SparkSpec {
+
+  test("every registered query runs at sf0.001 and has stable columns") {
+    QueryRegistry.all.foreach { q =>
+      val df = q.run(spark, sf)
+      val n = df.count()
+      assert(n >= 0, s"${q.name} failed to execute")
+      assert(df.columns.nonEmpty, s"${q.name} has no columns")
+    }
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracleSql keys are a subset of queries") {
+    val qk = SparkEntry.queries.keySet
+    assert(SparkEntry.oracleSql.keySet.subsetOf(qk))
+  }
+
+  test("q01 pricing summary: groups are distinct flag/status pairs") {
+    val df = SparkEntry.queries("q01_pricing_summary")(spark, sf)
+    val n = df.count()
+    assert(n == df.select("l_returnflag", "l_linestatus").distinct.count())
+    assert(n > 0)
+  }
+
+  test("q06 dedup keep-first: one row per customer, earliest order survives") {
+    val df = SparkEntry.queries("q06_dedup_keepfirst")(spark, sf)
+    assert(df.groupBy("o_custkey").count().filter(col("count") > 1).count() == 0)
+    val orders = Tables(spark, sf, "orders")
+    val minDates = orders.groupBy("o_custkey")
+      .agg(min("o_orderdate").as("min_date"))
+    val joined = df.join(minDates, "o_custkey")
+      .filter(col("o_orderdate") =!= col("min_date"))
+    assert(joined.count() == 0, "survivor is not the earliest order")
+  }
+
+  test("q10 topk is ordered desc by sum_total") {
+    val rows = SparkEntry.queries("q10_topk_customers")(spark, sf)
+      .select("sum_total").collect().map(_.getDouble(0))
+    assert(rows.sameElements(rows.sorted(Ordering[Double].reverse)))
+    assert(rows.length == 10)
+  }
+
+  test("q08/q09 anti and semi join partition the dimension") {
+    val cust = Tables(spark, sf, "customer")
+    val anti = SparkEntry.queries("q08_anti_join")(spark, sf).count()
+    val withOrders = Tables(spark, sf, "orders")
+      .select("o_custkey").distinct().count()
+    assert(anti + withOrders == cust.count())
+  }
+}
