@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text chunking for embedding pipelines (reference P8,
+  * `preprocessing/chunker.py:26-214`): sentence-split, greedily pack
+  * sentences to a token budget (estimated chars/4), carry a token-overlap
+  * tail between chunks, hard-split sentences that exceed the budget on
+  * their own, and drop sub-minimum fragments.
+  *
+  * Re-expressed (not ported): the semantics below are defined from the
+  * reference's observable behavior — budget 512 est. tokens, 50-token
+  * overlap, 100-char minimum (`embeddings/config.py:63-64`).
+  *
+  * Execution shape: a pure per-row expansion — `udf` returning
+  * `array<struct>` + `explode`. No shuffle, fully parallel; at 100 TB this
+  * is a narrow map stage whose output is ~1-3× the input rows.
+  */
+object Chunking {
+
+  case class Chunk(
+      chunk_id: String,
+      position: Int,
+      text: String,
+      token_count: Int,
+      start_char: Int,
+      end_char: Int)
+
+  val maxTokens = 512
+  val overlapTokens = 50
+  val minChars = 100
+
+  private def estTokens(s: String): Int = s.length / 4
+
+  /** Split into sentences at `.!?` + whitespace (reference sentence regex
+    * `(?<=[.!?])\s+`, re-expressed without lookbehind).
+    */
+  private[operators] def sentences(text: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var i = 0
+    while (i < text.length) {
+      val ch = text.charAt(i)
+      sb.append(ch)
+      val isEnd = ch == '.' || ch == '!' || ch == '?'
+      if (isEnd && i + 1 < text.length && text.charAt(i + 1).isWhitespace) {
+        out += sb.toString
+        sb.clear()
+        while (i + 1 < text.length && text.charAt(i + 1).isWhitespace) i += 1
+      }
+      i += 1
+    }
+    if (sb.nonEmpty) out += sb.toString
+    out.toSeq
+  }
+
+  /** Chunk one document. Deterministic, no clock/random — safe for
+    * oracle-stable tests.
+    */
+  def chunk(docId: String, text: String): Seq[Chunk] = {
+    if (text == null || text.isEmpty) return Seq.empty
+    val maxChars = maxTokens * 4
+    val overlapChars = overlapTokens * 4
+
+    // Hard-split any single sentence that exceeds the budget by itself.
+    val pieces = sentences(text).flatMap { s =>
+      if (s.length <= maxChars) Seq(s) else s.grouped(maxChars).toSeq
+    }
+
+    val chunks = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    pieces.foreach { s =>
+      val candidate = if (sb.isEmpty) s else sb.toString + " " + s
+      if (estTokens(candidate) <= maxTokens || sb.isEmpty) {
+        sb.clear(); sb.append(candidate)
+      } else {
+        val done = sb.toString
+        chunks += done
+        // overlap: last overlapChars of the finished chunk seed the next
+        val tail = done.takeRight(overlapChars)
+        sb.clear(); sb.append(tail + " " + s)
+      }
+    }
+    if (sb.nonEmpty) chunks += sb.toString
+
+    var cursor = 0
+    chunks.toSeq.zipWithIndex.flatMap { case (c, i) =>
+      val start = cursor
+      cursor += c.length
+      if (c.length >= minChars)
+        Some(Chunk(s"${docId}_chunk_$i", i, c, estTokens(c), start, start + c.length))
+      else None
+    }
+  }
+
+  /** DataFrame operator: expand `textCol` into chunk rows, keeping `idCol`. */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val chunkUdf = udf((id: String, text: String) => chunk(id, text))
+    df.withColumn("__chunks", chunkUdf(col(idCol).cast("string"), col(textCol)))
+      .select(col(idCol), explode(col("__chunks")).as("chunk"))
+      .select(
+        col(idCol),
+        col("chunk.chunk_id").as("chunk_id"),
+        col("chunk.position").as("position"),
+        col("chunk.text").as("chunk_text"),
+        col("chunk.token_count").as("token_count"),
+        col("chunk.start_char").as("start_char"),
+        col("chunk.end_char").as("end_char"))
+  }
+
+  /** Re-estimated token count as a column (for budget accounting). */
+  def estTokensCol(c: Column): Column = (length(c) / 4).cast("int")
+}

@@ -1,7 +1,148 @@
 package graft.queries
 
-import graft.QDef
+import graft.{QDef, Tables}
+import graft.functions.TextFns
+import graft.operators.Chunking
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
+/** Text-analysis operator surface over the `documents` table: cleaning
+  * (P7), tokenization/keywords (P9), language-ID, quality scoring,
+  * fingerprinting, chunking (P8).
+  *
+  * All but the chunker are pure expression pipelines with DuckDB oracles.
+  * The chunker is stateful per-row expansion (UDF + explode) — not
+  * SQL-expressible, covered by ScalaTest invariants + rows-only check.
+  */
 object TextQueries {
-  val defs: Seq[QDef] = Seq()
+
+  private def docs(s: SparkSession, d: String) = Tables(s, d, "documents")
+
+  val defs: Seq[QDef] = Seq(
+
+    // P7 cleaning chain + content fingerprint. Hash the cleaned text so the
+    // result stays small while pinning every regex step.
+    QDef("q13_clean_fingerprint",
+      (s, d) => docs(s, d).select(
+        col("doc_id"),
+        md5(TextFns.cleanText(col("text"))).as("clean_md5"),
+        TextFns.fingerprint(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |md5(trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             |  text, 'https?://[^ ]+', ' ', 'g'),
+             |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', ' ', 'g'),
+             |  '\[[0-9, ]+\]', ' ', 'g'),
+             |  '\([A-Za-z]+ et al[.,][^)]*\)', ' ', 'g'),
+             |  '[^a-zA-Z0-9 .,;:!?()''-]', ' ', 'g'),
+             |  '  *', ' ', 'g'))) AS clean_md5,
+             |md5(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS fingerprint
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Token counting: whitespace tokens, BPE-ish subwords, keyword-grade
+    // words, stopword occurrences — one narrow scan, all codegen'd.
+    QDef("q14_token_stats",
+      (s, d) => docs(s, d).select(
+        col("doc_id"),
+        TextFns.tokenCount(col("text")).as("n_tokens"),
+        TextFns.subwordCount(col("text")).as("n_subwords"),
+        size(TextFns.words(col("text"))).cast("long").as("n_words"),
+        TextFns.stopwordCount(col("text")).as("n_stopwords"))
+        .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id,
+             |CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS n_tokens,
+             |CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]')) AS BIGINT) AS n_subwords,
+             |CAST(len(regexp_extract_all(lower(text), '[a-z]{3,}')) AS BIGINT) AS n_words,
+             |CAST(len(regexp_extract_all(lower(text), '\\b${TextFns.stopwords.mkString("(", "|", ")")}\\b')) AS BIGINT) AS n_stopwords
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Language-ID by marker-stopword argmax with fixed tie priority.
+    QDef("q15_lang_id",
+      (s, d) => docs(s, d).select(
+        col("doc_id"),
+        TextFns.languageId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |CASE WHEN best = 0 THEN 'unknown'
+             |     WHEN en = best THEN 'en'
+             |     WHEN es = best THEN 'es'
+             |     WHEN de = best THEN 'de'
+             |     ELSE 'fr' END AS lang_pred
+             |FROM (SELECT doc_id, en, es, de, fr, greatest(en, es, de, fr) AS best
+             |  FROM (SELECT doc_id,
+             |    len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|a)\b')) AS en,
+             |    len(regexp_extract_all(lower(text), '\b(el|la|los|que|de|y)\b')) AS es,
+             |    len(regexp_extract_all(lower(text), '\b(der|die|und|das|nicht|ist)\b')) AS de,
+             |    len(regexp_extract_all(lower(text), '\b(le|les|des|et|une|est)\b')) AS fr
+             |  FROM documents))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Composite quality score (length/alpha/stopword saturation).
+    QDef("q16_text_quality",
+      (s, d) => docs(s, d).select(
+        col("doc_id"),
+        TextFns.qualityScore(col("text")).as("quality_x1e4"))
+        .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id,
+             |CAST(floor((least(1.0, n_chars_d / 500.0) * 0.4
+             |  + (CASE WHEN n_chars_d > 0 THEN alpha / n_chars_d ELSE 0.0 END) * 0.3
+             |  + least(1.0, (CASE WHEN toks > 0 THEN stops / toks ELSE 0.0 END) * 3.0) * 0.3) * 100 * 10000 + 0.5) AS BIGINT) AS quality_x1e4
+             |FROM (SELECT doc_id,
+             |  CAST(length(text) AS DOUBLE) AS n_chars_d,
+             |  CAST(len(regexp_extract_all(text, '[a-zA-Z]')) AS DOUBLE) AS alpha,
+             |  CAST(len(regexp_extract_all(text, '[^ ]+')) AS DOUBLE) AS toks,
+             |  CAST(len(regexp_extract_all(lower(text), '\\b${TextFns.stopwords.mkString("(", "|", ")")}\\b')) AS DOUBLE) AS stops
+             |FROM documents) ORDER BY doc_id""".stripMargin)),
+
+    // A15/P9: global top-20 keywords after stoplist (explode → count → topk;
+    // Spark plans the limit as TakeOrderedAndProject over partial counts).
+    QDef("q17_keywords_global",
+      (s, d) => docs(s, d)
+        .select(explode(TextFns.words(col("text"))).as("keyword"))
+        .filter(!col("keyword").isin(TextFns.stopwords: _*))
+        .groupBy(col("keyword"))
+        .agg(count(lit(1)).cast("long").as("n"))
+        .orderBy(col("n").desc, col("keyword"))
+        .limit(20),
+      Some(s"""SELECT keyword, count(*) AS n
+             |FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]{3,}')) AS keyword
+             |      FROM documents)
+             |WHERE keyword NOT IN (${TextFns.stopwords.map(w => s"'$w'").mkString(", ")})
+             |GROUP BY 1 ORDER BY n DESC, keyword LIMIT 20""".stripMargin)),
+
+    // P9 proper: per-document top-3 keywords, rank by (count desc, keyword).
+    QDef("q18_keywords_perdoc",
+      (s, d) => {
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("n").desc, col("keyword"))
+        docs(s, d)
+          .select(col("doc_id"), explode(TextFns.words(col("text"))).as("keyword"))
+          .filter(!col("keyword").isin(TextFns.stopwords: _*))
+          .groupBy(col("doc_id"), col("keyword"))
+          .agg(count(lit(1)).cast("long").as("n"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 3)
+          .orderBy(col("doc_id"), col("rank"))
+      },
+      Some(s"""SELECT doc_id, keyword, n, rank FROM (
+             |  SELECT doc_id, keyword, n,
+             |    row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, keyword) AS rank
+             |  FROM (SELECT doc_id, keyword, count(*) AS n
+             |    FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]{3,}')) AS keyword
+             |          FROM documents)
+             |    WHERE keyword NOT IN (${TextFns.stopwords.map(w => s"'$w'").mkString(", ")})
+             |    GROUP BY 1, 2))
+             |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)),
+
+    // P8 chunker: stateful per-row expansion — no SQL oracle (rows-only
+    // driver check); invariants covered in ChunkingSpec.
+    QDef("q19_chunks",
+      (s, d) => Chunking.chunkDocuments(docs(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("chunk_id"), col("position"),
+          col("token_count"), col("start_char"), col("end_char"),
+          md5(col("chunk_text")).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("position")),
+      None)
+  )
 }
