@@ -1,0 +1,120 @@
+package graft.operators
+
+import graft.functions.VectorFns
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (reference O2 — cosine top-k
+  * against the full store — plus the ANN scale path the reference lacks).
+  *
+  * Scale design:
+  *  - `topK`: one narrow scan computing sim, then TakeOrderedAndProject
+  *    (per-partition top-k + driver merge of k·partitions rows — no global
+  *    sort, no shuffle of the corpus).
+  *  - `knnJoin`: broadcast the (small) query side against the corpus scan;
+  *    per-query top-k via window over a (queryId)-partitioned shuffle of
+  *    only (queryId, vecId, sim) triples — never the vectors themselves.
+  *  - `nearDupPairs`: exact all-pairs within the corpus — O(n²/2); correct
+  *    baseline for the LSH variant. At 100 TB use `lshNearDupCandidates`
+  *    (random-hyperplane bucketing) so only per-bucket pairs are generated.
+  */
+object Similarity {
+
+  /** Normalize corpus once: adds `__norm`. */
+  private def withNorm(df: DataFrame, embCol: String): DataFrame =
+    df.withColumn("__norm", VectorFns.norm(col(embCol)))
+
+  /** Top-k most-similar rows to one query vector (given as a literal array). */
+  def topK(corpus: DataFrame, idCol: String, embCol: String,
+           query: Array[Double], k: Int): DataFrame = {
+    val q = lit(query)
+    val qNorm = math.sqrt(query.map(x => x * x).sum)
+    withNorm(corpus, embCol)
+      .select(col(idCol),
+        (VectorFns.dot(col(embCol), q) / (col("__norm") * lit(qNorm))).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** k-NN join: for every row of `queries`, its top-k neighbors from
+    * `corpus` (self-matches excluded). Query side is broadcast.
+    */
+  def knnJoin(queries: DataFrame, corpus: DataFrame,
+              idCol: String, embCol: String, k: Int): DataFrame = {
+    val q = withNorm(queries, embCol)
+      .select(col(idCol).as("query_id"), col(embCol).as("__qemb"),
+        col("__norm").as("__qnorm"))
+    val c = withNorm(corpus, embCol)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col(idCol))
+    c.crossJoin(broadcast(q))
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol),
+        (VectorFns.dot(col(embCol), col("__qemb"))
+          / (col("__norm") * col("__qnorm"))).as("sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Exact embedding near-duplicate pairs: all (a<b) with cosine ≥ threshold.
+    * O(n²/2) — the correctness baseline the LSH variant is judged against.
+    */
+  def nearDupPairs(df: DataFrame, idCol: String, embCol: String,
+                   threshold: Double): DataFrame = {
+    val a = withNorm(df, embCol)
+      .select(col(idCol).as("id_a"), col(embCol).as("__ea"), col("__norm").as("__na"))
+    val b = withNorm(df, embCol)
+      .select(col(idCol).as("id_b"), col(embCol).as("__eb"), col("__norm").as("__nb"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (VectorFns.dot(col("__ea"), col("__eb")) / (col("__na") * col("__nb"))).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
+  /** Deterministic random hyperplanes (fixed seed — no runtime RNG). */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nPlanes, dim)(rnd.nextGaussian())
+  }
+
+  /** Sign-random-projection LSH signature: bit i = (v · plane_i) >= 0. */
+  def lshSignature(embCol: String, planes: Array[Array[Double]]) = {
+    planes.zipWithIndex.map { case (p, i) =>
+      when(VectorFns.dot(col(embCol), lit(p)) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** ANN near-dup candidates via banded sign-LSH: rows sharing any band of
+    * the signature land in one bucket; pairs are generated per bucket and
+    * then verified with the exact cosine. Shuffle volume is O(n·bands), and
+    * pair generation is local to each bucket — the 100 TB path.
+    */
+  def lshNearDupPairs(df: DataFrame, idCol: String, embCol: String,
+                      threshold: Double, nPlanes: Int = 16, bands: Int = 4,
+                      dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim)
+    val bits = nPlanes / bands
+    val sig = withNorm(df, embCol)
+      .withColumn("__sig", lshSignature(embCol, planes))
+    val banded = sig.select(
+      col(idCol), col(embCol), col("__norm"), col("__sig"),
+      explode(array((0 until bands).map { bIdx =>
+        struct(lit(bIdx).as("band"),
+          col("__sig").bitwiseAND(lit(((1L << bits) - 1) << (bIdx * bits))).as("key"))
+      }: _*)).as("b"))
+      .select(col(idCol), col(embCol), col("__norm"),
+        col("b.band").as("band"), col("b.key").as("key"))
+    val l = banded.select(col("band"), col("key"), col(idCol).as("id_a"),
+      col(embCol).as("__ea"), col("__norm").as("__na"))
+    val r = banded.select(col("band"), col("key"), col(idCol).as("id_b"),
+      col(embCol).as("__eb"), col("__norm").as("__nb"))
+    l.join(r, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (VectorFns.dot(col("__ea"), col("__eb")) / (col("__na") * col("__nb"))).as("sim"))
+      .filter(col("sim") >= threshold)
+      .dropDuplicates("id_a", "id_b")
+  }
+}

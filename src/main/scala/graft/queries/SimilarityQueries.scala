@@ -1,7 +1,126 @@
 package graft.queries
 
-import graft.QDef
+import graft.{QDef, Tables}
+import graft.operators.{DedupOps, Similarity}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
+/** Similarity-search + content-dedup surface: cosine top-k / k-NN join /
+  * exact near-dup (reference O2) and the training-pipeline dedup ladder
+  * (exact fingerprint, n-gram Jaccard, MinHash+LSH, SimHash).
+  *
+  * Oracles exist for everything exact; the LSH/SimHash approximations are
+  * rows-only checked here and recall-tested against their exact baselines
+  * in SimilaritySpec.
+  */
 object SimilarityQueries {
-  val defs: Seq[QDef] = Seq()
+
+  private def docs(s: SparkSession, d: String) = Tables(s, d, "documents")
+  private def embs(s: SparkSession, d: String) = Tables(s, d, "embeddings")
+
+  private val dotSql =
+    "list_dot_product(%s, %s)"
+
+  val defs: Seq[QDef] = Seq(
+
+    // O2: cosine top-10 for one query vector (vec_id 0), via broadcast join
+    // — no driver-side vector collect.
+    QDef("q20_cosine_topk",
+      (s, d) => Similarity.knnJoin(
+          embs(s, d).filter(col("vec_id") === 0), embs(s, d),
+          "vec_id", "embedding", 10)
+        .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"),
+          col("rank"))
+        .orderBy(col("rank")),
+      Some("""SELECT query_id, vec_id, round(sim, 6) AS sim, rank FROM (
+             |  SELECT q.qid AS query_id, e.vec_id,
+             |    list_dot_product(e.v, q.qv)
+             |      / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS sim,
+             |    row_number() OVER (ORDER BY list_dot_product(e.v, q.qv)
+             |      / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) DESC, e.vec_id) AS rank
+             |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings) e,
+             |       (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id = 0) q
+             |  WHERE e.vec_id <> q.qid)
+             |WHERE rank <= 10 ORDER BY rank""".stripMargin)),
+
+    // k-NN join: top-3 neighbors for each of the first 5 vectors.
+    QDef("q21_knn_join",
+      (s, d) => Similarity.knnJoin(
+          embs(s, d).filter(col("vec_id") < 5), embs(s, d),
+          "vec_id", "embedding", 3)
+        .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"),
+          col("rank"))
+        .orderBy(col("query_id"), col("rank")),
+      Some("""SELECT query_id, vec_id, round(sim, 6) AS sim, rank FROM (
+             |  SELECT q.qid AS query_id, e.vec_id,
+             |    list_dot_product(e.v, q.qv)
+             |      / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS sim,
+             |    row_number() OVER (PARTITION BY q.qid
+             |      ORDER BY list_dot_product(e.v, q.qv)
+             |      / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) DESC, e.vec_id) AS rank
+             |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings) e,
+             |       (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id < 5) q
+             |  WHERE e.vec_id <> q.qid)
+             |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)),
+
+    // Exact embedding near-dup pairs (cosine ≥ 0.4), all-pairs baseline.
+    QDef("q22_embed_neardup",
+      (s, d) => Similarity.nearDupPairs(embs(s, d), "vec_id", "embedding", 0.4)
+        .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+        .orderBy(col("id_a"), col("id_b")),
+      Some("""SELECT id_a, id_b, round(sim, 6) AS sim FROM (
+             |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |    list_dot_product(a.v, b.v)
+             |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
+             |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings) a
+             |  JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings) b
+             |    ON a.vec_id < b.vec_id)
+             |WHERE sim >= 0.4 ORDER BY id_a, id_b""".stripMargin)),
+
+    // MinHash + LSH banding near-dups, exact-Jaccard verified (approximate
+    // candidate generation — no SQL oracle; recall vs q24 tested in spec).
+    QDef("q23_minhash_lsh",
+      (s, d) => DedupOps.minhashLshPairs(docs(s, d), "doc_id", "text",
+          n = 3, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b")),
+      None),
+
+    // Exact word-3-gram Jaccard near-dup pairs via inverted shingle index.
+    QDef("q24_ngram_jaccard",
+      (s, d) => DedupOps.ngramJaccardPairs(docs(s, d), "doc_id", "text",
+          n = 3, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b")),
+      Some("""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+             |            FROM documents),
+             |sh AS (SELECT doc_id, unnest(list_distinct(
+             |         [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+             |          for i in range(1, greatest(len(toks) - 1, 1))])) AS s
+             |       FROM t),
+             |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+             |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+             |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |      GROUP BY 1, 2)
+             |SELECT id_a, id_b, round(j, 6) AS jaccard FROM (
+             |  SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS j
+             |  FROM p JOIN sz sa ON p.id_a = sa.doc_id
+             |         JOIN sz sb ON p.id_b = sb.doc_id)
+             |WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin)),
+
+    // SimHash near-dups (Hamming ≤ 3 via 16-bit banding) — engine-hash
+    // based, no SQL oracle; invariants in spec.
+    QDef("q25_simhash_pairs",
+      (s, d) => DedupOps.simhashPairs(docs(s, d), "doc_id", "text", maxDist = 3)
+        .orderBy(col("id_a"), col("id_b")),
+      None),
+
+    // Exact dedup groups by prefix fingerprint (hash-groupBy dedup).
+    QDef("q26_exact_dedup_groups",
+      (s, d) => DedupOps.exactDupGroups(docs(s, d), "doc_id",
+          md5(substring(col("text"), 1, 80)))
+        .orderBy(col("fp")),
+      Some("""SELECT md5(substr(text, 1, 80)) AS fp,
+             |CAST(min(doc_id) AS BIGINT) AS keeper,
+             |count(*) AS n_dups
+             |FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY fp""".stripMargin))
+  )
 }

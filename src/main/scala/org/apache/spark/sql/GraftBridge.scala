@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Access bridge for `private[sql]` Column↔Expression converters (needed to
+  * expose custom Catalyst expressions as user-facing `Column`s in Spark 4.x,
+  * where `Column` no longer wraps `Expression` publicly).
+  */
+object GraftBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

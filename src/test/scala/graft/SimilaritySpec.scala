@@ -1,0 +1,67 @@
+package graft
+
+import graft.functions.VectorFns
+import graft.operators.{DedupOps, Similarity}
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  private def embs = Tables(spark, sf, "embeddings")
+  private def docs = Tables(spark, sf, "documents")
+
+  test("native dot product expression matches higher-order-function form") {
+    val df = embs.limit(50)
+      .select(VectorFns.dot(col("embedding"), col("embedding")).as("native"),
+        VectorFns.dotHof(col("embedding"), col("embedding")).as("hof"))
+    assert(df.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
+  test("dot product survives whole-stage codegen (plan contains it)") {
+    val df = embs.select(VectorFns.dot(col("embedding"), col("embedding")).as("d"))
+    // executes through the codegen path; equality with interpreted eval is
+    // covered above — here we just assert evaluation works end-to-end
+    assert(df.agg(sum("d")).collect()(0).getDouble(0) > 0)
+  }
+
+  test("topK self-query ranks itself first with sim 1.0") {
+    val firstVec = embs.filter(col("vec_id") === 0)
+      .select("embedding").collect()(0)
+      .getSeq[Float](0).map(_.toDouble).toArray
+    val top = Similarity.topK(embs, "vec_id", "embedding", firstVec, 3).collect()
+    assert(top(0).getAs[Long]("vec_id") == 0L)
+    assert(math.abs(top(0).getAs[Double]("sim") - 1.0) < 1e-9)
+  }
+
+  test("LSH near-dup pairs are a subset of exact pairs at same threshold") {
+    val exact = Similarity.nearDupPairs(embs, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshNearDupPairs(embs, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "LSH produced a pair the exact scan did not")
+  }
+
+  test("minhash LSH recovers all exact-jaccard pairs on this corpus") {
+    val exact = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = DedupOps.minhashLshPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "verified LSH pair not in exact set")
+    // the corpus near-dups are true dups (jaccard 1.0) → identical
+    // signatures → banding must recover every one of them
+    assert(lsh == exact, s"recall miss: ${(exact -- lsh).size} of ${exact.size}")
+  }
+
+  test("simhash of identical texts collides; pairs respect hamming bound") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "completely different words entirely unrelated content"))
+      .toDF("doc_id", "text")
+    val sig = DedupOps.simhash(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(1L) == sig(2L))
+    val pairs = DedupOps.simhashPairs(df, "doc_id", "text", 3).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+    pairs.foreach(r => assert(r.getAs[Long]("hamming") <= 3))
+  }
+}
