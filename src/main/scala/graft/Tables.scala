@@ -24,7 +24,9 @@ object Tables {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
       case Some(_) =>
-        df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+        // integer division: epoch-nanos overflow double precision, so
+        // `ts / 1000` (double div) would be off by ±1 µs on some rows
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case None => df
     }
   }

@@ -1,7 +1,129 @@
 package graft.queries
 
-import graft.QDef
+import graft.{QDef, Tables}
+import graft.functions.TextFns
+import graft.operators.{Bias, Chunking, Enrichment}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
+/** Enrichment + bias-analysis surface (reference P10-P12, A1-A5, A14-A17)
+  * plus the end-to-end flagship document pipeline (SURVEY.md §7.3).
+  */
 object PipelineQueries {
-  val defs: Seq[QDef] = Seq()
+
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  val defs: Seq[QDef] = Seq(
+
+    // P10/P12: importance score + decade per order.
+    QDef("q33_importance_score",
+      (s, d) => t(s, d, "orders").select(
+        col("o_orderkey"),
+        Enrichment.decade(year(col("o_orderdate"))).as("decade"),
+        Enrichment.importanceScore(col("o_totalprice"),
+          year(col("o_orderdate")), nowYear = 2026).as("importance_x1e4"))
+        .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey,
+             |CAST(floor(year(o_orderdate) / 10) * 10 AS BIGINT) AS decade,
+             |CAST(floor(least(100.0, 10.0 * log10(o_totalprice + 1.0)
+             |  * greatest(0.5, 1.0 - (2026 - year(o_orderdate)) / 50.0))
+             |  * 10000 + 0.5) AS BIGINT) AS importance_x1e4
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // P11: keyword-priority classification of part types.
+    QDef("q34_classify",
+      (s, d) => t(s, d, "part")
+        .withColumn("category", Enrichment.classify(col("p_type"), Seq(
+          "ECONOMY" -> "budget", "PROMO" -> "promo", "STANDARD" -> "standard",
+          "MEDIUM" -> "mid", "SMALL" -> "compact", "LARGE" -> "large"),
+          fallback = "other"))
+        .groupBy(col("category"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          round(avg(col("p_retailprice")), 6).as("avg_price"))
+        .orderBy(col("category")),
+      Some("""SELECT CASE
+             |  WHEN p_type LIKE '%ECONOMY%' THEN 'budget'
+             |  WHEN p_type LIKE '%PROMO%' THEN 'promo'
+             |  WHEN p_type LIKE '%STANDARD%' THEN 'standard'
+             |  WHEN p_type LIKE '%MEDIUM%' THEN 'mid'
+             |  WHEN p_type LIKE '%SMALL%' THEN 'compact'
+             |  WHEN p_type LIKE '%LARGE%' THEN 'large'
+             |  ELSE 'other' END AS category,
+             |count(*) AS n, round(avg(p_retailprice), 6) AS avg_price
+             |FROM part GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // A3: disparity stats over segment means (threshold 50 per reference).
+    QDef("q35_disparity",
+      (s, d) => Bias.disparity(t(s, d, "customer"), "c_mktsegment",
+          "c_acctbal", threshold = 50.0),
+      Some("""SELECT round(max(m), 6) AS max_mean, round(min(m), 6) AS min_mean,
+             |round(max(m) / (min(m) + 1e-6), 6) AS disparity_ratio,
+             |round(max(m) - min(m), 6) AS disparity_diff,
+             |round(max(m) - min(m), 6) > 50.0 AS alert
+             |FROM (SELECT c_mktsegment, avg(c_acctbal) AS m
+             |      FROM customer GROUP BY 1)""".stripMargin)),
+
+    // A4/A5: underrepresentation vs median group size (customers/nation).
+    QDef("q36_underrepresentation",
+      (s, d) => Bias.underrepresentation(t(s, d, "customer"), "c_nationkey"),
+      Some("""WITH c AS (SELECT c_nationkey, count(*) AS n
+             |           FROM customer GROUP BY 1)
+             |SELECT c_nationkey, n, round(median_n, 2) AS median_n,
+             |CAST(n AS DOUBLE) < median_n AS underrepresented,
+             |CASE WHEN CAST(n AS DOUBLE) < median_n
+             |     THEN CAST(ceil(median_n) AS BIGINT) - n ELSE 0 END AS needed
+             |FROM c, (SELECT quantile_cont(n, 0.5) AS median_n FROM c)
+             |ORDER BY c_nationkey""".stripMargin)),
+
+    // A14: nation × market-segment heatmap (pivoted mean balance).
+    QDef("q37_pivot_heatmap",
+      (s, d) => t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .pivot("c_mktsegment",
+          Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"))
+        .agg(round(avg(col("c_acctbal")), 4))
+        .orderBy(col("n_name")),
+      Some("""SELECT n_name,
+             |round(avg(c_acctbal) FILTER (c_mktsegment = 'AUTOMOBILE'), 4) AS "AUTOMOBILE",
+             |round(avg(c_acctbal) FILTER (c_mktsegment = 'BUILDING'), 4) AS "BUILDING",
+             |round(avg(c_acctbal) FILTER (c_mktsegment = 'FURNITURE'), 4) AS "FURNITURE",
+             |round(avg(c_acctbal) FILTER (c_mktsegment = 'HOUSEHOLD'), 4) AS "HOUSEHOLD",
+             |round(avg(c_acctbal) FILTER (c_mktsegment = 'MACHINERY'), 4) AS "MACHINERY"
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // A16: top-decile skew of order totals.
+    QDef("q38_top_decile",
+      (s, d) => Bias.topDecileSkew(t(s, d, "orders"), "o_totalprice"),
+      Some("""WITH qq AS (SELECT quantile_cont(o_totalprice, 0.9) AS p90v,
+             |                   quantile_cont(o_totalprice, 0.5) AS medv FROM orders),
+             |agg AS (SELECT round(max(p90v), 6) AS p90, round(max(medv), 6) AS median,
+             |               round(avg(o_totalprice), 6) AS top_decile_mean,
+             |               count(*) AS n_top
+             |        FROM orders, qq WHERE o_totalprice >= p90v)
+             |SELECT p90, median, top_decile_mean, n_top,
+             |round(top_decile_mean / median, 6) AS skew_ratio FROM agg""".stripMargin)),
+
+    // §7.3 flagship slice: clean → quality gate (F5: ≥200 chars) → chunk →
+    // denormalize source (J6) → per-source chunk stats. Chunker inside →
+    // rows-only check; end-to-end shape covered in PipelineSpec.
+    QDef("q39_flagship_pipeline",
+      (s, d) => {
+        val base = t(s, d, "documents")
+          .withColumn("clean_text", TextFns.cleanText(col("text")))
+          .filter(length(col("clean_text")) >= 200)
+        val chunks = Chunking.chunkDocuments(
+          base.select(col("doc_id"), col("clean_text")), "doc_id", "clean_text")
+        chunks
+          .join(broadcast(base.select(col("doc_id"), col("source"))), Seq("doc_id"))
+          .groupBy(col("source"))
+          .agg(countDistinct(col("doc_id")).cast("long").as("n_docs"),
+            count(lit(1)).cast("long").as("n_chunks"),
+            round(avg(col("token_count")), 4).as("avg_chunk_tokens"))
+          .orderBy(col("source"))
+      },
+      None)
+  )
 }

@@ -1,7 +1,129 @@
 package graft.queries
 
-import graft.QDef
+import graft.{QDef, Tables}
+import graft.operators.Sessionization
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
+/** Event-time windowing surface over the `events` table: running
+  * aggregates, gap sessionization, tumbling/sliding windows, pivoted
+  * hour×type counts, JSON prop extraction, volume-anomaly scoring.
+  */
 object WindowQueries {
-  val defs: Seq[QDef] = Seq()
+
+  private def ev(s: SparkSession, d: String) = Tables(s, d, "events")
+
+  val defs: Seq[QDef] = Seq(
+
+    // Running aggregates per user (row_number / running sum / lag).
+    QDef("q27_running_agg",
+      (s, d) => Sessionization.runningAgg(ev(s, d), "user_id", "ts",
+          "event_id", "value")
+        .orderBy(col("user_id"), col("rn")),
+      Some("""SELECT user_id, ts, event_id, value,
+             |row_number() OVER w AS rn,
+             |round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_sum,
+             |lag(value, 1) OVER w AS prev_value
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |ORDER BY user_id, rn""".stripMargin)),
+
+    // Gap-based sessionization (30-minute inactivity gap).
+    QDef("q28_sessionize",
+      (s, d) => Sessionization.sessionize(ev(s, d), "user_id", "ts",
+          "event_id", "value", gapSeconds = 1800)
+        .orderBy(col("user_id"), col("session_id")),
+      Some("""SELECT user_id, session_id, count(*) AS n_events,
+             |min(ts) AS session_start, max(ts) AS session_end,
+             |round(sum(value), 2) AS sum_value
+             |FROM (SELECT user_id, ts, value,
+             |  CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+             |  FROM (SELECT user_id, ts, event_id, value,
+             |    CASE WHEN prev IS NULL OR epoch_us(ts) - prev > 1800000000
+             |         THEN 1 ELSE 0 END AS new_session
+             |    FROM (SELECT user_id, ts, event_id, value,
+             |      lag(epoch_us(ts), 1) OVER (PARTITION BY user_id
+             |        ORDER BY ts, event_id) AS prev
+             |    FROM events)))
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Tumbling 1-hour windows by event type (batch twin of the streaming
+    // query in graft.streaming).
+    QDef("q29_tumbling_window",
+      (s, d) => Sessionization.tumbling(ev(s, d), "ts", "1 hour",
+          Seq("event_type"), "value")
+        .orderBy(col("window_start"), col("event_type")),
+      Some("""SELECT date_trunc('hour', ts) AS window_start, event_type,
+             |count(*) AS n, round(sum(value), 2) AS sum_value
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Sliding 1-hour windows every 30 minutes (each event in 2 windows).
+    QDef("q30_sliding_window",
+      (s, d) => ev(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes")
+          .getField("start").as("window_start"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("window_start")),
+      Some("""SELECT window_start, count(*) AS n, round(sum(value), 2) AS sum_value
+             |FROM (
+             |  SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % 1800000000) AS window_start, value FROM events
+             |  UNION ALL
+             |  SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % 1800000000 - 1800000000) AS window_start, value FROM events)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // A14 pivot: hour-of-day × event_type counts.
+    QDef("q31_hour_type_pivot",
+      (s, d) => ev(s, d)
+        .groupBy(hour(col("ts")).cast("long").as("hour"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)).cast("long"))
+        .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))
+        .orderBy(col("hour")),
+      Some("""SELECT CAST(hour(ts) AS BIGINT) AS hour,
+             |count(*) FILTER (event_type = 'click') AS click,
+             |count(*) FILTER (event_type = 'error') AS error,
+             |count(*) FILTER (event_type = 'purchase') AS purchase,
+             |count(*) FILTER (event_type = 'signup') AS signup,
+             |count(*) FILTER (event_type = 'view') AS view
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // P5/P14 JSON boundary: extract props.k and aggregate per type.
+    QDef("q32_json_props",
+      (s, d) => ev(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(round(avg(col("k")), 6).as("avg_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+          count(lit(1)).cast("long").as("n"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type,
+             |round(avg(k), 6) AS avg_k, min(k) AS min_k, max(k) AS max_k,
+             |count(*) AS n
+             |FROM (SELECT event_type,
+             |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // A10: daily volume anomaly vs trailing-10-day history. The window is
+    // global but operates on the tiny per-day aggregate (≤ O(days) rows).
+    QDef("q40_volume_anomaly",
+      (s, d) => Sessionization.volumeAnomaly(ev(s, d), "ts",
+          lookback = 10, zThreshold = 2.5)
+        .orderBy(col("day")),
+      Some("""SELECT day, n, round(hist_avg, 4) AS hist_avg,
+             |round(hist_std, 4) AS hist_std, round(z, 4) AS z,
+             |coalesce(abs(z), 0) > 2.5 AS is_anomaly
+             |FROM (SELECT day, n, hist_avg, hist_std,
+             |  CASE WHEN hist_std IS NOT NULL AND hist_std > 0
+             |       THEN (n - hist_avg) / hist_std END AS z
+             |  FROM (SELECT day, n,
+             |    avg(n) OVER w AS hist_avg,
+             |    stddev_samp(n) OVER w AS hist_std
+             |    FROM (SELECT CAST(ts AS DATE) AS day, count(*) AS n
+             |          FROM events GROUP BY 1)
+             |    WINDOW w AS (ORDER BY day ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)))
+             |ORDER BY day""".stripMargin))
+  )
 }
