@@ -19,6 +19,7 @@ object QueryRegistry {
     queries.TextQueries.defs,
     queries.SimilarityQueries.defs,
     queries.WindowQueries.defs,
-    queries.PipelineQueries.defs
+    queries.PipelineQueries.defs,
+    queries.GraphQueries.defs
   ).flatten
 }

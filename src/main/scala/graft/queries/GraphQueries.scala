@@ -1,0 +1,140 @@
+package graft.queries
+
+import graft.{QDef, Tables}
+import graft.operators.{ContentExtraction, Relational}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Extraction-tier dispatch, citation-graph semantics (closed-world filter,
+  * graph expansion join), rollup subtotals, and sketch-based distinct
+  * counting.
+  */
+object GraphQueries {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  val defs: Seq[QDef] = Seq(
+
+    // S14/S15: 4-tier extraction dispatcher over synthetic per-tier
+    // candidates derived deterministically from documents.
+    QDef("q41_extraction_tiers",
+      (s, d) => {
+        val tiers = t(s, d, "documents").select(
+          col("doc_id"),
+          when(col("n_chars") >= 400, col("text")).as("html"),
+          when(col("n_chars") >= 250, substring(col("text"), 1, 300)).as("grobid"),
+          when(col("n_chars") >= 220, substring(col("text"), 1, 220)).as("rx"),
+          substring(col("text"), 1, 120).as("abst"),
+          when(col("doc_id") % 3 === 0, substring(col("text"), 1, 40)).as("tldr"))
+        ContentExtraction.extract(tiers, col("html"), col("grobid"),
+          col("rx"), col("abst"), col("tldr"))
+          .select(col("doc_id"), col("extraction_method"), col("content_quality"),
+            col("has_intro"), col("intro_length"), col("status"),
+            md5(col("introduction")).as("intro_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tiers AS (SELECT doc_id,
+             |  CASE WHEN n_chars >= 400 THEN text END AS html,
+             |  CASE WHEN n_chars >= 250 THEN substr(text, 1, 300) END AS grobid,
+             |  CASE WHEN n_chars >= 220 THEN substr(text, 1, 220) END AS rx,
+             |  substr(text, 1, 120) AS abst,
+             |  CASE WHEN doc_id % 3 = 0 THEN substr(text, 1, 40) END AS tldr
+             |  FROM documents),
+             |flags AS (SELECT *,
+             |  html IS NOT NULL AND length(html) >= 200 AS html_ok,
+             |  grobid IS NOT NULL AND length(grobid) BETWEEN 200 AND 15000 AS grobid_ok,
+             |  rx IS NOT NULL AND length(rx) BETWEEN 200 AND 15000 AS rx_ok,
+             |  abst IS NOT NULL AND length(abst) > 50 AS abs_ok
+             |  FROM tiers),
+             |ext AS (SELECT doc_id,
+             |  CASE WHEN html_ok THEN html WHEN grobid_ok THEN grobid
+             |       WHEN rx_ok THEN rx
+             |       WHEN abs_ok THEN (CASE WHEN tldr IS NOT NULL
+             |            THEN abst || ' Summary: ' || tldr ELSE abst END)
+             |       WHEN tldr IS NOT NULL THEN tldr END AS introduction,
+             |  CASE WHEN html_ok THEN 'arxiv_html' WHEN grobid_ok THEN 'grobid'
+             |       WHEN rx_ok THEN 'pymupdf_regex'
+             |       WHEN abs_ok OR tldr IS NOT NULL THEN 'abstract_tldr'
+             |       END AS extraction_method,
+             |  CASE WHEN html_ok OR grobid_ok THEN 'high'
+             |       WHEN rx_ok THEN 'medium'
+             |       WHEN abs_ok OR tldr IS NOT NULL THEN 'low'
+             |       END AS content_quality
+             |  FROM flags)
+             |SELECT doc_id, extraction_method, content_quality,
+             |introduction IS NOT NULL AS has_intro,
+             |CAST(coalesce(length(introduction), 0) AS BIGINT) AS intro_length,
+             |CASE WHEN introduction IS NOT NULL
+             |     THEN 'success_' || extraction_method ELSE 'failed' END AS status,
+             |md5(introduction) AS intro_md5
+             |FROM ext ORDER BY doc_id""".stripMargin)),
+
+    // F3/J3: closed-world reference filter — per-order part lists filtered
+    // to a universe (parts with p_size < 25), shuffle-side semi-join.
+    QDef("q42_closed_world",
+      (s, d) => {
+        val base = t(s, d, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(sort_array(collect_set(col("l_partkey").cast("string"))).as("parts"))
+        val universe = t(s, d, "part").filter(col("p_size") < 25)
+          .select(col("p_partkey").cast("string").as("p_partkey"))
+        Relational.closedWorldFilter(base, "l_orderkey", "parts", universe, "p_partkey")
+          .select(col("l_orderkey"),
+            concat_ws(",", col("parts")).as("kept_csv"),
+            size(col("parts")).cast("long").as("n_kept"))
+          .orderBy(col("l_orderkey"))
+      },
+      Some("""WITH base AS (SELECT l_orderkey,
+             |  list_distinct(list(CAST(l_partkey AS VARCHAR))) AS parts
+             |  FROM lineitem GROUP BY 1),
+             |uni AS (SELECT list(DISTINCT CAST(p_partkey AS VARCHAR)) AS ul
+             |        FROM part WHERE p_size < 25)
+             |SELECT l_orderkey,
+             |coalesce(array_to_string(list_sort(list_intersect(parts, ul)), ','), '') AS kept_csv,
+             |CAST(coalesce(len(list_intersect(parts, ul)), 0) AS BIGINT) AS n_kept
+             |FROM base, uni ORDER BY l_orderkey""".stripMargin)),
+
+    // J5: citation-graph-expansion shape — large-large join
+    // (orders ⋈ lineitem, AQE-planned) then per-node distinct neighbors.
+    QDef("q43_graph_expand",
+      (s, d) => t(s, d, "orders")
+        .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(countDistinct(col("l_suppkey")).cast("long").as("n_suppliers"),
+          count(lit(1)).cast("long").as("n_edges"))
+        .orderBy(col("o_custkey")),
+      Some("""SELECT o_custkey,
+             |CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+             |count(*) AS n_edges
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Rollup subtotals (beyond the reference — free with Catalyst).
+    QDef("q44_rollup",
+      (s, d) => t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          round(sum(col("c_acctbal")), 2).as("sum_bal"),
+          grouping_id().cast("long").as("gid"))
+        .orderBy(col("gid"), col("r_name"), col("n_name")),
+      Some("""SELECT r_name, n_name, count(*) AS n,
+             |round(sum(c_acctbal), 2) AS sum_bal,
+             |CAST(grouping_id(r_name, n_name) AS BIGINT) AS gid
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY ROLLUP (r_name, n_name)
+             |ORDER BY gid, r_name, n_name""".stripMargin)),
+
+    // HLL sketch vs exact distinct (no oracle: sketch estimates are
+    // engine-specific; tolerance asserted in spec).
+    QDef("q45_approx_distinct",
+      (s, d) => t(s, d, "lineitem").agg(
+        approx_count_distinct(col("l_partkey")).cast("long").as("approx_parts"),
+        countDistinct(col("l_partkey")).cast("long").as("exact_parts"),
+        approx_count_distinct(col("l_orderkey")).cast("long").as("approx_orders"),
+        countDistinct(col("l_orderkey")).cast("long").as("exact_orders")),
+      None)
+  )
+}
