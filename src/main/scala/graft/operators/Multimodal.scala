@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column support for training-data pipelines: image/audio/video
+  * payloads ride as opaque `binary` columns next to a typed metadata
+  * struct; decode / feature-extract / resize / frame-sample run as
+  * batch-shaped per-partition transforms.
+  *
+  * The actual codec step is a clearly marked STUB (no image/audio libraries
+  * in this container): `decodeStub` derives deterministic fake metadata
+  * from the bytes. Everything around it — the schema contract, the
+  * mapPartitions batch shape, partition sizing, the feature pipeline — is
+  * real and tested; swapping the stub for a JNI/javacv decoder changes one
+  * function.
+  *
+  * Scale notes: payload columns dominate row width, so operators here
+  * project the payload away as early as possible (metadata-only outputs),
+  * and `withBinaryPartitioning` resizes partitions by payload bytes, not
+  * row count — the knob that keeps executor memory flat at 100 TB.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = new StructType()
+    .add("media_id", LongType)
+    .add("media_type", StringType)    // image | audio | video
+    .add("payload", BinaryType)
+    .add("meta", new StructType()
+      .add("format", StringType)
+      .add("width", IntegerType)
+      .add("height", IntegerType)
+      .add("n_frames", IntegerType))
+
+  /** STUB decode (???-equivalent): deterministic fake metadata derived from
+    * the payload bytes. Replace with a real codec behind the same
+    * signature; the fake is stable so tests can hash outputs.
+    */
+  def decodeStub(payload: Array[Byte]): (String, Int, Int, Int) = {
+    if (payload == null || payload.isEmpty) ("empty", 0, 0, 0)
+    else {
+      val h = java.util.Arrays.hashCode(payload)
+      val fmt = Seq("png", "jpeg", "webp")(math.abs(h) % 3)
+      val w = 64 + math.abs(h % 1024)
+      val ht = 64 + math.abs((h / 1024) % 1024)
+      (fmt, w, ht, 1 + math.abs(h % 300))
+    }
+  }
+
+  /** Attach decoded metadata (mapPartitions batch shape: one decoder
+    * instance per partition, rows streamed through it).
+    */
+  def decode(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val out = new StructType()
+      .add("media_id", LongType)
+      .add("format", StringType)
+      .add("width", IntegerType)
+      .add("height", IntegerType)
+      .add("n_frames", IntegerType)
+    val idIdx = df.columns.indexOf(idCol)
+    val pIdx = df.columns.indexOf(payloadCol)
+    df.mapPartitions { rows =>
+      // real decoders are expensive to construct — do it once per partition
+      rows.map { r =>
+        val (fmt, w, h, f) = decodeStub(r.getAs[Array[Byte]](pIdx))
+        Row(r.getLong(idIdx), fmt, w, h, f)
+      }
+    }(Encoders.row(out))
+  }
+
+  /** Byte-histogram feature vector (16 bins, L1-normalized) — the
+    * deterministic stand-in for an embedding-model feature extractor;
+    * returns (id, features array<float>) with the payload projected away.
+    */
+  def featureExtract(df: DataFrame, idCol: String, payloadCol: String,
+                     bins: Int = 16): DataFrame = {
+    val extract = udf { bytes: Array[Byte] =>
+      val h = new Array[Float](bins)
+      if (bytes != null && bytes.nonEmpty) {
+        bytes.foreach(b => h((b & 0xFF) * bins / 256) += 1f)
+        val n = bytes.length.toFloat
+        (0 until bins).foreach(i => h(i) /= n)
+      }
+      h.toSeq
+    }
+    df.select(col(idCol), extract(col(payloadCol)).as("features"))
+  }
+
+  /** Frame sampling for video-shaped rows: keep every `stride`-th frame
+    * index up to the decoded frame count (metadata-level; a real
+    * implementation emits one payload slice per kept frame).
+    */
+  def frameSample(decoded: DataFrame, stride: Int): DataFrame =
+    decoded.select(col("media_id"),
+      explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
+
+  /** Resize spec (metadata transform — the payload op is the stub's job):
+    * clamp the longer edge to `maxEdge` preserving aspect ratio.
+    */
+  def resizeSpec(decoded: DataFrame, maxEdge: Int): DataFrame = {
+    val scale = least(lit(1.0),
+      lit(maxEdge) / greatest(col("width"), col("height")).cast("double"))
+    decoded
+      .withColumn("target_width", ceil(col("width") * scale).cast("int"))
+      .withColumn("target_height", ceil(col("height") * scale).cast("int"))
+  }
+
+  /** Repartition by accumulated payload size so each partition carries at
+    * most ~`targetBytes` of media (row-count partitioning is wrong for
+    * fat binary columns).
+    */
+  def withBinaryPartitioning(df: DataFrame, payloadCol: String,
+                             targetBytes: Long): DataFrame = {
+    val totalBytes = df.agg(sum(length(col(payloadCol)))).collect()(0) match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    val nPart = math.max(1, math.min(10000, (totalBytes / targetBytes).toInt + 1))
+    df.repartition(nPart)
+  }
+}

@@ -1,0 +1,124 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.LongAccumulator
+
+/** Sink layer (SURVEY.md §2.2).
+  *
+  *  - K1 partitioned parquet stage tables (replacing the reference's
+  *    per-term timestamped files, `main.py:275-310,610-625`): one
+  *    `write.partitionBy(...)` — downstream reads prune on the partition
+  *    columns instead of re-listing and concatenating blobs.
+  *  - K3/K4 JDBC upsert with DB-boundary coercion
+  *    (`Processing/upload_papers_to_supabase.py:124-399`): batched
+  *    `INSERT ... ON CONFLICT DO NOTHING` via foreachPartition (Spark's
+  *    `df.write.jdbc` has no upsert mode), stats via accumulators.
+  *  - K7 JSON report sink (`schema_validator.py:388-396`): tiny profile
+  *    results to a single JSON file.
+  */
+object Sinks {
+
+  /** Reference's safe-name slug (`main.py:611`): drop non-word chars,
+    * whitespace → underscore, lowercase.
+    */
+  def safeName(s: String): String =
+    s.replaceAll("[^\\w\\s-]", "").trim.replaceAll("\\s+", "_").toLowerCase
+
+  /** K1: stage-table write, partitioned for downstream pruning. `runTs` is
+    * caller-supplied (deterministic tests; one folder per pipeline run).
+    */
+  def writeStage(df: DataFrame, baseDir: String, stage: String,
+                 runTs: String, partitionCols: Seq[String] = Nil): String = {
+    val path = s"$baseDir/stage=${safeName(stage)}/run_ts=$runTs"
+    val w = df.write.mode(SaveMode.Append)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(path)
+    path
+  }
+
+  /** K4: DB-boundary coercions as column expressions — control-char strip,
+    * title truncation to 1000, array columns → JSON strings, column renames
+    * (`upload_papers_to_supabase.py:145-221`).
+    */
+  def coerceForDb(df: DataFrame): DataFrame = {
+    val cleaned = df.columns.foldLeft(df) { (acc, c) =>
+      acc.schema(c).dataType match {
+        case org.apache.spark.sql.types.StringType =>
+          acc.withColumn(c, regexp_replace(col(c), "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]", ""))
+        case _: org.apache.spark.sql.types.ArrayType =>
+          acc.withColumn(c, to_json(col(c)))
+        case _ => acc
+      }
+    }
+    val truncated =
+      if (cleaned.columns.contains("title"))
+        cleaned.withColumn("title", substring(col("title"), 1, 1000))
+      else cleaned
+    truncated.columns.foldLeft(truncated) { (acc, c) =>
+      c match {
+        case "references_id" => acc.withColumnRenamed(c, "reference_ids")
+        case "has_intro" => acc.withColumnRenamed(c, "has_introduction")
+        case _ => acc
+      }
+    }
+  }
+
+  final case class UpsertStats(attempted: Long, succeeded: Long, failed: Long)
+
+  /** K3: batched idempotent upsert through a caller-supplied JDBC
+    * connection factory (`() => Connection` must be serializable — e.g. a
+    * driver-class + URL closure, or a test fake). One connection per
+    * partition, `batchSize` rows per executeBatch, ON CONFLICT DO NOTHING
+    * for re-run idempotence (reference T4).
+    */
+  def jdbcUpsert(df: DataFrame, table: String, keyCols: Seq[String],
+                 connect: () => java.sql.Connection,
+                 batchSize: Int = 100): UpsertStats = {
+    val spark = df.sparkSession
+    val attempted: LongAccumulator = spark.sparkContext.longAccumulator("upsert_attempted")
+    val succeeded: LongAccumulator = spark.sparkContext.longAccumulator("upsert_succeeded")
+    val failed: LongAccumulator = spark.sparkContext.longAccumulator("upsert_failed")
+    val cols = df.columns.toSeq
+    val sql = s"INSERT INTO $table (${cols.mkString(", ")}) VALUES " +
+      s"(${cols.map(_ => "?").mkString(", ")}) " +
+      s"ON CONFLICT (${keyCols.mkString(", ")}) DO NOTHING"
+    df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      if (rows.nonEmpty) {
+        val conn = connect()
+        try {
+          val stmt = conn.prepareStatement(sql)
+          var inBatch = 0
+          def flush(): Unit = if (inBatch > 0) {
+            try {
+              val res = stmt.executeBatch()
+              succeeded.add(res.count(r => r >= 0 || r == java.sql.Statement.SUCCESS_NO_INFO))
+            } catch {
+              case _: java.sql.SQLException => failed.add(inBatch)
+            }
+            inBatch = 0
+          }
+          rows.foreach { row =>
+            cols.indices.foreach(i => stmt.setObject(i + 1, row.get(i)))
+            stmt.addBatch()
+            attempted.add(1)
+            inBatch += 1
+            if (inBatch >= batchSize) flush()
+          }
+          flush()
+        } finally conn.close()
+      }
+    }
+    UpsertStats(attempted.value, succeeded.value, failed.value)
+  }
+
+  /** K7: small report DataFrame → one JSON-lines file (driver-side write of
+    * an already-aggregated, tiny result — never call on raw tables).
+    */
+  def writeJsonReport(df: DataFrame, path: String): Unit = {
+    val lines = df.toJSON.collect()
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path).getParent)
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      lines.mkString("\n").getBytes("UTF-8"))
+  }
+}

@@ -1,0 +1,107 @@
+package graft
+
+import graft.sinks.Sinks
+import org.apache.spark.sql.functions._
+
+import java.lang.reflect.{InvocationHandler, Method, Proxy}
+import java.sql.{Connection, PreparedStatement}
+
+/** Mirrors the reference's upload suite semantics: batching, ON CONFLICT
+  * statement shape, coercions, rename map — against a reflective fake JDBC
+  * driver (no DB in the container).
+  */
+object SinksSpec {
+  // JVM-static capture (executor threads share the JVM in local mode)
+  val capturedSql = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  val batchSizes = new java.util.concurrent.ConcurrentLinkedQueue[Integer]()
+
+  def fakeConnection(): Connection = {
+    var pending = 0
+    lazy val stmtHandler: InvocationHandler = (_: Any, m: Method, _: Array[AnyRef]) =>
+      m.getName match {
+        case "addBatch" => pending += 1; null
+        case "executeBatch" =>
+          batchSizes.add(pending)
+          val r = Array.fill(pending)(1); pending = 0; r
+        case "setObject" | "close" | "clearBatch" => null
+        case _ => null
+      }
+    val connHandler: InvocationHandler = (_: Any, m: Method, args: Array[AnyRef]) =>
+      m.getName match {
+        case "prepareStatement" =>
+          capturedSql.add(args(0).asInstanceOf[String])
+          Proxy.newProxyInstance(getClass.getClassLoader,
+            Array(classOf[PreparedStatement]), stmtHandler)
+        case "close" | "commit" | "setAutoCommit" => null
+        case "isClosed" => java.lang.Boolean.FALSE
+        case _ => null
+      }
+    Proxy.newProxyInstance(getClass.getClassLoader,
+      Array(classOf[Connection]), connHandler).asInstanceOf[Connection]
+  }
+}
+
+class SinksSpec extends SparkSpec {
+  import SinksSpec._
+
+  test("safeName slug matches the reference semantics") {
+    assert(Sinks.safeName("Deep Learning: A Survey!") == "deep_learning_a_survey")
+    assert(Sinks.safeName("  spaces   here ") == "spaces_here")
+  }
+
+  test("stage write partitions and reads back with pruning") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stage").toString
+    val df = Seq(("p1", "ml", 1), ("p2", "ml", 2), ("p3", "ai", 3))
+      .toDF("paper_id", "term", "v")
+    val path = Sinks.writeStage(df, dir, "Raw V2", "20260101T000000",
+      partitionCols = Seq("term"))
+    assert(path.contains("stage=raw_v2"))
+    val back = spark.read.parquet(path)
+    assert(back.count() == 3)
+    assert(back.filter(col("term") === "ml").count() == 2)
+    // partition pruning visible in the plan
+    val plan = back.filter(col("term") === "ml")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || !plan.contains("term IS NOT NULL"))
+  }
+
+  test("db coercion: control chars, truncation, array->json, renames") {
+    import spark.implicits._
+    val df = Seq(("t\u0000itle" + "x" * 2000, Seq("r1", "r2"), true))
+      .toDF("title", "references_id", "has_intro")
+    val out = Sinks.coerceForDb(df)
+    assert(out.columns.toSet == Set("title", "reference_ids", "has_introduction"))
+    val row = out.collect()(0)
+    assert(row.getAs[String]("title").length == 1000)
+    assert(!row.getAs[String]("title").exists(_ < ' '))
+    assert(row.getAs[String]("reference_ids") == """["r1","r2"]""")
+  }
+
+  test("jdbc upsert: ON CONFLICT statement, batching, stats") {
+    import spark.implicits._
+    capturedSql.clear(); batchSizes.clear()
+    val df = (1 to 250).map(i => (s"p$i", i)).toDF("paper_id", "v")
+      .repartition(2)
+    val stats = Sinks.jdbcUpsert(df, "papers", Seq("paper_id"),
+      () => SinksSpec.fakeConnection(), batchSize = 100)
+    assert(stats.attempted == 250)
+    assert(stats.succeeded == 250)
+    assert(stats.failed == 0)
+    assert(capturedSql.peek().startsWith("INSERT INTO papers"))
+    assert(capturedSql.peek().contains("ON CONFLICT (paper_id) DO NOTHING"))
+    val sizes = batchSizes.toArray(Array.empty[Integer]).map(_.toInt)
+    assert(sizes.sum == 250)
+    assert(sizes.max <= 100)
+  }
+
+  test("json report sink writes aggregated rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-report")
+    val profile = graft.operators.Profiling.missingProfile(
+      Tables(spark, sf, "documents"))
+    val path = dir.resolve("reports/profile.json")
+    Sinks.writeJsonReport(profile, path.toString)
+    val content = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+    assert(content.contains("\"n_rows\""))
+  }
+}
