@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.functions.VectorFns
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest-neighbor index: a k-means coarse
+  * quantizer assigns every vector to a cell; queries probe only the
+  * `nprobe` nearest cells. This is the standard scale path past
+  * brute-force cosine (`Similarity.topK`): search cost drops from O(n) to
+  * O(n·nprobe/k) per query, and the assignment is one narrow pass.
+  *
+  * Training is Lloyd's algorithm expressed as DataFrame ops: assignment is
+  * a codegen'd argmin over k dot products; the update step aggregates
+  * per-cell per-dimension means (posexplode → groupBy — one shuffle of
+  * n·dim skinny rows). Only the k×dim centroid matrix ever reaches the
+  * driver. Deterministic: init = first k vectors in id order, no RNG.
+  */
+object IvfIndex {
+
+  final case class Model(centroids: Array[Array[Double]]) {
+    def k: Int = centroids.length
+  }
+
+  /** Argmin-cell expression: lexicographic array_min over
+    * (distance, cellIdx) structs; distance compared as
+    * ‖c‖² − 2·x·c (equal argmin to true L2, one dot per cell).
+    */
+  private def bestCell(embCol: Column, model: Model): Column = {
+    val scored = model.centroids.zipWithIndex.map { case (c, i) =>
+      val c2 = c.map(x => x * x).sum
+      struct((lit(c2) - lit(2.0) * VectorFns.dot(embCol, lit(c))).as("dist"),
+        lit(i).as("cell"))
+    }
+    array_min(array(scored: _*)).getField("cell")
+  }
+
+  def train(df: DataFrame, idCol: String, embCol: String,
+            k: Int, iters: Int): Model = {
+    val dim = df.select(size(col(embCol))).first().getInt(0)
+    var centroids = df.orderBy(col(idCol)).limit(k)
+      .select(col(embCol)).collect()
+      .map(_.getSeq[Any](0).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+      }.toArray)
+    (0 until iters).foreach { _ =>
+      val model = Model(centroids)
+      val assigned = df.select(col(embCol), bestCell(col(embCol), model).as("cell"))
+      val sums = assigned
+        .select(col("cell"), posexplode(col(embCol)).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("v").cast("double")).as("m"))
+        .collect()
+      val updated = centroids.zipWithIndex.map { case (old, c) =>
+        val dims = sums.filter(_.getInt(0) == c)
+        if (dims.isEmpty) old // empty cell keeps its centroid
+        else {
+          val arr = old.clone()
+          dims.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+          arr
+        }
+      }
+      centroids = updated
+    }
+    Model(centroids)
+  }
+
+  /** Assign every row to its cell (adds `cell`). */
+  def assign(df: DataFrame, embCol: String, model: Model): DataFrame =
+    df.withColumn("cell", bestCell(col(embCol), model))
+
+  /** Probe-cell list per query: the `nprobe` nearest centroids. */
+  private def probeCells(embCol: Column, model: Model, nprobe: Int): Column = {
+    val scored = model.centroids.zipWithIndex.map { case (c, i) =>
+      val c2 = c.map(x => x * x).sum
+      struct((lit(c2) - lit(2.0) * VectorFns.dot(embCol, lit(c))).as("dist"),
+        lit(i).as("cell"))
+    }
+    slice(transform(array_sort(array(scored: _*)), s => s.getField("cell")),
+      1, nprobe)
+  }
+
+  /** ANN top-k: probe `nprobe` cells per query, exact cosine within probed
+    * cells. With nprobe = k this degrades gracefully to exhaustive search
+    * (recall 1.0 vs `Similarity.knnJoin` — asserted in spec).
+    */
+  def search(queries: DataFrame, corpus: DataFrame, idCol: String,
+             embCol: String, model: Model, nprobe: Int, topK: Int): DataFrame = {
+    val assigned = assign(corpus, embCol, model)
+      .withColumn("__norm", sqrt(VectorFns.dot(col(embCol), col(embCol))))
+    val q = queries
+      .select(col(idCol).as("query_id"), col(embCol).as("__qemb"))
+      .withColumn("__qnorm", sqrt(VectorFns.dot(col("__qemb"), col("__qemb"))))
+      .withColumn("cell", explode(probeCells(col("__qemb"), model, nprobe)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col(idCol))
+    assigned.join(broadcast(q), Seq("cell"))
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol),
+        (VectorFns.dot(col(embCol), col("__qemb"))
+          / (col("__norm") * col("__qnorm"))).as("sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QDef, Tables}
-import graft.operators.{DedupOps, Similarity}
+import graft.operators.{DedupOps, IvfIndex, Similarity}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -111,6 +111,21 @@ object SimilarityQueries {
     QDef("q25_simhash_pairs",
       (s, d) => DedupOps.simhashPairs(docs(s, d), "doc_id", "text", maxDist = 3)
         .orderBy(col("id_a"), col("id_b")),
+      None),
+
+    // IVF ANN: k-means coarse quantizer + probe-limited search (the scale
+    // path past brute force; approximate → rows-only check, recall vs
+    // brute force asserted in IvfIndexSpec).
+    QDef("q46_ivf_ann",
+      (s, d) => {
+        val corpus = embs(s, d)
+        val model = IvfIndex.train(corpus, "vec_id", "embedding", k = 8, iters = 2)
+        IvfIndex.search(corpus.filter(col("vec_id") < 5), corpus,
+          "vec_id", "embedding", model, nprobe = 3, topK = 5)
+          .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"),
+            col("rank"))
+          .orderBy(col("query_id"), col("rank"))
+      },
       None),
 
     // Exact dedup groups by prefix fingerprint (hash-groupBy dedup).
