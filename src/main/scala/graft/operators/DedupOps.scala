@@ -96,11 +96,14 @@ object DedupOps {
     val rnd = new scala.util.Random(seed)
     val coefs = Array.fill(k)((1 + rnd.nextInt(Int.MaxValue - 1)).toLong,
       rnd.nextInt(Int.MaxValue).toLong)
-    val x = pmod(hash(col("shingle")).cast("long"), lit(p))
+    // materialize the base hash below the aggregate: referenced inline it
+    // would be recomputed per agg expression (k× the hashing work)
+    val hashed = sh.select(col(idCol),
+      pmod(hash(col("shingle")).cast("long"), lit(p)).as("__x"))
     val aggs = coefs.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(x * a + b, lit(p))).as(s"mh_$i")
+      min(pmod(col("__x") * a + b, lit(p))).as(s"mh_$i")
     }
-    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** MinHash + LSH banding near-dup candidate pairs, verified with exact
