@@ -1,0 +1,87 @@
+package graft.pipeline
+
+import graft.embed.Embedder
+import graft.operators._
+import graft.sources.HttpSource
+import graft.functions.TextFns
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference DAG's task bodies as composable `SparkSession → DataFrame`
+  * stages (SURVEY.md §3.1 restatement): collect → project → extract →
+  * dedup → profile → bias-analyze → (mitigate) → upsert. Airflow's
+  * file-handoff between tasks becomes in-session DataFrame reuse; the
+  * recursive mitigation loop stays driver-side imperative code invoking the
+  * same collection stage (the tiny recommendation table is the only thing
+  * collected).
+  */
+object PaperPipeline {
+
+  final case class Config(
+      domain: String,
+      terms: Seq[String],
+      scrapedAt: java.sql.Timestamp,
+      source: HttpSource.SourceConfig = HttpSource.SourceConfig(),
+      maxRefs: Int = 50,
+      disparityThreshold: Double = 50.0)
+
+  /** Collect + project (reference steps 2a: search → flat records). */
+  def collect(spark: SparkSession, cfg: Config,
+              transport: HttpSource.HttpTransport): DataFrame = {
+    val raw = HttpSource.searchPapers(spark, cfg.terms, cfg.source, transport)
+    MetadataProjection.project(raw, cfg.domain, cfg.scrapedAt, cfg.maxRefs)
+  }
+
+  /** Keep-first dedup with the reference's seed-order priority (F1):
+    * earliest scrape first, paper_id tie-break.
+    */
+  def dedup(papers: DataFrame): DataFrame =
+    Relational.dedupKeepFirst(papers, Seq("paper_id"),
+      Seq(col("scraped_at"), col("search_term")))
+
+  /** Closed-world reference filter (F3) against the collected id set. */
+  def closeWorld(papers: DataFrame): DataFrame =
+    Relational.closedWorldFilter(papers, "paper_id", "references_id",
+      papers.select(col("paper_id")), "paper_id")
+
+  /** Quality profile + anomaly gates (reference step 6). */
+  def profile(papers: DataFrame): DataFrame =
+    Profiling.qualityScore(papers, "scraped_at", 1950, 2035, "citation_count")
+
+  /** Bias slicing + mitigation recommendations (steps 3-5): returns the
+    * (tiny) per-slice recommendation table; the driver loop re-collects
+    * underrepresented slices with the same `collect` stage.
+    */
+  def biasRecommendations(papers: DataFrame, sliceCol: String): DataFrame =
+    Bias.underrepresentation(papers, sliceCol)
+      .filter(col("underrepresented"))
+      .orderBy(col("needed").desc, col(sliceCol))
+
+  /** One mitigation cycle (reference `bias_mitigation_collector.py:378-457`
+    * semantics): for each underrepresented slice, re-run collection with
+    * refs disabled, union, dedup again. Returns the augmented table.
+    */
+  def mitigate(spark: SparkSession, cfg: Config, papers: DataFrame,
+               transport: HttpSource.HttpTransport): DataFrame = {
+    val recs = biasRecommendations(papers, "search_term").collect()
+    if (recs.isEmpty) papers
+    else {
+      val terms = recs.map(_.getAs[String]("search_term")).toSeq
+      val extra = collect(spark,
+        cfg.copy(terms = terms, maxRefs = 0,
+          source = cfg.source), transport)
+      dedup(papers.unionByName(extra, allowMissingColumns = true))
+    }
+  }
+
+  /** Preprocess + embed (reference §3.2): clean → gate → chunk → embed. */
+  def embedStage(papers: DataFrame, textCol: String,
+                 provider: Embedder.Provider): DataFrame = {
+    val cleaned = papers
+      .withColumn("__clean", TextFns.cleanText(col(textCol)))
+      .filter(length(col("__clean")) >= 200)
+    val chunks = Chunking.chunkDocuments(
+      cleaned.select(col("paper_id"), col("__clean")), "paper_id", "__clean")
+    Embedder.embedChunks(chunks, "chunk_id", "chunk_text", provider)
+  }
+}

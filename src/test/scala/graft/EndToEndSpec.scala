@@ -1,0 +1,114 @@
+package graft
+
+import graft.embed.Embedder
+import graft.operators.Similarity
+import graft.pipeline.PaperPipeline
+import graft.quality.RunHistory
+import graft.sinks.Sinks
+import graft.sources.HttpSource._
+import org.apache.spark.sql.functions._
+
+/** The reference's integration surface
+  * (`tests/integration/test_end_to_end_pipeline.py`): API → metadata →
+  * content → dedup → bias → embed → search → upsert, over canned payloads.
+  */
+object EndToEndSpec {
+  def paper(id: String, cites: Int): String =
+    s"""{"paperId":"$id","title":"Paper $id","abstract":"${"word " * 60}",
+       |"year":2021,"citationCount":$cites,"influentialCitationCount":1,
+       |"externalIds":{"DOI":"10.1/$id"},
+       |"authors":[{"authorId":"a-$id","name":"Author $id"}],
+       |"references":[{"paperId":"ref-common"}],
+       |"fieldsOfStudy":["CS"],"publicationTypes":["JournalArticle"],
+       |"tldr":{"text":"tldr $id"},"openAccessPdf":{"url":"http://x/$id"}}""".stripMargin
+
+  /** Term-aware transport: ml → 3 papers (one duplicated across terms),
+    * ai → 1 paper. Deterministic, stateless — safe to serialize.
+    */
+  class TermTransport extends HttpTransport {
+    def get(url: String, headers: Map[String, String]): HttpResponse = {
+      val body =
+        if (url.contains("query=ml"))
+          s"""{"data":[${paper("p1", 10)},${paper("p2", 5)},${paper("shared", 1)}]}"""
+        else
+          s"""{"data":[${paper("shared", 1)}]}"""
+      HttpResponse(200, body)
+    }
+  }
+}
+
+class EndToEndSpec extends SparkSpec {
+  import EndToEndSpec._
+
+  private val ts = java.sql.Timestamp.valueOf("2026-02-01 00:00:00")
+  private def cfg = PaperPipeline.Config(
+    domain = "cs", terms = Seq("ml", "ai"), scrapedAt = ts,
+    source = SourceConfig(minIntervalMs = 0, sleeper = HttpSourceSpec.noSleep))
+
+  test("collect -> project -> dedup -> closed-world -> profile -> upsert") {
+    val collected = PaperPipeline.collect(spark, cfg, new TermTransport)
+    assert(collected.count() == 4) // 3 + 1, 'shared' twice
+    val deduped = PaperPipeline.dedup(collected)
+    assert(deduped.count() == 3)
+    assert(deduped.filter(col("paper_id") === "shared").count() == 1)
+
+    // closed world: 'ref-common' is not a collected paper → filtered out
+    val closed = PaperPipeline.closeWorld(deduped)
+    assert(closed.filter(size(col("references_id")) > 0).count() == 0)
+
+    val profile = PaperPipeline.profile(closed)
+    val prow = profile.collect()(0)
+    assert(prow.getAs[Long]("n_rows") == 3)
+    assert(prow.getAs[Double]("validity") == 100.0)
+
+    // upsert through the fake JDBC connection
+    SinksSpec.capturedSql.clear(); SinksSpec.batchSizes.clear()
+    val stats = Sinks.jdbcUpsert(
+      Sinks.coerceForDb(closed.select("paper_id", "title", "references_id")),
+      "papers", Seq("paper_id"), () => SinksSpec.fakeConnection())
+    assert(stats.attempted == 3 && stats.failed == 0)
+  }
+
+  test("bias recommendations drive a mitigation recollection cycle") {
+    val collected = PaperPipeline.dedup(
+      PaperPipeline.collect(spark, cfg, new TermTransport))
+    // after keep-first dedup 'shared' survives under 'ai' (tie-break):
+    // ml has 2 papers, ai has 1 -> ai is below the median (1.5)
+    val recs = PaperPipeline.biasRecommendations(collected, "search_term")
+    val r = recs.collect()
+    assert(r.nonEmpty)
+    assert(r.head.getAs[String]("search_term") == "ai")
+    assert(r.head.getAs[Long]("needed") > 0)
+    val augmented = PaperPipeline.mitigate(spark, cfg, collected, new TermTransport)
+    // recollection re-fetches 'ai' -> only 'shared', already present
+    assert(augmented.count() == collected.count())
+  }
+
+  test("embed stage + similarity search over generated vectors") {
+    val collected = PaperPipeline.dedup(
+      PaperPipeline.collect(spark, cfg, new TermTransport))
+    val provider = new Embedder.HashingProvider(32)
+    val vecs = PaperPipeline.embedStage(collected, "abstract", provider)
+    assert(vecs.count() == 3) // one chunk per 300-char abstract
+    val firstVec = vecs.orderBy("chunk_id").collect()(0)
+      .getAs[scala.collection.Seq[Float]]("embedding")
+    assert(firstVec.size == 32)
+    assert(math.abs(firstVec.map(x => x * x).sum - 1.0) < 1e-3) // normalized
+    // top-k self-search: 3 vectors, self excluded → 2 neighbors
+    val top = Similarity.knnJoin(vecs.limit(1), vecs, "chunk_id", "embedding", 3)
+    assert(top.count() == 2)
+  }
+
+  test("run history anomaly flags a volume spike") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-runs").toString
+    import spark.implicits._
+    (1 to 12).foreach { i =>
+      val n = if (i == 12) 500L else 100L + i // last run spikes
+      RunHistory.record(Seq((n)).toDF("n_rows"), f"2026-01-$i%02dT00", dir)
+    }
+    val an = RunHistory.anomalies(spark, dir, "n_rows")
+    val rows = an.orderBy("run_ts").collect()
+    assert(!rows.init.lastOption.exists(_.getAs[Boolean]("is_anomaly")))
+    assert(rows.last.getAs[Boolean]("is_anomaly"))
+  }
+}
