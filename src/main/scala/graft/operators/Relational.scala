@@ -74,4 +74,20 @@ object Relational {
     */
   def topK(df: DataFrame, k: Int, order: Column*): DataFrame =
     df.orderBy(order: _*).limit(k)
+
+  /** Skew-safe equi-join: salt the skewed (left) side's key into
+    * `saltBuckets` sub-keys and explode the right side across all buckets,
+    * so one hot key spreads over `saltBuckets` tasks instead of one
+    * straggler. Use when AQE's skew-join split isn't available (e.g.
+    * non-shuffle-joinable plans) or the skew is known up front; the right
+    * side must be the smaller one (it is replicated ×saltBuckets).
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 saltBuckets: Int): DataFrame = {
+    val saltedL = left.withColumn("__salt",
+      pmod(hash(monotonically_increasing_id()), lit(saltBuckets)))
+    val saltedR = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    saltedL.join(saltedR, Seq(key, "__salt")).drop("__salt")
+  }
 }

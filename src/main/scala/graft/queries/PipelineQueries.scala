@@ -106,6 +106,40 @@ object PipelineQueries {
              |SELECT p90, median, top_decile_mean, n_top,
              |round(top_decile_mean / median, 6) AS skew_ratio FROM agg""".stripMargin)),
 
+    // A17: success-rate by group (has-enough-content rate per source).
+    QDef("q47_success_rate",
+      (s, d) => Bias.successRate(
+          t(s, d, "documents").withColumn("ok", col("n_chars") >= 200),
+          "source", col("ok")),
+      Some("""SELECT source,
+             |CAST(sum(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_success,
+             |count(*) AS n,
+             |round(sum(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END) * 100.0 / count(*), 6) AS rate
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // A18: grouped describe — count/avg/stddev/min/quartiles/max per group.
+    QDef("q48_grouped_describe",
+      (s, d) => t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          round(avg(col("o_totalprice")), 6).as("mean"),
+          round(stddev_samp(col("o_totalprice")), 6).as("std"),
+          min(col("o_totalprice")).as("min"),
+          round(expr("percentile(o_totalprice, 0.25)"), 6).as("p25"),
+          round(expr("percentile(o_totalprice, 0.5)"), 6).as("p50"),
+          round(expr("percentile(o_totalprice, 0.75)"), 6).as("p75"),
+          max(col("o_totalprice")).as("max"))
+        .orderBy(col("o_orderpriority")),
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             |round(avg(o_totalprice), 6) AS mean,
+             |round(stddev_samp(o_totalprice), 6) AS std,
+             |min(o_totalprice) AS min,
+             |round(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+             |round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+             |round(quantile_cont(o_totalprice, 0.75), 6) AS p75,
+             |max(o_totalprice) AS max
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // §7.3 flagship slice: clean → quality gate (F5: ≥200 chars) → chunk →
     // denormalize source (J6) → per-source chunk stats. Chunker inside →
     // rows-only check; end-to-end shape covered in PipelineSpec.
