@@ -181,6 +181,28 @@ object RelationalQueries {
              |  CAST(sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative
              |FROM orders)""".stripMargin)),
 
+    // U-family set ops: INTERSECT / EXCEPT over derived key sets.
+    QDef("q49_set_ops",
+      (s, d) => {
+        val o = t(s, d, "orders").filter(col("o_orderstatus") === "O")
+          .select("o_custkey").distinct()
+        val f = t(s, d, "orders").filter(col("o_orderstatus") === "F")
+          .select("o_custkey").distinct()
+        o.intersect(f).withColumn("tag", lit("both"))
+          .unionByName(o.except(f).withColumn("tag", lit("o_only")))
+          .orderBy(col("tag"), col("o_custkey"))
+      },
+      Some("""SELECT o_custkey, 'both' AS tag FROM (
+             |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+             |  INTERSECT
+             |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
+             |UNION ALL
+             |SELECT o_custkey, 'o_only' AS tag FROM (
+             |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+             |  EXCEPT
+             |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
+             |ORDER BY tag, o_custkey""".stripMargin)),
+
     // A9: duplicate audit by content hash.
     QDef("q12_duplicate_audit",
       (s, d) => Profiling.duplicateAudit(

@@ -55,6 +55,73 @@ object StreamingOps {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+  final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
+
+  /** Stateful gap sessionization over a stream
+    * (`flatMapGroupsWithState`): per-user session state lives in the state
+    * store; a session closes when a later event arrives past the gap (or
+    * on event-time timeout after the watermark passes). The streaming twin
+    * of `Sessionization.sessionize` — equality on closed sessions is
+    * asserted in StreamingSpec.
+    */
+  def statefulSessions(events: org.apache.spark.sql.Dataset[SessionEvent],
+                       gapSeconds: Long, watermark: String)
+      : org.apache.spark.sql.Dataset[SessionOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    val gapUs = gapSeconds * 1000000L
+
+    // state timestamps in MICROseconds — Timestamp.getTime is millis and
+    // would truncate the micros the event-time column carries
+    def toMicros(t: java.sql.Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+    def fromMicros(us: Long): java.sql.Timestamp = {
+      val ts = new java.sql.Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+      ts.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+      ts
+    }
+
+    def close(s: SessionState, uid: Long): SessionOut =
+      SessionOut(uid, fromMicros(s.start), fromMicros(s.last),
+        s.n, math.round(s.sum * 100.0) / 100.0)
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(close(_, uid))
+            state.remove()
+            out.iterator
+          } else {
+            val evs = it.toSeq.sortBy(e => toMicros(e.ts))
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            var st = state.getOption
+            evs.foreach { e =>
+              val t = toMicros(e.ts)
+              st = st match {
+                case Some(s) if t - s.last <= gapUs =>
+                  Some(SessionState(s.start, math.max(s.last, t), s.n + 1, s.sum + e.value))
+                case Some(s) =>
+                  out += close(s, uid)
+                  Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            st.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.last + gapUs) / 1000) // timeout API is millis
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** Drain a streaming query into an in-memory table and stop (test/dev
     * harness — production sinks write parquet with checkpointing).
     */

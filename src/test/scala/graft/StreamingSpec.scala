@@ -33,6 +33,53 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("stateful sessionization matches the batch twin on closed sessions") {
+    import spark.implicits._
+    val ev = Tables(spark, sf, "events")
+      .select(col("user_id"), col("ts"), col("value"))
+    // stage: real events first, then one far-future sentinel per user so
+    // every real session closes via the gap path in batch 2
+    val dir = java.nio.file.Files.createTempDirectory("graft-sess").toString
+    ev.coalesce(1).write.parquet(s"$dir/b1")
+    val maxTs = ev.agg(max("ts")).collect()(0).getTimestamp(0)
+    val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 86400000L)
+    ev.select("user_id").distinct()
+      .withColumn("ts", lit(sentinelTs))
+      .withColumn("value", lit(0.0))
+      .coalesce(1).write.parquet(s"$dir/b2")
+    // flat dir with deterministic order: b1 then b2 (mod time)
+    val flat = java.nio.file.Files.createTempDirectory("graft-sess-flat")
+    def copyPart(sub: String, name: String): Unit = {
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/$sub"))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.copy(part, flat.resolve(name))
+      flat.resolve(name).toFile.setLastModified(
+        if (name == "b1.parquet") 1000000L else 2000000L)
+    }
+    copyPart("b1", "b1.parquet"); copyPart("b2", "b2.parquet")
+
+    val schema = ev.schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(flat.toString)
+      .as[graft.streaming.StreamingOps.SessionEvent]
+    val sessions = graft.streaming.StreamingOps.statefulSessions(
+      stream, gapSeconds = 1800, watermark = "10 minutes")
+    val streamed = graft.streaming.StreamingOps
+      .runToMemory(sessions.toDF(), "sessions_out", "append")
+      .filter(col("session_start") < lit(sentinelTs))
+
+    val batch = graft.operators.Sessionization.sessionize(
+      ev.withColumn("event_id", lit(0L)), "user_id", "ts", "event_id",
+      "value", 1800)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("sum_value"))
+
+    assert(streamed.count() == batch.count())
+    assert(streamed.select("user_id", "session_start", "session_end", "n_events")
+      .exceptAll(batch.select("user_id", "session_start", "session_end", "n_events"))
+      .count() == 0)
+  }
+
   test("streaming dedup drops re-delivered events within the watermark") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
