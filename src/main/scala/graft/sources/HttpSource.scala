@@ -159,6 +159,20 @@ object HttpSource {
       refs, strArr("fieldsOfStudy"), strArr("publicationTypes"), tldr, pdf, term)
   }
 
+  /** Fetch + parse one term's search results (shared by the mapPartitions
+    * source and the DataSource V2 reader).
+    */
+  def searchTermRows(transport: HttpTransport, cfg: SourceConfig,
+                     term: String): Seq[Row] = {
+    val mapper = new ObjectMapper()
+    val limiter = new RateLimiter(cfg.minIntervalMs, cfg.sleeper)
+    val key = cfg.apiKeys.headOption
+    getWithRetry(transport, cfg, limiter, key,
+      l => searchUrl(cfg, term, l), cfg.limit)
+      .map(parsePapers(mapper, _)).getOrElse(Seq.empty)
+      .map(jsonToRow(_, term))
+  }
+
   /** S1/S2: search — one request per term, distributed over at most
     * `maxParallelPartitions` partitions (global rate = partitions ×
     * 1/minInterval, mirroring the reference's adaptive concurrency).

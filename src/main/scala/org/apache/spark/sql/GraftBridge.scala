@@ -9,4 +9,14 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** External Row → InternalRow converter for a given schema (DSv2 readers
+    * must emit InternalRow; the converter factory is sql-private).
+    */
+  def catalystConverter(schema: org.apache.spark.sql.types.StructType)
+      : Row => org.apache.spark.sql.catalyst.InternalRow = {
+    val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToCatalystConverter(schema)
+    r => conv(r).asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+  }
 }
