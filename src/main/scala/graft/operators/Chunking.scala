@@ -111,4 +111,56 @@ object Chunking {
 
   /** Re-estimated token count as a column (for budget accounting). */
   def estTokensCol(c: Column): Column = (length(c) / 4).cast("int")
+
+  /** Catalyst Generator form of the chunker (SURVEY.md §4.3(b)): a true
+    * UDTF — rows stream out of `eval` without materializing the
+    * per-document chunk array the UDF+explode form builds. Same `chunk`
+    * semantics; equality asserted in ChunkingSpec.
+    */
+  def chunkDocumentsGen(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    val gen = ChunkGenerator(
+      GraftBridge.expression(col(idCol).cast("string")),
+      GraftBridge.expression(col(textCol)))
+    df.select(col(idCol), GraftBridge.column(gen).as(
+      Seq("chunk_id", "position", "chunk_text", "token_count",
+        "start_char", "end_char")))
+  }
+}
+
+/** Generator expression backing [[Chunking.chunkDocumentsGen]]. */
+case class ChunkGenerator(idExpr: org.apache.spark.sql.catalyst.expressions.Expression,
+                          textExpr: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.Expression
+    with org.apache.spark.sql.catalyst.expressions.Generator
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.types._
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def children: Seq[Expression] = Seq(idExpr, textExpr)
+
+  override def elementSchema: StructType = new StructType()
+    .add("chunk_id", StringType)
+    .add("position", IntegerType)
+    .add("chunk_text", StringType)
+    .add("token_count", IntegerType)
+    .add("start_char", IntegerType)
+    .add("end_char", IntegerType)
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val id = idExpr.eval(input)
+    val text = textExpr.eval(input)
+    if (id == null || text == null) Iterator.empty
+    else Chunking.chunk(id.toString, text.toString).iterator.map { c =>
+      InternalRow(UTF8String.fromString(c.chunk_id), c.position,
+        UTF8String.fromString(c.text), c.token_count, c.start_char, c.end_char)
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ChunkGenerator =
+    copy(idExpr = newChildren(0), textExpr = newChildren(1))
 }

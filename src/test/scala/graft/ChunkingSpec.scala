@@ -71,6 +71,16 @@ class ChunkingSpec extends AnyFunSuite {
     }
   }
 
+  test("Generator form produces identical rows to the UDF+explode form") {
+    val spark = SparkSpec.session
+    val df = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val viaUdf = Chunking.chunkDocuments(df, "doc_id", "text")
+    val viaGen = Chunking.chunkDocumentsGen(df, "doc_id", "text")
+    assert(viaGen.columns.toSeq == viaUdf.columns.toSeq)
+    assert(viaGen.exceptAll(viaUdf).count() == 0)
+    assert(viaUdf.exceptAll(viaGen).count() == 0)
+  }
+
   test("DataFrame operator explodes one row per chunk") {
     val spark = SparkSpec.session
     val df = Tables(spark, "/root/testdata/sf0.001", "documents")
