@@ -148,7 +148,7 @@ object PipelineQueries {
         val base = t(s, d, "documents")
           .withColumn("clean_text", TextFns.cleanText(col("text")))
           .filter(length(col("clean_text")) >= 200)
-        val chunks = Chunking.chunkDocuments(
+        val chunks = Chunking.chunkDocumentsGen(
           base.select(col("doc_id"), col("clean_text")), "doc_id", "clean_text")
         chunks
           .join(broadcast(base.select(col("doc_id"), col("source"))), Seq("doc_id"))

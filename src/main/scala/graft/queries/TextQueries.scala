@@ -138,7 +138,7 @@ object TextQueries {
     // P8 chunker: stateful per-row expansion — no SQL oracle (rows-only
     // driver check); invariants covered in ChunkingSpec.
     QDef("q19_chunks",
-      (s, d) => Chunking.chunkDocuments(docs(s, d), "doc_id", "text")
+      (s, d) => Chunking.chunkDocumentsGen(docs(s, d), "doc_id", "text")
         .select(col("doc_id"), col("chunk_id"), col("position"),
           col("token_count"), col("start_char"), col("end_char"),
           md5(col("chunk_text")).as("chunk_md5"))
