@@ -271,6 +271,38 @@ object RelationalQueries {
              |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
              |ORDER BY tag, o_custkey""".stripMargin)),
 
+    // U1: union across drifting schemas (reference: processed files gain
+    // columns over time) — missing columns become nulls, counted here.
+    QDef("q53_union_drift",
+      (s, d) => {
+        val a = t(s, d, "documents").select(col("doc_id"), col("lang"))
+        val b = t(s, d, "documents").select(col("doc_id"), col("source"), col("n_chars"))
+        Relational.unionAll(Seq(a, b)).agg(
+          count(lit(1)).cast("long").as("n_rows"),
+          count(col("lang")).cast("long").as("n_lang"),
+          count(col("source")).cast("long").as("n_source"),
+          count(col("n_chars")).cast("long").as("n_chars_present"))
+      },
+      Some("""SELECT count(*) AS n_rows,
+             |count(lang) AS n_lang, count(source) AS n_source,
+             |count(n_chars) AS n_chars_present
+             |FROM (SELECT doc_id, lang FROM documents
+             |      UNION ALL BY NAME
+             |      SELECT doc_id, source, n_chars FROM documents)""".stripMargin)),
+
+    // §2.9 date/time scalar surface: month bucketing + quarter.
+    QDef("q54_date_buckets",
+      (s, d) => t(s, d, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+          quarter(col("o_orderdate")).cast("long").as("qtr"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          round(sum(col("o_totalprice")), 2).as("sum_total"))
+        .orderBy(col("month")),
+      Some("""SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             |CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+             |count(*) AS n, round(sum(o_totalprice), 2) AS sum_total
+             |FROM orders GROUP BY 1, 2 ORDER BY month""".stripMargin)),
+
     // A9: duplicate audit by content hash.
     QDef("q12_duplicate_audit",
       (s, d) => Profiling.duplicateAudit(
