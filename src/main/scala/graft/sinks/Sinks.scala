@@ -112,6 +112,19 @@ object Sinks {
     UpsertStats(attempted.value, succeeded.value, failed.value)
   }
 
+  /** Bucketed table write: co-locates future joins/aggregations on
+    * `bucketCol` — two tables bucketed the same way join with NO shuffle
+    * (asserted in SinksSpec). At 100 TB this is the difference between a
+    * one-off shuffle at write time and a shuffle on every downstream join.
+    * Requires a metastore table (`saveAsTable`), not a bare path.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    nBuckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
+
   /** K7: small report DataFrame → one JSON-lines file (driver-side write of
     * an already-aggregated, tiny result — never call on raw tables).
     */

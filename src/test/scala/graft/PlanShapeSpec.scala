@@ -1,0 +1,84 @@
+package graft
+
+import graft.operators.ProfileAggregator
+import graft.sinks.Sinks
+import org.apache.spark.sql.functions._
+
+/** Pins the performance-critical plan shapes as regression tests: these
+  * are the properties PERF.md claims, asserted on the optimized plans so a
+  * refactor can't silently regress them.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q01 scan is column-pruned to the referenced columns") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("l_shipdate"), "unreferenced column in scan")
+    assert(!p.contains("l_partkey"), "unreferenced column in scan")
+  }
+
+  test("q07 dimension joins broadcast") {
+    val p = plan("q07_join_enrich")
+    assert(p.split("BroadcastHashJoin").length - 1 == 3, p)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q10 top-k plans as TakeOrderedAndProject (no global sort)") {
+    val p = plan("q10_topk_customers")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q50 filters are pushed to the parquet scan") {
+    val p = plan("q50_tpch_q6")
+    // the plan string elides long filter lists — assert the scan carries
+    // pushed predicates at all, plus the first visible ones
+    assert(p.contains("PushedFilters: [IsNotNull"), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipda"), p)
+  }
+
+  test("q06 dedup shuffles once on the key, no global sort") {
+    val p = plan("q06_dedup_keepfirst")
+    // one hash exchange for the window partition + the final orderBy range
+    // exchange; no Exchange SinglePartition before the window
+    assert(p.contains("hashpartitioning(o_custkey"), p)
+  }
+
+  test("bucketed tables join without a shuffle") {
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val orders = Tables(spark, sf, "orders")
+      Sinks.writeBucketed(orders.select("o_orderkey", "o_totalprice"),
+        "b_orders", "o_orderkey", 4)
+      Sinks.writeBucketed(
+        Tables(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+          .withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_lineitem", "o_orderkey", 4)
+      val joined = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$p")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+
+  test("typed Aggregator computes a one-pass text profile") {
+    import spark.implicits._
+    val texts = Tables(spark, sf, "documents").select("text").as[String]
+    val p = texts.select(ProfileAggregator.textProfile.toColumn).collect()(0)
+    assert(p.n_rows == 500)
+    assert(p.n_nulls == 0)
+    assert(p.min_len > 0 && p.max_len >= p.min_len)
+    val expectedAvg = Tables(spark, sf, "documents")
+      .agg(avg(length(col("text")))).collect()(0).getDouble(0)
+    assert(math.abs(p.avg_len - expectedAvg) < 1e-9)
+  }
+}
