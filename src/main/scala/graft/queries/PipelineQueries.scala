@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QDef, Tables}
 import graft.functions.TextFns
-import graft.operators.{Bias, Chunking, Enrichment}
+import graft.operators.{Bias, Chunking, Enrichment, Multimodal}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -139,6 +139,28 @@ object PipelineQueries {
              |round(quantile_cont(o_totalprice, 0.75), 6) AS p75,
              |max(o_totalprice) AS max
              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Multimodal plumbing as a query: binary payloads (synthesized from
+    // documents — opaque to the pipeline, which is the point) → stub
+    // decode → byte-histogram features → per-format stats. The decode is
+    // a deterministic fake (no codecs in-container); the schema/partition/
+    // batch plumbing is the real path. Rows-only (stub outputs have no
+    // SQL oracle); invariants in MultimodalSpec.
+    QDef("q55_multimodal",
+      (s, d) => {
+        val media = t(s, d, "documents").select(
+          col("doc_id").as("media_id"),
+          col("text").cast("binary").as("payload"))
+        val decoded = Multimodal.decode(media, "media_id", "payload")
+        val feats = Multimodal.featureExtract(media, "media_id", "payload")
+        decoded.join(feats, "media_id")
+          .groupBy(col("format"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            round(avg(col("width")), 2).as("avg_width"),
+            round(avg(element_at(col("features"), 1)), 6).as("avg_bin0"))
+          .orderBy(col("format"))
+      },
+      None),
 
     // §7.3 flagship slice: clean → quality gate (F5: ≥200 chars) → chunk →
     // denormalize source (J6) → per-source chunk stats. Chunker inside →
