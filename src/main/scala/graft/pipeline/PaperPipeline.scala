@@ -57,21 +57,33 @@ object PaperPipeline {
       .filter(col("underrepresented"))
       .orderBy(col("needed").desc, col(sliceCol))
 
-  /** One mitigation cycle (reference `bias_mitigation_collector.py:378-457`
-    * semantics): for each underrepresented slice, re-run collection with
-    * refs disabled, union, dedup again. Returns the augmented table.
+  /** Mitigation loop (reference `bias_mitigation_collector.py:378-457`
+    * semantics): iterate — re-analyze, re-collect each underrepresented
+    * slice with refs disabled, union, dedup — until no slice is below the
+    * median or `maxCycles` is reached (the reference caps recollection the
+    * same way). Only the tiny recommendation table is ever collected.
     */
   def mitigate(spark: SparkSession, cfg: Config, papers: DataFrame,
-               transport: HttpSource.HttpTransport): DataFrame = {
-    val recs = biasRecommendations(papers, "search_term").collect()
-    if (recs.isEmpty) papers
-    else {
-      val terms = recs.map(_.getAs[String]("search_term")).toSeq
-      val extra = collect(spark,
-        cfg.copy(terms = terms, maxRefs = 0,
-          source = cfg.source), transport)
-      dedup(papers.unionByName(extra, allowMissingColumns = true))
+               transport: HttpSource.HttpTransport, maxCycles: Int = 3): DataFrame = {
+    var current = papers
+    var cycle = 0
+    var done = false
+    while (cycle < maxCycles && !done) {
+      val recs = biasRecommendations(current, "search_term").collect()
+      if (recs.isEmpty) done = true
+      else {
+        val terms = recs.map(_.getAs[String]("search_term")).toSeq
+        val extra = collect(spark,
+          cfg.copy(terms = terms, maxRefs = 0, source = cfg.source), transport)
+        val merged = dedup(current.unionByName(extra, allowMissingColumns = true))
+        // fixed point: recollection added nothing new → further cycles
+        // cannot help (the reference breaks on the same condition)
+        if (merged.count() == current.count()) done = true
+        current = merged
+      }
+      cycle += 1
     }
+    current
   }
 
   /** Preprocess + embed (reference §3.2): clean → gate → chunk → embed. */

@@ -4,7 +4,7 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.types._
 
-import scala.collection.JavaConverters._
+import scala.jdk.CollectionConverters._
 
 /** Rate-limited HTTP paper source — the Spark-first re-expression of the
   * reference's Semantic Scholar client (SURVEY.md §2.1 S1-S6;

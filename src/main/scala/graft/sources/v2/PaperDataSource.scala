@@ -11,7 +11,7 @@ import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import java.util
-import scala.collection.JavaConverters._
+import scala.jdk.CollectionConverters._
 
 /** DataSource V2 front-end for the paper search source (SURVEY.md §4.3(a)):
   * `spark.read.format("graft.sources.v2.PaperDataSource")

@@ -81,6 +81,26 @@ class ChunkingSpec extends AnyFunSuite {
     assert(viaUdf.exceptAll(viaGen).count() == 0)
   }
 
+  test("cleaner is idempotent and keyword tokenizer is stable (SURVEY §5.2)") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFns
+    val texts = (0 until 100).flatMap { i =>
+      textGen.apply(org.scalacheck.Gen.Parameters.default,
+        org.scalacheck.rng.Seed(i.toLong))
+    } ++ Seq("http://x.y z@w.org [1, 2] (Foo et al., 2020) a  bé!")
+    val df = texts.toDF("t")
+      .withColumn("c1", TextFns.cleanText(col("t")))
+      .withColumn("c2", TextFns.cleanText(TextFns.cleanText(col("t"))))
+    assert(df.filter(col("c1") =!= col("c2")).count() == 0,
+      "cleanText is not idempotent")
+    val tok = df
+      .withColumn("w1", TextFns.words(col("c1")))
+      .withColumn("w2", TextFns.words(col("c2")))
+    assert(tok.filter(to_json(col("w1")) =!= to_json(col("w2"))).count() == 0)
+  }
+
   test("DataFrame operator explodes one row per chunk") {
     val spark = SparkSpec.session
     val df = Tables(spark, "/root/testdata/sf0.001", "documents")
