@@ -127,6 +127,76 @@ object GraphQueries {
              |GROUP BY ROLLUP (r_name, n_name)
              |ORDER BY gid, r_name, n_name""".stripMargin)),
 
+    // TPC-H Q4 shape: EXISTS with an inequality correlation — planned as a
+    // left-semi join with a non-equi condition.
+    QDef("q56_exists_inequality",
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val li = t(s, d, "lineitem")
+        o.join(li,
+            o("o_orderkey") === li("l_orderkey") &&
+              li("l_shipdate") > o("o_orderdate") + expr("INTERVAL 60 DAYS"),
+            "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).cast("long").as("n"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n FROM orders
+             |WHERE EXISTS (SELECT 1 FROM lineitem
+             |  WHERE l_orderkey = o_orderkey
+             |    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // TPC-H Q13 shape: left outer join + two-level aggregation (orders-per-
+    // customer distribution including zero-order customers).
+    QDef("q57_outer_join_dist",
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).cast("long").as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).cast("long").as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc),
+      Some("""SELECT c_count, count(*) AS custdist FROM (
+             |  SELECT c_custkey, count(o_orderkey) AS c_count
+             |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             |  GROUP BY 1)
+             |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin)),
+
+    // TPC-H Q17 shape: correlated scalar subquery (avg per part),
+    // expressed decorrelated in the DataFrame API (groupBy + join — the
+    // rewrite Catalyst itself applies); oracle keeps the correlated form.
+    QDef("q58_correlated_avg",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val avgQ = li.groupBy(col("l_partkey").as("p_key"))
+          .agg(avg(col("l_quantity")).as("avg_qty"))
+        li.join(broadcast(avgQ), col("l_partkey") === col("p_key"))
+          .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+          .agg(round(sum(col("l_extendedprice")), 2).as("total_price"),
+            count(lit(1)).cast("long").as("n"))
+      },
+      Some("""SELECT round(sum(l_extendedprice), 2) AS total_price,
+             |count(*) AS n
+             |FROM lineitem l1
+             |WHERE l_quantity < 0.5 * (SELECT avg(l_quantity) FROM lineitem l2
+             |                          WHERE l2.l_partkey = l1.l_partkey)""".stripMargin)),
+
+    // SQL front-end: the same engine surface through spark.sql over temp
+    // views (the reference had no SQL at all; Catalyst gives it free).
+    QDef("q59_sql_frontend",
+      (s, d) => {
+        t(s, d, "nation").createOrReplaceTempView("g_nation")
+        t(s, d, "customer").createOrReplaceTempView("g_customer")
+        s.sql("""SELECT n_name, count(*) AS n,
+                 round(avg(c_acctbal), 6) AS avg_bal
+                 FROM g_customer JOIN g_nation ON c_nationkey = n_nationkey
+                 GROUP BY n_name ORDER BY n_name""")
+      },
+      Some("""SELECT n_name, count(*) AS n, round(avg(c_acctbal), 6) AS avg_bal
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
     // HLL sketch vs exact distinct (no oracle: sketch estimates are
     // engine-specific; tolerance asserted in spec).
     QDef("q45_approx_distinct",
