@@ -22,6 +22,12 @@ class RelationalQueriesSpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(qk))
   }
 
+  test("registered query names are unique (Map would silently drop dups)") {
+    val names = QueryRegistry.all.map(_.name)
+    assert(names.distinct.size == names.size,
+      names.groupBy(identity).collect { case (n, g) if g.size > 1 => n }.mkString(","))
+  }
+
   test("q01 pricing summary: groups are distinct flag/status pairs") {
     val df = SparkEntry.queries("q01_pricing_summary")(spark, sf)
     val n = df.count()
