@@ -34,62 +34,78 @@ object Chunking {
   private def estTokens(s: String): Int = s.length / 4
 
   /** Split into sentences at `.!?` + whitespace (reference sentence regex
-    * `(?<=[.!?])\s+`, re-expressed without lookbehind).
+    * `(?<=[.!?])\s+`, re-expressed without lookbehind), each with its
+    * document start offset.
     */
-  private[operators] def sentences(text: String): Seq[String] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    val sb = new StringBuilder
+  private[operators] def sentencesWithOffsets(text: String): Seq[(String, Int)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
+    var start = 0
     var i = 0
     while (i < text.length) {
       val ch = text.charAt(i)
-      sb.append(ch)
-      val isEnd = ch == '.' || ch == '!' || ch == '?'
-      if (isEnd && i + 1 < text.length && text.charAt(i + 1).isWhitespace) {
-        out += sb.toString
-        sb.clear()
-        while (i + 1 < text.length && text.charAt(i + 1).isWhitespace) i += 1
-      }
-      i += 1
+      val isEnd = (ch == '.' || ch == '!' || ch == '?') &&
+        i + 1 < text.length && text.charAt(i + 1).isWhitespace
+      if (isEnd) {
+        out += ((text.substring(start, i + 1), start))
+        i += 1
+        while (i < text.length && text.charAt(i).isWhitespace) i += 1
+        start = i
+      } else i += 1
     }
-    if (sb.nonEmpty) out += sb.toString
+    if (start < text.length) out += ((text.substring(start), start))
     out.toSeq
   }
 
+  private[operators] def sentences(text: String): Seq[String] =
+    sentencesWithOffsets(text).map(_._1)
+
   /** Chunk one document. Deterministic, no clock/random — safe for
     * oracle-stable tests.
+    *
+    * Offset semantics: `start_char` is the DOCUMENT offset of the chunk's
+    * first *new* piece (the seeded overlap text belongs to the previous
+    * chunk's range); `end_char` is the document offset just past its last
+    * piece. Both always lie within [0, text.length] — chunk text itself is
+    * whitespace-normalized at piece joins, so it is not guaranteed to be a
+    * verbatim substring of the document.
     */
   def chunk(docId: String, text: String): Seq[Chunk] = {
     if (text == null || text.isEmpty) return Seq.empty
     val maxChars = maxTokens * 4
     val overlapChars = overlapTokens * 4
 
-    // Hard-split any single sentence that exceeds the budget by itself.
-    val pieces = sentences(text).flatMap { s =>
-      if (s.length <= maxChars) Seq(s) else s.grouped(maxChars).toSeq
+    // Hard-split any single sentence that exceeds the budget by itself,
+    // preserving document offsets.
+    val pieces = sentencesWithOffsets(text).flatMap { case (s, off) =>
+      if (s.length <= maxChars) Seq((s, off))
+      else s.grouped(maxChars).toSeq.zipWithIndex
+        .map { case (p, j) => (p, off + j * maxChars) }
     }
 
-    val chunks = scala.collection.mutable.ArrayBuffer.empty[String]
+    val chunks = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
     val sb = new StringBuilder
-    pieces.foreach { s =>
+    var firstStart = 0
+    var lastEnd = 0
+    pieces.foreach { case (s, off) =>
       val candidate = if (sb.isEmpty) s else sb.toString + " " + s
       if (estTokens(candidate) <= maxTokens || sb.isEmpty) {
+        if (sb.isEmpty) firstStart = off
         sb.clear(); sb.append(candidate)
+        lastEnd = off + s.length
       } else {
-        val done = sb.toString
-        chunks += done
+        chunks += ((sb.toString, firstStart, lastEnd))
         // overlap: last overlapChars of the finished chunk seed the next
-        val tail = done.takeRight(overlapChars)
+        val tail = sb.toString.takeRight(overlapChars)
         sb.clear(); sb.append(tail + " " + s)
+        firstStart = off
+        lastEnd = off + s.length
       }
     }
-    if (sb.nonEmpty) chunks += sb.toString
+    if (sb.nonEmpty) chunks += ((sb.toString, firstStart, lastEnd))
 
-    var cursor = 0
-    chunks.toSeq.zipWithIndex.flatMap { case (c, i) =>
-      val start = cursor
-      cursor += c.length
+    chunks.toSeq.zipWithIndex.flatMap { case ((c, s0, e0), i) =>
       if (c.length >= minChars)
-        Some(Chunk(s"${docId}_chunk_$i", i, c, estTokens(c), start, start + c.length))
+        Some(Chunk(s"${docId}_chunk_$i", i, c, estTokens(c), s0, e0))
       else None
     }
   }

@@ -38,7 +38,6 @@ object IvfIndex {
 
   def train(df: DataFrame, idCol: String, embCol: String,
             k: Int, iters: Int): Model = {
-    val dim = df.select(size(col(embCol))).first().getInt(0)
     var centroids = df.orderBy(col(idCol)).limit(k)
       .select(col(embCol)).collect()
       .map(_.getSeq[Any](0).map {

@@ -41,10 +41,11 @@ object Multimodal {
     if (payload == null || payload.isEmpty) ("empty", 0, 0, 0)
     else {
       val h = java.util.Arrays.hashCode(payload)
-      val fmt = Seq("png", "jpeg", "webp")(math.abs(h) % 3)
-      val w = 64 + math.abs(h % 1024)
-      val ht = 64 + math.abs((h / 1024) % 1024)
-      (fmt, w, ht, 1 + math.abs(h % 300))
+      // floorMod: math.abs(Int.MinValue) is negative — abs%n can throw/skew
+      val fmt = Seq("png", "jpeg", "webp")(math.floorMod(h, 3))
+      val w = 64 + math.floorMod(h, 1024)
+      val ht = 64 + math.floorMod(h / 1024, 1024)
+      (fmt, w, ht, 1 + math.floorMod(h, 300))
     }
   }
 

@@ -33,11 +33,13 @@ object PaperPipeline {
   }
 
   /** Keep-first dedup with the reference's seed-order priority (F1):
-    * earliest scrape first, paper_id tie-break.
+    * richer records first (a refs-stripped mitigation re-fetch must never
+    * displace the original record that carries references_id), then
+    * earliest scrape, then search_term as the deterministic tie-break.
     */
   def dedup(papers: DataFrame): DataFrame =
     Relational.dedupKeepFirst(papers, Seq("paper_id"),
-      Seq(col("scraped_at"), col("search_term")))
+      Seq(size(col("references_id")).desc, col("scraped_at"), col("search_term")))
 
   /** Closed-world reference filter (F3) against the collected id set. */
   def closeWorld(papers: DataFrame): DataFrame =

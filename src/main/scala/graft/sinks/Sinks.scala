@@ -130,8 +130,8 @@ object Sinks {
     */
   def writeJsonReport(df: DataFrame, path: String): Unit = {
     val lines = df.toJSON.collect()
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path).getParent)
-    java.nio.file.Files.write(java.nio.file.Paths.get(path),
-      lines.mkString("\n").getBytes("UTF-8"))
+    val p = java.nio.file.Paths.get(path)
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.write(p, lines.mkString("\n").getBytes("UTF-8"))
   }
 }

@@ -204,16 +204,20 @@ object HttpSource {
                       cfg: SourceConfig, transport: HttpTransport): DataFrame = {
     import spark.implicits._
     val nPart = math.max(1, math.min(cfg.maxParallelPartitions, paperIds.size))
+    val keys = cfg.apiKeys
     val ids = spark.createDataset(paperIds).repartition(nPart)
     ids.mapPartitions { it =>
       val mapper = new ObjectMapper()
       val limiter = new RateLimiter(cfg.minIntervalMs, cfg.sleeper)
+      val pid0 = org.apache.spark.TaskContext.getPartitionId()
+      val key = if (keys.nonEmpty) Some(keys(pid0 % keys.size)) else None
       it.map { id =>
         val refs = scala.collection.mutable.ArrayBuffer.empty[String]
         var offset: Option[Int] = Some(0)
         while (offset.isDefined && refs.size < cfg.maxRefsPerPaper) {
-          val url = s"${cfg.baseUrl}/paper/$id/references?offset=${offset.get}&limit=${cfg.pageSize}"
-          getWithRetry(transport, cfg, limiter, None, _ => url, cfg.pageSize) match {
+          val cur = offset.get
+          val url = s"${cfg.baseUrl}/paper/$id/references?offset=$cur&limit=${cfg.pageSize}"
+          getWithRetry(transport, cfg, limiter, key, _ => url, cfg.pageSize) match {
             case Some(body) =>
               val root = mapper.readTree(body)
               root.path("data").elements().asScala.foreach { e =>
@@ -221,11 +225,14 @@ object HttpSource {
                 if (!pid.isMissingNode && !pid.isNull) refs += pid.asText
               }
               val next = root.path("next")
-              offset = if (next.isMissingNode || next.isNull) None else Some(next.asInt)
+              // progress guard: a non-advancing cursor would loop forever
+              offset =
+                if (next.isMissingNode || next.isNull || next.asInt <= cur) None
+                else Some(next.asInt)
             case None => offset = None
           }
         }
-        (id, refs.take(cfg.maxRefsPerPaper).toSeq)
+        (id, refs.distinct.take(cfg.maxRefsPerPaper).toSeq)
       }
     }.toDF("paperId", "reference_ids")
   }

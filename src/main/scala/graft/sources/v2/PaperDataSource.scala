@@ -55,14 +55,18 @@ object PaperDataSource {
     def get(url: String, headers: Map[String, String]): HttpSource.HttpResponse = {
       val conn = new java.net.URL(url).openConnection()
         .asInstanceOf[java.net.HttpURLConnection]
-      headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
-      conn.setConnectTimeout(40000)
-      conn.setReadTimeout(40000)
-      val status = conn.getResponseCode
-      val stream = if (status >= 400) conn.getErrorStream else conn.getInputStream
-      val body = if (stream == null) "" else
-        scala.io.Source.fromInputStream(stream, "UTF-8").mkString
-      HttpSource.HttpResponse(status, body)
+      try {
+        headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+        conn.setConnectTimeout(40000)
+        conn.setReadTimeout(40000)
+        val status = conn.getResponseCode
+        val stream = if (status >= 400) conn.getErrorStream else conn.getInputStream
+        val body =
+          if (stream == null) ""
+          else try scala.io.Source.fromInputStream(stream, "UTF-8").mkString
+          finally stream.close()
+        HttpSource.HttpResponse(status, body)
+      } finally conn.disconnect()
     }
   }
 }

@@ -85,8 +85,9 @@ object StreamingOps {
     }
 
     def close(s: SessionState, uid: Long): SessionOut =
-      SessionOut(uid, fromMicros(s.start), fromMicros(s.last),
-        s.n, math.round(s.sum * 100.0) / 100.0)
+      // BigDecimal HALF_UP to match Spark's round(col, 2) in the batch twin
+      SessionOut(uid, fromMicros(s.start), fromMicros(s.last), s.n,
+        BigDecimal(s.sum).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
 
     events
       .withWatermark("ts", watermark)

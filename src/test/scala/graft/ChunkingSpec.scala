@@ -51,8 +51,17 @@ class ChunkingSpec extends AnyFunSuite {
           s"chunk too long: ${c.text.length}")
         assert(c.text.length >= Chunking.minChars)
         assert(c.token_count == c.text.length / 4)
+        // offsets are true document offsets
+        assert(c.start_char >= 0 && c.start_char <= text.length)
+        assert(c.end_char >= c.start_char && c.end_char <= text.length,
+          s"end_char ${c.end_char} beyond doc ${text.length}")
       }
       assert(cs.map(_.position) == cs.indices.map(identity))
+      // chunk ranges advance monotonically through the document
+      cs.sliding(2).foreach {
+        case Seq(a, b) => assert(b.start_char >= a.start_char)
+        case _ =>
+      }
       cs.zipWithIndex.foreach { case (c, i) =>
         assert(c.chunk_id == s"d_chunk_$i")
       }
