@@ -197,6 +197,30 @@ object HttpSource {
     }(Encoders.row(rawPaperSchema)).toDF()
   }
 
+  /** S3/S4: fetch full records for an id set — one GET per id, batched per
+    * partition with the shared retry ladder, key rotation and rate limit
+    * (the reference's semaphore-bounded fan-out, re-expressed as partition
+    * parallelism).
+    */
+  def fetchPapersByIds(spark: SparkSession, paperIds: Seq[String],
+                       cfg: SourceConfig, transport: HttpTransport): DataFrame = {
+    import spark.implicits._
+    val nPart = math.max(1, math.min(cfg.maxParallelPartitions, paperIds.size))
+    val keys = cfg.apiKeys
+    val ids = spark.createDataset(paperIds).repartition(nPart)
+    ids.mapPartitions { it =>
+      val mapper = new ObjectMapper()
+      val limiter = new RateLimiter(cfg.minIntervalMs, cfg.sleeper)
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val key = if (keys.nonEmpty) Some(keys(pid % keys.size)) else None
+      it.flatMap { id =>
+        val url = s"${cfg.baseUrl}/paper/$id?fields=${cfg.fields.mkString(",")}"
+        getWithRetry(transport, cfg, limiter, key, _ => url, cfg.limit)
+          .map(body => jsonToRow(mapper.readTree(body), null))
+      }
+    }(Encoders.row(rawPaperSchema)).toDF()
+  }
+
   /** S5/S6: paginated references per paper id →
     * Dataset[(paperId, Array[refId])], cursor-paged with a per-paper cap.
     */
