@@ -106,6 +106,36 @@ object WindowQueries {
              |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // CUBE subtotals over event dimensions (beyond the reference — free
+    // with Catalyst, same Expand-based plan family as rollup).
+    QDef("q60_cube",
+      (s, d) => ev(s, d)
+        .withColumn("day", to_date(col("ts")))
+        .cube(col("day"), col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          round(sum(col("value")), 2).as("sum_value"),
+          grouping_id().cast("long").as("gid"))
+        .orderBy(col("gid"), col("day"), col("event_type")),
+      Some("""SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n,
+             |round(sum(value), 2) AS sum_value,
+             |CAST(grouping_id(CAST(ts AS DATE), event_type) AS BIGINT) AS gid
+             |FROM events
+             |GROUP BY CUBE (CAST(ts AS DATE), event_type)
+             |ORDER BY gid, day, event_type""".stripMargin)),
+
+    // Exact distinct users per tumbling window (count-distinct under
+    // event-time bucketing; the HLL variant is q45's sketch).
+    QDef("q61_window_distinct",
+      (s, d) => ev(s, d)
+        .groupBy(window(col("ts"), "6 hours").getField("start").as("window_start"))
+        .agg(countDistinct(col("user_id")).cast("long").as("n_users"),
+          count(lit(1)).cast("long").as("n_events"))
+        .orderBy(col("window_start")),
+      Some("""SELECT make_timestamp(epoch_us(ts) // 21600000000 * 21600000000) AS window_start,
+             |CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+             |count(*) AS n_events
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // A10: daily volume anomaly vs trailing-10-day history. The window is
     // global but operates on the tiny per-day aggregate (≤ O(days) rows).
     QDef("q40_volume_anomaly",
