@@ -33,20 +33,68 @@ object Multimodal {
       .add("height", IntegerType)
       .add("n_frames", IntegerType))
 
-  /** STUB decode (???-equivalent): deterministic fake metadata derived from
-    * the payload bytes. Replace with a real codec behind the same
-    * signature; the fake is stable so tests can hash outputs.
+  /** Decode metadata. Real path first: `javax.imageio` (JDK built-in)
+    * handles PNG/JPEG/GIF/BMP — no external libraries needed. Payloads
+    * ImageIO cannot read (video/audio/exotic codecs — their libs are NOT in
+    * this container) fall back to the deterministic STUB so the pipeline
+    * shape stays exercised end-to-end; swap the fallback for a JNI/javacv
+    * decoder without touching callers.
     */
   def decodeStub(payload: Array[Byte]): (String, Int, Int, Int) = {
-    if (payload == null || payload.isEmpty) ("empty", 0, 0, 0)
-    else {
+    if (payload == null || payload.isEmpty) return ("empty", 0, 0, 0)
+    decodeImage(payload).getOrElse {
       val h = java.util.Arrays.hashCode(payload)
       // floorMod: math.abs(Int.MinValue) is negative — abs%n can throw/skew
       val fmt = Seq("png", "jpeg", "webp")(math.floorMod(h, 3))
       val w = 64 + math.floorMod(h, 1024)
       val ht = 64 + math.floorMod(h / 1024, 1024)
-      (fmt, w, ht, 1 + math.floorMod(h, 300))
+      (s"stub_$fmt", w, ht, 1 + math.floorMod(h, 300))
     }
+  }
+
+  /** Real image decode via ImageIO: (format, width, height, n_frames=1). */
+  def decodeImage(payload: Array[Byte]): Option[(String, Int, Int, Int)] = {
+    val in = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(in)
+          Some((r.getFormatName.toLowerCase(java.util.Locale.ROOT),
+            r.getWidth(0), r.getHeight(0), math.max(1, r.getNumImages(true))))
+        } finally r.dispose()
+      }
+    } catch { case _: Exception => None } finally in.close()
+  }
+
+  /** Real image resize via ImageIO + Graphics2D: clamp the longer edge to
+    * `maxEdge`, re-encode as PNG. Non-image payloads pass through.
+    */
+  def resizeImage(payload: Array[Byte], maxEdge: Int): Array[Byte] = {
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) payload
+      else {
+        val scale = math.min(1.0, maxEdge.toDouble / math.max(img.getWidth, img.getHeight))
+        if (scale >= 1.0) payload
+        else {
+          val w = math.max(1, math.ceil(img.getWidth * scale).toInt)
+          val h = math.max(1, math.ceil(img.getHeight * scale).toInt)
+          val out = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          try g.drawImage(img.getScaledInstance(w, h, java.awt.Image.SCALE_SMOOTH),
+            0, 0, null)
+          finally g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          bos.toByteArray
+        }
+      }
+    } catch { case _: Exception => payload }
   }
 
   /** Attach decoded metadata (mapPartitions batch shape: one decoder

@@ -19,7 +19,8 @@ class MultimodalSpec extends SparkSpec {
     assert(d1.count() == media.count())
     assert(d1.exceptAll(d2).count() == 0) // deterministic
     val row = d1.filter(col("media_id") === 0).collect()(0)
-    assert(Set("png", "jpeg", "webp").contains(row.getAs[String]("format")))
+    // text payloads aren't images → stub fallback, tagged as such
+    assert(Set("stub_png", "stub_jpeg", "stub_webp").contains(row.getAs[String]("format")))
     assert(row.getAs[Int]("width") >= 64)
   }
 
@@ -49,6 +50,45 @@ class MultimodalSpec extends SparkSpec {
       assert(math.max(w, h) <= 256 ||
         math.max(r.getAs[Int]("width"), r.getAs[Int]("height")) <= 256)
     }
+  }
+
+  test("real PNG payloads decode with true dimensions via ImageIO") {
+    import spark.implicits._
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => img.setRGB(x, 0, x * 1000))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val df = Seq((1L, png(320, 200)), (2L, png(64, 64)))
+      .toDF("media_id", "payload")
+    val decoded = Multimodal.decode(df, "media_id", "payload")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(decoded(1L).getAs[String]("format") == "png")
+    assert(decoded(1L).getAs[Int]("width") == 320)
+    assert(decoded(1L).getAs[Int]("height") == 200)
+    assert(decoded(2L).getAs[Int]("width") == 64)
+    // non-image payloads fall back to the stub (tagged as such)
+    val stub = Multimodal.decode(
+      Seq((3L, "not an image".getBytes("UTF-8"))).toDF("media_id", "payload"),
+      "media_id", "payload").collect()(0)
+    assert(stub.getAs[String]("format").startsWith("stub_"))
+  }
+
+  test("real image resize clamps the longer edge") {
+    val img = new java.awt.image.BufferedImage(400, 100,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val resized = Multimodal.resizeImage(bos.toByteArray, maxEdge = 200)
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(resized))
+    assert(back.getWidth == 200)
+    assert(back.getHeight == 50)
+    // already-small images pass through untouched
+    val small = Multimodal.resizeImage(bos.toByteArray, maxEdge = 1000)
+    assert(small.sameElements(bos.toByteArray))
   }
 
   test("binary-size partitioning bounds bytes per partition") {
