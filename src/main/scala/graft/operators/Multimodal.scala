@@ -70,6 +70,25 @@ object Multimodal {
     } catch { case _: Exception => None } finally in.close()
   }
 
+  /** Real audio decode via `javax.sound.sampled` (JDK built-in: WAV/AIFF/
+    * AU): (format, sampleRateHz, channels, nFrames). Compressed codecs
+    * (mp3/ogg) have no in-container library → None → stub fallback.
+    */
+  def decodeAudio(payload: Array[Byte]): Option[(String, Int, Int, Int)] = {
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        val fileFmt = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+          new java.io.ByteArrayInputStream(payload))
+        Some((fileFmt.getType.toString.toLowerCase(java.util.Locale.ROOT),
+          fmt.getSampleRate.toInt, fmt.getChannels,
+          math.max(1, in.getFrameLength.toInt)))
+      } finally in.close()
+    } catch { case _: Exception => None }
+  }
+
   /** Real image resize via ImageIO + Graphics2D: clamp the longer edge to
     * `maxEdge`, re-encode as PNG. Non-image payloads pass through.
     */

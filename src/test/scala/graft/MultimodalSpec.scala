@@ -77,6 +77,32 @@ class MultimodalSpec extends SparkSpec {
     assert(stub.getAs[String]("format").startsWith("stub_"))
   }
 
+  test("real WAV payloads decode sample rate, channels, frames") {
+    // synthesize a 0.5s 8kHz mono WAV in memory
+    val rate = 8000f
+    val n = 4000
+    val pcm = new Array[Byte](n * 2)
+    (0 until n).foreach { i =>
+      val v = (math.sin(i * 0.05) * 16000).toInt
+      pcm(2 * i) = (v & 0xFF).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val decoded = Multimodal.decodeAudio(bos.toByteArray)
+    assert(decoded.isDefined)
+    val (f, sr, ch, frames) = decoded.get
+    assert(f == "wave")
+    assert(sr == 8000)
+    assert(ch == 1)
+    assert(frames == 4000)
+    assert(Multimodal.decodeAudio("noise".getBytes("UTF-8")).isEmpty)
+  }
+
   test("real image resize clamps the longer edge") {
     val img = new java.awt.image.BufferedImage(400, 100,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
