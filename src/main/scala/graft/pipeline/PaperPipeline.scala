@@ -25,6 +25,13 @@ object PaperPipeline {
       maxRefs: Int = 50,
       disparityThreshold: Double = 50.0)
 
+  /** F9: reference lints search terms ≤3 chars (`main.py:474-477`) but
+    * proceeds anyway — returns (ok, suspicious) so callers can log the
+    * suspicious ones; nothing is dropped.
+    */
+  def validateTerms(terms: Seq[String]): (Seq[String], Seq[String]) =
+    terms.partition(t => t != null && t.trim.length > 3)
+
   /** Collect + project (reference steps 2a: search → flat records). */
   def collect(spark: SparkSession, cfg: Config,
               transport: HttpSource.HttpTransport): DataFrame = {
@@ -51,13 +58,18 @@ object PaperPipeline {
     Profiling.qualityScore(papers, "scraped_at", 1950, 2035, "citation_count")
 
   /** Bias slicing + mitigation recommendations (steps 3-5): returns the
-    * (tiny) per-slice recommendation table; the driver loop re-collects
-    * underrepresented slices with the same `collect` stage.
+    * (tiny) per-slice recommendation table with the reference's priority
+    * tagging (A5: high when the group sits below half the median,
+    * `slicing_bias_analysis.py:325-374`); the driver loop re-collects
+    * underrepresented slices with the same `collect` stage, high-priority
+    * first (reference O4 ordering).
     */
   def biasRecommendations(papers: DataFrame, sliceCol: String): DataFrame =
     Bias.underrepresentation(papers, sliceCol)
       .filter(col("underrepresented"))
-      .orderBy(col("needed").desc, col(sliceCol))
+      .withColumn("priority",
+        when(col("n") < col("median_n") * 0.5, "high").otherwise("medium"))
+      .orderBy((col("priority") === "high").desc, col("needed").desc, col(sliceCol))
 
   /** Mitigation loop (reference `bias_mitigation_collector.py:378-457`
     * semantics): iterate — re-analyze, re-collect each underrepresented
