@@ -140,6 +140,76 @@ object PipelineQueries {
              |max(o_totalprice) AS max
              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // A12: domain anomaly profile — conditional percentages + severity
+    // tagging (extraction-failure / zero-citation / top-share gates).
+    QDef("q62_anomaly_profile",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val agg = docs.agg(
+          count(lit(1)).cast("long").as("n"),
+          sum(when(col("n_chars") < 200, 1L).otherwise(0L)).cast("long").as("n_short"),
+          max(col("n_chars")).as("max_chars"))
+        val topShare = docs.groupBy(col("source"))
+          .agg(count(lit(1)).cast("long").as("sn"))
+          .agg(max(col("sn")).cast("long").as("top_source_n"))
+        agg.crossJoin(topShare)
+          .withColumn("short_pct", round(col("n_short") * 100.0 / col("n"), 6))
+          .withColumn("top_source_pct", round(col("top_source_n") * 100.0 / col("n"), 6))
+          .withColumn("severity",
+            when(col("short_pct") > 80, "critical")
+              .when(col("short_pct") > 60, "warning")
+              .otherwise("ok"))
+      },
+      Some("""SELECT n, n_short, max_chars, top_source_n,
+             |round(n_short * 100.0 / n, 6) AS short_pct,
+             |round(top_source_n * 100.0 / n, 6) AS top_source_pct,
+             |CASE WHEN round(n_short * 100.0 / n, 6) > 80 THEN 'critical'
+             |     WHEN round(n_short * 100.0 / n, 6) > 60 THEN 'warning'
+             |     ELSE 'ok' END AS severity
+             |FROM (SELECT count(*) AS n,
+             |        CAST(sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+             |        max(n_chars) AS max_chars FROM documents),
+             |     (SELECT CAST(max(sn) AS BIGINT) AS top_source_n FROM
+             |        (SELECT count(*) AS sn FROM documents GROUP BY source))""".stripMargin)),
+
+    // Histogram binning (fixed-width buckets over order totals).
+    QDef("q63_histogram",
+      (s, d) => t(s, d, "orders")
+        .withColumn("bucket",
+          least(lit(19L), floor(col("o_totalprice") / 50000)).cast("long"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          round(avg(col("o_totalprice")), 6).as("avg_total"))
+        .orderBy(col("bucket")),
+      Some("""SELECT CAST(least(19, floor(o_totalprice / 50000)) AS BIGINT) AS bucket,
+             |count(*) AS n, round(avg(o_totalprice), 6) AS avg_total
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Correlation / covariance statistics (lineitem price vs quantity).
+    QDef("q64_corr_stats",
+      (s, d) => t(s, d, "lineitem").agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("covar_qty_price"),
+        round(corr(col("l_discount"), col("l_tax")), 6).as("corr_disc_tax"),
+        count(lit(1)).cast("long").as("n")),
+      Some("""SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+             |round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+             |round(corr(l_discount, l_tax), 6) AS corr_disc_tax,
+             |count(*) AS n FROM lineitem""".stripMargin)),
+
+    // Sorted array aggregation rendered as CSV (collect_list + sort_array).
+    QDef("q65_array_agg",
+      (s, d) => t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(concat_ws(",",
+          sort_array(collect_set(year(col("o_orderdate")).cast("long")))).as("years"),
+          count(lit(1)).cast("long").as("n_orders"))
+        .orderBy(col("o_custkey")),
+      Some("""SELECT o_custkey,
+             |array_to_string(list_sort(list(DISTINCT CAST(year(o_orderdate) AS BIGINT))), ',') AS years,
+             |count(*) AS n_orders
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Multimodal plumbing as a query: binary payloads (synthesized from
     // documents — opaque to the pipeline, which is the point) → stub
     // decode → byte-histogram features → per-format stats. The decode is
