@@ -135,6 +135,51 @@ object TextQueries {
              |    GROUP BY 1, 2))
              |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)),
 
+    // Stratified downsampling: ≤5 docs per language, deterministically
+    // ranked by content hash (the reproducible-sampling shape every
+    // training-data pipeline needs — no RNG, same sample every run).
+    QDef("q66_stratified_sample",
+      (s, d) => {
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(md5(col("text")), col("doc_id"))
+        docs(s, d)
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 5)
+          .select(col("lang"), col("doc_id"), col("rk"))
+          .orderBy(col("lang"), col("rk"))
+      },
+      Some("""SELECT lang, doc_id, rk FROM (
+             |  SELECT lang, doc_id,
+             |    row_number() OVER (PARTITION BY lang
+             |                       ORDER BY md5(text), doc_id) AS rk
+             |  FROM documents)
+             |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin)),
+
+    // Token-budget batch assembly: pack documents into training batches of
+    // ~2000 est. tokens in deterministic doc order via an exclusive
+    // running sum — one window pass, no driver loop.
+    QDef("q67_token_batches",
+      (s, d) => {
+        val w = Window.orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        docs(s, d)
+          .withColumn("toks", (col("n_chars") / 4).cast("long"))
+          .withColumn("batch_id",
+            floor((sum(col("toks")).over(w) - col("toks")) / 2000).cast("long"))
+          .groupBy(col("batch_id"))
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(col("toks")).cast("long").as("batch_tokens"))
+          .orderBy(col("batch_id"))
+      },
+      Some("""SELECT batch_id, count(*) AS n_docs,
+             |CAST(sum(toks) AS BIGINT) AS batch_tokens FROM (
+             |  SELECT CAST(floor((sum(toks) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - toks) / 2000) AS BIGINT) AS batch_id,
+             |    toks
+             |  FROM (SELECT doc_id, CAST(n_chars // 4 AS BIGINT) AS toks
+             |        FROM documents))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // P8 chunker: stateful per-row expansion — no SQL oracle (rows-only
     // driver check); invariants covered in ChunkingSpec.
     QDef("q19_chunks",
