@@ -1,0 +1,85 @@
+package graft
+
+import graft.functions.{TextFns, VectorFns}
+import graft.operators.{DedupOps, Enrichment, Relational}
+import org.apache.spark.sql.functions._
+
+/** Edge-case behavior of the function library on inputs the synthetic
+  * testdata never produces: nulls, empties, mismatched dimensions.
+  */
+class EdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("text functions on null/empty strings") {
+    val df = Seq(Some(""), None, Some("   "), Some("the the the"))
+      .toDF("t")
+    val out = df.select(
+      TextFns.tokenCount(col("t")).as("toks"),
+      TextFns.stopwordCount(col("t")).as("stops"),
+      TextFns.languageId(col("t")).as("lang"),
+      TextFns.qualityScore(col("t")).as("q")).collect()
+    // empty string: zero counts, unknown language, zero-ish score
+    assert(out(0).getLong(0) == 0 && out(0).getString(2) == "unknown")
+    // null input propagates null (never throws)
+    assert(out(1).isNullAt(0))
+    // whitespace-only: no tokens
+    assert(out(2).getLong(0) == 0)
+    // all-stopword text: stopword count == token count, lang = en
+    assert(out(3).getLong(0) == 3 && out(3).getLong(1) == 3)
+    assert(out(3).getString(2) == "en")
+  }
+
+  test("dot product on empty and length-mismatched arrays") {
+    val df = Seq(
+      (Array.empty[Double], Array.empty[Double]),
+      (Array(1.0, 2.0, 3.0), Array(1.0, 1.0)), // mismatched: min-length semantics
+      (Array(2.0), Array(3.0)))
+      .toDF("a", "b")
+    val out = df.select(VectorFns.dot(col("a"), col("b")).as("d")).collect()
+    assert(out(0).getDouble(0) == 0.0)
+    assert(out(1).getDouble(0) == 3.0) // 1*1 + 2*1, third element ignored
+    assert(out(2).getDouble(0) == 6.0)
+    // null array → null result, not a crash
+    val withNull = Seq((Some(Array(1.0)), Option.empty[Array[Double]]))
+      .toDF("a", "b")
+      .select(VectorFns.dot(col("a"), col("b")).as("d")).collect()
+    assert(withNull(0).isNullAt(0))
+  }
+
+  test("shingles of degenerate documents") {
+    val df = Seq((1L, ""), (2L, "one two"), (3L, "a b c d")).toDF("id", "t")
+    val sh = DedupOps.shingles(df, "id", "t", 3).collect()
+    // doc 1 empty, doc 2 below n → no shingles; doc 3 → 2 shingles
+    assert(sh.forall(_.getLong(0) == 3L))
+    assert(sh.map(_.getString(1)).toSet == Set("a b c", "b c d"))
+  }
+
+  test("dedupKeepFirst on all-duplicate and single-row inputs") {
+    val df = Seq(("k", 2), ("k", 1), ("k", 3)).toDF("key", "v")
+    val out = Relational.dedupKeepFirst(df, Seq("key"), Seq(col("v"))).collect()
+    assert(out.length == 1 && out(0).getInt(1) == 1)
+    val single = Relational.dedupKeepFirst(
+      Seq(("x", 9)).toDF("key", "v"), Seq("key"), Seq(col("v")))
+    assert(single.count() == 1)
+  }
+
+  test("importance score clamps: zero value, ancient and future years") {
+    val df = Seq((0.0, 2026), (1e12, 2026), (100.0, 1800), (100.0, 2100))
+      .toDF("v", "y")
+    val out = df.select(
+      Enrichment.importanceScore(col("v"), col("y"), 2026).as("imp")).collect()
+    assert(out(0).getLong(0) == 0L) // log10(1) = 0
+    assert(out(1).getLong(0) == 1000000L) // clamped at 100 * 1e4
+    assert(out(2).getLong(0) >= 0L) // recency floored at 0.5, never negative
+    // future year: recency capped path still yields a finite score
+    assert(out(3).getLong(0) <= 1000000L)
+  }
+
+  test("closedWorldFilter with an empty universe empties every array") {
+    val df = Seq((1L, Seq("a", "b")), (2L, Seq.empty[String])).toDF("id", "arr")
+    val uni = Seq.empty[String].toDF("u")
+    val out = Relational.closedWorldFilter(df, "id", "arr", uni, "u")
+      .collect().map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[String]]("arr")).toMap
+    assert(out(1L).isEmpty && out(2L).isEmpty)
+  }
+}
