@@ -161,7 +161,11 @@ object Multimodal {
     */
   def frameSample(decoded: DataFrame, stride: Int): DataFrame =
     decoded.select(col("media_id"),
-      explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
+      // empty/undecodable payloads decode to n_frames=0; sequence(0,-1,s)
+      // throws at runtime, so zero-frame rows emit no frames instead
+      explode(when(col("n_frames") > 0,
+        sequence(lit(0), col("n_frames") - 1, lit(stride)))
+        .otherwise(array().cast("array<int>"))).as("frame_idx"))
 
   /** Resize spec (metadata transform — the payload op is the stub's job):
     * clamp the longer edge to `maxEdge` preserving aspect ratio.

@@ -71,10 +71,16 @@ object Profiling {
     val missingCells = df.columns
       .map(c => sum(when(col(c).isNull, 1L).otherwise(0L)))
       .reduce(_ + _)
+    // the reference's validity gate checks an *integer* year column
+    // (schema_validator.py:338-340); date/timestamp columns go through year()
+    val yr = df.schema(yearCol).dataType match {
+      case _: NumericType => col(yearCol)
+      case _              => year(col(yearCol))
+    }
     df.agg(
       count(lit(1)).cast("long").as("n_rows"),
       missingCells.cast("long").as("n_missing_cells"),
-      sum(when(year(col(yearCol)) < minYear || year(col(yearCol)) > maxYear, 1L)
+      sum(when(yr < minYear || yr > maxYear, 1L)
         .otherwise(0L)).cast("long").as("n_bad_year"),
       sum(when(col(nonNegCol) < 0, 1L).otherwise(0L)).cast("long").as("n_negative"))
       .withColumn("completeness",

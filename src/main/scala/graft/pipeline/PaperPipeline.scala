@@ -53,9 +53,13 @@ object PaperPipeline {
     Relational.closedWorldFilter(papers, "paper_id", "references_id",
       papers.select(col("paper_id")), "paper_id")
 
-  /** Quality profile + anomaly gates (reference step 6). */
+  /** Quality profile + anomaly gates (reference step 6). The validity gate
+    * checks the integer publication-year column against the reference's
+    * 1950..2025 window (`schema_validator.py:338-340`) — NOT the ingestion
+    * timestamp, whose year is always the scrape year.
+    */
   def profile(papers: DataFrame): DataFrame =
-    Profiling.qualityScore(papers, "scraped_at", 1950, 2035, "citation_count")
+    Profiling.qualityScore(papers, "year", 1950, 2025, "citation_count")
 
   /** Bias slicing + mitigation recommendations (steps 3-5): returns the
     * (tiny) per-slice recommendation table with the reference's priority
@@ -79,7 +83,13 @@ object PaperPipeline {
     */
   def mitigate(spark: SparkSession, cfg: Config, papers: DataFrame,
                transport: HttpSource.HttpTransport, maxCycles: Int = 3): DataFrame = {
-    var current = papers
+    // Each cycle's result is pinned with localCheckpoint: the lineage roots
+    // in a live, rate-limited, non-idempotent HTTP source, so re-executing
+    // it on every downstream action would re-issue all prior cycles' fetches
+    // (O(cycles²) requests) and could return *different* data between the
+    // convergence check and the caller's eventual materialization.
+    var current = papers.localCheckpoint()
+    var currentCount = current.count()
     var cycle = 0
     var done = false
     while (cycle < maxCycles && !done) {
@@ -90,10 +100,13 @@ object PaperPipeline {
         val extra = collect(spark,
           cfg.copy(terms = terms, maxRefs = 0, source = cfg.source), transport)
         val merged = dedup(current.unionByName(extra, allowMissingColumns = true))
+          .localCheckpoint()
+        val mergedCount = merged.count()
         // fixed point: recollection added nothing new → further cycles
         // cannot help (the reference breaks on the same condition)
-        if (merged.count() == current.count()) done = true
+        if (mergedCount == currentCount) done = true
         current = merged
+        currentCount = mergedCount
       }
       cycle += 1
     }

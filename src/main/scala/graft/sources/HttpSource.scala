@@ -121,7 +121,10 @@ object HttpSource {
             case Some(m) if m.group(1).toInt < limit => limit = m.group(1).toInt
             case _ => return None
           }
-        case s if s >= 500 => // transient; retry after base interval
+        case s if s >= 500 =>
+          // transient: back off like the 429 path (the reference client
+          // sleeps before every retry, keyed or not)
+          cfg.sleeper(math.min(cfg.backoffBaseMs * (1L << attempt), cfg.backoffCapMs))
         case _ => return None
       }
       attempt += 1

@@ -69,6 +69,18 @@ class EndToEndSpec extends SparkSpec {
     assert(stats.attempted == 3 && stats.failed == 0)
   }
 
+  test("profile's year-validity gate fires on out-of-window publication years") {
+    import spark.implicits._
+    val collected = PaperPipeline.collect(spark, cfg, new TermTransport)
+    // force one paper outside the reference's 1950..2025 window: the gate
+    // must count it (it checks the integer year column, not scraped_at)
+    val skewed = collected.withColumn("year",
+      when(col("paper_id") === "p1", lit(1900)).otherwise(col("year")))
+    val prow = PaperPipeline.profile(skewed).collect()(0)
+    assert(prow.getAs[Long]("n_bad_year") == 1L)
+    assert(prow.getAs[Double]("validity") < 100.0)
+  }
+
   test("bias recommendations drive a mitigation recollection cycle") {
     val collected = PaperPipeline.dedup(
       PaperPipeline.collect(spark, cfg, new TermTransport))

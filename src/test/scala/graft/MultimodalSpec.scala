@@ -41,6 +41,18 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.filter(col("media_id") === 0).count() == expected)
   }
 
+  test("frame sampling tolerates zero-frame (empty payload) rows") {
+    import spark.implicits._
+    val withEmpty = Seq(
+      (1L, Array.empty[Byte]),            // decodes to n_frames = 0
+      (2L, "some video bytes".getBytes("UTF-8"))
+    ).toDF("media_id", "payload")
+    val decoded = Multimodal.decode(withEmpty, "media_id", "payload")
+    val frames = Multimodal.frameSample(decoded, stride = 10).collect()
+    assert(!frames.exists(_.getLong(0) == 1L)) // no frames, no crash
+    assert(frames.exists(_.getLong(0) == 2L))
+  }
+
   test("resize spec clamps longer edge preserving aspect") {
     val decoded = Multimodal.decode(media, "media_id", "payload")
     val resized = Multimodal.resizeSpec(decoded, maxEdge = 256)
