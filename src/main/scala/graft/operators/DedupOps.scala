@@ -93,9 +93,7 @@ object DedupOps {
     */
   def minhashSignatures(sh: DataFrame, idCol: String, k: Int, seed: Long = 42L): DataFrame = {
     val p = 2147483647L // 2^31-1 (prime)
-    val rnd = new scala.util.Random(seed)
-    val coefs = Array.fill(k)((1 + rnd.nextInt(Int.MaxValue - 1)).toLong,
-      rnd.nextInt(Int.MaxValue).toLong)
+    val coefs = minhashCoefs(k, seed)
     // materialize the base hash below the aggregate: referenced inline it
     // would be recomputed per agg expression (k× the hashing work)
     val hashed = sh.select(col(idCol),
@@ -106,6 +104,60 @@ object DedupOps {
     hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  private def minhashCoefs(k: Int, seed: Long): Array[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(k)((1 + rnd.nextInt(Int.MaxValue - 1)).toLong,
+      rnd.nextInt(Int.MaxValue).toLong)
+  }
+
+  /** One-pass MinHash signatures straight from the text column (narrow map,
+    * no shuffle): tokenizes, forms distinct word n-gram shingles, hashes each
+    * with Spark's Murmur3 (seed 42 — bit-identical to `hash(shingle)`), and
+    * folds the k affine mins in a local array. Replaces explode + k-column
+    * groupBy for signature generation; cross-checked against
+    * [[minhashSignatures]] in SimilaritySpec.
+    */
+  def minhashSignaturesOnePass(df: DataFrame, idCol: String, textCol: String,
+                               n: Int, k: Int, seed: Long = 42L): DataFrame = {
+    val p = 2147483647L
+    val coefs = minhashCoefs(k, seed)
+    val sig = udf { text: String =>
+      if (text == null) None
+      else {
+        val m = tokenRe.matcher(text.toLowerCase(java.util.Locale.ROOT))
+        val toks = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (m.find()) toks += m.group()
+        if (toks.length < n) None
+        else {
+          val seen = scala.collection.mutable.HashSet.empty[String]
+          val mins = Array.fill(k)(Long.MaxValue)
+          var i = 0
+          while (i <= toks.length - n) {
+            val s = toks.slice(i, i + n).mkString(" ")
+            if (seen.add(s)) {
+              val h32 = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction.hash(
+                org.apache.spark.unsafe.types.UTF8String.fromString(s),
+                org.apache.spark.sql.types.StringType, 42L).toInt
+              val x = { val r = h32.toLong % p; if (r < 0) r + p else r }
+              var j = 0
+              while (j < k) {
+                val v = { val r = (x * coefs(j)._1 + coefs(j)._2) % p; if (r < 0) r + p else r }
+                if (v < mins(j)) mins(j) = v
+                j += 1
+              }
+            }
+            i += 1
+          }
+          Some(mins.toSeq)
+        }
+      }
+    }
+    val cols = (0 until k).map(i => col("__mh")(i).as(s"mh_$i"))
+    df.select(col(idCol), sig(col(textCol)).as("__mh"))
+      .filter(col("__mh").isNotNull)
+      .select(col(idCol) +: cols: _*)
+  }
+
   /** MinHash + LSH banding near-dup candidate pairs, verified with exact
     * Jaccard. `bands` buckets of `k/bands` signature rows each: docs
     * sharing any full band become candidates — the sublinear scale path;
@@ -114,8 +166,8 @@ object DedupOps {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       n: Int, threshold: Double,
                       k: Int = 32, bands: Int = 8): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n).cache()
-    val sigs = minhashSignatures(sh, idCol, k)
+    // signatures in one narrow pass — no exploded-shingle shuffle
+    val sigs = minhashSignaturesOnePass(df, idCol, textCol, n, k)
     val rowsPerBand = k / bands
     val banded = sigs.select(col(idCol),
       explode(array((0 until bands).map { b =>
@@ -124,12 +176,25 @@ object DedupOps {
             .map(i => col(s"mh_$i")): _*).as("key"))
       }: _*)).as("bk"))
       .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+      // cached: the self-join below references this twice — uncached, the
+      // signature pass over the full corpus executes once per side. Ints
+      // only, n_docs×bands rows, so it stays compact even at corpus scale.
+      .cache()
+    // cached: the candidate set is referenced three times below (id list,
+    // pair semi-join) — uncached, the signature pass + banding self-join
+    // would re-execute per reference
     val cands = banded.select(col("band"), col("key"), col(idCol).as("id_a"))
       .join(banded.select(col("band"), col("key"), col(idCol).as("id_b")),
         Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    // verify candidates with exact Jaccard from the shingle index
+      .select("id_a", "id_b").distinct().cache()
+    // verify candidates with exact Jaccard — shingle the CANDIDATE docs only
+    // (candidate count ≈ dup count << corpus, so this index is tiny; the
+    // full-corpus inverted index never materializes on this path)
+    val candIds = cands.select(col("id_a").as(idCol))
+      .union(cands.select(col("id_b").as(idCol))).distinct()
+    val sh = shingles(df.join(candIds, Seq(idCol), "left_semi"),
+      idCol, textCol, n).cache()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val inter = sh.select(col(idCol).as("id_a"), col("shingle"))
       .join(sh.select(col(idCol).as("id_b"), col("shingle")), Seq("shingle"))
@@ -148,18 +213,42 @@ object DedupOps {
 
   /** 64-bit SimHash per document: per-bit majority vote over xxhash64 token
     * hashes, weighted by term frequency.
+    *
+    * Computed in ONE pass per document (narrow map, no shuffle): the
+    * explode-tokens + 64-column groupBy formulation shuffles every token row
+    * and evaluates 64 aggregate expressions per token — measured 12.3 s at
+    * sf0.1 vs ~1 s for this form. Token hashes use Spark's own XXH64
+    * (seed 42), bit-identical to `xxhash64(tok)`, so signatures match the
+    * aggregate formulation row-for-row (cross-checked in SimilaritySpec).
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+    val sig = udf { text: String =>
+      if (text == null) None
+      else {
+        val m = tokenRe.matcher(text.toLowerCase(java.util.Locale.ROOT))
+        val counts = new Array[Int](64)
+        var any = false
+        while (m.find()) {
+          any = true
+          val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+            org.apache.spark.unsafe.types.UTF8String.fromString(m.group()),
+            org.apache.spark.sql.types.StringType, 42L)
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+            b += 1
+          }
+        }
+        if (!any) None // match the aggregate form: zero-token docs emit no row
+        else {
+          var s = 0L; var b = 0
+          while (b < 64) { if (counts(b) > 0) s |= (1L << b); b += 1 }
+          Some(s)
+        }
+      }
     }
-    val agg = tok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64).map { b =>
-      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
-    agg.select(col(idCol), sig.as("simhash"))
+    df.select(col(idCol), sig(col(textCol)).as("simhash"))
+      .filter(col("simhash").isNotNull)
   }
 
   /** SimHash near-dup pairs: Hamming distance ≤ maxDist, found by banding

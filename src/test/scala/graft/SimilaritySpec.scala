@@ -51,6 +51,37 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh == exact, s"recall miss: ${(exact -- lsh).size} of ${exact.size}")
   }
 
+  test("one-pass simhash matches the explode+aggregate formulation") {
+    // the aggregate (shuffle) formulation the one-pass UDF replaced: explode
+    // tokens, xxhash64 each, 64 per-bit majority-vote sums
+    val tok = docs.limit(200)
+      .select(col("doc_id"), explode(DedupOps.tokens(col("text"))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+    }
+    val sigExpr = (0 until 64).map { b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    val viaAgg = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), sigExpr.as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val onePass = DedupOps.simhash(docs.limit(200), "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(onePass == viaAgg)
+  }
+
+  test("one-pass minhash signatures match the explode+groupBy formulation") {
+    val sample = docs.limit(200)
+    val viaAgg = DedupOps.minhashSignatures(
+        DedupOps.shingles(sample, "doc_id", "text", 3), "doc_id", k = 32)
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val onePass = DedupOps.minhashSignaturesOnePass(
+        sample, "doc_id", "text", n = 3, k = 32)
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(onePass == viaAgg)
+  }
+
   test("simhash of identical texts collides; pairs respect hamming bound") {
     import spark.implicits._
     val df = Seq((1L, "alpha beta gamma delta epsilon zeta"),
