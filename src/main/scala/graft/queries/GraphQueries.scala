@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QDef, Tables}
-import graft.operators.{ContentExtraction, Relational}
+import graft.operators.{ContentExtraction, DedupOps, GraphOps, Relational}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -205,6 +205,41 @@ object GraphQueries {
         countDistinct(col("l_partkey")).cast("long").as("exact_parts"),
         approx_count_distinct(col("l_orderkey")).cast("long").as("approx_orders"),
         countDistinct(col("l_orderkey")).cast("long").as("exact_orders")),
-      None)
+      None),
+
+    // Dedup-group resolution: exact n-gram Jaccard pairs (q24's edges) →
+    // connected components via iterative min-label propagation; the oracle
+    // computes the same transitive closure with a recursive CTE. Component
+    // id = minimum doc_id in the group (deterministic both sides).
+    QDef("q69_dedup_components",
+      (s, d) => {
+        val pairs = DedupOps.ngramJaccardPairs(t(s, d, "documents"),
+          "doc_id", "text", n = 3, threshold = 0.5)
+        GraphOps.connectedComponents(pairs, "id_a", "id_b")
+          .select(col("id").as("doc_id"), col("component"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+             |            FROM documents),
+             |sh AS (SELECT doc_id, unnest(list_distinct(
+             |         [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+             |          for i in range(1, greatest(len(toks) - 1, 1))])) AS s
+             |       FROM t),
+             |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+             |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+             |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |      GROUP BY 1, 2),
+             |pairs AS (SELECT id_a, id_b FROM (
+             |    SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS j
+             |    FROM p JOIN sz sa ON p.id_a = sa.doc_id
+             |           JOIN sz sb ON p.id_b = sb.doc_id)
+             |  WHERE j >= 0.5),
+             |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+             |          UNION SELECT id_b, id_a FROM pairs),
+             |nodes AS (SELECT DISTINCT a AS id FROM edges),
+             |reach(id, r) AS (SELECT id, id FROM nodes
+             |  UNION SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)
+             |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component
+             |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -310,6 +310,31 @@ object RelationalQueries {
       Some("""SELECT count(*) AS n_rows,
              |CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
              |count(*) - CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_dup
-             |FROM documents""".stripMargin))
+             |FROM documents""".stripMargin)),
+
+    // arg-max/arg-min per group in a single aggregation pass (max_by/min_by,
+    // no window/sort). Ordering key is the exact integer
+    // round(value*100)*1e9 + event_id — `value` is a 2dp quantity, so the
+    // key is tie-broken by id and bit-identical in both engines (DuckDB
+    // arg_max only orders by scalars, not structs).
+    QDef("q71_argmax_events",
+      (s, d) => {
+        val key = round(col("value") * 100).cast("long") * lit(1000000000L) +
+          col("event_id")
+        t(s, d, "events")
+          .groupBy(col("event_type"))
+          .agg(
+            max_by(col("event_id"), key).as("top_event_id"),
+            round(max(col("value")), 2).as("max_value"),
+            min_by(col("event_id"), key).as("bottom_event_id"),
+            round(min(col("value")), 2).as("min_value"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type,
+             |arg_max(event_id, CAST(round(value * 100) AS BIGINT) * 1000000000 + event_id) AS top_event_id,
+             |round(max(value), 2) AS max_value,
+             |arg_min(event_id, CAST(round(value * 100) AS BIGINT) * 1000000000 + event_id) AS bottom_event_id,
+             |round(min(value), 2) AS min_value
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -128,6 +128,24 @@ object SimilarityQueries {
       },
       None),
 
+    // Per-label embedding centroids as (label, pos, avg) rows: posexplode →
+    // groupBy(label, pos) — one shuffle keyed on (label, pos), partial
+    // (map-side) averages do the heavy lifting. Emitting rows rather than an
+    // array column keeps it oracle-comparable.
+    QDef("q73_label_centroids",
+      (s, d) => embs(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos").cast("long").as("pos"))
+        .agg(round(avg(col("v").cast("double")), 6).as("centroid_v"),
+          count(lit(1)).cast("long").as("n_vecs"))
+        .orderBy(col("label"), col("pos")),
+      Some("""SELECT label, pos, round(avg(v), 6) AS centroid_v, count(*) AS n_vecs
+             |FROM (SELECT label,
+             |        CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+             |        CAST(unnest(embedding) AS DOUBLE) AS v
+             |      FROM embeddings)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // Exact dedup groups by prefix fingerprint (hash-groupBy dedup).
     QDef("q26_exact_dedup_groups",
       (s, d) => DedupOps.exactDupGroups(docs(s, d), "doc_id",

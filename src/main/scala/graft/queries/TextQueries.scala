@@ -180,6 +180,46 @@ object TextQueries {
              |        FROM documents))
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // TF-IDF: top-5 terms per document, tf × ln(N/df). Two key-local
+    // aggregations; the per-term document-frequency table is tiny (vocab
+    // rows) and broadcast-joins onto the term counts. Scores ranked on the
+    // 6dp-rounded value with a term tie-break so both engines order
+    // identically.
+    QDef("q70_tfidf_topterms",
+      (s, d) => {
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("term"))
+        val docsDf = docs(s, d)
+        val nDocs = docsDf.count()
+        val tf = docsDf
+          .select(col("doc_id"), explode(TextFns.words(col("text"))).as("term"))
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).cast("long").as("tf"))
+        val df = tf.groupBy(col("term"))
+          .agg(countDistinct(col("doc_id")).cast("long").as("df"))
+        tf.join(broadcast(df), Seq("term"))
+          .withColumn("score",
+            round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+          .select(col("doc_id"), col("rank"), col("term"), col("tf"),
+            col("df"), col("score"))
+          .orderBy(col("doc_id"), col("rank"))
+      },
+      Some("""WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM (
+             |    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]{3,}')) AS term
+             |    FROM documents) GROUP BY 1, 2),
+             |idf AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+             |        FROM tf GROUP BY 1),
+             |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+             |scored AS (SELECT doc_id, term, tf, df,
+             |    round(tf * ln(n_docs / df), 6) AS score
+             |  FROM tf JOIN idf USING (term), n)
+             |SELECT doc_id, rank, term, tf, df, score FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY doc_id
+             |    ORDER BY score DESC, term) AS rank FROM scored)
+             |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin)),
+
     // P8 chunker: stateful per-row expansion — no SQL oracle (rows-only
     // driver check); invariants covered in ChunkingSpec.
     QDef("q19_chunks",

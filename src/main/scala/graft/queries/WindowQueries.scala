@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QDef, Tables}
-import graft.operators.Sessionization
+import graft.operators.{Sessionization, Temporal}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -154,6 +154,63 @@ object WindowQueries {
              |    FROM (SELECT CAST(ts AS DATE) AS day, count(*) AS n
              |          FROM events GROUP BY 1)
              |    WINDOW w AS (ORDER BY day ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)))
-             |ORDER BY day""".stripMargin))
+             |ORDER BY day""".stripMargin)),
+
+    // As-of join: each click attributed to the user's latest view at or
+    // before it (point-in-time attribution). Spark side is Temporal.asofJoin
+    // (union + carry-forward window, one shuffle); the oracle is DuckDB's
+    // native ASOF LEFT JOIN.
+    QDef("q68_asof_attribution",
+      (s, d) => {
+        val e = ev(s, d)
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        val views = e.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts").as("view_ts"),
+            col("event_id").as("view_id"), col("value").as("view_value"))
+        Temporal.asofJoin(clicks, views, "user_id", "ts", "view_ts",
+            rightTie = Some("view_id"))
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("view_id"), col("view_ts"),
+            round(col("value") - col("view_value"), 2).as("value_delta"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH clicks AS (SELECT event_id, user_id, ts, value
+             |                FROM events WHERE event_type = 'click'),
+             |views AS (SELECT user_id, ts AS view_ts, event_id AS view_id,
+             |                 value AS view_value
+             |          FROM events WHERE event_type = 'view')
+             |SELECT c.event_id, c.user_id, c.ts, v.view_id, v.view_ts,
+             |round(c.value - v.view_value, 2) AS value_delta
+             |FROM clicks c ASOF LEFT JOIN views v
+             |  ON c.user_id = v.user_id AND c.ts >= v.view_ts
+             |ORDER BY c.event_id""".stripMargin)),
+
+    // Weekly cohort retention: cohort = user's first active week; cell =
+    // distinct users from that cohort active k weeks later. Two key-local
+    // aggregations — the min-week profile broadcast-joins back onto events.
+    QDef("q72_retention_cohorts",
+      (s, d) => {
+        val weekly = ev(s, d)
+          .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+          .distinct()
+        val cohorts = weekly.groupBy("user_id")
+          .agg(min(col("week")).as("cohort_week"))
+        weekly.join(broadcast(cohorts), Seq("user_id"))
+          .groupBy(col("cohort_week"),
+            ((unix_timestamp(col("week")) - unix_timestamp(col("cohort_week")))
+              / 604800L).cast("long").as("week_offset"))
+          .agg(countDistinct(col("user_id")).cast("long").as("n_users"))
+          .orderBy(col("cohort_week"), col("week_offset"))
+      },
+      Some("""WITH weekly AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+             |                FROM events),
+             |cohorts AS (SELECT user_id, min(week) AS cohort_week
+             |            FROM weekly GROUP BY 1)
+             |SELECT c.cohort_week,
+             |CAST((epoch(w.week) - epoch(c.cohort_week)) // 604800 AS BIGINT) AS week_offset,
+             |CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_users
+             |FROM weekly w JOIN cohorts c USING (user_id)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }

@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.{GraphOps, Temporal}
+import org.apache.spark.sql.functions._
+
+class TemporalSpec extends SparkSpec {
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("asof join picks the latest right row at or before each left ts") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "c1"),
+      (1L, ts("2024-01-01 12:00:00"), "c2"),
+      (2L, ts("2024-01-01 09:00:00"), "c3") // before any right row
+    ).toDF("k", "ts", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:30:00"), 10.0),
+      (1L, ts("2024-01-01 11:00:00"), 20.0),
+      (2L, ts("2024-01-01 09:30:00"), 30.0)
+    ).toDF("k", "r_ts", "r_val")
+    val out = Temporal.asofJoin(left, right, "k", "ts", "r_ts")
+      .collect().map(r => r.getAs[String]("tag") ->
+        Option(r.getAs[java.lang.Double]("r_val"))).toMap
+    assert(out("c1").contains(10.0)) // 09:30 row, not 11:00
+    assert(out("c2").contains(20.0)) // latest at-or-before wins
+    assert(out("c3").isEmpty)        // no prior right row -> null payload
+  }
+
+  test("asof join is inclusive at equal timestamps") {
+    import spark.implicits._
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), "c")).toDF("k", "ts", "tag")
+    val right = Seq((1L, ts("2024-01-01 10:00:00"), 7.0)).toDF("k", "r_ts", "r_val")
+    val out = Temporal.asofJoin(left, right, "k", "ts", "r_ts").collect()
+    assert(out(0).getAs[Double]("r_val") == 7.0)
+  }
+
+  test("asof join breaks equal-ts right ties by the tie column (latest wins)") {
+    import spark.implicits._
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), "c")).toDF("k", "ts", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 5L, 1.0),
+      (1L, ts("2024-01-01 09:00:00"), 9L, 2.0)
+    ).toDF("k", "r_ts", "r_id", "r_val")
+    val out = Temporal.asofJoin(left, right, "k", "ts", "r_ts",
+      rightTie = Some("r_id")).collect()
+    assert(out(0).getAs[Long]("r_id") == 9L)
+  }
+
+  test("connected components merge chains and keep islands apart") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3, needs >1 propagation round) + island 10-11
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
+    val cc = GraphOps.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(cc(_) == 1L))
+    assert(Seq(10L, 11L).forall(cc(_) == 10L))
+    assert(cc.size == 6)
+  }
+
+  test("connected components of an empty edge set is empty") {
+    import spark.implicits._
+    val edges = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(GraphOps.connectedComponents(edges, "a", "b").count() == 0)
+  }
+}
