@@ -123,6 +123,28 @@ object StreamingOps {
       }
   }
 
+  /** Stream-stream event-time interval join: each left row joins right rows
+    * of the same key with `right.ts` in `[left.ts - maxLagSeconds, left.ts]`
+    * (streaming attribution — the unbounded-stream counterpart of
+    * `Temporal.asofJoin`, which needs bounded input for "latest"; a stream
+    * can only bound the lookback). Watermarks on BOTH sides let Spark evict
+    * buffered rows once event time passes `ts + maxLag + watermark`, so
+    * state stays O(key-rate × lag window) instead of growing forever.
+    *
+    * `right` must expose its timestamp as `r_ts` and its key under the same
+    * name as `left`'s `keyCol`; all other right columns pass through.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                   maxLagSeconds: Long, watermark: String): DataFrame = {
+    val l = left.withWatermark("ts", watermark).as("l")
+    val r = right.withWatermark("r_ts", watermark).as("r")
+    l.join(r,
+      col(s"l.$keyCol") === col(s"r.$keyCol") &&
+        col("r.r_ts") >= col("l.ts") - expr(s"INTERVAL $maxLagSeconds SECONDS") &&
+        col("r.r_ts") <= col("l.ts"))
+      .drop(col(s"r.$keyCol"))
+  }
+
   /** Drain a streaming query into an in-memory table and stop (test/dev
     * harness — production sinks write parquet with checkpointing).
     */

@@ -70,6 +70,24 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q68 as-of join plans as one keyed window, not a join") {
+    val p = plan("q68_asof_attribution")
+    assert(!p.contains("Join"), s"as-of should be join-free:\n$p")
+    assert(p.contains("hashpartitioning(user_id"), p)
+  }
+
+  test("q70 document-frequency table broadcast-joins onto term counts") {
+    val p = plan("q70_tfidf_topterms")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q72 cohort profile broadcast-joins back onto weekly activity") {
+    val p = plan("q72_retention_cohorts")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("typed Aggregator computes a one-pass text profile") {
     import spark.implicits._
     val texts = Tables(spark, sf, "documents").select("text").as[String]

@@ -93,4 +93,34 @@ class StreamingSpec extends SparkSpec {
     val out = StreamingOps.runToMemory(deduped, "dedup_out", "append")
     assert(out.count() == 2)
   }
+
+  test("stream-stream interval join equals the batch twin") {
+    val ev = Tables(spark, sf, "events")
+      .filter(col("user_id") < 20) // keep the buffered-state volume small
+    val dirL = java.nio.file.Files.createTempDirectory("graft-ssj-l").toString
+    val dirR = java.nio.file.Files.createTempDirectory("graft-ssj-r").toString
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("r_ts"), col("event_id").as("view_id"))
+    clicks.coalesce(1).write.mode("overwrite").parquet(dirL)
+    views.coalesce(1).write.mode("overwrite").parquet(dirR)
+
+    val sl = spark.readStream.schema(clicks.schema).parquet(dirL)
+    val sr = spark.readStream.schema(views.schema).parquet(dirR)
+    val joined = StreamingOps.intervalJoin(sl, sr, "user_id",
+      maxLagSeconds = 3600, watermark = "10 minutes")
+      .select("event_id", "view_id")
+    val streamed = StreamingOps.runToMemory(joined, "ssj_out", "append")
+
+    val batch = clicks.join(views,
+      clicks("user_id") === views("user_id") &&
+        col("r_ts") >= col("ts") - expr("INTERVAL 3600 SECONDS") &&
+        col("r_ts") <= col("ts"))
+      .select("event_id", "view_id")
+
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
 }
