@@ -92,6 +92,73 @@ object Profiling {
         round((col("completeness") + col("validity")) / 2.0, 6))
   }
 
+  /** The reference's five dataset anomaly gates
+    * (`schema_validator.py:140-235`), one row per FIRED gate:
+    *
+    *  1. extraction-failure spike: missing-intro % > 60 (critical > 80)
+    *  2. duplicate ids: any duplicates (critical when dup % > 5)
+    *  3. zero-citation share > 70 (warning)
+    *  4. temporal bias: top year > 70 % with ≥ 2 distinct years (warning)
+    *  5. domain skew: top domain > 85 % with ≥ 2 distinct domains (warning)
+    *
+    * One full-table aggregation pass + two top-1 lookups over the tiny
+    * per-year / per-domain count tables (ties resolved by smallest year /
+    * smallest domain — the reference's pandas value_counts order is
+    * insertion-dependent, so this engine defines the tie deterministically).
+    * Percentages rounded to 2dp like the reference's report.
+    */
+  def anomalyGates(df: DataFrame, idCol: String, hasIntroCol: String,
+                   citationCol: String, yearCol: String,
+                   domainCol: String): DataFrame = {
+    def top1(c: String) = df.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("cnt").desc, col(c))))
+      .filter(col("rk") === 1)
+      .select(col(c).cast("string").as(s"top_$c"), col("cnt").as(s"top_${c}_n"))
+    val nDistinct = (c: String) =>
+      countDistinct(col(c)).cast("long").as(s"n_$c")
+    val base = df.agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(when(!col(hasIntroCol), 1L).otherwise(0L)).cast("long").as("n_no_intro"),
+      (count(lit(1)) - countDistinct(col(idCol))).cast("long").as("n_dup"),
+      sum(when(col(citationCol) === 0, 1L).otherwise(0L)).cast("long").as("n_zero_cit"),
+      nDistinct(yearCol), nDistinct(domainCol))
+    // one row; cached because all five gate branches below reference it —
+    // uncached, the full-table aggregation would re-execute per gate
+    val stats = base.crossJoin(top1(yearCol)).crossJoin(top1(domainCol)).cache()
+    def pct(c: String) = round(col(c) * 100.0 / col("n"), 2)
+
+    val gates = Seq(
+      stats.filter(pct("n_no_intro") > 60).select(
+        lit("extraction_failure_spike").as("anomaly_type"),
+        lit(hasIntroCol).as("column_name"),
+        when(pct("n_no_intro") > 80, "critical").otherwise("warning").as("severity"),
+        pct("n_no_intro").as("pct"), col("n_no_intro").as("detail_n")),
+      stats.filter(col("n_dup") > 0).select(
+        lit("duplicate_papers").as("anomaly_type"),
+        lit(idCol).as("column_name"),
+        when(pct("n_dup") > 5, "critical").otherwise("warning").as("severity"),
+        pct("n_dup").as("pct"), col("n_dup").as("detail_n")),
+      stats.filter(pct("n_zero_cit") > 70).select(
+        lit("low_citation_anomaly").as("anomaly_type"),
+        lit(citationCol).as("column_name"),
+        lit("warning").as("severity"),
+        pct("n_zero_cit").as("pct"), col("n_zero_cit").as("detail_n")),
+      stats.filter(pct(s"top_${yearCol}_n") > 70 && col(s"n_$yearCol") > 1).select(
+        lit("temporal_bias").as("anomaly_type"),
+        lit(yearCol).as("column_name"),
+        lit("warning").as("severity"),
+        pct(s"top_${yearCol}_n").as("pct"),
+        col(s"top_${yearCol}_n").cast("long").as("detail_n")),
+      stats.filter(pct(s"top_${domainCol}_n") > 85 && col(s"n_$domainCol") > 1).select(
+        lit("domain_skew").as("anomaly_type"),
+        lit(domainCol).as("column_name"),
+        lit("warning").as("severity"),
+        pct(s"top_${domainCol}_n").as("pct"),
+        col(s"top_${domainCol}_n").cast("long").as("detail_n")))
+    gates.reduce(_.unionAll(_)).orderBy(col("anomaly_type"))
+  }
+
   /** Convenience: all numeric columns of a DataFrame. */
   def numericCols(df: DataFrame): Seq[String] =
     df.schema.fields.collect { case f if f.dataType.isInstanceOf[NumericType] => f.name }

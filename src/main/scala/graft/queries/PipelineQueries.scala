@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QDef, Tables}
 import graft.functions.TextFns
-import graft.operators.{Bias, Chunking, Enrichment, Multimodal}
+import graft.operators.{Bias, Chunking, Enrichment, Multimodal, Profiling}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -139,6 +139,69 @@ object PipelineQueries {
              |round(quantile_cont(o_totalprice, 0.75), 6) AS p75,
              |max(o_totalprice) AS max
              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // The reference's full five-gate dataset anomaly detector
+    // (schema_validator.py:140-235) over a deterministic paper-shaped
+    // projection of documents (doc_id % derivations keep every gate's
+    // percentage exact at any scale factor; all five gates fire here).
+    QDef("q74_anomaly_gates",
+      (s, d) => {
+        val papers = t(s, d, "documents").select(
+          // prefix fingerprint: the corpus' dups are near-dups, so full-text
+          // md5 is collision-free; the 80-char prefix catches them (q26)
+          md5(substring(col("text"), 1, 80)).as("paper_id"),
+          (col("doc_id") % 4 === 0).as("has_intro"), // 75% missing
+          when(col("doc_id") % 4 === 0, col("doc_id")).otherwise(lit(0L))
+            .as("citation_count"), // 75% zero
+          when(col("doc_id") % 4 =!= 0, lit(2021L))
+            .otherwise(lit(2000L) + col("doc_id") % 15).as("year"), // 75% 2021
+          when(col("doc_id") % 8 =!= 0, lit("cs"))
+            .otherwise(concat(lit("d"), col("doc_id") % 5)).as("domain")) // 87.5% cs
+        Profiling.anomalyGates(papers, "paper_id", "has_intro",
+          "citation_count", "year", "domain")
+      },
+      Some("""WITH papers AS (SELECT
+             |    md5(substr(text, 1, 80)) AS paper_id,
+             |    doc_id % 4 = 0 AS has_intro,
+             |    CASE WHEN doc_id % 4 = 0 THEN doc_id ELSE 0 END AS citation_count,
+             |    CASE WHEN doc_id % 4 <> 0 THEN 2021 ELSE 2000 + doc_id % 15 END AS year,
+             |    CASE WHEN doc_id % 8 <> 0 THEN 'cs' ELSE 'd' || CAST(doc_id % 5 AS VARCHAR) END AS domain
+             |  FROM documents),
+             |base AS (SELECT count(*) AS n,
+             |    CAST(sum(CASE WHEN NOT has_intro THEN 1 ELSE 0 END) AS BIGINT) AS n_no_intro,
+             |    count(*) - CAST(count(DISTINCT paper_id) AS BIGINT) AS n_dup,
+             |    CAST(sum(CASE WHEN citation_count = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_cit,
+             |    CAST(count(DISTINCT year) AS BIGINT) AS n_year,
+             |    CAST(count(DISTINCT domain) AS BIGINT) AS n_domain
+             |  FROM papers),
+             |ty AS (SELECT CAST(year AS VARCHAR) AS top_year, CAST(count(*) AS BIGINT) AS top_year_n
+             |       FROM papers GROUP BY year ORDER BY count(*) DESC, year LIMIT 1),
+             |td AS (SELECT domain AS top_domain, CAST(count(*) AS BIGINT) AS top_domain_n
+             |       FROM papers GROUP BY domain ORDER BY count(*) DESC, domain LIMIT 1),
+             |stats AS (SELECT * FROM base, ty, td)
+             |SELECT * FROM (
+             |  SELECT 'extraction_failure_spike' AS anomaly_type, 'has_intro' AS column_name,
+             |    CASE WHEN round(n_no_intro * 100.0 / n, 2) > 80 THEN 'critical' ELSE 'warning' END AS severity,
+             |    round(n_no_intro * 100.0 / n, 2) AS pct, n_no_intro AS detail_n
+             |  FROM stats WHERE round(n_no_intro * 100.0 / n, 2) > 60
+             |  UNION ALL
+             |  SELECT 'duplicate_papers', 'paper_id',
+             |    CASE WHEN round(n_dup * 100.0 / n, 2) > 5 THEN 'critical' ELSE 'warning' END,
+             |    round(n_dup * 100.0 / n, 2), n_dup
+             |  FROM stats WHERE n_dup > 0
+             |  UNION ALL
+             |  SELECT 'low_citation_anomaly', 'citation_count', 'warning',
+             |    round(n_zero_cit * 100.0 / n, 2), n_zero_cit
+             |  FROM stats WHERE round(n_zero_cit * 100.0 / n, 2) > 70
+             |  UNION ALL
+             |  SELECT 'temporal_bias', 'year', 'warning',
+             |    round(top_year_n * 100.0 / n, 2), top_year_n
+             |  FROM stats WHERE round(top_year_n * 100.0 / n, 2) > 70 AND n_year > 1
+             |  UNION ALL
+             |  SELECT 'domain_skew', 'domain', 'warning',
+             |    round(top_domain_n * 100.0 / n, 2), top_domain_n
+             |  FROM stats WHERE round(top_domain_n * 100.0 / n, 2) > 85 AND n_domain > 1)
+             |ORDER BY anomaly_type""".stripMargin)),
 
     // A12: domain anomaly profile — conditional percentages + severity
     // tagging (extraction-failure / zero-citation / top-share gates).
