@@ -47,6 +47,19 @@ object TextFns {
     trim(oneSpace)
   }
 
+  /** PII redaction for training corpora: emails, URLs, then long digit runs
+    * (phone/SSN-ish) replaced with typed placeholder tokens — replacement
+    * (not deletion) preserves token positions for downstream chunk
+    * alignment. Patterns stay in the Java∩RE2 dialect so the oracle's
+    * regexp_replace(..., 'g') is character-identical.
+    */
+  def redactPii(c: Column): Column = {
+    val noMail = regexp_replace(c,
+      lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit("<EMAIL>"))
+    val noUrl = regexp_replace(noMail, lit("https?://[^ ]+"), lit("<URL>"))
+    regexp_replace(noUrl, lit("[0-9][0-9() .-]{6,}[0-9]"), lit("<NUMBER>"))
+  }
+
   /** Whitespace token count (cast long for oracle parity). */
   def tokenCount(c: Column): Column =
     size(regexp_extract_all(c, lit("[^ ]+"), lit(0))).cast("long")

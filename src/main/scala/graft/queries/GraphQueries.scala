@@ -240,6 +240,53 @@ object GraphQueries {
              |reach(id, r) AS (SELECT id, id FROM nodes
              |  UNION SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)
              |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component
-             |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // End-to-end near-dup PURGE: pairs → components → keep the minimum doc
+    // of each group, drop the rest of the corpus' dup mass. One summary row
+    // (the per-doc keep set is the q69 component table minus keepers).
+    QDef("q77_dedup_purge",
+      (s, d) => {
+        val corpus = t(s, d, "documents")
+        val pairs = DedupOps.ngramJaccardPairs(corpus, "doc_id", "text",
+          n = 3, threshold = 0.5)
+        val comps = GraphOps.connectedComponents(pairs, "id_a", "id_b")
+        val removed = comps.filter(col("id") =!= col("component"))
+        corpus.agg(count(lit(1)).cast("long").as("n_docs"))
+          .crossJoin(comps.agg(
+            count(lit(1)).cast("long").as("n_dup_nodes"),
+            countDistinct(col("component")).cast("long").as("n_groups")))
+          .crossJoin(removed.agg(
+            count(lit(1)).cast("long").as("n_removed")))
+          .withColumn("n_survivors", col("n_docs") - col("n_removed"))
+      },
+      Some("""WITH RECURSIVE t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+             |            FROM documents),
+             |sh AS (SELECT doc_id, unnest(list_distinct(
+             |         [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+             |          for i in range(1, greatest(len(toks) - 1, 1))])) AS s
+             |       FROM t),
+             |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+             |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+             |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |      GROUP BY 1, 2),
+             |pairs AS (SELECT id_a, id_b FROM (
+             |    SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS j
+             |    FROM p JOIN sz sa ON p.id_a = sa.doc_id
+             |           JOIN sz sb ON p.id_b = sb.doc_id)
+             |  WHERE j >= 0.5),
+             |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+             |          UNION SELECT id_b, id_a FROM pairs),
+             |nodes AS (SELECT DISTINCT a AS id FROM edges),
+             |reach(id, r) AS (SELECT id, id FROM nodes
+             |  UNION SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+             |comps AS (SELECT id, min(r) AS component FROM reach GROUP BY 1)
+             |SELECT (SELECT count(*) FROM documents) AS n_docs,
+             |  count(*) AS n_dup_nodes,
+             |  CAST(count(DISTINCT component) AS BIGINT) AS n_groups,
+             |  CAST(sum(CASE WHEN id <> component THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+             |  (SELECT count(*) FROM documents)
+             |    - CAST(sum(CASE WHEN id <> component THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors
+             |FROM comps""".stripMargin))
   )
 }

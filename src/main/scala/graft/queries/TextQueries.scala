@@ -220,6 +220,97 @@ object TextQueries {
              |    ORDER BY score DESC, term) AS rank FROM scored)
              |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin)),
 
+    // PII redaction: deterministic synthetic PII (email/url/number) is
+    // spliced into the corpus, redacted with typed placeholders, and
+    // audited. Pure regexp_replace chain — codegen'd, zero shuffle.
+    QDef("q75_pii_redaction",
+      (s, d) => {
+        val seeded = docs(s, d).withColumn("text2", concat(col("text"),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" contact user"), col("doc_id"), lit("@example.com now")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" see https://example.org/p/"), col("doc_id"), lit(" or")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            concat(lit(" call 555-01"),
+              lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+              lit("-99 ok"))).otherwise(lit(""))))
+        seeded.select(col("doc_id"),
+            TextFns.redactPii(col("text2")).as("clean"))
+          .withColumn("n_email", (size(split(col("clean"), "<EMAIL>", -1)) - 1)
+            .cast("long"))
+          .withColumn("n_url", (size(split(col("clean"), "<URL>", -1)) - 1)
+            .cast("long"))
+          .withColumn("n_number", (size(split(col("clean"), "<NUMBER>", -1)) - 1)
+            .cast("long"))
+          .select(col("doc_id"), md5(col("clean")).as("clean_md5"),
+            col("n_email"), col("n_url"), col("n_number"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH seeded AS (SELECT doc_id, text
+             |  || CASE WHEN doc_id % 5 = 0
+             |       THEN ' contact user' || doc_id || '@example.com now' ELSE '' END
+             |  || CASE WHEN doc_id % 7 = 0
+             |       THEN ' see https://example.org/p/' || doc_id || ' or' ELSE '' END
+             |  || CASE WHEN doc_id % 11 = 0
+             |       THEN ' call 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-99 ok' ELSE '' END
+             |  AS text2 FROM documents),
+             |red AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(text2,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    'https?://[^ ]+', '<URL>', 'g'),
+             |    '[0-9][0-9() .-]{6,}[0-9]', '<NUMBER>', 'g') AS clean
+             |  FROM seeded)
+             |SELECT doc_id, md5(clean) AS clean_md5,
+             |CAST(len(string_split(clean, '<EMAIL>')) - 1 AS BIGINT) AS n_email,
+             |CAST(len(string_split(clean, '<URL>')) - 1 AS BIGINT) AS n_url,
+             |CAST(len(string_split(clean, '<NUMBER>')) - 1 AS BIGINT) AS n_number
+             |FROM red ORDER BY doc_id""".stripMargin)),
+
+    // Gopher/C4-style heuristic quality rules per document: word count
+    // window, mean word length window, symbol ratio, minimum stopword
+    // hits — narrow per-row expressions only, keep decision as one boolean.
+    // Ratios are fixed-point (×1e4, floor(x+0.5)) — round() diverges between
+    // engines on exact-half rationals like alpha_chars/n_words.
+    QDef("q76_quality_rules",
+      (s, d) => {
+        val nWords = size(TextFns.words(col("text"))).cast("long")
+        val nAlpha = length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("long")
+        val nStops = size(regexp_extract_all(lower(col("text")),
+          lit(s"\\b${TextFns.stopwords.mkString("(", "|", ")")}\\b"),
+          lit(0))).cast("long")
+        val nSymbols = (length(col("text")) -
+          length(regexp_replace(col("text"), "[#.]", ""))).cast("long")
+        def fp(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
+          floor(num * 10000.0 / den + 0.5).cast("long")
+        docs(s, d).select(col("doc_id"),
+            nWords.as("n_words"), nAlpha.as("n_alpha"),
+            nStops.as("n_stopword_hits"), nSymbols.as("n_symbols"))
+          .withColumn("mean_word_len_x1e4",
+            fp(col("n_alpha"), greatest(col("n_words"), lit(1L))))
+          .withColumn("symbol_ratio_x1e4",
+            fp(col("n_symbols"), greatest(col("n_words"), lit(1L))))
+          .withColumn("keep",
+            col("n_words").between(15, 100000) &&
+              col("mean_word_len_x1e4").between(20000L, 100000L) &&
+              col("symbol_ratio_x1e4") < 1000L &&
+              col("n_stopword_hits") >= 2L)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id, n_words, n_alpha, n_stopword_hits, n_symbols,
+             |CAST(floor(n_alpha * 10000.0 / greatest(n_words, 1) + 0.5) AS BIGINT) AS mean_word_len_x1e4,
+             |CAST(floor(n_symbols * 10000.0 / greatest(n_words, 1) + 0.5) AS BIGINT) AS symbol_ratio_x1e4,
+             |(n_words BETWEEN 15 AND 100000)
+             |  AND (CAST(floor(n_alpha * 10000.0 / greatest(n_words, 1) + 0.5) AS BIGINT) BETWEEN 20000 AND 100000)
+             |  AND CAST(floor(n_symbols * 10000.0 / greatest(n_words, 1) + 0.5) AS BIGINT) < 1000
+             |  AND n_stopword_hits >= 2 AS keep
+             |FROM (SELECT doc_id,
+             |  CAST(len(regexp_extract_all(lower(text), '[a-z]{3,}')) AS BIGINT) AS n_words,
+             |  CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha,
+             |  CAST(len(regexp_extract_all(lower(text), '\\b${TextFns.stopwords.mkString("(", "|", ")")}\\b')) AS BIGINT) AS n_stopword_hits,
+             |  CAST(length(text) - length(regexp_replace(text, '[#.]', '', 'g')) AS BIGINT) AS n_symbols
+             |FROM documents) ORDER BY doc_id""".stripMargin)),
+
     // P8 chunker: stateful per-row expansion — no SQL oracle (rows-only
     // driver check); invariants covered in ChunkingSpec.
     QDef("q19_chunks",
