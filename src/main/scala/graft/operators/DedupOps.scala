@@ -51,6 +51,44 @@ object DedupOps {
     df.select(col(idCol), explode(gen(col(textCol))).as("shingle"))
   }
 
+  /** Per-document repetition profile (Gopher/C4-style repetition gates):
+    * token count, occurrence count of the most frequent word bigram, total
+    * occurrences of trigrams that repeat within the document, and the
+    * distinct-trigram count. One linear scan per row — a narrow map with
+    * zero shuffle (the explode-and-groupBy form would shuffle every token;
+    * see PERF.md on one-pass signature computation). Tokenization matches
+    * the oracle's `regexp_extract_all(lower(text), '[a-z0-9]+')`.
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val stats = udf { text: String =>
+      val toks = scala.collection.mutable.ArrayBuffer.empty[String]
+      if (text != null) {
+        val m = tokenRe.matcher(text.toLowerCase(java.util.Locale.ROOT))
+        while (m.find()) toks += m.group()
+      }
+      val bi = new java.util.HashMap[String, Int]()
+      var i = 0
+      while (i + 1 < toks.length) {
+        bi.merge(toks(i) + " " + toks(i + 1), 1, (a, b) => a + b)
+        i += 1
+      }
+      var topBi = 0
+      bi.values.forEach(v => if (v > topBi) topBi = v)
+      val tri = new java.util.HashMap[String, Int]()
+      i = 0
+      while (i + 2 < toks.length) {
+        tri.merge(toks(i) + " " + toks(i + 1) + " " + toks(i + 2), 1, (a, b) => a + b)
+        i += 1
+      }
+      var dupOcc = 0L
+      tri.values.forEach(v => if (v > 1) dupOcc += v)
+      RepStats(toks.length.toLong, topBi.toLong, dupOcc, tri.size.toLong)
+    }
+    df.select(col(idCol), stats(col(textCol)).as("r"))
+      .select(col(idCol), col("r.n_tokens"), col("r.top_bigram_n"),
+        col("r.dup_trigram_occ"), col("r.n_distinct_trigrams"))
+  }
+
   /** Exact dedup by content fingerprint: one row per duplicate group with
     * the keeper (min id) and group size (exact hash-groupBy dedup).
     */
@@ -281,3 +319,12 @@ object DedupOps {
   private def pmod(c: org.apache.spark.sql.Column, m: org.apache.spark.sql.Column) =
     ((c % m) + m) % m
 }
+
+/** Return row of [[DedupOps.repetitionStats]] — field names become the
+  * output column names when the struct is expanded.
+  */
+final case class RepStats(
+    n_tokens: Long,
+    top_bigram_n: Long,
+    dup_trigram_occ: Long,
+    n_distinct_trigrams: Long)

@@ -90,4 +90,33 @@ object Relational {
       explode(sequence(lit(0), lit(saltBuckets - 1))))
     saltedL.join(saltedR, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Interval join (probe value ∈ [lo, hi], inclusive) via bin bucketing:
+    * each interval is exploded to the fixed-width bins it covers, the probe
+    * side computes its single bin, and the join becomes an equi-join on the
+    * bin id with the range predicate left as a residual filter.
+    *
+    * Without this, Spark plans value-in-range joins as a broadcast
+    * nested-loop (O(probe × intervals) comparisons) — fine for 50
+    * intervals, fatal for millions. Binning shuffles O(probe +
+    * intervals × bins-per-interval) rows on a key both sides share, so it
+    * scales with data size, not the cross product. `binWidth` should be
+    * on the order of the typical interval length: wider → fewer replicas
+    * per interval but more false candidates per bin.
+    *
+    * Interval columns must not be null; probe rows with a null value are
+    * dropped (no match semantics, same as the SQL BETWEEN predicate).
+    */
+  def binnedIntervalJoin(probe: DataFrame, valueCol: String,
+                         intervals: DataFrame, loCol: String, hiCol: String,
+                         binWidth: Double): DataFrame = {
+    val binned = intervals.withColumn("__bin",
+      explode(sequence(floor(col(loCol) / binWidth).cast("long"),
+        floor(col(hiCol) / binWidth).cast("long"))))
+    probe
+      .withColumn("__bin", floor(col(valueCol) / binWidth).cast("long"))
+      .join(binned, Seq("__bin"))
+      .filter(col(valueCol) >= col(loCol) && col(valueCol) <= col(hiCol))
+      .drop("__bin")
+  }
 }

@@ -335,6 +335,31 @@ object RelationalQueries {
              |round(max(value), 2) AS max_value,
              |arg_min(event_id, CAST(round(value * 100) AS BIGINT) * 1000000000 + event_id) AS bottom_event_id,
              |round(min(value), 2) AS min_value
-             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Non-equi interval join via bin bucketing: 50 irregular overlapping
+    // price bands (derived from p_size so boundaries are exact doubles)
+    // probed by part prices. Planned as an equi-join on the bin id — never
+    // a nested-loop — so it scales with rows, not bands × rows.
+    QDef("q82_interval_join",
+      (s, d) => {
+        val bands = t(s, d, "part").select(col("p_size")).distinct()
+          .withColumn("lo", lit(898.0) + col("p_size") * 2.0)
+          .withColumn("hi", col("lo") + 3.0 + (col("p_size") % 4) * 2.5)
+        val probe = t(s, d, "part").select(col("p_partkey"), col("p_retailprice"))
+        Relational.binnedIntervalJoin(probe, "p_retailprice", bands, "lo", "hi",
+            binWidth = 5.0)
+          .groupBy(col("p_size"))
+          .agg(count(lit(1)).cast("long").as("n_in_band"),
+            round(sum(col("p_retailprice")), 2).as("sum_price"))
+          .orderBy(col("p_size"))
+      },
+      Some("""WITH bands AS (SELECT p_size, 898.0 + p_size * 2.0 AS lo,
+             |  898.0 + p_size * 2.0 + 3.0 + (p_size % 4) * 2.5 AS hi
+             |  FROM (SELECT DISTINCT p_size FROM part)),
+             |j AS (SELECT b.p_size, p.p_retailprice FROM part p JOIN bands b
+             |  ON p.p_retailprice BETWEEN b.lo AND b.hi)
+             |SELECT p_size, count(*) AS n_in_band, round(sum(p_retailprice), 2) AS sum_price
+             |FROM j GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

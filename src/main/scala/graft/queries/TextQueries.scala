@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QDef, Tables}
 import graft.functions.TextFns
-import graft.operators.Chunking
+import graft.operators.{Chunking, DedupOps}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -310,6 +310,94 @@ object TextQueries {
              |  CAST(len(regexp_extract_all(lower(text), '\\b${TextFns.stopwords.mkString("(", "|", ")")}\\b')) AS BIGINT) AS n_stopword_hits,
              |  CAST(length(text) - length(regexp_replace(text, '[#.]', '', 'g')) AS BIGINT) AS n_symbols
              |FROM documents) ORDER BY doc_id""".stripMargin)),
+
+    // Repetition profile (Gopher-style repetition gates): most-frequent
+    // bigram count + within-doc repeated-trigram mass, one narrow scan.
+    QDef("q78_repetition",
+      (s, d) => DedupOps.repetitionStats(docs(s, d), "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some("""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+             |bic AS (SELECT doc_id, array_to_string(list_slice(t, i, i+1), ' ') AS g, count(*) AS c
+             |        FROM toks, UNNEST(range(1, len(t))) AS u(i) GROUP BY 1, 2),
+             |bitop AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_n FROM bic GROUP BY 1),
+             |tric AS (SELECT doc_id, array_to_string(list_slice(t, i, i+2), ' ') AS g, count(*) AS c
+             |         FROM toks, UNNEST(range(1, len(t)-1)) AS u(i) GROUP BY 1, 2),
+             |trig AS (SELECT doc_id, CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_trigram_occ,
+             |         CAST(count(*) AS BIGINT) AS n_distinct_trigrams FROM tric GROUP BY 1)
+             |SELECT k.doc_id, CAST(len(k.t) AS BIGINT) AS n_tokens,
+             |coalesce(b.top_bigram_n, 0) AS top_bigram_n,
+             |coalesce(g.dup_trigram_occ, 0) AS dup_trigram_occ,
+             |coalesce(g.n_distinct_trigrams, 0) AS n_distinct_trigrams
+             |FROM toks k LEFT JOIN bitop b USING (doc_id) LEFT JOIN trig g USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Benchmark decontamination: distinct 4-gram overlap against a
+    // deterministic pseudo-benchmark slice (doc_id % 97 = 0). The benchmark
+    // gram set is tiny → broadcast; the corpus side never shuffles its
+    // text, only (doc_id, gram) rows that survive the broadcast semi-join.
+    QDef("q79_decontaminate",
+      (s, d) => {
+        val grams = DedupOps.shingles(docs(s, d), "doc_id", "text", 4)
+        val bench = grams.filter(col("doc_id") % 97 === 0)
+          .select(col("shingle")).distinct()
+        grams.filter(col("doc_id") % 97 =!= 0)
+          .join(broadcast(bench), Seq("shingle"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).cast("long").as("n_shared_grams"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+             |grams AS (SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i+3), ' ') AS g
+             |          FROM toks, UNNEST(range(1, len(t)-2)) AS u(i)),
+             |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)
+             |SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
+             |FROM grams c JOIN bench b USING (g)
+             |WHERE c.doc_id % 97 <> 0
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Deterministic train/val/test split: first hex digit of md5(doc_id)
+    // buckets 75/12.5/12.5 — stable under resharding and across engines.
+    QDef("q80_hash_split",
+      (s, d) => docs(s, d)
+        .withColumn("h", substring(md5(col("doc_id").cast("string")), 1, 1))
+        .withColumn("split",
+          when(col("h").between("0", "9") || col("h").isin("a", "b"), "train")
+            .when(col("h").isin("c", "d"), "val")
+            .otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+        .orderBy(col("split")),
+      Some("""WITH s AS (SELECT *, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h FROM documents)
+             |SELECT CASE WHEN h BETWEEN '0' AND '9' OR h IN ('a','b') THEN 'train'
+             |            WHEN h IN ('c','d') THEN 'val' ELSE 'test' END AS split,
+             |count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM s GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Data-mixing weights: per-source token mass vs a uniform target mix —
+    // weight = (total/n_sources)/src_tokens as fixed-point ×10⁴.
+    QDef("q81_mix_weights",
+      (s, d) => {
+        val w = Window.partitionBy()
+        docs(s, d)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(TextFns.tokenCount(col("text"))).cast("long").as("src_tokens"))
+          .withColumn("total_tokens", sum(col("src_tokens")).over(w))
+          .withColumn("n_sources", count(lit(1)).over(w))
+          .select(col("source"), col("n_docs"), col("src_tokens"),
+            floor(col("total_tokens") * 10000.0 /
+              (col("n_sources") * col("src_tokens")) + 0.5)
+              .cast("long").as("weight_x1e4"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH s AS (SELECT source, count(*) AS n_docs,
+             |  CAST(sum(len(regexp_extract_all(text, '[^ ]+'))) AS BIGINT) AS src_tokens
+             |  FROM documents GROUP BY 1)
+             |SELECT source, n_docs, src_tokens,
+             |CAST(floor(CAST(sum(src_tokens) OVER () AS BIGINT) * 10000.0 /
+             |     (count(*) OVER () * src_tokens) + 0.5) AS BIGINT) AS weight_x1e4
+             |FROM s ORDER BY source""".stripMargin)),
 
     // P8 chunker: stateful per-row expansion — no SQL oracle (rows-only
     // driver check); invariants covered in ChunkingSpec.

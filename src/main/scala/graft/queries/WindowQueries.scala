@@ -211,6 +211,34 @@ object WindowQueries {
              |CAST((epoch(w.week) - epoch(c.cohort_week)) // 604800 AS BIGINT) AS week_offset,
              |CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_users
              |FROM weekly w JOIN cohorts c USING (user_id)
-             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // SCD type-2 history: collapse each user's event stream to its
+    // event_type change points, then effective-date them (valid_from /
+    // valid_to / version) with lead + row_number over the change points.
+    // One shuffle on user_id serves both window passes.
+    QDef("q83_scd2_history",
+      (s, d) => {
+        val raw = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        ev(s, d)
+          .withColumn("prev_type", lag(col("event_type"), 1).over(raw))
+          .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+          .withColumn("valid_to", lead(col("ts"), 1).over(raw))
+          .withColumn("version", row_number().over(raw).cast("long"))
+          .select(col("user_id"), col("event_type"), col("ts").as("valid_from"),
+            col("valid_to"), col("version"))
+          .orderBy(col("user_id"), col("version"))
+      },
+      Some("""WITH c AS (SELECT user_id, event_type, ts, event_id,
+             |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+             |  FROM events),
+             |s AS (SELECT user_id, event_type, ts, event_id FROM c
+             |  WHERE prev_type IS NULL OR prev_type <> event_type)
+             |SELECT user_id, event_type, ts AS valid_from,
+             |lead(ts) OVER w AS valid_to,
+             |CAST(row_number() OVER w AS BIGINT) AS version
+             |FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |ORDER BY user_id, version""".stripMargin))
   )
 }

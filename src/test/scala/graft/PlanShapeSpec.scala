@@ -88,6 +88,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q82 interval join plans as an equi-join on the bin, not a nested loop") {
+    val p = plan("q82_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("__bin"), p)
+  }
+
+  test("q79 decontamination broadcasts the benchmark gram set") {
+    val p = plan("q79_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("typed Aggregator computes a one-pass text profile") {
     import spark.implicits._
     val texts = Tables(spark, sf, "documents").select("text").as[String]

@@ -60,4 +60,27 @@ class RelationalQueriesSpec extends SparkSpec {
       .select("o_custkey").distinct().count()
     assert(anti + withOrders == cust.count())
   }
+
+  test("binnedIntervalJoin matches the naive cross-join range filter") {
+    import graft.operators.Relational
+    val probe = Tables(spark, sf, "part").select(col("p_partkey"), col("p_retailprice"))
+    val bands = Tables(spark, sf, "part").select(col("p_size")).distinct()
+      .withColumn("lo", lit(898.0) + col("p_size") * 2.0)
+      .withColumn("hi", col("lo") + 3.0 + (col("p_size") % 4) * 2.5)
+    val binned = Relational.binnedIntervalJoin(probe, "p_retailprice", bands,
+        "lo", "hi", binWidth = 5.0)
+      .select("p_partkey", "p_size")
+    val naive = probe.crossJoin(bands)
+      .filter(col("p_retailprice") >= col("lo") && col("p_retailprice") <= col("hi"))
+      .select("p_partkey", "p_size")
+    assert(binned.exceptAll(naive).isEmpty && naive.exceptAll(binned).isEmpty)
+    // boundary values land in exactly one bin and still match inclusively
+    import spark.implicits._
+    val p2 = Seq((1L, 10.0), (2L, 15.0), (3L, 14.999999), (4L, 20.0))
+      .toDF("id", "v")
+    val b2 = Seq((100L, 10.0, 15.0), (200L, 15.0, 20.0)).toDF("band", "lo", "hi")
+    val got = Relational.binnedIntervalJoin(p2, "v", b2, "lo", "hi", 5.0)
+      .select("id", "band").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 100L), (2L, 100L), (2L, 200L), (3L, 100L), (4L, 200L)))
+  }
 }
