@@ -54,4 +54,47 @@ object GraphOps {
     }
     labels
   }
+
+  /** PageRank over a directed edge list, fixed iteration count (the
+    * citation-importance measure the reference approximates with its
+    * hand-rolled log-citation score — here as the real fixed-point
+    * computation). rank₀ = 1; rankₖ₊₁(v) = (1-d) + d·Σ rankₖ(u)/outdeg(u)
+    * over edges u→v; dangling nodes keep the (1-d) floor.
+    *
+    * Each round is one shuffle join (edges × ranks) + one groupBy —
+    * contributions combine map-side, the edge list is checkpointed once
+    * with its out-degrees attached, and `localCheckpoint` keeps round N
+    * from replaying rounds 1..N-1. Node ids must be unique across both
+    * roles (offset one side if the key spaces overlap).
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int, damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint()
+    val withDeg = e.join(
+        e.groupBy("src").agg(count(lit(1)).as("deg")), Seq("src"))
+      .localCheckpoint()
+    // The rank table has one row per node — when it fits a broadcast, the
+    // per-round join ships ranks to the (checkpointed, never reshuffled)
+    // edge partitions instead of shuffling the edge list every round. Past
+    // the threshold, fall back to a shuffle join on src (edges would then
+    // best be pre-partitioned by src upstream).
+    val broadcastRanks = nodes.count() <= 5000000L
+    var ranks = nodes.select(col("id"), lit(1.0).as("rank"))
+    (1 to iters).foreach { _ =>
+      val r = ranks.withColumnRenamed("id", "src")
+      val contrib = withDeg
+        .join(if (broadcastRanks) broadcast(r) else r, Seq("src"))
+        .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
+      ranks = nodes
+        .join(contrib.groupBy("id").agg(sum("c").as("s")), Seq("id"), "left")
+        .select(col("id"),
+          (lit(1.0 - damping) + lit(damping) * coalesce(col("s"), lit(0.0)))
+            .as("rank"))
+        .localCheckpoint()
+    }
+    ranks
+  }
 }

@@ -91,6 +91,30 @@ object Relational {
     saltedL.join(saltedR, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** MERGE (upsert + delete) of a changeset into a snapshot: source rows
+    * override target rows on `key`, source-only rows insert, `deletes` keys
+    * drop (delete wins over update). Target-only columns pass through
+    * (null for inserts); an `action` column records what happened to each
+    * row. One full-outer shuffle join on the key + one anti-join — AQE
+    * handles key skew; at scale, partition the snapshot by the key so the
+    * merge co-locates with it.
+    */
+  def mergeUpsert(target: DataFrame, source: DataFrame, key: String,
+                  deletes: DataFrame): DataFrame = {
+    val srcCols = source.columns.toSet
+    val merged = target.columns.filterNot(_ == key).map { c =>
+      if (srcCols(c)) coalesce(col(s"s.$c"), col(s"t.$c")).as(c)
+      else col(s"t.$c").as(c)
+    }
+    val action = when(col(s"t.$key").isNull, "insert")
+      .when(col(s"s.$key").isNotNull, "update")
+      .otherwise("keep").as("action")
+    target.as("t")
+      .join(source.as("s"), col(s"t.$key") === col(s"s.$key"), "full_outer")
+      .select(coalesce(col(s"s.$key"), col(s"t.$key")).as(key) +: merged :+ action: _*)
+      .join(deletes.select(col(key)), Seq(key), "left_anti")
+  }
+
   /** Interval join (probe value ∈ [lo, hi], inclusive) via bin bucketing:
     * each interval is exploded to the fixed-width bins it covers, the probe
     * side computes its single bin, and the join becomes an equi-join on the

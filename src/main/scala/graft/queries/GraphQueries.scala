@@ -242,6 +242,38 @@ object GraphQueries {
              |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component
              |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // PageRank over the customer→supplier trade graph, 5 fixed rounds —
+    // the principled version of the reference's citation-importance score
+    // (q33's log-citation heuristic). Supplier ids offset so the two key
+    // spaces can't collide.
+    QDef("q85_pagerank",
+      (s, d) => {
+        val edges = t(s, d, "orders")
+          .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("src"),
+            (col("l_suppkey") + 10000000L).as("dst"))
+        GraphOps.pageRank(edges, "src", "dst", iters = 5)
+          .select(col("id"), round(col("rank"), 6).as("rank"))
+          .orderBy(col("id"))
+      },
+      Some("""WITH e AS (SELECT DISTINCT o_custkey AS src, l_suppkey + 10000000 AS dst
+             |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+             |n AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+             |dg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+             |ed AS (SELECT e.src, e.dst, dg.deg FROM e JOIN dg USING (src)),
+             |r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM n),
+             |r1 AS (SELECT n.id, 0.15 + 0.85 * coalesce(c.s, 0) AS rank FROM n LEFT JOIN
+             |       (SELECT dst AS id, sum(r.rank / ed.deg) AS s FROM ed JOIN r0 r ON ed.src = r.id GROUP BY 1) c USING (id)),
+             |r2 AS (SELECT n.id, 0.15 + 0.85 * coalesce(c.s, 0) AS rank FROM n LEFT JOIN
+             |       (SELECT dst AS id, sum(r.rank / ed.deg) AS s FROM ed JOIN r1 r ON ed.src = r.id GROUP BY 1) c USING (id)),
+             |r3 AS (SELECT n.id, 0.15 + 0.85 * coalesce(c.s, 0) AS rank FROM n LEFT JOIN
+             |       (SELECT dst AS id, sum(r.rank / ed.deg) AS s FROM ed JOIN r2 r ON ed.src = r.id GROUP BY 1) c USING (id)),
+             |r4 AS (SELECT n.id, 0.15 + 0.85 * coalesce(c.s, 0) AS rank FROM n LEFT JOIN
+             |       (SELECT dst AS id, sum(r.rank / ed.deg) AS s FROM ed JOIN r3 r ON ed.src = r.id GROUP BY 1) c USING (id)),
+             |r5 AS (SELECT n.id, 0.15 + 0.85 * coalesce(c.s, 0) AS rank FROM n LEFT JOIN
+             |       (SELECT dst AS id, sum(r.rank / ed.deg) AS s FROM ed JOIN r4 r ON ed.src = r.id GROUP BY 1) c USING (id))
+             |SELECT id, round(rank, 6) AS rank FROM r5 ORDER BY id""".stripMargin)),
+
     // End-to-end near-dup PURGE: pairs → components → keep the minimum doc
     // of each group, drop the rest of the corpus' dup mass. One summary row
     // (the per-doc keep set is the q69 component table minus keepers).

@@ -360,6 +360,42 @@ object RelationalQueries {
              |j AS (SELECT b.p_size, p.p_retailprice FROM part p JOIN bands b
              |  ON p.p_retailprice BETWEEN b.lo AND b.hi)
              |SELECT p_size, count(*) AS n_in_band, round(sum(p_retailprice), 2) AS sum_price
-             |FROM j GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // MERGE a deterministic changeset (updates + inserts + deletes) into the
+    // orders snapshot — the upsert path every incremental pipeline needs
+    // (reference: ON CONFLICT batch upload, here with full merge semantics).
+    QDef("q84_merge_upsert",
+      (s, d) => {
+        val snap = t(s, d, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        val upd = snap.filter(col("o_orderkey") % 10 === 0)
+          .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+            round(col("o_totalprice") + 1, 2).as("o_totalprice"))
+        val ins = snap.filter(col("o_orderkey") % 13 === 0)
+          .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+            lit("N").as("o_orderstatus"),
+            round(col("o_totalprice"), 2).as("o_totalprice"))
+        val del = snap.filter(col("o_orderkey") % 37 === 0).select("o_orderkey")
+        Relational.mergeUpsert(snap, upd.unionByName(ins), "o_orderkey", del)
+          .select(col("o_orderkey"), col("o_orderstatus").as("status"),
+            round(col("o_totalprice"), 2).as("totalprice"), col("action"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""WITH upd AS (SELECT o_orderkey, 'U' AS o_orderstatus, round(o_totalprice + 1, 2) AS o_totalprice
+             |             FROM orders WHERE o_orderkey % 10 = 0),
+             |ins AS (SELECT o_orderkey + 100000000 AS o_orderkey, 'N' AS o_orderstatus,
+             |               round(o_totalprice, 2) AS o_totalprice
+             |        FROM orders WHERE o_orderkey % 13 = 0),
+             |src AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+             |del AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 37 = 0),
+             |m AS (SELECT coalesce(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+             |  coalesce(s.o_orderstatus, t.o_orderstatus) AS status,
+             |  round(coalesce(s.o_totalprice, t.o_totalprice), 2) AS totalprice,
+             |  CASE WHEN t.o_orderkey IS NULL THEN 'insert'
+             |       WHEN s.o_orderkey IS NOT NULL THEN 'update' ELSE 'keep' END AS action
+             |  FROM orders t FULL JOIN src s ON t.o_orderkey = s.o_orderkey)
+             |SELECT * FROM m WHERE o_orderkey NOT IN (SELECT o_orderkey FROM del)
+             |ORDER BY o_orderkey""".stripMargin))
   )
 }

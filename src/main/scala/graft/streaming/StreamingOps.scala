@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.Partition
 
@@ -144,6 +144,44 @@ object StreamingOps {
         col("r.r_ts") <= col("l.ts"))
       .drop(col(s"r.$keyCol"))
   }
+
+  /** Continuous-ingestion exact dedup: every micro-batch is fingerprinted,
+    * deduped batch-locally (keep-min-id), anti-joined against the persisted
+    * fingerprint index, and only first-ever-seen docs are appended to
+    * `outDir`; their fingerprints are appended to `indexDir`.
+    *
+    * This is the accumulating-state shape that scales: the index holds one
+    * small row per distinct document ever seen, the per-batch check is a
+    * hash anti-join on the fingerprint (broadcast when the batch is small),
+    * and nothing re-reads the historical corpus. Parquet append is not
+    * transactional, so a mid-batch crash can duplicate a batch's output on
+    * retry — production would swap both appends for a table format with
+    * batchId-idempotent commits; the dataflow is unchanged.
+    */
+  def incrementalDedup(docs: DataFrame, idCol: String, textCol: String,
+                       indexDir: String, outDir: String,
+                       checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val withFp = batch.withColumn("fp",
+          graft.functions.TextFns.fingerprint(col(textCol)))
+        val local = graft.operators.Relational
+          .dedupKeepFirst(withFp, Seq("fp"), Seq(col(idCol)))
+        val known =
+          try spark.read.parquet(indexDir).select("fp")
+          catch { case _: org.apache.spark.sql.AnalysisException =>
+            local.select("fp").limit(0)
+          }
+        val fresh = local.join(known, Seq("fp"), "left_anti")
+          .persist() // two sinks below — don't recompute the anti-join
+        fresh.drop("fp").write.mode("append").parquet(outDir)
+        fresh.select("fp").write.mode("append").parquet(indexDir)
+        fresh.unpersist()
+        ()
+      }
+      .start()
 
   /** Drain a streaming query into an in-memory table and stop (test/dev
     * harness — production sinks write parquet with checkpointing).

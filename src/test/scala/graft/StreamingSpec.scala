@@ -123,4 +123,28 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).count() == 0)
     assert(batch.exceptAll(streamed).count() == 0)
   }
+
+  test("incremental dedup suppresses duplicates across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-incdedup").toString
+    val (idx, out, ckpt) = (s"$base/index", s"$base/out", s"$base/ckpt")
+
+    val src = MemoryStream[(Long, String)]
+    val docs = src.toDF().toDF("doc_id", "text")
+    val q = StreamingOps.incrementalDedup(docs, "doc_id", "text", idx, out, ckpt)
+
+    // batch 1: one batch-local duplicate pair (1,3) — keep min id
+    src.addData((1L, "alpha beta"), (2L, "gamma"), (3L, "alpha beta"))
+    q.processAllAvailable()
+    // batch 2: cross-batch duplicate of doc 2, plus a genuinely new doc
+    src.addData((4L, "GAMMA"), (5L, "delta")) // fingerprint is case-insensitive
+    q.processAllAvailable()
+    q.stop()
+
+    val kept = spark.read.parquet(out).select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 2L, 5L), kept.mkString(","))
+    assert(spark.read.parquet(idx).select("fp").distinct().count() == 3)
+  }
 }
