@@ -17,6 +17,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotProductDescriptor)
+    ext.injectOptimizerRule(_ => graft.plans.ApproxCountDistinctRewrite)
   }
 }
 
@@ -32,7 +33,12 @@ object GraftExtensions {
       build)
 
   /** Register on a live session (post-hoc, without withExtensions). */
-  def install(spark: org.apache.spark.sql.SparkSession): Unit =
+  def install(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_product", build, "built-in")
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations
+        .filterNot(_ eq graft.plans.ApproxCountDistinctRewrite) :+
+        graft.plans.ApproxCountDistinctRewrite
+  }
 }

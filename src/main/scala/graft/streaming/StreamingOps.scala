@@ -183,6 +183,87 @@ object StreamingOps {
       }
       .start()
 
+  /** Continuous-ingestion NEAR-dup dedup: the minhash-LSH ladder run
+    * incrementally. Each micro-batch computes one-pass minhash signatures,
+    * finds candidates by banded-key collision — batch-locally and against
+    * the persisted band index — confirms with estimated Jaccard (matching
+    * signature positions / k ≥ threshold), and appends only survivors to
+    * `outDir` plus their bands/signatures to the index.
+    *
+    * Scale shape: the index holds bands (ints) and one k-long signature per
+    * surviving doc — never text; the per-batch probe is an equi-join on
+    * (band, key) against an index that grows with *distinct* content only.
+    * Greedy semantics: within a batch the smaller id of a confirmed pair
+    * survives; docs shorter than `n` tokens have no signature and always
+    * survive. Same parquet-append idempotency caveat as
+    * [[incrementalDedup]].
+    */
+  def incrementalNearDedup(docs: DataFrame, idCol: String, textCol: String,
+                           indexDir: String, outDir: String,
+                           checkpointDir: String, n: Int = 3, k: Int = 32,
+                           bands: Int = 8, threshold: Double = 0.5): StreamingQuery = {
+    val rpb = k / bands
+    val simEst = udf { (a: Seq[Long], b: Seq[Long]) =>
+      if (a == null || b == null) 0.0
+      else a.iterator.zip(b.iterator).count { case (x, y) => x == y }.toDouble / k
+    }
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val sigs = graft.operators.DedupOps
+          .minhashSignaturesOnePass(batch, idCol, textCol, n, k)
+          .select(col(idCol),
+            array((0 until k).map(i => col(s"mh_$i")): _*).as("sig"))
+          .persist()
+        def bandKeys(d: DataFrame) = d.select(col(idCol), col("sig"),
+            explode(array((0 until bands).map { b =>
+              struct(lit(b).as("band"),
+                hash((b * rpb until (b + 1) * rpb).map(col("sig")(_)): _*)
+                  .as("key"))
+            }: _*)).as("bk"))
+          .select(col(idCol), col("sig"),
+            col("bk.band").as("band"), col("bk.key").as("key"))
+        val newBands = bandKeys(sigs).persist()
+        val (oldBands, oldSigs) =
+          try {
+            (spark.read.parquet(s"$indexDir/bands"),
+              spark.read.parquet(s"$indexDir/sigs"))
+          } catch { case _: org.apache.spark.sql.AnalysisException =>
+            (newBands.select(col(idCol), col("band"), col("key")).limit(0),
+              sigs.limit(0))
+          }
+        // vs the index: any band collision -> estimated-Jaccard confirm
+        val vsIndex = newBands
+          .join(oldBands.select(col(idCol).as("__old"), col("band"), col("key")),
+            Seq("band", "key"))
+          .select(col(idCol), col("sig"), col("__old")).distinct()
+          .join(oldSigs.select(col(idCol).as("__old"), col("sig").as("__osig")),
+            Seq("__old"))
+          .filter(simEst(col("sig"), col("__osig")) >= threshold)
+          .select(col(idCol))
+        // batch-local: keep the smaller id of each confirmed colliding pair
+        val local = newBands.select(col(idCol).as("__a"), col("sig").as("__asig"),
+            col("band"), col("key"))
+          .join(newBands.select(col(idCol).as("__b"), col("sig").as("__bsig"),
+            col("band"), col("key")), Seq("band", "key"))
+          .filter(col("__a") < col("__b"))
+          .select(col("__a"), col("__b"), col("__asig"), col("__bsig")).distinct()
+          .filter(simEst(col("__asig"), col("__bsig")) >= threshold)
+          .select(col("__b").as(idCol))
+        val dropIds = vsIndex.union(local).distinct().persist()
+        val survivors = batch.join(dropIds, Seq(idCol), "left_anti").persist()
+        survivors.write.mode("append").parquet(outDir)
+        val keptSigs = sigs.join(survivors.select(idCol), Seq(idCol), "left_semi")
+        bandKeys(keptSigs).select(col(idCol), col("band"), col("key"))
+          .write.mode("append").parquet(s"$indexDir/bands")
+        keptSigs.write.mode("append").parquet(s"$indexDir/sigs")
+        Seq(sigs, newBands, dropIds, survivors).foreach(_.unpersist())
+        ()
+      }
+      .start()
+  }
+
   /** Drain a streaming query into an in-memory table and stop (test/dev
     * harness — production sinks write parquet with checkpointing).
     */

@@ -16,6 +16,24 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaCol.exceptAll(viaSql).count() == 0)
   }
 
+  test("opt-in rewrite turns exact count(DISTINCT) into HyperLogLog++") {
+    GraftExtensions.install(spark)
+    def q = Tables(spark, sf, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("n"))
+    val exact = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    spark.conf.set(graft.plans.ApproxCountDistinctRewrite.confKey, "true")
+    try {
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(plan.contains("approx_count_distinct"), plan)
+      val approx = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      exact.foreach { case (flag, n) =>
+        assert(math.abs(approx(flag) - n) <= math.max(2L, (n * 0.1).toLong),
+          s"$flag: exact=$n approx=${approx(flag)}")
+      }
+    } finally spark.conf.set(graft.plans.ApproxCountDistinctRewrite.confKey, "false")
+  }
+
   test("salted join equals plain join on skewed data") {
     import spark.implicits._
     import graft.operators.Relational

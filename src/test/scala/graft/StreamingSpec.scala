@@ -147,4 +147,41 @@ class StreamingSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 2L, 5L), kept.mkString(","))
     assert(spark.read.parquet(idx).select("fp").distinct().count() == 3)
   }
+
+  test("incremental NEAR-dedup suppresses minhash near-dups across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-incnear").toString
+    val (idx, out, ckpt) = (s"$base/index", s"$base/out", s"$base/ckpt")
+
+    val textA = "the quick brown fox jumps over the lazy dog while seven " +
+      "wizards brew strong coffee near the river bank under bright morning " +
+      "light as children play chess beside tall oak trees waiting for rain"
+    val textB = "completely different content about spark catalyst plans " +
+      "shuffles partitions and broadcast joins in a distributed engine " +
+      "processing parquet tables at massive scale with adaptive execution"
+    val nearA = textA.replace("waiting for rain", "hoping for snow")
+    val nearB = textB.replace("massive scale", "petabyte scale")
+
+    val src = MemoryStream[(Long, String)]
+    val docs = src.toDF().toDF("doc_id", "text")
+    val q = StreamingOps.incrementalNearDedup(docs, "doc_id", "text", idx, out, ckpt)
+
+    // batch 1: two distinct docs + a batch-local near-dup of A (greedy: min id wins)
+    src.addData((1L, textA), (2L, textB), (3L, nearA))
+    q.processAllAvailable()
+    // batch 2: cross-batch near-dup of B, one genuinely new doc, one too
+    // short for a signature (always survives)
+    src.addData((4L, nearB), (5L, "novel text about cohort retention and " +
+      "sessionization windows over event streams with watermarks and state"),
+      (6L, "tiny doc"))
+    q.processAllAvailable()
+    q.stop()
+
+    val kept = spark.read.parquet(out).select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 2L, 5L, 6L), kept.mkString(","))
+    // index holds bands+sigs for the three signatured survivors only
+    assert(spark.read.parquet(s"$idx/sigs").count() == 3)
+  }
 }
