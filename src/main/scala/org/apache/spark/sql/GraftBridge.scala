@@ -10,6 +10,15 @@ object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Eagerly convert a Column's node tree to a catalyst Expression tree
+    * (function calls become UnresolvedFunction nodes the analyzer then
+    * resolves). Unlike [[expression]], the result is NOT an opaque deferred
+    * wrapper — required when the expression is returned from a
+    * FunctionRegistry builder, where the analyzer must see real children.
+    */
+  def catalystExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
+
   /** External Row → InternalRow converter for a given schema (DSv2 readers
     * must emit InternalRow; the converter factory is sql-private).
     */

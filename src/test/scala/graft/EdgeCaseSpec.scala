@@ -82,4 +82,41 @@ class EdgeCaseSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[String]]("arr")).toMap
     assert(out(1L).isEmpty && out(2L).isEmpty)
   }
+
+  test("repetitionStats on null/empty/short/repetitive text") {
+    val df = Seq((1L, null: String), (2L, ""), (3L, "one"),
+      (4L, "spam spam spam spam")).toDF("id", "t")
+    val out = DedupOps.repetitionStats(df, "id", "t")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L) == ((0L, 0L, 0L, 0L))) // null -> zero counts, no throw
+    assert(out(2L) == ((0L, 0L, 0L, 0L)))
+    assert(out(3L) == ((1L, 0L, 0L, 0L))) // one token: no bigrams/trigrams
+    // "spam spam spam spam": 3 identical bigrams, 2 identical trigrams
+    assert(out(4L) == ((4L, 3L, 2L, 1L)))
+  }
+
+  test("mergeUpsert with empty changeset and empty deletes keeps the snapshot") {
+    val snap = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val empty = snap.limit(0)
+    val out = Relational.mergeUpsert(snap, empty, "id", empty.select("id"))
+    assert(out.count() == 2)
+    assert(out.filter(col("action") === "keep").count() == 2)
+  }
+
+  test("pageRank on a single edge converges to the closed-form values") {
+    import graft.operators.GraphOps
+    val edges = Seq((1L, 2L)).toDF("s", "d")
+    val r = GraphOps.pageRank(edges, "s", "d", iters = 10)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r(1L) - 0.15) < 1e-9) // no inbound: floor
+    assert(math.abs(r(2L) - (0.15 + 0.85 * 0.15)) < 1e-9) // one inbound from a floored node
+  }
+
+  test("binnedIntervalJoin drops null probe values (no-match semantics)") {
+    val probe = Seq((1L, Some(5.0)), (2L, None)).toDF("id", "v")
+    val bands = Seq((10L, 0.0, 10.0)).toDF("b", "lo", "hi")
+    val out = Relational.binnedIntervalJoin(probe, "v", bands, "lo", "hi", 5.0)
+    assert(out.select("id").as[Long].collect().toSeq == Seq(1L))
+  }
 }

@@ -16,6 +16,23 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaCol.exceptAll(viaSql).count() == 0)
   }
 
+  test("text functions are callable from SQL and match the Column API") {
+    import graft.functions.TextFns
+    GraftExtensions.install(spark)
+    Tables(spark, sf, "documents").createOrReplaceTempView("docs_view")
+    val viaSql = spark.sql(
+      """SELECT doc_id, fingerprint(text) AS fp, language_id(text) AS lang,
+        |token_count(text) AS n, quality_score(text) AS q
+        |FROM docs_view""".stripMargin)
+    val viaCol = Tables(spark, sf, "documents").select(col("doc_id"),
+      TextFns.fingerprint(col("text")).as("fp"),
+      TextFns.languageId(col("text")).as("lang"),
+      TextFns.tokenCount(col("text")).as("n"),
+      TextFns.qualityScore(col("text")).as("q"))
+    assert(viaSql.exceptAll(viaCol).count() == 0)
+    assert(viaCol.exceptAll(viaSql).count() == 0)
+  }
+
   test("opt-in rewrite turns exact count(DISTINCT) into HyperLogLog++") {
     GraftExtensions.install(spark)
     def q = Tables(spark, sf, "lineitem")

@@ -101,6 +101,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("runtime bloom filter prunes the probe side of a selective join") {
+    // a selective dimension filter should inject a bloom filter into the
+    // fact-side scan (Spark's runtime row-level filtering); thresholds are
+    // lowered because testdata is far below the production defaults
+    val restore = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val li = Tables(spark, sf, "lineitem")
+      val ord = Tables(spark, sf, "orders").filter(col("o_totalprice") > 560000)
+      val p = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)))
+        .queryExecution.executedPlan.toString
+      assert(p.contains("bloom_filter_agg"), p)
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("typed Aggregator computes a one-pass text profile") {
     import spark.implicits._
     val texts = Tables(spark, sf, "documents").select("text").as[String]
