@@ -80,4 +80,53 @@ object Sessionization {
         round(col("z"), 4).as("z"),
         (coalesce(abs(col("z")), lit(0.0)) > zThreshold).as("is_anomaly"))
   }
+
+  /** Ordered conversion funnel: for each user, the first `stages.head`
+    * event anchors the funnel; each later stage must strictly follow the
+    * previous stage's timestamp within `stepWindowMicros`. Output: one row
+    * per user who entered the funnel, a `t_<stage>` timestamp per reached
+    * stage (null past the drop-off) and `stage` = furthest stage index
+    * (1-based).
+    *
+    * Each step is one filter + join + min-aggregate on the user key — the
+    * funnel table shrinks monotonically per stage, so later steps get
+    * cheaper; no window over the full event stream is ever taken.
+    */
+  def funnel(df: DataFrame, userCol: String, typeCol: String, tsCol: String,
+             stages: Seq[String], stepWindowMicros: Long): DataFrame = {
+    require(stages.nonEmpty)
+    def tCol(s: String) = s"t_$s"
+    val anchor = df.filter(col(typeCol) === stages.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as(tCol(stages.head)))
+    val reached = stages.tail.scanLeft(anchor -> stages.head) {
+      case ((prev, prevStage), stage) =>
+        df.filter(col(typeCol) === stage)
+          .join(prev.select(col(userCol), col(tCol(prevStage))), userCol)
+          .filter(col(tsCol) > col(tCol(prevStage)) &&
+            unix_micros(col(tsCol)) - unix_micros(col(tCol(prevStage))) <=
+              stepWindowMicros)
+          .groupBy(col(userCol)).agg(min(col(tsCol)).as(tCol(stage))) -> stage
+    }.map(_._1)
+    val joined = reached.reduceLeft((a, b) => a.join(b, Seq(userCol), "left"))
+    val stageExpr = stages.zipWithIndex.reverse.tail.foldLeft(
+      when(col(tCol(stages.last)).isNotNull, stages.length)) {
+      case (acc, (s, i)) => acc.when(col(tCol(s)).isNotNull, i + 1)
+    }
+    joined.withColumn("stage", stageExpr.cast("long"))
+  }
+
+  /** Debounce: suppress events of the same key arriving within `gapMicros`
+    * of the *previous event* of that key (lag-based — a pure window, one
+    * shuffle; the stateful "previous kept event" variant needs a running
+    * scan and is what the streaming sessionizer's state model covers).
+    */
+  def debounce(df: DataFrame, keyCols: Seq[String], tsCol: String,
+               tieCol: String, gapMicros: Long): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col(tieCol))
+    df.withColumn("__gap",
+        unix_micros(col(tsCol)) - lag(unix_micros(col(tsCol)), 1).over(w))
+      .filter(col("__gap").isNull || col("__gap") > gapMicros)
+      .drop("__gap")
+  }
 }

@@ -239,6 +239,50 @@ object WindowQueries {
              |lead(ts) OVER w AS valid_to,
              |CAST(row_number() OVER w AS BIGINT) AS version
              |FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-             |ORDER BY user_id, version""".stripMargin))
+             |ORDER BY user_id, version""".stripMargin)),
+
+    // Ordered conversion funnel (view → click → purchase, 6 h step windows):
+    // per-stage min-timestamp joins on the shrinking funnel population.
+    QDef("q86_funnel",
+      (s, d) => Sessionization.funnel(ev(s, d), "user_id", "event_type", "ts",
+          Seq("view", "click", "purchase"), stepWindowMicros = 21600000000L)
+        .select(col("user_id"), col("t_view"), col("t_click"),
+          col("t_purchase"), col("stage"))
+        .orderBy(col("user_id")),
+      Some("""WITH v AS (SELECT user_id, min(ts) AS t_view FROM events WHERE event_type = 'view' GROUP BY 1),
+             |c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e JOIN v ON e.user_id = v.user_id
+             |      WHERE e.event_type = 'click' AND e.ts > v.t_view
+             |        AND epoch_us(e.ts) - epoch_us(v.t_view) <= 21600000000 GROUP BY 1),
+             |p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e JOIN c ON e.user_id = c.user_id
+             |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+             |        AND epoch_us(e.ts) - epoch_us(c.t_click) <= 21600000000 GROUP BY 1)
+             |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+             |CAST(CASE WHEN p.t_purchase IS NOT NULL THEN 3
+             |          WHEN c.t_click IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS stage
+             |FROM v LEFT JOIN c ON v.user_id = c.user_id LEFT JOIN p ON c.user_id = p.user_id
+             |ORDER BY v.user_id""".stripMargin)),
+
+    // Debounce audit: events of the same (user, type) within 6 h of the
+    // previous one are suppressed; kept-vs-total per key.
+    QDef("q87_debounce",
+      (s, d) => {
+        val keys = Seq(col("user_id"), col("event_type"))
+        val total = ev(s, d).groupBy(keys: _*)
+          .agg(count(lit(1)).cast("long").as("n_events"))
+        val kept = Sessionization.debounce(ev(s, d),
+            Seq("user_id", "event_type"), "ts", "event_id",
+            gapMicros = 21600000000L)
+          .groupBy(keys: _*)
+          .agg(count(lit(1)).cast("long").as("n_kept"))
+        total.join(kept, Seq("user_id", "event_type"))
+          .orderBy(col("user_id"), col("event_type"))
+      },
+      Some("""WITH l AS (SELECT event_id, user_id, event_type, ts,
+             |  epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap_us
+             |  FROM events)
+             |SELECT user_id, event_type,
+             |CAST(count(*) AS BIGINT) AS n_events,
+             |CAST(count(CASE WHEN gap_us IS NULL OR gap_us > 21600000000 THEN 1 END) AS BIGINT) AS n_kept
+             |FROM l GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }
