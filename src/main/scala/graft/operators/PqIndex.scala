@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ): compress each embedding to `m` small codes by
+  * running an independent k-means codebook per `m`-way subspace split, then
+  * answer nearest-neighbor queries against the CODES with asymmetric
+  * distance (ADC) — the query stays exact, each corpus vector's distance is
+  * a sum of `m` table lookups.
+  *
+  * This is the standard answer to "the embedding table itself is too big":
+  * a 64-d float32 vector (256 B) compresses to m=8 codes (8 B at k≤256) —
+  * 32× — and search reads only codes. At 100 TB the full-precision vectors
+  * stay in cold storage; the hot path (scan + ADC) touches 1/32 of the
+  * bytes, and the per-query lookup table (m×k doubles) is broadcast, never
+  * joined.
+  *
+  * Training reuses [[IvfIndex.train]] (Lloyd's as DataFrame ops,
+  * deterministic init) per subspace; encoding is the same codegen'd
+  * argmin-over-centroids expression per subspace — one narrow pass, no
+  * shuffle.
+  */
+object PqIndex {
+
+  /** `codebooks(s)(c)` = centroid c of subspace s (m × k × subDim). */
+  final case class Model(m: Int, subDim: Int,
+                         codebooks: Array[Array[Array[Double]]])
+
+  /** Joint Lloyd's across all m subspaces: every iteration computes the m
+    * argmin cells in one projection, then updates every codebook from ONE
+    * posexplode + groupBy((subspace, cell, pos)) shuffle — iterations cost
+    * one job each regardless of m (the per-subspace formulation would run
+    * m×iters passes over the corpus). Deterministic init: subvectors of the
+    * first k vectors in id order.
+    */
+  def train(df: DataFrame, idCol: String, embCol: String,
+            m: Int, k: Int, iters: Int): Model = {
+    val dim = df.select(size(col(embCol))).head.getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    val init = df.orderBy(col(idCol)).limit(k).select(col(embCol)).collect()
+      .map(_.getSeq[Any](0).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+      }.toArray)
+    val books: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(s => init.map(_.slice(s * subDim, (s + 1) * subDim)))
+    (0 until iters).foreach { _ =>
+      // assign in its own projection BELOW the explode: inlined into the
+      // post-Generate projection the UDF would re-run once per exploded
+      // element (dim× the work — measured 6 s vs 1 s per iteration)
+      val coded = df.select(col(embCol),
+        codeUdf(Model(m, subDim, books.map(_.map(_.clone()))))(col(embCol))
+          .as("cells"))
+      val sub = (col("pos") / subDim).cast("int")
+      val means = coded.select(col("cells"),
+          posexplode(col(embCol)).as(Seq("pos", "v")))
+        .select(sub.as("s"), col("pos"),
+          element_at(col("cells"), sub + 1).as("cell"), col("v"))
+        .groupBy(col("s"), col("cell"), col("pos"))
+        .agg(avg(col("v").cast("double")).as("mn"))
+        .collect()
+      means.foreach { r =>
+        val s = r.getInt(0)
+        books(s)(r.getInt(1))(r.getInt(2) - s * subDim) = r.getDouble(3)
+      }
+    }
+    Model(m, subDim, books)
+  }
+
+  /** Per-row PQ assignment: for each subspace the argmin-L2 codebook entry,
+    * as one tight-loop UDF over the broadcast codebooks. An expression-tree
+    * argmin (m × k argmin structs) is asymptotically the same but
+    * generates so much code that Janino compile time dwarfs the scan at
+    * any corpus size — measured 45 s vs 1.5 s for q88 at sf0.1.
+    */
+  private def codeUdf(model: Model) = udf { v: Seq[Float] =>
+    val out = new Array[Int](model.m)
+    var s = 0
+    while (s < model.m) {
+      val book = model.codebooks(s)
+      val off = s * model.subDim
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < book.length) {
+        var d = 0.0
+        var i = 0
+        while (i < model.subDim) {
+          val x = v(off + i) - book(c)(i)
+          d += x * x
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    out
+  }
+
+  /** Adds `code`: array of `m` codebook indices (one narrow pass). */
+  def encode(df: DataFrame, embCol: String, model: Model): DataFrame =
+    df.withColumn("code", codeUdf(model)(col(embCol)))
+
+  /** Decode a code array back to its centroid concatenation (the lossy
+    * reconstruction PQ trades for the 32× size cut).
+    */
+  def decode(df: DataFrame, codeCol: String, model: Model): DataFrame = {
+    val books = model.codebooks
+    val dec = udf { code: Seq[Int] =>
+      code.iterator.zipWithIndex.flatMap { case (c, s) => books(s)(c) }.toSeq
+    }
+    df.withColumn("decoded", dec(col(codeCol)))
+  }
+
+  /** ADC top-k for one query vector: the per-subspace distance table
+    * lut(s)(c) = ‖q_s − codebook(s)(c)‖² is computed once on the driver
+    * (m×k doubles) and closed over by a UDF that folds `m` lookups per
+    * corpus row. Ties broken by id; TakeOrderedAndProject plans the top-k.
+    */
+  def adcTopK(encoded: DataFrame, idCol: String, model: Model,
+              query: Array[Double], topK: Int): DataFrame = {
+    val lut: Array[Array[Double]] = Array.tabulate(model.m) { s =>
+      val qs = query.slice(s * model.subDim, (s + 1) * model.subDim)
+      model.codebooks(s).map { c =>
+        var d = 0.0
+        var i = 0
+        while (i < qs.length) { val x = qs(i) - c(i); d += x * x; i += 1 }
+        d
+      }
+    }
+    val adc = udf { code: Seq[Int] =>
+      var d = 0.0
+      var s = 0
+      while (s < code.length) { d += lut(s)(code(s)); s += 1 }
+      d
+    }
+    encoded.select(col(idCol), adc(col("code")).as("adc_dist"))
+      .orderBy(col("adc_dist"), col(idCol))
+      .limit(topK)
+  }
+
+  /** Production search shape: ADC over the codes produces a `shortlist`
+    * of candidates (cheap — code bytes only), then the shortlist alone is
+    * re-ranked with exact distances on the full-precision vectors. The
+    * expensive vectors are touched for `shortlist` rows per query instead
+    * of the whole corpus; recall is set by the shortlist size, not by the
+    * quantization error.
+    */
+  def searchWithRerank(corpus: DataFrame, idCol: String, embCol: String,
+                       model: Model, query: Array[Double],
+                       shortlist: Int, topK: Int): DataFrame = {
+    val cand = adcTopK(encode(corpus, embCol, model), idCol, model,
+      query, shortlist)
+    val exact = udf { v: Seq[Float] =>
+      var d = 0.0
+      var i = 0
+      while (i < v.length) { val x = v(i) - query(i); d += x * x; i += 1 }
+      d
+    }
+    corpus.join(cand.select(idCol), Seq(idCol), "left_semi")
+      .select(col(idCol), exact(col(embCol)).as("dist"))
+      .orderBy(col("dist"), col(idCol))
+      .limit(topK)
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QDef, Tables}
-import graft.operators.{DedupOps, IvfIndex, Similarity}
+import graft.operators.{DedupOps, IvfIndex, PqIndex, Similarity}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -125,6 +125,23 @@ object SimilarityQueries {
           .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"),
             col("rank"))
           .orderBy(col("query_id"), col("rank"))
+      },
+      None),
+
+    // PQ-compressed ANN: per-subspace codebooks → byte codes → ADC
+    // shortlist → exact rerank (recall and compression pinned in
+    // PqIndexSpec; no SQL oracle — rows-only driver check).
+    QDef("q88_pq_ann",
+      (s, d) => {
+        val corpus = embs(s, d)
+        val model = PqIndex.train(corpus, "vec_id", "embedding",
+          m = 8, k = 16, iters = 2)
+        val q = corpus.orderBy(col("vec_id")).limit(1)
+          .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble).toArray
+        PqIndex.searchWithRerank(corpus.filter(col("vec_id") =!= 0L),
+            "vec_id", "embedding", model, q, shortlist = 50, topK = 10)
+          .select(col("vec_id"), round(col("dist"), 6).as("dist"))
+          .orderBy(col("dist"), col("vec_id"))
       },
       None),
 

@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.PqIndex
+import graft.functions.VectorFns
+import org.apache.spark.sql.functions._
+
+class PqIndexSpec extends SparkSpec {
+
+  private lazy val emb = Tables(spark, sf, "embeddings")
+  private lazy val model =
+    PqIndex.train(emb, "vec_id", "embedding", m = 8, k = 16, iters = 3)
+
+  test("PQ training is deterministic and shapes are right") {
+    val again = PqIndex.train(emb, "vec_id", "embedding", m = 8, k = 16, iters = 3)
+    assert(model.codebooks.length == 8)
+    assert(model.codebooks.forall(_.length == 16))
+    assert(model.codebooks.forall(_.forall(_.length == 8)))
+    assert(model.codebooks.flatten.flatten.toSeq == again.codebooks.flatten.flatten.toSeq)
+  }
+
+  test("codes compress 64 floats to 8 byte-range ints and reconstruct " +
+    "better than the global-mean baseline") {
+    val enc = PqIndex.encode(emb, "embedding", model)
+    val codes = enc.select(col("code")).head.getSeq[Int](0)
+    assert(codes.length == 8 && codes.forall(c => c >= 0 && c < 16))
+
+    val se = udf { (a: Seq[Float], b: Seq[Double]) =>
+      a.iterator.zip(b.iterator).map { case (x, y) => (x - y) * (x - y) }.sum
+    }
+    val pqErr = PqIndex.decode(enc, "code", model)
+      .select(avg(se(col("embedding"), col("decoded")))).head.getDouble(0)
+    // baseline: the best 0-bit "code" is the global mean vector
+    val meanVec = emb.select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("pos").agg(avg(col("v").cast("double")).as("m"))
+      .orderBy("pos").collect().map(_.getDouble(1))
+    val baseErr = emb
+      .select(avg(se(col("embedding"), typedLit(meanVec.toSeq)))).head.getDouble(0)
+    assert(pqErr < baseErr * 0.8, s"pq=$pqErr base=$baseErr")
+  }
+
+  test("ADC shortlist + exact rerank recovers the exact top-k") {
+    val queries = emb.orderBy("vec_id").limit(3)
+      .select(col("vec_id"), col("embedding")).collect()
+    val recalls = queries.map { row =>
+      val qid = row.getLong(0)
+      val q = row.getSeq[Float](1).map(_.toDouble).toArray
+      val exact = emb.filter(col("vec_id") =!= qid)
+        .select(col("vec_id"),
+          (VectorFns.dot(col("embedding"), col("embedding"))
+            - lit(2.0) * VectorFns.dot(col("embedding"), lit(q))).as("d"))
+        .orderBy(col("d"), col("vec_id")).limit(10)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val reranked = PqIndex.searchWithRerank(
+          emb.filter(col("vec_id") =!= qid), "vec_id", "embedding",
+          model, q, shortlist = 50, topK = 10)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      (exact intersect reranked).size / 10.0
+    }
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.6, s"mean reranked recall@10 = $mean (${recalls.mkString(",")})")
+  }
+}
