@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.DedupOps
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev tool: how does the dedup ladder scale with corpus size?
+  *
+  * Builds c× corpora by unioning copy-salted replicas of `documents`
+  * (every token is prefixed with the copy id, so replicas share no
+  * shingles — dup DENSITY stays that of the base corpus while SIZE grows
+  * c×), then times MinHash-LSH (the sublinear scale path) and, optionally,
+  * the exact inverted-index Jaccard baseline at each factor.
+  *
+  * `runMain graft.ScaleProbe [factors] [withExact]`, e.g.
+  * `runMain graft.ScaleProbe 1,2,5,10 false`.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val factors = (if (args.nonEmpty) args(0) else "1,2,5,10")
+      .split(",").map(_.trim.toInt).toSeq
+    val withExact = args.length > 1 && args(1).toBoolean
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val base = Tables(spark, sfDir, "documents").select("doc_id", "text")
+    val n = base.count() // warm-up + size
+    factors.foreach { c =>
+      val corpus = (0 until c).map { i =>
+        base.select((col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+          regexp_replace(col("text"), "([a-z0-9]+)", s"c$i$$1").as("text"))
+      }.reduce(_ unionAll _).localCheckpoint() // materialize: time ops, not prep
+      def time(f: => Long): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val rows = f
+        ((System.nanoTime() - t0) / 1e9, rows)
+      }
+      val (lshT, lshRows) = time(
+        DedupOps.minhashLshPairs(corpus, "doc_id", "text", n = 3,
+          threshold = 0.5).count())
+      spark.catalog.clearCache()
+      val exact = if (withExact) {
+        val (t, r) = time(DedupOps.ngramJaccardPairs(corpus, "doc_id", "text",
+          n = 3, threshold = 0.5).count())
+        spark.catalog.clearCache()
+        f" exact=$t%.2fs ($r pairs)"
+      } else ""
+      println(f"[scale] c=$c%2d docs=${n * c}%7d lsh=$lshT%.2fs ($lshRows pairs)$exact")
+    }
+    spark.stop()
+  }
+}

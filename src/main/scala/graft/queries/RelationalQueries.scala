@@ -396,6 +396,28 @@ object RelationalQueries {
              |       WHEN s.o_orderkey IS NOT NULL THEN 'update' ELSE 'keep' END AS action
              |  FROM orders t FULL JOIN src s ON t.o_orderkey = s.o_orderkey)
              |SELECT * FROM m WHERE o_orderkey NOT IN (SELECT o_orderkey FROM del)
-             |ORDER BY o_orderkey""".stripMargin))
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // Exact percentile grid per group (Spark's exact `percentile` uses the
+    // same linear interpolation as DuckDB's quantile_cont).
+    QDef("q89_percentile_grid",
+      (s, d) => {
+        val ps = t(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.9))")
+            .as("ps"))
+        ps.select(col("l_returnflag"),
+            round(element_at(col("ps"), 1), 4).as("p25"),
+            round(element_at(col("ps"), 2), 4).as("p50"),
+            round(element_at(col("ps"), 3), 4).as("p75"),
+            round(element_at(col("ps"), 4), 4).as("p90"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+             |round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+             |round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+             |round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+             |round(quantile_cont(l_extendedprice, 0.90), 4) AS p90
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

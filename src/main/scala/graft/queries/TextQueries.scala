@@ -399,6 +399,25 @@ object TextQueries {
              |     (count(*) OVER () * src_tokens) + 0.5) AS BIGINT) AS weight_x1e4
              |FROM s ORDER BY source""".stripMargin)),
 
+    // Edit-distance near-match pairs over a small distinct domain
+    // (levenshtein agrees across engines — classic unweighted DP).
+    QDef("q92_fuzzy_types",
+      (s, d) => {
+        val types = Tables(s, d, "part").select(col("p_type")).distinct()
+        types.select(col("p_type").as("type_a"))
+          .join(types.select(col("p_type").as("type_b")),
+            col("type_a") < col("type_b"))
+          .withColumn("dist", levenshtein(col("type_a"), col("type_b")).cast("long"))
+          .filter(col("dist") <= 8)
+          .orderBy(col("type_a"), col("type_b"))
+      },
+      Some("""WITH t AS (SELECT DISTINCT p_type FROM part)
+             |SELECT a.p_type AS type_a, b.p_type AS type_b,
+             |CAST(levenshtein(a.p_type, b.p_type) AS BIGINT) AS dist
+             |FROM t a JOIN t b ON a.p_type < b.p_type
+             |WHERE levenshtein(a.p_type, b.p_type) <= 8
+             |ORDER BY 1, 2""".stripMargin)),
+
     // P8 chunker: stateful per-row expansion — no SQL oracle (rows-only
     // driver check); invariants covered in ChunkingSpec.
     QDef("q19_chunks",

@@ -283,6 +283,25 @@ object WindowQueries {
              |SELECT user_id, event_type,
              |CAST(count(*) AS BIGINT) AS n_events,
              |CAST(count(CASE WHEN gap_us IS NULL OR gap_us > 21600000000 THEN 1 END) AS BIGINT) AS n_kept
-             |FROM l GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |FROM l GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Distribution ranks per event type: percent_rank / cume_dist / decile
+    // over a fully tie-broken order.
+    QDef("q91_distribution_ranks",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+        ev(s, d).select(col("event_id"), col("event_type"),
+            round(percent_rank().over(w), 6).as("pr"),
+            round(cume_dist().over(w), 6).as("cd"),
+            ntile(10).over(w).cast("long").as("decile"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, event_type,
+             |round(percent_rank() OVER w, 6) AS pr,
+             |round(cume_dist() OVER w, 6) AS cd,
+             |CAST(ntile(10) OVER w AS BIGINT) AS decile
+             |FROM events WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+             |ORDER BY event_id""".stripMargin))
   )
 }
