@@ -302,6 +302,54 @@ object WindowQueries {
              |round(cume_dist() OVER w, 6) AS cd,
              |CAST(ntile(10) OVER w AS BIGINT) AS decile
              |FROM events WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
-             |ORDER BY event_id""".stripMargin))
+             |ORDER BY event_id""".stripMargin)),
+
+    // Mode (most frequent value) per group with deterministic tie-break —
+    // count + row_number, one shuffle each; never a collect of the domain.
+    QDef("q93_mode_per_user",
+      (s, d) => {
+        val c = ev(s, d).groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).cast("long").as("n"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("n").desc, col("event_type"))
+        c.withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("user_id"), col("event_type").as("mode_type"),
+            col("n").as("mode_n"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH c AS (SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2),
+             |r AS (SELECT user_id, event_type, n,
+             |  row_number() OVER (PARTITION BY user_id ORDER BY n DESC, event_type) AS rk FROM c)
+             |SELECT user_id, event_type AS mode_type, n AS mode_n FROM r WHERE rk = 1
+             |ORDER BY user_id""".stripMargin)),
+
+    // First-order Markov transition matrix over each user's event sequence:
+    // next-event counts + row-normalized probabilities (fixed-point).
+    QDef("q94_transition_matrix",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val pairs = ev(s, d)
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type"), col("next_type"))
+          .agg(count(lit(1)).cast("long").as("n"))
+        val rowTotal = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type"))
+        pairs.select(col("event_type"), col("next_type"), col("n"),
+            floor(col("n") * 10000.0 / sum(col("n")).over(rowTotal) + 0.5)
+              .cast("long").as("p_x1e4"))
+          .orderBy(col("event_type"), col("next_type"))
+      },
+      Some("""WITH s AS (SELECT user_id, event_type, ts, event_id,
+             |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+             |  FROM events),
+             |c AS (SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+             |      FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2)
+             |SELECT event_type, next_type, n,
+             |CAST(floor(n * 10000.0 / CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) + 0.5) AS BIGINT) AS p_x1e4
+             |FROM c ORDER BY 1, 2""".stripMargin))
   )
 }

@@ -125,6 +125,29 @@ object Sinks {
       .sortBy(bucketCol)
       .saveAsTable(table)
 
+  /** Compact a parquet directory's small files to ~`targetBytes` outputs:
+    * streaming appends and per-batch incremental writes leave thousands of
+    * KB-scale files whose open/footer cost dominates scans at 100 TB. One
+    * coalesce (no shuffle) to ceil(bytes/target) files, written to
+    * `outDir` — the caller swaps directories (parquet has no atomic
+    * in-place rewrite; table formats do this under a transaction log).
+    * Returns (filesBefore, filesAfter).
+    */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession, inDir: String,
+                     outDir: String, targetBytes: Long = 128L << 20): (Int, Int) = {
+    val path = new org.apache.hadoop.fs.Path(inDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(path)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val totalBytes = files.map(_.getLen).sum
+    val nOut = math.max(1, ((totalBytes + targetBytes - 1) / targetBytes).toInt)
+    spark.read.parquet(inDir).coalesce(nOut)
+      .write.mode(SaveMode.Overwrite).parquet(outDir)
+    val after = fs.listStatus(new org.apache.hadoop.fs.Path(outDir))
+      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    (files.length, after)
+  }
+
   /** K7: small report DataFrame → one JSON-lines file (driver-side write of
     * an already-aggregated, tiny result — never call on raw tables).
     */

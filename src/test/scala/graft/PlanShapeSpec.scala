@@ -125,6 +125,37 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    import spark.implicits._
+    val restore = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // one hot key carrying ~200k fat rows vs a long uniform tail
+      val left = spark.range(0, 200000)
+        .select(lit("hot").as("k"), concat(lit("payload-"), col("id")).as("v"))
+        .union(spark.range(0, 1000)
+          .select(concat(lit("k"), col("id")).as("k"),
+            concat(lit("payload-"), col("id")).as("v")))
+      val right = (Seq("hot") ++ (0 until 1000).map(i => s"k$i")).toDF("k")
+      val q = left.join(right, "k").agg(count(lit(1)))
+      q.collect()
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), p.linesIterator.take(25).mkString("\n"))
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("typed Aggregator computes a one-pass text profile") {
     import spark.implicits._
     val texts = Tables(spark, sf, "documents").select("text").as[String]

@@ -104,4 +104,15 @@ class SinksSpec extends SparkSpec {
     val content = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
     assert(content.contains("\"n_rows\""))
   }
+
+  test("compactParquet merges small files without losing rows") {
+    val base = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val ev = Tables(spark, sf, "events")
+    ev.repartition(32).write.parquet(s"$base/in") // 32 tiny files
+    val (before, after) = Sinks.compactParquet(spark, s"$base/in", s"$base/out",
+      targetBytes = Long.MaxValue)
+    assert(before == 32, s"before=$before")
+    assert(after == 1, s"after=$after")
+    assert(spark.read.parquet(s"$base/out").count() == ev.count())
+  }
 }
