@@ -61,6 +61,28 @@ object PaperPipeline {
   def profile(papers: DataFrame): DataFrame =
     Profiling.qualityScore(papers, "year", 1950, 2025, "citation_count")
 
+  /** Validation gate (reference `schema_validator` DAG step): run the five
+    * anomaly gates over a stage table and FAIL the run when any critical
+    * anomaly fires. Returns the (tiny) anomaly table when the stage passes,
+    * so callers can log warnings; throws [[CriticalAnomalyException]]
+    * otherwise — the Airflow-task-failure equivalent.
+    */
+  def validate(papers: DataFrame, idCol: String = "paper_id",
+               hasIntroCol: String = "has_intro",
+               citationCol: String = "citation_count",
+               yearCol: String = "year",
+               domainCol: String = "domain"): DataFrame = {
+    val anomalies = Profiling.anomalyGates(papers, idCol, hasIntroCol,
+      citationCol, yearCol, domainCol)
+    val critical = anomalies.filter(col("severity") === "critical").collect()
+    if (critical.nonEmpty)
+      throw new CriticalAnomalyException(
+        critical.map(r => s"${r.getAs[String]("anomaly_type")} " +
+          s"(${r.getAs[String]("column_name")}: ${r.getAs[Double]("pct")}%)")
+          .mkString("; "))
+    anomalies
+  }
+
   /** Bias slicing + mitigation recommendations (steps 3-5): returns the
     * (tiny) per-slice recommendation table with the reference's priority
     * tagging (A5: high when the group sits below half the median,
@@ -124,3 +146,9 @@ object PaperPipeline {
     Embedder.embedChunks(chunks, "chunk_id", "chunk_text", provider)
   }
 }
+
+/** Thrown by [[PaperPipeline.validate]] when a critical anomaly gate fires —
+  * the run-failure signal the reference raises as an Airflow task failure.
+  */
+final class CriticalAnomalyException(msg: String)
+  extends RuntimeException(msg)

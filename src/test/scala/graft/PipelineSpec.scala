@@ -35,4 +35,21 @@ class PipelineSpec extends SparkSpec {
     // gated docs contribute no chunks: reconciliation above proves it
     assert(out.agg(sum("n_chunks")).collect()(0).getLong(0) > 0)
   }
+
+  test("validation gate passes healthy stages and fails on critical anomalies") {
+    import spark.implicits._
+    import graft.pipeline.{CriticalAnomalyException, PaperPipeline}
+    def stage(ids: Seq[Long]) = ids.zipWithIndex.map { case (id, i) =>
+      (id, true, (i % 3).toLong, 2000 + (i % 20), s"domain${i % 4}")
+    }.toDF("paper_id", "has_intro", "citation_count", "year", "domain")
+    // healthy: unique ids, varied years/domains -> no critical gate
+    val ok = PaperPipeline.validate(stage(1L to 100L))
+    assert(ok.filter(col("severity") === "critical").isEmpty)
+    // >5% duplicate ids -> duplicate_papers critical -> run fails
+    val dupIds = (1L to 100L) ++ (1L to 10L)
+    val ex = intercept[CriticalAnomalyException] {
+      PaperPipeline.validate(stage(dupIds))
+    }
+    assert(ex.getMessage.contains("duplicate_papers"), ex.getMessage)
+  }
 }
