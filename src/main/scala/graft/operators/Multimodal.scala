@@ -191,4 +191,52 @@ object Multimodal {
     val nPart = math.max(1, math.min(10000, (totalBytes / targetBytes).toInt + 1))
     df.repartition(nPart)
   }
+
+  /** 64-bit average-hash of an image payload: decode, downscale to 8×8
+    * luma, set bit i when pixel i is above the mean. Perceptually near-
+    * identical images (re-encodes, small resizes) hash close in Hamming
+    * distance; non-decodable payloads → None.
+    */
+  def averageHash(payload: Array[Byte]): Option[Long] = {
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val small = new java.awt.image.BufferedImage(8, 8,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = small.createGraphics()
+        try g.drawImage(img.getScaledInstance(8, 8, java.awt.Image.SCALE_AREA_AVERAGING),
+          0, 0, null)
+        finally g.dispose()
+        val luma = Array.tabulate(64) { i =>
+          val rgb = small.getRGB(i % 8, i / 8)
+          (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+        }
+        val mean = luma.sum / 64
+        var h = 0L
+        var i = 0
+        while (i < 64) { if (luma(i) > mean) h |= (1L << i); i += 1 }
+        Some(h)
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** Perceptual image dedup groups: average-hash every payload, then group
+    * EXACT hash matches (Hamming-0; near-miss tolerance would band the 64
+    * bits like `DedupOps.simhashPairs`). One narrow decode pass + one
+    * hash-groupBy — the payload bytes never shuffle, only (id, hash).
+    */
+  def imageDupGroups(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val ah = udf { payload: Array[Byte] =>
+      if (payload == null) None else averageHash(payload)
+    }
+    df.select(col(idCol), ah(col(payloadCol)).as("ahash"))
+      .filter(col("ahash").isNotNull)
+      .groupBy(col("ahash"))
+      .agg(min(col(idCol)).as("keeper"),
+        count(lit(1)).cast("long").as("n_dups"),
+        sort_array(collect_list(col(idCol))).as("members"))
+      .filter(col("n_dups") > 1)
+  }
 }

@@ -134,4 +134,36 @@ class MultimodalSpec extends SparkSpec {
       targetBytes = 20000)
     assert(parted.rdd.getNumPartitions >= 2)
   }
+
+  test("perceptual dedup groups re-encoded duplicates, keeps distinct images") {
+    import spark.implicits._
+    def gradient(w: Int, h: Int, flip: Boolean): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) {
+        val v = if (flip) 255 - (255 * x / w) else 255 * x / w
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    def enc(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val a = gradient(128, 96, flip = false)
+    val rows = Seq(
+      1L -> enc(a, "png"),
+      2L -> enc(a, "bmp"), // same pixels, different container
+      3L -> Multimodal.resizeImage(enc(a, "png"), maxEdge = 64), // downscaled
+      4L -> enc(gradient(128, 96, flip = true), "png"), // visually distinct
+      5L -> Array[Byte](1, 2, 3)) // not an image: ignored
+    val groups = Multimodal.imageDupGroups(rows.toDF("media_id", "payload"),
+      "media_id", "payload").collect()
+    assert(groups.length == 1, groups.mkString(";"))
+    val members = groups(0).getAs[scala.collection.Seq[Long]]("members")
+    assert(members.contains(1L) && members.contains(2L), members)
+    assert(!members.contains(4L) && !members.contains(5L))
+    assert(groups(0).getAs[Long]("keeper") == 1L)
+  }
 }
