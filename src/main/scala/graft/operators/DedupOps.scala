@@ -200,6 +200,11 @@ object DedupOps {
     * Jaccard. `bands` buckets of `k/bands` signature rows each: docs
     * sharing any full band become candidates — the sublinear scale path;
     * candidate count ≈ true-dup count for well-chosen (k, bands).
+    *
+    * Caches two small int-only intermediates (banding keys + candidate
+    * pairs) that are each referenced several times; in a long-lived session
+    * call `spark.catalog.clearCache()` (or unpersist) after consuming the
+    * result — the cache is scoped to the session, not the call.
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       n: Int, threshold: Double,

@@ -33,23 +33,25 @@ object GraphOps {
       .distinct().localCheckpoint()
     var labels = und.select(col("a").as("id")).distinct()
       .select(col("id"), col("id").as("component")).localCheckpoint()
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum("component"), lit(0L))).head.getLong(0)
-    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (i < maxIters && !converged) {
       val viaNeighbor = und
         .join(labels.withColumnRenamed("id", "a"), Seq("a"))
         .select(col("b").as("id"), col("component"))
-      labels = labels.union(viaNeighbor)
+      val next = labels.union(viaNeighbor)
         .groupBy("id").agg(min("component").as("component"))
         .localCheckpoint()
-      // fixed point when no label decreased: labels only ever decrease, so
-      // an unchanged label sum means an unchanged labeling
-      val s = labelSum(labels)
-      converged = s == prevSum
-      prevSum = s
+      // fixed point when no label changed — an exact join-count against the
+      // previous (checkpointed, in-memory) labeling; works for any id type,
+      // unlike a label-sum check (string ids don't sum; hash-range longs
+      // overflow under ANSI)
+      val changed = next.withColumnRenamed("component", "__new")
+        .join(labels, Seq("id"))
+        .filter(col("__new") =!= col("component"))
+        .limit(1).count()
+      labels = next
+      converged = changed == 0
       i += 1
     }
     labels

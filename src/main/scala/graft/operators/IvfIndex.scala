@@ -27,7 +27,7 @@ object IvfIndex {
     * (distance, cellIdx) structs; distance compared as
     * ‖c‖² − 2·x·c (equal argmin to true L2, one dot per cell).
     */
-  private[operators] def bestCell(embCol: Column, model: Model): Column = {
+  private def bestCell(embCol: Column, model: Model): Column = {
     val scored = model.centroids.zipWithIndex.map { case (c, i) =>
       val c2 = c.map(x => x * x).sum
       struct((lit(c2) - lit(2.0) * VectorFns.dot(embCol, lit(c))).as("dist"),

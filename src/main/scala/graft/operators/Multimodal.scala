@@ -192,12 +192,14 @@ object Multimodal {
     df.repartition(nPart)
   }
 
-  /** 64-bit average-hash of an image payload: decode, downscale to 8×8
-    * luma, set bit i when pixel i is above the mean. Perceptually near-
-    * identical images (re-encodes, small resizes) hash close in Hamming
-    * distance; non-decodable payloads → None.
+  /** Perceptual image signature: 64-bit average-hash (downscale to 8×8
+    * luma, bit i set when pixel i is above the mean) PLUS the quantized
+    * mean itself. The mean matters: every flat/low-contrast image has
+    * average-hash 0 regardless of color — a white frame and a black frame
+    * must not collide, and the bit pattern alone can't separate them.
+    * Non-decodable payloads → None.
     */
-  def averageHash(payload: Array[Byte]): Option[Long] = {
+  def averageHash(payload: Array[Byte]): Option[(Long, Int)] = {
     try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       if (img == null) None
@@ -217,23 +219,25 @@ object Multimodal {
         var h = 0L
         var i = 0
         while (i < 64) { if (luma(i) > mean) h |= (1L << i); i += 1 }
-        Some(h)
+        Some((h, mean >> 4)) // mean bucketed to 16 levels: re-encode drift safe
       }
     } catch { case _: Exception => None }
   }
 
-  /** Perceptual image dedup groups: average-hash every payload, then group
-    * EXACT hash matches (Hamming-0; near-miss tolerance would band the 64
-    * bits like `DedupOps.simhashPairs`). One narrow decode pass + one
-    * hash-groupBy — the payload bytes never shuffle, only (id, hash).
+  /** Perceptual image dedup groups: signature every payload, then group
+    * EXACT (hash, mean-bucket) matches (Hamming-0; near-miss tolerance
+    * would band the 64 bits like `DedupOps.simhashPairs`). One narrow
+    * decode pass + one hash-groupBy — the payload bytes never shuffle,
+    * only (id, hash, bucket).
     */
   def imageDupGroups(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
     val ah = udf { payload: Array[Byte] =>
       if (payload == null) None else averageHash(payload)
     }
-    df.select(col(idCol), ah(col(payloadCol)).as("ahash"))
-      .filter(col("ahash").isNotNull)
-      .groupBy(col("ahash"))
+    df.select(col(idCol), ah(col(payloadCol)).as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col(idCol), col("sig._1").as("ahash"), col("sig._2").as("mean_bucket"))
+      .groupBy(col("ahash"), col("mean_bucket"))
       .agg(min(col(idCol)).as("keeper"),
         count(lit(1)).cast("long").as("n_dups"),
         sort_array(collect_list(col(idCol))).as("members"))

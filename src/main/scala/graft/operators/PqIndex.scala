@@ -16,10 +16,9 @@ import org.apache.spark.sql.functions._
   * bytes, and the per-query lookup table (m×k doubles) is broadcast, never
   * joined.
   *
-  * Training reuses [[IvfIndex.train]] (Lloyd's as DataFrame ops,
-  * deterministic init) per subspace; encoding is the same codegen'd
-  * argmin-over-centroids expression per subspace — one narrow pass, no
-  * shuffle.
+  * Training is a joint Lloyd's over all subspaces (same algorithm family
+  * as [[IvfIndex.train]], deterministic first-k init) — see `train`;
+  * encoding is one narrow UDF pass, no shuffle.
   */
 object PqIndex {
 

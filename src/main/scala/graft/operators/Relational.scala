@@ -102,15 +102,20 @@ object Relational {
   def mergeUpsert(target: DataFrame, source: DataFrame, key: String,
                   deletes: DataFrame): DataFrame = {
     val srcCols = source.columns.toSet
+    // presence flag, not coalesce: a source row must be able to SET a
+    // column to null (clear a value) — coalesce would silently keep the
+    // stale target value while still reporting action='update'
+    val s = source.withColumn("__present", lit(true)).as("s")
     val merged = target.columns.filterNot(_ == key).map { c =>
-      if (srcCols(c)) coalesce(col(s"s.$c"), col(s"t.$c")).as(c)
+      if (srcCols(c))
+        when(col("s.__present"), col(s"s.$c")).otherwise(col(s"t.$c")).as(c)
       else col(s"t.$c").as(c)
     }
     val action = when(col(s"t.$key").isNull, "insert")
-      .when(col(s"s.$key").isNotNull, "update")
+      .when(col("s.__present"), "update")
       .otherwise("keep").as("action")
     target.as("t")
-      .join(source.as("s"), col(s"t.$key") === col(s"s.$key"), "full_outer")
+      .join(s, col(s"t.$key") === col(s"s.$key"), "full_outer")
       .select(coalesce(col(s"s.$key"), col(s"t.$key")).as(key) +: merged :+ action: _*)
       .join(deletes.select(col(key)), Seq(key), "left_anti")
   }

@@ -39,24 +39,32 @@ object Temporal {
     def nullOf(df: DataFrame, c: String): Column =
       lit(null).cast(df.schema(c).dataType).as(c)
 
+    // the payload travels as ONE struct so the matched right row is carried
+    // forward wholesale — per-column last(ignoreNulls) would substitute
+    // stale values for legitimately-null fields and mix columns from
+    // different right rows
+    val payloadType = org.apache.spark.sql.types.StructType(
+      payload.map(c => right.schema(c)))
     val taggedLeft = left.select(
       (col(keyCol) +: col(tsLeft).as("__ts") +: lit(1).as("__side") +:
-        (leftCols.map(col) ++ payload.map(nullOf(right, _)))): _*)
+        (leftCols.map(col) :+ lit(null).cast(payloadType).as("__p"))): _*)
     val taggedRight = right.select(
       (col(keyCol) +: col(tsRight).as("__ts") +: lit(0).as("__side") +:
-        (leftCols.map(nullOf(left, _)) ++ payload.map(col))): _*)
+        (leftCols.map(nullOf(left, _)) :+
+          struct(payload.map(col): _*).as("__p"))): _*)
 
     val ordering = col("__ts").asc +: col("__side").asc +:
-      rightTie.map(col(_).asc_nulls_first).toSeq
+      rightTie.map(t => col("__p").getField(t).asc_nulls_first).toSeq
     val w = Window.partitionBy(col(keyCol)).orderBy(ordering: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     taggedLeft.unionByName(taggedRight)
       .select((col(keyCol) +: col("__ts") +: col("__side") +:
-        (leftCols.map(col) ++
-          payload.map(c => last(col(c), ignoreNulls = true).over(w).as(c)))): _*)
+        (leftCols.map(col) :+
+          last(col("__p"), ignoreNulls = true).over(w).as("__pl"))): _*)
       .filter(col("__side") === 1)
       .select((col(keyCol) +: col("__ts").as(tsLeft) +:
-        (leftCols ++ payload).map(col)): _*)
+        (leftCols.map(col) ++
+          payload.map(c => col("__pl").getField(c).as(c)))): _*)
   }
 }

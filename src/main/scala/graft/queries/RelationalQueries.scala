@@ -390,8 +390,8 @@ object RelationalQueries {
              |src AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
              |del AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 37 = 0),
              |m AS (SELECT coalesce(s.o_orderkey, t.o_orderkey) AS o_orderkey,
-             |  coalesce(s.o_orderstatus, t.o_orderstatus) AS status,
-             |  round(coalesce(s.o_totalprice, t.o_totalprice), 2) AS totalprice,
+             |  CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus ELSE t.o_orderstatus END AS status,
+             |  round(CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice ELSE t.o_totalprice END, 2) AS totalprice,
              |  CASE WHEN t.o_orderkey IS NULL THEN 'insert'
              |       WHEN s.o_orderkey IS NOT NULL THEN 'update' ELSE 'keep' END AS action
              |  FROM orders t FULL JOIN src s ON t.o_orderkey = s.o_orderkey)

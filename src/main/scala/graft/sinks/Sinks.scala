@@ -135,17 +135,25 @@ object Sinks {
     */
   def compactParquet(spark: org.apache.spark.sql.SparkSession, inDir: String,
                      outDir: String, targetBytes: Long = 128L << 20): (Int, Int) = {
-    val path = new org.apache.hadoop.fs.Path(inDir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(path)
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    def listParquet(dir: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val path = new org.apache.hadoop.fs.Path(dir)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // recursive: partitioned layouts keep their files in subdirectories
+      val it = fs.listFiles(path, true)
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.hadoop.fs.FileStatus]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) out += f
+      }
+      out.toSeq
+    }
+    val files = listParquet(inDir)
     val totalBytes = files.map(_.getLen).sum
     val nOut = math.max(1, ((totalBytes + targetBytes - 1) / targetBytes).toInt)
     spark.read.parquet(inDir).coalesce(nOut)
       .write.mode(SaveMode.Overwrite).parquet(outDir)
-    val after = fs.listStatus(new org.apache.hadoop.fs.Path(outDir))
-      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-    (files.length, after)
+    (files.length, listParquet(outDir).length)
   }
 
   /** K7: small report DataFrame → one JSON-lines file (driver-side write of

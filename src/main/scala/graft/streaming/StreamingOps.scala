@@ -186,13 +186,16 @@ object StreamingOps {
   /** Continuous-ingestion NEAR-dup dedup: the minhash-LSH ladder run
     * incrementally. Each micro-batch computes one-pass minhash signatures,
     * finds candidates by banded-key collision — batch-locally and against
-    * the persisted band index — confirms with estimated Jaccard (matching
-    * signature positions / k ≥ threshold), and appends only survivors to
-    * `outDir` plus their bands/signatures to the index.
+    * the persisted signature index — confirms with estimated Jaccard
+    * (matching signature positions / k ≥ threshold), and appends only
+    * survivors' signatures to the index.
     *
-    * Scale shape: the index holds bands (ints) and one k-long signature per
-    * surviving doc — never text; the per-batch probe is an equi-join on
-    * (band, key) against an index that grows with *distinct* content only.
+    * Scale shape: the index holds one k-long signature per surviving doc —
+    * never text; band keys are recomputed from signatures on read (a cheap
+    * narrow map — a separately persisted band file could go out of sync
+    * with the signatures on a crash between appends). The per-batch probe
+    * is an equi-join on (band, key) against state that grows with
+    * *distinct* content only.
     * Greedy semantics: within a batch the smaller id of a confirmed pair
     * survives; docs shorter than `n` tokens have no signature and always
     * survive. Same parquet-append idempotency caveat as
@@ -225,21 +228,23 @@ object StreamingOps {
           .select(col(idCol), col("sig"),
             col("bk.band").as("band"), col("bk.key").as("key"))
         val newBands = bandKeys(sigs).persist()
-        val (oldBands, oldSigs) =
-          try {
-            (spark.read.parquet(s"$indexDir/bands"),
-              spark.read.parquet(s"$indexDir/sigs"))
-          } catch { case _: org.apache.spark.sql.AnalysisException =>
-            (newBands.select(col(idCol), col("band"), col("key")).limit(0),
-              sigs.limit(0))
+        // single-directory index: only signatures persist; band keys are a
+        // deterministic function of the signature and are recomputed on
+        // read. Two separate index files could go out of sync on a
+        // mid-batch crash (bands written, sigs not) and silently disable
+        // dedup against all prior history.
+        val oldSigs =
+          try spark.read.parquet(s"$indexDir/sigs")
+          catch { case _: org.apache.spark.sql.AnalysisException =>
+            sigs.limit(0)
           }
         // vs the index: any band collision -> estimated-Jaccard confirm
         val vsIndex = newBands
-          .join(oldBands.select(col(idCol).as("__old"), col("band"), col("key")),
+          .join(bandKeys(oldSigs)
+              .select(col(idCol).as("__old"), col("sig").as("__osig"),
+                col("band"), col("key")),
             Seq("band", "key"))
-          .select(col(idCol), col("sig"), col("__old")).distinct()
-          .join(oldSigs.select(col(idCol).as("__old"), col("sig").as("__osig")),
-            Seq("__old"))
+          .select(col(idCol), col("sig"), col("__old"), col("__osig")).distinct()
           .filter(simEst(col("sig"), col("__osig")) >= threshold)
           .select(col(idCol))
         // batch-local: keep the smaller id of each confirmed colliding pair
@@ -255,8 +260,6 @@ object StreamingOps {
         val survivors = batch.join(dropIds, Seq(idCol), "left_anti").persist()
         survivors.write.mode("append").parquet(outDir)
         val keptSigs = sigs.join(survivors.select(idCol), Seq(idCol), "left_semi")
-        bandKeys(keptSigs).select(col(idCol), col("band"), col("key"))
-          .write.mode("append").parquet(s"$indexDir/bands")
         keptSigs.write.mode("append").parquet(s"$indexDir/sigs")
         Seq(sigs, newBands, dropIds, survivors).foreach(_.unpersist())
         ()

@@ -104,6 +104,15 @@ class EdgeCaseSpec extends SparkSpec {
     assert(out.filter(col("action") === "keep").count() == 2)
   }
 
+  test("mergeUpsert lets a source row clear a column to null") {
+    val snap = Seq((1L, Some("open")), (2L, Some("closed"))).toDF("id", "v")
+    val change = Seq((1L, None: Option[String])).toDF("id", "v")
+    val out = Relational.mergeUpsert(snap, change, "id", snap.limit(0).select("id"))
+      .collect().map(r => r.getLong(0) -> (r.isNullAt(1), r.getString(2))).toMap
+    assert(out(1L) == ((true, "update")), out.toString) // null overrode 'open'
+    assert(out(2L) == ((false, "keep")))
+  }
+
   test("pageRank on a single edge converges to the closed-form values") {
     import graft.operators.GraphOps
     val edges = Seq((1L, 2L)).toDF("s", "d")

@@ -151,19 +151,28 @@ class MultimodalSpec extends SparkSpec {
       javax.imageio.ImageIO.write(img, fmt, bos)
       bos.toByteArray
     }
+    def flat(rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(32, 32,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 32; y <- 0 until 32) img.setRGB(x, y, rgb)
+      enc(img, "png")
+    }
     val a = gradient(128, 96, flip = false)
     val rows = Seq(
       1L -> enc(a, "png"),
       2L -> enc(a, "bmp"), // same pixels, different container
       3L -> Multimodal.resizeImage(enc(a, "png"), maxEdge = 64), // downscaled
       4L -> enc(gradient(128, 96, flip = true), "png"), // visually distinct
-      5L -> Array[Byte](1, 2, 3)) // not an image: ignored
+      5L -> Array[Byte](1, 2, 3), // not an image: ignored
+      6L -> flat(0xffffff), // flat white: ahash bits all 0...
+      7L -> flat(0x000000)) // ...and so is flat black — must NOT group
     val groups = Multimodal.imageDupGroups(rows.toDF("media_id", "payload"),
       "media_id", "payload").collect()
     assert(groups.length == 1, groups.mkString(";"))
     val members = groups(0).getAs[scala.collection.Seq[Long]]("members")
     assert(members.contains(1L) && members.contains(2L), members)
     assert(!members.contains(4L) && !members.contains(5L))
+    assert(!members.contains(6L) && !members.contains(7L), members)
     assert(groups(0).getAs[Long]("keeper") == 1L)
   }
 }

@@ -63,4 +63,26 @@ class TemporalSpec extends SparkSpec {
     val edges = Seq.empty[(Long, Long)].toDF("a", "b")
     assert(GraphOps.connectedComponents(edges, "a", "b").count() == 0)
   }
+
+  test("asof join carries the matched right row wholesale, nulls included") {
+    import spark.implicits._
+    val right = Seq(
+      (1L, 10L, Option(5.0), Option(7.0)),
+      (1L, 20L, None, Option(9.0))) // latest row has a legitimately-null a
+      .toDF("k", "rts", "ra", "rb")
+    val left = Seq((1L, 30L)).toDF("k", "ts")
+    val row = Temporal.asofJoin(left, right, "k", "ts", "rts").collect()(0)
+    // must be (null, 9.0) from the t=20 row — not (5.0, 9.0) mixed across rows
+    assert(row.isNullAt(row.fieldIndex("ra")), row.toString)
+    assert(row.getDouble(row.fieldIndex("rb")) == 9.0, row.toString)
+  }
+
+  test("connected components converge on string node ids") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("s", "d")
+    val comps = GraphOps.connectedComponents(edges, "s", "d")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(comps("a") == "a" && comps("b") == "a" && comps("c") == "a")
+    assert(comps("x") == "x" && comps("y") == "x")
+  }
 }
