@@ -35,7 +35,7 @@ object TextFns {
     * any oracle.
     */
   def cleanText(c: Column): Column = {
-    val noUrl = regexp_replace(c, lit("https?://[^\\s]+"), lit(" "))
+    val noUrl = regexp_replace(c, lit("https?://[^ \\t\\n\\r\\f\\x0B]+"), lit(" "))
     val noMail = regexp_replace(noUrl,
       lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"), lit(" "))
     val noCite = regexp_replace(noMail, lit("\\[[0-9, ]+\\]"), lit(" "))
@@ -56,7 +56,7 @@ object TextFns {
   def redactPii(c: Column): Column = {
     val noMail = regexp_replace(c,
       lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit("<EMAIL>"))
-    val noUrl = regexp_replace(noMail, lit("https?://[^\\s]+"), lit("<URL>"))
+    val noUrl = regexp_replace(noMail, lit("https?://[^ \\t\\n\\r\\f\\x0B]+"), lit("<URL>"))
     regexp_replace(noUrl, lit("[0-9][0-9() .-]{6,}[0-9]"), lit("<NUMBER>"))
   }
 

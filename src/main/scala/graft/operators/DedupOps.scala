@@ -201,10 +201,13 @@ object DedupOps {
     * sharing any full band become candidates — the sublinear scale path;
     * candidate count ≈ true-dup count for well-chosen (k, bands).
     *
-    * Caches two small int-only intermediates (banding keys + candidate
-    * pairs) that are each referenced several times; in a long-lived session
-    * call `spark.catalog.clearCache()` (or unpersist) after consuming the
-    * result — the cache is scoped to the session, not the call.
+    * Caches three intermediates that are each referenced several times:
+    * banding keys and candidate pairs (int-only, tiny) plus the candidate
+    * docs' shingle strings (proportional to candidate-doc text — the
+    * dominant cached footprint when dup clusters are large). In a
+    * long-lived session call `spark.catalog.clearCache()` (or unpersist)
+    * after consuming the result — the cache is scoped to the session, not
+    * the call.
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       n: Int, threshold: Double,

@@ -219,16 +219,20 @@ object Multimodal {
         var h = 0L
         var i = 0
         while (i < 64) { if (luma(i) > mean) h |= (1L << i); i += 1 }
-        Some((h, mean >> 4)) // mean bucketed to 16 levels: re-encode drift safe
+        Some((h, mean))
       }
     } catch { case _: Exception => None }
   }
 
   /** Perceptual image dedup groups: signature every payload, then group
-    * EXACT (hash, mean-bucket) matches (Hamming-0; near-miss tolerance
-    * would band the 64 bits like `DedupOps.simhashPairs`). One narrow
-    * decode pass + one hash-groupBy — the payload bytes never shuffle,
-    * only (id, hash, bucket).
+    * EXACT (hash, mean) matches. This catches lossless re-encodes and
+    * identical pixel content across containers; tolerance to LOSSY
+    * re-encodes (where both the bit pattern and the mean can drift) needs
+    * the banded pairwise path (`DedupOps.simhashPairs` shape: band the 64
+    * bits, confirm candidates within a Hamming/mean tolerance) — any
+    * single quantized group key has a boundary cliff. One narrow decode
+    * pass + one hash-groupBy — the payload bytes never shuffle, only
+    * (id, hash, mean).
     */
   def imageDupGroups(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
     val ah = udf { payload: Array[Byte] =>
@@ -236,8 +240,8 @@ object Multimodal {
     }
     df.select(col(idCol), ah(col(payloadCol)).as("sig"))
       .filter(col("sig").isNotNull)
-      .select(col(idCol), col("sig._1").as("ahash"), col("sig._2").as("mean_bucket"))
-      .groupBy(col("ahash"), col("mean_bucket"))
+      .select(col(idCol), col("sig._1").as("ahash"), col("sig._2").as("mean_luma"))
+      .groupBy(col("ahash"), col("mean_luma"))
       .agg(min(col(idCol)).as("keeper"),
         count(lit(1)).cast("long").as("n_dups"),
         sort_array(collect_list(col(idCol))).as("members"))

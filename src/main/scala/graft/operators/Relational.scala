@@ -101,6 +101,8 @@ object Relational {
     */
   def mergeUpsert(target: DataFrame, source: DataFrame, key: String,
                   deletes: DataFrame): DataFrame = {
+    require(!source.columns.contains("__present"),
+      "source must not contain the reserved column __present")
     val srcCols = source.columns.toSet
     // presence flag, not coalesce: a source row must be able to SET a
     // column to null (clear a value) — coalesce would silently keep the

@@ -31,7 +31,7 @@ object TextQueries {
         .orderBy(col("doc_id")),
       Some("""SELECT doc_id,
              |md5(trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-             |  text, 'https?://[^\s]+', ' ', 'g'),
+             |  text, 'https?://[^ \t\n\r\f\x0B]+', ' ', 'g'),
              |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', ' ', 'g'),
              |  '\[[0-9, ]+\]', ' ', 'g'),
              |  '\([A-Za-z]+ et al[.,][^)]*\)', ' ', 'g'),
@@ -258,7 +258,7 @@ object TextQueries {
              |  AS text2 FROM documents),
              |red AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(text2,
              |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-             |    'https?://[^\s]+', '<URL>', 'g'),
+             |    'https?://[^ \t\n\r\f\x0B]+', '<URL>', 'g'),
              |    '[0-9][0-9() .-]{6,}[0-9]', '<NUMBER>', 'g') AS clean
              |  FROM seeded)
              |SELECT doc_id, md5(clean) AS clean_md5,

@@ -238,13 +238,19 @@ object StreamingOps {
           catch { case _: org.apache.spark.sql.AnalysisException =>
             sigs.limit(0)
           }
-        // vs the index: any band collision -> estimated-Jaccard confirm
-        val vsIndex = newBands
-          .join(bandKeys(oldSigs)
-              .select(col(idCol).as("__old"), col("sig").as("__osig"),
-                col("band"), col("key")),
-            Seq("band", "key"))
-          .select(col(idCol), col("sig"), col("__old"), col("__osig")).distinct()
+        // vs the index: any band collision -> estimated-Jaccard confirm.
+        // The probe join ships only (id, band, key) int rows; the k-long
+        // signatures are re-joined for the (few) matched candidates only —
+        // carrying signatures through the banded shuffle would grow every
+        // batch's shuffle with the full index size.
+        val candOld = newBands.select(col(idCol), col("band"), col("key"))
+          .join(bandKeys(oldSigs).select(col(idCol).as("__old"),
+            col("band"), col("key")), Seq("band", "key"))
+          .select(col(idCol), col("__old")).distinct()
+        val vsIndex = candOld
+          .join(sigs, Seq(idCol))
+          .join(oldSigs.select(col(idCol).as("__old"), col("sig").as("__osig")),
+            Seq("__old"))
           .filter(simEst(col("sig"), col("__osig")) >= threshold)
           .select(col(idCol))
         // batch-local: keep the smaller id of each confirmed colliding pair
