@@ -125,6 +125,16 @@ object Sinks {
       .sortBy(bucketCol)
       .saveAsTable(table)
 
+  /** Idempotent micro-batch append: each batch writes (mode=overwrite) its
+    * own `batch=<id>` partition directory, so a foreachBatch retry of the
+    * same batchId REPLACES its previous partial output instead of
+    * duplicating it — exactly-once for replayable sources, using only
+    * parquet + directory layout (no transaction log). Readers scan the
+    * parent directory; the `batch` partition column is metadata.
+    */
+  def idempotentBatchAppend(df: DataFrame, dir: String, batchId: Long): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(s"$dir/batch=$batchId")
+
   /** Compact a parquet directory's small files to ~`targetBytes` outputs:
     * streaming appends and per-batch incremental writes leave thousands of
     * KB-scale files whose open/footer cost dominates scans at 100 TB. One

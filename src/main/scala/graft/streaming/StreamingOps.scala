@@ -153,17 +153,18 @@ object StreamingOps {
     * This is the accumulating-state shape that scales: the index holds one
     * small row per distinct document ever seen, the per-batch check is a
     * hash anti-join on the fingerprint (broadcast when the batch is small),
-    * and nothing re-reads the historical corpus. Parquet append is not
-    * transactional, so a mid-batch crash can duplicate a batch's output on
-    * retry — production would swap both appends for a table format with
-    * batchId-idempotent commits; the dataflow is unchanged.
+    * and nothing re-reads the historical corpus. Writes go through
+    * [[graft.sinks.Sinks.idempotentBatchAppend]] (batch=<id> overwrite),
+    * out before index: a retried batch replaces its own prior partial
+    * output and the recomputation converges — exactly-once for replayable
+    * sources without a transaction log.
     */
   def incrementalDedup(docs: DataFrame, idCol: String, textCol: String,
                        indexDir: String, outDir: String,
                        checkpointDir: String): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val withFp = batch.withColumn("fp",
           graft.functions.TextFns.fingerprint(col(textCol)))
@@ -176,8 +177,11 @@ object StreamingOps {
           }
         val fresh = local.join(known, Seq("fp"), "left_anti")
           .persist() // two sinks below — don't recompute the anti-join
-        fresh.drop("fp").write.mode("append").parquet(outDir)
-        fresh.select("fp").write.mode("append").parquet(indexDir)
+        // batch=<id> overwrite semantics: a retried batch REPLACES its own
+        // prior partial output (out first, then index — a crash between
+        // the two replays with the index unchanged and converges)
+        graft.sinks.Sinks.idempotentBatchAppend(fresh.drop("fp"), outDir, batchId)
+        graft.sinks.Sinks.idempotentBatchAppend(fresh.select("fp"), indexDir, batchId)
         fresh.unpersist()
         ()
       }
@@ -198,7 +202,7 @@ object StreamingOps {
     * *distinct* content only.
     * Greedy semantics: within a batch the smaller id of a confirmed pair
     * survives; docs shorter than `n` tokens have no signature and always
-    * survive. Same parquet-append idempotency caveat as
+    * survive. Same batchId-overwrite exactly-once write path as
     * [[incrementalDedup]].
     */
   def incrementalNearDedup(docs: DataFrame, idCol: String, textCol: String,
@@ -212,7 +216,7 @@ object StreamingOps {
     }
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val sigs = graft.operators.DedupOps
           .minhashSignaturesOnePass(batch, idCol, textCol, n, k)
@@ -234,7 +238,7 @@ object StreamingOps {
         // mid-batch crash (bands written, sigs not) and silently disable
         // dedup against all prior history.
         val oldSigs =
-          try spark.read.parquet(s"$indexDir/sigs")
+          try spark.read.parquet(s"$indexDir/sigs").select(col(idCol), col("sig"))
           catch { case _: org.apache.spark.sql.AnalysisException =>
             sigs.limit(0)
           }
@@ -246,6 +250,7 @@ object StreamingOps {
         val candOld = newBands.select(col(idCol), col("band"), col("key"))
           .join(bandKeys(oldSigs).select(col(idCol).as("__old"),
             col("band"), col("key")), Seq("band", "key"))
+          .filter(col(idCol) =!= col("__old")) // a doc is never its own dup
           .select(col(idCol), col("__old")).distinct()
         val vsIndex = candOld
           .join(sigs, Seq(idCol))
@@ -264,9 +269,9 @@ object StreamingOps {
           .select(col("__b").as(idCol))
         val dropIds = vsIndex.union(local).distinct().persist()
         val survivors = batch.join(dropIds, Seq(idCol), "left_anti").persist()
-        survivors.write.mode("append").parquet(outDir)
+        graft.sinks.Sinks.idempotentBatchAppend(survivors, outDir, batchId)
         val keptSigs = sigs.join(survivors.select(idCol), Seq(idCol), "left_semi")
-        keptSigs.write.mode("append").parquet(s"$indexDir/sigs")
+        graft.sinks.Sinks.idempotentBatchAppend(keptSigs, s"$indexDir/sigs", batchId)
         Seq(sigs, newBands, dropIds, survivors).foreach(_.unpersist())
         ()
       }

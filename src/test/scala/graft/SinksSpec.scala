@@ -105,6 +105,18 @@ class SinksSpec extends SparkSpec {
     assert(content.contains("\"n_rows\""))
   }
 
+  test("idempotentBatchAppend: retrying a batch replaces, appending a new one adds") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-idem").toString
+    Sinks.idempotentBatchAppend(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir, 0L)
+    // retry of batch 0 (possibly after a partial write) — replaces, no dup
+    Sinks.idempotentBatchAppend(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir, 0L)
+    assert(spark.read.parquet(dir).count() == 2)
+    Sinks.idempotentBatchAppend(Seq((3L, "c")).toDF("id", "v"), dir, 1L)
+    assert(spark.read.parquet(dir).select("id").as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L, 3L))
+  }
+
   test("compactParquet merges small files without losing rows") {
     val base = java.nio.file.Files.createTempDirectory("graft-compact").toString
     val ev = Tables(spark, sf, "events")
