@@ -125,6 +125,43 @@ object Sinks {
       .sortBy(bucketCol)
       .saveAsTable(table)
 
+  /** Z-order (Morton) layout writer: scale two numeric columns to
+    * `bits`-wide integers over their observed min/max, interleave the bits,
+    * range-partition + sort by the z-value, write parquet. Files then cover
+    * compact rectangles in (a, b) space, so parquet row-group min/max stats
+    * prune scans filtered on EITHER column (a plain sort only helps its
+    * leading column). The z column is dropped before writing; one extra
+    * aggregation pass computes the bounds.
+    */
+  def writeZOrdered(df: DataFrame, colA: String, colB: String,
+                    outDir: String, nFiles: Int, bits: Int = 21): Unit = {
+    import org.apache.spark.sql.functions._
+    val b = df.agg(min(col(colA)).cast("double"), max(col(colA)).cast("double"),
+      min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
+    val (minA, maxA, minB, maxB) =
+      (b.getDouble(0), b.getDouble(1), b.getDouble(2), b.getDouble(3))
+    val top = (1L << bits) - 1
+    def scale(c: org.apache.spark.sql.Column, lo: Double, hi: Double) =
+      if (hi <= lo) lit(0L)
+      else least(lit(top), floor((c.cast("double") - lo) * top / (hi - lo)))
+        .cast("long")
+    val z = udf { (a: Long, bb: Long) =>
+      var out = 0L
+      var i = 0
+      while (i < bits) {
+        out |= ((a >> i) & 1L) << (2 * i) | ((bb >> i) & 1L) << (2 * i + 1)
+        i += 1
+      }
+      out
+    }
+    df.withColumn("__z", z(scale(col(colA), minA, maxA),
+        scale(col(colB), minB, maxB)))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(outDir)
+  }
+
   /** Idempotent micro-batch append: each batch writes (mode=overwrite) its
     * own `batch=<id>` partition directory, so a foreachBatch retry of the
     * same batchId REPLACES its previous partial output instead of

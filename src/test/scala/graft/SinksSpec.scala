@@ -117,6 +117,43 @@ class SinksSpec extends SparkSpec {
       == Seq(1L, 2L, 3L))
   }
 
+  test("metrics listener records per-action durations and scan rows") {
+    val l = new graft.quality.GraftMetricsListener()
+    spark.listenerManager.register(l)
+    try {
+      val n = Tables(spark, sf, "events").filter(col("value") > 1.0).count()
+      // listener events are delivered asynchronously; poll briefly
+      var tries = 0
+      while (l.metrics.isEmpty && tries < 50) { Thread.sleep(100); tries += 1 }
+      val m = l.metrics
+      assert(m.nonEmpty, "no metrics recorded")
+      assert(m.exists(x => x.error.isEmpty && x.durationNs > 0), m.toString)
+      assert(m.exists(_.scanRows >= n), s"scanRows ${m.map(_.scanRows)} < $n")
+    } finally spark.listenerManager.unregister(l)
+  }
+
+  test("z-ordered layout localizes BOTH dimensions per file") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    val ev = Tables(spark, sf, "events").select("event_id", "user_id", "value")
+    Sinks.writeZOrdered(ev, "user_id", "value", dir, nFiles = 8)
+    val perFile = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg((max("user_id") - min("user_id")).as("u_range"),
+        (max("value") - min("value")).as("v_range"))
+      .collect()
+    assert(perFile.length == 8, perFile.length.toString)
+    assert(spark.read.parquet(dir).count() == ev.count())
+    val gu = ev.agg(max("user_id") - min("user_id")).head.getLong(0).toDouble
+    val gv = ev.agg(max("value") - min("value")).head.getDouble(0)
+    val avgU = perFile.map(_.getAs[Long]("u_range").toDouble).sum / perFile.length
+    val avgV = perFile.map(_.getAs[Double]("v_range")).sum / perFile.length
+    // every file must cover a strict sub-rectangle on average — a plain
+    // sort by user_id would leave v_range ≈ global on every file
+    assert(avgU < gu * 0.8, s"user range $avgU vs global $gu")
+    assert(avgV < gv * 0.8, s"value range $avgV vs global $gv")
+  }
+
   test("compactParquet merges small files without losing rows") {
     val base = java.nio.file.Files.createTempDirectory("graft-compact").toString
     val ev = Tables(spark, sf, "events")
