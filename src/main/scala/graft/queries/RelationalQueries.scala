@@ -418,6 +418,42 @@ object RelationalQueries {
              |round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
              |round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
              |round(quantile_cont(l_extendedprice, 0.90), 4) AS p90
-             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // GROUPING SETS (completing the rollup q44 / cube q60 family): exactly
+    // the three aggregation levels the caller asks for, one Expand pass.
+    QDef("q95_grouping_sets",
+      (s, d) => t(s, d, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          round(sum(col("o_totalprice")), 2).as("sum_total"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("sum_total"))
+        .orderBy(col("status"), col("priority")),
+      Some("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+             |       coalesce(o_orderpriority, 'ALL') AS priority,
+             |       count(*) AS n, round(sum(o_totalprice), 2) AS sum_total
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+             |ORDER BY status, priority""".stripMargin)),
+
+    // Ordered string aggregation (listagg) with deterministic element order.
+    QDef("q96_string_agg",
+      (s, d) => t(s, d, "customer")
+        .filter(col("c_custkey") % 100 === 0)
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_nationkey"))
+        .agg(concat_ws(",", array_sort(collect_list(col("c_name")))).as("names"),
+          count(lit(1)).cast("long").as("n"))
+        .orderBy(col("n_nationkey")),
+      Some("""SELECT n_nationkey, string_agg(c_name, ',' ORDER BY c_name) AS names,
+             |CAST(count(*) AS BIGINT) AS n
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |WHERE c_custkey % 100 = 0
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -350,6 +350,28 @@ object WindowQueries {
              |      FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2)
              |SELECT event_type, next_type, n,
              |CAST(floor(n * 10000.0 / CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) + 0.5) AS BIGINT) AS p_x1e4
-             |FROM c ORDER BY 1, 2""".stripMargin))
+             |FROM c ORDER BY 1, 2""".stripMargin)),
+
+    // Robust per-group stats: median + median absolute deviation (exact
+    // interpolated percentiles both sides; two grouped passes + one
+    // broadcast-back join — never a per-row sort of the whole table).
+    QDef("q97_robust_stats",
+      (s, d) => {
+        val med = ev(s, d).groupBy(col("event_type"))
+          .agg(expr("percentile(value, 0.5)").as("med"))
+        ev(s, d).join(broadcast(med), Seq("event_type"))
+          .groupBy(col("event_type"))
+          .agg(expr("percentile(abs(value - med), 0.5)").as("mad_v"),
+            first(col("med")).as("med0"))
+          .select(col("event_type"), round(col("med0"), 4).as("med"),
+            round(col("mad_v"), 4).as("mad"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH med AS (SELECT event_type, median(value) AS med FROM events GROUP BY 1),
+             |mad AS (SELECT e.event_type, median(abs(e.value - m.med)) AS mad_v,
+             |               any_value(m.med) AS med
+             |        FROM events e JOIN med m ON e.event_type = m.event_type GROUP BY 1)
+             |SELECT event_type, round(med, 4) AS med, round(mad_v, 4) AS mad
+             |FROM mad ORDER BY event_type""".stripMargin))
   )
 }
