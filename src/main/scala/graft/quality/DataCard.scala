@@ -1,0 +1,55 @@
+package graft.quality
+
+import graft.functions.TextFns
+import graft.operators.DedupOps
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** One-call corpus data card: the summary block a training-data release
+  * ships with (composition, language mix, quality, duplication). Composes
+  * the engine's profiling operators into a single small DataFrame of
+  * (metric, value) rows — every input is an aggregate; nothing text-sized
+  * reaches the driver.
+  */
+object DataCard {
+
+  def build(docs: DataFrame, idCol: String, textCol: String,
+            langCol: String, sourceCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val base = docs.agg(
+      count(lit(1)).cast("long").as("n_docs"),
+      countDistinct(col(sourceCol)).cast("long").as("n_sources"),
+      countDistinct(col(langCol)).cast("long").as("n_langs"),
+      sum(TextFns.tokenCount(col(textCol))).cast("long").as("n_tokens"),
+      sum(length(col(textCol))).cast("long").as("n_chars"),
+      avg(length(col(textCol))).as("avg_chars")).head()
+
+    val topLang = docs.groupBy(col(langCol)).count()
+      .orderBy(col("count").desc, col(langCol)).head()
+
+    val dupGroups = DedupOps.exactDupGroups(docs, idCol,
+      TextFns.fingerprint(col(textCol)))
+    val dupStats = dupGroups.agg(
+      coalesce(sum(col("n_dups") - 1), lit(0L)).cast("long").as("n_redundant"),
+      count(lit(1)).cast("long").as("n_groups")).head()
+
+    val qualityPass = docs.filter(
+      TextFns.qualityScore(col(textCol)) >= 500000L).count()
+
+    def row(metric: String, value: Long) = (metric, value)
+    Seq(
+      row("n_docs", base.getAs[Long]("n_docs")),
+      row("n_sources", base.getAs[Long]("n_sources")),
+      row("n_languages", base.getAs[Long]("n_langs")),
+      row("n_tokens", base.getAs[Long]("n_tokens")),
+      row("n_chars", base.getAs[Long]("n_chars")),
+      row("avg_chars_x100", math.round(base.getAs[Double]("avg_chars") * 100)),
+      row("top_lang_docs", topLang.getAs[Long]("count")),
+      row("exact_dup_redundant_docs", dupStats.getAs[Long]("n_redundant")),
+      row("exact_dup_groups", dupStats.getAs[Long]("n_groups")),
+      row("quality_pass_docs", qualityPass)
+    ).toDF("metric", "value")
+  }
+}

@@ -418,6 +418,19 @@ object TextQueries {
              |WHERE levenshtein(a.p_type, b.p_type) <= 8
              |ORDER BY 1, 2""".stripMargin)),
 
+    // Distributed BPE tokenizer training: learned merge rules in training
+    // order (iterative argmax — not SQL-expressible; rows-only driver
+    // check, semantics pinned in BpeSpec).
+    QDef("q98_bpe_merges",
+      (s, d) => {
+        val model = graft.operators.Bpe.train(docs(s, d), "text", nMerges = 10)
+        import s.implicits._
+        model.merges.zipWithIndex
+          .map { case ((a, b), i) => (i.toLong + 1, a, b, a + b) }
+          .toDF("rank", "left", "right", "merged")
+      },
+      None),
+
     // P8 chunker: stateful per-row expansion — no SQL oracle (rows-only
     // driver check); invariants covered in ChunkingSpec.
     QDef("q19_chunks",

@@ -36,6 +36,23 @@ class PipelineSpec extends SparkSpec {
     assert(out.agg(sum("n_chunks")).collect()(0).getLong(0) > 0)
   }
 
+  test("data card aggregates corpus composition without collecting text") {
+    val docs = Tables(spark, sf, "documents")
+    val card = graft.quality.DataCard.build(docs, "doc_id", "text",
+        "lang", "source")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(card("n_docs") == docs.count())
+    assert(card("n_sources") == docs.select("source").distinct().count())
+    assert(card("top_lang_docs") <= card("n_docs"))
+    assert(card("quality_pass_docs") <= card("n_docs"))
+    assert(card("n_tokens") > 0 && card("n_chars") > card("n_tokens"))
+    // redundant = docs minus distinct fingerprints (one keeper per group)
+    val distinctFp = docs
+      .select(TextFns.fingerprint(col("text"))).distinct().count()
+    assert(card("exact_dup_redundant_docs") == docs.count() - distinctFp,
+      card.toString)
+  }
+
   test("validation gate passes healthy stages and fails on critical anomalies") {
     import spark.implicits._
     import graft.pipeline.{CriticalAnomalyException, PaperPipeline}
