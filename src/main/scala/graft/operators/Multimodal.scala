@@ -224,15 +224,15 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
-  /** Perceptual image dedup groups: signature every payload, then group
-    * EXACT (hash, mean) matches. This catches lossless re-encodes and
-    * identical pixel content across containers; tolerance to LOSSY
-    * re-encodes (where both the bit pattern and the mean can drift) needs
-    * the banded pairwise path (`DedupOps.simhashPairs` shape: band the 64
-    * bits, confirm candidates within a Hamming/mean tolerance) — any
-    * single quantized group key has a boundary cliff. One narrow decode
-    * pass + one hash-groupBy — the payload bytes never shuffle, only
-    * (id, hash, mean).
+  /** Perceptual image dedup groups: group on the 64-bit average-hash, with
+    * the luma mean joining the key ONLY for degenerate bit patterns (a
+    * uniform image has no pixel above its own mean → hash 0 for every flat
+    * color; the mean is what separates flat white from flat black). For
+    * non-degenerate images the hash alone groups, so a downscale/re-encode
+    * whose mean drifts ±1 still matches. Tolerance to lossy re-encodes that
+    * flip hash BITS needs the banded pairwise path
+    * (`DedupOps.simhashPairs` shape). One narrow decode pass + one
+    * hash-groupBy — the payload bytes never shuffle.
     */
   def imageDupGroups(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
     val ah = udf { payload: Array[Byte] =>
@@ -240,7 +240,9 @@ object Multimodal {
     }
     df.select(col(idCol), ah(col(payloadCol)).as("sig"))
       .filter(col("sig").isNotNull)
-      .select(col(idCol), col("sig._1").as("ahash"), col("sig._2").as("mean_luma"))
+      .select(col(idCol), col("sig._1").as("ahash"),
+        when(col("sig._1") === 0L, col("sig._2")).otherwise(lit(-1))
+          .as("mean_luma"))
       .groupBy(col("ahash"), col("mean_luma"))
       .agg(min(col(idCol)).as("keeper"),
         count(lit(1)).cast("long").as("n_dups"),

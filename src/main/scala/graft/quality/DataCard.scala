@@ -18,25 +18,27 @@ object DataCard {
     val spark = docs.sparkSession
     import spark.implicits._
 
+    // one pass over the text: composition + quality gate in a single agg
     val base = docs.agg(
       count(lit(1)).cast("long").as("n_docs"),
       countDistinct(col(sourceCol)).cast("long").as("n_sources"),
       countDistinct(col(langCol)).cast("long").as("n_langs"),
-      sum(TextFns.tokenCount(col(textCol))).cast("long").as("n_tokens"),
-      sum(length(col(textCol))).cast("long").as("n_chars"),
-      avg(length(col(textCol))).as("avg_chars")).head()
+      coalesce(sum(TextFns.tokenCount(col(textCol))), lit(0L)).cast("long")
+        .as("n_tokens"),
+      coalesce(sum(length(col(textCol))), lit(0L)).cast("long").as("n_chars"),
+      coalesce(avg(length(col(textCol))), lit(0.0)).as("avg_chars"),
+      coalesce(sum(when(TextFns.qualityScore(col(textCol)) >= 500000L, 1L)
+        .otherwise(0L)), lit(0L)).cast("long").as("n_quality")).head()
 
     val topLang = docs.groupBy(col(langCol)).count()
-      .orderBy(col("count").desc, col(langCol)).head()
+      .orderBy(col("count").desc, col(langCol))
+      .head(1).headOption.map(_.getAs[Long]("count")).getOrElse(0L)
 
     val dupGroups = DedupOps.exactDupGroups(docs, idCol,
       TextFns.fingerprint(col(textCol)))
     val dupStats = dupGroups.agg(
       coalesce(sum(col("n_dups") - 1), lit(0L)).cast("long").as("n_redundant"),
       count(lit(1)).cast("long").as("n_groups")).head()
-
-    val qualityPass = docs.filter(
-      TextFns.qualityScore(col(textCol)) >= 500000L).count()
 
     def row(metric: String, value: Long) = (metric, value)
     Seq(
@@ -46,10 +48,10 @@ object DataCard {
       row("n_tokens", base.getAs[Long]("n_tokens")),
       row("n_chars", base.getAs[Long]("n_chars")),
       row("avg_chars_x100", math.round(base.getAs[Double]("avg_chars") * 100)),
-      row("top_lang_docs", topLang.getAs[Long]("count")),
+      row("top_lang_docs", topLang),
       row("exact_dup_redundant_docs", dupStats.getAs[Long]("n_redundant")),
       row("exact_dup_groups", dupStats.getAs[Long]("n_groups")),
-      row("quality_pass_docs", qualityPass)
+      row("quality_pass_docs", base.getAs[Long]("n_quality"))
     ).toDF("metric", "value")
   }
 }

@@ -138,6 +138,12 @@ object Sinks {
     import org.apache.spark.sql.functions._
     val b = df.agg(min(col(colA)).cast("double"), max(col(colA)).cast("double"),
       min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
+    if (b.isNullAt(0) || b.isNullAt(2)) {
+      // empty input (or an all-null z column): write the empty/degenerate
+      // dataset as-is rather than NPE on the bounds
+      df.write.mode(SaveMode.Overwrite).parquet(outDir)
+      return
+    }
     val (minA, maxA, minB, maxB) =
       (b.getDouble(0), b.getDouble(1), b.getDouble(2), b.getDouble(3))
     val top = (1L << bits) - 1

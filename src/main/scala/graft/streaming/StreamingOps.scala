@@ -170,8 +170,12 @@ object StreamingOps {
           graft.functions.TextFns.fingerprint(col(textCol)))
         val local = graft.operators.Relational
           .dedupKeepFirst(withFp, Seq("fp"), Seq(col(idCol)))
+        // exclude THIS batch's partition: a retried batch must not see its
+        // own prior (possibly partial) index write, or the anti-join would
+        // empty the batch and the overwrite would erase its earlier output
         val known =
-          try spark.read.parquet(indexDir).select("fp")
+          try spark.read.parquet(indexDir)
+            .filter(col("batch") =!= batchId).select("fp")
           catch { case _: org.apache.spark.sql.AnalysisException =>
             local.select("fp").limit(0)
           }
@@ -237,8 +241,11 @@ object StreamingOps {
         // read. Two separate index files could go out of sync on a
         // mid-batch crash (bands written, sigs not) and silently disable
         // dedup against all prior history.
+        // exclude THIS batch's partition (same retry hazard as
+        // incrementalDedup: a replayed batch must not match its own sigs)
         val oldSigs =
-          try spark.read.parquet(s"$indexDir/sigs").select(col(idCol), col("sig"))
+          try spark.read.parquet(s"$indexDir/sigs")
+            .filter(col("batch") =!= batchId).select(col(idCol), col("sig"))
           catch { case _: org.apache.spark.sql.AnalysisException =>
             sigs.limit(0)
           }

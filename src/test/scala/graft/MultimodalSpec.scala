@@ -171,6 +171,8 @@ class MultimodalSpec extends SparkSpec {
     assert(groups.length == 1, groups.mkString(";"))
     val members = groups(0).getAs[scala.collection.Seq[Long]]("members")
     assert(members.contains(1L) && members.contains(2L), members)
+    // the downscale shares the 8×8 hash; mean drift must not split it out
+    assert(members.contains(3L), members)
     assert(!members.contains(4L) && !members.contains(5L))
     assert(!members.contains(6L) && !members.contains(7L), members)
     assert(groups(0).getAs[Long]("keeper") == 1L)

@@ -148,6 +148,31 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(idx).select("fp").distinct().count() == 3)
   }
 
+  test("incremental dedup retry of a batch does not erase its own output") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-retry").toString
+    val (idx, out, ckpt) = (s"$base/index", s"$base/out", s"$base/ckpt")
+    // simulate a committed batch-0 data write whose CHECKPOINT never
+    // committed: both sinks hold batch=0, the source will replay it
+    val b0 = Seq((1L, "alpha beta"), (2L, "gamma")).toDF("doc_id", "text")
+    b0.write.parquet(s"$out/batch=0")
+    b0.select(graft.functions.TextFns.fingerprint(col("text")).as("fp"))
+      .write.parquet(s"$idx/batch=0")
+
+    val src = MemoryStream[(Long, String)]
+    val q = StreamingOps.incrementalDedup(src.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", idx, out, ckpt) // fresh checkpoint -> batchId 0 again
+    src.addData((1L, "alpha beta"), (2L, "gamma"))
+    q.processAllAvailable()
+    q.stop()
+    // the replayed batch must overwrite-in-place, not be emptied by its own
+    // prior index write
+    val kept = spark.read.parquet(out).select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 2L), kept.mkString(","))
+  }
+
   test("incremental NEAR-dedup suppresses minhash near-dups across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
