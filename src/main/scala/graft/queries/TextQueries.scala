@@ -418,6 +418,33 @@ object TextQueries {
              |WHERE levenshtein(a.p_type, b.p_type) <= 8
              |ORDER BY 1, 2""".stripMargin)),
 
+    // Per-source token-distribution entropy (corpus diversity — low entropy
+    // flags TEMPLATED/repetitive sources before they skew a training mix).
+    QDef("q99_source_entropy",
+      (s, d) => {
+        val tok = docs(s, d).select(col("source"),
+          explode(regexp_extract_all(lower(col("text")),
+            lit("[a-z0-9]+"), lit(0))).as("w"))
+        val c = tok.groupBy(col("source"), col("w"))
+          .agg(count(lit(1)).as("c"))
+        val t = c.withColumn("tot",
+          sum("c").over(Window.partitionBy(col("source"))))
+        t.groupBy(col("source"))
+          .agg(max(col("tot")).cast("long").as("n_tokens"),
+            count(lit(1)).cast("long").as("n_distinct"),
+            floor(-sum((col("c") * 1.0 / col("tot")) *
+              log(col("c") * 1.0 / col("tot"))) * 10000 + 0.5)
+              .cast("long").as("entropy_x1e4"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH tok AS (SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM documents),
+             |c AS (SELECT source, w, count(*) AS c FROM tok GROUP BY 1, 2),
+             |t AS (SELECT source, w, c, CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS tot FROM c)
+             |SELECT source, CAST(max(tot) AS BIGINT) AS n_tokens,
+             |CAST(count(*) AS BIGINT) AS n_distinct,
+             |CAST(floor(-sum((c * 1.0 / tot) * ln(c * 1.0 / tot)) * 10000 + 0.5) AS BIGINT) AS entropy_x1e4
+             |FROM t GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Distributed BPE tokenizer training: learned merge rules in training
     // order (iterative argmax — not SQL-expressible; rows-only driver
     // check, semantics pinned in BpeSpec).
