@@ -445,6 +445,48 @@ object TextQueries {
              |CAST(floor(-sum((c * 1.0 / tot) * ln(c * 1.0 / tot)) * 10000 + 0.5) AS BIGINT) AS entropy_x1e4
              |FROM t GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Bigram language-model quality score (CCNet-style perplexity filter):
+    // the corpus is its own training set; each doc scored by the add-k
+    // smoothed average log-probability of its word bigrams. Low scores flag
+    // gibberish/boilerplate before a training mix. Bigrams are built by a
+    // narrow slice+zip (no window shuffle); the count tables partial-agg
+    // map-side and join on their natural (w1[,w2]) keys; at 100 TB you'd
+    // additionally prune the LM to a top-V vocabulary.
+    QDef("q100_lm_score",
+      (s, d) => {
+        val tok = docs(s, d).select(col("doc_id"),
+            regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+              .as("ts"))
+          .where(size(col("ts")) >= 2)
+        val pairs = tok.select(col("doc_id"),
+            slice(col("ts"), lit(1), size(col("ts")) - 1).as("a"),
+            slice(col("ts"), lit(2), size(col("ts")) - 1).as("b"))
+          .select(col("doc_id"), explode(arrays_zip(col("a"), col("b"))).as("p"))
+          .select(col("doc_id"), col("p.a").as("w1"), col("p.b").as("w2"))
+          .persist()
+        val bc = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+        val cc = pairs.groupBy("w1").agg(count(lit(1)).as("cu"))
+        val vs = tok.select(explode(col("ts")).as("w"))
+          .agg(countDistinct(col("w")).as("vs"))
+        pairs.join(bc, Seq("w1", "w2")).join(cc, Seq("w1"))
+          .crossJoin(broadcast(vs))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast("long").as("n_bigrams"),
+            floor(avg(log((col("cb") + 0.5) / (col("cu") + col("vs") * 0.5)))
+              * 10000 + 0.5).cast("long").as("logprob_x1e4"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents),
+             |t AS (SELECT doc_id, unnest(ts) AS w, generate_subscripts(ts, 1) AS i FROM tok WHERE len(ts) >= 2),
+             |pairs AS (SELECT a.doc_id, a.w AS w1, b.w AS w2 FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+             |bc AS (SELECT w1, w2, count(*) AS cb FROM pairs GROUP BY 1, 2),
+             |cc AS (SELECT w1, count(*) AS cu FROM pairs GROUP BY 1),
+             |v AS (SELECT count(DISTINCT w) AS vs FROM t)
+             |SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             |CAST(floor(avg(ln((bc.cb + 0.5) / (cc.cu + 0.5 * v.vs))) * 10000 + 0.5) AS BIGINT) AS logprob_x1e4
+             |FROM pairs p JOIN bc ON p.w1 = bc.w1 AND p.w2 = bc.w2 JOIN cc ON p.w1 = cc.w1 CROSS JOIN v
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Distributed BPE tokenizer training: learned merge rules in training
     // order (iterative argmax — not SQL-expressible; rows-only driver
     // check, semantics pinned in BpeSpec).

@@ -372,6 +372,60 @@ object WindowQueries {
              |               any_value(m.med) AS med
              |        FROM events e JOIN med m ON e.event_type = m.event_type GROUP BY 1)
              |SELECT event_type, round(med, 4) AS med, round(mad_v, 4) AS mad
-             |FROM mad ORDER BY event_type""".stripMargin))
+             |FROM mad ORDER BY event_type""".stripMargin)),
+
+    // Population stability index per event type: value-distribution drift
+    // between the first and second half of the month, over a fixed 10-bin
+    // grid with Laplace smoothing (so empty bins stay defined). PSI > 0.1
+    // is the classic "retrain / investigate" alarm for a feature pipeline.
+    // Counts for both periods come out of ONE grouped pass over events;
+    // the bin grid is a broadcast of |types|×10 rows, the window sums run
+    // over that same tiny table — the event table itself is never joined
+    // or shuffled twice.
+    QDef("q101_psi_drift",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = ev(s, d).where(col("value").isNotNull).select(
+          col("event_type"),
+          least(floor(col("value") / 50), lit(9)).cast("int").as("bin"),
+          when(col("ts") < lit("2024-01-16").cast("timestamp"), 0)
+            .otherwise(1).as("period"))
+        val c = e.groupBy(col("event_type"), col("bin"))
+          .agg(count(when(col("period") === 0, 1)).as("ca"),
+            count(when(col("period") === 1, 1)).as("cb"))
+        val grid = e.select(col("event_type")).distinct()
+          .crossJoin(s.range(10).select(col("id").cast("int").as("bin")))
+        val f = grid.join(c, Seq("event_type", "bin"), "left")
+          .na.fill(0, Seq("ca", "cb"))
+        val w = Window.partitionBy(col("event_type"))
+        val p = f.select(col("event_type"),
+          sum(col("ca")).over(w).as("na"), sum(col("cb")).over(w).as("nb"),
+          col("ca"), col("cb"))
+          .select(col("event_type"), col("na"), col("nb"),
+            ((col("ca") + 0.5) / (col("na") + 5.0)).as("pa"),
+            ((col("cb") + 0.5) / (col("nb") + 5.0)).as("pb"))
+        p.groupBy(col("event_type"))
+          .agg(max(col("na")).cast("long").as("n_a"),
+            max(col("nb")).cast("long").as("n_b"),
+            floor(sum((col("pa") - col("pb")) * log(col("pa") / col("pb")))
+              * 1000000 + 0.5).cast("long").as("psi_x1e6"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH e AS (SELECT event_type, CAST(least(floor(value / 50), 9) AS INT) AS bin,
+             |  CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END AS period
+             |  FROM events WHERE value IS NOT NULL),
+             |grid AS (SELECT t.event_type, b.bin FROM (SELECT DISTINCT event_type FROM e) t
+             |  CROSS JOIN (SELECT CAST(range AS INT) AS bin FROM range(10)) b),
+             |c AS (SELECT event_type, bin, count(*) FILTER (WHERE period = 0) AS ca,
+             |  count(*) FILTER (WHERE period = 1) AS cb FROM e GROUP BY 1, 2),
+             |f AS (SELECT g.event_type, g.bin, coalesce(c.ca, 0) AS ca, coalesce(c.cb, 0) AS cb
+             |  FROM grid g LEFT JOIN c ON g.event_type = c.event_type AND g.bin = c.bin),
+             |t AS (SELECT event_type, ca, cb, sum(ca) OVER (PARTITION BY event_type) AS na,
+             |  sum(cb) OVER (PARTITION BY event_type) AS nb FROM f),
+             |p AS (SELECT event_type, na, nb, (ca + 0.5) / (na + 5.0) AS pa,
+             |  (cb + 0.5) / (nb + 5.0) AS pb FROM t)
+             |SELECT event_type, CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+             |CAST(floor(sum((pa - pb) * ln(pa / pb)) * 1000000 + 0.5) AS BIGINT) AS psi_x1e6
+             |FROM p GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** Invariants for the statistical quality signals (q100 LM score, q101
+  * PSI drift) on constructed corpora where the expected ordering is known
+  * — the DuckDB oracle pins exact values on testdata; these pin direction.
+  */
+class QualitySignalsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(name: String, dir: String) =
+    SparkEntry.queries(name)(spark, dir)
+
+  private def eventsAt(dir: String,
+      rows: Seq[(Long, Timestamp, Long, String, Double, String)]): Unit =
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+  test("q101 PSI is exactly zero when both periods share a distribution") {
+    val dir = Files.createTempDirectory("psi0").toString
+    val rows = for {
+      half <- Seq(5, 20) // Jan 5 → period 0, Jan 20 → period 1
+      i <- 0 until 200
+    } yield (half * 1000L + i, Timestamp.valueOf(f"2024-01-$half%02d 10:00:00"),
+      i % 7L, "click", (i % 10) * 50.0 + 1, "{}")
+    eventsAt(dir, rows)
+    val out = run("q101_psi_drift", dir).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("n_a") == 200 && out(0).getAs[Long]("n_b") == 200)
+    assert(out(0).getAs[Long]("psi_x1e6") == 0L)
+  }
+
+  test("q101 PSI alarms on a hard distribution shift") {
+    val dir = Files.createTempDirectory("psi1").toString
+    val rows =
+      (0 until 200).map(i => (i.toLong,
+        Timestamp.valueOf("2024-01-05 10:00:00"), 1L, "click", 10.0, "{}")) ++
+      (0 until 200).map(i => (1000L + i,
+        Timestamp.valueOf("2024-01-20 10:00:00"), 1L, "click", 480.0, "{}"))
+    eventsAt(dir, rows)
+    val psi = run("q101_psi_drift", dir).collect()(0).getAs[Long]("psi_x1e6")
+    // classic thresholds: 0.1 investigate, 0.25 act — a full bin swap is
+    // far beyond both
+    assert(psi > 1000000L)
+  }
+
+  test("q100 LM score ranks fluent text above unique-bigram gibberish") {
+    val dir = Files.createTempDirectory("lm").toString
+    val fluent = Array.fill(30)("the cat sat on the mat").mkString(" ")
+    val gibberish = (0 until 180).map(i => s"zq$i xv$i").mkString(" ")
+    Seq((0L, fluent, "en", "a", fluent.length.toLong),
+      (1L, gibberish, "en", "a", gibberish.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = run("q100_lm_score", dir).orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("logprob_x1e4") >
+      out(1).getAs[Long]("logprob_x1e4"))
+  }
+}
