@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.TextFns
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document-deduplication family for training-data pipelines: exact
@@ -114,6 +115,49 @@ object DedupOps {
       .hint("shuffle_hash")
       .join(sh.select(col(idCol).as("id_b"), col("shingle")), Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Exact Jaccard pairs with prefix filtering (PPJoin-family): shingles
+    * ranked per-doc by ascending global document frequency (shingle value
+    * as tie-break); any pair with J ≥ τ must share one of each side's
+    * first ⌊(1-τ)·|x|⌋+1 rarest shingles, so ONLY those prefix shingles
+    * enter the inverted index. Candidates are then verified against the
+    * FULL shingle sets — output is row-identical to [[ngramJaccardPairs]].
+    *
+    * Scale: the full index joins every shingle bucket (cost Σ|bucket|²,
+    * dominated by hot common shingles); here the hot buckets never enter
+    * the index — at τ=0.5 only the rarest half-ish of each doc's shingles
+    * do, and candidate verification touches candidate pairs only. The
+    * extra global-frequency pass is one map-side-combinable groupBy.
+    */
+  def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                         n: Int, threshold: Double): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n).cache()
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("gf"))
+    val prefix = sh.join(freq, Seq("shingle"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("gf"), col("shingle"))))
+      .join(sizes, Seq(idCol))
+      .filter(col("rk") <= floor((lit(1.0) - threshold) * col("sz")) + 1)
+      .select(col(idCol), col("shingle"))
+    val cands = prefix.select(col(idCol).as("id_a"), col("shingle"))
+      .hint("shuffle_hash")
+      .join(prefix.select(col(idCol).as("id_b"), col("shingle")), Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val inter = cands
+      .join(sh.select(col(idCol).as("id_a"), col("shingle")), Seq("id_a"))
+      .join(sh.select(col(idCol).as("id_b"), col("shingle")), Seq("id_b", "shingle"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("inter"))
     inter

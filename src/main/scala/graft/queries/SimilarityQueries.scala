@@ -106,6 +106,30 @@ object SimilarityQueries {
              |         JOIN sz sb ON p.id_b = sb.doc_id)
              |WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin)),
 
+    // Same exact pair set as q24, via PPJoin-style prefix filtering: only
+    // each doc's ⌊(1-τ)|x|⌋+1 globally-rarest shingles enter the inverted
+    // index (hot shingle buckets never materialize), candidates verified
+    // against full sets. Shares q24's oracle — exactness is the point.
+    QDef("q102_prefix_jaccard",
+      (s, d) => DedupOps.prefixJaccardPairs(docs(s, d), "doc_id", "text",
+          n = 3, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b")),
+      Some("""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+             |            FROM documents),
+             |sh AS (SELECT doc_id, unnest(list_distinct(
+             |         [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+             |          for i in range(1, greatest(len(toks) - 1, 1))])) AS s
+             |       FROM t),
+             |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+             |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+             |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |      GROUP BY 1, 2)
+             |SELECT id_a, id_b, round(j, 6) AS jaccard FROM (
+             |  SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS j
+             |  FROM p JOIN sz sa ON p.id_a = sa.doc_id
+             |         JOIN sz sb ON p.id_b = sb.doc_id)
+             |WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin)),
+
     // SimHash near-dups (Hamming ≤ 3 via 16-bit banding) — engine-hash
     // based, no SQL oracle; invariants in spec.
     QDef("q25_simhash_pairs",

@@ -51,6 +51,17 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh == exact, s"recall miss: ${(exact -- lsh).size} of ${exact.size}")
   }
 
+  test("prefix-filtered jaccard join is row-identical to the full index") {
+    for (tau <- Seq(0.3, 0.5, 0.8)) {
+      val full = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", 3, tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val pref = DedupOps.prefixJaccardPairs(docs, "doc_id", "text", 3, tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(pref == full, s"tau=$tau")
+      assert(full.nonEmpty || tau > 0.5) // corpus has pairs at low tau
+    }
+  }
+
   test("one-pass simhash matches the explode+aggregate formulation") {
     // the aggregate (shuffle) formulation the one-pass UDF replaced: explode
     // tokens, xxhash64 each, 64 per-bit majority-vote sums
