@@ -144,10 +144,14 @@ object DedupOps {
     val sh = shingles(df, idCol, textCol, n).cache()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("gf"))
+    // rank and set size from ONE shuffle-by-doc (two window frames over the
+    // same partitioning) — a join back to `sizes` would shuffle the whole
+    // shingle table a second time
+    val byDoc = Window.partitionBy(col(idCol))
     val prefix = sh.join(freq, Seq("shingle"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col(idCol)).orderBy(col("gf"), col("shingle"))))
-      .join(sizes, Seq(idCol))
+      .select(col(idCol), col("shingle"),
+        row_number().over(byDoc.orderBy(col("gf"), col("shingle"))).as("rk"),
+        count(lit(1)).over(byDoc).as("sz"))
       .filter(col("rk") <= floor((lit(1.0) - threshold) * col("sz")) + 1)
       .select(col(idCol), col("shingle"))
     val cands = prefix.select(col(idCol).as("id_a"), col("shingle"))
