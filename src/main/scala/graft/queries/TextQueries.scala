@@ -445,6 +445,19 @@ object TextQueries {
              |CAST(floor(-sum((c * 1.0 / tot) * ln(c * 1.0 / tot)) * 10000 + 0.5) AS BIGINT) AS entropy_x1e4
              |FROM t GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Exact frequent tokens via count-min-sketch candidate pruning: the
+    // sketch pass is narrow (KBs of state, no shuffle); only tokens whose
+    // CMS estimate clears the threshold reach the exact-count shuffle.
+    // CMS never undercounts, so the output is exactly the true heavy
+    // hitters — hence a plain GROUP BY/HAVING oracle.
+    QDef("q103_heavy_hitters",
+      (s, d) => graft.operators.HeavyHitters
+        .frequentTokens(docs(s, d), "text", minCount = 200L)
+        .orderBy(col("w")),
+      Some("""WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM documents)
+             |SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM tok
+             |GROUP BY w HAVING count(*) >= 200 ORDER BY w""".stripMargin)),
+
     // Bigram language-model quality score (CCNet-style perplexity filter):
     // the corpus is its own training set; each doc scored by the add-k
     // smoothed average log-probability of its word bigrams. Low scores flag
