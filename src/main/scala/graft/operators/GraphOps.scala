@@ -99,4 +99,53 @@ object GraphOps {
     }
     ranks
   }
+
+  /** Exact triangle count over an undirected edge list via degree
+    * orientation (Cohen's MapReduce formulation / the `NodeIterator++`
+    * idea): orient every edge from its lower-(degree, id) endpoint to the
+    * higher, so each triangle is counted exactly once — at its
+    * minimum-order vertex — and the wedge join fans out per vertex in
+    * O(orientedDeg²) where orientedDeg ≤ √(2·|E|) for EVERY vertex,
+    * including power-law hubs. A hub of degree 10⁶ contributes ~|E| wedges
+    * un-oriented but only ~2·|E| total across ALL vertices oriented — the
+    * difference between a dead executor and an even shuffle at 100 TB.
+    *
+    * Input rows are (src, dst) in any order/multiplicity; self-loops are
+    * dropped. Returns one row: (n_edges, n_triangles).
+    */
+  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    // canonical undirected edge set (a < b), deduped
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint() // referenced 4× below (degrees, orientation, closing join)
+    val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    // The total order is the (deg, id) TUPLE compared lexicographically —
+    // no dense-rank window (a global row_number is a single-partition
+    // bottleneck at scale). deg is one small row per vertex; AQE
+    // broadcasts it when it fits, shuffles on the key when it doesn't.
+    val lowFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oe = e
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), Seq("b"))
+      .select(
+        when(lowFirst, col("a")).otherwise(col("b")).as("src"),
+        when(lowFirst, col("b")).otherwise(col("a")).as("dst"),
+        when(lowFirst, col("db")).otherwise(col("da")).as("ddst"))
+      .localCheckpoint()
+    // wedges at the minimum-order vertex; the closing edge (v, w) is
+    // oriented v→w because (deg, id)(v) < (deg, id)(w) by construction
+    val wedges = oe.select(col("src"), col("dst").as("v"), col("ddst").as("dv"))
+      .join(oe.select(col("src"), col("dst").as("w"), col("ddst").as("dw")), Seq("src"))
+      .filter(col("dv") < col("dw") ||
+        (col("dv") === col("dw") && col("v") < col("w")))
+    val tris = wedges.join(
+      oe.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+    e.agg(count(lit(1)).cast("long").as("n_edges"))
+      .crossJoin(tris.agg(count(lit(1)).cast("long").as("n_triangles")))
+  }
 }

@@ -319,6 +319,33 @@ object GraphQueries {
              |  CAST(sum(CASE WHEN id <> component THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
              |  (SELECT count(*) FROM documents)
              |    - CAST(sum(CASE WHEN id <> component THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors
-             |FROM comps""".stripMargin))
+             |FROM comps""".stripMargin)),
+
+    // Exact triangle count on the co-purchase graph (parts linked when
+    // co-ordered in ≥2 distinct orders). The engine uses degree
+    // orientation ([[GraphOps.triangleCount]]) so hub vertices can't blow
+    // up the wedge join; the oracle is the textbook a<b<c three-way
+    // self-join.
+    QDef("q116_triangle_count",
+      (s, d) => {
+        val lp = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val b = lp.select(col("l_orderkey"), col("l_partkey").as("pb"))
+        val edges = lp.join(b, Seq("l_orderkey"))
+          .filter(col("l_partkey") < col("pb"))
+          .groupBy(col("l_partkey").as("x"), col("pb").as("y"))
+          .agg(count(lit(1)).as("n_orders"))
+          .filter(col("n_orders") >= 2)
+        GraphOps.triangleCount(edges, "x", "y")
+      },
+      Some("""WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |e AS (SELECT a.l_partkey AS x, b.l_partkey AS y
+             |      FROM lp a JOIN lp b
+             |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |      GROUP BY 1, 2 HAVING count(*) >= 2)
+             |SELECT (SELECT count(*) FROM e) AS n_edges,
+             |  (SELECT count(*) FROM e e1
+             |   JOIN e e2 ON e2.x = e1.x AND e2.y > e1.y
+             |   JOIN e e3 ON e3.x = e1.y AND e3.y = e2.y) AS n_triangles""".stripMargin))
   )
 }

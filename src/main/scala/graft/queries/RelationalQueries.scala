@@ -3,6 +3,7 @@ package graft.queries
 import graft.{QDef, Tables}
 import graft.operators.{Profiling, Relational}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Relational operator surface (SURVEY.md §2.4–§2.8) exercised over the
@@ -454,6 +455,287 @@ object RelationalQueries {
              |CAST(count(*) AS BIGINT) AS n
              |FROM customer JOIN nation ON c_nationkey = n_nationkey
              |WHERE c_custkey % 100 = 0
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // TPC-H Q4 shape: EXISTS decorrelated to a left-semi join with an
+    // inequality residual — the semi side never duplicates order rows, so
+    // the count is per-order regardless of matching lineitem multiplicity.
+    QDef("q104_tpch_q4",
+      (s, d) => t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01") &&
+          col("o_orderdate") < lit("1997-04-01"))
+        .join(t(s, d, "lineitem"),
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).cast("long").as("order_count"))
+        .orderBy(col("o_orderpriority")),
+      Some("""SELECT o_orderpriority, count(*) AS order_count
+             |FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+             |  AND o_orderdate < TIMESTAMP '1997-04-01'
+             |  AND EXISTS (SELECT 1 FROM lineitem
+             |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // TPC-H Q10 shape: returned-item revenue per customer over a quarter,
+    // top 20. Fact-fact join shuffles on the order key; customer + nation
+    // stay broadcast; top-k is TakeOrderedAndProject.
+    QDef("q105_tpch_q10",
+      (s, d) => t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1998-01-01") &&
+          col("o_orderdate") < lit("1998-04-01"))
+        .join(t(s, d, "lineitem").filter(col("l_returnflag") === "R"),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"), col("c_acctbal"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20),
+      Some("""SELECT c_custkey, c_name, n_name, c_acctbal,
+             |round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             |FROM orders
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+             |  AND o_orderdate < TIMESTAMP '1998-04-01'
+             |  AND l_returnflag = 'R'
+             |GROUP BY 1, 2, 3, 4 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)),
+
+    // TPC-H Q14 shape: conditional-revenue ratio (promo share) over one
+    // month. part is broadcast; the ratio is one global aggregate.
+    QDef("q106_promo_revenue",
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-06-01") &&
+          col("l_shipdate") < lit("1997-07-01"))
+        .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+        .agg(round(
+          sum(when(col("p_type") === "PROMO",
+            col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0.0))
+            * 100.0 /
+            sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6)
+          .as("promo_pct")),
+      Some("""SELECT round(
+             |  sum(CASE WHEN p_type = 'PROMO'
+             |      THEN l_extendedprice * (1 - l_discount) ELSE 0 END) * 100.0 /
+             |  sum(l_extendedprice * (1 - l_discount)), 6) AS promo_pct
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE l_shipdate >= TIMESTAMP '1997-06-01'
+             |  AND l_shipdate < TIMESTAMP '1997-07-01'""".stripMargin)),
+
+    // TPC-H Q18 shape: large-volume orders (HAVING over a fact aggregate,
+    // then re-join the fact). The quantity aggregate is a map-side-combined
+    // shuffle on l_orderkey; the HAVING survivor set is tiny and broadcasts
+    // back against orders/customer.
+    QDef("q107_tpch_q18",
+      (s, d) => {
+        val big = t(s, d, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(sum(col("l_quantity")).as("sum_qty"))
+          .filter(col("sum_qty") > 250)
+        t(s, d, "orders")
+          .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+          .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            col("o_orderdate"), col("o_totalprice"),
+            round(col("sum_qty"), 2).as("sum_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      },
+      Some("""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+             |round(sum_qty, 2) AS sum_qty
+             |FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+             |      FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 250) big
+             |JOIN orders ON o_orderkey = big.l_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin)),
+
+    // TPC-H Q19 shape: disjunctive multi-attribute predicates (brand ×
+    // size-range × quantity-range OR-arms). The whole disjunction stays
+    // inside one codegen'd filter after a broadcast join — no union of
+    // three scans.
+    QDef("q108_tpch_q19",
+      (s, d) => t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(1, 35) &&
+            col("l_quantity").between(20, 30)))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+          count(lit(1)).cast("long").as("n")),
+      Some("""SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             |count(*) AS n
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+             |       AND l_quantity BETWEEN 1 AND 11)
+             |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+             |       AND l_quantity BETWEEN 10 AND 20)
+             |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+             |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin)),
+
+    // TPC-H Q22 shape: scalar-subquery threshold + anti join. The global
+    // average is one tiny aggregate (crossJoin-broadcast), the anti side is
+    // the recent-orders key set.
+    QDef("q109_tpch_q22",
+      (s, d) => {
+        val c = t(s, d, "customer")
+        val avgBal = c.filter(col("c_acctbal") > 0)
+          .agg(avg(col("c_acctbal")).as("avg_bal"))
+        val recent = t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("2000-01-01"))
+          .select(col("o_custkey"))
+        c.crossJoin(broadcast(avgBal))
+          .filter(col("c_acctbal") > col("avg_bal"))
+          .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).cast("long").as("n_cust"),
+            round(sum(col("c_acctbal")), 2).as("sum_bal"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n_cust,
+             |round(sum(c_acctbal), 2) AS sum_bal
+             |FROM customer
+             |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+             |  AND NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey
+             |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // TPC-H Q7 shape: bi-national trade volume by year. Both nation dims
+    // broadcast under different aliases; the fact-fact join shuffles once
+    // on the order key.
+    QDef("q110_tpch_q7",
+      (s, d) => {
+        val n1 = t(s, d, "nation")
+          .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+        val n2 = t(s, d, "nation")
+          .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+        t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01") &&
+            col("l_shipdate") < lit("1998-01-01"))
+          .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+          .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+          .filter((col("supp_nation") === "FRANCE" && col("cust_nation") === "GERMANY") ||
+            (col("supp_nation") === "GERMANY" && col("cust_nation") === "FRANCE"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).cast("long").as("l_year"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+          .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      },
+      Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             |year(l_shipdate) AS l_year,
+             |round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+             |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             |  AND l_shipdate < TIMESTAMP '1998-01-01'
+             |  AND ((n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
+             |    OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE'))
+             |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
+    // TPC-H Q21 shape (adapted to available columns): suppliers that are
+    // the SOLE 'R'-flag supplier in multi-supplier orders. Instead of the
+    // textbook double EXISTS (two correlated fact probes), both conditions
+    // come from ONE per-order aggregate pass — same result, one shuffle.
+    QDef("q111_sole_fault_supplier",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val perOrder = li.groupBy(col("l_orderkey"))
+          .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+            countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
+              .as("n_r_supp"))
+          .filter(col("n_supp") >= 2 && col("n_r_supp") === 1)
+        li.filter(col("l_returnflag") === "R")
+          .join(perOrder, Seq("l_orderkey"))
+          .select(col("l_orderkey"), col("l_suppkey")).distinct()
+          .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).cast("long").as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+          .limit(20)
+      },
+      Some("""SELECT s_name, count(*) AS numwait FROM (
+             |  SELECT DISTINCT l.l_orderkey, l.l_suppkey
+             |  FROM lineitem l
+             |  JOIN (SELECT l_orderkey,
+             |          count(DISTINCT l_suppkey) AS n_supp,
+             |          count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS n_r_supp
+             |        FROM lineitem GROUP BY 1) po
+             |    ON l.l_orderkey = po.l_orderkey
+             |  WHERE l.l_returnflag = 'R' AND po.n_supp >= 2 AND po.n_r_supp = 1)
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin)),
+
+    // TPC-H Q15 shape: top supplier(s) by windowed revenue — the max is a
+    // window over the (tiny) per-supplier aggregate, not a second scan.
+    QDef("q112_top_supplier",
+      (s, d) => {
+        val rev = t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= lit("1997-01-01") &&
+            col("l_shipdate") < lit("1997-04-01"))
+          .groupBy(col("l_suppkey"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("total_revenue"))
+        rev.withColumn("max_rev",
+            max(col("total_revenue")).over(Window.partitionBy()))
+          .filter(col("total_revenue") === col("max_rev"))
+          .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""WITH rev AS (
+             |  SELECT l_suppkey,
+             |    round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+             |  FROM lineitem
+             |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             |    AND l_shipdate < TIMESTAMP '1997-04-01'
+             |  GROUP BY 1)
+             |SELECT s_suppkey, s_name, total_revenue
+             |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+             |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+             |ORDER BY s_suppkey""".stripMargin)),
+
+    // 2-D skyline (Pareto frontier): parts not dominated on (size ↑,
+    // price ↓). Naive form is the O(n²) NOT-EXISTS self-join the oracle
+    // runs; the engine reduces to a per-size min (tiny) + one running min
+    // over the size domain, then a broadcast join back — O(n) + O(|sizes|),
+    // no self-join at any scale.
+    QDef("q115_skyline",
+      (s, d) => {
+        val parts = t(s, d, "part")
+        val perSize = parts.groupBy(col("p_size"))
+          .agg(min(col("p_retailprice")).as("size_min"))
+        // strictly-greater-size running min: order sizes desc, frame
+        // excludes the current row
+        val w = Window.partitionBy().orderBy(col("p_size").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val frontier = perSize
+          .withColumn("gt_min", min(col("size_min")).over(w))
+        parts.join(broadcast(frontier), Seq("p_size"))
+          .filter(col("p_retailprice") === col("size_min") &&
+            (col("gt_min").isNull || col("p_retailprice") < col("gt_min")))
+          .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
+          .orderBy(col("p_size"), col("p_partkey"))
+      },
+      Some("""SELECT p_partkey, p_size, p_retailprice FROM part p
+             |WHERE NOT EXISTS (
+             |  SELECT 1 FROM part q
+             |  WHERE q.p_size >= p.p_size AND q.p_retailprice <= p.p_retailprice
+             |    AND (q.p_size > p.p_size OR q.p_retailprice < p.p_retailprice))
+             |ORDER BY p_size, p_partkey""".stripMargin))
   )
 }

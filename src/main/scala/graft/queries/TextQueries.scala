@@ -513,6 +513,79 @@ object TextQueries {
       },
       None),
 
+    // CCNet-style boilerplate scrub re-expressed over token windows (the
+    // corpus has no newlines, so fixed 10-token windows stand in for
+    // lines): a window whose exact content appears in ≥2 distinct docs is
+    // corpus boilerplate and is dropped; the doc is reassembled from the
+    // surviving windows in order. The boilerplate set is O(dups) — at
+    // 100 TB it broadcasts; the doc text itself is never shuffled twice
+    // (one groupBy(gram) over hashes, one groupBy(doc) to reassemble).
+    QDef("q113_boilerplate_scrub",
+      (s, d) => {
+        val wins = docs(s, d)
+          .select(col("doc_id"),
+            expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("ts"))
+          .select(col("doc_id"), posexplode(expr(
+            "transform(sequence(0, cast(ceil(size(ts)/10.0) as int) - 1)," +
+              " j -> array_join(slice(ts, j*10+1, 10), ' '))")))
+          .withColumnRenamed("pos", "j").withColumnRenamed("col", "g")
+        val bp = wins.groupBy(col("g"))
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 2)
+          .select(col("g"), lit(true).as("is_bp"))
+        wins.join(broadcast(bp), Seq("g"), "left")
+          .withColumn("is_bp", coalesce(col("is_bp"), lit(false)))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).cast("long").as("n_windows"),
+            sum(when(col("is_bp"), 1L).otherwise(0L)).as("n_dropped"),
+            // concat_ws skips null elements, so boilerplate windows vanish
+            // from the reassembled text while order is kept by the sort key
+            md5(concat_ws(" ", expr(
+              "transform(array_sort(collect_list(struct(j, if(is_bp, " +
+                "cast(null as string), g) as g2))), x -> x.g2)")))
+              .as("clean_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents),
+             |wins AS (SELECT doc_id, j, array_to_string(list_slice(ts, j*10+1, j*10+10), ' ') AS g
+             |         FROM toks, UNNEST(range(0, CAST(ceil(len(ts)/10.0) AS INT))) u(j)),
+             |bp AS (SELECT g FROM wins GROUP BY g HAVING count(DISTINCT doc_id) >= 2)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+             |CAST(sum(CASE WHEN is_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+             |md5(coalesce(string_agg(CASE WHEN NOT is_bp THEN g END, ' ' ORDER BY j), '')) AS clean_md5
+             |FROM (SELECT w.*, g IN (SELECT g FROM bp) AS is_bp FROM wins w)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Deterministic weighted sampling (Efraimidis–Spirakis A-ES): per-source
+    // top-5 by key u^(1/w) with u a md5-derived uniform and w = n_chars —
+    // char-heavy docs are proportionally likelier to be drawn, yet the
+    // sample is reproducible across engines, reshardings and reruns (no
+    // RNG state). Ranked via ln(u)/w (monotone in the key); one window
+    // pass, no global sort.
+    QDef("q117_weighted_sample",
+      (s, d) => {
+        val keyed = docs(s, d).withColumn("u",
+            conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+              .cast("long"))
+          .withColumn("k",
+            log((col("u") + 0.5) / 16777216.0) / col("n_chars"))
+        keyed.withColumn("rank", row_number().over(
+            Window.partitionBy(col("source"))
+              .orderBy(col("k").desc, col("doc_id"))))
+          .filter(col("rank") <= 5)
+          .select(col("source"), col("rank").cast("long").as("rank"),
+            col("doc_id"), col("n_chars"))
+          .orderBy(col("source"), col("rank"))
+      },
+      Some("""WITH keyed AS (SELECT source, doc_id, n_chars,
+             |  ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) + 0.5)
+             |     / 16777216.0) / n_chars AS k
+             |  FROM documents),
+             |ranked AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY k DESC, doc_id) AS rank
+             |           FROM keyed)
+             |SELECT source, rank, doc_id, n_chars FROM ranked
+             |WHERE rank <= 5 ORDER BY source, rank""".stripMargin)),
+
     // P8 chunker: stateful per-row expansion — no SQL oracle (rows-only
     // driver check); invariants covered in ChunkingSpec.
     QDef("q19_chunks",

@@ -426,6 +426,35 @@ object WindowQueries {
              |  (cb + 0.5) / (nb + 5.0) AS pb FROM t)
              |SELECT event_type, CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
              |CAST(floor(sum((pa - pb) * ln(pa / pb)) * 1000000 + 0.5) AS BIGINT) AS psi_x1e6
-             |FROM p GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM p GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Gaps-and-islands: longest run of consecutive active days per user
+    // (the date-minus-row_number grouping trick — one shuffle on user_id,
+    // both windows and the final aggregate share that partitioning).
+    QDef("q114_active_streaks",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val days = ev(s, d)
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        val grp = days.withColumn("rn", row_number().over(
+            Window.partitionBy(col("user_id")).orderBy(col("day"))))
+          .withColumn("island", date_sub(col("day"), col("rn")))
+        grp.groupBy(col("user_id"), col("island"))
+          .agg(count(lit(1)).cast("long").as("len"))
+          .groupBy(col("user_id"))
+          .agg(max(col("len")).as("longest_streak"),
+            sum(col("len")).as("n_active_days"))
+          .orderBy(col("longest_streak").desc, col("user_id"))
+          .limit(50)
+      },
+      Some("""WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+             |grp AS (SELECT user_id, day,
+             |  day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INTEGER) AS island
+             |  FROM days),
+             |runs AS (SELECT user_id, island, count(*) AS len FROM grp GROUP BY 1, 2)
+             |SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak,
+             |CAST(sum(len) AS BIGINT) AS n_active_days
+             |FROM runs GROUP BY 1
+             |ORDER BY longest_streak DESC, user_id LIMIT 50""".stripMargin))
   )
 }
