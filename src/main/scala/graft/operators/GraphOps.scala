@@ -120,7 +120,9 @@ object GraphOps {
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .localCheckpoint() // referenced 4× below (degrees, orientation, closing join)
+      .cache() // referenced 4× below (degrees, orientation, closing join);
+               // lazy cache, not localCheckpoint: no loop lineage to cut
+               // here, and an eager checkpoint would cost an extra job
     val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))
     // The total order is the (deg, id) TUPLE compared lexicographically —
@@ -136,7 +138,7 @@ object GraphOps {
         when(lowFirst, col("a")).otherwise(col("b")).as("src"),
         when(lowFirst, col("b")).otherwise(col("a")).as("dst"),
         when(lowFirst, col("db")).otherwise(col("da")).as("ddst"))
-      .localCheckpoint()
+      .cache()
     // wedges at the minimum-order vertex; the closing edge (v, w) is
     // oriented v→w because (deg, id)(v) < (deg, id)(w) by construction
     val wedges = oe.select(col("src"), col("dst").as("v"), col("ddst").as("dv"))

@@ -328,12 +328,17 @@ object GraphQueries {
     // self-join.
     QDef("q116_triangle_count",
       (s, d) => {
-        val lp = t(s, d, "lineitem")
-          .select(col("l_orderkey"), col("l_partkey")).distinct()
-        val b = lp.select(col("l_orderkey"), col("l_partkey").as("pb"))
-        val edges = lp.join(b, Seq("l_orderkey"))
-          .filter(col("l_partkey") < col("pb"))
-          .groupBy(col("l_partkey").as("x"), col("pb").as("y"))
+        // pair generation is local to each order (collect_set + nested
+        // transform), NOT a fact-fact self-join: one shuffle on the order
+        // key, then one on the pair — orders have few distinct parts, so
+        // the local k² is trivial while a 600k×600k self-join is not
+        val edges = t(s, d, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(collect_set(col("l_partkey")).as("ps"))
+          .select(explode(expr(
+            "filter(flatten(transform(ps, x -> transform(ps, y -> struct(x, y))))," +
+              " p -> p.x < p.y)")).as("p"))
+          .groupBy(col("p.x").as("x"), col("p.y").as("y"))
           .agg(count(lit(1)).as("n_orders"))
           .filter(col("n_orders") >= 2)
         GraphOps.triangleCount(edges, "x", "y")
