@@ -57,6 +57,31 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Hard-negative mining (contrastive-training data prep): for each query
+    * row, its top-k most-similar corpus rows with a DIFFERENT label — the
+    * negatives that sit closest to the decision boundary. Same shape as
+    * [[knnJoin]] (query side broadcast, per-query top-k heap) with the
+    * label-mismatch predicate inside the codegen'd filter, so excluded
+    * same-label rows never reach the window.
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame,
+                    idCol: String, embCol: String, labelCol: String,
+                    k: Int): DataFrame = {
+    val q = withNorm(queries, embCol)
+      .select(col(idCol).as("query_id"), col(labelCol).as("__qlabel"),
+        col(embCol).as("__qemb"), col("__norm").as("__qnorm"))
+    val c = withNorm(corpus, embCol)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col(idCol))
+    c.crossJoin(broadcast(q))
+      .filter(col(labelCol) =!= col("__qlabel"))
+      .select(col("query_id"), col(idCol), col(labelCol),
+        (VectorFns.dot(col(embCol), col("__qemb"))
+          / (col("__norm") * col("__qnorm"))).as("sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Exact embedding near-duplicate pairs: all (a<b) with cosine ≥ threshold.
     * O(n²/2) — the correctness baseline the LSH variant is judged against.
     */

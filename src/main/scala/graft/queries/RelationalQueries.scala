@@ -736,6 +736,36 @@ object RelationalQueries {
              |  SELECT 1 FROM part q
              |  WHERE q.p_size >= p.p_size AND q.p_retailprice <= p.p_retailprice
              |    AND (q.p_size > p.p_size OR q.p_retailprice < p.p_retailprice))
-             |ORDER BY p_size, p_partkey""".stripMargin))
+             |ORDER BY p_size, p_partkey""".stripMargin)),
+
+    // Key-skew audit: the shuffle-planning report (top-key share + Gini of
+    // the per-key load) you run BEFORE picking salting/AQE settings on a
+    // new key. The window runs over the per-key count table (≪ events);
+    // for billions of keys, bin the Lorenz curve instead of exact ranks.
+    QDef("q119_skew_audit",
+      (s, d) => {
+        val cnt = t(s, d, "events").groupBy(col("user_id"))
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy().orderBy(col("cnt"), col("user_id"))
+        cnt.withColumn("rn", row_number().over(w))
+          .agg(count(lit(1)).cast("long").as("n_keys"),
+            sum(col("cnt")).cast("long").as("n_events"),
+            max(col("cnt")).cast("long").as("max_cnt"),
+            floor(max(col("cnt")) * 1000000.0 / sum(col("cnt")) + 0.5)
+              .cast("long").as("top_share_x1e6"),
+            floor((lit(2.0) * sum(col("rn") * col("cnt"))
+                / (count(lit(1)) * sum(col("cnt")))
+              - (count(lit(1)) + lit(1.0)) / count(lit(1))) * 1000000.0 + 0.5)
+              .cast("long").as("gini_x1e6"))
+      },
+      Some("""WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+             |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt, user_id) AS rn FROM c)
+             |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             |CAST(sum(cnt) AS BIGINT) AS n_events,
+             |CAST(max(cnt) AS BIGINT) AS max_cnt,
+             |CAST(floor(max(cnt) * 1000000.0 / sum(cnt) + 0.5) AS BIGINT) AS top_share_x1e6,
+             |CAST(floor((2.0 * sum(rn * cnt) / (count(*) * sum(cnt))
+             |  - (count(*) + 1.0) / count(*)) * 1000000.0 + 0.5) AS BIGINT) AS gini_x1e6
+             |FROM r""".stripMargin))
   )
 }

@@ -195,6 +195,29 @@ object SimilarityQueries {
       Some("""SELECT md5(substr(text, 1, 80)) AS fp,
              |CAST(min(doc_id) AS BIGINT) AS keeper,
              |count(*) AS n_dups
-             |FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY fp""".stripMargin))
+             |FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY fp""".stripMargin)),
+
+    // Hard-negative mining for contrastive training: top-3 most-similar
+    // vectors with a DIFFERENT label, for each of the first 5 vectors.
+    QDef("q118_hard_negatives",
+      (s, d) => graft.operators.Similarity.hardNegatives(
+          embs(s, d).filter(col("vec_id") < 5), embs(s, d),
+          "vec_id", "embedding", "label", 3)
+        .select(col("query_id"), col("vec_id"), col("label").cast("long").as("label"),
+          round(col("sim"), 6).as("sim"), col("rank"))
+        .orderBy(col("query_id"), col("rank")),
+      Some("""SELECT query_id, vec_id, label, round(sim, 6) AS sim, rank FROM (
+             |  SELECT q.qid AS query_id, e.vec_id, CAST(e.label AS BIGINT) AS label,
+             |    list_dot_product(e.v, q.qv)
+             |      / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS sim,
+             |    row_number() OVER (PARTITION BY q.qid
+             |      ORDER BY list_dot_product(e.v, q.qv)
+             |        / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+             |        e.vec_id) AS rank
+             |  FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings) e,
+             |       (SELECT vec_id AS qid, label AS qlabel, CAST(embedding AS DOUBLE[]) qv
+             |        FROM embeddings WHERE vec_id < 5) q
+             |  WHERE e.label <> q.qlabel)
+             |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin))
   )
 }

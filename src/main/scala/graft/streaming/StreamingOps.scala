@@ -145,6 +145,99 @@ object StreamingOps {
       .drop(col(s"r.$keyCol"))
   }
 
+  final case class PatEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+  final case class PatBuffer(as: List[Long], bs: List[Long]) // epoch micros
+  final case class PatMatch(user_id: Long, a_ts: java.sql.Timestamp,
+      b_ts: java.sql.Timestamp, lag_sec: Double)
+
+  /** CEP-style sequence detection on a stream: per key, emit (a, b) when an
+    * `aType` event is FOLLOWED BY a `bType` event within `withinSeconds`
+    * (b = the earliest such follower; every A matches at most once, Bs are
+    * reusable across As — the "A FOLLOWED-BY B" pattern of Flink CEP /
+    * MATCH_RECOGNIZE, which Spark has no native operator for).
+    *
+    * Correctness under out-of-order arrival: emitting eagerly on each B
+    * would bind an A to a *later* B when the true first B is still in
+    * flight. Instead both event kinds buffer in the state store, and an A
+    * resolves only once the event-time watermark passes `a_ts + within` —
+    * no earlier B can arrive after that. State per key is O(events inside
+    * the lag window + watermark delay), evicted monotonically; emission is
+    * exactly the batch semantics, independent of batch boundaries.
+    */
+  def patternMatches(events: org.apache.spark.sql.Dataset[PatEvent],
+                     aType: String, bType: String, withinSeconds: Long,
+                     watermark: String)
+      : org.apache.spark.sql.Dataset[PatMatch] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    val winUs = withinSeconds * 1000000L
+
+    def toMicros(t: java.sql.Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+    def fromMicros(us: Long): java.sql.Timestamp = {
+      val ts = new java.sql.Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+      ts.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+      ts
+    }
+
+    // resolve expired As against the B buffer; returns (matches, kept state)
+    def resolve(uid: Long, st: PatBuffer, wmUs: Long): (Seq[PatMatch], PatBuffer) = {
+      val (expired, pending) = st.as.partition(a => a + winUs < wmUs)
+      val matches = expired.sorted.flatMap { a =>
+        st.bs.filter(b => b > a && b <= a + winUs).minOption
+          .map(b => PatMatch(uid, fromMicros(a), fromMicros(b), (b - a) / 1e6))
+      }
+      // pending As all have a + win >= wm, so any B they can use has
+      // b > a >= wm - win; future As have a >= wm > wm - win too
+      (matches, PatBuffer(pending, st.bs.filter(_ + winUs >= wmUs)))
+    }
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[PatEvent], state: GroupState[PatBuffer]) =>
+          val st0 = state.getOption.getOrElse(PatBuffer(Nil, Nil))
+          val incoming = it.toSeq
+          val st1 = PatBuffer(
+            st0.as ++ incoming.collect { case e if e.event_type == aType => toMicros(e.ts) },
+            st0.bs ++ incoming.collect { case e if e.event_type == bType => toMicros(e.ts) })
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (matches, kept) = resolve(uid, st1, wmUs)
+          if (kept.as.isEmpty && kept.bs.isEmpty) {
+            if (state.exists) state.remove()
+          } else {
+            state.update(kept)
+            // wake when the earliest pending A expires (or stale Bs need
+            // eviction); must be strictly past the current watermark
+            val nextUs = (kept.as.map(_ + winUs) ++ kept.bs.map(_ + winUs)).min
+            state.setTimeoutTimestamp(
+              math.max(nextUs / 1000L + 1L, state.getCurrentWatermarkMs() + 1L))
+          }
+          matches.iterator
+      }
+  }
+
+  /** Batch twin of [[patternMatches]] — same first-follower semantics as
+    * one bounded query (per-key equi-join + time-range residual, then
+    * min-per-A). Equality with the streaming form is pinned in
+    * StreamingSpec.
+    */
+  def patternMatchesBatch(events: DataFrame, aType: String, bType: String,
+                          withinSeconds: Long): DataFrame = {
+    val a = events.filter(col("event_type") === aType)
+      .select(col("user_id"), col("ts").as("a_ts"))
+    val b = events.filter(col("event_type") === bType)
+      .select(col("user_id").as("b_uid"), col("ts").as("b_ts"))
+    a.join(b, col("user_id") === col("b_uid") &&
+        col("b_ts") > col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr(s"INTERVAL $withinSeconds SECONDS"))
+      .groupBy(col("user_id"), col("a_ts"))
+      .agg(min(col("b_ts")).as("b_ts"))
+      .withColumn("lag_sec",
+        (col("b_ts").cast("double") - col("a_ts").cast("double")))
+  }
+
   /** Continuous-ingestion exact dedup: every micro-batch is fingerprinted,
     * deduped batch-locally (keep-min-id), anti-joined against the persisted
     * fingerprint index, and only first-ever-seen docs are appended to

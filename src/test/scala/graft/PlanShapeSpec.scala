@@ -13,6 +13,42 @@ class PlanShapeSpec extends SparkSpec {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
+  test("no query plans an unintended Cartesian product or nested-loop join") {
+    // Deliberate exceptions only: tiny-broadcast cross joins (one-row
+    // scalar tables, broadcast query vectors) and the exact O(n²)
+    // similarity baselines that the approximate operators are judged
+    // against. Everything else must plan as hash/sort-merge/broadcast
+    // equi-joins — a BNLJ or CartesianProduct sneaking into any other
+    // query is exactly the regression that kills a 100 TB run.
+    val broadcastCrossAllowed = Set(
+      // broadcast query-vector / scalar-threshold cross joins
+      "q20_cosine_topk", "q21_knn_join", "q46_ivf_ann", "q109_tpch_q22",
+      "q118_hard_negatives", "q35_disparity", "q38_top_decile",
+      "q53_union_drift", "q58_correlated_avg", "q62_anomaly_profile",
+      "q79_decontaminate", "q100_lm_score", "q81_mix_weights",
+      // one-row aggregate × one-row aggregate (report assembly)
+      "q74_anomaly_gates", "q77_dedup_purge", "q116_triangle_count",
+      "q36_underrepresentation",
+      // tiny-distinct-domain inequality self-join (|p_type| = 6) and
+      // distinct-type × 10-bin grid
+      "q92_fuzzy_types", "q101_psi_drift")
+    val cartesianAllowed = Set("q22_embed_neardup")
+    val offenders = QueryRegistry.all.flatMap { q =>
+      try {
+        val p = q.run(spark, sf).queryExecution.executedPlan.toString
+        val cart = p.contains("CartesianProduct") && !cartesianAllowed(q.name)
+        val bnlj = p.contains("BroadcastNestedLoopJoin") &&
+          !broadcastCrossAllowed(q.name) && !cartesianAllowed(q.name)
+        if (cart || bnlj)
+          Some(s"${q.name}${if (cart) " [cartesian]" else " [bnlj]"}")
+        else None
+      } catch {
+        case e: Throwable => Some(s"${q.name} [failed: ${e.getMessage.take(100)}]")
+      }
+    }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+
   test("q01 scan is column-pruned to the referenced columns") {
     val p = plan("q01_pricing_summary")
     assert(p.contains("ReadSchema"))

@@ -80,6 +80,46 @@ class StreamingSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("CEP pattern matches (A followed-by B within T) equal the batch twin") {
+    import spark.implicits._
+    val ev = Tables(spark, sf, "events")
+      .select(col("user_id"), col("ts"), col("event_type"))
+    // stage: real events, then one far-future sentinel (a type that is
+    // neither A nor B) to push the watermark past every pending window
+    val dir = java.nio.file.Files.createTempDirectory("graft-cep").toString
+    ev.coalesce(1).write.parquet(s"$dir/b1")
+    val maxTs = ev.agg(max("ts")).collect()(0).getTimestamp(0)
+    val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 86400000L)
+    Seq((0L, sentinelTs, "view")).toDF("user_id", "ts", "event_type")
+      .coalesce(1).write.parquet(s"$dir/b2")
+    val flat = java.nio.file.Files.createTempDirectory("graft-cep-flat")
+    def copyPart(sub: String, name: String): Unit = {
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/$sub"))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.copy(part, flat.resolve(name))
+      flat.resolve(name).toFile.setLastModified(
+        if (name == "b1.parquet") 1000000L else 2000000L)
+    }
+    copyPart("b1", "b1.parquet"); copyPart("b2", "b2.parquet")
+
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(flat.toString)
+      .as[StreamingOps.PatEvent]
+    val matches = StreamingOps.patternMatches(
+      stream, "click", "purchase", withinSeconds = 3600, watermark = "10 minutes")
+    val streamed = StreamingOps
+      .runToMemory(matches.toDF(), "cep_out", "append")
+      .select("user_id", "a_ts", "b_ts")
+
+    val batch = StreamingOps.patternMatchesBatch(ev, "click", "purchase", 3600)
+      .select("user_id", "a_ts", "b_ts")
+
+    assert(batch.count() > 0) // the data must actually exercise the pattern
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("streaming dedup drops re-delivered events within the watermark") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString

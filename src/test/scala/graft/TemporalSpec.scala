@@ -64,6 +64,27 @@ class TemporalSpec extends SparkSpec {
     assert(GraphOps.connectedComponents(edges, "a", "b").count() == 0)
   }
 
+  test("triangle count handles hubs, dedups edges, drops self-loops") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (4 triangles) + hub 5 fanned to 6..9 with one
+    // closing edge 6-7 (1 triangle) + duplicate/reversed/self edges
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val hub = Seq((5L, 6L), (5L, 7L), (5L, 8L), (5L, 9L), (6L, 7L))
+    val noise = Seq((2L, 1L), (1L, 2L), (5L, 5L))
+    val edges = (k4 ++ hub ++ noise).toDF("a", "b")
+    val r = GraphOps.triangleCount(edges, "a", "b").collect()(0)
+    assert(r.getAs[Long]("n_edges") == 11)
+    assert(r.getAs[Long]("n_triangles") == 5)
+  }
+
+  test("triangle count of a triangle-free graph is zero") {
+    import spark.implicits._
+    // star + path: no closed wedge
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (4L, 5L)).toDF("a", "b")
+    val r = GraphOps.triangleCount(edges, "a", "b").collect()(0)
+    assert(r.getAs[Long]("n_triangles") == 0)
+  }
+
   test("asof join carries the matched right row wholesale, nulls included") {
     import spark.implicits._
     val right = Seq(
