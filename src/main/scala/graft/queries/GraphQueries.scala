@@ -351,6 +351,58 @@ object GraphQueries {
              |SELECT (SELECT count(*) FROM e) AS n_edges,
              |  (SELECT count(*) FROM e e1
              |   JOIN e e2 ON e2.x = e1.x AND e2.y > e1.y
-             |   JOIN e e3 ON e3.x = e1.y AND e3.y = e2.y) AS n_triangles""".stripMargin))
+             |   JOIN e e3 ON e3.x = e1.y AND e3.y = e2.y) AS n_triangles""".stripMargin)),
+
+    // Association-rule mining (market-basket, FP-growth's output at the
+    // pairwise level): co-ordered part pairs with support ≥ 3 orders →
+    // both rule directions with confidence and lift. The transaction pass
+    // shuffles once on the order key (local pair expansion); item
+    // frequencies join back from a tiny aggregate.
+    QDef("q120_assoc_rules",
+      (s, d) => {
+        val lp = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val nOrders = lp.agg(
+          countDistinct(col("l_orderkey")).as("n_orders"))
+        val freq = lp.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_item"))
+        val pairs = lp.groupBy(col("l_orderkey"))
+          .agg(collect_set(col("l_partkey")).as("ps"))
+          .select(explode(expr(
+            "filter(flatten(transform(ps, x -> transform(ps, y -> struct(x, y))))," +
+              " p -> p.x < p.y)")).as("p"))
+          .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+          .agg(count(lit(1)).as("n_pair"))
+          .filter(col("n_pair") >= 3)
+        // both directions of every surviving pair
+        val rules = pairs.select(col("x").as("lhs"), col("y").as("rhs"), col("n_pair"))
+          .unionByName(pairs.select(col("y").as("lhs"), col("x").as("rhs"), col("n_pair")))
+        rules
+          .join(freq.select(col("l_partkey").as("lhs"), col("n_item").as("n_lhs")), Seq("lhs"))
+          .join(freq.select(col("l_partkey").as("rhs"), col("n_item").as("n_rhs")), Seq("rhs"))
+          .crossJoin(broadcast(nOrders))
+          .select(col("lhs"), col("rhs"), col("n_pair").cast("long").as("n_pair"),
+            floor(col("n_pair") * 1000000.0 / col("n_lhs") + 0.5)
+              .cast("long").as("confidence_x1e6"),
+            floor(col("n_pair") * col("n_orders") * 10000.0
+              / (col("n_lhs") * col("n_rhs")) + 0.5).cast("long").as("lift_x1e4"))
+          .orderBy(col("lhs"), col("rhs"))
+      },
+      Some("""WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM lp),
+             |freq AS (SELECT l_partkey, count(*) AS n_item FROM lp GROUP BY 1),
+             |pairs AS (SELECT a.l_partkey AS x, b.l_partkey AS y, count(*) AS n_pair
+             |          FROM lp a JOIN lp b
+             |            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |          GROUP BY 1, 2 HAVING count(*) >= 3),
+             |rules AS (SELECT x AS lhs, y AS rhs, n_pair FROM pairs
+             |          UNION ALL SELECT y, x, n_pair FROM pairs)
+             |SELECT lhs, rhs, CAST(n_pair AS BIGINT) AS n_pair,
+             |CAST(floor(n_pair * 1000000.0 / fl.n_item + 0.5) AS BIGINT) AS confidence_x1e6,
+             |CAST(floor(n_pair * n.n_orders * 10000.0 / (fl.n_item * fr.n_item) + 0.5) AS BIGINT) AS lift_x1e4
+             |FROM rules
+             |JOIN freq fl ON rules.lhs = fl.l_partkey
+             |JOIN freq fr ON rules.rhs = fr.l_partkey
+             |CROSS JOIN n
+             |ORDER BY lhs, rhs""".stripMargin))
   )
 }

@@ -28,7 +28,7 @@ class PlanShapeSpec extends SparkSpec {
       "q79_decontaminate", "q100_lm_score", "q81_mix_weights",
       // one-row aggregate × one-row aggregate (report assembly)
       "q74_anomaly_gates", "q77_dedup_purge", "q116_triangle_count",
-      "q36_underrepresentation",
+      "q36_underrepresentation", "q120_assoc_rules",
       // tiny-distinct-domain inequality self-join (|p_type| = 6) and
       // distinct-type × 10-bin grid
       "q92_fuzzy_types", "q101_psi_drift")
