@@ -100,6 +100,51 @@ object GraphOps {
     ranks
   }
 
+  /** k-core: the maximal subgraph where every vertex keeps degree ≥ k —
+    * the standard "dense collaboration cluster" extraction (and, in
+    * training-data land, the connector-hub filter for citation/link
+    * graphs). Computed by iterative peeling: drop vertices with degree
+    * < k, recompute, repeat until fixed point.
+    *
+    * Each round is one degree aggregate + one semi-join filter of the
+    * edge list; `localCheckpoint` per round cuts the growing lineage
+    * (same loop discipline as [[connectedComponents]]). The driver sees
+    * only the per-round edge count (the convergence check). Rounds
+    * needed = peeling depth; real graphs converge in tens of rounds,
+    * each O(|E_remaining|).
+    *
+    * Returns the surviving vertices as (v, deg) with their in-core
+    * degree.
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+            maxIters: Int = 50): DataFrame = {
+    var cur = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    var nEdges = cur.count()
+    var done = nEdges == 0L
+    var iter = 0
+    while (!done && iter < maxIters) {
+      val deg = cur.select(col("a").as("v")).union(cur.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select("v")
+      val next = cur
+        .join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
+        .localCheckpoint()
+      val n = next.count()
+      done = n == nEdges || n == 0L
+      cur = next
+      nEdges = n
+      iter += 1
+    }
+    cur.select(col("a").as("v")).union(cur.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).cast("long").as("deg"))
+  }
+
   /** Exact triangle count over an undirected edge list via degree
     * orientation (Cohen's MapReduce formulation / the `NodeIterator++`
     * idea): orient every edge from its lower-(degree, id) endpoint to the

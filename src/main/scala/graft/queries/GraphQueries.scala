@@ -403,6 +403,26 @@ object GraphQueries {
              |JOIN freq fl ON rules.lhs = fl.l_partkey
              |JOIN freq fr ON rules.rhs = fr.l_partkey
              |CROSS JOIN n
-             |ORDER BY lhs, rhs""".stripMargin))
+             |ORDER BY lhs, rhs""".stripMargin)),
+
+    // 3-core of the co-purchase graph: iterative peeling to the true
+    // fixed point (data-dependent round count — not SQL-expressible, so
+    // rows-only driver check; peeling semantics pinned in TemporalSpec).
+    QDef("q121_kcore",
+      (s, d) => {
+        val lp = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val edges = lp.groupBy(col("l_orderkey"))
+          .agg(collect_set(col("l_partkey")).as("ps"))
+          .select(explode(expr(
+            "filter(flatten(transform(ps, x -> transform(ps, y -> struct(x, y))))," +
+              " p -> p.x < p.y)")).as("p"))
+          .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+          .agg(count(lit(1)).as("n_orders"))
+          .filter(col("n_orders") >= 2)
+        GraphOps.kCore(edges, "x", "y", k = 3)
+          .orderBy(col("v"))
+      },
+      None)
   )
 }

@@ -49,6 +49,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(offenders.isEmpty, offenders.mkString("; "))
   }
 
+  test("per-group top-k plans with WindowGroupLimit pushdown") {
+    // Spark's InferWindowGroupLimit turns window-rank + `rn <= k` filters
+    // into a per-partition bounded heap BEFORE the full sort — the reason
+    // the engine uses the declarative window form for per-group top-k
+    // instead of a custom physical operator. Pin it so a filter-shape
+    // refactor can't silently fall back to sorting whole partitions.
+    val p = plan("q70_tfidf_topterms")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("q01 scan is column-pruned to the referenced columns") {
     val p = plan("q01_pricing_summary")
     assert(p.contains("ReadSchema"))

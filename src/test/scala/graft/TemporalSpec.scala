@@ -85,6 +85,25 @@ class TemporalSpec extends SparkSpec {
     assert(r.getAs[Long]("n_triangles") == 0)
   }
 
+  test("k-core peels cascading tails, keeps the dense core") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (its own 3-core) + a tail 4-5-6 whose removal
+    // cascades (5 and 6 only reach degree ≥ 1), + pendant 7 on the core
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (1L, 7L)).toDF("a", "b")
+    val core = GraphOps.kCore(edges, "a", "b", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("deg")).toMap
+    assert(core.keySet == Set(1L, 2L, 3L, 4L))
+    assert(core.values.forall(_ == 3L)) // K4 degrees inside the core
+  }
+
+  test("k-core is empty when no subgraph sustains degree k") {
+    import spark.implicits._
+    // a tree has no 2-core
+    val edges = Seq((1L, 2L), (1L, 3L), (3L, 4L), (3L, 5L)).toDF("a", "b")
+    assert(GraphOps.kCore(edges, "a", "b", k = 2).count() == 0)
+  }
+
   test("asof join carries the matched right row wholesale, nulls included") {
     import spark.implicits._
     val right = Seq(
