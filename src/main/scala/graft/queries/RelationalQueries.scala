@@ -766,6 +766,40 @@ object RelationalQueries {
              |CAST(floor(max(cnt) * 1000000.0 / sum(cnt) + 0.5) AS BIGINT) AS top_share_x1e6,
              |CAST(floor((2.0 * sum(rn * cnt) / (count(*) * sum(cnt))
              |  - (count(*) + 1.0) / count(*)) * 1000000.0 + 0.5) AS BIGINT) AS gini_x1e6
-             |FROM r""".stripMargin))
+             |FROM r""".stripMargin)),
+
+    // Chi-square independence test (source × lang contingency): the
+    // "is this categorical pair actually correlated" check behind
+    // composition dashboards. One groupBy for cells; marginals come from
+    // windows over the (tiny) cell table, never a second scan.
+    QDef("q124_chi2_independence",
+      (s, d) => {
+        val cells = t(s, d, "documents")
+          .groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).cast("double").as("o"))
+        val w = Window.partitionBy()
+        val wr = Window.partitionBy(col("source"))
+        val wc = Window.partitionBy(col("lang"))
+        cells
+          .withColumn("rt", sum(col("o")).over(wr))
+          .withColumn("ct", sum(col("o")).over(wc))
+          .withColumn("tot", sum(col("o")).over(w))
+          .withColumn("e", col("rt") * col("ct") / col("tot"))
+          .agg(
+            floor(sum(pow(col("o") - col("e"), 2) / col("e")) * 10000 + 0.5)
+              .cast("long").as("chi2_x1e4"),
+            ((countDistinct(col("source")) - 1) *
+              (countDistinct(col("lang")) - 1)).cast("long").as("dof"),
+            sum(col("o")).cast("long").as("n_docs"))
+      },
+      Some("""WITH cells AS (SELECT source, lang, CAST(count(*) AS DOUBLE) AS o
+             |  FROM documents GROUP BY 1, 2),
+             |m AS (SELECT *, sum(o) OVER (PARTITION BY source) AS rt,
+             |  sum(o) OVER (PARTITION BY lang) AS ct, sum(o) OVER () AS tot
+             |  FROM cells)
+             |SELECT CAST(floor(sum(pow(o - rt * ct / tot, 2) / (rt * ct / tot)) * 10000 + 0.5) AS BIGINT) AS chi2_x1e4,
+             |CAST((count(DISTINCT source) - 1) * (count(DISTINCT lang) - 1) AS BIGINT) AS dof,
+             |CAST(sum(o) AS BIGINT) AS n_docs
+             |FROM m""".stripMargin))
   )
 }

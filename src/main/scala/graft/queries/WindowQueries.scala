@@ -455,6 +455,58 @@ object WindowQueries {
              |SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak,
              |CAST(sum(len) AS BIGINT) AS n_active_days
              |FROM runs GROUP BY 1
-             |ORDER BY longest_streak DESC, user_id LIMIT 50""".stripMargin))
+             |ORDER BY longest_streak DESC, user_id LIMIT 50""".stripMargin)),
+
+    // Moving exact median (7-row frame) over the daily value series per
+    // event type — the robust smoother for monitoring dashboards. Exact
+    // `percentile` as a window aggregate; both engines interpolate
+    // linearly. One shuffle on event_type, frame evaluation is in-memory
+    // per partition.
+    QDef("q122_moving_median",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = ev(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(sum(col("value")).as("day_value"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+          .rowsBetween(-6, 0)
+        daily.withColumn("med7",
+            round(expr("percentile(day_value, 0.5)").over(w), 4))
+          .select(col("event_type"), col("day"),
+            round(col("day_value"), 4).as("day_value"), col("med7"))
+          .orderBy(col("event_type"), col("day"))
+      },
+      Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             |  sum(value) AS day_value FROM events GROUP BY 1, 2)
+             |SELECT event_type, day, round(day_value, 4) AS day_value,
+             |round(quantile_cont(day_value, 0.5) OVER (
+             |  PARTITION BY event_type ORDER BY day
+             |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS med7
+             |FROM daily ORDER BY 1, 2""".stripMargin)),
+
+    // Linear trend per series: least-squares slope/intercept of daily
+    // event counts against the day index (regr_* aggregates — one pass,
+    // map-side combinable; the detector behind "volume is drifting up").
+    QDef("q123_trend_slopes",
+      (s, d) => ev(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("event_type"),
+          datediff(col("day"), lit("2024-01-01")).cast("double").as("x"),
+          col("n").cast("double").as("y"))
+        .groupBy(col("event_type"))
+        .agg(round(expr("regr_slope(y, x)"), 6).as("slope"),
+          round(expr("regr_intercept(y, x)"), 6).as("intercept"),
+          count(lit(1)).cast("long").as("n_days"))
+        .orderBy(col("event_type")),
+      Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             |  count(*) AS n FROM events GROUP BY 1, 2),
+             |xy AS (SELECT event_type,
+             |  CAST(day - DATE '2024-01-01' AS DOUBLE) AS x,
+             |  CAST(n AS DOUBLE) AS y FROM daily)
+             |SELECT event_type, round(regr_slope(y, x), 6) AS slope,
+             |round(regr_intercept(y, x), 6) AS intercept,
+             |count(*) AS n_days
+             |FROM xy GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
