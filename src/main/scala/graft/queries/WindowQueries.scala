@@ -507,6 +507,46 @@ object WindowQueries {
              |SELECT event_type, round(regr_slope(y, x), 6) AS slope,
              |round(regr_intercept(y, x), 6) AS intercept,
              |count(*) AS n_days
-             |FROM xy GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM xy GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Two-sample Kolmogorov-Smirnov drift statistic over the value
+    // distribution, split into before/after periods. Binned ECDF (1000
+    // fixed bins), NOT a global sort of raw values: exact to bin
+    // resolution, and the only ordered window runs over the 1000-row bin
+    // table — the shape that still works when each side holds 10^12
+    // values. D = max |F1 - F2| over bin boundaries.
+    QDef("q125_ks_drift",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = ev(s, d)
+          .select(
+            least(floor(col("value") / 0.5), lit(999)).cast("int").as("bin"),
+            when(col("ts") < lit("2024-01-16"), 0).otherwise(1).as("period"))
+        val binned = e.groupBy(col("bin"))
+          .agg(sum(when(col("period") === 0, 1L).otherwise(0L)).as("c0"),
+            sum(when(col("period") === 1, 1L).otherwise(0L)).as("c1"))
+        val w = Window.partitionBy().orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val wt = Window.partitionBy()
+        binned
+          .withColumn("f0", sum(col("c0")).over(w) / sum(col("c0")).over(wt))
+          .withColumn("f1", sum(col("c1")).over(w) / sum(col("c1")).over(wt))
+          .agg(floor(max(abs(col("f0") - col("f1"))) * 1000000 + 0.5)
+              .cast("long").as("ks_d_x1e6"),
+            sum(col("c0")).cast("long").as("n_before"),
+            sum(col("c1")).cast("long").as("n_after"))
+      },
+      Some("""WITH e AS (SELECT CAST(least(floor(value / 0.5), 999) AS INT) AS bin,
+             |  CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END AS period
+             |  FROM events),
+             |b AS (SELECT bin, count(*) FILTER (WHERE period = 0) AS c0,
+             |  count(*) FILTER (WHERE period = 1) AS c1 FROM e GROUP BY 1),
+             |f AS (SELECT bin, c0, c1,
+             |  CAST(sum(c0) OVER (ORDER BY bin) AS DOUBLE) / sum(c0) OVER () AS f0,
+             |  CAST(sum(c1) OVER (ORDER BY bin) AS DOUBLE) / sum(c1) OVER () AS f1
+             |  FROM b)
+             |SELECT CAST(floor(max(abs(f0 - f1)) * 1000000 + 0.5) AS BIGINT) AS ks_d_x1e6,
+             |CAST(sum(c0) AS BIGINT) AS n_before, CAST(sum(c1) AS BIGINT) AS n_after
+             |FROM f""".stripMargin))
   )
 }

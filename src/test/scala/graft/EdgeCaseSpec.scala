@@ -128,4 +128,34 @@ class EdgeCaseSpec extends SparkSpec {
     val out = Relational.binnedIntervalJoin(probe, "v", bands, "lo", "hi", 5.0)
     assert(out.select("id").as[Long].collect().toSeq == Seq(1L))
   }
+
+  test("CEP batch twin: no cross-user, no out-of-window, first-B binding") {
+    import graft.streaming.StreamingOps
+    def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000L)
+    val ev = Seq(
+      (1L, ts(0), "a"),   // matches first b at +5 (not the later +8)
+      (1L, ts(5), "b"), (1L, ts(8), "b"),
+      (1L, ts(100), "a"), // no b within 10s -> no match
+      (2L, ts(6), "b"),   // other user's b must not bind user 1's a
+      (3L, ts(0), "b"), (3L, ts(1), "a") // b BEFORE a -> no match
+    ).toDF("user_id", "ts", "event_type")
+    val m = StreamingOps.patternMatchesBatch(ev, "a", "b", withinSeconds = 10)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2)))
+    assert(m.toSeq == Seq((1L, ts(0), ts(5))))
+  }
+
+  test("hardNegatives returns nothing when all labels agree") {
+    import graft.operators.Similarity
+    val vecs = Seq((0L, Array(1.0f, 0.0f), 1), (1L, Array(0.9f, 0.1f), 1))
+      .toDF("vec_id", "embedding", "label")
+    assert(Similarity.hardNegatives(vecs, vecs, "vec_id", "embedding",
+      "label", 3).count() == 0)
+  }
+
+  test("triangle count of an empty edge set is (0, 0)") {
+    import graft.operators.GraphOps
+    val edges = Seq.empty[(Long, Long)].toDF("a", "b")
+    val r = GraphOps.triangleCount(edges, "a", "b").collect()(0)
+    assert(r.getAs[Long]("n_edges") == 0 && r.getAs[Long]("n_triangles") == 0)
+  }
 }
