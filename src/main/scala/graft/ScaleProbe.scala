@@ -46,13 +46,17 @@ object ScaleProbe {
         DedupOps.minhashLshPairs(corpus, "doc_id", "text", n = 3,
           threshold = 0.5).count())
       spark.catalog.clearCache()
+      val (scrubT, scrubRows) = time(
+        DedupOps.boilerplateScrub(corpus, "doc_id", "text").count())
+      spark.catalog.clearCache()
       val exact = if (withExact) {
         val (t, r) = time(DedupOps.ngramJaccardPairs(corpus, "doc_id", "text",
           n = 3, threshold = 0.5).count())
         spark.catalog.clearCache()
         f" exact=$t%.2fs ($r pairs)"
       } else ""
-      println(f"[scale] c=$c%2d docs=${n * c}%7d lsh=$lshT%.2fs ($lshRows pairs)$exact")
+      println(f"[scale] c=$c%2d docs=${n * c}%7d lsh=$lshT%.2fs ($lshRows pairs)" +
+        f" scrub=$scrubT%.2fs ($scrubRows docs)$exact")
     }
     spark.stop()
   }

@@ -52,6 +52,41 @@ object DedupOps {
     df.select(col(idCol), explode(gen(col(textCol))).as("shingle"))
   }
 
+  /** CCNet-style boilerplate scrub over fixed token windows (the corpus
+    * here has no newlines, so `winTokens`-token windows stand in for
+    * lines): any window whose exact content appears in ≥ `minDocs`
+    * distinct documents is corpus boilerplate; documents are reassembled
+    * from the surviving windows in order.
+    *
+    * Scale shape: the boilerplate set is O(dups) and broadcasts; document
+    * text shuffles exactly once (the reassembly groupBy). Returns
+    * (id, n_windows, n_dropped, clean_md5).
+    */
+  def boilerplateScrub(df: DataFrame, idCol: String, textCol: String,
+                       winTokens: Int = 10, minDocs: Int = 2): DataFrame = {
+    val wins = df
+      .select(col(idCol), tokens(col(textCol)).as("ts"))
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, cast(ceil(size(ts)/$winTokens.0) as int) - 1)," +
+          s" j -> array_join(slice(ts, j*$winTokens+1, $winTokens), ' '))")))
+      .withColumnRenamed("pos", "j").withColumnRenamed("col", "g")
+    val bp = wins.groupBy(col("g"))
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("g"), lit(true).as("is_bp"))
+    wins.join(broadcast(bp), Seq("g"), "left")
+      .withColumn("is_bp", coalesce(col("is_bp"), lit(false)))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_windows"),
+        sum(when(col("is_bp"), 1L).otherwise(0L)).as("n_dropped"),
+        // concat_ws skips null elements, so boilerplate windows vanish
+        // from the reassembled text while order is kept by the sort key
+        md5(concat_ws(" ", expr(
+          "transform(array_sort(collect_list(struct(j, if(is_bp, " +
+            "cast(null as string), g) as g2))), x -> x.g2)")))
+          .as("clean_md5"))
+  }
+
   /** Per-document repetition profile (Gopher/C4-style repetition gates):
     * token count, occurrence count of the most frequent word bigram, total
     * occurrences of trigrams that repeat within the document, and the

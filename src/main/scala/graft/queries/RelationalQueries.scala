@@ -800,6 +800,28 @@ object RelationalQueries {
              |SELECT CAST(floor(sum(pow(o - rt * ct / tot, 2) / (rt * ct / tot)) * 10000 + 0.5) AS BIGINT) AS chi2_x1e4,
              |CAST((count(DISTINCT source) - 1) * (count(DISTINCT lang) - 1) AS BIGINT) AS dof,
              |CAST(sum(o) AS BIGINT) AS n_docs
-             |FROM m""".stripMargin))
+             |FROM m""".stripMargin)),
+
+    // Wide→long unpivot (melt) — the inverse of the q31/q37 pivots, via
+    // the native `Dataset.unpivot` (plans as a single Expand, one pass).
+    QDef("q126_unpivot_metrics",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(round(sum(col("l_quantity")), 2).as("m_qty"),
+          round(sum(col("l_extendedprice")), 2).as("m_price"),
+          round(sum(col("l_tax")), 2).as("m_tax"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("m_qty"), col("m_price"), col("m_tax")),
+          "metric", "value")
+        .orderBy(col("l_returnflag"), col("metric")),
+      Some("""WITH wide AS (SELECT l_returnflag,
+             |  round(sum(l_quantity), 2) AS m_qty,
+             |  round(sum(l_extendedprice), 2) AS m_price,
+             |  round(sum(l_tax), 2) AS m_tax
+             |  FROM lineitem GROUP BY 1)
+             |SELECT l_returnflag, metric, value
+             |FROM (UNPIVOT wide ON m_qty, m_price, m_tax
+             |      INTO NAME metric VALUE value)
+             |ORDER BY l_returnflag, metric""".stripMargin))
   )
 }

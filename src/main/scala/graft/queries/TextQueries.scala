@@ -521,31 +521,9 @@ object TextQueries {
     // 100 TB it broadcasts; the doc text itself is never shuffled twice
     // (one groupBy(gram) over hashes, one groupBy(doc) to reassemble).
     QDef("q113_boilerplate_scrub",
-      (s, d) => {
-        val wins = docs(s, d)
-          .select(col("doc_id"),
-            expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("ts"))
-          .select(col("doc_id"), posexplode(expr(
-            "transform(sequence(0, cast(ceil(size(ts)/10.0) as int) - 1)," +
-              " j -> array_join(slice(ts, j*10+1, 10), ' '))")))
-          .withColumnRenamed("pos", "j").withColumnRenamed("col", "g")
-        val bp = wins.groupBy(col("g"))
-          .agg(countDistinct(col("doc_id")).as("nd"))
-          .filter(col("nd") >= 2)
-          .select(col("g"), lit(true).as("is_bp"))
-        wins.join(broadcast(bp), Seq("g"), "left")
-          .withColumn("is_bp", coalesce(col("is_bp"), lit(false)))
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).cast("long").as("n_windows"),
-            sum(when(col("is_bp"), 1L).otherwise(0L)).as("n_dropped"),
-            // concat_ws skips null elements, so boilerplate windows vanish
-            // from the reassembled text while order is kept by the sort key
-            md5(concat_ws(" ", expr(
-              "transform(array_sort(collect_list(struct(j, if(is_bp, " +
-                "cast(null as string), g) as g2))), x -> x.g2)")))
-              .as("clean_md5"))
-          .orderBy(col("doc_id"))
-      },
+      (s, d) => DedupOps.boilerplateScrub(docs(s, d), "doc_id", "text",
+          winTokens = 10, minDocs = 2)
+        .orderBy(col("doc_id")),
       Some("""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents),
              |wins AS (SELECT doc_id, j, array_to_string(list_slice(ts, j*10+1, j*10+10), ' ') AS g
              |         FROM toks, UNNEST(range(0, CAST(ceil(len(ts)/10.0) AS INT))) u(j)),

@@ -55,6 +55,26 @@ object StreamingOps {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Gap sessionization via Spark's NATIVE `session_window` aggregation —
+    * the built-in alternative to [[statefulSessions]] when per-session
+    * output is aggregate-shaped (count/sum/bounds): the state-store
+    * session merging is Spark's own, codegen-friendly, and needs no
+    * custom state class. Prefer this form; drop to
+    * `flatMapGroupsWithState` only when sessions must EMIT per-event or
+    * carry non-aggregate state (the [[statefulSessions]] cases).
+    * Equality with the batch sessionizer is pinned in StreamingSpec.
+    */
+  def sessionWindowCounts(events: DataFrame, gap: String,
+                          watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("n_events"), col("sum_value"))
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,

@@ -80,6 +80,46 @@ class StreamingSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("native session_window aggregation equals the batch sessionizer") {
+    import spark.implicits._
+    val ev = Tables(spark, sf, "events")
+      .select(col("user_id"), col("ts"), col("value"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-swin").toString
+    ev.coalesce(1).write.parquet(s"$dir/b1")
+    val maxTs = ev.agg(max("ts")).collect()(0).getTimestamp(0)
+    val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 86400000L)
+    ev.select("user_id").distinct()
+      .withColumn("ts", lit(sentinelTs))
+      .withColumn("value", lit(0.0))
+      .coalesce(1).write.parquet(s"$dir/b2")
+    val flat = java.nio.file.Files.createTempDirectory("graft-swin-flat")
+    def copyPart(sub: String, name: String): Unit = {
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/$sub"))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.copy(part, flat.resolve(name))
+      flat.resolve(name).toFile.setLastModified(
+        if (name == "b1.parquet") 1000000L else 2000000L)
+    }
+    copyPart("b1", "b1.parquet"); copyPart("b2", "b2.parquet")
+
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(flat.toString)
+    val agg = StreamingOps.sessionWindowCounts(stream, "30 minutes", "10 minutes")
+    val streamed = StreamingOps.runToMemory(agg, "swin_out", "append")
+      .filter(col("session_start") < lit(sentinelTs))
+      .select("user_id", "session_start", "n_events", "sum_value")
+
+    val batch = Sessionization.sessionize(
+      ev.withColumn("event_id", lit(0L)), "user_id", "ts", "event_id",
+      "value", 1800)
+      .select(col("user_id"), col("session_start"), col("n_events"),
+        col("sum_value"))
+
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("CEP pattern matches (A followed-by B within T) equal the batch twin") {
     import spark.implicits._
     val ev = Tables(spark, sf, "events")
