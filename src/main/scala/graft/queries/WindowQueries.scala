@@ -547,6 +547,47 @@ object WindowQueries {
              |  FROM b)
              |SELECT CAST(floor(max(abs(f0 - f1)) * 1000000 + 0.5) AS BIGINT) AS ks_d_x1e6,
              |CAST(sum(c0) AS BIGINT) AS n_before, CAST(sum(c1) AS BIGINT) AS n_after
-             |FROM f""".stripMargin))
+             |FROM f""".stripMargin)),
+
+    // Point-in-time lookup against an SCD2 dimension (the q83 history):
+    // "what state was each user in 30 minutes after each event?" A
+    // BETWEEN-join on (valid_from, valid_to) in the oracle; the engine
+    // plans it as the same zero-join carry-forward window as
+    // `Temporal.asofJoin` — an SCD2 interval probe IS an as-of join on
+    // valid_from, because valid_to is the next version's valid_from.
+    QDef("q127_scd2_lookup",
+      (s, d) => {
+        val raw = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val dim = ev(s, d)
+          .withColumn("prev_type", lag(col("event_type"), 1).over(raw))
+          .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+          .withColumn("version", row_number().over(raw).cast("long"))
+          .select(col("user_id"), col("ts").as("valid_from"),
+            col("event_type").as("state"), col("version"))
+        val probes = ev(s, d)
+          .select(col("user_id"), col("event_id"),
+            (col("ts") + expr("INTERVAL 30 MINUTES")).as("probe_ts"))
+        Temporal.asofJoin(probes, dim, "user_id", "probe_ts", "valid_from",
+            rightTie = Some("version"))
+          .groupBy(col("state"))
+          .agg(count(lit(1)).cast("long").as("n_probes"))
+          .orderBy(col("state"))
+      },
+      Some("""WITH c AS (SELECT user_id, event_type, ts, event_id,
+             |  lag(event_type) OVER w AS prev_type
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |dim AS (SELECT user_id, ts AS valid_from,
+             |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+             |  event_type AS state
+             |  FROM c WHERE prev_type IS NULL OR prev_type <> event_type),
+             |probes AS (SELECT user_id, event_id, ts + INTERVAL 30 MINUTE AS probe_ts
+             |  FROM events)
+             |SELECT d.state, count(*) AS n_probes
+             |FROM probes p JOIN dim d
+             |  ON p.user_id = d.user_id
+             | AND p.probe_ts >= d.valid_from
+             | AND (d.valid_to IS NULL OR p.probe_ts < d.valid_to)
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
