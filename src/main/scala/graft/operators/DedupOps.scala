@@ -193,10 +193,17 @@ object DedupOps {
       .hint("shuffle_hash")
       .join(prefix.select(col(idCol).as("id_b"), col("shingle")), Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
+      .select(col("id_a"), col("id_b")).distinct().cache()
+    // verify-on-candidates (same shape as the LSH path): restrict the
+    // shingle table to docs that appear in some candidate pair BEFORE the
+    // two intersection joins — O(candidate docs), not O(corpus), and the
+    // full table never shuffles again
+    val candDocs = cands.select(col("id_a").as(idCol))
+      .union(cands.select(col("id_b").as(idCol))).distinct()
+    val shC = sh.join(broadcast(candDocs), Seq(idCol), "left_semi")
     val inter = cands
-      .join(sh.select(col(idCol).as("id_a"), col("shingle")), Seq("id_a"))
-      .join(sh.select(col(idCol).as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .join(shC.select(col(idCol).as("id_a"), col("shingle")), Seq("id_a"))
+      .join(shC.select(col(idCol).as("id_b"), col("shingle")), Seq("id_b", "shingle"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("inter"))
     inter
