@@ -83,4 +83,42 @@ class RelationalQueriesSpec extends SparkSpec {
       .select("id", "band").as[(Long, Long)].collect().toSet
     assert(got == Set((1L, 100L), (2L, 100L), (2L, 200L), (3L, 100L), (4L, 200L)))
   }
+
+  test("degree-oriented triangle count equals the naive a<b<c join on a skewed graph") {
+    import spark.implicits._
+    import graft.operators.GraphOps
+    // deterministic pseudo-random graph with a heavy hub: node 0 links to
+    // everyone, plus hash-scattered edges — the shape that breaks
+    // un-oriented wedge counting
+    val rnd = new scala.util.Random(42)
+    val scattered = (1 to 400).map { _ =>
+      val a = rnd.nextInt(60).toLong; val b = rnd.nextInt(60).toLong; (a, b)
+    }
+    val hub = (1 to 59).map(i => (0L, i.toLong))
+    val edges = (scattered ++ hub).toDF("a", "b")
+    val r = GraphOps.triangleCount(edges, "a", "b").collect()(0)
+    val e = edges.select(least(col("a"), col("b")).as("x"),
+        greatest(col("a"), col("b")).as("y"))
+      .filter(col("x") =!= col("y")).distinct().cache()
+    val naive = e.as("e1")
+      .join(e.as("e2"), col("e2.x") === col("e1.x") && col("e2.y") > col("e1.y"))
+      .join(e.as("e3"), col("e3.x") === col("e1.y") && col("e3.y") === col("e2.y"))
+      .count()
+    assert(r.getAs[Long]("n_triangles") == naive)
+    assert(naive > 100) // the graph must actually exercise the path
+  }
+
+  test("windowed skyline equals the NOT-EXISTS dominance filter") {
+    val parts = Tables(spark, sf, "part")
+      .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
+    val skyline = SparkEntry.queries("q115_skyline")(spark, sf)
+      .select("p_partkey")
+    val naive = parts.as("p").join(parts.as("q"),
+        col("q.p_size") >= col("p.p_size") &&
+          col("q.p_retailprice") <= col("p.p_retailprice") &&
+          (col("q.p_size") > col("p.p_size") ||
+            col("q.p_retailprice") < col("p.p_retailprice")), "left_anti")
+      .select("p.p_partkey")
+    assert(skyline.exceptAll(naive).isEmpty && naive.exceptAll(skyline).isEmpty)
+  }
 }

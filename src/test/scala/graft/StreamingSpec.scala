@@ -160,6 +160,25 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("stream-static broadcast enrichment joins each micro-batch against the dim") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ss").toString + "/in"
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    Seq((1L, base, 10L), (2L, base, 20L), (3L, base, 99L))
+      .toDF("event_id", "ts", "dim_key").write.parquet(dir)
+    val dim = Seq((10L, "gold"), (20L, "silver")).toDF("dim_key", "tier")
+    val stream = spark.readStream.schema(spark.read.parquet(dir).schema)
+      .parquet(dir)
+    // stream-static joins need no watermark: the static side is re-planned
+    // per micro-batch (picking up dim updates between batches) and
+    // broadcasts like any dimension
+    val enriched = stream.join(broadcast(dim), Seq("dim_key"), "left")
+      .select(col("event_id"), coalesce(col("tier"), lit("unknown")).as("tier"))
+    val out = StreamingOps.runToMemory(enriched, "ss_out", "append")
+      .as[(Long, String)].collect().toSet
+    assert(out == Set((1L, "gold"), (2L, "silver"), (3L, "unknown")))
+  }
+
   test("streaming dedup drops re-delivered events within the watermark") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
