@@ -37,6 +37,27 @@ object Sinks {
     path
   }
 
+  /** Partition backfill: overwrite ONLY the partitions present in `df`,
+    * leaving sibling partitions untouched (dynamic partition overwrite).
+    * This is the idempotent reprocessing primitive at scale — re-running
+    * day X replaces day X exactly, never truncates the table, and a
+    * crashed backfill re-run converges. Static overwrite (the default
+    * mode) would drop EVERY partition under `dir` first.
+    */
+  def backfillPartitions(df: DataFrame, dir: String,
+                         partitionCols: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*).parquet(dir)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** K4: DB-boundary coercions as column expressions — control-char strip,
     * title truncation to 1000, array columns → JSON strings, column renames
     * (`upload_papers_to_supabase.py:145-221`).

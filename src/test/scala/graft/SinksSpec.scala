@@ -154,6 +154,27 @@ class SinksSpec extends SparkSpec {
     assert(avgV < gv * 0.8, s"value range $avgV vs global $gv")
   }
 
+  test("backfillPartitions replaces only the partitions it carries") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-backfill").toString + "/t"
+    Seq((1L, "d1", "old"), (2L, "d2", "old"), (3L, "d3", "old"))
+      .toDF("id", "day", "v")
+      .write.partitionBy("day").parquet(dir)
+    // backfill day 2 with different content (two rows now)
+    Sinks.backfillPartitions(
+      Seq((20L, "d2", "new"), (21L, "d2", "new")).toDF("id", "day", "v"),
+      dir, Seq("day"))
+    val got = spark.read.parquet(dir)
+      .select("id", "day", "v").as[(Long, String, String)].collect().toSet
+    assert(got == Set((1L, "d1", "old"), (20L, "d2", "new"),
+      (21L, "d2", "new"), (3L, "d3", "old")))
+    // a re-run of the same backfill converges (idempotent)
+    Sinks.backfillPartitions(
+      Seq((20L, "d2", "new"), (21L, "d2", "new")).toDF("id", "day", "v"),
+      dir, Seq("day"))
+    assert(spark.read.parquet(dir).count() == 4)
+  }
+
   test("compactParquet merges small files without losing rows") {
     val base = java.nio.file.Files.createTempDirectory("graft-compact").toString
     val ev = Tables(spark, sf, "events")
