@@ -51,6 +51,29 @@ class ExtensionsSpec extends SparkSpec {
     } finally spark.conf.set(graft.plans.ApproxCountDistinctRewrite.confKey, "false")
   }
 
+  test("HLL sketches re-aggregate: monthly sketches merged = direct quarterly count") {
+    // The precompute-then-merge pattern for distinct counts at scale:
+    // persist one small hll_sketch_agg blob per (month, key), answer any
+    // coarser rollup later with hll_union_agg — no rescan of the raw
+    // data. Spark's built-in DataSketches HLL is deterministic for a
+    // given input set, so merged-vs-direct must agree EXACTLY, and both
+    // sit within the sketch's error bound of the true count.
+    val ev = Tables(spark, sf, "events")
+      .withColumn("month", date_format(col("ts"), "yyyy-MM"))
+    val monthly = ev.groupBy(col("month"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    val merged = monthly
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      .collect()(0).getLong(0)
+    val direct = ev
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("est"))
+      .collect()(0).getLong(0)
+    val exact = ev.select(countDistinct(col("user_id"))).collect()(0).getLong(0)
+    assert(merged == direct, s"merge must be lossless: $merged vs $direct")
+    assert(math.abs(merged - exact) <= math.max(3L, (exact * 0.05).toLong),
+      s"estimate $merged vs exact $exact")
+  }
+
   test("salted join equals plain join on skewed data") {
     import spark.implicits._
     import graft.operators.Relational
