@@ -16,10 +16,11 @@ import org.apache.spark.sql.functions._
   *
   * Scale design: every operator here is shuffle-by-key with no driver-side
   * state. The inverted-index Jaccard join shuffles (shingle → doc) pairs;
-  * hot shingles are the skew risk, mitigated by dropping shingles above a
-  * document-frequency cap (`maxShingleDf`) — standard practice, exactness
-  * preserved for pairs below the cap when the cap >> corpus dup rate (the
-  * oracle uses no cap at test scale).
+  * hot shingles are the skew risk, mitigated either by the PPJoin prefix
+  * filter ([[prefixJaccardPairs]] — hot buckets never enter the index) or
+  * by the `maxShingleDf` document-frequency cap on [[ngramJaccardPairs]]
+  * (hot shingles skip candidate generation; verification stays exact on
+  * full sets). The oracle uses no cap at test scale.
   */
 object DedupOps {
 
@@ -66,6 +67,10 @@ object DedupOps {
                        winTokens: Int = 10, minDocs: Int = 2): DataFrame = {
     val wins = df
       .select(col(idCol), tokens(col(textCol)).as("ts"))
+      // zero-token docs emit NO windows (matching the oracle's empty
+      // range(0,0)); without the filter, sequence(0, -1) evaluates
+      // DESCENDING to [0,-1] and fabricates two empty-string windows
+      .filter(size(col("ts")) > 0)
       .select(col(idCol), posexplode(expr(
         s"transform(sequence(0, cast(ceil(size(ts)/$winTokens.0) as int) - 1)," +
           s" j -> array_join(slice(ts, j*$winTokens+1, $winTokens), ' '))")))
@@ -137,19 +142,73 @@ object DedupOps {
 
   /** Exact n-gram Jaccard near-dup pairs via inverted shingle index:
     * pairs sharing ≥1 shingle get intersection counts from the index join;
-    * set sizes close the formula. No approximation — this is the oracle the
-    * MinHash variant is measured against.
+    * set sizes close the formula. With no `maxShingleDf`, no approximation —
+    * this is the oracle the MinHash variant is measured against.
+    *
+    * `maxShingleDf`: document-frequency cap for the INDEX join only.
+    * Shingles appearing in more than `cap` documents (corpus boilerplate —
+    * the Σ|bucket|² hot buckets that dominate the index-join cost on
+    * boilerplate-heavy corpora, PERF.md's measured 58.8 s blowup) are
+    * excluded from candidate generation; candidates are then verified
+    * against the FULL shingle sets, so reported Jaccard values stay exact.
+    * The only loss: a true pair ALL of whose shared shingles are hot is
+    * never considered — with cap >> corpus dup-cluster size, such a pair
+    * shares only boilerplate, which is what the cap is for.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        n: Int, threshold: Double): DataFrame = {
+                        n: Int, threshold: Double,
+                        maxShingleDf: Option[Long] = None): DataFrame = {
     val sh = shingles(df, idCol, textCol, n).cache()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    // shuffle-hash hint: both sides are the same mid-sized index; SMJ's sort
-    // of the hot-key shingle column is pure overhead here
-    val inter = sh.select(col(idCol).as("id_a"), col("shingle"))
-      .hint("shuffle_hash")
-      .join(sh.select(col(idCol).as("id_b"), col("shingle")), Seq("shingle"))
-      .filter(col("id_a") < col("id_b"))
+    maxShingleDf match {
+      case None =>
+        // shuffle-hash hint: both sides are the same mid-sized index; SMJ's
+        // sort of the hot-key shingle column is pure overhead here
+        val inter = sh.select(col(idCol).as("id_a"), col("shingle"))
+          .hint("shuffle_hash")
+          .join(sh.select(col(idCol).as("id_b"), col("shingle")), Seq("shingle"))
+          .filter(col("id_a") < col("id_b"))
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(count(lit(1)).as("inter"))
+        val out = inter
+          .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+          .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+          .withColumn("jaccard",
+            col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+          .filter(col("jaccard") >= threshold)
+          .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        materializeAndRelease(out, sh)
+      case Some(cap) =>
+        // hot-shingle set is ≤ |shingle rows|/cap entries — broadcastable
+        // for any useful cap; anti-join keeps only sub-cap index rows
+        val hot = sh.groupBy(col("shingle"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap)
+          .select("shingle")
+        val rare = sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+        val cands = rare.select(col(idCol).as("id_a"), col("shingle"))
+          .hint("shuffle_hash")
+          .join(rare.select(col(idCol).as("id_b"), col("shingle")), Seq("shingle"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b").distinct().cache()
+        val out = verifyCandidates(sh, sizes, cands, idCol, threshold)
+        materializeAndRelease(out, sh, cands)
+    }
+  }
+
+  /** Verify candidate pairs with exact Jaccard over the FULL shingle sets,
+    * restricted to candidate docs before the two intersection joins —
+    * O(candidate docs), not O(corpus). Shared by the prefix-filter, DF-cap
+    * and (structurally) LSH paths.
+    */
+  private def verifyCandidates(sh: DataFrame, sizes: DataFrame, cands: DataFrame,
+                               idCol: String, threshold: Double): DataFrame = {
+    val candDocs = cands.select(col("id_a").as(idCol))
+      .union(cands.select(col("id_b").as(idCol))).distinct()
+    val shC = sh.join(broadcast(candDocs), Seq(idCol), "left_semi")
+    val inter = cands
+      .join(shC.select(col(idCol).as("id_a"), col("shingle")), Seq("id_a"))
+      .join(shC.select(col(idCol).as("id_b"), col("shingle")), Seq("id_b", "shingle"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("inter"))
     inter
@@ -194,25 +253,22 @@ object DedupOps {
       .join(prefix.select(col(idCol).as("id_b"), col("shingle")), Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct().cache()
-    // verify-on-candidates (same shape as the LSH path): restrict the
-    // shingle table to docs that appear in some candidate pair BEFORE the
-    // two intersection joins — O(candidate docs), not O(corpus), and the
-    // full table never shuffles again
-    val candDocs = cands.select(col("id_a").as(idCol))
-      .union(cands.select(col("id_b").as(idCol))).distinct()
-    val shC = sh.join(broadcast(candDocs), Seq(idCol), "left_semi")
-    val inter = cands
-      .join(shC.select(col(idCol).as("id_a"), col("shingle")), Seq("id_a"))
-      .join(shC.select(col(idCol).as("id_b"), col("shingle")), Seq("id_b", "shingle"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
-      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    val out = verifyCandidates(sh, sizes, cands, idCol, threshold)
+    materializeAndRelease(out, sh, cands)
+  }
+
+  /** Materialize a (small) result via eager `localCheckpoint`, then release
+    * the cached intermediates that produced it. The pair outputs here are
+    * O(duplicate pairs) — tiny relative to the corpus at any scale — while
+    * the cached shingle/candidate tables are corpus-sized; holding the
+    * latter until LRU eviction is the session-lifetime leak ADVICE.md
+    * flagged. One extra job per call, bounded by the result size.
+    */
+  private def materializeAndRelease(out: DataFrame,
+                                    cached: DataFrame*): DataFrame = {
+    val result = out.localCheckpoint()
+    cached.foreach(_.unpersist())
+    result
   }
 
   /** MinHash signatures: k permutation-style hashes h_i(x)=(a_i·x+b_i) mod p
@@ -294,10 +350,9 @@ object DedupOps {
     * Caches three intermediates that are each referenced several times:
     * banding keys and candidate pairs (int-only, tiny) plus the candidate
     * docs' shingle strings (proportional to candidate-doc text — the
-    * dominant cached footprint when dup clusters are large). In a
-    * long-lived session call `spark.catalog.clearCache()` (or unpersist)
-    * after consuming the result — the cache is scoped to the session, not
-    * the call.
+    * dominant cached footprint when dup clusters are large). All three are
+    * released before returning: the (tiny) pair result is materialized via
+    * eager localCheckpoint, then the caches unpersist.
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       n: Int, threshold: Double,
@@ -338,13 +393,14 @@ object DedupOps {
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("inter"))
-    inter
+    val out = inter
       .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
       .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    materializeAndRelease(out, banded, cands, sh)
   }
 
   /** 64-bit SimHash per document: per-bit majority vote over xxhash64 token
@@ -357,7 +413,37 @@ object DedupOps {
     * (seed 42), bit-identical to `xxhash64(tok)`, so signatures match the
     * aggregate formulation row-for-row (cross-checked in SimilaritySpec).
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhashWith(df, idCol, textCol, xxh64Token)
+
+  /** Oracle-portable SimHash twin: token hash = LOW 64 bits of MD5, i.e.
+    * digest bytes 8..15 read little-endian — bit-identical to DuckDB's
+    * `md5_number_lower(tok)`, which is what makes the q25 pair set
+    * verifiable by a plain SQL oracle (xxhash64 exists only in Spark).
+    * MD5 costs ~5× XXH64 per token; use [[simhash]] on the hot path and
+    * this variant where cross-engine verifiability matters.
+    */
+  def simhashMd5(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhashWith(df, idCol, textCol, md5Low64Token)
+
+  private def xxh64Token(tok: String): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(tok),
+      org.apache.spark.sql.types.StringType, 42L)
+
+  /** Low 64 bits of MD5(tok): digest bytes 8..15, little-endian (the
+    * DuckDB `md5_number_lower` convention; known-answer test in
+    * SimilaritySpec pins the bit layout).
+    */
+  private[graft] def md5Low64Token(tok: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.ByteBuffer.wrap(d, 8, 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+  }
+
+  private def simhashWith(df: DataFrame, idCol: String, textCol: String,
+                          tokenHash: String => Long): DataFrame = {
     val sig = udf { text: String =>
       if (text == null) None
       else {
@@ -366,9 +452,7 @@ object DedupOps {
         var any = false
         while (m.find()) {
           any = true
-          val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
-            org.apache.spark.unsafe.types.UTF8String.fromString(m.group()),
-            org.apache.spark.sql.types.StringType, 42L)
+          val h = tokenHash(m.group())
           var b = 0
           while (b < 64) {
             if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
@@ -394,8 +478,9 @@ object DedupOps {
     * bands). Verified with bit_count(xor).
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxDist: Int = 3): DataFrame = {
-    val sig = simhash(df, idCol, textCol)
+                   maxDist: Int = 3, md5Portable: Boolean = false): DataFrame = {
+    val sig = if (md5Portable) simhashMd5(df, idCol, textCol)
+              else simhash(df, idCol, textCol)
     val banded = sig.select(col(idCol), col("simhash"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),

@@ -141,6 +141,12 @@ object GraphOps {
       nEdges = n
       iter += 1
     }
+    if (!done)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"kCore stopped after maxIters=$maxIters before reaching a fixed " +
+          s"point ($nEdges edges remain); the result is an UPPER BOUND on " +
+          "the true k-core — vertices below degree k may remain. Raise " +
+          "maxIters for an exact core.")
     cur.select(col("a").as("v")).union(cur.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).cast("long").as("deg"))
   }
@@ -192,7 +198,16 @@ object GraphOps {
         (col("dv") === col("dw") && col("v") < col("w")))
     val tris = wedges.join(
       oe.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
-    e.agg(count(lit(1)).cast("long").as("n_edges"))
+    // materialize the single result row, then release both cached edge
+    // sets — in a long session (the 126-query registry back to back) the
+    // alternative is cached edge lists piling up until LRU eviction
+    val row = e.agg(count(lit(1)).cast("long").as("n_edges"))
       .crossJoin(tris.agg(count(lit(1)).cast("long").as("n_triangles")))
+      .head()
+    e.unpersist()
+    oe.unpersist()
+    val spark = edges.sparkSession
+    import spark.implicits._
+    Seq((row.getLong(0), row.getLong(1))).toDF("n_edges", "n_triangles")
   }
 }

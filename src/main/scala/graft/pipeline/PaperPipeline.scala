@@ -83,6 +83,25 @@ object PaperPipeline {
     anomalies
   }
 
+  /** [[validate]] plus the reference's run-over-run quality-drop alert
+    * (`schema_validator.py:352-386`): append this run's quality profile to
+    * the history table, then compare each metric (completeness, validity,
+    * overall) with the immediately previous run — a drop of more than
+    * `dropThreshold` points (reference: 5) flags the metric. Critical
+    * anomalies still throw; quality DROPS are returned for the caller to
+    * alert on, because the reference alerts without failing the run.
+    * Returns (anomalies, flagged-drops) — both tiny.
+    */
+  def validateAndTrack(papers: DataFrame, historyPath: String, runTs: String,
+                       dropThreshold: Double = 5.0): (DataFrame, DataFrame) = {
+    val anomalies = validate(papers)
+    graft.quality.RunHistory.record(profile(papers), runTs, historyPath)
+    val drops = graft.quality.RunHistory.qualityDrop(papers.sparkSession, historyPath,
+        threshold = dropThreshold)
+      .filter(col("run_ts") === runTs && col("quality_dropped"))
+    (anomalies, drops)
+  }
+
   /** Bias slicing + mitigation recommendations (steps 3-5): returns the
     * (tiny) per-slice recommendation table with the reference's priority
     * tagging (A5: high when the group sits below half the median,

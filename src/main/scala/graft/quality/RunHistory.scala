@@ -35,4 +35,33 @@ object RunHistory {
         coalesce(abs(col("z")), lit(0.0)) > zThreshold ||
           coalesce(col("pct_change"), lit(0.0)) > pctThreshold)
   }
+
+  /** The reference's 5-point quality-drop alert
+    * (`schema_validator.py:352-386`): each run's quality metrics vs the
+    * IMMEDIATELY PREVIOUS run (lag 1, not the trailing-window z-gate
+    * above); a metric alerts when `current < previous - threshold`. One
+    * row per (run_ts, metric): (current, previous, drop, quality_dropped).
+    * The first run has no previous → never alerts (the reference's
+    * `has_previous: False`).
+    */
+  def qualityDrop(spark: SparkSession, path: String,
+                  metricCols: Seq[String] =
+                    Seq("completeness", "validity", "overall_quality"),
+                  threshold: Double = 5.0): DataFrame = {
+    val runs = spark.read.parquet(path)
+      .select(col("run_ts") +:
+        metricCols.map(m => col(m).cast("double").as(m)): _*)
+    val w = Window.orderBy(col("run_ts"))
+    val withPrev = metricCols.foldLeft(runs) { (df, m) =>
+      df.withColumn(s"__prev_$m", lag(col(m), 1).over(w))
+    }
+    metricCols.map { m =>
+      withPrev.select(col("run_ts"), lit(m).as("metric"),
+        col(m).as("current"), col(s"__prev_$m").as("previous"))
+    }.reduce(_.unionByName(_))
+      .withColumn("drop", round(col("previous") - col("current"), 2))
+      .withColumn("quality_dropped",
+        col("previous").isNotNull &&
+          col("current") < col("previous") - threshold)
+  }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QDef, Tables}
-import graft.operators.{ContentExtraction, DedupOps, GraphOps, Relational}
+import graft.operators.{ContentExtraction, DedupOps, ExtractionRules, GraphOps, Relational}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -61,6 +61,70 @@ object GraphQueries {
              |       WHEN abs_ok OR tldr IS NOT NULL THEN 'low'
              |       END AS content_quality
              |  FROM flags)
+             |SELECT doc_id, extraction_method, content_quality,
+             |introduction IS NOT NULL AS has_intro,
+             |CAST(coalesce(length(introduction), 0) AS BIGINT) AS intro_length,
+             |CASE WHEN introduction IS NOT NULL
+             |     THEN 'success_' || extraction_method ELSE 'failed' END AS status,
+             |md5(introduction) AS intro_md5
+             |FROM ext ORDER BY doc_id""".stripMargin)),
+
+    // S11-S13 parse rules + S14/S15 dispatch, end to end: synthesize
+    // reference-shaped RAW payloads (ArXiv-HTML section, GROBID-TEI div,
+    // PDF page text with numbered headers) from documents, parse each tier
+    // with ExtractionRules, then gate-chain. The corpus has no markup
+    // metacharacters (probed), so the oracle can state each rule's result
+    // in plain SQL — a hash match checks both the parsers and the chain.
+    QDef("q128_extraction_rules",
+      (s, d) => {
+        val raw = t(s, d, "documents").select(
+          col("doc_id"),
+          when(col("doc_id") % 4 === 0, concat(
+            lit("<html><body><section id=\"S1\"><p>"), col("text"),
+            lit("</p></section></body></html>")))
+            .when(col("doc_id") % 4 === 1, concat(
+              lit("<html><body><section><h2>Introduction</h2><p>"), col("text"),
+              lit("</p></section></body></html>")))
+            .as("html_raw"),
+          when(col("doc_id") % 4 === 2, concat(
+            lit("<TEI><text><body><div type=\"introduction\"><p>"), col("text"),
+            lit("</p></div></body></text></TEI>"))).as("tei_raw"),
+          when(col("doc_id") % 4 === 3, concat(
+            lit("Title page\n1. Introduction\n"), col("text"),
+            lit("\n2. Methods\nrest of paper"))).as("pdf_raw"),
+          substring(col("text"), 1, 120).as("abst"),
+          when(col("doc_id") % 3 === 0, substring(col("text"), 1, 40)).as("tldr"))
+        ExtractionRules.extractFromRaw(raw, col("html_raw"),
+          col("tei_raw"), col("pdf_raw"), col("abst"), col("tldr"))
+          .select(col("doc_id"), col("extraction_method"), col("content_quality"),
+            col("has_intro"), col("intro_length"), col("status"),
+            md5(col("introduction")).as("intro_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH f AS (SELECT doc_id, text, length(text) AS n,
+             |    substr(text, 1, 120) AS abst,
+             |    CASE WHEN doc_id % 3 = 0 THEN substr(text, 1, 40) END AS tldr
+             |  FROM documents),
+             |g AS (SELECT *,
+             |    (doc_id % 4 = 0 OR doc_id % 4 = 1) AND n > 200 AS html_ok,
+             |    doc_id % 4 = 2 AND n > 200 AND n <= 15000 AS tei_ok,
+             |    doc_id % 4 = 3 AND n > 200 AND n < 15000 AS pdf_ok,
+             |    length(abst) > 50 AS abs_ok
+             |  FROM f),
+             |ext AS (SELECT doc_id,
+             |    CASE WHEN html_ok OR tei_ok OR pdf_ok THEN text
+             |         WHEN abs_ok THEN (CASE WHEN tldr IS NOT NULL
+             |              THEN abst || ' Summary: ' || tldr ELSE abst END)
+             |         WHEN tldr IS NOT NULL THEN tldr END AS introduction,
+             |    CASE WHEN html_ok THEN 'arxiv_html' WHEN tei_ok THEN 'grobid'
+             |         WHEN pdf_ok THEN 'pymupdf_regex'
+             |         WHEN abs_ok OR tldr IS NOT NULL THEN 'abstract_tldr'
+             |         END AS extraction_method,
+             |    CASE WHEN html_ok OR tei_ok THEN 'high'
+             |         WHEN pdf_ok THEN 'medium'
+             |         WHEN abs_ok OR tldr IS NOT NULL THEN 'low'
+             |         END AS content_quality
+             |  FROM g)
              |SELECT doc_id, extraction_method, content_quality,
              |introduction IS NOT NULL AS has_intro,
              |CAST(coalesce(length(introduction), 0) AS BIGINT) AS intro_length,
@@ -197,15 +261,28 @@ object GraphQueries {
              |FROM customer JOIN nation ON c_nationkey = n_nationkey
              |GROUP BY n_name ORDER BY n_name""".stripMargin)),
 
-    // HLL sketch vs exact distinct (no oracle: sketch estimates are
-    // engine-specific; tolerance asserted in spec).
+    // HLL sketch vs exact distinct. The raw estimate is engine-specific
+    // (Spark's HLL++ ≠ DuckDB's HLL), so the oracle-checkable statement is
+    // the sketch's CONTRACT, not its value: exact counts hash-match, and
+    // the estimate sits within 3× the requested rsd (0.02 → ±6%; HLL++
+    // error is ~1·rsd typical, 3·rsd is a ~3σ bound, deterministic for
+    // fixed data since the sketch itself is deterministic). The oracle
+    // states the flags as literals — a drifting sketch flips them to
+    // false and fails the hash.
     QDef("q45_approx_distinct",
       (s, d) => t(s, d, "lineitem").agg(
-        approx_count_distinct(col("l_partkey")).cast("long").as("approx_parts"),
         countDistinct(col("l_partkey")).cast("long").as("exact_parts"),
-        approx_count_distinct(col("l_orderkey")).cast("long").as("approx_orders"),
-        countDistinct(col("l_orderkey")).cast("long").as("exact_orders")),
-      None),
+        countDistinct(col("l_orderkey")).cast("long").as("exact_orders"),
+        (abs(approx_count_distinct(col("l_partkey"), rsd = 0.02)
+            .cast("double") / countDistinct(col("l_partkey")) - 1.0) <= 0.06)
+          .as("parts_within_tol"),
+        (abs(approx_count_distinct(col("l_orderkey"), rsd = 0.02)
+            .cast("double") / countDistinct(col("l_orderkey")) - 1.0) <= 0.06)
+          .as("orders_within_tol")),
+      Some("""SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+             |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+             |  TRUE AS parts_within_tol, TRUE AS orders_within_tol
+             |FROM lineitem""".stripMargin)),
 
     // Dedup-group resolution: exact n-gram Jaccard pairs (q24's edges) →
     // connected components via iterative min-label propagation; the oracle
@@ -405,9 +482,15 @@ object GraphQueries {
              |CROSS JOIN n
              |ORDER BY lhs, rhs""".stripMargin)),
 
-    // 3-core of the co-purchase graph: iterative peeling to the true
-    // fixed point (data-dependent round count — not SQL-expressible, so
-    // rows-only driver check; peeling semantics pinned in TemporalSpec).
+    // 80-core of the co-purchase graph (any co-order links two parts; the
+    // previous ≥2-order/3-core setting peeled to EMPTY at bench scale, so
+    // the query measured loop overhead, not the operator — VERDICT r2).
+    // k=80 peels 5 real rounds and keeps ~93% of vertices at sf0.01 AND
+    // sf0.1. The engine iterates to the true data-dependent fixed point;
+    // the oracle unrolls 24 peel rounds in SQL — peeling is idempotent
+    // once converged, so any unroll ≥ the actual depth (5 here) is the
+    // exact fixed point, and a depth beyond 24 would surface as a hash
+    // mismatch rather than a silent wrong answer.
     QDef("q121_kcore",
       (s, d) => {
         val lp = t(s, d, "lineitem")
@@ -417,12 +500,42 @@ object GraphQueries {
           .select(explode(expr(
             "filter(flatten(transform(ps, x -> transform(ps, y -> struct(x, y))))," +
               " p -> p.x < p.y)")).as("p"))
-          .groupBy(col("p.x").as("x"), col("p.y").as("y"))
-          .agg(count(lit(1)).as("n_orders"))
-          .filter(col("n_orders") >= 2)
-        GraphOps.kCore(edges, "x", "y", k = 3)
+          .select(col("p.x").as("x"), col("p.y").as("y"))
+          .distinct()
+        GraphOps.kCore(edges, "x", "y", k = 80)
           .orderBy(col("v"))
       },
-      None)
+      Some(kcoreOracleSql(k = 80, rounds = 12)))
   )
+
+  /** Unrolled simultaneous-peeling k-core in plain SQL (the oracle for
+    * q121). Each round: degrees over the surviving edge set → keep
+    * vertices with deg ≥ k → restrict edges to kept×kept (JOIN form — the
+    * IN-subquery form goes superlinear in DuckDB past ~10 rounds).
+    * MATERIALIZED pins each round's CTE so the chain can't be inlined
+    * exponentially. 12 rounds = 2.4× the measured peel depth (5 at both
+    * sf0.01 and sf0.1); a deeper-than-unrolled graph surfaces as a hash
+    * MISMATCH, never a silent pass.
+    */
+  private def kcoreOracleSql(k: Int, rounds: Int): String = {
+    val sb = new StringBuilder(
+      """WITH lp AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT a.l_partkey AS x, b.l_partkey AS y
+        |  FROM lp a JOIN lp b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2)""".stripMargin)
+    (1 to rounds).foreach { i =>
+      sb.append(s""",
+        |k$i AS MATERIALIZED (SELECT v FROM (
+        |    SELECT x AS v FROM e${i - 1} UNION ALL SELECT y FROM e${i - 1})
+        |  GROUP BY 1 HAVING count(*) >= $k),
+        |e$i AS MATERIALIZED (SELECT e.x, e.y FROM e${i - 1} e
+        |  JOIN k$i ka ON e.x = ka.v JOIN k$i kb ON e.y = kb.v)""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT v, CAST(count(*) AS BIGINT) AS deg
+      |FROM (SELECT x AS v FROM e$rounds UNION ALL SELECT y FROM e$rounds)
+      |GROUP BY 1 ORDER BY v""".stripMargin)
+    sb.toString
+  }
 }

@@ -296,8 +296,11 @@ object PipelineQueries {
       None),
 
     // §7.3 flagship slice: clean → quality gate (F5: ≥200 chars) → chunk →
-    // denormalize source (J6) → per-source chunk stats. Chunker inside →
-    // rows-only check; end-to-end shape covered in PipelineSpec.
+    // denormalize source (J6) → per-source chunk stats. Oracle: the clean
+    // step is q13's (SQL-verified) rules and the chunk step is the
+    // reference chunker run over exactly that cleaned text
+    // (tools/make_chunk_fixtures.py fixture) — so the end-to-end aggregate
+    // is fully checked, not rows-only.
     QDef("q39_flagship_pipeline",
       (s, d) => {
         val base = t(s, d, "documents")
@@ -313,6 +316,10 @@ object PipelineQueries {
             round(avg(col("token_count")), 4).as("avg_chunk_tokens"))
           .orderBy(col("source"))
       },
-      None)
+      Some("""SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             |  count(*) AS n_chunks,
+             |  round(avg(token_count), 4) AS avg_chunk_tokens
+             |FROM read_parquet('/root/repo/src/test/resources/golden/flagship_chunks_sf001.parquet')
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

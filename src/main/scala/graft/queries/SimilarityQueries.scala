@@ -77,13 +77,32 @@ object SimilarityQueries {
              |    ON a.vec_id < b.vec_id)
              |WHERE sim >= 0.4 ORDER BY id_a, id_b""".stripMargin)),
 
-    // MinHash + LSH banding near-dups, exact-Jaccard verified (approximate
-    // candidate generation — no SQL oracle; recall vs q24 tested in spec).
+    // MinHash + LSH banding near-dups, exact-Jaccard verified. Banding is
+    // 16 bands × 2 rows (miss probability (1-J²)^16 ≈ 1% at J=0.5 and
+    // ≈ 0.003% at J=0.7, where the corpus' true pairs live), and every
+    // candidate is verified with exact Jaccard — so the output equals the
+    // exact q24 pair set and shares its SQL oracle. Recall-vs-exact is
+    // additionally pinned in SimilaritySpec; the scale path (banded
+    // candidates, verify-on-candidates-only) is unchanged.
     QDef("q23_minhash_lsh",
       (s, d) => DedupOps.minhashLshPairs(docs(s, d), "doc_id", "text",
-          n = 3, threshold = 0.5)
+          n = 3, threshold = 0.5, k = 32, bands = 16)
         .orderBy(col("id_a"), col("id_b")),
-      None),
+      Some("""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+             |            FROM documents),
+             |sh AS (SELECT doc_id, unnest(list_distinct(
+             |         [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+             |          for i in range(1, greatest(len(toks) - 1, 1))])) AS s
+             |       FROM t),
+             |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+             |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+             |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |      GROUP BY 1, 2)
+             |SELECT id_a, id_b, round(j, 6) AS jaccard FROM (
+             |  SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS j
+             |  FROM p JOIN sz sa ON p.id_a = sa.doc_id
+             |         JOIN sz sb ON p.id_b = sb.doc_id)
+             |WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin)),
 
     // Exact word-3-gram Jaccard near-dup pairs via inverted shingle index.
     QDef("q24_ngram_jaccard",
@@ -130,12 +149,30 @@ object SimilarityQueries {
              |         JOIN sz sb ON p.id_b = sb.doc_id)
              |WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin)),
 
-    // SimHash near-dups (Hamming ≤ 3 via 16-bit banding) — engine-hash
-    // based, no SQL oracle; invariants in spec.
+    // SimHash near-dups (Hamming ≤ 3 via 16-bit banding). The banding is
+    // EXACT for maxDist ≤ 3 (pigeonhole over 4 bands), and the md5-portable
+    // token hash (= DuckDB's md5_number_lower) makes the whole signature
+    // reproducible in SQL — the oracle recomputes every signature and does
+    // the all-pairs Hamming check the banding avoids.
     QDef("q25_simhash_pairs",
-      (s, d) => DedupOps.simhashPairs(docs(s, d), "doc_id", "text", maxDist = 3)
+      (s, d) => DedupOps.simhashPairs(docs(s, d), "doc_id", "text",
+          maxDist = 3, md5Portable = true)
         .orderBy(col("id_a"), col("id_b")),
-      None),
+      Some("""WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+             |             FROM documents),
+             |h AS (SELECT doc_id, md5_number_lower(t) AS h FROM tok),
+             |bits AS (SELECT doc_id, b,
+             |           sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+             |         FROM h, range(64) r(b) GROUP BY 1, 2),
+             |sig AS (SELECT doc_id,
+             |          CAST(sum(CASE WHEN v > 0 THEN (1::UBIGINT << b)
+             |                        ELSE 0::UBIGINT END) AS UBIGINT) AS s
+             |        FROM bits GROUP BY 1)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+             |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.s, b.s)) <= 3
+             |ORDER BY id_a, id_b""".stripMargin)),
 
     // IVF ANN: k-means coarse quantizer + probe-limited search (the scale
     // path past brute force; approximate → rows-only check, recall vs
@@ -151,6 +188,33 @@ object SimilarityQueries {
           .orderBy(col("query_id"), col("rank"))
       },
       None),
+
+    // IVF at nprobe = nlist: every cell probed, so the result is EXACTLY
+    // brute-force top-k (independent of where k-means put the centroids)
+    // while still exercising the full IVF machinery — train, assign,
+    // probe-list, per-cell search, rank window. This is the oracle-visible
+    // twin of q46: the SQL is the same brute-force cosine as q21's.
+    QDef("q129_ivf_exhaustive",
+      (s, d) => {
+        val corpus = embs(s, d)
+        val model = IvfIndex.train(corpus, "vec_id", "embedding", k = 8, iters = 2)
+        IvfIndex.search(corpus.filter(col("vec_id") < 5), corpus,
+          "vec_id", "embedding", model, nprobe = 8, topK = 5)
+          .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"),
+            col("rank"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""SELECT query_id, vec_id, round(sim, 6) AS sim, rank FROM (
+             |  SELECT q.qid AS query_id, e.vec_id,
+             |    list_dot_product(e.v, q.qv)
+             |      / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS sim,
+             |    row_number() OVER (PARTITION BY q.qid
+             |      ORDER BY list_dot_product(e.v, q.qv)
+             |      / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) DESC, e.vec_id) AS rank
+             |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings) e,
+             |       (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id < 5) q
+             |  WHERE e.vec_id <> q.qid)
+             |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
     // PQ-compressed ANN: per-subspace codebooks → byte codes → ADC
     // shortlist → exact rerank (recall and compression pinned in

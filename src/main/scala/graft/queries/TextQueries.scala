@@ -501,8 +501,10 @@ object TextQueries {
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // Distributed BPE tokenizer training: learned merge rules in training
-    // order (iterative argmax — not SQL-expressible; rows-only driver
-    // check, semantics pinned in BpeSpec).
+    // order. Iterative argmax isn't SQL-expressible, so the oracle is a
+    // golden fixture from an INDEPENDENT single-process BPE implementation
+    // (tools/make_bpe_fixture.py) run over the same corpus — same
+    // tokenizer, tie-break and stop rule, none of the same code.
     QDef("q98_bpe_merges",
       (s, d) => {
         val model = graft.operators.Bpe.train(docs(s, d), "text", nMerges = 10)
@@ -510,8 +512,11 @@ object TextQueries {
         model.merges.zipWithIndex
           .map { case ((a, b), i) => (i.toLong + 1, a, b, a + b) }
           .toDF("rank", "left", "right", "merged")
+          .orderBy(col("rank"))
       },
-      None),
+      Some("""SELECT "rank", "left", "right", merged
+             |FROM read_parquet('/root/repo/src/test/resources/golden/bpe_merges_sf001.parquet')
+             |ORDER BY "rank"""".stripMargin)),
 
     // CCNet-style boilerplate scrub re-expressed over token windows (the
     // corpus has no newlines, so fixed 10-token windows stand in for
@@ -566,12 +571,20 @@ object TextQueries {
 
     // P8 chunker: stateful per-row expansion — no SQL oracle (rows-only
     // driver check); invariants covered in ChunkingSpec.
+    // P8 chunker, golden-parity checked (SURVEY §7.5 risk 2): the oracle is
+    // a fixture parquet produced by RUNNING the reference chunker.py itself
+    // over the sf0.01 corpus (tools/make_chunk_fixtures.py) — a hash match
+    // here means the Scala port is bit-exact on every real document,
+    // including the start_char bookkeeping and max(1, len//4) estimates.
     QDef("q19_chunks",
       (s, d) => Chunking.chunkDocumentsGen(docs(s, d), "doc_id", "text")
         .select(col("doc_id"), col("chunk_id"), col("position"),
           col("token_count"), col("start_char"), col("end_char"),
           md5(col("chunk_text")).as("chunk_md5"))
         .orderBy(col("doc_id"), col("position")),
-      None)
+      Some("""SELECT doc_id, chunk_id, position, token_count, start_char,
+             |  end_char, chunk_md5
+             |FROM read_parquet('/root/repo/src/test/resources/golden/chunks_sf001.parquet')
+             |ORDER BY doc_id, position""".stripMargin))
   )
 }

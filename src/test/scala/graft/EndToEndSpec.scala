@@ -123,4 +123,42 @@ class EndToEndSpec extends SparkSpec {
     assert(!rows.init.lastOption.exists(_.getAs[Boolean]("is_anomaly")))
     assert(rows.last.getAs[Boolean]("is_anomaly"))
   }
+
+  test("quality-drop alert fires on a >5-point fall vs the previous run only") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-qd").toString
+    import spark.implicits._
+    // run 1: 98/96; run 2: small dip (no alert); run 3: completeness -7.5
+    Seq(("2026-01-01T00", 98.0, 96.0), ("2026-01-02T00", 95.0, 95.5),
+      ("2026-01-03T00", 87.5, 94.0))
+      .foreach { case (ts, c, v) =>
+        RunHistory.record(
+          Seq((c, v, (c + v) / 2)).toDF("completeness", "validity", "overall_quality"),
+          ts, dir)
+      }
+    val drops = RunHistory.qualityDrop(spark, dir).orderBy("run_ts", "metric")
+    val flagged = drops.filter(col("quality_dropped")).collect()
+    assert(flagged.length == 1)
+    assert(flagged.head.getAs[String]("run_ts") == "2026-01-03T00")
+    assert(flagged.head.getAs[String]("metric") == "completeness")
+    assert(flagged.head.getAs[Double]("drop") == 7.5)
+    // first run has no previous -> never flagged (reference has_previous=False)
+    assert(drops.filter(col("run_ts") === "2026-01-01T00")
+      .filter(col("quality_dropped")).count() == 0)
+  }
+
+  test("validateAndTrack records the profile and surfaces the drop") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vt").toString
+    import spark.implicits._
+    def papers(missing: Boolean) = (1 to 40).map { i =>
+      (s"p$i", i % 2 == 0, i.toLong, 2000L + i % 20,
+        s"d${i % 3}", if (missing && i % 2 == 1) null else s"t$i")
+    }.toDF("paper_id", "has_intro", "citation_count", "year", "domain", "title")
+    val (an1, d1) = PaperPipeline.validateAndTrack(papers(false), dir, "r1")
+    assert(d1.count() == 0) // first run: no previous
+    val (_, d2) = PaperPipeline.validateAndTrack(papers(true), dir, "r2")
+    val flagged = d2.collect()
+    assert(flagged.nonEmpty) // half the titles went null -> completeness drop
+    assert(flagged.forall(_.getAs[String]("run_ts") == "r2"))
+    assert(an1.columns.contains("anomaly_type"))
+  }
 }

@@ -93,6 +93,58 @@ class SimilaritySpec extends SparkSpec {
     assert(onePass == viaAgg)
   }
 
+  test("maxShingleDf cap: identical pairs on a boilerplate-heavy corpus") {
+    import spark.implicits._
+    // the PERF.md blowup shape: one boilerplate tail shared by EVERY doc
+    // (hot shingles, DF = corpus size) + per-doc unique bodies; true dups
+    // share rare shingles and must survive the cap untouched
+    val boiler = "subscribe to our newsletter terms and conditions apply " +
+      "all rights reserved contact support for further assistance today"
+    // unique body must dominate the boilerplate tail, else base-doc pairs
+    // would be TRUE pairs at τ=0.5 sharing only hot shingles — the one
+    // documented loss mode of the cap, not what this test measures
+    val base = (0 until 60).map { i =>
+      val body = (0 until 40).map(j => s"w${i}x$j").mkString(" ")
+      (i.toLong, s"$body $boiler")
+    }
+    val dups = Seq(
+      (100L, s"the quick brown fox jumps over the lazy dog again and again $boiler"),
+      (101L, s"the quick brown fox jumps over the lazy dog again and again $boiler"),
+      (102L, s"an entirely different duplicate cluster with its own words here $boiler"),
+      (103L, s"an entirely different duplicate cluster with its own words here $boiler"))
+    val df = (base ++ dups).toDF("doc_id", "text")
+    def pairs(cap: Option[Long]) =
+      DedupOps.ngramJaccardPairs(df, "doc_id", "text", 3, 0.5, cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getDouble(2))).toSet
+    val full = pairs(None)
+    val capped = pairs(Some(10))
+    assert(full.exists(p => p._1 == 100L && p._2 == 101L))
+    assert(full.exists(p => p._1 == 102L && p._2 == 103L))
+    assert(capped == full,
+      "capped candidate generation must not change the exact pair set")
+  }
+
+  test("md5 low-64 token hash matches DuckDB's md5_number_lower convention") {
+    // known answers taken from DuckDB: SELECT md5_number_lower('abc'|'the'|'42')
+    assert(DedupOps.md5Low64Token("abc") == 8250560606382298838L)
+    assert(DedupOps.md5Low64Token("the") == 6287873238205204795L)
+    // 11986520573880583896 > Long.MaxValue — same BITS as this signed value
+    assert(DedupOps.md5Low64Token("42") == java.lang.Long.parseUnsignedLong("11986520573880583896"))
+  }
+
+  test("md5-portable simhash pair set equals the xxh64 banding's guarantees") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "completely different words entirely unrelated content"))
+      .toDF("doc_id", "text")
+    val pairs = DedupOps.simhashPairs(df, "doc_id", "text", 3,
+      md5Portable = true).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+    pairs.foreach(r => assert(r.getAs[Long]("hamming") <= 3))
+  }
+
   test("simhash of identical texts collides; pairs respect hamming bound") {
     import spark.implicits._
     val df = Seq((1L, "alpha beta gamma delta epsilon zeta"),
