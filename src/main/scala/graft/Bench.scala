@@ -2,16 +2,32 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: every registered query at SPARK_GRAFT_SF_DIR,
-  * REPS repetitions each, per-query MIN (BenchOne-style — single-shot
-  * wall times are load-noise-dominated on a shared box; the min is the
-  * reproducible figure). Emits exactly ONE machine-parseable JSON line,
-  * after `spark.stop()` so no shutdown logging can trail it.
+  * REPS repetitions each, per-query MIN (single-shot wall times are
+  * load-noise-dominated on a shared box; the min is the reproducible
+  * figure).
+  *
+  * Reporting channel (two outputs, by design):
+  *   1. FULL per-query JSON → `BENCH_DETAIL.json` in the repo root
+  *      (committed per round). The complete map at 130 queries is ~3.4 kB
+  *      — larger than the driver's 2,000-char tail capture, which is why
+  *      it goes to a file, never to stdout.
+  *   2. ONE short (<1 kB) machine-parseable JSON line on stdout, printed
+  *      after `spark.stop()` so no shutdown logging can trail it:
+  *      total/mean over SUCCEEDED queries only, the slowest-10 map, the
+  *      failed-query list, and a `noise_ratio` sentinel (q01 re-timed
+  *      before and after the sweep; a quiet box gives ~1.0, ambient load
+  *      inflates it — r3's contaminated run would have shown ~4×).
+  *
+  * A query whose every rep throws is recorded in `failed` and EXCLUDED
+  * from total/mean — a broken query must not make the bench look faster.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+      "/root/repo/BENCH_DETAIL.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -24,29 +40,57 @@ object Bench {
     // be billed to whichever queries happen to run first
     Seq("lineitem", "orders", "documents", "embeddings", "events")
       .foreach(t => Tables(spark, sfDir, t).count())
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+
+    // min-of-reps wall time; Double.NaN iff every rep threw
+    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache() // per-query caches must not accumulate
-        dt
+        if (ok) Some(dt) else None
       }
-      name -> times.min
+      if (times.nonEmpty) times.min else Double.NaN
     }
+
+    val sentinel = SparkEntry.queries.get("q01_pricing_summary")
+    // one untimed sentinel run first: its codegen/JIT compile must not be
+    // billed to the PRE sample, or the ratio reads "noisy" on a quiet box
+    sentinel.foreach(fn => try { fn(spark, sfDir).count() }
+      catch { case _: Throwable => () })
+    val noisePre = sentinel.map(time).getOrElse(Double.NaN)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> time(fn)
+    }
+    val noisePost = sentinel.map(time).getOrElse(Double.NaN)
+    spark.stop()
+
+    val (ok, failed) = results.partition(!_._2.isNaN)
     // locale-independent plain decimals (no %f — a comma-decimal locale
     // would corrupt the JSON)
     def r4(v: Double): Double = math.round(v * 10000) / 10000.0
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + r4(v) }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    def jmap(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + r4(v) }.mkString("{", ",", "}")
+    val total = ok.map(_._2).sum
     // n_queries/mean_sec: the registry grows round over round, so the
     // comparable figure across rounds is per-query mean, not the total
-    val mean = if (results.nonEmpty) total / results.size else 0.0
-    val json = s"""{"metric":"total_min_of_$reps","value":${r4(total)},"unit":"sec","n_queries":${results.size},"reps":$reps,"mean_sec":${r4(mean)},"queries":$qs,"sf":"$sfDir"}"""
-    spark.stop()
+    val mean = if (ok.nonEmpty) total / ok.size else 0.0
+    val noise =
+      if (noisePre.isNaN || noisePost.isNaN || math.min(noisePre, noisePost) <= 0) Double.NaN
+      else math.max(noisePre, noisePost) / math.min(noisePre, noisePost)
+    val slowest = ok.sortBy(-_._2).take(10)
+    val failedJson = failed.map("\"" + _._1 + "\"").mkString("[", ",", "]")
+
+    val detail = s"""{"metric":"total_min_of_$reps","value":${r4(total)},"unit":"sec","n_queries":${ok.size},"n_failed":${failed.size},"failed":$failedJson,"reps":$reps,"mean_sec":${r4(mean)},"noise_pre_sec":${r4(noisePre)},"noise_post_sec":${r4(noisePost)},"noise_ratio":${if (noise.isNaN) "null" else r4(noise)},"queries":${jmap(results.map { case (k, v) => k -> (if (v.isNaN) -1.0 else v) })},"sf":"$sfDir"}"""
+    try {
+      val w = new java.io.PrintWriter(detailPath, "UTF-8")
+      try w.println(detail) finally w.close()
+    } catch { case _: Throwable => () } // summary line still goes out
+
+    val summary = s"""{"metric":"total_min_of_$reps","value":${r4(total)},"unit":"sec","n_queries":${ok.size},"n_failed":${failed.size},"failed":$failedJson,"reps":$reps,"mean_sec":${r4(mean)},"noise_ratio":${if (noise.isNaN) "null" else r4(noise)},"queries":${jmap(slowest)},"detail_file":"$detailPath","sf":"$sfDir"}"""
     // the ONLY stdout line after shutdown — the driver parses the last line
-    println(json)
+    println(summary)
     System.out.flush()
   }
 }

@@ -257,6 +257,40 @@ object DedupOps {
     materializeAndRelease(out, sh, cands)
   }
 
+  /** Benchmark decontamination: per corpus document, the number of distinct
+    * word `n`-gram shingles it shares with a benchmark slice (`benchPred`
+    * selects benchmark rows by id). Used to drop evaluation contamination
+    * from a training corpus.
+    *
+    * Scale shape: the shingle table is computed ONCE (persisted across its
+    * two uses — the benchmark-side distinct and the corpus-side probe;
+    * without the persist the tokenizer UDF runs two full corpus passes).
+    * The benchmark gram set is broadcast only while it is provably small:
+    * past `maxBroadcastRows` distinct grams it falls back to a shuffled
+    * hash join — a corpus-proportional broadcast OOMs the driver at scale.
+    * The eager `bench.count()` that materializes the cache is also what
+    * decides the join strategy, so the size check is free.
+    *
+    * The persisted shingle table stays cached until the session clears it
+    * (the result must stay lazy — callers pin its plan shape); it is
+    * re-derivable, spillable (MEMORY_AND_DISK default), and scoped to the
+    * query run.
+    */
+  def decontaminate(df: DataFrame, idCol: String, textCol: String, n: Int,
+                    benchPred: org.apache.spark.sql.Column,
+                    maxBroadcastRows: Long = 4000000L): DataFrame = {
+    val grams = shingles(df, idCol, textCol, n).persist()
+    val bench = grams.filter(benchPred).select(col("shingle")).distinct()
+    val nBench = bench.count() // materializes the shingle cache: 1 pass total
+    val benchSide =
+      if (nBench <= maxBroadcastRows) broadcast(bench)
+      else bench.hint("shuffle_hash")
+    grams.filter(!benchPred)
+      .join(benchSide, Seq("shingle"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_shared_grams"))
+  }
+
   /** Materialize a (small) result via eager `localCheckpoint`, then release
     * the cached intermediates that produced it. The pair outputs here are
     * O(duplicate pairs) — tiny relative to the corpus at any scale — while

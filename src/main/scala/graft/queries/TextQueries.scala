@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QDef, Tables}
 import graft.functions.TextFns
-import graft.operators.{Chunking, DedupOps}
+import graft.operators.{Chunking, DedupOps, PrefixSum}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -157,15 +157,16 @@ object TextQueries {
 
     // Token-budget batch assembly: pack documents into training batches of
     // ~2000 est. tokens in deterministic doc order via an exclusive
-    // running sum — one window pass, no driver loop.
+    // running sum. The running sum is the DISTRIBUTED two-pass prefix sum
+    // (PrefixSum.runningSum) — a plain global window would plan an
+    // `Exchange SinglePartition` and move the whole table to one task.
     QDef("q67_token_batches",
       (s, d) => {
-        val w = Window.orderBy(col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, 0)
-        docs(s, d)
-          .withColumn("toks", (col("n_chars") / 4).cast("long"))
+        val base = docs(s, d)
+          .select(col("doc_id"), (col("n_chars") / 4).cast("long").as("toks"))
+        PrefixSum.runningSum(base, "doc_id", "toks", "cum")
           .withColumn("batch_id",
-            floor((sum(col("toks")).over(w) - col("toks")) / 2000).cast("long"))
+            floor((col("cum") - col("toks")) / 2000).cast("long"))
           .groupBy(col("batch_id"))
           .agg(count(lit(1)).cast("long").as("n_docs"),
             sum(col("toks")).cast("long").as("batch_tokens"))
@@ -332,20 +333,14 @@ object TextQueries {
              |ORDER BY doc_id""".stripMargin)),
 
     // Benchmark decontamination: distinct 4-gram overlap against a
-    // deterministic pseudo-benchmark slice (doc_id % 97 = 0). The benchmark
-    // gram set is tiny → broadcast; the corpus side never shuffles its
-    // text, only (doc_id, gram) rows that survive the broadcast semi-join.
+    // deterministic pseudo-benchmark slice (doc_id % 97 = 0). The shingle
+    // table is computed once (persisted across both uses); the benchmark
+    // gram set broadcasts only while small, shuffled-hash otherwise — see
+    // DedupOps.decontaminate for the scale rationale.
     QDef("q79_decontaminate",
-      (s, d) => {
-        val grams = DedupOps.shingles(docs(s, d), "doc_id", "text", 4)
-        val bench = grams.filter(col("doc_id") % 97 === 0)
-          .select(col("shingle")).distinct()
-        grams.filter(col("doc_id") % 97 =!= 0)
-          .join(broadcast(bench), Seq("shingle"))
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).cast("long").as("n_shared_grams"))
-          .orderBy(col("doc_id"))
-      },
+      (s, d) => DedupOps.decontaminate(docs(s, d), "doc_id", "text", 4,
+          col("doc_id") % 97 === 0)
+        .orderBy(col("doc_id")),
       Some("""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
              |grams AS (SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i+3), ' ') AS g
              |          FROM toks, UNNEST(range(1, len(t)-2)) AS u(i)),

@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{TextFns, VectorFns}
-import graft.operators.{DedupOps, Enrichment, Relational}
+import graft.operators.{DedupOps, Enrichment, PrefixSum, Relational}
 import org.apache.spark.sql.functions._
 
 /** Edge-case behavior of the function library on inputs the synthetic
@@ -52,6 +52,30 @@ class EdgeCaseSpec extends SparkSpec {
     // doc 1 empty, doc 2 below n → no shingles; doc 3 → 2 shingles
     assert(sh.forall(_.getLong(0) == 3L))
     assert(sh.map(_.getString(1)).toSet == Set("a b c", "b c d"))
+  }
+
+  test("distributed prefix sum equals the sequential scan") {
+    // sparse, shuffled, negative-value keys across many buckets — the
+    // bucket boundaries must not perturb the running sum
+    val rnd = new scala.util.Random(7)
+    val rows = rnd.shuffle((0 until 5000).toList)
+      .map(i => (i * 17L + 3, (i % 13).toLong - 3))
+    val df = rows.toDF("k", "v").repartition(16)
+    val got = PrefixSum.runningSum(df, "k", "v", "cum", nBuckets = 8)
+      .select("k", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var acc = 0L
+    rows.sortBy(_._1).foreach { case (k, v) =>
+      acc += v
+      assert(got(k) == acc, s"k=$k")
+    }
+  }
+
+  test("prefix sum on empty and single-row inputs") {
+    val empty = Seq.empty[(Long, Long)].toDF("k", "v")
+    assert(PrefixSum.runningSum(empty, "k", "v", "cum").count() == 0)
+    val one = Seq((5L, 42L)).toDF("k", "v")
+    val out = PrefixSum.runningSum(one, "k", "v", "cum").collect()
+    assert(out.length == 1 && out(0).getAs[Long]("cum") == 42L)
   }
 
   test("dedupKeepFirst on all-duplicate and single-row inputs") {

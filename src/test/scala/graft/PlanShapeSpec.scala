@@ -145,6 +145,16 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("q79_decontaminate")
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
+    // the shingle table is persisted across its two uses — both the corpus
+    // probe and the benchmark side must read the cache, not re-tokenize
+    assert(p.contains("InMemoryTableScan"), s"shingles recomputed:\n$p")
+  }
+
+  test("q67 running sum is distributed — no single-partition exchange or window") {
+    // the two-pass prefix sum must never plan `Exchange SinglePartition`
+    // (the whole-table-to-one-task shape a global Window.orderBy produces)
+    val p = plan("q67_token_batches")
+    assert(!p.contains("SinglePartition"), s"single-partition stage:\n$p")
   }
 
   test("runtime bloom filter prunes the probe side of a selective join") {

@@ -125,6 +125,24 @@ class SimilaritySpec extends SparkSpec {
       "capped candidate generation must not change the exact pair set")
   }
 
+  test("decontaminate shuffle-join fallback matches the broadcast path") {
+    // maxBroadcastRows = 0 forces the above-threshold path: the benchmark
+    // gram set must NOT broadcast (a corpus-proportional broadcast OOMs
+    // the driver at scale) and the results must be identical
+    val pred = col("doc_id") % 97 === 0
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaBroadcast = DedupOps.decontaminate(docs, "doc_id", "text", 4, pred)
+    val viaShuffle = DedupOps.decontaminate(docs, "doc_id", "text", 4, pred,
+      maxBroadcastRows = 0L)
+    assert(viaBroadcast.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+    assert(viaShuffle.queryExecution.executedPlan.toString
+      .contains("ShuffledHashJoin"))
+    assert(toMap(viaShuffle) == toMap(viaBroadcast))
+    assert(toMap(viaBroadcast).nonEmpty)
+  }
+
   test("md5 low-64 token hash matches DuckDB's md5_number_lower convention") {
     // known answers taken from DuckDB: SELECT md5_number_lower('abc'|'the'|'42')
     assert(DedupOps.md5Low64Token("abc") == 8250560606382298838L)
