@@ -42,14 +42,18 @@ object Multimodal {
     */
   def decodeStub(payload: Array[Byte]): (String, Int, Int, Int) = {
     if (payload == null || payload.isEmpty) return ("empty", 0, 0, 0)
-    decodeImage(payload).getOrElse {
-      val h = java.util.Arrays.hashCode(payload)
-      // floorMod: math.abs(Int.MinValue) is negative — abs%n can throw/skew
-      val fmt = Seq("png", "jpeg", "webp")(math.floorMod(h, 3))
-      val w = 64 + math.floorMod(h, 1024)
-      val ht = 64 + math.floorMod(h / 1024, 1024)
-      (s"stub_$fmt", w, ht, 1 + math.floorMod(h, 300))
-    }
+    decodeImage(payload)
+      // audio rides the same (format, w, h, frames) slots as
+      // (format, sampleRateHz, channels, nFrames)
+      .orElse(decodeAudio(payload))
+      .getOrElse {
+        val h = java.util.Arrays.hashCode(payload)
+        // floorMod: math.abs(Int.MinValue) is negative — abs%n can throw/skew
+        val fmt = Seq("png", "jpeg", "webp")(math.floorMod(h, 3))
+        val w = 64 + math.floorMod(h, 1024)
+        val ht = 64 + math.floorMod(h / 1024, 1024)
+        (s"stub_$fmt", w, ht, 1 + math.floorMod(h, 300))
+      }
   }
 
   /** Real image decode via ImageIO: (format, width, height, n_frames=1). */

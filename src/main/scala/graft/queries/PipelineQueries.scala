@@ -273,17 +273,19 @@ object PipelineQueries {
              |count(*) AS n_orders
              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
-    // Multimodal plumbing as a query: binary payloads (synthesized from
-    // documents — opaque to the pipeline, which is the point) → stub
-    // decode → byte-histogram features → per-format stats. The decode is
-    // a deterministic fake (no codecs in-container); the schema/partition/
-    // batch plumbing is the real path. Rows-only (stub outputs have no
-    // SQL oracle); invariants in MultimodalSpec.
+    // Multimodal decode + feature pipeline over the committed golden media
+    // table (tools/make_media_fixture.py: stdlib-encoded PNG + WAV payloads
+    // and opaque blobs, with expected metadata/features computed in Python,
+    // independently of this code). The REAL decoders run — ImageIO for the
+    // images, javax.sound for the audio — and the opaque rows exercise the
+    // deterministic stub fallback; the oracle compares the per-format
+    // aggregate against the tool's expected columns. Scale-independent
+    // input (the fixture IS the query input), so this row stays green at
+    // any sfDir.
     QDef("q55_multimodal",
-      (s, d) => {
-        val media = t(s, d, "documents").select(
-          col("doc_id").as("media_id"),
-          col("text").cast("binary").as("payload"))
+      (s, _) => {
+        val media = s.read.parquet(graft.Fixtures.golden("media.parquet"))
+          .select(col("media_id"), col("payload"))
         val decoded = Multimodal.decode(media, "media_id", "payload")
         val feats = Multimodal.featureExtract(media, "media_id", "payload")
         decoded.join(feats, "media_id")
@@ -293,7 +295,11 @@ object PipelineQueries {
             round(avg(element_at(col("features"), 1)), 6).as("avg_bin0"))
           .orderBy(col("format"))
       },
-      None),
+      Some(s"""SELECT exp_format AS format, count(*) AS n,
+             |round(avg(exp_width), 2) AS avg_width,
+             |round(avg(exp_bin0), 6) AS avg_bin0
+             |FROM read_parquet('${graft.Fixtures.golden("media.parquet")}')
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // §7.3 flagship slice: clean → quality gate (F5: ≥200 chars) → chunk →
     // denormalize source (J6) → per-source chunk stats. Oracle: the clean
@@ -316,10 +322,10 @@ object PipelineQueries {
             round(avg(col("token_count")), 4).as("avg_chunk_tokens"))
           .orderBy(col("source"))
       },
-      Some("""SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      Some(s"""SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
              |  count(*) AS n_chunks,
              |  round(avg(token_count), 4) AS avg_chunk_tokens
-             |FROM read_parquet('/root/repo/src/test/resources/golden/flagship_chunks_sf001.parquet')
+             |FROM read_parquet('${graft.Fixtures.golden("flagship_chunks_sf001.parquet")}')
              |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -233,6 +233,32 @@ object SimilarityQueries {
       },
       None),
 
+    // PQ at shortlist = corpus size: the ADC pass shortlists EVERY vector,
+    // so the exact rerank is brute-force L2 top-k regardless of where the
+    // codebooks landed — while still exercising the full PQ machinery
+    // (train, encode, ADC lookup tables, shortlist semi-join, rerank).
+    // Oracle-visible twin of q88, same trick as q129-vs-q46; q88 stays as
+    // the approximate-path bench twin.
+    QDef("q130_pq_exhaustive",
+      (s, d) => {
+        val corpus = embs(s, d)
+        val n = corpus.count().toInt
+        val model = PqIndex.train(corpus, "vec_id", "embedding",
+          m = 8, k = 16, iters = 2)
+        val q = corpus.orderBy(col("vec_id")).limit(1)
+          .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble).toArray
+        PqIndex.searchWithRerank(corpus.filter(col("vec_id") =!= 0L),
+            "vec_id", "embedding", model, q, shortlist = n, topK = 10)
+          .select(col("vec_id"), round(sqrt(col("dist")), 6).as("l2_dist"))
+          .orderBy(col("l2_dist"), col("vec_id"))
+      },
+      Some("""SELECT vec_id, round(d, 6) AS l2_dist FROM (
+             |  SELECT e.vec_id, list_distance(e.v, q.qv) AS d
+             |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings) e,
+             |       (SELECT CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id = 0) q
+             |  WHERE e.vec_id <> 0)
+             |ORDER BY d, vec_id LIMIT 10""".stripMargin)),
+
     // Per-label embedding centroids as (label, pos, avg) rows: posexplode →
     // groupBy(label, pos) — one shuffle keyed on (label, pos), partial
     // (map-side) averages do the heavy lifting. Emitting rows rather than an

@@ -509,8 +509,8 @@ object TextQueries {
           .toDF("rank", "left", "right", "merged")
           .orderBy(col("rank"))
       },
-      Some("""SELECT "rank", "left", "right", merged
-             |FROM read_parquet('/root/repo/src/test/resources/golden/bpe_merges_sf001.parquet')
+      Some(s"""SELECT "rank", "left", "right", merged
+             |FROM read_parquet('${graft.Fixtures.golden("bpe_merges_sf001.parquet")}')
              |ORDER BY "rank"""".stripMargin)),
 
     // CCNet-style boilerplate scrub re-expressed over token windows (the
@@ -577,9 +577,9 @@ object TextQueries {
           col("token_count"), col("start_char"), col("end_char"),
           md5(col("chunk_text")).as("chunk_md5"))
         .orderBy(col("doc_id"), col("position")),
-      Some("""SELECT doc_id, chunk_id, position, token_count, start_char,
+      Some(s"""SELECT doc_id, chunk_id, position, token_count, start_char,
              |  end_char, chunk_md5
-             |FROM read_parquet('/root/repo/src/test/resources/golden/chunks_sf001.parquet')
+             |FROM read_parquet('${graft.Fixtures.golden("chunks_sf001.parquet")}')
              |ORDER BY doc_id, position""".stripMargin))
   )
 }

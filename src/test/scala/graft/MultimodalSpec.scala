@@ -64,6 +64,24 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("golden media fixture decodes row-exactly to the Python-computed expectations") {
+    // tools/make_media_fixture.py wrote the payloads (stdlib PNG/WAV
+    // encoders + opaque blobs) AND the expected decode columns; the JVM
+    // decoders must reproduce every row, not just the q55 aggregate
+    val fixture = spark.read.parquet(Fixtures.golden("media.parquet"))
+    val decoded = Multimodal.decode(fixture, "media_id", "payload")
+    val feats = Multimodal.featureExtract(fixture, "media_id", "payload")
+    val joined = decoded.join(feats, "media_id").join(fixture, "media_id")
+    assert(joined.count() == 60)
+    val bad = joined.filter(
+      col("format") =!= col("exp_format") ||
+      col("width") =!= col("exp_width") ||
+      col("height") =!= col("exp_height") ||
+      col("n_frames") =!= col("exp_n_frames") ||
+      abs(element_at(col("features"), 1).cast("double") - col("exp_bin0")) > 1e-9)
+    assert(bad.count() == 0, bad.collect().take(3).mkString("; "))
+  }
+
   test("real PNG payloads decode with true dimensions via ImageIO") {
     import spark.implicits._
     def png(w: Int, h: Int): Array[Byte] = {
