@@ -18,6 +18,19 @@ import org.apache.spark.sql.functions._
   */
 object TextFns {
 
+  /** Python `str.strip()` parity: Python strips Py_UNICODE_ISSPACE chars —
+    * the Unicode White_Space set plus the \x1c-\x1f separators — while Java
+    * `String.strip` (Character.isWhitespace) misses U+00A0/U+2007/U+202F
+    * (non-breaking spaces) and U+0085. Ports of Python `.strip()` must use
+    * this, or an NBSP-edged fragment diverges from the reference.
+    */
+  private val pyEdgeWs = java.util.regex.Pattern.compile(
+    "^[\\s\\x1c-\\x1f]+|[\\s\\x1c-\\x1f]+$",
+    java.util.regex.Pattern.UNICODE_CHARACTER_CLASS)
+
+  def pyStrip(s: String): String =
+    if (s == null) null else pyEdgeWs.matcher(s).replaceAll("")
+
   /** Stoplist: the reference's 40-word English stoplist family
     * (`metadata_enricher.py:66-74`), trimmed to the words that can occur in
     * the synthetic corpus.

@@ -62,16 +62,104 @@ object Bpe {
       .groupBy("word").agg(count(lit(1)).as("freq"))
   }
 
-  /** Learn `nMerges` merge rules from the corpus. Each round is one
-    * explode + groupBy + limit-1 collect over the (small) word table.
+  /** Learn `nMerges` merge rules from the corpus — hybrid execution.
+    *
+    * The corpus always collapses to (word, freq) distributed (the one pass
+    * over the full data). The merge loop itself runs on VOCABULARY-sized
+    * state, so when the distinct-word count is under `maxLocalVocab` the
+    * table is collected and the loop runs driver-local: 2 Spark jobs per
+    * merge round × a real tokenizer's 32k merges = 64k jobs, where the
+    * local loop does the identical argmax/rewrite in-process in seconds
+    * (spec'd merge-identical to the independent fixture tool). Past the
+    * threshold — a 100 TB corpus can exceed driver memory in distinct
+    * words — the original distributed loop runs instead, bit-identical
+    * semantics (same weighting, `(count desc, "a b" asc)` tie-break,
+    * stop-below-2 rule; equality spec'd in BpeSpec).
     */
-  def train(df: DataFrame, textCol: String, nMerges: Int): Model = {
-    val spark = df.sparkSession
+  def train(df: DataFrame, textCol: String, nMerges: Int,
+            maxLocalVocab: Long = 1000000L): Model = {
+    val wf = wordFrequencies(df, textCol).persist()
+    val nWords = wf.count()
+    val model =
+      if (nWords <= maxLocalVocab) {
+        val collected = wf.collect().map { r =>
+          (r.getString(0).map(_.toString).toArray :+ Model.EndOfWord,
+            r.getLong(1))
+        }
+        Model(trainLocal(collected, nMerges))
+      } else Model(trainDistributed(wf, nMerges))
+    wf.unpersist()
+    model
+  }
+
+  /** Driver-local merge loop over the collected (syms, freq) table. */
+  private def trainLocal(words0: Array[(Array[String], Long)],
+                         nMerges: Int): Seq[(String, String)] = {
+    var words = words0
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    var round = 0
+    while (round < nMerges && !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + f)
+          i += 1
+        }
+      }
+      // argmax by (count desc, "a b" asc) — ASCII symbols, so Java string
+      // order ≡ the distributed loop's UTF8 binary sort on the pair key
+      var best: (String, String) = null
+      var bestN = Long.MinValue
+      counts.foreach { case (k, n) =>
+        if (n > bestN || (n == bestN &&
+            (k._1 + " " + k._2).compareTo(best._1 + " " + best._2) < 0)) {
+          best = k
+          bestN = n
+        }
+      }
+      if (best == null || bestN < 2) done = true
+      else {
+        merges += best
+        val (a, b) = best
+        words = words.map { case (syms, f) =>
+          if (!syms.indices.init.exists(i => syms(i) == a && syms(i + 1) == b))
+            (syms, f)
+          else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+                out += a + b
+                i += 2
+              } else {
+                out += syms(i)
+                i += 1
+              }
+            }
+            (out.toArray, f)
+          }
+        }
+      }
+      round += 1
+    }
+    merges.toSeq
+  }
+
+  /** Distributed merge loop: each round is one explode + groupBy + limit-1
+    * collect over the (word, freq) table. The scale path — vocabulary-
+    * distributed, driver holds only the merge rules.
+    */
+  private def trainDistributed(wordFreq: DataFrame,
+                               nMerges: Int): Seq[(String, String)] = {
+    val spark = wordFreq.sparkSession
     import spark.implicits._
     val toSyms = udf { word: String =>
       word.map(_.toString) :+ Model.EndOfWord
     }
-    var words = wordFrequencies(df, textCol)
+    var words = wordFreq
       .select(toSyms(col("word")).as("syms"), col("freq"))
       .localCheckpoint()
     val pairs = udf { syms: Seq[String] =>
@@ -111,7 +199,7 @@ object Bpe {
       }
       round += 1
     }
-    Model(merges.toSeq)
+    merges.toSeq
   }
 
   /** Tokenize a text column with a trained model (narrow map). */

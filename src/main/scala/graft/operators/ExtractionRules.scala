@@ -73,7 +73,9 @@ object ExtractionRules {
     */
   private[operators] def textStripped(markup: String): String =
     markup.split("<[^>]*>")
-      .map(f => unescape(f).strip)
+      // pyStrip, not String.strip: BeautifulSoup strips Python-whitespace,
+      // which includes the NBSPs Java's Character.isWhitespace excludes
+      .map(f => graft.functions.TextFns.pyStrip(unescape(f)))
       .filter(_.nonEmpty)
       .mkString("")
 
@@ -117,8 +119,10 @@ object ExtractionRules {
 
   private val U = java.util.regex.Pattern.UNICODE_CHARACTER_CLASS
   private val CI = java.util.regex.Pattern.CASE_INSENSITIVE
-  private val blankLines = java.util.regex.Pattern.compile("\\n\\s*\\n", U)
-  private val wsRun = java.util.regex.Pattern.compile("\\s+", U)
+  // [\s\x1c-\x1f]: Python re \s (Py_UNICODE_ISSPACE) ⊃ Java Unicode \s
+  private val blankLines =
+    java.util.regex.Pattern.compile("\\n[\\s\\x1c-\\x1f]*\\n", U)
+  private val wsRun = java.util.regex.Pattern.compile("[\\s\\x1c-\\x1f]+", U)
   // ordered as in the reference — FIRST PATTERN that matches wins, even if
   // a later pattern would match earlier in the text
   private val startPatterns = Seq(
@@ -150,7 +154,8 @@ object ExtractionRules {
         case Some(e) => remaining.substring(0, e)
         case None => remaining.take(10000)
       }
-      val intro = wsRun.matcher(intro0).replaceAll(" ").strip
+      val intro = graft.functions.TextFns.pyStrip(
+        wsRun.matcher(intro0).replaceAll(" "))
       if (intro.length > 200 && intro.length < 15000) Some(intro) else None
     }
   }

@@ -83,22 +83,34 @@ object PaperPipeline {
     anomalies
   }
 
-  /** [[validate]] plus the reference's run-over-run quality-drop alert
-    * (`schema_validator.py:352-386`): append this run's quality profile to
-    * the history table, then compare each metric (completeness, validity,
-    * overall) with the immediately previous run — a drop of more than
-    * `dropThreshold` points (reference: 5) flags the metric. Critical
-    * anomalies still throw; quality DROPS are returned for the caller to
-    * alert on, because the reference alerts without failing the run.
+  /** [[validate]] plus the reference's run-over-run quality-drop gate
+    * (`schema_validator.py:352-386`, gated in `test_dag.py`): append this
+    * run's quality profile to the history table, then compare each metric
+    * (completeness, validity, overall) with the immediately previous run.
+    * A drop of more than `dropThreshold` points (reference: 5) FAILS the
+    * gate — [[QualityDropException]] — exactly like a critical anomaly;
+    * the profile is still recorded first so the next run compares against
+    * reality, not against the last passing run. `failOnDrop = false`
+    * downgrades the gate to alert-only for callers that log-and-continue.
     * Returns (anomalies, flagged-drops) — both tiny.
     */
   def validateAndTrack(papers: DataFrame, historyPath: String, runTs: String,
-                       dropThreshold: Double = 5.0): (DataFrame, DataFrame) = {
+                       dropThreshold: Double = 5.0,
+                       failOnDrop: Boolean = true): (DataFrame, DataFrame) = {
     val anomalies = validate(papers)
     graft.quality.RunHistory.record(profile(papers), runTs, historyPath)
     val drops = graft.quality.RunHistory.qualityDrop(papers.sparkSession, historyPath,
         threshold = dropThreshold)
       .filter(col("run_ts") === runTs && col("quality_dropped"))
+    if (failOnDrop) {
+      val flagged = drops.collect()
+      if (flagged.nonEmpty)
+        throw new QualityDropException(
+          flagged.map(r => s"${r.getAs[String]("metric")} dropped " +
+            s"${r.getAs[Double]("drop")} points " +
+            s"(${r.getAs[Double]("previous")} -> ${r.getAs[Double]("current")})")
+            .mkString("; "))
+    }
     (anomalies, drops)
   }
 
@@ -170,4 +182,11 @@ object PaperPipeline {
   * the run-failure signal the reference raises as an Airflow task failure.
   */
 final class CriticalAnomalyException(msg: String)
+  extends RuntimeException(msg)
+
+/** Thrown by [[PaperPipeline.validateAndTrack]] when any quality metric
+  * falls more than the threshold vs the previous run — the reference gates
+  * the DAG on this (`schema_validator.py:352-386`).
+  */
+final class QualityDropException(msg: String)
   extends RuntimeException(msg)

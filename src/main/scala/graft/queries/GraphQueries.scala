@@ -487,9 +487,9 @@ object GraphQueries {
     // the query measured loop overhead, not the operator — VERDICT r2).
     // k=80 peels 5 real rounds and keeps ~93% of vertices at sf0.01 AND
     // sf0.1. The engine iterates to the true data-dependent fixed point;
-    // the oracle unrolls 24 peel rounds in SQL — peeling is idempotent
+    // the oracle unrolls 12 peel rounds in SQL — peeling is idempotent
     // once converged, so any unroll ≥ the actual depth (5 here) is the
-    // exact fixed point, and a depth beyond 24 would surface as a hash
+    // exact fixed point, and a depth beyond 12 would surface as a hash
     // mismatch rather than a silent wrong answer.
     QDef("q121_kcore",
       (s, d) => {

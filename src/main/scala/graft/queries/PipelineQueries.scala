@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QDef, Tables}
 import graft.functions.TextFns
-import graft.operators.{Bias, Chunking, Enrichment, Multimodal, Profiling}
+import graft.operators.{Bias, Chunking, Enrichment, ExtractionRules, Multimodal, Profiling}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -312,10 +312,12 @@ object PipelineQueries {
         val base = t(s, d, "documents")
           .withColumn("clean_text", TextFns.cleanText(col("text")))
           .filter(length(col("clean_text")) >= 200)
+        // source rides through the Generate as a pass-through column — no
+        // corpus-sized dimension join back onto the chunks
         val chunks = Chunking.chunkDocumentsGen(
-          base.select(col("doc_id"), col("clean_text")), "doc_id", "clean_text")
+          base.select(col("doc_id"), col("source"), col("clean_text")),
+          "doc_id", "clean_text", passThrough = Seq("source"))
         chunks
-          .join(broadcast(base.select(col("doc_id"), col("source"))), Seq("doc_id"))
           .groupBy(col("source"))
           .agg(countDistinct(col("doc_id")).cast("long").as("n_docs"),
             count(lit(1)).cast("long").as("n_chunks"),
@@ -326,6 +328,53 @@ object PipelineQueries {
              |  count(*) AS n_chunks,
              |  round(avg(token_count), 4) AS avg_chunk_tokens
              |FROM read_parquet('${graft.Fixtures.golden("flagship_chunks_sf001.parquet")}')
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // The reference DAG's full spine as ONE query (test_dag.py:750 —
+    // collect → extract → clean → chunk): reference-shaped RAW payloads
+    // (q128's synthesis) → S11-S13 parse rules → S14/S15 gate chain →
+    // P7 clean → ≥200-char quality gate → P8 chunker → per-(source,
+    // extraction_method) chunk stats. Oracle: the extraction+clean steps
+    // restated in (q128/q13-verified) SQL, chunked by RUNNING the reference
+    // chunker.py over exactly that text (tools/make_chunk_fixtures.py §d).
+    QDef("q131_full_spine",
+      (s, d) => {
+        val raw = t(s, d, "documents").select(
+          col("doc_id"), col("source"),
+          when(col("doc_id") % 4 === 0, concat(
+            lit("<html><body><section id=\"S1\"><p>"), col("text"),
+            lit("</p></section></body></html>")))
+            .when(col("doc_id") % 4 === 1, concat(
+              lit("<html><body><section><h2>Introduction</h2><p>"), col("text"),
+              lit("</p></section></body></html>")))
+            .as("html_raw"),
+          when(col("doc_id") % 4 === 2, concat(
+            lit("<TEI><text><body><div type=\"introduction\"><p>"), col("text"),
+            lit("</p></div></body></text></TEI>"))).as("tei_raw"),
+          when(col("doc_id") % 4 === 3, concat(
+            lit("Title page\n1. Introduction\n"), col("text"),
+            lit("\n2. Methods\nrest of paper"))).as("pdf_raw"),
+          substring(col("text"), 1, 120).as("abst"),
+          when(col("doc_id") % 3 === 0, substring(col("text"), 1, 40)).as("tldr"))
+        val extracted = ExtractionRules.extractFromRaw(raw, col("html_raw"),
+            col("tei_raw"), col("pdf_raw"), col("abst"), col("tldr"))
+          .withColumn("clean_text", TextFns.cleanText(col("introduction")))
+          .filter(length(col("clean_text")) >= 200)
+          .select(col("doc_id"), col("source"), col("extraction_method"),
+            col("clean_text"))
+        Chunking.chunkDocumentsGen(extracted, "doc_id", "clean_text",
+            passThrough = Seq("source", "extraction_method"))
+          .groupBy(col("source"), col("extraction_method"))
+          .agg(countDistinct(col("doc_id")).cast("long").as("n_docs"),
+            count(lit(1)).cast("long").as("n_chunks"),
+            round(avg(col("token_count")), 4).as("avg_chunk_tokens"))
+          .orderBy(col("source"), col("extraction_method"))
+      },
+      Some(s"""SELECT source, extraction_method,
+             |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             |  count(*) AS n_chunks,
+             |  round(avg(token_count), 4) AS avg_chunk_tokens
+             |FROM read_parquet('${graft.Fixtures.golden("spine_chunks_sf001.parquet")}')
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }

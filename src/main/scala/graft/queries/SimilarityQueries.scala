@@ -84,6 +84,16 @@ object SimilarityQueries {
     // exact q24 pair set and shares its SQL oracle. Recall-vs-exact is
     // additionally pinned in SimilaritySpec; the scale path (banded
     // candidates, verify-on-candidates-only) is unchanged.
+    //
+    // REGENERATION RISK (accepted): the oracle demands LSH = exact
+    // equality, which is EMPIRICAL, not structural — it holds because this
+    // corpus' true pairs sit at J ≈ 1.0 (identical signatures collide in
+    // every band). If the testdata were regenerated with a borderline pair
+    // near J = 0.5, correct code could miss it with ~1% probability per
+    // pair and fail the row. On the current generator the banding is
+    // exhaustive; SimilaritySpec pins the recall property independently of
+    // the corpus, so a regeneration failure here would be a banding-odds
+    // event, not a code defect.
     QDef("q23_minhash_lsh",
       (s, d) => DedupOps.minhashLshPairs(docs(s, d), "doc_id", "text",
           n = 3, threshold = 0.5, k = 32, bands = 16)

@@ -1,0 +1,148 @@
+package graft
+
+import graft.sinks.{AlertSink, PlotSink}
+import org.apache.spark.sql.functions._
+
+/** K8 (PNG plot sink) + K9 (email alert sink) — rendering and MIME/SMTP
+  * behavior, with the network transport faked exactly like HttpSourceSpec
+  * fakes HTTP.
+  */
+class AlertPlotSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def decode(png: Array[Byte]) =
+    javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+
+  test("bar chart renders deterministic PNG with value-proportional bars") {
+    val rows = Seq(("alpha", 100.0), ("beta", 50.0), ("gamma", 25.0))
+    val png = PlotSink.barChartPng(rows, "test chart")
+    assert(png.sameElements(PlotSink.barChartPng(rows, "test chart")),
+      "same aggregate must render byte-identical PNGs")
+    val img = decode(png)
+    assert(img.getWidth == 800)
+    // bar i occupies y in [50 + 28i + 4, 50 + 28i + 22); count colored
+    // (non-white, non-black) pixels along its center line from x=180
+    def barLen(i: Int): Int = {
+      val y = 50 + i * 28 + 12
+      (180 until img.getWidth).count { x =>
+        val rgb = img.getRGB(x, y) & 0xFFFFFF
+        rgb != 0xFFFFFF && rgb != 0x000000
+      }
+    }
+    val (a, b, c) = (barLen(0), barLen(1), barLen(2))
+    assert(a > b && b > c, s"$a,$b,$c")
+    assert(math.abs(a.toDouble / b - 2.0) < 0.2, s"alpha/beta = ${a.toDouble / b}")
+    assert(math.abs(a.toDouble / c - 4.0) < 0.4, s"alpha/gamma = ${a.toDouble / c}")
+  }
+
+  test("pie chart renders all slices with the legend") {
+    val png = PlotSink.pieChartPng(
+      Seq(("x", 3.0), ("y", 1.0)), "shares", size = 200)
+    val img = decode(png)
+    // legend swatches: x in [size+32, size+44), y in [50 + 22i, 62 + 22i)
+    assert((img.getRGB(236, 55) & 0xFFFFFF) != 0xFFFFFF)
+    assert((img.getRGB(236, 77) & 0xFFFFFF) != 0xFFFFFF)
+    // pie body has colored pixels
+    val center = img.getRGB(116, 144) & 0xFFFFFF
+    assert(center != 0xFFFFFF && center != 0x000000)
+  }
+
+  test("writeBarChart aggregates distributed and writes through Hadoop FS") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-plot").toString
+    val counts = Tables(spark, sf, "documents")
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+    PlotSink.writeBarChart(counts, "source", "n",
+      s"file:$dir/collection_overview.png", "Docs per source")
+    val img = javax.imageio.ImageIO.read(
+      new java.io.File(s"$dir/collection_overview.png"))
+    assert(img != null && img.getWidth == 800 && img.getHeight > 60)
+  }
+
+  test("anomaly HTML carries severity styling, metadata and inline-image cid") {
+    val anomalies = Seq(
+      ("volume_drop", "paper_id", "critical", "row count fell 60%"),
+      ("missing_rate", "title", "warning", "12% titles null"))
+      .toDF("anomaly_type", "column_name", "severity", "description")
+      .collect().toSeq
+    val html = AlertSink.renderAnomalyHtml(anomalies, "critical",
+      "2026-08-13T00:00", 12345L, 87.5, inlineImageCid = Some("bias_viz"))
+    assert(html.contains("volume_drop - paper_id"))
+    assert(html.contains("#f44336")) // critical edge color
+    assert(html.contains("#ff9800")) // warning edge color
+    assert(html.contains("Total Rows:</b> 12345"))
+    assert(html.contains("cid:bias_viz"))
+    assert(html.contains("Detected Anomalies (2)"))
+  }
+
+  test("MIME message round-trips the HTML and the inline PNG") {
+    val png = PlotSink.barChartPng(Seq(("a", 1.0)), "t", width = 200)
+    val msg = AlertSink.buildMimeMessage("Alert", "from@x", "to@y",
+      "<html>body</html>", Some(("bias_viz", png)))
+    assert(msg.contains("Subject: Alert"))
+    assert(msg.contains("multipart/related"))
+    assert(msg.contains("Content-ID: <bias_viz>"))
+    // both base64 payloads decode back to the originals
+    def payload(after: String): Array[Byte] = {
+      val from = msg.indexOf(after)
+      val start = msg.indexOf("\r\n\r\n", from) + 4
+      val end = msg.indexOf("\r\n--", start)
+      java.util.Base64.getMimeDecoder.decode(msg.substring(start, end))
+    }
+    assert(new String(payload("text/html"), "UTF-8") == "<html>body</html>")
+    assert(payload("image/png").sameElements(png))
+  }
+
+  /** Scripted SMTP server: replies in order, records every command. */
+  private class FakeSmtp(replies: Seq[String]) extends AlertSink.SmtpTransport {
+    val commands = scala.collection.mutable.ArrayBuffer.empty[String]
+    var connected = false
+    var closed = false
+    private var i = 0
+    def connect(host: String, port: Int): Unit = connected = true
+    def exchange(command: Option[String]): String = {
+      command.foreach(commands += _)
+      val r = replies(i); i += 1; r
+    }
+    def close(): Unit = closed = true
+  }
+
+  private val okScript = Seq("220 smtp ready", "250 hello", "334 VXNlcm5hbWU6",
+    "334 UGFzc3dvcmQ6", "235 accepted", "250 ok", "250 ok", "354 go ahead",
+    "250 queued", "221 bye")
+
+  test("SMTP dialogue: EHLO, AUTH LOGIN, envelope, dot-stuffed DATA, QUIT") {
+    val cfg = AlertSink.SmtpConfig(user = Some("u@x"), password = Some("pw"),
+      to = Some("alerts@y"))
+    val fake = new FakeSmtp(okScript)
+    val message = "Subject: s\r\n\r\nline one\r\n.starts with dot\r\nend"
+    val replies = AlertSink.sendAlert(cfg, message, fake)
+    assert(replies.isDefined && replies.get.size == 10)
+    val c = fake.commands
+    assert(c(0) == "EHLO graft")
+    assert(c(1) == "AUTH LOGIN")
+    assert(c(2) == java.util.Base64.getEncoder.encodeToString("u@x".getBytes))
+    assert(c(3) == java.util.Base64.getEncoder.encodeToString("pw".getBytes))
+    assert(c(4) == "MAIL FROM:<u@x>")
+    assert(c(5) == "RCPT TO:<alerts@y>")
+    assert(c(6) == "DATA")
+    assert(c(7).contains("\r\n..starts with dot"), c(7)) // dot-stuffed
+    assert(c(7).endsWith("\r\n."))
+    assert(c(8) == "QUIT")
+    assert(fake.closed)
+  }
+
+  test("unconfigured credentials skip the send entirely (reference behavior)") {
+    val fake = new FakeSmtp(okScript)
+    val out = AlertSink.sendAlert(
+      AlertSink.SmtpConfig(user = None, password = None), "m", fake)
+    assert(out.isEmpty)
+    assert(!fake.connected && fake.commands.isEmpty)
+  }
+
+  test("a rejected SMTP reply fails loudly and still closes the transport") {
+    val cfg = AlertSink.SmtpConfig(user = Some("u"), password = Some("p"))
+    val fake = new FakeSmtp(Seq("220 ready", "550 denied"))
+    intercept[java.io.IOException] { AlertSink.sendAlert(cfg, "m", fake) }
+    assert(fake.closed)
+  }
+}

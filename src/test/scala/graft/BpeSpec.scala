@@ -26,6 +26,50 @@ class BpeSpec extends SparkSpec {
     assert(encoded.mkString.replace(Bpe.Model.EndOfWord, "") == word) // lossless
   }
 
+  test("local fast path reproduces the independent fixture tool to exhaustion") {
+    // tools/make_bpe_fixture.py (from-scratch Python BPE) run with
+    // n_merges=300 over sf0.01: the corpus vocabulary runs dry at 106
+    // merges, so this compares the ENTIRE merge table through the
+    // stop-below-2 rule, not just a prefix
+    val docs = Tables(spark, "/root/testdata/sf0.01", "documents")
+    val model = Bpe.train(docs, "text", nMerges = 300)
+    val expected = spark.read
+      .parquet(Fixtures.golden("bpe_merges_sf001_300.parquet"))
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
+    assert(expected.length == 106)
+    assert(model.merges == expected)
+  }
+
+  test("local and distributed merge loops learn identical rules") {
+    val docs = Tables(spark, sf, "documents").limit(100)
+    val local = Bpe.train(docs, "text", nMerges = 15)
+    val dist = Bpe.train(docs, "text", nMerges = 15, maxLocalVocab = 0L)
+    assert(local.merges.length == 15)
+    assert(local.merges == dist.merges)
+  }
+
+  test("deep training: hundreds of merges complete in seconds on a wide vocab") {
+    // the job-count-bound distributed loop makes 32k-merge tokenizers
+    // infeasible (2 jobs/round); the local loop must handle deep merge
+    // tables routinely — 250 rounds over a 2000-word vocabulary
+    val words = (0 until 2000).map { i =>
+      val sb = new StringBuilder
+      var v = i * 31 + 7
+      (0 until 6).foreach { _ => sb.append(('a' + v % 26).toChar); v /= 26 }
+      (sb.toString, i % 7 + 2)
+    }
+    val corpus = words.flatMap { case (w, n) => Seq.fill(n)(w) }
+      .grouped(50).map(_.mkString(" ")).toSeq.toDF("text")
+    val t0 = System.nanoTime()
+    val model = Bpe.train(corpus, "text", nMerges = 250)
+    val dt = (System.nanoTime() - t0) / 1e9
+    assert(model.merges.length == 250, model.merges.length.toString)
+    assert(dt < 120.0, s"took ${dt}s")
+    // deterministic: same corpus, same table
+    assert(Bpe.train(corpus, "text", nMerges = 250).merges == model.merges)
+  }
+
   test("training on the documents corpus reduces mean tokens per doc") {
     val docs = Tables(spark, sf, "documents").limit(100)
     val model = Bpe.train(docs, "text", nMerges = 20)

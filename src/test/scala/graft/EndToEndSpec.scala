@@ -2,7 +2,7 @@ package graft
 
 import graft.embed.Embedder
 import graft.operators.Similarity
-import graft.pipeline.PaperPipeline
+import graft.pipeline.{PaperPipeline, QualityDropException}
 import graft.quality.RunHistory
 import graft.sinks.Sinks
 import graft.sources.HttpSource._
@@ -146,7 +146,7 @@ class EndToEndSpec extends SparkSpec {
       .filter(col("quality_dropped")).count() == 0)
   }
 
-  test("validateAndTrack records the profile and surfaces the drop") {
+  test("validateAndTrack fails the gate on a >5-point quality drop") {
     val dir = java.nio.file.Files.createTempDirectory("graft-vt").toString
     import spark.implicits._
     def papers(missing: Boolean) = (1 to 40).map { i =>
@@ -155,10 +155,30 @@ class EndToEndSpec extends SparkSpec {
     }.toDF("paper_id", "has_intro", "citation_count", "year", "domain", "title")
     val (an1, d1) = PaperPipeline.validateAndTrack(papers(false), dir, "r1")
     assert(d1.count() == 0) // first run: no previous
-    val (_, d2) = PaperPipeline.validateAndTrack(papers(true), dir, "r2")
-    val flagged = d2.collect()
-    assert(flagged.nonEmpty) // half the titles went null -> completeness drop
-    assert(flagged.forall(_.getAs[String]("run_ts") == "r2"))
     assert(an1.columns.contains("anomaly_type"))
+    // half the titles go null -> completeness falls >5 points -> the gate
+    // FAILS, like the reference's DAG-gated schema_validator
+    val ex = intercept[QualityDropException] {
+      PaperPipeline.validateAndTrack(papers(true), dir, "r2")
+    }
+    assert(ex.getMessage.contains("completeness"), ex.getMessage)
+    // the failing run's profile was still recorded (next run compares
+    // against reality, not against the last passing run)
+    assert(spark.read.parquet(dir).filter(col("run_ts") === "r2").count() == 1)
+  }
+
+  test("validateAndTrack alert-only mode surfaces the drop without failing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vt2").toString
+    import spark.implicits._
+    def papers(missing: Boolean) = (1 to 40).map { i =>
+      (s"p$i", i % 2 == 0, i.toLong, 2000L + i % 20,
+        s"d${i % 3}", if (missing && i % 2 == 1) null else s"t$i")
+    }.toDF("paper_id", "has_intro", "citation_count", "year", "domain", "title")
+    PaperPipeline.validateAndTrack(papers(false), dir, "r1")
+    val (_, d2) = PaperPipeline.validateAndTrack(papers(true), dir, "r2",
+      failOnDrop = false)
+    val flagged = d2.collect()
+    assert(flagged.nonEmpty)
+    assert(flagged.forall(_.getAs[String]("run_ts") == "r2"))
   }
 }

@@ -8,10 +8,11 @@ force-split paths the short real corpus never reaches, and (c) the flagship
 pipeline's cleaned+filtered text (clean rules = q13's oracle SQL, evaluated
 by DuckDB so the clean semantics are the already-verified ones).
 
-Outputs (committed, read by ChunkingSpec and by the q19/q39 DuckDB oracles):
+Outputs (committed, read by ChunkingSpec and the q19/q39/q131 DuckDB oracles):
   src/test/resources/golden/chunks_sf001.parquet
   src/test/resources/golden/chunks_synthetic.parquet
   src/test/resources/golden/flagship_chunks_sf001.parquet
+  src/test/resources/golden/spine_chunks_sf001.parquet
 
 Dev-tooling only (driver-side python) — the Scala library has no python
 dependency.
@@ -96,6 +97,12 @@ synth = [
     mk(7, ("Exact boundary test. " * 97)),                          # ~2037 chars
     mk(8, "  Leading   whitespace, and\t\ttabs.  " + ("Padding sentence here. " * 10)),
     mk(9, ("Unicode ε spaces and thin. " * 30)),          # unicode whitespace in split
+    # NBSP/py-whitespace parity: leading U+00A0 on the first segment (Python
+    # str.strip removes it, Java String.strip does not) and a \x1c file
+    # separator as the sentence gap (Python re \s matches it, Java's
+    # Unicode \s does not) — pins TextFns.pyStrip + the widened split class
+    mk(10, " Leading nbsp one. Alpha ends.\x1cBeta after separator. "
+           + "Normal sentence follows here.  Narrow gap tail. " * 6),
 ]
 synth_rows = []
 for s in synth:
@@ -145,3 +152,57 @@ FLAG_SCHEMA = pa.schema([
     ("token_count", pa.int32()),
 ])
 write(flag_rows, f"{OUT}/flagship_chunks_sf001.parquet", FLAG_SCHEMA)
+
+# (d) FULL spine (q131): q128's extraction synthesis+gates (verified SQL)
+# -> q13's clean rules -> len >= 200 -> reference chunker over that text.
+# Extraction depends only on doc_id mod and length gates, so it restates
+# in SQL exactly as q128's green oracle does.
+SPINE_SQL = r"""
+WITH f AS (SELECT doc_id, source, text, length(text) AS n,
+    substr(text, 1, 120) AS abst,
+    CASE WHEN doc_id % 3 = 0 THEN substr(text, 1, 40) END AS tldr
+  FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+g AS (SELECT *,
+    (doc_id % 4 = 0 OR doc_id % 4 = 1) AND n > 200 AS html_ok,
+    doc_id % 4 = 2 AND n > 200 AND n <= 15000 AS tei_ok,
+    doc_id % 4 = 3 AND n > 200 AND n < 15000 AS pdf_ok,
+    length(abst) > 50 AS abs_ok
+  FROM f),
+ext AS (SELECT doc_id, source,
+    CASE WHEN html_ok OR tei_ok OR pdf_ok THEN text
+         WHEN abs_ok THEN (CASE WHEN tldr IS NOT NULL
+              THEN abst || ' Summary: ' || tldr ELSE abst END)
+         WHEN tldr IS NOT NULL THEN tldr END AS introduction,
+    CASE WHEN html_ok THEN 'arxiv_html' WHEN tei_ok THEN 'grobid'
+         WHEN pdf_ok THEN 'pymupdf_regex'
+         WHEN abs_ok OR tldr IS NOT NULL THEN 'abstract_tldr'
+         END AS extraction_method
+  FROM g)
+SELECT doc_id, source, extraction_method,
+trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+  introduction, 'https?://[^ \t\n\r\f\x0B]+', ' ', 'g'),
+  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', ' ', 'g'),
+  '\[[0-9, ]+\]', ' ', 'g'),
+  '\([A-Za-z]+ et al[.,][^)]*\)', ' ', 'g'),
+  '[^a-zA-Z0-9 .,;:!?()''-]', ' ', 'g'),
+  '  *', ' ', 'g')) AS clean_text
+FROM ext WHERE introduction IS NOT NULL
+"""
+
+spine_rows = []
+for doc_id, source, method, clean in duckdb.sql(SPINE_SQL).fetchall():
+    if clean is not None and len(clean) >= 200:
+        for c in chunker.chunk_document(clean, str(doc_id)):
+            spine_rows.append({
+                "doc_id": doc_id,
+                "source": source,
+                "extraction_method": method,
+                "token_count": c.token_count,
+            })
+SPINE_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()),
+    ("source", pa.string()),
+    ("extraction_method", pa.string()),
+    ("token_count", pa.int32()),
+])
+write(spine_rows, f"{OUT}/spine_chunks_sf001.parquet", SPINE_SCHEMA)
