@@ -19,4 +19,22 @@ object Fixtures {
 
   def golden(name: String): String =
     s"$repoRoot/src/test/resources/golden/$name"
+
+  /** SF tag for the per-scale fixtures (`chunks_sf001` etc.), resolved
+    * from the sfDir the harness is running against: the `graft.sf.dir`
+    * system property (set by Verify from its argument) wins, then the
+    * bench env var, then the sf0.01 default (the driver's correctness
+    * scale). `sf0.001 → sf0001`, `sf0.01 → sf001`, `sf0.1 → sf01`.
+    */
+  def sfTag: String = {
+    val dir = sys.props.get("graft.sf.dir")
+      .orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
+      .getOrElse("sf0.01")
+    new java.io.File(dir).getName.replace(".", "")
+  }
+
+  /** Per-SF golden fixture: `goldenSf("chunks")` → `.../chunks_sf001
+    * .parquet` at the active scale.
+    */
+  def goldenSf(base: String): String = golden(s"${base}_$sfTag.parquet")
 }

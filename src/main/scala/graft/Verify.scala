@@ -8,6 +8,9 @@ object Verify {
     // args: sfDir outDir [comma-separated query-name filter — local use]
     val sfDir = args(0)
     val outDir = args(1)
+    // before any SparkEntry access: the golden-fixture oracles interpolate
+    // the per-SF fixture path from this property (Fixtures.sfTag)
+    System.setProperty("graft.sf.dir", sfDir)
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

@@ -327,7 +327,7 @@ object PipelineQueries {
       Some(s"""SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
              |  count(*) AS n_chunks,
              |  round(avg(token_count), 4) AS avg_chunk_tokens
-             |FROM read_parquet('${graft.Fixtures.golden("flagship_chunks_sf001.parquet")}')
+             |FROM read_parquet('${graft.Fixtures.goldenSf("flagship_chunks")}')
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // The reference DAG's full spine as ONE query (test_dag.py:750 —
@@ -374,7 +374,7 @@ object PipelineQueries {
              |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
              |  count(*) AS n_chunks,
              |  round(avg(token_count), 4) AS avg_chunk_tokens
-             |FROM read_parquet('${graft.Fixtures.golden("spine_chunks_sf001.parquet")}')
+             |FROM read_parquet('${graft.Fixtures.goldenSf("spine_chunks")}')
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }

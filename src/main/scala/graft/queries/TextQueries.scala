@@ -510,7 +510,7 @@ object TextQueries {
           .orderBy(col("rank"))
       },
       Some(s"""SELECT "rank", "left", "right", merged
-             |FROM read_parquet('${graft.Fixtures.golden("bpe_merges_sf001.parquet")}')
+             |FROM read_parquet('${graft.Fixtures.goldenSf("bpe_merges")}')
              |ORDER BY "rank"""".stripMargin)),
 
     // CCNet-style boilerplate scrub re-expressed over token windows (the
@@ -579,7 +579,7 @@ object TextQueries {
         .orderBy(col("doc_id"), col("position")),
       Some(s"""SELECT doc_id, chunk_id, position, token_count, start_char,
              |  end_char, chunk_md5
-             |FROM read_parquet('${graft.Fixtures.golden("chunks_sf001.parquet")}')
+             |FROM read_parquet('${graft.Fixtures.goldenSf("chunks")}')
              |ORDER BY doc_id, position""".stripMargin))
   )
 }

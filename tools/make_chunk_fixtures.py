@@ -2,17 +2,20 @@
 """Golden-fixture generator for chunker parity (SURVEY §7.5 risk 2).
 
 Runs the REFERENCE chunker (`/root/reference/.../chunker.py`, imported by
-file path — its code never enters this repo) over (a) the sf0.01 documents
-table, (b) a synthetic corpus that exercises the packing / overlap /
-force-split paths the short real corpus never reaches, and (c) the flagship
-pipeline's cleaned+filtered text (clean rules = q13's oracle SQL, evaluated
-by DuckDB so the clean semantics are the already-verified ones).
+file path — its code never enters this repo) over (a) each scale factor's
+documents table, (b) a synthetic corpus that exercises the packing /
+overlap / force-split paths the short real corpus never reaches, and
+(c/d) the flagship and full-spine pipelines' cleaned+filtered text (clean
+rules = q13's oracle SQL, extraction = q128's oracle SQL, evaluated by
+DuckDB so those semantics are the already-verified ones).
 
-Outputs (committed, read by ChunkingSpec and the q19/q39/q131 DuckDB oracles):
-  src/test/resources/golden/chunks_sf001.parquet
-  src/test/resources/golden/chunks_synthetic.parquet
-  src/test/resources/golden/flagship_chunks_sf001.parquet
-  src/test/resources/golden/spine_chunks_sf001.parquet
+Per-SF outputs (committed; the q19/q39/q131 oracles resolve the tag from
+Verify's sfDir via graft.Fixtures, so the correctness gate is valid at
+ANY of the generated scales, not only sf0.01):
+  src/test/resources/golden/chunks_{sf0001,sf001,sf01}.parquet
+  src/test/resources/golden/flagship_chunks_{...}.parquet
+  src/test/resources/golden/spine_chunks_{...}.parquet
+  src/test/resources/golden/chunks_synthetic.parquet   (SF-independent)
 
 Dev-tooling only (driver-side python) — the Scala library has no python
 dependency.
@@ -31,6 +34,10 @@ mod = importlib.util.module_from_spec(spec)
 spec.loader.exec_module(mod)
 chunker = mod.DocumentChunker()  # size=512, overlap=50, min=100
 
+SFS = [("/root/testdata/sf0.001", "sf0001"),
+       ("/root/testdata/sf0.01", "sf001"),
+       ("/root/testdata/sf0.1", "sf01")]
+
 CLEAN_SQL = r"""
 SELECT doc_id, source,
 trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
@@ -40,7 +47,7 @@ trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
   '\([A-Za-z]+ et al[.,][^)]*\)', ' ', 'g'),
   '[^a-zA-Z0-9 .,;:!?()''-]', ' ', 'g'),
   '  *', ' ', 'g')) AS clean_text
-FROM read_parquet('/root/testdata/sf0.01/documents.parquet')
+FROM read_parquet('{sf}/documents.parquet')
 """
 
 
@@ -73,12 +80,13 @@ CHUNK_SCHEMA = pa.schema([
     ("chunk_md5", pa.string()),
 ])
 
-# (a) raw sf0.01 corpus -> q19 oracle fixture
-docs = duckdb.sql(
-    "SELECT doc_id, text FROM read_parquet('/root/testdata/sf0.01/documents.parquet') ORDER BY doc_id"
-).fetchall()
-rows = [r for d, t in docs for r in chunk_rows(d, t)]
-write(rows, f"{OUT}/chunks_sf001.parquet", CHUNK_SCHEMA)
+# (a) raw corpus -> q19 oracle fixture, per SF
+for sf, tag in SFS:
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+    rows = [r for d, t in docs for r in chunk_rows(d, t)]
+    write(rows, f"{OUT}/chunks_{tag}.parquet", CHUNK_SCHEMA)
 
 # (b) synthetic corpus: long docs that hit packing, overlap carry,
 # force-split (incl. monster words) and boundary conditions. The TEXT is
@@ -136,22 +144,23 @@ print("zero-chunk cases:",
        if not chunker.chunk_document(s["text"], "z")])
 
 # (c) flagship path: q13-clean -> len >= 200 -> chunk(clean) -> per-chunk
-# (doc_id, source, token_count) for the q39 aggregate oracle.
-flag_rows = []
-for doc_id, source, clean in duckdb.sql(CLEAN_SQL).fetchall():
-    if clean is not None and len(clean) >= 200:
-        for c in chunker.chunk_document(clean, str(doc_id)):
-            flag_rows.append({
-                "doc_id": doc_id,
-                "source": source,
-                "token_count": c.token_count,
-            })
+# (doc_id, source, token_count) for the q39 aggregate oracle, per SF.
 FLAG_SCHEMA = pa.schema([
     ("doc_id", pa.int64()),
     ("source", pa.string()),
     ("token_count", pa.int32()),
 ])
-write(flag_rows, f"{OUT}/flagship_chunks_sf001.parquet", FLAG_SCHEMA)
+for sf, tag in SFS:
+    flag_rows = []
+    for doc_id, source, clean in duckdb.sql(CLEAN_SQL.format(sf=sf)).fetchall():
+        if clean is not None and len(clean) >= 200:
+            for c in chunker.chunk_document(clean, str(doc_id)):
+                flag_rows.append({
+                    "doc_id": doc_id,
+                    "source": source,
+                    "token_count": c.token_count,
+                })
+    write(flag_rows, f"{OUT}/flagship_chunks_{tag}.parquet", FLAG_SCHEMA)
 
 # (d) FULL spine (q131): q128's extraction synthesis+gates (verified SQL)
 # -> q13's clean rules -> len >= 200 -> reference chunker over that text.
@@ -161,7 +170,7 @@ SPINE_SQL = r"""
 WITH f AS (SELECT doc_id, source, text, length(text) AS n,
     substr(text, 1, 120) AS abst,
     CASE WHEN doc_id % 3 = 0 THEN substr(text, 1, 40) END AS tldr
-  FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+  FROM read_parquet('{sf}/documents.parquet')),
 g AS (SELECT *,
     (doc_id % 4 = 0 OR doc_id % 4 = 1) AND n > 200 AS html_ok,
     doc_id % 4 = 2 AND n > 200 AND n <= 15000 AS tei_ok,
@@ -189,20 +198,22 @@ trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
 FROM ext WHERE introduction IS NOT NULL
 """
 
-spine_rows = []
-for doc_id, source, method, clean in duckdb.sql(SPINE_SQL).fetchall():
-    if clean is not None and len(clean) >= 200:
-        for c in chunker.chunk_document(clean, str(doc_id)):
-            spine_rows.append({
-                "doc_id": doc_id,
-                "source": source,
-                "extraction_method": method,
-                "token_count": c.token_count,
-            })
 SPINE_SCHEMA = pa.schema([
     ("doc_id", pa.int64()),
     ("source", pa.string()),
     ("extraction_method", pa.string()),
     ("token_count", pa.int32()),
 ])
-write(spine_rows, f"{OUT}/spine_chunks_sf001.parquet", SPINE_SCHEMA)
+for sf, tag in SFS:
+    spine_rows = []
+    for doc_id, source, method, clean in duckdb.sql(
+            SPINE_SQL.format(sf=sf)).fetchall():
+        if clean is not None and len(clean) >= 200:
+            for c in chunker.chunk_document(clean, str(doc_id)):
+                spine_rows.append({
+                    "doc_id": doc_id,
+                    "source": source,
+                    "extraction_method": method,
+                    "token_count": c.token_count,
+                })
+    write(spine_rows, f"{OUT}/spine_chunks_{tag}.parquet", SPINE_SCHEMA)
