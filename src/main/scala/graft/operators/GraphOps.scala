@@ -131,9 +131,16 @@ object GraphOps {
       val deg = cur.select(col("a").as("v")).union(cur.select(col("b").as("v")))
         .groupBy("v").agg(count(lit(1)).as("deg"))
       val keep = deg.filter(col("deg") >= k).select("v")
+      // the survivor set is vertex-sized: broadcast it while it fits (same
+      // ≤5M guard as pageRank — vertices ≤ 2·edges) so the edge table is
+      // never shuffled by the semi joins; past the guard fall back to
+      // shuffle joins. Saves 2 of the 3 per-round shuffles.
+      val keepSide =
+        if (nEdges <= 2500000L) (c: DataFrame) => broadcast(c)
+        else (c: DataFrame) => c
       val next = cur
-        .join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
-        .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
+        .join(keepSide(keep.withColumnRenamed("v", "a")), Seq("a"), "left_semi")
+        .join(keepSide(keep.withColumnRenamed("v", "b")), Seq("b"), "left_semi")
         .localCheckpoint()
       val n = next.count()
       done = n == nEdges || n == 0L

@@ -822,6 +822,104 @@ object RelationalQueries {
              |SELECT l_returnflag, metric, value
              |FROM (UNPIVOT wide ON m_qty, m_price, m_tax
              |      INTO NAME metric VALUE value)
-             |ORDER BY l_returnflag, metric""".stripMargin))
+             |ORDER BY l_returnflag, metric""".stripMargin)),
+
+    // TPC-H Q13 shape: customer order-count distribution — LEFT OUTER join
+    // (zero-order customers must appear at c_count=0) into a histogram of
+    // counts. Two shuffles: the outer join keyed on custkey, then the tiny
+    // count-of-counts aggregate.
+    QDef("q132_tpch_q13",
+      (s, d) => {
+        val counts = t(s, d, "customer")
+          .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+        counts.groupBy(col("c_count").cast("long").as("c_count"))
+          .agg(count(lit(1)).cast("long").as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      Some("""SELECT c_count, count(*) AS custdist FROM (
+             |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+             |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             |  GROUP BY 1)
+             |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin)),
+
+    // TPC-H Q8 shape: national market share — NATION_9's share of PROMO-part
+    // volume sold into ASIA, per order year. Dimension chain (part filter,
+    // supplier, customer, both nation legs, region) broadcasts; the only
+    // large-large join is orders ⋈ lineitem (AQE-planned).
+    QDef("q133_tpch_q8",
+      (s, d) => {
+        val n = t(s, d, "nation")
+        val asiaNations = n
+          .join(broadcast(t(s, d, "region").filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey").as("cust_nk"))
+        val vol = t(s, d, "lineitem")
+          .join(broadcast(t(s, d, "part").filter(col("p_type") === "PROMO")
+            .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+          .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, d, "customer")
+            .select(col("c_custkey"), col("c_nationkey"))),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(asiaNations), col("c_nationkey") === col("cust_nk"))
+          .join(broadcast(t(s, d, "supplier")
+            .select(col("s_suppkey"), col("s_nationkey"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n.select(col("n_nationkey").as("supp_nk"),
+            col("n_name").as("supp_nation"))),
+            col("s_nationkey") === col("supp_nk"))
+          .select(year(col("o_orderdate")).cast("long").as("o_year"),
+            (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"),
+            col("supp_nation"))
+        vol.groupBy(col("o_year"))
+          .agg(round(
+            sum(when(col("supp_nation") === "NATION_9", col("volume"))
+              .otherwise(lit(0.0))) / sum(col("volume")), 6).as("mkt_share"))
+          .orderBy(col("o_year"))
+      },
+      Some("""WITH vol AS (
+             |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             |    l_extendedprice * (1 - l_discount) AS volume,
+             |    n2.n_name AS supp_nation
+             |  FROM lineitem
+             |  JOIN part ON p_partkey = l_partkey AND p_type = 'PROMO'
+             |  JOIN orders ON l_orderkey = o_orderkey
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+             |  JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+             |  JOIN supplier ON l_suppkey = s_suppkey
+             |  JOIN nation n2 ON s_nationkey = n2.n_nationkey)
+             |SELECT o_year,
+             |round(sum(CASE WHEN supp_nation = 'NATION_9' THEN volume ELSE 0 END)
+             |      / sum(volume), 6) AS mkt_share
+             |FROM vol GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // TPC-H Q17 shape: small-quantity-order revenue — the per-part average
+    // is a correlated scalar in the spec; here it is ONE aggregate over the
+    // brand's lineitems (semi-joined first, so the avg table is brand-sized)
+    // broadcast back onto the probe. l_quantity is integral, so the
+    // 0.2×avg boundary is bit-identical across engines.
+    QDef("q134_tpch_q17",
+      (s, d) => {
+        val brandParts = t(s, d, "part")
+          .filter(col("p_brand") === "Brand#23").select(col("p_partkey"))
+        val li = t(s, d, "lineitem")
+          .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+        val avgQ = li.groupBy(col("l_partkey").as("avg_pk"))
+          .agg(avg(col("l_quantity")).as("avg_q"))
+        li.join(broadcast(avgQ), col("l_partkey") === col("avg_pk"))
+          .filter(col("l_quantity") < lit(0.2) * col("avg_q"))
+          .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"),
+            count(lit(1)).cast("long").as("n_small"))
+      },
+      Some("""WITH li AS (SELECT l_partkey, l_quantity, l_extendedprice
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey
+             |  WHERE p_brand = 'Brand#23'),
+             |a AS (SELECT l_partkey, avg(l_quantity) AS avg_q FROM li GROUP BY 1)
+             |SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+             |count(*) AS n_small
+             |FROM li JOIN a USING (l_partkey)
+             |WHERE l_quantity < 0.2 * avg_q""".stripMargin))
   )
 }

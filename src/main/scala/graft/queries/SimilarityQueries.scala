@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QDef, Tables}
-import graft.operators.{DedupOps, IvfIndex, PqIndex, Similarity}
+import graft.operators.{DedupOps, IvfIndex, PqIndex, Similarity, SqIndex}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -258,6 +258,30 @@ object SimilarityQueries {
         val q = corpus.orderBy(col("vec_id")).limit(1)
           .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble).toArray
         PqIndex.searchWithRerank(corpus.filter(col("vec_id") =!= 0L),
+            "vec_id", "embedding", model, q, shortlist = n, topK = 10)
+          .select(col("vec_id"), round(sqrt(col("dist")), 6).as("l2_dist"))
+          .orderBy(col("l2_dist"), col("vec_id"))
+      },
+      Some("""SELECT vec_id, round(d, 6) AS l2_dist FROM (
+             |  SELECT e.vec_id, list_distance(e.v, q.qv) AS d
+             |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings) e,
+             |       (SELECT CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id = 0) q
+             |  WHERE e.vec_id <> 0)
+             |ORDER BY d, vec_id LIMIT 10""".stripMargin)),
+
+    // SQ8 scalar quantization at shortlist = corpus size: the byte-code
+    // scan shortlists EVERY vector, so the exact rerank is brute-force L2
+    // top-k — the full SQ machinery (per-dim min/max train, encode,
+    // dequantized scan, rerank) under the same exact oracle as q130.
+    // Compression + shortlist-recall are pinned in SimilaritySpec.
+    QDef("q135_sq_exhaustive",
+      (s, d) => {
+        val corpus = embs(s, d)
+        val n = corpus.count().toInt
+        val model = SqIndex.train(corpus, "embedding")
+        val q = corpus.orderBy(col("vec_id")).limit(1)
+          .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble).toArray
+        SqIndex.searchWithRerank(corpus.filter(col("vec_id") =!= 0L),
             "vec_id", "embedding", model, q, shortlist = n, topK = 10)
           .select(col("vec_id"), round(sqrt(col("dist")), 6).as("l2_dist"))
           .orderBy(col("l2_dist"), col("vec_id"))

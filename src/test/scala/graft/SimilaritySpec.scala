@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.VectorFns
-import graft.operators.{DedupOps, Similarity}
+import graft.operators.{DedupOps, Similarity, SqIndex}
 import org.apache.spark.sql.functions._
 
 class SimilaritySpec extends SparkSpec {
@@ -123,6 +123,31 @@ class SimilaritySpec extends SparkSpec {
     assert(full.exists(p => p._1 == 102L && p._2 == 103L))
     assert(capped == full,
       "capped candidate generation must not change the exact pair set")
+  }
+
+  test("SQ8 quantization: 4x compression, tight shortlist recalls exact top-k") {
+    val corpus = embs
+    val model = SqIndex.train(corpus, "embedding")
+    val dim = model.dim
+    assert(dim == corpus.select(size(col("embedding"))).head.getInt(0))
+    // codes are 1 byte/dim vs 4 (float32) — the 4x claim, structurally
+    val code = SqIndex.encode(corpus.limit(1), "embedding", model)
+      .select(col("qcode")).head.getAs[Array[Byte]](0)
+    assert(code.length == dim)
+    // int8 quantization error is tiny relative to inter-vector distances:
+    // a 50-of-N shortlist must recall the exact top-10 completely here
+    val q = corpus.filter(col("vec_id") === 3L)
+      .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble).toArray
+    val rest = corpus.filter(col("vec_id") =!= 3L)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getLong(0)).toSet
+    val n = rest.count().toInt
+    val exact = ids(SqIndex.searchWithRerank(rest, "vec_id", "embedding",
+      model, q, shortlist = n, topK = 10).select("vec_id"))
+    val approx = ids(SqIndex.searchWithRerank(rest, "vec_id", "embedding",
+      model, q, shortlist = 50, topK = 10).select("vec_id"))
+    assert(exact.size == 10)
+    assert(approx == exact, s"recall miss: ${(exact -- approx).size} of 10")
   }
 
   test("decontaminate shuffle-join fallback matches the broadcast path") {
