@@ -55,8 +55,22 @@ object ScaleProbe {
         spark.catalog.clearCache()
         f" exact=$t%.2fs ($r pairs)"
       } else ""
+      // round-4 scale fixes: the distributed prefix sum (q67 shape) and the
+      // single-pass bounded-broadcast decontamination (q79 shape)
+      val (psT, psRows) = time(
+        graft.operators.PrefixSum.runningSum(
+          corpus.select(col("doc_id"),
+            (length(col("text")) / 4).cast("long").as("toks")),
+          "doc_id", "toks", "cum").count())
+      spark.catalog.clearCache()
+      val (deconT, deconRows) = time(
+        DedupOps.decontaminate(corpus, "doc_id", "text", 4,
+          col("doc_id") % 97 === 0).count())
+      spark.catalog.clearCache()
       println(f"[scale] c=$c%2d docs=${n * c}%7d lsh=$lshT%.2fs ($lshRows pairs)" +
-        f" scrub=$scrubT%.2fs ($scrubRows docs)$exact")
+        f" scrub=$scrubT%.2fs ($scrubRows docs)" +
+        f" prefixsum=$psT%.2fs ($psRows rows)" +
+        f" decon=$deconT%.2fs ($deconRows docs)$exact")
     }
     spark.stop()
   }

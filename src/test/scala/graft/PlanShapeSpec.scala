@@ -145,9 +145,10 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("q79_decontaminate")
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
-    // the shingle table is persisted across its two uses — both the corpus
-    // probe and the benchmark side must read the cache, not re-tokenize
-    assert(p.contains("InMemoryTableScan"), s"shingles recomputed:\n$p")
+    // the benchmark's distinct gram SET is cached (benchmark-sized — the
+    // corpus-sized gram table must NOT be, see DedupOps.decontaminate);
+    // the broadcast side must read that cache, not re-tokenize
+    assert(p.contains("InMemoryTableScan"), s"bench gram set recomputed:\n$p")
   }
 
   test("q67 running sum is distributed — no single-partition exchange or window") {
