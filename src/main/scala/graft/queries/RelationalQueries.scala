@@ -741,7 +741,8 @@ object RelationalQueries {
     // Key-skew audit: the shuffle-planning report (top-key share + Gini of
     // the per-key load) you run BEFORE picking salting/AQE settings on a
     // new key. The window runs over the per-key count table (≪ events);
-    // for billions of keys, bin the Lorenz curve instead of exact ranks.
+    // for billions of keys, q136 bins the Lorenz curve instead (the scale
+    // path); this exact form is its accuracy baseline.
     QDef("q119_skew_audit",
       (s, d) => {
         val cnt = t(s, d, "events").groupBy(col("user_id"))
@@ -920,6 +921,56 @@ object RelationalQueries {
              |SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
              |count(*) AS n_small
              |FROM li JOIN a USING (l_partkey)
-             |WHERE l_quantity < 0.2 * avg_q""".stripMargin))
+             |WHERE l_quantity < 0.2 * avg_q""".stripMargin)),
+
+    // q119's 100 TB path, implemented: the exact-rank Gini needs a global
+    // row_number over ALL per-key counts (key-count-sized window — fine at
+    // bench scale, fatal at billions of keys). Here the Lorenz curve is
+    // BINNED: counts bucket into 64 fixed-width bins (bin index monotone
+    // in count), the grouped-data Gini runs over ≤64 rows, and every
+    // window in the plan is bin-sized. The binning is deterministic, so
+    // the oracle replicates it exactly; closeness to q119's exact Gini is
+    // pinned in RelationalQueriesSpec.
+    QDef("q136_skew_audit_binned",
+      (s, d) => {
+        val bins = 64
+        val cnt = t(s, d, "events").groupBy(col("user_id"))
+          .agg(count(lit(1)).cast("double").as("cnt"))
+        val mx = cnt.agg(max(col("cnt")).as("mx"))
+        val binned = cnt.crossJoin(broadcast(mx))
+          .withColumn("bin", least(lit(bins - 1L),
+            floor(col("cnt") * bins / (col("mx") + 1)).cast("long")))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).cast("double").as("k_b"), sum(col("cnt")).as("m_b"))
+        val tot = Window.partitionBy()
+        val cum = Window.orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        binned
+          .withColumn("p", col("k_b") / sum(col("k_b")).over(tot))
+          .withColumn("l", col("m_b") / sum(col("m_b")).over(tot))
+          .withColumn("lprev", coalesce(sum(col("l")).over(cum), lit(0.0)))
+          .agg(count(lit(1)).cast("long").as("n_bins_used"),
+            sum(col("k_b")).cast("long").as("n_keys"),
+            sum(col("m_b")).cast("long").as("n_events"),
+            floor((lit(1.0) -
+              sum(col("p") * (lit(2.0) * col("lprev") + col("l"))))
+              * 1000000.0 + 0.5).cast("long").as("gini_x1e6"))
+      },
+      Some("""WITH c AS (SELECT user_id, CAST(count(*) AS DOUBLE) AS cnt
+             |          FROM events GROUP BY 1),
+             |mx AS (SELECT max(cnt) AS mx FROM c),
+             |b AS (SELECT least(63, CAST(floor(cnt * 64 / (mx + 1)) AS BIGINT)) AS bin,
+             |        CAST(count(*) AS DOUBLE) AS k_b, sum(cnt) AS m_b
+             |      FROM c, mx GROUP BY 1),
+             |s AS (SELECT *, k_b / sum(k_b) OVER () AS p,
+             |        m_b / sum(m_b) OVER () AS l FROM b),
+             |s2 AS (SELECT *, coalesce(sum(l) OVER (ORDER BY bin
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lprev
+             |       FROM s)
+             |SELECT CAST(count(*) AS BIGINT) AS n_bins_used,
+             |CAST(sum(k_b) AS BIGINT) AS n_keys,
+             |CAST(sum(m_b) AS BIGINT) AS n_events,
+             |CAST(floor((1.0 - sum(p * (2.0 * lprev + l))) * 1000000.0 + 0.5) AS BIGINT) AS gini_x1e6
+             |FROM s2""".stripMargin))
   )
 }

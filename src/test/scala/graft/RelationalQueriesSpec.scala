@@ -4,6 +4,20 @@ import org.apache.spark.sql.functions._
 
 class RelationalQueriesSpec extends SparkSpec {
 
+  test("binned Lorenz Gini tracks the exact-rank Gini") {
+    // q136 is q119's billions-of-keys path: 64 bins quantize the Lorenz
+    // curve, so its Gini must sit within the bin-width error of the exact
+    // ranked computation (and agree exactly on the key/event totals)
+    def row(name: String) = SparkEntry.queries(name)(spark, sf).collect()(0)
+    val exact = row("q119_skew_audit")
+    val binned = row("q136_skew_audit_binned")
+    assert(binned.getAs[Long]("n_keys") == exact.getAs[Long]("n_keys"))
+    assert(binned.getAs[Long]("n_events") == exact.getAs[Long]("n_events"))
+    val diff = math.abs(
+      binned.getAs[Long]("gini_x1e6") - exact.getAs[Long]("gini_x1e6"))
+    assert(diff <= 20000L, s"binned gini off by ${diff / 1e6}") // ≤0.02
+  }
+
   test("every registered query runs at sf0.001 and has stable columns") {
     QueryRegistry.all.foreach { q =>
       val df = q.run(spark, sf)
