@@ -398,6 +398,41 @@ object StreamingOps {
       .start()
   }
 
+  /** Continuous-ingestion benchmark decontamination: the streaming twin of
+    * [[graft.operators.DedupOps.decontaminate]]. Each micro-batch shingles
+    * its documents (one narrow pass), counts distinct n-grams shared with
+    * the FIXED benchmark gram set, and keeps only documents at or below
+    * `maxSharedGrams`; survivors append with the same batch=<id>-overwrite
+    * exactly-once path as the dedup sinks.
+    *
+    * State never grows with the stream: the benchmark gram set is static
+    * (persisted once by the caller, broadcast per batch while small). No
+    * cross-batch index is needed — contamination is a property of the doc
+    * against the benchmark, not of the stream history.
+    */
+  def streamDecontaminate(docs: DataFrame, idCol: String, textCol: String,
+                          benchGrams: DataFrame, n: Int,
+                          maxSharedGrams: Long, outDir: String,
+                          checkpointDir: String): StreamingQuery = {
+    val bench = benchGrams.select(col("shingle")).distinct().persist()
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val grams = graft.operators.DedupOps
+          .shingles(batch, idCol, textCol, n)
+        val contaminated = grams
+          .join(broadcast(bench), Seq("shingle"))
+          .groupBy(col(idCol))
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") > maxSharedGrams)
+          .select(col(idCol))
+        val keep = batch.join(contaminated, Seq(idCol), "left_anti")
+        graft.sinks.Sinks.idempotentBatchAppend(keep, outDir, batchId)
+        ()
+      }
+      .start()
+  }
+
   /** Drain a streaming query into an in-memory table and stop (test/dev
     * harness — production sinks write parquet with checkpointing).
     */

@@ -26,6 +26,7 @@ class PlanShapeSpec extends SparkSpec {
       "q118_hard_negatives", "q35_disparity", "q38_top_decile",
       "q53_union_drift", "q58_correlated_avg", "q62_anomaly_profile",
       "q79_decontaminate", "q100_lm_score", "q81_mix_weights",
+      "q136_skew_audit_binned", // one-row max(cnt) scalar cross join
       // one-row aggregate × one-row aggregate (report assembly)
       "q74_anomaly_gates", "q77_dedup_purge", "q116_triangle_count",
       "q36_underrepresentation", "q120_assoc_rules",

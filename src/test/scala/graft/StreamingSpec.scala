@@ -223,6 +223,42 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("streaming decontamination matches the batch operator across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-decon").toString
+    val bench = Seq("the quick brown", "quick brown fox", "brown fox jumps")
+      .toDF("shingle")
+    val b1 = Seq(
+      (1L, "the quick brown fox jumps over the fence"), // 3 shared -> drop
+      (2L, "completely unrelated words entirely here now"))
+    val b2 = Seq(
+      (3L, "the quick brown dog sits"), // 1 shared -> keep (<= 1)
+      (4L, "the quick brown fox runs"))  // 2 shared -> drop
+    val src = MemoryStream[(Long, String)]
+    val q = StreamingOps.streamDecontaminate(
+      src.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      bench, n = 3, maxSharedGrams = 1L, s"$base/out", s"$base/ckpt")
+    src.addData(b1: _*)
+    q.processAllAvailable()
+    src.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.read.parquet(s"$base/out")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(2L, 3L), kept.mkString(","))
+    // batch twin: the same survivors fall out of the batch-mode count
+    val union = (b1 ++ b2).toDF("doc_id", "text")
+    val shared = graft.operators.DedupOps.shingles(union, "doc_id", "text", 3)
+      .join(bench, Seq("shingle"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val batchKept = union.join(shared.filter(col("n") > 1)
+        .select("doc_id"), Seq("doc_id"), "left_anti")
+      .select("doc_id").as[Long].collect().sorted
+    assert(batchKept.toSeq == kept.toSeq)
+  }
+
   test("incremental dedup suppresses duplicates across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
