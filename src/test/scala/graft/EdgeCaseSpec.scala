@@ -78,6 +78,31 @@ class EdgeCaseSpec extends SparkSpec {
     assert(out.length == 1 && out(0).getAs[Long]("cum") == 42L)
   }
 
+  test("SQ8 handles constant dimensions and stays exact on them") {
+    // a constant dimension has zero range: its scale guards to 1.0 and
+    // every code is 0 — search must still rank by the varying dimensions
+    val df = Seq(
+      (0L, Array(1.0f, 5.0f, 0.1f)),
+      (1L, Array(2.0f, 5.0f, 0.2f)),
+      (2L, Array(9.0f, 5.0f, 0.9f))).toDF("vec_id", "embedding")
+    val model = graft.operators.SqIndex.train(df, "embedding")
+    assert(model.scales(1) == 1.0)
+    val got = graft.operators.SqIndex.searchWithRerank(
+      df, "vec_id", "embedding", model,
+      Array(1.1, 5.0, 0.1), shortlist = 3, topK = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(0L, 1L), got.mkString(","))
+  }
+
+  test("plot sink renders empty and single-row aggregates without crashing") {
+    val empty = graft.sinks.PlotSink.barChartPng(Seq.empty, "no data")
+    assert(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(empty)) != null)
+    val one = graft.sinks.PlotSink.pieChartPng(Seq(("only", 1.0)), "one")
+    assert(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(one)) != null)
+  }
+
   test("dedupKeepFirst on all-duplicate and single-row inputs") {
     val df = Seq(("k", 2), ("k", 1), ("k", 3)).toDF("key", "v")
     val out = Relational.dedupKeepFirst(df, Seq("key"), Seq(col("v"))).collect()
