@@ -98,6 +98,42 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embeddings with the deterministic
+    * [[IvfIndex]] k-means quantizer, then drop every vector that has a
+    * lower-id neighbor IN THE SAME CLUSTER with cosine ≥ threshold. The
+    * all-pairs search collapses to per-cluster pairs — O(Σ|c|²) instead of
+    * O(n²), and each cluster's pair generation is local to its shuffle
+    * partition, which is what makes semantic dedup feasible at corpus
+    * scale. With nClusters = 1 the cluster restriction vanishes and the
+    * drop set is exactly the all-pairs rule — that twin is SQL-oracled
+    * (q137); the clustered path can only UNDER-drop (it misses cross-cluster
+    * pairs), a containment pinned in SimilaritySpec.
+    *
+    * Output: (idCol, n_close_lower, kept) — kept = 1 iff no lower-id
+    * same-cluster neighbor clears the threshold.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, embCol: String,
+                    nClusters: Int, iters: Int, threshold: Double): DataFrame = {
+    val model = IvfIndex.train(df, idCol, embCol, nClusters, iters)
+    val assigned = withNorm(IvfIndex.assign(df, embCol, model), embCol)
+    val a = assigned.select(col("cell"), col(idCol).as("id_a"),
+      col(embCol).as("__ea"), col("__norm").as("__na"))
+    val b = assigned.select(col("cell"), col(idCol).as("id_b"),
+      col(embCol).as("__eb"), col("__norm").as("__nb"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter((VectorFns.dot(col("__ea"), col("__eb"))
+        / (col("__na") * col("__nb"))) >= threshold)
+      .groupBy(col("id_b").as(idCol))
+      .agg(count(lit(1)).as("n_close_lower"))
+    df.select(col(idCol))
+      .join(dropped, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_close_lower"), lit(0L)).as("n_close_lower"),
+        when(col("n_close_lower").isNull, lit(1L)).otherwise(lit(0L)).as("kept"))
+  }
+
   /** Deterministic random hyperplanes (fixed seed — no runtime RNG). */
   def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)

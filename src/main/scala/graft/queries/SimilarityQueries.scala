@@ -293,6 +293,36 @@ object SimilarityQueries {
              |  WHERE e.vec_id <> 0)
              |ORDER BY d, vec_id LIMIT 10""".stripMargin)),
 
+    // SemDeDup at nClusters = 1: the cluster restriction vanishes, so the
+    // drop rule is exactly "has ANY lower-id neighbor with cosine ≥ 0.4" —
+    // SQL-oracle-able while still exercising the full machinery (k-means
+    // train, cell assignment, per-cell pair join, drop aggregation).
+    // Oracle-visible twin of q138, same pattern as q129/q130.
+    QDef("q137_semdedup_exhaustive",
+      (s, d) => Similarity.semanticDedup(embs(s, d), "vec_id", "embedding",
+          nClusters = 1, iters = 1, threshold = 0.4)
+        .orderBy(col("vec_id")),
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+             |d AS (SELECT b.vec_id AS id, count(*) AS n
+             |      FROM v a JOIN v b ON a.vec_id < b.vec_id
+             |      WHERE list_dot_product(a.v, b.v)
+             |          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+             |      GROUP BY 1)
+             |SELECT e.vec_id, COALESCE(d.n, 0) AS n_close_lower,
+             |  CAST(CASE WHEN d.id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+             |FROM v e LEFT JOIN d ON e.vec_id = d.id
+             |ORDER BY e.vec_id""".stripMargin)),
+
+    // SemDeDup clustered scale path (8 cells): per-cluster pairs only —
+    // the O(Σ|c|²) form that survives corpus scale. Approximate (misses
+    // cross-cluster pairs) → rows-only check; SimilaritySpec pins
+    // drops(clustered) ⊆ drops(exhaustive).
+    QDef("q138_semdedup_clustered",
+      (s, d) => Similarity.semanticDedup(embs(s, d), "vec_id", "embedding",
+          nClusters = 8, iters = 2, threshold = 0.4)
+        .orderBy(col("vec_id")),
+      None),
+
     // Per-label embedding centroids as (label, pos, avg) rows: posexplode →
     // groupBy(label, pos) — one shuffle keyed on (label, pos), partial
     // (map-side) averages do the heavy lifting. Emitting rows rather than an

@@ -40,6 +40,25 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh.subsetOf(exact), "LSH produced a pair the exact scan did not")
   }
 
+  test("semantic dedup: clustered drops are a subset of exhaustive drops") {
+    def drops(nClusters: Int, iters: Int) =
+      Similarity.semanticDedup(embs, "vec_id", "embedding", nClusters, iters, 0.4)
+        .filter(col("kept") === 0L)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+    val exhaustive = drops(1, 1)
+    val clustered = drops(8, 2)
+    // clustering only removes CROSS-cluster pairs from consideration, so it
+    // can only under-drop — never invent a drop
+    assert(clustered.subsetOf(exhaustive),
+      s"clustered dropped ${(clustered -- exhaustive).size} ids the all-pairs rule kept")
+    // and the exhaustive rule agrees with the q22 pair set: an id is dropped
+    // iff it appears as the HIGHER id of some near-dup pair
+    val pairHighs = Similarity.nearDupPairs(embs, "vec_id", "embedding", 0.4)
+      .select("id_b").collect().map(_.getLong(0)).toSet
+    assert(exhaustive == pairHighs)
+    assert(exhaustive.nonEmpty, "corpus has cosine≥0.4 pairs; drop set must be non-empty")
+  }
+
   test("minhash LSH recovers all exact-jaccard pairs on this corpus") {
     val exact = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
