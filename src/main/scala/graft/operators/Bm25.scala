@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.functions.TextFns
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Okapi BM25 retrieval over a document corpus (Robertson & Zaragoza 2009,
+  * "The Probabilistic Relevance Framework: BM25 and Beyond"). The reference
+  * pipeline ranks papers by keyword relevance when building citation slices
+  * (`metadata_enricher.py` keyword scoring family); BM25 is the standard
+  * form of that capability at corpus scale.
+  *
+  * Plan shape (the 100 TB path):
+  *   - one corpus scan → explode to (doc, term) postings, keyed aggregate
+  *     for tf; `doc_len` rides along in the grouping key (functionally
+  *     dependent on doc_id — adds no cardinality, saves a join);
+  *   - postings are immediately semi-joined to the BROADCAST query-term
+  *     table, so df/idf and scoring touch only matching postings — the
+  *     inverted-index access pattern, never a full-corpus rescore;
+  *   - corpus stats (N, avgdl) are two scalars collected once;
+  *   - per-query top-k is a rank window over the scored postings, whose
+  *     cardinality is bounded by (matching docs × queries), not the corpus.
+  *
+  * Scores are rounded to 6dp BEFORE ranking so ordering is stable across
+  * engines (float tie order is not portable); doc_id breaks exact ties.
+  */
+object Bm25 {
+
+  /** Tokenize a query string with the SAME tokenizer as the corpus side
+    * (`TextFns.words`: lowercased `[a-z]{3,}` runs), deduplicated.
+    */
+  def queryTerms(q: String): Seq[String] =
+    "[a-z]{3,}".r.findAllIn(q.toLowerCase).toSeq.distinct
+
+  /** Top-k docs per query by BM25. `queries` = (query_id, query_text).
+    * Output: (query_id, rank, doc_id-named idCol, score).
+    */
+  def topK(docs: DataFrame, idCol: String, textCol: String,
+           queries: Seq[(String, String)], k: Int,
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val terms = queries.flatMap { case (qid, q) => queryTerms(q).map(qid -> _) }
+      .toDF("query_id", "term")
+
+    // Corpus stats: two scalars, one tiny job.
+    val stats = docs.agg(
+      count(lit(1)).cast("double").as("n"),
+      avg(size(TextFns.words(col(textCol)))).as("avgdl")).head()
+    val nDocs = stats.getDouble(0)
+    val avgdl = stats.getDouble(1)
+
+    // Postings restricted to query terms: doc_len in the grouping key
+    // (per-doc constant) so no second corpus pass or join is needed.
+    val postings = docs
+      .select(col(idCol), size(TextFns.words(col(textCol))).cast("long").as("doc_len"),
+        explode(TextFns.words(col(textCol))).as("term"))
+      .join(broadcast(terms.select("term").distinct()), Seq("term"))
+      .groupBy(col(idCol), col("doc_len"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+
+    // df per matching term is at most |query terms| rows — broadcast back.
+    val dfByTerm = postings.groupBy(col("term"))
+      .agg(countDistinct(col(idCol)).cast("double").as("df"))
+
+    val idf: Column = log(lit(1.0) +
+      (lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfNorm: Column = col("tf") * (lit(k1) + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("doc_len") / lit(avgdl)))
+
+    val scored = postings
+      .join(broadcast(dfByTerm), Seq("term"))
+      .join(broadcast(terms), Seq("term"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(round(sum(idf * tfNorm), 6).as("score"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col(idCol))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col(idCol), col("score"))
+  }
+}

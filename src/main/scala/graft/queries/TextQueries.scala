@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QDef, Tables}
 import graft.functions.TextFns
-import graft.operators.{Chunking, DedupOps, PrefixSum}
+import graft.operators.{Bm25, Chunking, DedupOps, PrefixSum}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -18,6 +18,17 @@ import org.apache.spark.sql.functions._
 object TextQueries {
 
   private def docs(s: SparkSession, d: String) = Tables(s, d, "documents")
+
+  // BM25 retrieval queries over the synthetic vocabulary; the oracle's
+  // VALUES list is generated from the SAME tokenizer (Bm25.queryTerms) so
+  // Spark and SQL agree on the term set by construction.
+  private val bm25Queries = Seq(
+    "s1" -> "fast hash join",
+    "s2" -> "window sort merge",
+    "s3" -> "stream filter vector")
+  private val bm25TermValues = bm25Queries
+    .flatMap { case (qid, q) => Bm25.queryTerms(q).map(t => s"('$qid', '$t')") }
+    .mkString(", ")
 
   val defs: Seq[QDef] = Seq(
 
@@ -220,6 +231,35 @@ object TextQueries {
              |  SELECT *, row_number() OVER (PARTITION BY doc_id
              |    ORDER BY score DESC, term) AS rank FROM scored)
              |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin)),
+
+    // Okapi BM25 top-k retrieval: postings (one corpus scan, broadcast
+    // query-term semi-join) → df/idf on matching terms only → per-query
+    // rank window. Scores rounded 6dp BEFORE ranking so the order is
+    // engine-portable; doc_id breaks ties. Exact SQL oracle (same formula).
+    QDef("q139_bm25_topk",
+      (s, d) => Bm25.topK(docs(s, d), "doc_id", "text", bm25Queries, k = 10)
+        .orderBy(col("query_id"), col("rank")),
+      Some(s"""WITH q(query_id, term) AS (VALUES $bm25TermValues),
+             |tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]{3,}')) AS term
+             |        FROM documents),
+             |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+             |    avg(len(regexp_extract_all(lower(text), '[a-z]{3,}'))) AS avgdl
+             |  FROM documents),
+             |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS doc_len FROM tok GROUP BY 1),
+             |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok
+             |       WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1, 2),
+             |idf AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY 1),
+             |scored AS (SELECT q.query_id, tf.doc_id,
+             |    round(sum(ln(1.0 + (stats.n - idf.df + 0.5) / (idf.df + 0.5))
+             |      * (tf.tf * (1.2 + 1.0)
+             |         / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.doc_len / stats.avgdl)))), 6) AS score
+             |  FROM tf JOIN idf USING (term) JOIN q USING (term)
+             |    JOIN dl USING (doc_id), stats
+             |  GROUP BY 1, 2)
+             |SELECT query_id, rank, doc_id, score FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY query_id
+             |    ORDER BY score DESC, doc_id) AS rank FROM scored)
+             |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
 
     // PII redaction: deterministic synthetic PII (email/url/number) is
     // spliced into the corpus, redacted with typed placeholders, and

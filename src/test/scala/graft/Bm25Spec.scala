@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.Bm25
+import org.apache.spark.sql.functions._
+
+class Bm25Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def embDocs = Seq(
+    (1L, "apple banana apple"),
+    (2L, "apple cherry"),
+    (3L, "banana banana banana cherry")).toDF("doc_id", "text")
+
+  test("bm25 matches a hand-computed score on a 3-doc corpus") {
+    val out = Bm25.topK(embDocs, "doc_id", "text", Seq("q" -> "apple"), k = 3)
+      .orderBy("rank").collect()
+    // N=3, avgdl=3; "apple": df=2, idf=ln(1 + 1.5/2.5)=ln(1.6)
+    // d1: tf=2, len=3 -> 2*2.2/(2 + 1.2*(0.25 + 0.75)) = 4.4/3.2
+    // d2: tf=1, len=2 -> 2.2/(1 + 1.2*(0.25 + 0.75*2/3.0))
+    val idf = math.log(1.6)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.map(_.getLong(2)).toSeq == Seq(1L, 2L))
+    assert(out(0).getDouble(3) == r6(idf * (4.4 / 3.2)))
+    assert(out(1).getDouble(3) == r6(idf * (2.2 / (1 + 1.2 * (0.25 + 0.75 * 2 / 3.0)))))
+  }
+
+  test("bm25 rewards rare terms: matching the rarer term outranks the common one") {
+    val docs = Seq(
+      (1L, "common rare"),
+      (2L, "common common"),
+      (3L, "common filler"),
+      (4L, "common filler")).toDF("doc_id", "text")
+    val top = Bm25.topK(docs, "doc_id", "text", Seq("q" -> "common rare"), k = 4)
+      .orderBy("rank").collect()
+    // doc 1 matches the df=1 term; doc 2 has double tf on the df=4 term —
+    // idf must dominate
+    assert(top.head.getLong(2) == 1L)
+  }
+
+  test("bm25 corpus invariants: bounded k, contiguous ranks, non-increasing scores") {
+    val docs = Tables(spark, sf, "documents")
+    val out = Bm25.topK(docs, "doc_id", "text",
+      Seq("s1" -> "fast hash join", "s2" -> "stream filter vector"), k = 10)
+    val rows = out.collect()
+    val byQ = rows.groupBy(_.getString(0))
+    assert(byQ.keySet == Set("s1", "s2"))
+    byQ.values.foreach { g =>
+      val sorted = g.sortBy(_.getLong(1))
+      assert(sorted.length <= 10)
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length).toSeq)
+      val scores = sorted.map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("bm25 query tokenizer mirrors the corpus tokenizer") {
+    assert(Bm25.queryTerms("Fast HASH-join, a an of") == Seq("fast", "hash", "join"))
+    assert(Bm25.queryTerms("dup dup dup") == Seq("dup"))
+  }
+}
