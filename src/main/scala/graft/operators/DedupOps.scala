@@ -92,6 +92,45 @@ object DedupOps {
           .as("clean_md5"))
   }
 
+  /** Passage-level duplication profile (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499): every
+    * SLIDING `winTokens`-token window is a passage; a passage occurring ≥2
+    * times corpus-wide (any document, including the same one) marks its
+    * window position as duplicated. Returns per-document
+    * (id, n_windows, n_dup_windows, dup_frac) — the fraction of a doc
+    * that is repeated content, the signal substring-dedup trims on.
+    *
+    * Scale shape: windows shuffle once keyed by passage to find the
+    * duplicated set, which joins back by SHUFFLE, not broadcast — unlike
+    * [[boilerplateScrub]]'s O(boilerplate) set, the duplicated-passage set
+    * is corpus-proportional at 100 TB (AQE may still pick broadcast when
+    * it is measured small). The window UDF is a linear scan per row (see
+    * [[shingles]] for why not `transform(sequence(...))`).
+    */
+  def duplicatePassages(df: DataFrame, idCol: String, textCol: String,
+                        winTokens: Int = 5): DataFrame = {
+    val gen = udf { text: String =>
+      val toks = scala.collection.mutable.ArrayBuffer.empty[String]
+      if (text != null) {
+        val m = tokenRe.matcher(text.toLowerCase(java.util.Locale.ROOT))
+        while (m.find()) toks += m.group()
+      }
+      if (toks.length < winTokens) Array.empty[String]
+      else toks.sliding(winTokens).map(_.mkString(" ")).toArray
+    }
+    val wins = df.select(col(idCol), explode_outer(gen(col(textCol))).as("g"))
+    val dup = wins.filter(col("g").isNotNull)
+      .groupBy(col("g")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2)
+      .select(col("g"))
+    wins.join(dup.withColumn("is_dup", lit(true)), Seq("g"), "left")
+      .groupBy(col(idCol))
+      .agg(count(col("g")).as("n_windows"),
+        count(when(col("is_dup"), lit(1))).as("n_dup_windows"))
+      .withColumn("dup_frac", when(col("n_windows") === 0, lit(0.0))
+        .otherwise(round(col("n_dup_windows").cast("double") / col("n_windows"), 6)))
+  }
+
   /** Per-document repetition profile (Gopher/C4-style repetition gates):
     * token count, occurrence count of the most frequent word bigram, total
     * occurrences of trigrams that repeat within the document, and the

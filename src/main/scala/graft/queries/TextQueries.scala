@@ -261,6 +261,27 @@ object TextQueries {
              |    ORDER BY score DESC, doc_id) AS rank FROM scored)
              |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
 
+    // Passage-level duplication profile: sliding 5-token windows, a window
+    // duplicated iff its passage occurs ≥2 times corpus-wide. Exact oracle
+    // builds the same windows with list slicing. explode_outer keeps
+    // zero-window docs (tokens < 5) at n_windows = 0.
+    QDef("q140_dup_passages",
+      (s, d) => DedupOps.duplicatePassages(docs(s, d), "doc_id", "text", winTokens = 5)
+        .orderBy(col("doc_id")),
+      Some("""WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents),
+             |pos AS (SELECT doc_id, ts, unnest(range(1, len(ts) - 3)) AS i FROM tok),
+             |gr AS (SELECT doc_id, array_to_string(ts[i:i+4], ' ') AS g FROM pos),
+             |dup AS (SELECT g FROM gr GROUP BY 1 HAVING count(*) >= 2),
+             |per AS (SELECT gr.doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+             |    CAST(count(dup.g) AS BIGINT) AS n_dup_windows
+             |  FROM gr LEFT JOIN dup ON gr.g = dup.g GROUP BY 1)
+             |SELECT d.doc_id, COALESCE(per.n_windows, 0) AS n_windows,
+             |  COALESCE(per.n_dup_windows, 0) AS n_dup_windows,
+             |  CASE WHEN COALESCE(per.n_windows, 0) = 0 THEN 0.0
+             |       ELSE round(per.n_dup_windows / CAST(per.n_windows AS DOUBLE), 6) END AS dup_frac
+             |FROM documents d LEFT JOIN per USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin)),
+
     // PII redaction: deterministic synthetic PII (email/url/number) is
     // spliced into the corpus, redacted with typed placeholders, and
     // audited. Pure regexp_replace chain — codegen'd, zero shuffle.

@@ -59,6 +59,23 @@ class SimilaritySpec extends SparkSpec {
     assert(exhaustive.nonEmpty, "corpus has cosine≥0.4 pairs; drop set must be non-empty")
   }
 
+  test("duplicate passages: hand-computed sliding-window fractions") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "one two three four five six"),
+      (2L, "zero one two three four five"),
+      (3L, "short text"),
+      (4L, "aa bb cc dd ee aa bb cc dd ee")).toDF("doc_id", "text")
+    val out = DedupOps.duplicatePassages(corpus, "doc_id", "text", winTokens = 5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // d1/d2 share exactly "one two three four five"; d3 has <5 tokens;
+    // d4's first and last windows coincide (intra-doc repeat counts)
+    assert(out.toSeq == Seq(
+      (1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5), (3L, 0L, 0L, 0.0),
+      (4L, 6L, 2L, 0.333333)))
+  }
+
   test("minhash LSH recovers all exact-jaccard pairs on this corpus") {
     val exact = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
