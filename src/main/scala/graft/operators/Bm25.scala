@@ -53,11 +53,16 @@ object Bm25 {
     val avgdl = stats.getDouble(1)
 
     // Postings restricted to query terms: doc_len in the grouping key
-    // (per-doc constant) so no second corpus pass or join is needed.
+    // (per-doc constant) so no second corpus pass or join is needed. The
+    // term restriction happens as an ARRAY filter before the explode —
+    // exploded cardinality is Σ(matching tokens), not Σ(doc_len); the
+    // token array is materialized in the prior projection so the lambda
+    // does not re-run the tokenizer regexp per element.
+    val termSet = queries.flatMap { case (_, q) => queryTerms(q) }.distinct
     val postings = docs
-      .select(col(idCol), size(TextFns.words(col(textCol))).cast("long").as("doc_len"),
-        explode(TextFns.words(col(textCol))).as("term"))
-      .join(broadcast(terms.select("term").distinct()), Seq("term"))
+      .select(col(idCol), TextFns.words(col(textCol)).as("__toks"))
+      .select(col(idCol), size(col("__toks")).cast("long").as("doc_len"),
+        explode(filter(col("__toks"), t => t.isInCollection(termSet))).as("term"))
       .groupBy(col(idCol), col("doc_len"), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"))
 
