@@ -20,6 +20,26 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
+  /** Deterministic training-shard export: the "global shuffle" step of a
+    * training-data pipeline, with no RNG. Order comes from md5(id) (id as
+    * tie-break), shard membership from the hash's leading 16 bits (stable
+    * under corpus growth — a doc never changes shard when other docs are
+    * added), and `position` is the within-shard write order.
+    *
+    * Scale shape: ONE hash shuffle keyed by shard_id + a within-partition
+    * sort (the rank window partitions by shard) — never a global sort.
+    * Each of the `nShards` groups is then writable by its own task.
+    */
+  def shardExport(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    val h = md5(col(idCol).cast("string"))
+    val w = Window.partitionBy(col("shard_id")).orderBy(col("order_key"), col(idCol))
+    df.select(col(idCol), h.as("order_key"),
+        (conv(substring(h, 1, 4), 16, 10).cast("int") % nShards)
+          .cast("long").as("shard_id"))
+      .withColumn("position", row_number().over(w).cast("long"))
+      .select(col(idCol), col("shard_id"), col("position"), col("order_key"))
+  }
+
   /** Keep-first dedup. Spark's `dropDuplicates` keeps an *arbitrary* row per
     * key; the reference keeps the first in arrival order. We make the
     * survivor explicit and oracle-stable with a priority ordering.

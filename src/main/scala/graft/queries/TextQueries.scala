@@ -430,6 +430,21 @@ object TextQueries {
              |count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
              |FROM s GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Deterministic shard export: md5-hash global shuffle order, 16 shards,
+    // within-shard positions — one shuffle keyed by shard + local sort (the
+    // rank window partitions by shard_id; never a global sort).
+    QDef("q141_shard_export",
+      (s, d) => graft.operators.Relational.shardExport(docs(s, d), "doc_id", 16)
+        .orderBy(col("shard_id"), col("position")),
+      Some("""WITH s AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+             |t AS (SELECT doc_id, h,
+             |    CAST(CAST(('0x' || substr(h, 1, 4)) AS INTEGER) % 16 AS BIGINT) AS shard_id
+             |  FROM s)
+             |SELECT doc_id, shard_id,
+             |  CAST(row_number() OVER (PARTITION BY shard_id ORDER BY h, doc_id) AS BIGINT) AS position,
+             |  h AS order_key
+             |FROM t ORDER BY shard_id, position""".stripMargin)),
+
     // Data-mixing weights: per-source token mass vs a uniform target mix —
     // weight = (total/n_sources)/src_tokens as fixed-point ×10⁴.
     QDef("q81_mix_weights",

@@ -18,6 +18,26 @@ class RelationalQueriesSpec extends SparkSpec {
     assert(diff <= 20000L, s"binned gini off by ${diff / 1e6}") // ≤0.02
   }
 
+  test("shard export: stable shards under growth, contiguous positions, full coverage") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables(spark, sf, "documents")
+    val full = operators.Relational.shardExport(docs, "doc_id", 16).collect()
+    // every doc lands in exactly one shard
+    assert(full.map(_.getLong(0)).toSet.size == full.length)
+    assert(full.length == docs.count())
+    // positions are 1..n within each shard
+    full.groupBy(_.getLong(1)).values.foreach { g =>
+      assert(g.map(_.getLong(2)).sorted.toSeq == (1L to g.length).toSeq)
+    }
+    // shard membership depends only on the doc's own hash: a subset corpus
+    // assigns every common doc the same shard (stability under growth)
+    val sub = operators.Relational
+      .shardExport(docs.filter(col("doc_id") < 100), "doc_id", 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fullMap = full.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sub.foreach { case (id, sh) => assert(fullMap(id) == sh) }
+  }
+
   test("every registered query runs at sf0.001 and has stable columns") {
     QueryRegistry.all.foreach { q =>
       val df = q.run(spark, sf)
