@@ -159,6 +159,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), s"single-partition stage:\n$p")
   }
 
+  test("q141 shard export shuffles once on shard_id — no single-partition stage") {
+    // the rank window partitions by shard_id; a refactor to a global
+    // order-by would plan Exchange SinglePartition and die at scale
+    val p = plan("q141_shard_export")
+    assert(p.contains("hashpartitioning(shard_id"), p)
+    assert(!p.contains("SinglePartition"), s"single-partition stage:\n$p")
+  }
+
+  test("q139 bm25 joins stay broadcast — no shuffle join in the scoring path") {
+    val p = plan("q139_bm25_topk")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("runtime bloom filter prunes the probe side of a selective join") {
     // a selective dimension filter should inject a bloom filter into the
     // fact-side scan (Spark's runtime row-level filtering); thresholds are
