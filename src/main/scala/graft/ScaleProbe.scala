@@ -71,6 +71,43 @@ object ScaleProbe {
         f" scrub=$scrubT%.2fs ($scrubRows docs)" +
         f" prefixsum=$psT%.2fs ($psRows rows)" +
         f" decon=$deconT%.2fs ($deconRows docs)$exact")
+
+      // round-4b operators. Passage dup runs on the SALTED corpus (keeps
+      // dup density constant); BM25 + shard export run on unsalted
+      // replicas (salting would empty the query-term postings).
+      val (dpT, dpRows) = time(
+        DedupOps.duplicatePassages(corpus, "doc_id", "text").count())
+      spark.catalog.clearCache()
+      val plain = (0 until c).map { i =>
+        base.select((col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+          col("text"))
+      }.reduce(_ unionAll _).localCheckpoint()
+      val (bmT, bmRows) = time(graft.operators.Bm25.topK(plain, "doc_id", "text",
+        Seq("s1" -> "fast hash join", "s2" -> "stream filter vector"), 10).count())
+      spark.catalog.clearCache()
+      val (seT, seRows) = time(
+        graft.operators.Relational.shardExport(plain, "doc_id", 16).count())
+      spark.catalog.clearCache()
+      // embeddings replicas are ROTATED per copy (norm-preserving, changes
+      // direction) so cross-copy cosine stays uncorrelated and dup density
+      // does not grow with c; nClusters scales with the corpus so per-cell
+      // population — and thus per-cell pair cost — stays constant.
+      val embBase = Tables(spark, sfDir, "embeddings").select("vec_id", "embedding")
+      val embCorpus = (0 until c).map { i =>
+        val rot = i % 16
+        val e = if (rot == 0) col("embedding")
+          else concat(slice(col("embedding"), rot + 1, 100000),
+            slice(col("embedding"), 1, rot))
+        embBase.select((col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+          e.as("embedding"))
+      }.reduce(_ unionAll _).localCheckpoint()
+      val (sdT, sdRows) = time(graft.operators.Similarity.semanticDedup(
+        embCorpus, "vec_id", "embedding",
+        nClusters = 8 * c, iters = 2, threshold = 0.4).count())
+      spark.catalog.clearCache()
+      println(f"[scale] c=$c%2d duppass=$dpT%.2fs ($dpRows docs)" +
+        f" bm25=$bmT%.2fs ($bmRows rows) shard=$seT%.2fs ($seRows rows)" +
+        f" semdedup=$sdT%.2fs ($sdRows vecs, k=${8 * c})")
     }
     spark.stop()
   }
