@@ -235,6 +235,52 @@ object DedupOps {
     }
   }
 
+  /** Incremental dedup: flag each NEW-batch doc against an EXISTING corpus
+    * — the daily-increment production flow (dedup the increment against the
+    * accumulated corpus, never corpus × corpus). One row per new doc:
+    * (id, exact_dup, near_dup, max_jaccard): exact = same content
+    * fingerprint exists in the corpus; near = some corpus doc clears the
+    * n-gram Jaccard threshold.
+    *
+    * Scale shape: the inverted shingle index joins NEW shingles against
+    * OLD shingles only, so candidate cardinality is increment-bound (the
+    * new batch is typically ≪ corpus); Jaccard is exact on candidate
+    * pairs. The corpus side never self-joins.
+    */
+  def dedupAgainst(newDf: DataFrame, corpusDf: DataFrame, idCol: String,
+                   textCol: String, n: Int, threshold: Double): DataFrame = {
+    val exact = newDf
+      .select(col(idCol), graft.functions.TextFns.fingerprint(col(textCol)).as("__fp"))
+      .join(corpusDf.select(
+          graft.functions.TextFns.fingerprint(col(textCol)).as("__fp")).distinct(),
+        Seq("__fp"), "left_semi")
+      .select(col(idCol)).withColumn("__exact", lit(1L))
+    val shNew = shingles(newDf, idCol, textCol, n).cache()
+    val shOld = shingles(corpusDf, idCol, textCol, n).cache()
+    val sizesNew = shNew.groupBy(col(idCol)).agg(count(lit(1)).as("sz_a"))
+    val sizesOld = shOld.groupBy(col(idCol)).agg(count(lit(1)).as("sz_b"))
+    val near = shNew.select(col(idCol).as("id_a"), col("shingle"))
+      .hint("shuffle_hash")
+      .join(shOld.select(col(idCol).as("id_b"), col("shingle")), Seq("shingle"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizesNew.withColumnRenamed(idCol, "id_a"), Seq("id_a"))
+      .join(sizesOld.withColumnRenamed(idCol, "id_b"), Seq("id_b"))
+      .withColumn("j",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .groupBy(col("id_a").as(idCol))
+      .agg(max(col("j")).as("__mj"))
+    val out = newDf.select(col(idCol))
+      .join(exact, Seq(idCol), "left")
+      .join(near, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__exact"), lit(0L)).as("exact_dup"),
+        when(coalesce(col("__mj"), lit(0.0)) >= threshold, 1L).otherwise(0L)
+          .as("near_dup"),
+        round(coalesce(col("__mj"), lit(0.0)), 6).as("max_jaccard"))
+    materializeAndRelease(out, shNew, shOld)
+  }
+
   /** Verify candidate pairs with exact Jaccard over the FULL shingle sets,
     * restricted to candidate docs before the two intersection joins —
     * O(candidate docs), not O(corpus). Shared by the prefix-filter, DF-cap

@@ -351,6 +351,46 @@ object SimilarityQueries {
              |count(*) AS n_dups
              |FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY fp""".stripMargin)),
 
+    // Incremental dedup: the doc_id%10==0 slice plays the daily increment,
+    // the rest the accumulated corpus. Exact fingerprint + exact 3-gram
+    // Jaccard vs corpus only (no corpus self-join) — increment-bound cost.
+    QDef("q142_dedup_against_corpus",
+      (s, d) => {
+        val all = docs(s, d)
+        DedupOps.dedupAgainst(
+            all.filter(col("doc_id") % 10 === 0),
+            all.filter(col("doc_id") % 10 =!= 0),
+            "doc_id", "text", n = 3, threshold = 0.5)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH newd AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+             |old AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+             |fpo AS (SELECT DISTINCT md5(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS fp FROM old),
+             |ex AS (SELECT doc_id, 1 AS e FROM newd
+             |       WHERE md5(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) IN (SELECT fp FROM fpo)),
+             |tn AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM newd),
+             |toq AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM old),
+             |gn AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS sh
+             |       FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i FROM tn)),
+             |go AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS sh
+             |       FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i FROM toq)),
+             |szn AS (SELECT doc_id, count(*) AS sz FROM gn GROUP BY 1),
+             |szo AS (SELECT doc_id, count(*) AS sz FROM go GROUP BY 1),
+             |inter AS (SELECT gn.doc_id AS id_a, go.doc_id AS id_b, count(*) AS i
+             |          FROM gn JOIN go ON gn.sh = go.sh GROUP BY 1, 2),
+             |mj AS (SELECT id_a AS doc_id,
+             |    max(i / CAST(szn.sz + szo.sz - i AS DOUBLE)) AS mj
+             |  FROM inter
+             |    JOIN szn ON szn.doc_id = inter.id_a
+             |    JOIN szo ON szo.doc_id = inter.id_b
+             |  GROUP BY 1)
+             |SELECT n.doc_id,
+             |  CAST(COALESCE(ex.e, 0) AS BIGINT) AS exact_dup,
+             |  CAST(CASE WHEN COALESCE(mj.mj, 0) >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS near_dup,
+             |  round(COALESCE(mj.mj, 0), 6) AS max_jaccard
+             |FROM newd n LEFT JOIN ex USING (doc_id) LEFT JOIN mj USING (doc_id)
+             |ORDER BY n.doc_id""".stripMargin)),
+
     // Hard-negative mining for contrastive training: top-3 most-similar
     // vectors with a DIFFERENT label, for each of the first 5 vectors.
     QDef("q118_hard_negatives",

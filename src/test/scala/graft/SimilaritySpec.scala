@@ -76,6 +76,24 @@ class SimilaritySpec extends SparkSpec {
       (4L, 6L, 2L, 0.333333)))
   }
 
+  test("incremental dedup flags exact and near dups against the corpus only") {
+    import spark.implicits._
+    val newBatch = Seq(
+      (100L, "alpha beta gamma delta epsilon"),
+      (101L, "totally different words here now"),
+      (102L, "alpha beta gamma delta zeta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "unrelated corpus text entirely")).toDF("doc_id", "text")
+    val out = DedupOps.dedupAgainst(newBatch, corpus, "doc_id", "text", 3, 0.5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // 100 = verbatim corpus dup; 102 shares 2 of 4 distinct 3-grams with
+    // corpus doc 1 (J = 0.5, at threshold); 101 matches nothing
+    assert(out.toSeq == Seq(
+      (100L, 1L, 1L, 1.0), (101L, 0L, 0L, 0.0), (102L, 0L, 1L, 0.5)))
+  }
+
   test("minhash LSH recovers all exact-jaccard pairs on this corpus") {
     val exact = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
