@@ -92,6 +92,43 @@ object Bpe {
     model
   }
 
+  /** Encode a corpus with a trained model: one narrow pass, zero shuffle.
+    * A per-executor word → encoding memo (vocabulary-bound, concurrent)
+    * amortizes merge application across repeated words — the corpus is
+    * encoded by LOOKUP, not by re-running the merge loop per occurrence,
+    * which is what makes applying a 32k-merge tokenizer to 100 TB a pure
+    * map stage. Sequential application in training order is exact for
+    * tables produced by [[train]]: a merge's input symbols can only be
+    * created by EARLIER merges, so best-rank-first iteration and
+    * sequential replay segment identically.
+    *
+    * Returns (idCol, n_bpe_tokens, tokens_md5) — the md5 of the
+    * space-joined token stream, the portable form the golden fixture pins.
+    */
+  def encode(df: DataFrame, idCol: String, textCol: String, model: Model): DataFrame = {
+    val m = model
+    val f = new (String => Array[String]) with Serializable {
+      @transient private lazy val memo =
+        new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
+      def apply(text: String): Array[String] = {
+        if (text == null) Array.empty[String]
+        else {
+          val mt = tokenRe.matcher(text.toLowerCase(java.util.Locale.ROOT))
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          while (mt.find()) {
+            val w = mt.group()
+            out ++= memo.computeIfAbsent(w, w2 => m.encodeWord(w2).toArray)
+          }
+          out.toArray
+        }
+      }
+    }
+    val enc = udf(f)
+    df.select(col(idCol), enc(col(textCol)).as("__toks"))
+      .select(col(idCol), size(col("__toks")).cast("long").as("n_bpe_tokens"),
+        md5(concat_ws(" ", col("__toks"))).as("tokens_md5"))
+  }
+
   /** Driver-local merge loop over the collected (syms, freq) table. */
   private def trainLocal(words0: Array[(Array[String], Long)],
                          nMerges: Int): Seq[(String, String)] = {

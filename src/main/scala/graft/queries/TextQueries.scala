@@ -589,6 +589,20 @@ object TextQueries {
              |FROM read_parquet('${graft.Fixtures.goldenSf("bpe_merges")}')
              |ORDER BY "rank"""".stripMargin)),
 
+    // Tokenizer APPLICATION at corpus scale: train the 10-merge table
+    // (fixture-identical, q98), then encode every document — a pure map
+    // stage with a per-executor word→encoding memo. Golden oracle: the
+    // fixture tool's independent encoder over the same corpus + merges.
+    QDef("q143_bpe_encode",
+      (s, d) => {
+        val model = graft.operators.Bpe.train(docs(s, d), "text", nMerges = 10)
+        graft.operators.Bpe.encode(docs(s, d), "doc_id", "text", model)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id, n_bpe_tokens, tokens_md5
+             |FROM read_parquet('${graft.Fixtures.goldenSf("bpe_encode")}')
+             |ORDER BY doc_id""".stripMargin)),
+
     // CCNet-style boilerplate scrub re-expressed over token windows (the
     // corpus has no newlines, so fixed 10-token windows stand in for
     // lines): a window whose exact content appears in ≥2 distinct docs is

@@ -26,6 +26,23 @@ class BpeSpec extends SparkSpec {
     assert(encoded.mkString.replace(Bpe.Model.EndOfWord, "") == word) // lossless
   }
 
+  test("corpus encode agrees with per-word encodeWord and is lossless") {
+    val df = (Seq.fill(10)("hello world") ++ Seq.fill(3)("hell broke loose"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val model = Bpe.train(df, "text", nMerges = 10)
+    val out = Bpe.encode(df, "doc_id", "text", model)
+      .orderBy("doc_id").collect()
+    assert(out.length == 13)
+    // doc 0 = "hello world": token stream must equal the concatenation of
+    // the per-word encodings, and its md5 must match that reconstruction
+    val expected = (model.encodeWord("hello") ++ model.encodeWord("world"))
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(expected.mkString(" ").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(out(0).getLong(1) == expected.length)
+    assert(out(0).getString(2) == md)
+  }
+
   test("local fast path reproduces the independent fixture tool to exhaustion") {
     // tools/make_bpe_fixture.py (from-scratch Python BPE) run with
     // n_merges=300 over sf0.01: the corpus vocabulary runs dry at 106

@@ -58,13 +58,50 @@ def train(texts, n_merges):
     return merges
 
 
+def encode_word(w, merges):
+    syms = list(w) + [EOW]
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def encode(rows, merges):
+    """Per-doc encoding: (doc_id, n_bpe_tokens, md5 of space-joined tokens).
+    Sequential merge replay in training order — exact for trained tables
+    (a merge's inputs only exist via earlier merges)."""
+    import hashlib
+
+    memo = {}
+    out = []
+    for doc_id, t in rows:
+        toks = []
+        for w in TOKEN.findall((t or "").lower()):
+            if w not in memo:
+                memo[w] = encode_word(w, merges)
+            toks.extend(memo[w])
+        s = " ".join(toks)
+        out.append((doc_id, len(toks), hashlib.md5(s.encode()).hexdigest()))
+    return out
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     n_merges = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     out = (sys.argv[3] if len(sys.argv) > 3
            else "src/test/resources/golden/bpe_merges_sf001.parquet")
-    texts = [r[0] for r in duckdb.sql(
-        f"SELECT text FROM read_parquet('{sf_dir}/documents.parquet')").fetchall()]
+    encode_out = sys.argv[4] if len(sys.argv) > 4 else None
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+        " ORDER BY doc_id").fetchall()
+    texts = [r[1] for r in rows]
     merges = train(texts, n_merges)
     df = pd.DataFrame(
         [(i + 1, a, b, a + b) for i, (a, b) in enumerate(merges)],
@@ -74,6 +111,13 @@ def main():
     print(f"wrote {len(df)} merges -> {out}")
     for r in df.itertuples(index=False):
         print(r)
+    if encode_out:
+        enc = pd.DataFrame(encode(rows, merges),
+                           columns=["doc_id", "n_bpe_tokens", "tokens_md5"])
+        enc["doc_id"] = enc["doc_id"].astype("int64")
+        enc["n_bpe_tokens"] = enc["n_bpe_tokens"].astype("int64")
+        enc.to_parquet(encode_out, index=False)
+        print(f"wrote {len(enc)} encodings -> {encode_out}")
 
 
 if __name__ == "__main__":
