@@ -445,6 +445,32 @@ object TextQueries {
              |  h AS order_key
              |FROM t ORDER BY shard_id, position""".stripMargin)),
 
+    // DSIR data selection: the doc_id%97==0 slice plays the target domain
+    // (same convention as q79's benchmark); the 20 most target-like source
+    // docs by unigram log importance weight. Ranking is on the ROUNDED
+    // score (engine-portable), doc_id tie-break.
+    QDef("q144_dsir_selection",
+      (s, d) => graft.operators.DataSelection.dsirScores(
+          docs(s, d), "doc_id", "text", col("doc_id") % 97 === 0)
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20),
+      Some("""WITH tok AS (SELECT doc_id, doc_id % 97 = 0 AS t,
+             |    unnest(regexp_extract_all(lower(text), '[a-z]{3,}')) AS w
+             |  FROM documents),
+             |st AS (SELECT w, count(*) FILTER (WHERE t) AS tf_t,
+             |    count(*) FILTER (WHERE NOT t) AS tf_s FROM tok GROUP BY 1),
+             |g AS (SELECT CAST(sum(tf_t) AS DOUBLE) AS nt,
+             |    CAST(sum(tf_s) AS DOUBLE) AS ns,
+             |    CAST(count(*) AS DOUBLE) AS v FROM st),
+             |r AS (SELECT w, ln((tf_t + 1.0) / (nt + v))
+             |    - ln((tf_s + 1.0) / (ns + v)) AS lr FROM st, g),
+             |dt AS (SELECT doc_id, w, count(*) AS tf FROM tok
+             |       WHERE NOT t GROUP BY 1, 2)
+             |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+             |  round(sum(tf * lr), 6) AS score
+             |FROM dt JOIN r USING (w) GROUP BY 1
+             |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
+
     // Data-mixing weights: per-source token mass vs a uniform target mix —
     // weight = (total/n_sources)/src_tokens as fixed-point ×10⁴.
     QDef("q81_mix_weights",

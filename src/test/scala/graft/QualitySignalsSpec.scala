@@ -18,6 +18,22 @@ class QualitySignalsSpec extends SparkSpec {
     rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
 
+  test("DSIR scores rank target-like source docs above off-domain ones") {
+    import org.apache.spark.sql.functions.col
+    val docs = (
+      (0 until 5).map(i => (i * 97L, "quantum physics entanglement spectrum")) ++ Seq(
+        (1L, "quantum physics entanglement spectrum"),
+        (2L, "mundane boring ordinary chatter"),
+        (3L, "quantum chatter"))).toDF("doc_id", "text")
+    val out = graft.operators.DataSelection
+      .dsirScores(docs, "doc_id", "text", col("doc_id") % 97 === 0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // only source docs are scored, and domain affinity orders them
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L) > out(3L), s"pure target-vocab doc must rank first: $out")
+    assert(out(3L) > out(2L), s"mixed doc must beat off-domain doc: $out")
+  }
+
   test("q101 PSI is exactly zero when both periods share a distribution") {
     val dir = Files.createTempDirectory("psi0").toString
     val rows = for {
