@@ -20,27 +20,43 @@ import org.apache.spark.sql.functions._
   */
 object DataSelection {
 
-  /** Per-SOURCE-doc importance score: (idCol, n_tokens, score), score
-    * rounded 6dp. `targetPred` marks the target-domain rows of `df`.
+  /** The (word, lr) log-importance-ratio table learned from a corpus with
+    * a target-domain slice. This is the STATIC model artifact: nightly
+    * recompute feeds [[scoreWith]] over new batches or a stream.
     */
-  def dsirScores(df: DataFrame, idCol: String, textCol: String,
+  def ratioTable(df: DataFrame, idCol: String, textCol: String,
                  targetPred: Column): DataFrame = {
-    val toks = df.select(col(idCol), targetPred.as("__t"),
+    val toks = df.select(targetPred.as("__t"),
       explode(TextFns.words(col(textCol))).as("w"))
     val stats = toks.groupBy(col("w")).agg(
       sum(when(col("__t"), 1L).otherwise(0L)).as("tf_t"),
       sum(when(!col("__t"), 1L).otherwise(0L)).as("tf_s"))
     val g = stats.agg(sum("tf_t"), sum("tf_s"), count(lit(1))).head()
     val (nt, ns, v) = (g.getLong(0), g.getLong(1), g.getLong(2))
-    val ratio = stats.select(col("w"),
+    stats.select(col("w"),
       (log((col("tf_t") + lit(1.0)) / lit((nt + v).toDouble))
         - log((col("tf_s") + lit(1.0)) / lit((ns + v).toDouble))).as("lr"))
-    toks.filter(!col("__t"))
+  }
+
+  /** Score docs against a precomputed ratio table: (idCol, n_tokens,
+    * score 6dp). Words outside the table's vocabulary contribute nothing
+    * (inner join) — the add-one-smoothed model only covers its corpus.
+    */
+  def scoreWith(ratio: DataFrame, docs: DataFrame, idCol: String,
+                textCol: String): DataFrame =
+    docs.select(col(idCol), explode(TextFns.words(col(textCol))).as("w"))
       .groupBy(col(idCol), col("w"))
       .agg(count(lit(1)).as("tf"))
       .join(ratio, Seq("w"))
       .groupBy(col(idCol))
       .agg(sum("tf").cast("long").as("n_tokens"),
         round(sum(col("tf") * col("lr")), 6).as("score"))
-  }
+
+  /** Per-SOURCE-doc importance score: (idCol, n_tokens, score), score
+    * rounded 6dp. `targetPred` marks the target-domain rows of `df`.
+    */
+  def dsirScores(df: DataFrame, idCol: String, textCol: String,
+                 targetPred: Column): DataFrame =
+    scoreWith(ratioTable(df, idCol, textCol, targetPred),
+      df.filter(!targetPred), idCol, textCol)
 }

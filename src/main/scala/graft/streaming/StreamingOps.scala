@@ -433,6 +433,29 @@ object StreamingOps {
       .start()
   }
 
+  /** Streaming DSIR scoring: the stream-static form of
+    * [[graft.operators.DataSelection.scoreWith]] — each micro-batch of
+    * documents is scored against the FIXED (word, lr) importance-ratio
+    * table (the nightly-recomputed model artifact), and scored rows append
+    * with the batch=<id>-overwrite exactly-once path.
+    *
+    * State never grows with the stream: the ratio table is vocabulary-
+    * sized and static (persisted by the caller); scoring is per-batch
+    * tokenize + join + doc aggregate, no cross-batch state at all.
+    */
+  def streamDsirScore(docs: DataFrame, idCol: String, textCol: String,
+                      ratio: DataFrame, outDir: String,
+                      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val scored = graft.operators.DataSelection
+          .scoreWith(ratio, batch, idCol, textCol)
+        graft.sinks.Sinks.idempotentBatchAppend(scored, outDir, batchId)
+        ()
+      }
+      .start()
+
   /** Drain a streaming query into an in-memory table and stop (test/dev
     * harness — production sinks write parquet with checkpointing).
     */

@@ -259,6 +259,41 @@ class StreamingSpec extends SparkSpec {
     assert(batchKept.toSeq == kept.toSeq)
   }
 
+  test("streaming DSIR scoring equals the batch scorer across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-sdsir").toString
+    // static model: learned once from a corpus with a target slice
+    val corpus = Seq(
+      (0L, "quantum physics entanglement spectrum"),
+      (97L, "quantum spectrum theory"),
+      (1L, "mundane ordinary chatter"),
+      (2L, "quantum chatter physics")).toDF("doc_id", "text")
+    val ratio = graft.operators.DataSelection
+      .ratioTable(corpus, "doc_id", "text", col("doc_id") % 97 === 0).persist()
+    val b1 = Seq((10L, "quantum physics"), (11L, "ordinary chatter"))
+    val b2 = Seq((12L, "entanglement spectrum theory"))
+    val src = MemoryStream[(Long, String)]
+    val q = StreamingOps.streamDsirScore(
+      src.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      ratio, s"$base/out", s"$base/ckpt")
+    src.addData(b1: _*)
+    q.processAllAvailable()
+    src.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(s"$base/out")
+      .select("doc_id", "n_tokens", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    val batch = graft.operators.DataSelection
+      .scoreWith(ratio, (b1 ++ b2).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    assert(streamed.toSeq == batch.toSeq)
+    assert(streamed.length == 3)
+    ratio.unpersist()
+  }
+
   test("incremental dedup suppresses duplicates across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
