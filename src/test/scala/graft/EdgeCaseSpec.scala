@@ -207,4 +207,61 @@ class EdgeCaseSpec extends SparkSpec {
     val r = GraphOps.triangleCount(edges, "a", "b").collect()(0)
     assert(r.getAs[Long]("n_edges") == 0 && r.getAs[Long]("n_triangles") == 0)
   }
+
+  test("bm25 handles null docs and a query with no corpus hits") {
+    import graft.operators.Bm25
+    val docs = Seq((1L, "alpha beta"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Bm25.topK(docs, "doc_id", "text",
+      Seq("q1" -> "alpha", "q2" -> "nomatchword"), k = 5).collect()
+    // null doc scores nowhere; q2 matches nothing and yields zero rows
+    assert(out.map(r => (r.getString(0), r.getLong(2))).toSeq == Seq(("q1", 1L)))
+  }
+
+  test("duplicate passages: null text and all-unique corpus yield zero dups") {
+    val docs = Seq(
+      (1L, "one two three four five"),
+      (2L, null.asInstanceOf[String]),
+      (3L, "six seven eight nine ten")).toDF("doc_id", "text")
+    val out = DedupOps.duplicatePassages(docs, "doc_id", "text", 5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 1L, 0L), (2L, 0L, 0L), (3L, 1L, 0L)))
+  }
+
+  test("shard export with one shard is a pure md5 global order") {
+    val docs = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val out = Relational.shardExport(docs, "doc_id", 1)
+      .orderBy("position").collect()
+    assert(out.map(_.getLong(1)).forall(_ == 0L))
+    val keys = out.map(_.getString(3))
+    assert(keys.sorted.toSeq == keys.toSeq, "positions must follow hash order")
+    assert(out.map(_.getLong(2)).toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("bpe encode with an empty merge table is character segmentation") {
+    import graft.operators.Bpe
+    val docs = Seq((1L, "ab c")).toDF("doc_id", "text")
+    val out = Bpe.encode(docs, "doc_id", "text", Bpe.Model(Nil)).collect()(0)
+    // "ab" -> a b </w> (3) + "c" -> c </w> (2)
+    assert(out.getLong(1) == 5L)
+  }
+
+  test("dedupAgainst with an empty corpus flags nothing") {
+    val newDf = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val r = DedupOps.dedupAgainst(newDf, empty, "doc_id", "text", 3, 0.5)
+      .collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getDouble(3)) == ((0L, 0L, 0.0)))
+  }
+
+  test("semantic dedup threshold 1.0 only drops exact-direction duplicates") {
+    import graft.operators.Similarity
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(2.0f, 0.0f)), // same direction
+      (2L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(vecs, "vec_id", "embedding", 1, 1, 1.0)
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(out.toSeq == Seq((0L, 1L), (1L, 0L), (2L, 1L)))
+  }
 }
