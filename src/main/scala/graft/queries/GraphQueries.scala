@@ -3,6 +3,7 @@ package graft.queries
 import graft.{QDef, Tables}
 import graft.operators.{ContentExtraction, DedupOps, ExtractionRules, GraphOps, Relational}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Extraction-tier dispatch, citation-graph semantics (closed-world filter,
@@ -318,6 +319,74 @@ object GraphQueries {
              |  UNION SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)
              |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component
              |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Canonical selection over near-dup clusters: q69's components, but the
+    // SURVIVOR is the highest-quality doc (fixed-point quality argmax,
+    // doc_id tie-break) — production dedup keeps the best copy, not the
+    // lowest id. Rank window is component-keyed (no global sort).
+    QDef("q146_canonical_selection",
+      (s, d) => {
+        val docsDf = t(s, d, "documents")
+        val pairs = DedupOps.ngramJaccardPairs(docsDf, "doc_id", "text",
+          n = 3, threshold = 0.5)
+        val comp = GraphOps.connectedComponents(pairs, "id_a", "id_b")
+          .select(col("id").as("doc_id"), col("component"))
+        val joined = comp.join(
+          docsDf.select(col("doc_id"),
+            graft.functions.TextFns.qualityScore(col("text")).as("q")),
+          Seq("doc_id"))
+        val w = Window.partitionBy(col("component"))
+          .orderBy(col("q").desc, col("doc_id"))
+        val keeper = joined.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("component"), col("doc_id").as("keeper"),
+            col("q").as("keeper_quality"))
+        joined.groupBy(col("component"))
+          .agg(count(lit(1)).cast("long").as("n_docs"))
+          .join(keeper, Seq("component"))
+          .orderBy(col("component"))
+      },
+      Some(s"""WITH RECURSIVE t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+             |            FROM documents),
+             |sh AS (SELECT doc_id, unnest(list_distinct(
+             |         [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+             |          for i in range(1, greatest(len(toks) - 1, 1))])) AS s
+             |       FROM t),
+             |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+             |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+             |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |      GROUP BY 1, 2),
+             |pairs AS (SELECT id_a, id_b FROM (
+             |    SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS j
+             |    FROM p JOIN sz sa ON p.id_a = sa.doc_id
+             |           JOIN sz sb ON p.id_b = sb.doc_id)
+             |  WHERE j >= 0.5),
+             |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+             |          UNION SELECT id_b, id_a FROM pairs),
+             |nodes AS (SELECT DISTINCT a AS id FROM edges),
+             |reach(id, r) AS (SELECT id, id FROM nodes
+             |  UNION SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+             |comp AS (SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component
+             |         FROM reach GROUP BY 1),
+             |q AS (SELECT doc_id,
+             |  CAST(floor((least(1.0, n_chars_d / 500.0) * 0.4
+             |    + (CASE WHEN n_chars_d > 0 THEN alpha / n_chars_d ELSE 0.0 END) * 0.3
+             |    + least(1.0, (CASE WHEN toks > 0 THEN stops / toks ELSE 0.0 END) * 3.0) * 0.3) * 100 * 10000 + 0.5) AS BIGINT) AS q
+             |  FROM (SELECT doc_id,
+             |    CAST(length(text) AS DOUBLE) AS n_chars_d,
+             |    CAST(len(regexp_extract_all(text, '[a-zA-Z]')) AS DOUBLE) AS alpha,
+             |    CAST(len(regexp_extract_all(text, '[^ ]+')) AS DOUBLE) AS toks,
+             |    CAST(len(regexp_extract_all(lower(text), '\\b${graft.functions.TextFns.stopwords.mkString("(", "|", ")")}\\b')) AS DOUBLE) AS stops
+             |  FROM documents)),
+             |jq AS (SELECT comp.component, comp.doc_id, q.q
+             |       FROM comp JOIN q ON comp.doc_id = q.doc_id)
+             |SELECT component, n_docs, keeper, keeper_quality FROM (
+             |  SELECT component,
+             |    count(*) OVER (PARTITION BY component) AS n_docs,
+             |    doc_id AS keeper, q AS keeper_quality,
+             |    row_number() OVER (PARTITION BY component ORDER BY q DESC, doc_id) AS rn
+             |  FROM jq)
+             |WHERE rn = 1 ORDER BY component""".stripMargin)),
 
     // PageRank over the customer→supplier trade graph, 5 fixed rounds —
     // the principled version of the reference's citation-importance score

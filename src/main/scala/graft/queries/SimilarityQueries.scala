@@ -298,11 +298,18 @@ object SimilarityQueries {
     // SQL-oracle-able while still exercising the full machinery (k-means
     // train, cell assignment, per-cell pair join, drop aggregation).
     // Oracle-visible twin of q138, same pattern as q129/q130.
+    // Bounded to the first 2000 vectors: with nClusters = 1 every pair
+    // lands on ONE cell key, so the all-pairs join is single-partition BY
+    // CONSTRUCTION (that is what makes it the exact baseline) — the slice
+    // keeps the oracle affordable at every SF while the full-corpus scale
+    // path is q138.
     QDef("q137_semdedup_exhaustive",
-      (s, d) => Similarity.semanticDedup(embs(s, d), "vec_id", "embedding",
+      (s, d) => Similarity.semanticDedup(
+          embs(s, d).filter(col("vec_id") < 2000), "vec_id", "embedding",
           nClusters = 1, iters = 1, threshold = 0.4)
         .orderBy(col("vec_id")),
-      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings
+             |       WHERE vec_id < 2000),
              |d AS (SELECT b.vec_id AS id, count(*) AS n
              |      FROM v a JOIN v b ON a.vec_id < b.vec_id
              |      WHERE list_dot_product(a.v, b.v)
@@ -318,9 +325,15 @@ object SimilarityQueries {
     // cross-cluster pairs) → rows-only check; SimilaritySpec pins
     // drops(clustered) ⊆ drops(exhaustive).
     QDef("q138_semdedup_clustered",
-      (s, d) => Similarity.semanticDedup(embs(s, d), "vec_id", "embedding",
-          nClusters = 8, iters = 2, threshold = 0.4)
-        .orderBy(col("vec_id")),
+      (s, d) => {
+        val e = embs(s, d)
+        // cells scale with the corpus (≈250 vectors/cell) so per-cell pair
+        // cost stays constant — the SemDeDup paper's operating point
+        val k = math.max(8, (e.count() / 250L).toInt)
+        Similarity.semanticDedup(e, "vec_id", "embedding",
+            nClusters = k, iters = 2, threshold = 0.4)
+          .orderBy(col("vec_id"))
+      },
       None),
 
     // Per-label embedding centroids as (label, pos, avg) rows: posexplode →

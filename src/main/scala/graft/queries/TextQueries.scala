@@ -445,6 +445,27 @@ object TextQueries {
              |  h AS order_key
              |FROM t ORDER BY shard_id, position""".stripMargin)),
 
+    // Length-bucketed batching audit: fixed 64-token brackets (how
+    // production packing brackets work — no global sort, pure map +
+    // one keyed aggregate), per-bracket padding waste = n·max − sum,
+    // i.e. tokens burned padding every doc to its bracket's max.
+    QDef("q145_length_buckets",
+      (s, d) => docs(s, d)
+        .select(TextFns.tokenCount(col("text")).as("t"))
+        .groupBy((col("t") / 64).cast("long").as("bucket"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          min(col("t")).as("min_tokens"),
+          max(col("t")).as("max_tokens"),
+          (count(lit(1)) * max(col("t")) - sum(col("t"))).cast("long")
+            .as("padding_waste"))
+        .orderBy(col("bucket")),
+      Some("""WITH t AS (SELECT CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS t
+             |          FROM documents)
+             |SELECT CAST(t // 64 AS BIGINT) AS bucket, count(*) AS n_docs,
+             |  min(t) AS min_tokens, max(t) AS max_tokens,
+             |  CAST(count(*) * max(t) - sum(t) AS BIGINT) AS padding_waste
+             |FROM t GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
     // DSIR data selection: the doc_id%97==0 slice plays the target domain
     // (same convention as q79's benchmark); the 20 most target-like source
     // docs by unigram log importance weight. Ranking is on the ROUNDED
