@@ -40,6 +40,22 @@ object Relational {
       .select(col(idCol), col("shard_id"), col("position"), col("order_key"))
   }
 
+  /** Snapshot diff for dataset versioning: classify every key across two
+    * corpus snapshots as added / deleted / changed / unchanged by
+    * comparing a content fingerprint. One full-outer hash join on the
+    * key — no content travels, only (key, fingerprint).
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keyCol: String,
+                   fpCol: Column): DataFrame =
+    oldDf.select(col(keyCol), fpCol.as("__fp_old"))
+      .join(newDf.select(col(keyCol), fpCol.as("__fp_new")),
+        Seq(keyCol), "full_outer")
+      .select(col(keyCol),
+        when(col("__fp_old").isNull, "added")
+          .when(col("__fp_new").isNull, "deleted")
+          .when(col("__fp_old") =!= col("__fp_new"), "changed")
+          .otherwise("unchanged").as("status"))
+
   /** Keep-first dedup. Spark's `dropDuplicates` keeps an *arbitrary* row per
     * key; the reference keeps the first in arrival order. We make the
     * survivor explicit and oracle-stable with a priority ordering.

@@ -445,6 +445,36 @@ object TextQueries {
              |  h AS order_key
              |FROM t ORDER BY shard_id, position""".stripMargin)),
 
+    // Snapshot diff for dataset versioning: old = docs with id%5≠0, new =
+    // docs with id%3≠0 and id%7==0 texts edited — so every status arises.
+    // One full-outer fingerprint join; content never shuffles.
+    QDef("q147_snapshot_diff",
+      (s, d) => {
+        val all = docs(s, d)
+        val oldSnap = all.filter(col("doc_id") % 5 =!= 0)
+        val newSnap = all.filter(col("doc_id") % 3 =!= 0)
+          .withColumn("text", when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" edited"))).otherwise(col("text")))
+        graft.operators.Relational.snapshotDiff(oldSnap, newSnap, "doc_id",
+            TextFns.fingerprint(col("text")))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH oldd AS (SELECT doc_id,
+             |    md5(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS fp
+             |  FROM documents WHERE doc_id % 5 <> 0),
+             |newd AS (SELECT doc_id,
+             |    md5(regexp_replace(lower(
+             |      CASE WHEN doc_id % 7 = 0 THEN text || ' edited' ELSE text END),
+             |      '[^a-z0-9]+', ' ', 'g')) AS fp
+             |  FROM documents WHERE doc_id % 3 <> 0)
+             |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+             |  CASE WHEN o.doc_id IS NULL THEN 'added'
+             |       WHEN n.doc_id IS NULL THEN 'deleted'
+             |       WHEN o.fp <> n.fp THEN 'changed'
+             |       ELSE 'unchanged' END AS status
+             |FROM oldd o FULL OUTER JOIN newd n ON o.doc_id = n.doc_id
+             |ORDER BY doc_id""".stripMargin)),
+
     // Length-bucketed batching audit: fixed 64-token brackets (how
     // production packing brackets work — no global sort, pure map +
     // one keyed aggregate), per-bracket padding waste = n·max − sum,
