@@ -143,4 +143,17 @@ object TextFns {
     */
   def fingerprint(c: Column): Column =
     md5(regexp_replace(lower(c), lit("[^a-z0-9]+"), lit(" ")))
+
+  /** Unicode NFC normalization (canonical composition) — the cleanup pass
+    * a multilingual corpus needs before fingerprint/dedup, since the same
+    * visible string arrives both precomposed (é) and decomposed (e+U+0301)
+    * from different sources and would otherwise hash apart. Java's
+    * Normalizer implements the same Unicode algorithm as the oracle's
+    * `nfc_normalize`.
+    */
+  private val nfcUdf = udf { s: String =>
+    if (s == null) null
+    else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+  }
+  def nfcNormalize(c: Column): Column = nfcUdf(c)
 }

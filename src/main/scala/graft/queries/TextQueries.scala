@@ -445,6 +445,31 @@ object TextQueries {
              |  h AS order_key
              |FROM t ORDER BY shard_id, position""".stripMargin)),
 
+    // Unicode NFC normalization: decomposed combining sequences are
+    // spliced in deterministically (q75's PII-splice pattern), normalized
+    // with Java's Normalizer, and hash-pinned against DuckDB's
+    // nfc_normalize — same Unicode algorithm, independent implementations.
+    QDef("q148_unicode_nfc",
+      (s, d) => docs(s, d)
+        .withColumn("t2", concat(col("text"),
+          when(col("doc_id") % 7 === 0, lit(" café")).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            lit(" Ångström")).otherwise(lit(""))))
+        .select(col("doc_id"),
+          when(TextFns.nfcNormalize(col("t2")) =!= col("t2"), 1L).otherwise(0L)
+            .as("changed"),
+          md5(TextFns.nfcNormalize(col("t2"))).as("nfc_md5"))
+        .orderBy(col("doc_id")),
+      Some("""WITH s AS (SELECT doc_id, text
+             |    || CASE WHEN doc_id % 7 = 0 THEN ' cafe' || chr(769) ELSE '' END
+             |    || CASE WHEN doc_id % 11 = 0
+             |       THEN ' A' || chr(778) || 'ngstro' || chr(776) || 'm' ELSE '' END AS t2
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(CASE WHEN nfc_normalize(t2) <> t2 THEN 1 ELSE 0 END AS BIGINT) AS changed,
+             |  md5(nfc_normalize(t2)) AS nfc_md5
+             |FROM s ORDER BY doc_id""".stripMargin)),
+
     // Snapshot diff for dataset versioning: old = docs with id%5≠0, new =
     // docs with id%3≠0 and id%7==0 texts edited — so every status arises.
     // One full-outer fingerprint join; content never shuffles.
