@@ -336,6 +336,36 @@ object SimilarityQueries {
       },
       None),
 
+    // Embedding-health audit: the gate an embedding pipeline runs before
+    // indexing — norm spectrum, dimension consistency, zero/non-finite
+    // vectors. One narrow scan, one global aggregate.
+    QDef("q150_embedding_audit",
+      (s, d) => embs(s, d)
+        .withColumn("nrm",
+          sqrt(graft.functions.VectorFns.dot(col("embedding"), col("embedding"))))
+        .withColumn("bad",
+          expr("exists(embedding, x -> isnan(x) OR abs(x) > 3.4e38)"))
+        .agg(
+          count(lit(1)).cast("long").as("n_vecs"),
+          countDistinct(size(col("embedding"))).cast("long").as("n_distinct_dims"),
+          round(avg(col("nrm")), 6).as("mean_norm"),
+          round(min(col("nrm")), 6).as("min_norm"),
+          round(max(col("nrm")), 6).as("max_norm"),
+          count(when(col("nrm") === 0.0, lit(1))).as("n_zero"),
+          count(when(col("bad"), lit(1))).as("n_nonfinite")),
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |n AS (SELECT vec_id, sqrt(list_dot_product(v, v)) AS nrm, len(v) AS dim,
+             |    len(list_filter(v, x -> isnan(x) OR isinf(x))) > 0 AS bad
+             |  FROM v)
+             |SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+             |  CAST(count(DISTINCT dim) AS BIGINT) AS n_distinct_dims,
+             |  round(avg(nrm), 6) AS mean_norm,
+             |  round(min(nrm), 6) AS min_norm,
+             |  round(max(nrm), 6) AS max_norm,
+             |  CAST(count(*) FILTER (WHERE nrm = 0) AS BIGINT) AS n_zero,
+             |  CAST(count(*) FILTER (WHERE bad) AS BIGINT) AS n_nonfinite
+             |FROM n""".stripMargin)),
+
     // Per-label embedding centroids as (label, pos, avg) rows: posexplode →
     // groupBy(label, pos) — one shuffle keyed on (label, pos), partial
     // (map-side) averages do the heavy lifting. Emitting rows rather than an

@@ -445,6 +445,42 @@ object TextQueries {
              |  h AS order_key
              |FROM t ORDER BY shard_id, position""".stripMargin)),
 
+    // OOV-rate audit: fraction of an increment's tokens unseen in the
+    // corpus vocabulary — the vocab-drift signal that decides tokenizer
+    // retraining. Vocab is word-keyed (one aggregate); the increment
+    // left-joins it and aggregates per doc. Same increment convention as
+    // q142 (doc_id%10==0).
+    QDef("q149_oov_rate",
+      (s, d) => {
+        val all = docs(s, d)
+        val vocab = all.filter(col("doc_id") % 10 =!= 0)
+          .select(explode(TextFns.words(col("text"))).as("w")).distinct()
+          .withColumn("known", lit(1L))
+        all.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), explode_outer(TextFns.words(col("text"))).as("w"))
+          .join(vocab, Seq("w"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(col("w")).as("n_tokens"),
+            count(when(col("w").isNotNull && col("known").isNull, lit(1)))
+              .as("n_oov"))
+          .withColumn("oov_rate", when(col("n_tokens") === 0, lit(0.0))
+            .otherwise(round(col("n_oov").cast("double") / col("n_tokens"), 6)))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH vocab AS (SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z]{3,}')) AS w
+             |  FROM documents WHERE doc_id % 10 <> 0),
+             |tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]{3,}')) AS w
+             |  FROM documents WHERE doc_id % 10 = 0),
+             |per AS (SELECT t.doc_id, count(*) AS n_tokens,
+             |    count(*) FILTER (WHERE v.w IS NULL) AS n_oov
+             |  FROM tok t LEFT JOIN vocab v ON t.w = v.w GROUP BY 1)
+             |SELECT d.doc_id, COALESCE(per.n_tokens, 0) AS n_tokens,
+             |  COALESCE(per.n_oov, 0) AS n_oov,
+             |  CASE WHEN COALESCE(per.n_tokens, 0) = 0 THEN 0.0
+             |       ELSE round(per.n_oov / CAST(per.n_tokens AS DOUBLE), 6) END AS oov_rate
+             |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+             |LEFT JOIN per USING (doc_id) ORDER BY d.doc_id""".stripMargin)),
+
     // Unicode NFC normalization: decomposed combining sequences are
     // spliced in deterministically (q75's PII-splice pattern), normalized
     // with Java's Normalizer, and hash-pinned against DuckDB's
