@@ -41,16 +41,17 @@ object Bench {
     Seq("lineitem", "orders", "documents", "embeddings", "events")
       .foreach(t => Tables(spark, sfDir, t).count())
 
-    // min-of-reps wall time; Double.NaN iff every rep threw
+    // one timed rep; None if it threw
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
+      val t0 = System.nanoTime()
+      val ok = try { fn(spark, sfDir).count(); true }
+               catch { case _: Throwable => false }
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache() // per-query caches must not accumulate
+      if (ok) Some(dt) else None
+    }
     def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      val times = (1 to reps).flatMap { _ =>
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
-                 catch { case _: Throwable => false }
-        val dt = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache() // per-query caches must not accumulate
-        if (ok) Some(dt) else None
-      }
+      val times = (1 to reps).flatMap(_ => timeOnce(fn))
       if (times.nonEmpty) times.min else Double.NaN
     }
 
@@ -60,8 +61,19 @@ object Bench {
     sentinel.foreach(fn => try { fn(spark, sfDir).count() }
       catch { case _: Throwable => () })
     val noisePre = sentinel.map(time).getOrElse(Double.NaN)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> time(fn)
+    // reps run as INTERLEAVED FULL PASSES (pass 1 over every query, then
+    // pass 2, ...), not back-to-back per query: a transient ambient-load
+    // spike then hits at most ONE sample of any query, and the per-query
+    // min across passes discards it. Back-to-back reps put all samples of
+    // one query inside the same spike — that is how a 5 s query read 57 s
+    // (min-of-2!) in an otherwise-clean r4 run.
+    val qseq = SparkEntry.queries.toSeq.sortBy(_._1)
+    val passTimes: Seq[Map[String, Option[Double]]] = (1 to reps).map { _ =>
+      qseq.map { case (name, fn) => name -> timeOnce(fn) }.toMap
+    }
+    val results = qseq.map { case (name, _) =>
+      val ts = passTimes.flatMap(_.apply(name))
+      name -> (if (ts.nonEmpty) ts.min else Double.NaN)
     }
     val noisePost = sentinel.map(time).getOrElse(Double.NaN)
     spark.stop()

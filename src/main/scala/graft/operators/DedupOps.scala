@@ -131,6 +131,96 @@ object DedupOps {
         .otherwise(round(col("n_dup_windows").cast("double") / col("n_windows"), 6)))
   }
 
+  /** Character-level duplicated-span removal profile (the substring-dedup
+    * step of Lee et al. 2021, arXiv:2107.06499 §4: drop every repeated
+    * span, keeping its first occurrence). Every `k`-char window of every
+    * document is hashed; a window whose hash occurs ≥2 corpus-wide is a
+    * duplicate, and every occurrence EXCEPT the globally first (ordered by
+    * (id, offset)) is marked for removal. Overlapping marked windows in a
+    * document merge into maximal spans (gaps-and-islands over offsets), so
+    * `chars_removed` counts each character once.
+    *
+    * Unlike [[duplicatePassages]] (token windows, a per-document profile
+    * with no keep-first rule), this is the actual dedup DECISION: which
+    * byte ranges a substring-level purge would cut. Returns per document
+    * (id, n_windows, n_dup_windows, n_spans, chars_removed,
+    * dup_char_frac).
+    *
+    * Scale shape: windows shuffle ONCE keyed by the window hash (a single
+    * window-function pass computes both the occurrence count and the
+    * global first-occurrence rank — no groupBy+self-join), then the marked
+    * subset (O(duplicated windows), not O(corpus)) shuffles by document
+    * for the span merge. Hashing bounds the join key at 32 bytes no matter
+    * how large `k` is; the md5 is computed before the exchange so raw
+    * text never shuffles. A hot window (corpus boilerplate) skews its hash
+    * partition — at 100 TB, cap per-hash fan-in like `maxShingleDf` or
+    * scrub boilerplate first ([[boilerplateScrub]]).
+    */
+  def substringDedupSpans(df: DataFrame, idCol: String, textCol: String,
+                          k: Int = 30): DataFrame = {
+    val wins = df
+      .filter(length(col(textCol)) >= k)
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, length($textCol) - $k)," +
+          s" i -> substring($textCol, i + 1, $k))")))
+      .select(col(idCol), col("pos").as("off"), md5(col("col")).as("h"))
+    val byHash = Window.partitionBy(col("h"))
+    val marked = wins
+      .withColumn("rn", row_number().over(byHash.orderBy(col(idCol), col("off"))))
+      .withColumn("cnt", count(lit(1)).over(byHash))
+      .filter(col("cnt") >= 2 && col("rn") > 1)
+      .select(col(idCol), col("off"))
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("off"))
+    val prevMax = byDoc.rowsBetween(Window.unboundedPreceding, -1)
+    val spans = marked
+      .withColumn("pe", max(col("off") + k).over(prevMax))
+      .withColumn("ni", when(col("pe").isNull || col("off") >= col("pe"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("ni")).over(byDoc))
+      .groupBy(col(idCol), col("island"))
+      .agg((max(col("off")) + k - min(col("off"))).as("len"),
+        count(lit(1)).as("nw"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_spans"),
+        sum(col("len")).cast("long").as("chars_removed"),
+        sum(col("nw")).cast("long").as("n_dup_windows"))
+    df.select(col(idCol), greatest(length(col(textCol)) - (k - 1), lit(0))
+        .cast("long").as("n_windows"), length(col(textCol)).as("n_chars"))
+      .join(spans, Seq(idCol), "left")
+      .select(col(idCol), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("chars_removed"), lit(0L)).as("chars_removed"),
+        when(col("n_chars") === 0, lit(0.0))
+          .otherwise(round(coalesce(col("chars_removed"), lit(0L))
+            .cast("double") / col("n_chars"), 6)).as("dup_char_frac"))
+  }
+
+  /** Blocked edit-distance record linkage: candidate pairs are generated
+    * only WITHIN a blocking key (the classic blocking strategy — Fellegi &
+    * Sunter record-linkage framing), then verified with banded Levenshtein.
+    * The length-difference prefilter (|len a − len b| ≤ maxDist, a lower
+    * bound on edit distance) and the thresholded `levenshtein(_, _, max)`
+    * (early-exit banded DP, O(maxDist·n) per pair instead of O(n²)) keep
+    * per-pair cost low; blocking keeps pair count at Σ|block|² instead of
+    * n². Returns (id_a, id_b, s_a, s_b, dist) with id_a < id_b.
+    *
+    * Scale shape: one shuffle keyed by block; pair generation is local to
+    * each block's partition. Block-size skew is the risk — at corpus scale
+    * cap or sub-split hot blocks (same playbook as `maxShingleDf`).
+    */
+  def blockedFuzzyPairs(df: DataFrame, idCol: String, strCol: String,
+                        blockCol: org.apache.spark.sql.Column,
+                        maxDist: Int): DataFrame = {
+    val a = df.select(blockCol.as("blk"), col(idCol).as("id_a"), col(strCol).as("s_a"))
+    val b = df.select(blockCol.as("blk"), col(idCol).as("id_b"), col(strCol).as("s_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(abs(length(col("s_a")) - length(col("s_b"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b"), maxDist).cast("long"))
+      .filter(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("s_a"), col("s_b"), col("dist"))
+  }
+
   /** Per-document repetition profile (Gopher/C4-style repetition gates):
     * token count, occurrence count of the most frequent word bigram, total
     * occurrences of trigrams that repeat within the document, and the

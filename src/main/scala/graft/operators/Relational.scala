@@ -77,6 +77,30 @@ object Relational {
   def semiJoin(df: DataFrame, other: DataFrame, keys: Seq[String]): DataFrame =
     df.join(other, keys, "left_semi")
 
+  /** Bloom-pruned semi join: build a Bloom filter over `other(otherKey)`
+    * (bits-only, size-bounded regardless of row count), pre-filter `df`
+    * with `mightContain` BEFORE the shuffle, then run the exact semi join
+    * on the survivors. False positives are removed by the join; Bloom
+    * filters have no false negatives, so the result is EXACTLY
+    * `semiJoin(df, other)` — the filter only cuts shuffle volume.
+    *
+    * This is the sketch-based join-pruning pattern (what Spark's own
+    * runtime row-level filtering does for DPP-ineligible joins): at 100 TB
+    * a 1%-selective semi join moves 1% of the big side instead of all of
+    * it, for the cost of broadcasting ~1.2 bytes/key of filter bits.
+    */
+  def bloomPrunedSemiJoin(df: DataFrame, key: String,
+                          other: DataFrame, otherKey: String,
+                          fpp: Double = 0.01): DataFrame = {
+    val keyed = other.select(col(otherKey))
+    val n = math.max(1L, keyed.count())
+    val bf = keyed.stat.bloomFilter(otherKey, n, fpp)
+    val bc = df.sparkSession.sparkContext.broadcast(bf)
+    val might = udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
+    df.filter(might(col(key)))
+      .join(keyed.withColumnRenamed(otherKey, key), Seq(key), "left_semi")
+  }
+
   /** Union of per-file/per-term DataFrames whose schemas drift (reference U1:
     * processed files gain columns over time).
     */

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QDef, Tables}
-import graft.operators.{Profiling, Relational}
+import graft.operators.{DedupOps, Profiling, Relational}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -971,6 +971,39 @@ object RelationalQueries {
              |CAST(sum(k_b) AS BIGINT) AS n_keys,
              |CAST(sum(m_b) AS BIGINT) AS n_events,
              |CAST(floor((1.0 - sum(p * (2.0 * lprev + l))) * 1000000.0 + 0.5) AS BIGINT) AS gini_x1e6
-             |FROM s2""".stripMargin))
+             |FROM s2""".stripMargin)),
+
+    // Bloom-pruned semi join: the sketch prunes the big side BEFORE its
+    // shuffle; the exact semi join on survivors removes false positives,
+    // so the result is provably identical to the plain semi join — which
+    // is exactly what the oracle runs.
+    QDef("q152_bloom_prune",
+      (s, d) => Relational.bloomPrunedSemiJoin(
+          t(s, d, "customer"), "c_custkey", t(s, d, "orders"), "o_custkey")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).cast("long").as("n_customers"),
+          round(sum(col("c_acctbal")), 2).as("total_acctbal"))
+        .orderBy(col("c_mktsegment")),
+      Some("""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
+             |  round(sum(c_acctbal), 2) AS total_acctbal
+             |FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Blocked fuzzy record linkage over part names: block on the first
+    // name token, verify with banded Levenshtein; dist ≥ 1 keeps the
+    // fuzzy matches only (exact duplicates are q26's job).
+    QDef("q153_fuzzy_blocked_pairs",
+      (s, d) => DedupOps.blockedFuzzyPairs(t(s, d, "part"), "p_partkey", "p_name",
+          split(col("p_name"), " ").getItem(0), maxDist = 3)
+        .filter(col("dist") >= 1)
+        .orderBy(col("id_a"), col("id_b")),
+      Some("""WITH p AS (SELECT p_partkey, p_name, split_part(p_name, ' ', 1) AS blk
+             |          FROM part)
+             |SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+             |  a.p_name AS s_a, b.p_name AS s_b,
+             |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+             |FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+             |WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3
+             |ORDER BY id_a, id_b""".stripMargin))
   )
 }

@@ -808,6 +808,42 @@ object TextQueries {
       Some(s"""SELECT doc_id, chunk_id, position, token_count, start_char,
              |  end_char, chunk_md5
              |FROM read_parquet('${graft.Fixtures.goldenSf("chunks")}')
-             |ORDER BY doc_id, position""".stripMargin))
+             |ORDER BY doc_id, position""".stripMargin)),
+
+    // Substring-level dedup decision (Lee et al. 2021 §4): which byte
+    // ranges a char-level purge would cut, keeping each repeated span's
+    // globally-first occurrence. The oracle recomputes every window hash,
+    // the keep-first rank, and the span merge in SQL.
+    QDef("q151_substring_dedup",
+      (s, d) => DedupOps.substringDedupSpans(docs(s, d), "doc_id", "text", k = 30)
+        .orderBy(col("doc_id")),
+      Some("""WITH pos AS (SELECT doc_id, text, unnest(range(1, length(text) - 28)) AS i
+             |            FROM documents),
+             |w AS (SELECT doc_id, i - 1 AS off, md5(substr(text, i, 30)) AS h FROM pos),
+             |m AS (SELECT doc_id, off,
+             |        row_number() OVER (PARTITION BY h ORDER BY doc_id, off) AS rn,
+             |        count(*) OVER (PARTITION BY h) AS cnt FROM w),
+             |d AS (SELECT doc_id, off FROM m WHERE cnt >= 2 AND rn > 1),
+             |i1 AS (SELECT doc_id, off,
+             |        max(off + 30) OVER (PARTITION BY doc_id ORDER BY off
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe FROM d),
+             |i2 AS (SELECT doc_id, off,
+             |        sum(CASE WHEN pe IS NULL OR off >= pe THEN 1 ELSE 0 END)
+             |          OVER (PARTITION BY doc_id ORDER BY off) AS island FROM i1),
+             |sp AS (SELECT doc_id, island, max(off) + 30 - min(off) AS len,
+             |        count(*) AS nw FROM i2 GROUP BY 1, 2),
+             |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+             |        CAST(sum(len) AS BIGINT) AS chars_removed,
+             |        CAST(sum(nw) AS BIGINT) AS n_dup_windows FROM sp GROUP BY 1)
+             |SELECT doc.doc_id,
+             |  CAST(greatest(length(doc.text) - 29, 0) AS BIGINT) AS n_windows,
+             |  COALESCE(per.n_dup_windows, 0) AS n_dup_windows,
+             |  COALESCE(per.n_spans, 0) AS n_spans,
+             |  COALESCE(per.chars_removed, 0) AS chars_removed,
+             |  CASE WHEN length(doc.text) = 0 THEN 0.0
+             |       ELSE round(COALESCE(per.chars_removed, 0)
+             |              / CAST(length(doc.text) AS DOUBLE), 6) END AS dup_char_frac
+             |FROM documents doc LEFT JOIN per USING (doc_id)
+             |ORDER BY doc.doc_id""".stripMargin))
   )
 }

@@ -155,4 +155,15 @@ class RelationalQueriesSpec extends SparkSpec {
       .select("p.p_partkey")
     assert(skyline.exceptAll(naive).isEmpty && naive.exceptAll(skyline).isEmpty)
   }
+
+  test("bloom-pruned semi join is row-identical to the plain semi join") {
+    import graft.operators.Relational
+    val customer = Tables(spark, sf, "customer")
+    val orders = Tables(spark, sf, "orders")
+    val pruned = Relational.bloomPrunedSemiJoin(
+      customer, "c_custkey", orders, "o_custkey", fpp = 0.05)
+    val plain = customer.join(
+      orders.select(col("o_custkey").as("c_custkey")), Seq("c_custkey"), "left_semi")
+    assert(pruned.exceptAll(plain).isEmpty && plain.exceptAll(pruned).isEmpty)
+  }
 }

@@ -255,4 +255,53 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
     pairs.foreach(r => assert(r.getAs[Long]("hamming") <= 3))
   }
+
+  test("substring dedup: copied span marked in later doc only, merged once") {
+    import spark.implicits._
+    val base = "0123456789abcdefghijklmnopqrs" // 29 distinct chars, no self-dup
+    val df = Seq(
+      (1L, base),                                  // 20 windows at k=10, all first
+      (2L, "zzzz" + base.substring(0, 15) + "QQQQ"), // copies a 15-char span
+      (3L, "short"))                               // below k: zero windows
+      .toDF("doc_id", "text")
+    val rows = DedupOps.substringDedupSpans(df, "doc_id", "text", k = 10)
+      .orderBy("doc_id").collect()
+    // doc 1 holds every first occurrence: nothing removed
+    assert(rows(0).getAs[Long]("n_windows") == 20)
+    assert(rows(0).getAs[Long]("chars_removed") == 0)
+    // doc 2: the 15 copied chars yield 6 dup windows (offsets 4..9), which
+    // merge into ONE span of exactly the copied length
+    assert(rows(1).getAs[Long]("n_dup_windows") == 6)
+    assert(rows(1).getAs[Long]("n_spans") == 1)
+    assert(rows(1).getAs[Long]("chars_removed") == 15)
+    // doc 3: shorter than k — zero windows, zero removal
+    assert(rows(2).getAs[Long]("n_windows") == 0)
+    assert(rows(2).getAs[Long]("chars_removed") == 0)
+  }
+
+  test("substring dedup: within-doc repetition keeps only the first window") {
+    import spark.implicits._
+    val df = Seq((1L, "x" * 20)).toDF("doc_id", "text") // all k-windows identical
+    val r = DedupOps.substringDedupSpans(df, "doc_id", "text", k = 10)
+      .collect()(0)
+    // 11 windows, the off=0 one is kept, offs 1..10 merge to span [1, 20)
+    assert(r.getAs[Long]("n_windows") == 11)
+    assert(r.getAs[Long]("n_dup_windows") == 10)
+    assert(r.getAs[Long]("n_spans") == 1)
+    assert(r.getAs[Long]("chars_removed") == 19)
+  }
+
+  test("blocked fuzzy pairs: matches within block only, banded distance") {
+    import spark.implicits._
+    val df = Seq((1L, "red bolt"), (2L, "red bol"), (3L, "red widget"),
+      (4L, "blue bolt")).toDF("id", "name")
+    val pairs = DedupOps.blockedFuzzyPairs(df, "id", "name",
+        split(col("name"), " ").getItem(0), maxDist = 3)
+      .collect()
+    // (1,2) dist 1 is the only in-block match; (1,4) has lev 3 but crosses
+    // blocks, (1,3)/(2,3) exceed the band
+    assert(pairs.length == 1)
+    assert(pairs(0).getAs[Long]("id_a") == 1L && pairs(0).getAs[Long]("id_b") == 2L)
+    assert(pairs(0).getAs[Long]("dist") == 1L)
+  }
 }
