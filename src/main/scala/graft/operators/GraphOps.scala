@@ -118,29 +118,84 @@ object GraphOps {
     */
   def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
             maxIters: Int = 50): DataFrame = {
-    var cur = edges
+    val edges0 = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
       .localCheckpoint()
-    var nEdges = cur.count()
+    val nEdges0 = edges0.count()
+    if (nEdges0 <= 2500000L) kCoreBroadcastPeel(edges0, nEdges0, k, maxIters)
+    else kCoreShufflePeel(edges0, nEdges0, k, maxIters)
+  }
+
+  /** Broadcast-eligible peel loop. Keep-sets shrink MONOTONICALLY (a vertex
+    * dropped in round r has no edges in round r+1's graph, so it can never
+    * re-qualify), which means the round-r survivor graph is exactly
+    * `edges0` semi-joined with the LATEST keep-set alone — earlier keeps
+    * are supersets and filter nothing. So the loop never materializes a
+    * shrinking edge table: each round is ONE job (scan the checkpointed
+    * original edges, two broadcast semi joins against the vertex-sized
+    * checkpointed keep, one endpoint-count shuffle), and only the
+    * vertex-sized degree table is checkpointed. Convergence is read off
+    * that degree table for free: no vertex below k ⇒ fixed point.
+    */
+  private def kCoreBroadcastPeel(edges0: DataFrame, nEdges0: Long, k: Int,
+                                 maxIters: Int): DataFrame = {
+    var keep: DataFrame = null // null = round 1, all vertices still in
+    var lastDeg: DataFrame = null
+    var converged = nEdges0 == 0L
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val cur =
+        if (keep == null) edges0
+        else edges0
+          .join(broadcast(keep.withColumnRenamed("v", "a")), Seq("a"), "left_semi")
+          .join(broadcast(keep.withColumnRenamed("v", "b")), Seq("b"), "left_semi")
+      val deg = cur.select(col("a").as("v")).union(cur.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+        .localCheckpoint()
+      val nV = deg.count()
+      keep = deg.filter(col("deg") >= k).select("v")
+      val nKeep = keep.count() // cheap: filter over the checkpointed deg
+      converged = nKeep == nV || nKeep == 0L
+      lastDeg = deg
+      iter += 1
+    }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"kCore stopped after maxIters=$maxIters before reaching a fixed " +
+          "point; the result is an UPPER BOUND on the true k-core — " +
+          "vertices below degree k may remain. Raise maxIters for an " +
+          "exact core.")
+    if (lastDeg == null) // zero-edge graph: empty (v, deg) result
+      edges0.select(col("a").as("v"), lit(0L).as("deg")).limit(0)
+    else if (converged) lastDeg.filter(col("deg") >= k)
+      .select(col("v"), col("deg").cast("long").as("deg"))
+    else // maxIters hit: degrees of the current survivor graph, as-is
+      lastDeg.select(col("v"), col("deg").cast("long").as("deg"))
+  }
+
+  /** Past the broadcast guard the keep-set no longer fits an executor, so
+    * each round semi-joins by SHUFFLE — there, re-filtering the original
+    * edge table every round would re-shuffle the full 100 TB edge list per
+    * round, and materializing the shrinking survivor graph (so later
+    * rounds pay only for what remains) is the right trade. One shrinking
+    * edge checkpoint + one degree shuffle per round.
+    */
+  private def kCoreShufflePeel(edges0: DataFrame, nEdges0: Long, k: Int,
+                               maxIters: Int): DataFrame = {
+    var cur = edges0
+    var nEdges = nEdges0
     var done = nEdges == 0L
     var iter = 0
     while (!done && iter < maxIters) {
       val deg = cur.select(col("a").as("v")).union(cur.select(col("b").as("v")))
         .groupBy("v").agg(count(lit(1)).as("deg"))
       val keep = deg.filter(col("deg") >= k).select("v")
-      // the survivor set is vertex-sized: broadcast it while it fits (same
-      // ≤5M guard as pageRank — vertices ≤ 2·edges) so the edge table is
-      // never shuffled by the semi joins; past the guard fall back to
-      // shuffle joins. Saves 2 of the 3 per-round shuffles.
-      val keepSide =
-        if (nEdges <= 2500000L) (c: DataFrame) => broadcast(c)
-        else (c: DataFrame) => c
       val next = cur
-        .join(keepSide(keep.withColumnRenamed("v", "a")), Seq("a"), "left_semi")
-        .join(keepSide(keep.withColumnRenamed("v", "b")), Seq("b"), "left_semi")
+        .join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
         .localCheckpoint()
       val n = next.count()
       done = n == nEdges || n == 0L
