@@ -33,11 +33,17 @@ object GraphOps {
       .distinct().localCheckpoint()
     var labels = und.select(col("a").as("id")).distinct()
       .select(col("id"), col("id").as("component")).localCheckpoint()
+    // Same guard as pageRank: the label table is vertex-sized — while it
+    // fits a broadcast, ship labels to the (checkpointed, never
+    // reshuffled) edge partitions instead of shuffling the edge list every
+    // round; past the guard fall back to the shuffle join.
+    val broadcastLabels = labels.count() <= 5000000L
     var converged = false
     var i = 0
     while (i < maxIters && !converged) {
+      val lblSide = labels.withColumnRenamed("id", "a")
       val viaNeighbor = und
-        .join(labels.withColumnRenamed("id", "a"), Seq("a"))
+        .join(if (broadcastLabels) broadcast(lblSide) else lblSide, Seq("a"))
         .select(col("b").as("id"), col("component"))
       val next = labels.union(viaNeighbor)
         .groupBy("id").agg(min("component").as("component"))

@@ -844,6 +844,29 @@ object TextQueries {
              |       ELSE round(COALESCE(per.chars_removed, 0)
              |              / CAST(length(doc.text) AS DOUBLE), 6) END AS dup_char_frac
              |FROM documents doc LEFT JOIN per USING (doc_id)
-             |ORDER BY doc.doc_id""".stripMargin))
+             |ORDER BY doc.doc_id""".stripMargin)),
+
+    // Hashed-feature linear classifier inference (the fastText-style
+    // quality-filter shape): md5-low-64 token buckets, integer-exact
+    // weight accumulation, sigmoid applied once per doc — the oracle
+    // recomputes every bucket and the exact same closed-form score.
+    QDef("q154_quality_classifier",
+      (s, d) => graft.operators.QualityClassifier.score(docs(s, d), "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some("""WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+             |             FROM documents),
+             |s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             |        CAST(sum(md5_number_lower(t) % 2001) AS BIGINT) AS w_sum
+             |      FROM tok GROUP BY 1),
+             |sc AS (SELECT d.doc_id,
+             |         COALESCE(s.n_tokens, 0) AS n_tokens,
+             |         COALESCE(s.w_sum, 0) AS w_sum,
+             |         CASE WHEN COALESCE(s.n_tokens, 0) = 0 THEN 0.5
+             |              ELSE round(1.0 / (1.0 + exp(-((s.w_sum - 1000 * s.n_tokens)
+             |                     / (250.0 * s.n_tokens)))), 6) END AS score
+             |       FROM documents d LEFT JOIN s USING (doc_id))
+             |SELECT doc_id, n_tokens, w_sum, score,
+             |  CAST(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END AS INT) AS keep
+             |FROM sc ORDER BY doc_id""".stripMargin))
   )
 }

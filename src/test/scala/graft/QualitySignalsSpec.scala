@@ -74,4 +74,26 @@ class QualitySignalsSpec extends SparkSpec {
     assert(out(0).getAs[Long]("logprob_x1e4") >
       out(1).getAs[Long]("logprob_x1e4"))
   }
+
+  test("hashed linear classifier: integer features match the token hash") {
+    import graft.operators.{DedupOps, QualityClassifier}
+    val df = Seq((1L, "Alpha beta ALPHA"), (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val rows = QualityClassifier.score(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // doc 1: tokens [alpha, beta, alpha] — w_sum from the shared md5 hash
+    val w = (t: String) =>
+      java.lang.Long.remainderUnsigned(DedupOps.md5Low64Token(t), 2001L)
+    assert(rows(0).getAs[Long]("n_tokens") == 3L)
+    assert(rows(0).getAs[Long]("w_sum") == 2 * w("alpha") + w("beta"))
+    val score = rows(0).getAs[Double]("score")
+    assert(score > 0.0 && score < 1.0)
+    assert(rows(0).getAs[Int]("keep") == (if (score >= 0.5) 1 else 0))
+    // empty and null text: zero tokens, neutral 0.5 score, kept
+    Seq(1, 2).foreach { i =>
+      assert(rows(i).getAs[Long]("n_tokens") == 0L)
+      assert(rows(i).getAs[Double]("score") == 0.5)
+      assert(rows(i).getAs[Int]("keep") == 1)
+    }
+  }
 }
