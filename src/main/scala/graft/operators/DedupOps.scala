@@ -195,6 +195,47 @@ object DedupOps {
             .cast("double") / col("n_chars"), 6)).as("dup_char_frac"))
   }
 
+  /** Cross-source n-gram overlap matrix — the curation diagnostic behind
+    * "how much does source A duplicate source B" (mirror detection, feed
+    * provenance audits, pre-mixing overlap heatmaps). Each source's
+    * shingle SET is the union of its documents' distinct `n`-gram
+    * shingles; for every source pair sharing ≥1 shingle the matrix
+    * reports intersection size, Jaccard, and both directed containments
+    * (containment_a = |A∩B| / |A|, the fraction of A already present in
+    * B — the asymmetric signal Jaccard hides when sizes differ).
+    *
+    * Scale shape: one tokenize pass, one distinct (source, shingle)
+    * shuffle, one shingle-keyed self-join whose output is bounded by
+    * S² per shingle for S distinct sources (sources are enumerable —
+    * tens, not millions); the per-source size table is tiny and
+    * broadcast-joins onto the pair counts. For a corpus-boilerplate
+    * shingle hot across every source, cap document frequency first
+    * (`maxShingleDf` playbook) — it contributes 1 to every cell and
+    * S²/2 join rows.
+    */
+  def sourceOverlapMatrix(df: DataFrame, srcCol: String, textCol: String,
+                          n: Int): DataFrame = {
+    val sh = shingles(df, srcCol, textCol, n).distinct()
+      .withColumnRenamed(srcCol, "src").persist()
+    val sizes = sh.groupBy("src").agg(count(lit(1)).as("n"))
+    val pairs = sh.select(col("src").as("source_a"), col("shingle"))
+      .join(sh.select(col("src").as("source_b"), col("shingle")), Seq("shingle"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).cast("long").as("shared"))
+    val out = pairs
+      .join(sizes.select(col("src").as("source_a"), col("n").as("n_a")), Seq("source_a"))
+      .join(sizes.select(col("src").as("source_b"), col("n").as("n_b")), Seq("source_b"))
+      .select(col("source_a"), col("source_b"),
+        col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
+        col("shared"),
+        round(col("shared") / (col("n_a") + col("n_b") - col("shared")), 6)
+          .as("jaccard"),
+        round(col("shared") / col("n_a"), 6).as("containment_a"),
+        round(col("shared") / col("n_b"), 6).as("containment_b"))
+    materializeAndRelease(out, sh)
+  }
+
   /** Blocked edit-distance record linkage: candidate pairs are generated
     * only WITHIN a blocking key (the classic blocking strategy — Fellegi &
     * Sunter record-linkage framing), then verified with banded Levenshtein.

@@ -455,6 +455,32 @@ object SimilarityQueries {
              |       (SELECT vec_id AS qid, label AS qlabel, CAST(embedding AS DOUBLE[]) qv
              |        FROM embeddings WHERE vec_id < 5) q
              |  WHERE e.label <> q.qlabel)
-             |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin))
+             |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)),
+
+    // Cross-source n-gram overlap matrix: per source pair, shared shingle
+    // count, Jaccard, and both directed containments — the mirror/feed
+    // provenance diagnostic run before mixing sources into a corpus.
+    QDef("q155_source_overlap",
+      (s, d) => DedupOps.sourceOverlapMatrix(docs(s, d), "source", "text", n = 3)
+        .orderBy(col("source_a"), col("source_b")),
+      Some("""WITH t AS (SELECT source, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+             |            FROM documents),
+             |sh AS (SELECT DISTINCT source, s FROM
+             |        (SELECT source, unnest(list_distinct(
+             |           [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+             |            for i in range(1, greatest(len(toks) - 1, 1))])) AS s
+             |         FROM t)),
+             |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+             |p AS (SELECT a.source AS source_a, b.source AS source_b,
+             |        CAST(count(*) AS BIGINT) AS shared
+             |      FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+             |      GROUP BY 1, 2)
+             |SELECT source_a, source_b, sa.n AS n_a, sb.n AS n_b, shared,
+             |  round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) AS jaccard,
+             |  round(CAST(shared AS DOUBLE) / sa.n, 6) AS containment_a,
+             |  round(CAST(shared AS DOUBLE) / sb.n, 6) AS containment_b
+             |FROM p JOIN sz sa ON source_a = sa.source
+             |       JOIN sz sb ON source_b = sb.source
+             |ORDER BY source_a, source_b""".stripMargin))
   )
 }

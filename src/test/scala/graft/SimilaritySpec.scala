@@ -291,6 +291,26 @@ class SimilaritySpec extends SparkSpec {
     assert(r.getAs[Long]("chars_removed") == 19)
   }
 
+  test("source overlap matrix: shared shingles, zero-overlap pair absent") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d", "A"),   // shingles {a b c, b c d}
+      (2L, "a b c x", "B"),   // shingles {a b c, b c x}
+      (3L, "q r s t", "C"))   // disjoint from A and B
+      .toDF("doc_id", "text", "source")
+    val rows = DedupOps.sourceOverlapMatrix(df, "source", "text", n = 3)
+      .collect()
+    // only (A, B) shares anything; C pairs are absent entirely
+    assert(rows.length == 1)
+    val r = rows(0)
+    assert(r.getAs[String]("source_a") == "A" && r.getAs[String]("source_b") == "B")
+    assert(r.getAs[Long]("n_a") == 2 && r.getAs[Long]("n_b") == 2)
+    assert(r.getAs[Long]("shared") == 1)
+    assert(r.getAs[Double]("jaccard") == 0.333333)
+    assert(r.getAs[Double]("containment_a") == 0.5)
+    assert(r.getAs[Double]("containment_b") == 0.5)
+  }
+
   test("blocked fuzzy pairs: matches within block only, banded distance") {
     import spark.implicits._
     val df = Seq((1L, "red bolt"), (2L, "red bol"), (3L, "red widget"),
