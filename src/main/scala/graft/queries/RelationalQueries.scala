@@ -989,21 +989,35 @@ object RelationalQueries {
              |FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
-    // Blocked fuzzy record linkage over part names: block on the first
-    // name token, verify with banded Levenshtein; dist ≥ 1 keeps the
-    // fuzzy matches only (exact duplicates are q26's job).
+    // Blocked fuzzy record linkage over part names, run on the
+    // DISTINCT-NAME DICTIONARY with row multiplicities — the scale-honest
+    // form: values repeat massively (64 distinct names over the whole
+    // table here), so pair generation over raw rows is quadratic in the
+    // repetition while the dictionary is vocabulary-sized. Block on the
+    // first name token, verify with banded Levenshtein; dist ≥ 1 keeps
+    // the fuzzy matches only (exact duplicates are q26's job).
     QDef("q153_fuzzy_blocked_pairs",
-      (s, d) => DedupOps.blockedFuzzyPairs(t(s, d, "part"), "p_partkey", "p_name",
-          split(col("p_name"), " ").getItem(0), maxDist = 3)
-        .filter(col("dist") >= 1)
-        .orderBy(col("id_a"), col("id_b")),
-      Some("""WITH p AS (SELECT p_partkey, p_name, split_part(p_name, ' ', 1) AS blk
-             |          FROM part)
-             |SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
-             |  a.p_name AS s_a, b.p_name AS s_b,
+      (s, d) => {
+        val dict = t(s, d, "part").groupBy(col("p_name"))
+          .agg(count(lit(1)).cast("long").as("n"))
+        DedupOps.blockedFuzzyPairs(dict, "p_name", "p_name",
+            split(col("p_name"), " ").getItem(0), maxDist = 3)
+          .filter(col("dist") >= 1)
+          .select(col("id_a").as("name_a"), col("id_b").as("name_b"), col("dist"))
+          .join(dict.select(col("p_name").as("name_a"), col("n").as("n_a")), Seq("name_a"))
+          .join(dict.select(col("p_name").as("name_b"), col("n").as("n_b")), Seq("name_b"))
+          .select(col("name_a"), col("name_b"), col("n_a"), col("n_b"), col("dist"))
+          .orderBy(col("name_a"), col("name_b"))
+      },
+      Some("""WITH d AS (SELECT p_name, CAST(count(*) AS BIGINT) AS n
+             |           FROM part GROUP BY 1)
+             |SELECT a.p_name AS name_a, b.p_name AS name_b, a.n AS n_a, b.n AS n_b,
              |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
-             |FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
-             |WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3
-             |ORDER BY id_a, id_b""".stripMargin))
+             |FROM d a JOIN d b
+             |  ON split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
+             | AND a.p_name < b.p_name
+             |WHERE abs(length(a.p_name) - length(b.p_name)) <= 3
+             |  AND levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3
+             |ORDER BY name_a, name_b""".stripMargin))
   )
 }
