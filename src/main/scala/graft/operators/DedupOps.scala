@@ -344,9 +344,9 @@ object DedupOps {
                         n: Int, threshold: Double,
                         maxShingleDf: Option[Long] = None): DataFrame = {
     val sh = shingles(df, idCol, textCol, n).cache()
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     maxShingleDf match {
       case None =>
+        val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
         // shuffle-hash hint: both sides are the same mid-sized index; SMJ's
         // sort of the hot-key shingle column is pure overhead here
         val inter = sh.select(col(idCol).as("id_a"), col("shingle"))
@@ -376,7 +376,7 @@ object DedupOps {
           .join(rare.select(col(idCol).as("id_b"), col("shingle")), Seq("shingle"))
           .filter(col("id_a") < col("id_b"))
           .select("id_a", "id_b").distinct().cache()
-        val out = verifyCandidates(sh, sizes, cands, idCol, threshold)
+        val out = verifyCandidates(sh, cands, idCol, threshold)
         materializeAndRelease(out, sh, cands)
     }
   }
@@ -428,25 +428,34 @@ object DedupOps {
   }
 
   /** Verify candidate pairs with exact Jaccard over the FULL shingle sets,
-    * restricted to candidate docs before the two intersection joins —
-    * O(candidate docs), not O(corpus). Shared by the prefix-filter, DF-cap
-    * and (structurally) LSH paths.
+    * restricted to candidate docs — O(candidate docs), not O(corpus).
+    * Shared by the prefix-filter, DF-cap and (structurally) LSH paths.
+    *
+    * Each candidate doc's full shingle set is packed into ONE array row
+    * (`sh` is already distinct per doc), so verification is two id-hashed
+    * joins of the pair list against doc-count-sized rows plus a per-pair
+    * in-memory `array_intersect` — no exploded pair×shingle rows, no
+    * pair-keyed re-aggregation, and sizes fall out of `size(set)` for
+    * free. Intersection is computed on the shingle STRINGS: exact, no
+    * hash-collision caveat. The candidate-doc id list is broadcast —
+    * it is bounded by 2×|candidate pairs|, which the prefix/DF-cap
+    * filters keep far below corpus size.
     */
-  private def verifyCandidates(sh: DataFrame, sizes: DataFrame, cands: DataFrame,
+  private def verifyCandidates(sh: DataFrame, cands: DataFrame,
                                idCol: String, threshold: Double): DataFrame = {
     val candDocs = cands.select(col("id_a").as(idCol))
       .union(cands.select(col("id_b").as(idCol))).distinct()
-    val shC = sh.join(broadcast(candDocs), Seq(idCol), "left_semi")
-    val inter = cands
-      .join(shC.select(col(idCol).as("id_a"), col("shingle")), Seq("id_a"))
-      .join(shC.select(col(idCol).as("id_b"), col("shingle")), Seq("id_b", "shingle"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
-      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+    val docSets = sh.join(broadcast(candDocs), Seq(idCol), "left_semi")
+      .groupBy(col(idCol))
+      .agg(collect_list(col("shingle")).as("set"))
+    cands
+      .join(docSets.select(col(idCol).as("id_a"), col("set").as("set_a")), Seq("id_a"))
+      .join(docSets.select(col(idCol).as("id_b"), col("set").as("set_b")), Seq("id_b"))
+      .withColumn("inter",
+        size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
       .withColumn("jaccard",
-        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+        col("inter").cast("double") /
+          (size(col("set_a")).cast("long") + size(col("set_b")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
@@ -463,28 +472,58 @@ object DedupOps {
     * the index — at τ=0.5 only the rarest half-ish of each doc's shingles
     * do, and candidate verification touches candidate pairs only. The
     * extra global-frequency pass is one map-side-combinable groupBy.
+    *
+    * All pruning-side work runs on a 64-bit `xxhash64` of the shingle,
+    * never the ~3-word string: the frequency groupBy, the rank sort, and
+    * the inverted-index join all shuffle/compare longs. Correct because
+    * the prefix theorem holds for ANY deterministic global shingle order —
+    * (gf∘h, h, shingle) is one (the string tail breaks the astronomically
+    * rare (gf,h) collision, and is touched only then) — and because an
+    * index-join hash collision can only ADD a candidate pair, which exact
+    * string-set verification then discards.
     */
   def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                          n: Int, threshold: Double): DataFrame = {
     val sh = shingles(df, idCol, textCol, n).cache()
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("gf"))
-    // rank and set size from ONE shuffle-by-doc (two window frames over the
-    // same partitioning) — a join back to `sizes` would shuffle the whole
-    // shingle table a second time
+    val shH = sh.select(col(idCol), col("shingle"),
+      xxhash64(col("shingle")).as("h"))
+    val freq = shH.groupBy(col("h")).agg(count(lit(1)).as("gf"))
+    // rank and set size from ONE shuffle-by-doc and ONE sort: both window
+    // functions share (partitioning, ordering), so they evaluate in a
+    // single WindowExec pass — and a join back to a sizes table would
+    // shuffle the whole shingle table a second time
     val byDoc = Window.partitionBy(col(idCol))
-    val prefix = sh.join(freq, Seq("shingle"))
-      .select(col(idCol), col("shingle"),
-        row_number().over(byDoc.orderBy(col("gf"), col("shingle"))).as("rk"),
-        count(lit(1)).over(byDoc).as("sz"))
+      .orderBy(col("gf"), col("h"), col("shingle"))
+    val whole = byDoc.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val prefix = shH.join(freq, Seq("h"))
+      .select(col(idCol), col("h"),
+        row_number().over(byDoc).as("rk"),
+        count(lit(1)).over(whole).as("sz"))
       .filter(col("rk") <= floor((lit(1.0) - threshold) * col("sz")) + 1)
-      .select(col(idCol), col("shingle"))
-    val cands = prefix.select(col(idCol).as("id_a"), col("shingle"))
-      .hint("shuffle_hash")
-      .join(prefix.select(col(idCol).as("id_b"), col("shingle")), Seq("shingle"))
-      .filter(col("id_a") < col("id_b"))
+    // Sharing a prefix shingle is necessary but far from sufficient — on a
+    // templated corpus the raw bucket join admits ~1000× the true pair set,
+    // and every admitted pair pays full-set verification. Two more PPJoin
+    // conditions, evaluated inside the join before the pairs ever
+    // materialize: LENGTH (J ≥ τ forces τ·|x| ≤ |y|) and POSITIONAL (ranks
+    // rk_a, rk_b of the shared shingle cap the remaining possible overlap
+    // at 1 + min(sz_a−rk_a, sz_b−rk_b), which must reach the τ-implied
+    // minimum ⌈τ/(1+τ)·(sz_a+sz_b)⌉). The 1e-9 slack only ever WEAKENS a
+    // bound (floating-point round-up may not drop a true pair).
+    val a = prefix.select(col(idCol).as("id_a"), col("h").as("h_a"),
+      col("rk").as("rk_a"), col("sz").as("sz_a"))
+    val b = prefix.select(col(idCol).as("id_b"), col("h").as("h_b"),
+      col("rk").as("rk_b"), col("sz").as("sz_b"))
+    val minOverlap = ceil(lit(threshold / (1.0 + threshold)) *
+      (col("sz_a") + col("sz_b")) - 1e-9)
+    val cands = a.hint("shuffle_hash").join(b,
+        col("h_a") === col("h_b") &&
+          col("id_a") < col("id_b") &&
+          col("sz_b") >= lit(threshold) * col("sz_a") - 1e-9 &&
+          col("sz_a") >= lit(threshold) * col("sz_b") - 1e-9 &&
+          lit(1) + least(col("sz_a") - col("rk_a"),
+            col("sz_b") - col("rk_b")) >= minOverlap)
       .select(col("id_a"), col("id_b")).distinct().cache()
-    val out = verifyCandidates(sh, sizes, cands, idCol, threshold)
+    val out = verifyCandidates(sh, cands, idCol, threshold)
     materializeAndRelease(out, sh, cands)
   }
 
