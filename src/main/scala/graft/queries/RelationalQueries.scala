@@ -1018,6 +1018,51 @@ object RelationalQueries {
              | AND a.p_name < b.p_name
              |WHERE abs(length(a.p_name) - length(b.p_name)) <= 3
              |  AND levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3
-             |ORDER BY name_a, name_b""".stripMargin))
+             |ORDER BY name_a, name_b""".stripMargin)),
+
+    // k-anonymity audit over a quasi-identifier generalization ladder:
+    // for each QI level (full (nation, segment), then each single-column
+    // generalization) report the worst-case k (smallest equivalence
+    // class), class count, and the row fraction in classes below k=10 —
+    // the release-risk numbers a privacy review asks for before training
+    // data leaves the curation boundary. One grouping-sets shuffle
+    // produces every level's class sizes; the per-level rollup is
+    // level-count-sized (tiny).
+    QDef("q156_kanonymity",
+      (s, d) => t(s, d, "customer")
+        .groupingSets(
+          Seq(Seq(col("c_nationkey"), col("c_mktsegment")),
+            Seq(col("c_nationkey")), Seq(col("c_mktsegment"))),
+          col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).cast("long").as("k"))
+        .select(
+          when(col("c_nationkey").isNotNull && col("c_mktsegment").isNotNull,
+              "nation+segment")
+            .when(col("c_nationkey").isNotNull, "nation")
+            .otherwise("segment").as("qi_level"),
+          col("k"))
+        .groupBy(col("qi_level"))
+        .agg(count(lit(1)).cast("long").as("n_classes"),
+          min(col("k")).as("min_k"),
+          sum(when(col("k") < 10, col("k")).otherwise(0L)).cast("long")
+            .as("rows_below_k10"),
+          round(sum(when(col("k") < 10, col("k")).otherwise(0L))
+            .cast("double") / sum(col("k")), 6).as("frac_below_k10"))
+        .orderBy(col("qi_level")),
+      Some("""WITH cls AS (
+             |  SELECT CASE WHEN c_nationkey IS NOT NULL AND c_mktsegment IS NOT NULL
+             |              THEN 'nation+segment'
+             |              WHEN c_nationkey IS NOT NULL THEN 'nation'
+             |              ELSE 'segment' END AS qi_level,
+             |         CAST(count(*) AS BIGINT) AS k
+             |  FROM customer
+             |  GROUP BY GROUPING SETS ((c_nationkey, c_mktsegment),
+             |                          (c_nationkey), (c_mktsegment)))
+             |SELECT qi_level, count(*) AS n_classes, min(k) AS min_k,
+             |  CAST(sum(CASE WHEN k < 10 THEN k ELSE 0 END) AS BIGINT)
+             |    AS rows_below_k10,
+             |  round(sum(CASE WHEN k < 10 THEN k ELSE 0 END)
+             |    / CAST(sum(k) AS DOUBLE), 6) AS frac_below_k10
+             |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

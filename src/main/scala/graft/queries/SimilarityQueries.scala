@@ -481,6 +481,66 @@ object SimilarityQueries {
              |  round(CAST(shared AS DOUBLE) / sb.n, 6) AS containment_b
              |FROM p JOIN sz sa ON source_a = sa.source
              |       JOIN sz sb ON source_b = sb.source
-             |ORDER BY source_a, source_b""".stripMargin))
+             |ORDER BY source_a, source_b""".stripMargin)),
+
+    // Train/val/test split LEAKAGE audit: exact 3-gram Jaccard near-dup
+    // pairs (q24's machinery) whose two ends land in DIFFERENT splits
+    // under the q80 deterministic md5 hash split — the eval-integrity
+    // check that exact-match decontamination (q79) misses, because a
+    // near-duplicate of a test doc sitting in train inflates eval scores
+    // without any shared fingerprint. Reported as a split×split matrix
+    // (pair counts + mean Jaccard); the pair set is candidate-bounded,
+    // so the split join touches pair-count rows, never corpus².
+    QDef("q159_split_leakage",
+      (s, d) => {
+        val splits = docs(s, d)
+          .withColumn("h", substring(md5(col("doc_id").cast("string")), 1, 1))
+          .select(col("doc_id"),
+            when(col("h").between("0", "9") || col("h").isin("a", "b"), "train")
+              .when(col("h").isin("c", "d"), "val")
+              .otherwise("test").as("split"))
+        DedupOps.ngramJaccardPairs(docs(s, d), "doc_id", "text",
+            n = 3, threshold = 0.5)
+          .join(splits.select(col("doc_id").as("id_a"), col("split").as("split_a")),
+            Seq("id_a"))
+          .join(splits.select(col("doc_id").as("id_b"), col("split").as("split_b")),
+            Seq("id_b"))
+          .filter(col("split_a") =!= col("split_b"))
+          .groupBy(least(col("split_a"), col("split_b")).as("split_lo"),
+            greatest(col("split_a"), col("split_b")).as("split_hi"))
+          .agg(count(lit(1)).cast("long").as("n_leaked_pairs"),
+            round(avg(col("jaccard")), 6).as("mean_jaccard"))
+          .orderBy(col("split_lo"), col("split_hi"))
+      },
+      Some("""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+             |            FROM documents),
+             |sh AS (SELECT doc_id, unnest(list_distinct(
+             |         [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+             |          for i in range(1, greatest(len(toks) - 1, 1))])) AS s
+             |       FROM t),
+             |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+             |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+             |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |      GROUP BY 1, 2),
+             |pairs AS (
+             |  SELECT id_a, id_b, round(j, 6) AS jaccard FROM (
+             |    SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS j
+             |    FROM p JOIN sz sa ON p.id_a = sa.doc_id
+             |           JOIN sz sb ON p.id_b = sb.doc_id)
+             |  WHERE j >= 0.5),
+             |spl AS (
+             |  SELECT doc_id,
+             |    CASE WHEN h BETWEEN '0' AND '9' OR h IN ('a','b') THEN 'train'
+             |         WHEN h IN ('c','d') THEN 'val' ELSE 'test' END AS split
+             |  FROM (SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h
+             |        FROM documents))
+             |SELECT least(sa.split, sb.split) AS split_lo,
+             |  greatest(sa.split, sb.split) AS split_hi,
+             |  count(*) AS n_leaked_pairs,
+             |  round(avg(jaccard), 6) AS mean_jaccard
+             |FROM pairs JOIN spl sa ON pairs.id_a = sa.doc_id
+             |           JOIN spl sb ON pairs.id_b = sb.doc_id
+             |WHERE sa.split <> sb.split
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }

@@ -867,6 +867,107 @@ object TextQueries {
              |       FROM documents d LEFT JOIN s USING (doc_id))
              |SELECT doc_id, n_tokens, w_sum, score,
              |  CAST(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END AS INT) AS keep
-             |FROM sc ORDER BY doc_id""".stripMargin))
+             |FROM sc ORDER BY doc_id""".stripMargin)),
+
+    // Temperature-scaled source mixing (the UNIMAX/PaLM α-sampling family):
+    // per-source token share s_i is flattened to w_i = s_i^α / Σ s_j^α
+    // (α = 0.7), and epochs_x1e4 = w_i / s_i is the implied number of
+    // passes over each source at those weights — the knob that keeps
+    // low-resource sources from vanishing under proportional sampling.
+    // One map-side-combinable groupBy; the window runs over the
+    // source-count-sized aggregate (tens of rows), never the corpus.
+    QDef("q157_temperature_mix",
+      (s, d) => {
+        val w = Window.partitionBy()
+        docs(s, d)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(TextFns.tokenCount(col("text"))).cast("long").as("src_tokens"))
+          .withColumn("share",
+            col("src_tokens").cast("double") / sum(col("src_tokens")).over(w))
+          .withColumn("w_raw", pow(col("share"), 0.7))
+          .withColumn("weight", col("w_raw") / sum(col("w_raw")).over(w))
+          .select(col("source"), col("n_docs"), col("src_tokens"),
+            floor(col("weight") * 10000.0 + 0.5).cast("long").as("weight_x1e4"),
+            floor(col("weight") / col("share") * 10000.0 + 0.5).cast("long")
+              .as("epochs_x1e4"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH src AS (
+             |  SELECT source, count(*) AS n_docs,
+             |    CAST(sum(len(regexp_extract_all(text, '[^ ]+'))) AS BIGINT)
+             |      AS src_tokens
+             |  FROM documents GROUP BY 1),
+             |sh AS (SELECT *,
+             |         src_tokens / CAST(sum(src_tokens) OVER () AS DOUBLE) AS share
+             |       FROM src),
+             |p AS (SELECT *, pow(share, 0.7) AS w_raw FROM sh)
+             |SELECT source, n_docs, src_tokens,
+             |  CAST(floor(w_raw / sum(w_raw) OVER () * 10000.0 + 0.5) AS BIGINT)
+             |    AS weight_x1e4,
+             |  CAST(floor(w_raw / sum(w_raw) OVER () / share * 10000.0 + 0.5)
+             |    AS BIGINT) AS epochs_x1e4
+             |FROM p ORDER BY source""".stripMargin)),
+
+    // Heaps-law vocabulary growth: cumulative distinct-vocabulary size at
+    // 8 equal-width checkpoints over the doc_id order, next to the
+    // cumulative token count — the curve a tokenizer-budget decision
+    // (vocab size vs corpus size) reads off. Each token's contribution is
+    // its FIRST containing doc (one groupBy over the exploded vocab),
+    // bucketed with integer arithmetic (b = first_doc·8 DIV (max+1) + 1,
+    // exact in both engines); the cumulative sums run over the 8-row
+    // bucket spine, never the corpus.
+    QDef("q158_vocab_growth",
+      (s, d) => {
+        val ds = docs(s, d)
+        val m = ds.agg(max(col("doc_id")).as("mx"))
+        val firstDoc = ds
+          .select(col("doc_id"), explode(array_distinct(
+            regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))))
+            .as("tok"))
+          .groupBy(col("tok")).agg(min(col("doc_id")).as("first_doc"))
+        val vocabB = firstDoc.crossJoin(broadcast(m))
+          .select(expr("first_doc * 8 DIV (mx + 1) + 1").as("b"))
+          .groupBy(col("b")).agg(count(lit(1)).cast("long").as("new_vocab"))
+        val tokB = ds.crossJoin(broadcast(m))
+          .select(expr("doc_id * 8 DIV (mx + 1) + 1").as("b"),
+            TextFns.tokenCount(col("text")).as("occ"))
+          .groupBy(col("b"))
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(col("occ")).cast("long").as("n_tokens"))
+        val cum = Window.partitionBy().orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        m.select(explode(sequence(lit(1), lit(8))).as("b"))
+          .join(tokB, Seq("b"), "left").join(vocabB, Seq("b"), "left")
+          .select(col("b").cast("long").as("checkpoint"),
+            sum(coalesce(col("n_docs"), lit(0L))).over(cum).as("cum_docs"),
+            sum(coalesce(col("n_tokens"), lit(0L))).over(cum).as("cum_tokens"),
+            sum(coalesce(col("new_vocab"), lit(0L))).over(cum).as("cum_vocab"))
+          .orderBy(col("checkpoint"))
+      },
+      Some("""WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+             |fd AS (
+             |  SELECT tok, min(doc_id) AS first_doc FROM (
+             |    SELECT doc_id, unnest(list_distinct(
+             |      regexp_extract_all(lower(text), '[a-z0-9]+'))) AS tok
+             |    FROM documents) GROUP BY 1),
+             |vb AS (SELECT first_doc * 8 // (mx + 1) + 1 AS b,
+             |         CAST(count(*) AS BIGINT) AS new_vocab
+             |       FROM fd, m GROUP BY 1),
+             |tb AS (SELECT doc_id * 8 // (mx + 1) + 1 AS b,
+             |         CAST(count(*) AS BIGINT) AS n_docs,
+             |         CAST(sum(len(regexp_extract_all(text, '[^ ]+'))) AS BIGINT)
+             |           AS n_tokens
+             |       FROM documents, m GROUP BY 1),
+             |spine AS (SELECT unnest(range(1, 9)) AS b)
+             |SELECT CAST(spine.b AS BIGINT) AS checkpoint,
+             |  CAST(sum(coalesce(tb.n_docs, 0)) OVER w AS BIGINT) AS cum_docs,
+             |  CAST(sum(coalesce(tb.n_tokens, 0)) OVER w AS BIGINT) AS cum_tokens,
+             |  CAST(sum(coalesce(vb.new_vocab, 0)) OVER w AS BIGINT) AS cum_vocab
+             |FROM spine LEFT JOIN tb ON spine.b = tb.b
+             |           LEFT JOIN vb ON spine.b = vb.b
+             |WINDOW w AS (ORDER BY spine.b ROWS BETWEEN UNBOUNDED PRECEDING
+             |             AND CURRENT ROW)
+             |ORDER BY checkpoint""".stripMargin))
   )
 }

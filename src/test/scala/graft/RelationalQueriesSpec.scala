@@ -166,4 +166,61 @@ class RelationalQueriesSpec extends SparkSpec {
       orders.select(col("o_custkey").as("c_custkey")), Seq("c_custkey"), "left_semi")
     assert(pruned.exceptAll(plain).isEmpty && plain.exceptAll(pruned).isEmpty)
   }
+
+  test("k-anonymity ladder: finer QI levels can only shrink classes") {
+    val rows = SparkEntry.queries("q156_kanonymity")(spark, sf).collect()
+      .map(r => r.getAs[String]("qi_level") -> r).toMap
+    val full = rows("nation+segment")
+    Seq("nation", "segment").foreach { coarse =>
+      // generalizing (dropping a QI column) merges classes: fewer classes,
+      // each at least as large
+      assert(rows(coarse).getAs[Long]("n_classes") <= full.getAs[Long]("n_classes"))
+      assert(rows(coarse).getAs[Long]("min_k") >= full.getAs[Long]("min_k"))
+    }
+    rows.values.foreach { r =>
+      val f = r.getAs[Double]("frac_below_k10")
+      assert(f >= 0.0 && f <= 1.0)
+    }
+  }
+
+  test("temperature mixing flattens toward uniform without reordering sources") {
+    val rows = SparkEntry.queries("q157_temperature_mix")(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("weight_x1e4")).sum
+    assert(math.abs(total - 10000L) <= rows.length, s"weights sum to $total")
+    // α<1 boosts the smallest share above proportional and caps the
+    // largest below it
+    val bySz = rows.sortBy(_.getAs[Long]("src_tokens"))
+    assert(bySz.head.getAs[Long]("epochs_x1e4") >= 10000L)
+    assert(bySz.last.getAs[Long]("epochs_x1e4") <= 10000L)
+    // flattening is monotone: token order and weight order agree
+    val ws = bySz.map(_.getAs[Long]("weight_x1e4"))
+    assert(ws.zip(ws.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("vocab growth curve is cumulative and lands on the exact totals") {
+    val rows = SparkEntry.queries("q158_vocab_growth")(spark, sf).collect()
+      .sortBy(_.getAs[Long]("checkpoint"))
+    assert(rows.length == 8)
+    Seq("cum_docs", "cum_tokens", "cum_vocab").foreach { c =>
+      val v = rows.map(_.getAs[Long](c))
+      assert(v.zip(v.tail).forall { case (a, b) => a <= b }, s"$c not monotone")
+    }
+    val docs = Tables(spark, sf, "documents")
+    assert(rows.last.getAs[Long]("cum_docs") == docs.count())
+    val vocab = docs.select(explode(array_distinct(
+        regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))))
+      .distinct().count()
+    assert(rows.last.getAs[Long]("cum_vocab") == vocab)
+  }
+
+  test("split-leakage matrix only reports cross-split near-dup pairs") {
+    val rows = SparkEntry.queries("q159_split_leakage")(spark, sf).collect()
+    val totalPairs = SparkEntry.queries("q24_ngram_jaccard")(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_leaked_pairs")).sum <= totalPairs)
+    rows.foreach { r =>
+      assert(r.getAs[String]("split_lo") < r.getAs[String]("split_hi"))
+      val j = r.getAs[Double]("mean_jaccard")
+      assert(j >= 0.5 && j <= 1.0)
+    }
+  }
 }
