@@ -178,4 +178,49 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .dropDuplicates("id_a", "id_b")
   }
+
+  /** Exact sparse TF-IDF cosine pair join over a TEXT column — the
+    * lexical-vector complement of the dense-embedding [[nearDupPairs]]
+    * and the set-Jaccard family: pairs whose tf·ln(N/df) vectors clear
+    * `threshold` cosine. Tokens are the P9 word tokenizer (`[a-z]{3,}`).
+    *
+    * Scale shape: the pair join is an inverted term index (term-keyed
+    * self-join), so cost is Σ|postings|² over INDEXED terms only.
+    * Corpus-saturating terms (df = N) carry ln(N/df) = 0 — they cannot
+    * move the dot product or the norms, so they are dropped BEFORE the
+    * index is built: the hottest postings lists never exist, the exact
+    * result is unchanged (the same trick `maxShingleDf` applies
+    * heuristically is available here for free, from the weighting itself).
+    * The threshold compares the 6-dp ROUNDED cosine in both engines, so
+    * the keep/drop decision is taken on the value both report.
+    */
+  def sparseCosinePairs(df: DataFrame, idCol: String, textCol: String,
+                        threshold: Double): DataFrame = {
+    val nDocs = df.count()
+    val tf = df
+      .select(col(idCol), explode(graft.functions.TextFns.words(col(textCol)))
+        .as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val termDf = tf.groupBy(col("term"))
+      .agg(countDistinct(col(idCol)).cast("long").as("df"))
+      .filter(col("df") < nDocs)
+    val w = tf.join(broadcast(termDf), Seq("term"))
+      .select(col(idCol), col("term"),
+        (col("tf") * log(lit(nDocs.toDouble) / col("df"))).as("w"))
+    val norms = w.groupBy(col(idCol)).agg(sqrt(sum(col("w") * col("w"))).as("norm"))
+    val dots = w.select(col(idCol).as("id_a"), col("term"), col("w").as("w_a"))
+      .hint("shuffle_hash")
+      .join(w.select(col(idCol).as("id_b"), col("term"), col("w").as("w_b")),
+        Seq("term"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(col("w_a") * col("w_b")).as("dot"))
+    dots
+      .join(norms.select(col(idCol).as("id_a"), col("norm").as("na")), Seq("id_a"))
+      .join(norms.select(col(idCol).as("id_b"), col("norm").as("nb")), Seq("id_b"))
+      .withColumn("cosine", round(col("dot") / (col("na") * col("nb")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
 }

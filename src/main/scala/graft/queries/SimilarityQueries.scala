@@ -541,6 +541,34 @@ object SimilarityQueries {
              |FROM pairs JOIN spl sa ON pairs.id_a = sa.doc_id
              |           JOIN spl sb ON pairs.id_b = sb.doc_id
              |WHERE sa.split <> sb.split
-             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Exact sparse TF-IDF cosine pair join — the lexical-vector similarity
+    // join next to set Jaccard (q24) and dense-embedding cosine (q22).
+    // Zero-weight (corpus-saturating) terms are dropped before the
+    // inverted index exists; the oracle recomputes every weight, norm and
+    // dot product in SQL.
+    QDef("q160_sparse_cosine_pairs",
+      (s, d) => Similarity.sparseCosinePairs(docs(s, d), "doc_id", "text",
+          threshold = 0.9)
+        .orderBy(col("id_a"), col("id_b")),
+      Some("""WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM (
+             |    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]{3,}')) AS term
+             |    FROM documents) GROUP BY 1, 2),
+             |n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+             |idf AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+             |        FROM tf GROUP BY 1),
+             |w AS (SELECT doc_id, term, tf * ln(nd / df) AS w
+             |      FROM tf JOIN idf USING (term), n WHERE df < nd),
+             |nm AS (SELECT doc_id, sqrt(sum(w * w)) AS norm FROM w GROUP BY 1),
+             |dots AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |           sum(a.w * b.w) AS dot
+             |         FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+             |         GROUP BY 1, 2)
+             |SELECT id_a, id_b, round(dot / (na.norm * nb.norm), 6) AS cosine
+             |FROM dots JOIN nm na ON id_a = na.doc_id
+             |          JOIN nm nb ON id_b = nb.doc_id
+             |WHERE round(dot / (na.norm * nb.norm), 6) >= 0.9
+             |ORDER BY id_a, id_b""".stripMargin))
   )
 }

@@ -324,4 +324,47 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs(0).getAs[Long]("id_a") == 1L && pairs(0).getAs[Long]("id_b") == 2L)
     assert(pairs(0).getAs[Long]("dist") == 1L)
   }
+
+  test("sparse cosine pairs match a driver-side tf-idf recomputation") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma alpha"),
+      (2L, "alpha beta gamma"),       // near-identical direction to doc 1
+      (3L, "delta epsilon zeta"),     // disjoint content
+      (4L, "alpha delta"))            // mixed
+      .toDF("doc_id", "text")
+    val got = operators.Similarity.sparseCosinePairs(df, "doc_id", "text", 0.0)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Double]("cosine")).toMap
+    // driver-side recomputation with the same tokenizer and weighting
+    val toks = Map(
+      1L -> Seq("alpha", "beta", "gamma", "alpha"),
+      2L -> Seq("alpha", "beta", "gamma"),
+      3L -> Seq("delta", "epsilon", "zeta"),
+      4L -> Seq("alpha", "delta"))
+    val n = toks.size.toDouble
+    val docFreq = toks.values.flatMap(_.distinct).groupBy(identity)
+      .view.mapValues(_.size).toMap
+    val vecs = toks.view.mapValues { ts =>
+      ts.groupBy(identity).view.mapValues(_.size).toMap.collect {
+        case (t, tf) if docFreq(t) < n => t -> tf * math.log(n / docFreq(t))
+      }.toMap
+    }.toMap
+    def cos(a: Map[String, Double], b: Map[String, Double]): Double = {
+      val dot = a.keySet.intersect(b.keySet).toSeq.map(t => a(t) * b(t)).sum
+      dot / (math.sqrt(a.values.map(x => x * x).sum) *
+        math.sqrt(b.values.map(x => x * x).sum))
+    }
+    val ids = toks.keys.toSeq.sorted
+    for (i <- ids; j <- ids if i < j) {
+      val expected = cos(vecs(i), vecs(j))
+      if (expected > 0)
+        assert(math.abs(got((i, j)) - expected) < 1e-5,
+          s"pair ($i,$j): got ${got.get((i, j))}, want $expected")
+      else assert(!got.contains((i, j)), s"pair ($i,$j) should share no terms")
+    }
+    // docs 1 and 2 differ only in one tf on the low-weight shared term
+    assert(got((1L, 2L)) > 0.9)
+  }
 }
