@@ -108,6 +108,28 @@ object ScaleProbe {
       println(f"[scale] c=$c%2d duppass=$dpT%.2fs ($dpRows docs)" +
         f" bm25=$bmT%.2fs ($bmRows rows) shard=$seT%.2fs ($seRows rows)" +
         f" semdedup=$sdT%.2fs ($sdRows vecs, k=${8 * c})")
+
+      // round-4c: prefix-filter Jaccard and sparse TF-IDF cosine. These
+      // need a LETTER salt ("aa", "bb", …, glued onto the leading token
+      // run): the digit in the numeric salt splits under the [a-z]{3,}
+      // word tokenizer, which would leave every copy with identical term
+      // vectors and c² cross-copy cosine-1 pairs — the letter salt keeps
+      // per-copy vocabularies disjoint so dup density stays constant.
+      val lettered = (0 until c).map { i =>
+        val salt = ('a' + (i % 26)).toChar.toString * 2
+        base.select((col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+          regexp_replace(col("text"), "([a-z0-9]+)", s"$salt$$1").as("text"))
+      }.reduce(_ unionAll _).localCheckpoint()
+      val (pjT, pjRows) = time(
+        DedupOps.prefixJaccardPairs(lettered, "doc_id", "text",
+          n = 3, threshold = 0.5).count())
+      spark.catalog.clearCache()
+      val (scT, scRows) = time(
+        graft.operators.Similarity.sparseCosinePairs(lettered, "doc_id", "text",
+          threshold = 0.9).count())
+      spark.catalog.clearCache()
+      println(f"[scale] c=$c%2d prefixjac=$pjT%.2fs ($pjRows pairs)" +
+        f" sparsecos=$scT%.2fs ($scRows pairs)")
     }
     spark.stop()
   }

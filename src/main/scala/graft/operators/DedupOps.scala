@@ -689,20 +689,7 @@ object DedupOps {
       .union(cands.select(col("id_b").as(idCol))).distinct()
     val sh = shingles(df.join(candIds, Seq(idCol), "left_semi"),
       idCol, textCol, n).cache()
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val inter = sh.select(col(idCol).as("id_a"), col("shingle"))
-      .join(sh.select(col(idCol).as("id_b"), col("shingle")), Seq("shingle"))
-      .join(cands, Seq("id_a", "id_b"), "left_semi")
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    val out = inter
-      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
-      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    val out = verifyCandidates(sh, cands, idCol, threshold)
     materializeAndRelease(out, banded, cands, sh)
   }
 

@@ -179,20 +179,75 @@ object Similarity {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Merge-join dot product of two term-sorted (term, weight) vectors —
+    * deterministic O(|a|+|b|) per pair, no exploded pair×term rows.
+    */
+  private val sparseDot = udf {
+    (a: Seq[org.apache.spark.sql.Row], b: Seq[org.apache.spark.sql.Row]) =>
+      var i = 0; var j = 0; var dot = 0.0
+      while (i < a.length && j < b.length) {
+        val c = a(i).getString(0).compareTo(b(j).getString(0))
+        if (c == 0) { dot += a(i).getDouble(1) * b(j).getDouble(1); i += 1; j += 1 }
+        else if (c < 0) i += 1
+        else j += 1
+      }
+      dot
+  }
+
+  /** Vocabulary size at or below which the dense brute-force path runs.
+    * Above it, natural (Zipfian) vocabularies give the AllPairs prefix
+    * index its pruning power; below it the space is effectively dense
+    * and low-dimensional, where no inverted index can prune.
+    */
+  private val DenseVocabMax = 512L
+  /** Cap on nDocs·vocab for the dense path: the densified corpus is
+    * broadcast to every task (~8 bytes/cell), so 5e7 cells ≈ 400 MB —
+    * comfortably under executor memory on any real cluster.
+    */
+  private val DenseCellsMax = 50000000L
+
   /** Exact sparse TF-IDF cosine pair join over a TEXT column — the
     * lexical-vector complement of the dense-embedding [[nearDupPairs]]
     * and the set-Jaccard family: pairs whose tf·ln(N/df) vectors clear
     * `threshold` cosine. Tokens are the P9 word tokenizer (`[a-z]{3,}`).
-    *
-    * Scale shape: the pair join is an inverted term index (term-keyed
-    * self-join), so cost is Σ|postings|² over INDEXED terms only.
     * Corpus-saturating terms (df = N) carry ln(N/df) = 0 — they cannot
-    * move the dot product or the norms, so they are dropped BEFORE the
-    * index is built: the hottest postings lists never exist, the exact
-    * result is unchanged (the same trick `maxShingleDf` applies
-    * heuristically is available here for free, from the weighting itself).
-    * The threshold compares the 6-dp ROUNDED cosine in both engines, so
-    * the keep/drop decision is taken on the value both report.
+    * move any dot product or norm — and are dropped outright.
+    *
+    * Two exact regimes, switched on the MEASURED vocabulary:
+    *
+    * - **Large vocab** (natural text): the AllPairs prefix-index scheme
+    *   (Bayardo, Ma & Srikant, WWW'07 §3). A naive term-keyed self-join
+    *   costs Σ|postings|² and a single stopword-grade term makes that
+    *   corpus-quadratic. Instead, each UNIT-NORMALIZED vector scans its
+    *   terms in a fixed global order (df-descending, so the hottest
+    *   terms come first) accumulating b = Σ ŵ_t·maxŵ_t, and only the
+    *   SUFFIX from the first term where b ≥ τ is indexed. If a pair
+    *   shares no term between one side's full vector and the other's
+    *   indexed suffix, every shared term sits in the unindexed prefix,
+    *   so cos = Σ ŵ_x·ŵ_y ≤ Σ_prefix(y) maxŵ·ŵ_y < τ — candidates are
+    *   provably complete, and a stopword's postings land almost
+    *   entirely in unindexed prefixes. df=1 terms are excluded from the
+    *   scan and the index: a shared term has df ≥ 2 by definition, and
+    *   the prefix bound stays valid over the df≥2 subset. The 1e-9
+    *   slack on the τ comparison only ever indexes MORE. Candidates are
+    *   verified with an exact merge-join dot over each doc's packed
+    *   term vector — two pair-sized joins mirroring the oracle's
+    *   arithmetic.
+    *
+    * - **Tiny vocab** (templated/synthetic corpora, ≤ [[DenseVocabMax]]
+    *   terms): the vectors live in a |vocab|-dimensional DENSE space
+    *   where every pair shares hot terms, so ANY index degenerates to
+    *   near-N² candidate ROWS through a shuffle (ScaleProbe measured
+    *   315M join rows for 5,000 docs on a 31-term corpus). Exact
+    *   all-pairs is inherently Ω(N²·d) there — the cheapest place to pay
+    *   it is flops, not shuffled rows: densify each doc to an
+    *   `Array[Double]` over the sorted vocab, broadcast one side, and
+    *   stream the nested-loop join through the codegen'd
+    *   [[graft.functions.DotProductExpr]] — zero shuffle, no
+    *   materialized candidates. Dense dot in ascending-dimension order
+    *   adds exactly the same doubles in the same order as the sorted
+    *   merge-join dot (zeros are exact no-ops), so both paths emit
+    *   bit-identical cosines.
     */
   def sparseCosinePairs(df: DataFrame, idCol: String, textCol: String,
                         threshold: Double): DataFrame = {
@@ -205,22 +260,78 @@ object Similarity {
     val termDf = tf.groupBy(col("term"))
       .agg(countDistinct(col(idCol)).cast("long").as("df"))
       .filter(col("df") < nDocs)
-    val w = tf.join(broadcast(termDf), Seq("term"))
-      .select(col(idCol), col("term"),
+      .cache()
+    val vocabSize = termDf.count()
+    val w = tf.join(termDf.hint("shuffle_hash"), Seq("term"))
+      .select(col(idCol), col("term"), col("df"),
         (col("tf") * log(lit(nDocs.toDouble) / col("df"))).as("w"))
-    val norms = w.groupBy(col(idCol)).agg(sqrt(sum(col("w") * col("w"))).as("norm"))
-    val dots = w.select(col(idCol).as("id_a"), col("term"), col("w").as("w_a"))
-      .hint("shuffle_hash")
-      .join(w.select(col(idCol).as("id_b"), col("term"), col("w").as("w_b")),
-        Seq("term"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(sum(col("w_a") * col("w_b")).as("dot"))
-    dots
-      .join(norms.select(col(idCol).as("id_a"), col("norm").as("na")), Seq("id_a"))
-      .join(norms.select(col(idCol).as("id_b"), col("norm").as("nb")), Seq("id_b"))
-      .withColumn("cosine", round(col("dot") / (col("na") * col("nb")), 6))
-      .filter(col("cosine") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cosine"))
+      .cache() // backs the normalized index pass AND candidate verification
+    // Term-sorted packed vector + a DETERMINISTIC norm (fixed summation
+    // order, identical on both code paths; the oracle's unordered SQL sum
+    // differs only in ulps, absorbed by the 6-dp round).
+    val packed = w.groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("term"), col("w")))).as("vec"))
+      .withColumn("norm", sqrt(aggregate(col("vec"), lit(0.0),
+        (acc, x) => acc + x.getField("w") * x.getField("w"))))
+      .cache()
+
+    val out = if (vocabSize <= DenseVocabMax &&
+        nDocs * vocabSize <= DenseCellsMax) {
+      val vocab = termDf.select(col("term")).orderBy(col("term"))
+        .collect().map(_.getString(0))
+      val vpos = vocab.zipWithIndex.toMap
+      val dim = vocab.length
+      val toDense = udf { (vec: Seq[org.apache.spark.sql.Row]) =>
+        val a = new Array[Double](dim)
+        vec.foreach(r => a(vpos(r.getString(0))) = r.getDouble(1))
+        a
+      }
+      val dense = packed.select(col(idCol), toDense(col("vec")).as("v"),
+        col("norm"))
+      dense.select(col(idCol).as("id_a"), col("v").as("va"), col("norm").as("na"))
+        .join(broadcast(dense.select(col(idCol).as("id_b"), col("v").as("vb"),
+          col("norm").as("nb"))), col("id_a") < col("id_b"))
+        .withColumn("dot",
+          graft.functions.VectorFns.dot(col("va"), col("vb")))
+        // dot > 0 ⟺ the pair shares a term (all tf·idf weights are
+        // strictly positive) — keeps parity with the index path, which
+        // can only ever surface term-sharing pairs (matters at τ ≤ 0)
+        .filter(col("dot") > 0.0)
+        .withColumn("cosine", round(col("dot") / (col("na") * col("nb")), 6))
+        .filter(col("cosine") >= threshold)
+        .select(col("id_a"), col("id_b"), col("cosine"))
+    } else {
+      val wn = w.filter(col("df") >= 2)
+        .join(packed.select(col(idCol), col("norm")), Seq(idCol))
+        .select(col(idCol), col("term"), col("df"), (col("w") / col("norm")).as("wn"))
+      val maxw = wn.groupBy(col("term")).agg(max(col("wn")).as("mxw"))
+      val byDoc = Window.partitionBy(col(idCol))
+        .orderBy(col("df").desc, col("term"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val idx = wn.join(maxw.hint("shuffle_hash"), Seq("term"))
+        .withColumn("b", sum(col("wn") * col("mxw")).over(byDoc))
+        .filter(col("b") >= threshold - 1e-9)
+        .select(col(idCol), col("term"))
+      val cands = wn.select(col(idCol).as("id_x"), col("term"))
+        .hint("shuffle_hash")
+        .join(idx.select(col(idCol).as("id_y"), col("term")), Seq("term"))
+        .filter(col("id_x") =!= col("id_y"))
+        .select(least(col("id_x"), col("id_y")).as("id_a"),
+          greatest(col("id_x"), col("id_y")).as("id_b"))
+        .distinct()
+      val pk = packed.select(col(idCol), col("vec"), col("norm"))
+      cands
+        .join(pk.select(col(idCol).as("id_a"), col("vec").as("vec_a"),
+          col("norm").as("na")), Seq("id_a"))
+        .join(pk.select(col(idCol).as("id_b"), col("vec").as("vec_b"),
+          col("norm").as("nb")), Seq("id_b"))
+        .withColumn("cosine",
+          round(sparseDot(col("vec_a"), col("vec_b")) / (col("na") * col("nb")), 6))
+        .filter(col("cosine") >= threshold)
+        .select(col("id_a"), col("id_b"), col("cosine"))
+    }
+    val result = out.localCheckpoint()
+    w.unpersist(); termDf.unpersist(); packed.unpersist()
+    result
   }
 }

@@ -27,6 +27,10 @@ class PlanShapeSpec extends SparkSpec {
       "q53_union_drift", "q58_correlated_avg", "q62_anomaly_profile",
       "q79_decontaminate", "q100_lm_score", "q81_mix_weights",
       "q136_skew_audit_binned", // one-row max(cnt) scalar cross join
+      "q158_vocab_growth", // one-row max(doc_id) scalar broadcast onto vocab
+      // tiny-vocab dense regime: deliberate broadcast nested loop through
+      // the codegen dot product (see Similarity.sparseCosinePairs scaladoc)
+      "q160_sparse_cosine_pairs",
       // one-row aggregate × one-row aggregate (report assembly)
       "q74_anomaly_gates", "q77_dedup_purge", "q116_triangle_count",
       "q36_underrepresentation", "q120_assoc_rules",

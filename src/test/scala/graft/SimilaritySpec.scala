@@ -367,4 +367,51 @@ class SimilaritySpec extends SparkSpec {
     // docs 1 and 2 differ only in one tf on the low-weight shared term
     assert(got((1L, 2L)) > 0.9)
   }
+
+  test("sparse cosine AllPairs index path (vocab > 512) is exact") {
+    import spark.implicits._
+    // 15 groups × 40 group-private words (600 distinct terms total) force
+    // the large-vocab regime, so this pins the prefix-index path that the
+    // tiny-vocab oracle corpora never reach. Within a group, doc 2g keeps
+    // all 40 words and doc 2g+1 swaps the last one out — a high-cosine
+    // pair; different groups share nothing.
+    def word(i: Int): String =
+      s"${(97 + i / 676).toChar}${(97 + (i / 26) % 26).toChar}${(97 + i % 26).toChar}"
+    val docs = (0 until 15).flatMap { g =>
+      val ws = (0 until 40).map(k => word(g * 40 + k))
+      Seq((2L * g, ws.mkString(" ")),
+        (2L * g + 1, (ws.dropRight(1) :+ word(600 + g)).mkString(" ")))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val got = operators.Similarity.sparseCosinePairs(df, "doc_id", "text", 0.5)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Double]("cosine")).toMap
+    // driver-side exact recomputation over every pair
+    val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+    val n = toks.size.toDouble
+    val docFreq = toks.values.flatMap(_.distinct).groupBy(identity)
+      .view.mapValues(_.size).toMap
+    val vecs = toks.view.mapValues { ts =>
+      ts.groupBy(identity).view.mapValues(_.size).collect {
+        case (t, tf) if docFreq(t) < n => t -> tf * math.log(n / docFreq(t))
+      }.toMap
+    }.toMap
+    def cos(a: Map[String, Double], b: Map[String, Double]): Double = {
+      val dot = a.keySet.intersect(b.keySet).toSeq.sorted.map(t => a(t) * b(t)).sum
+      dot / (math.sqrt(a.values.map(x => x * x).sum) *
+        math.sqrt(b.values.map(x => x * x).sum))
+    }
+    val ids = toks.keys.toSeq.sorted
+    var expectedPairs = 0
+    for (i <- ids; j <- ids if i < j) {
+      val e = cos(vecs(i), vecs(j))
+      if (e >= 0.5) {
+        expectedPairs += 1
+        assert(math.abs(got((i, j)) - e) < 1e-5,
+          s"pair ($i,$j): got ${got.get((i, j))}, want $e")
+      } else assert(!got.contains((i, j)), s"pair ($i,$j) below threshold")
+    }
+    assert(expectedPairs == 15 && got.size == 15) // one pair per group
+  }
 }
