@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet stage-table loader (reference: GCS folder-as-table scans,
   * `utils/gcs_reader.py:64-171` — replaced wholesale by Spark's parquet
@@ -22,12 +22,17 @@ object Tables {
     // see one type regardless of file encoding.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
-      case Some(_) =>
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
         // integer division: epoch-nanos overflow double precision, so
         // `ts / 1000` (double div) would be off by ±1 µs on some rows
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case None => df
+      case Some(TimestampNTZType) =>
+        // plain timestamp[us] files arrive as TIMESTAMP_NTZ; session tz is
+        // pinned to UTC, so the cast is value-preserving. Downstream
+        // operators (unix_micros, watermarks) require TimestampType.
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
     }
   }
 }

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, StructField, StructType, TimestampNTZType, TimestampType}
 import org.apache.spark.Partition
 
 /** Structured Streaming re-expression of the reference's incremental
@@ -35,6 +35,11 @@ object StreamingOps {
       .parquet(path)
     if (schema.fields.exists(f => f.name == "ts" && f.dataType == LongType))
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else if (schema.fields.exists(f =>
+        f.name == "ts" && f.dataType == TimestampNTZType))
+      // plain timestamp[us] files; session tz is UTC so the cast preserves
+      // the instant, and watermarks require TimestampType
+      raw.withColumn("ts", col("ts").cast(TimestampType))
     else raw
   }
 

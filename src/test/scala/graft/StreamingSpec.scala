@@ -8,9 +8,11 @@ import org.apache.spark.sql.types.{LongType, StructType}
 class StreamingSpec extends SparkSpec {
 
   test("streaming tumbling counts equal the batch twin (complete mode)") {
-    // schema as the streaming source sees the raw file (ts = epoch nanos)
+    // schema as the streaming source sees the raw file (ts = plain
+    // timestamp[us], read as TIMESTAMP_NTZ)
     val rawSchema = new StructType()
-      .add("event_id", LongType).add("ts", LongType)
+      .add("event_id", LongType)
+      .add("ts", org.apache.spark.sql.types.TimestampNTZType)
       .add("user_id", LongType)
       .add("event_type", org.apache.spark.sql.types.StringType)
       .add("value", org.apache.spark.sql.types.DoubleType)
