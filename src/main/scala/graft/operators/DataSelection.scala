@@ -59,4 +59,53 @@ object DataSelection {
                  targetPred: Column): DataFrame =
     scoreWith(ratioTable(df, idCol, textCol, targetPred),
       df.filter(!targetPred), idCol, textCol)
+
+  /** Greedy token-budget fill: downsample each source to a per-source
+    * token budget (`src_tokens · num DIV den` — integer arithmetic, so
+    * engines can't disagree at the boundary), taking docs in
+    * deterministic-shuffle order (md5 of source#id, the q141 shard-export
+    * trick) until the budget is full. This is the "fill an N-token
+    * training mixture" selection step that follows a mixture-weight
+    * decision (q81/q157).
+    *
+    * Returns one row per source: (source, src_tokens, budget_tokens,
+    * n_docs_sel, sel_tokens, fill_x1e4). A doc is taken iff the running
+    * token total *including it* stays ≤ budget; sources whose first doc
+    * overshoots keep 0 docs (left join + coalesce).
+    *
+    * Scale shape: one narrow tokenize pass; budgets are a source-keyed
+    * aggregate (source-cardinality rows, broadcast back); the running sum
+    * is a window PARTITIONED BY source — the per-source sort is the
+    * honest cost of greedy fill and shards across executors. No global
+    * window, no driver loop. At extreme per-source skew the same result
+    * can be computed with the two-pass distributed prefix sum
+    * ([[PrefixSum]], q67's shape) over a re-partitioned source.
+    */
+  def budgetFill(df: DataFrame, idCol: String, textCol: String,
+                 srcCol: String, num: Int, den: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = df.select(col(srcCol).as("source"), col(idCol).as("id"),
+      TextFns.tokenCount(col(textCol)).as("n_tok"),
+      md5(concat_ws("#", col(srcCol), col(idCol).cast("string"))).as("ord"))
+    val budgets = tok.groupBy("source")
+      .agg(sum("n_tok").cast("long").as("src_tokens"))
+      .withColumn("budget_tokens", expr(s"src_tokens * $num div $den"))
+    val cum = tok.withColumn("cum",
+      sum("n_tok").over(Window.partitionBy("source").orderBy("ord", "id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val sel = cum
+      .join(broadcast(budgets.select("source", "budget_tokens")), Seq("source"))
+      .filter(col("cum") <= col("budget_tokens"))
+      .groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n_docs_sel"),
+        sum("n_tok").cast("long").as("sel_tokens"))
+    budgets.join(sel, Seq("source"), "left")
+      .select(col("source"), col("src_tokens"), col("budget_tokens"),
+        coalesce(col("n_docs_sel"), lit(0L)).as("n_docs_sel"),
+        coalesce(col("sel_tokens"), lit(0L)).as("sel_tokens"),
+        when(col("budget_tokens") > 0,
+          floor(coalesce(col("sel_tokens"), lit(0L)) * lit(10000.0)
+            / col("budget_tokens") + lit(0.5)).cast("long"))
+          .otherwise(lit(0L)).as("fill_x1e4"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.NumericType
@@ -162,4 +162,31 @@ object Profiling {
   /** Convenience: all numeric columns of a DataFrame. */
   def numericCols(df: DataFrame): Seq[String] =
     df.schema.fields.collect { case f if f.dataType.isInstanceOf[NumericType] => f.name }
+
+  /** Ordered filter-cascade attrition report: for rule k (applied on top
+    * of rules 1..k-1), one row (step, rule, n_in, n_drop, n_out) — the
+    * "where did my corpus go" audit every multi-rule quality pipeline
+    * (Gopher/C4-style rule stacks) publishes next to its output.
+    *
+    * ONE corpus scan: every cumulative predicate is a conditional count in
+    * a single aggregate (map-side partial), then the rule-count-sized
+    * 1-row result is reshaped with stack(). Rules must be deterministic
+    * Columns over the input row.
+    */
+  def filterFunnel(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    val cum = rules.scanLeft(lit(true)) { case (acc, (_, c)) => acc && c }.tail
+    val aggs: Seq[Column] = count(lit(1)).cast("long").as("n0") +:
+      cum.zipWithIndex.map { case (p, i) =>
+        sum(when(p, 1L).otherwise(0L)).cast("long").as(s"n${i + 1}")
+      }
+    val a = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = rules.zipWithIndex.map { case ((name, _), i) =>
+      s"CAST(${i + 1} AS BIGINT), '$name', n$i, n${i + 1}"
+    }.mkString(", ")
+    a.select(expr(
+        s"stack(${rules.size}, $stacked) AS (step, rule, n_in, n_out)"))
+      .select(col("step"), col("rule"), col("n_in"),
+        (col("n_in") - col("n_out")).as("n_drop"), col("n_out"))
+      .orderBy(col("step"))
+  }
 }

@@ -82,6 +82,51 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Dense retrieval ranking: (query_id, doc_id, rank 1..k) per query —
+    * [[knnJoin]] WITHOUT the self-match exclusion, so the candidate set is
+    * symmetric with a lexical ranker's when the two are fused ([[rrfFuse]]).
+    * `queries` must carry (query_id, embCol); the query side broadcasts.
+    */
+  def rankJoin(queries: DataFrame, corpus: DataFrame,
+               idCol: String, embCol: String, k: Int): DataFrame = {
+    val q = withNorm(queries, embCol)
+      .select(col("query_id"), col(embCol).as("__qemb"),
+        col("__norm").as("__qnorm"))
+    val c = withNorm(corpus, embCol)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("doc_id"))
+    c.crossJoin(broadcast(q))
+      .select(col("query_id"), col(idCol).as("doc_id"),
+        (VectorFns.dot(col(embCol), col("__qemb"))
+          / (col("__norm") * col("__qnorm"))).as("sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) of two
+    * ranked lists (query_id, doc_id, rank): rrf = Σ 1/(rrfK + rank) over
+    * the systems that ranked the doc, re-ranked to top-k per query.
+    * Rank lists are (queries·k)-sized, so the full-outer join and the
+    * re-rank window touch candidate rows only — never a corpus.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int,
+              rrfK: Int = 60): DataFrame = {
+    val ar = a.select(col("query_id"), col("doc_id"),
+      col("rank").as("__rank_a"))
+    val br = b.select(col("query_id"), col("doc_id"),
+      col("rank").as("__rank_b"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    ar.join(br, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(rrfK) + col("__rank_a")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(rrfK) + col("__rank_b")), lit(0.0)), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("rrf"))
+  }
+
   /** Exact embedding near-duplicate pairs: all (a<b) with cosine ≥ threshold.
     * O(n²/2) — the correctness baseline the LSH variant is judged against.
     */

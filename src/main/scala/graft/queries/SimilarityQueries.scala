@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QDef, Tables}
-import graft.operators.{DedupOps, IvfIndex, PqIndex, Similarity, SqIndex}
+import graft.operators.{DedupOps, IvfIndex, KMeansOps, PqIndex, Similarity, SqIndex}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -569,6 +569,44 @@ object SimilarityQueries {
              |FROM dots JOIN nm na ON id_a = na.doc_id
              |          JOIN nm nb ON id_b = nb.doc_id
              |WHERE round(dot / (na.norm * nb.norm), 6) >= 0.9
-             |ORDER BY id_a, id_b""".stripMargin))
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Distributed Lloyd's k-means, k=4, ONE centroid update from the
+    // deterministic lowest-id init, then a final assignment — exactly
+    // unrollable in SQL (c0 → argmin → per-dim avg → argmin), the q121
+    // pattern. Broadcast model-sized centroids; per-(cluster,dim) update
+    // shuffle; corpus never collected. The engines compute d² by
+    // different-but-equivalent formulas (dot expansion vs per-dim sum);
+    // round(·,6) absorbs the ~1e-12 FP gap and argmin gaps are O(1).
+    QDef("q163_kmeans",
+      (s, d) => KMeansOps.clusterSummary(embs(s, d), "vec_id", "embedding",
+        k = 4, updates = 1),
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e
+             |           FROM embeddings),
+             |c0 AS (SELECT vec_id AS c, e FROM v WHERE vec_id < 4),
+             |a1 AS (SELECT vec_id, c, e FROM (
+             |    SELECT v.vec_id, c0.c, v.e,
+             |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             |        list_dot_product(v.e, v.e)
+             |        - 2 * list_dot_product(v.e, c0.e)
+             |        + list_dot_product(c0.e, c0.e), c0.c) AS rn
+             |    FROM v, c0) WHERE rn = 1),
+             |dims AS (SELECT unnest(range(1, 65)) AS i),
+             |c1 AS (SELECT a1.c, dims.i, avg(a1.e[dims.i]) AS x
+             |       FROM a1, dims GROUP BY 1, 2),
+             |d2 AS (SELECT v.vec_id, c1.c,
+             |         sum((v.e[c1.i] - c1.x) * (v.e[c1.i] - c1.x)) AS d
+             |       FROM v, c1 GROUP BY 1, 2),
+             |a2 AS (SELECT vec_id, c, d FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY vec_id
+             |      ORDER BY d, c) AS rn FROM d2) WHERE rn = 1)
+             |SELECT CAST(sp.c AS BIGINT) AS cluster,
+             |  COALESCE(st.n, 0) AS n_points,
+             |  COALESCE(st.mean_d2, 0.0) AS mean_d2
+             |FROM (SELECT unnest(range(0, 4)) AS c) sp
+             |LEFT JOIN (SELECT c, CAST(count(*) AS BIGINT) AS n,
+             |             round(avg(d), 6) AS mean_d2
+             |           FROM a2 GROUP BY 1) st ON sp.c = st.c
+             |ORDER BY cluster""".stripMargin))
   )
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QDef, Tables}
 import graft.functions.TextFns
-import graft.operators.{Bm25, Chunking, DedupOps, PrefixSum}
+import graft.operators.{Bm25, Chunking, DataSelection, DedupOps, PrefixSum, Profiling, Similarity}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -968,6 +968,155 @@ object TextQueries {
              |           LEFT JOIN vb ON spine.b = vb.b
              |WINDOW w AS (ORDER BY spine.b ROWS BETWEEN UNBOUNDED PRECEDING
              |             AND CURRENT ROW)
-             |ORDER BY checkpoint""".stripMargin))
+             |ORDER BY checkpoint""".stripMargin)),
+
+    // Greedy token-budget fill: each source downsampled to 60% of its
+    // tokens (integer budget = src_tokens·3 DIV 5) in deterministic
+    // md5-shuffle order — the selection step that turns mixture weights
+    // (q81/q157) into an actual doc subset. Per-source window, no global
+    // sort; budgets broadcast.
+    QDef("q161_token_budget_fill",
+      (s, d) => DataSelection.budgetFill(docs(s, d), "doc_id", "text",
+          "source", num = 3, den = 5)
+        .orderBy(col("source")),
+      Some("""WITH tok AS (SELECT source, doc_id,
+             |    CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS n_tok,
+             |    md5(source || '#' || CAST(doc_id AS VARCHAR)) AS ord
+             |  FROM documents),
+             |bud AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS src_tokens,
+             |    CAST(sum(n_tok) AS BIGINT) * 3 // 5 AS budget_tokens
+             |  FROM tok GROUP BY 1),
+             |cum AS (SELECT source, doc_id, n_tok,
+             |    sum(n_tok) OVER (PARTITION BY source ORDER BY ord, doc_id
+             |      ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM tok),
+             |sel AS (SELECT cum.source, CAST(count(*) AS BIGINT) AS n_docs_sel,
+             |    CAST(sum(cum.n_tok) AS BIGINT) AS sel_tokens
+             |  FROM cum JOIN bud USING (source)
+             |  WHERE cum.cum <= bud.budget_tokens GROUP BY 1)
+             |SELECT bud.source, bud.src_tokens, bud.budget_tokens,
+             |  COALESCE(sel.n_docs_sel, 0) AS n_docs_sel,
+             |  COALESCE(sel.sel_tokens, 0) AS sel_tokens,
+             |  CASE WHEN bud.budget_tokens > 0 THEN CAST(floor(
+             |    COALESCE(sel.sel_tokens, 0) * 10000.0 / bud.budget_tokens
+             |    + 0.5) AS BIGINT) ELSE 0 END AS fill_x1e4
+             |FROM bud LEFT JOIN sel USING (source)
+             |ORDER BY source""".stripMargin)),
+
+    // Hybrid retrieval: BM25 top-30 and dense-cosine top-30 over the SAME
+    // candidate set (docs that have embeddings; dense query s_i = vector
+    // i-1), fused by reciprocal-rank fusion, top-10 per query. Both rank
+    // lists are (queries·30)-sized, so fusion never touches the corpus;
+    // BM25 keeps its broadcast inverted-index shape and the dense side its
+    // broadcast-query codegen dot product.
+    QDef("q162_rrf_fusion",
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        val ds = docs(s, d)
+        val cand = ds.join(emb.select(col("vec_id")),
+          col("doc_id") === col("vec_id"), "left_semi")
+        val lex = Bm25.topK(cand, "doc_id", "text", bm25Queries, k = 30)
+          .select(col("query_id"), col("doc_id"), col("rank"))
+        val qv = emb.filter(col("vec_id") < 3)
+          .select(concat(lit("s"), (col("vec_id") + 1).cast("string"))
+            .as("query_id"), col("embedding"))
+        val corp = emb.join(ds.select(col("doc_id")),
+          col("vec_id") === col("doc_id"), "left_semi")
+        val den = Similarity.rankJoin(qv, corp, "vec_id", "embedding", k = 30)
+        Similarity.rrfFuse(lex, den, k = 10)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH q(query_id, term) AS (VALUES $bm25TermValues),
+             |cand AS (SELECT d.doc_id, d.text FROM documents d
+             |         JOIN embeddings e ON d.doc_id = e.vec_id),
+             |tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]{3,}')) AS term
+             |        FROM cand),
+             |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+             |    avg(len(regexp_extract_all(lower(text), '[a-z]{3,}'))) AS avgdl
+             |  FROM cand),
+             |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS doc_len FROM tok GROUP BY 1),
+             |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok
+             |       WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1, 2),
+             |idf AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY 1),
+             |scored AS (SELECT q.query_id, tf.doc_id,
+             |    round(sum(ln(1.0 + (stats.n - idf.df + 0.5) / (idf.df + 0.5))
+             |      * (tf.tf * (1.2 + 1.0)
+             |         / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.doc_len / stats.avgdl)))), 6) AS score
+             |  FROM tf JOIN idf USING (term) JOIN q USING (term)
+             |    JOIN dl USING (doc_id), stats
+             |  GROUP BY 1, 2),
+             |lex AS (SELECT query_id, doc_id, r FROM (
+             |    SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+             |      ORDER BY score DESC, doc_id) AS r FROM scored) WHERE r <= 30),
+             |qv AS (SELECT 's' || CAST(vec_id + 1 AS VARCHAR) AS query_id,
+             |         CAST(embedding AS DOUBLE[]) v
+             |       FROM embeddings WHERE vec_id < 3),
+             |ce AS (SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) v
+             |       FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+             |den AS (SELECT query_id, doc_id, r FROM (
+             |    SELECT qv.query_id, ce.vec_id AS doc_id,
+             |      row_number() OVER (PARTITION BY qv.query_id ORDER BY
+             |        list_dot_product(ce.v, qv.v)
+             |          / (sqrt(list_dot_product(ce.v, ce.v))
+             |             * sqrt(list_dot_product(qv.v, qv.v))) DESC,
+             |        ce.vec_id) AS r
+             |    FROM ce, qv) WHERE r <= 30),
+             |fused AS (SELECT COALESCE(l.query_id, dn.query_id) AS query_id,
+             |    COALESCE(l.doc_id, dn.doc_id) AS doc_id,
+             |    round(COALESCE(1.0 / (60 + l.r), 0)
+             |        + COALESCE(1.0 / (60 + dn.r), 0), 6) AS rrf
+             |  FROM lex l FULL OUTER JOIN den dn
+             |    ON l.query_id = dn.query_id AND l.doc_id = dn.doc_id)
+             |SELECT query_id, rank, doc_id, rrf FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY query_id
+             |    ORDER BY rrf DESC, doc_id) AS rank FROM fused)
+             |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
+    // Quality-filter attrition funnel: 5 ordered rules, per-rule drop
+    // counts (the C4/Gopher "where did the corpus go" audit). Every
+    // predicate is integer/string arithmetic (the distinct-ratio compare
+    // is cross-multiplied) so both engines agree exactly; one corpus scan.
+    QDef("q164_filter_funnel",
+      (s, d) => {
+        val toks = regexp_extract_all(lower(col("text")),
+          lit("[a-z0-9]+"), lit(0))
+        val withCounts = docs(s, d).select(col("n_chars"), col("lang"),
+          size(toks).cast("long").as("n_tok"),
+          size(array_distinct(toks)).cast("long").as("n_uniq"))
+        Profiling.filterFunnel(withCounts, Seq(
+          "min_chars" -> (col("n_chars") >= 200),
+          "lang_known" -> (col("lang") =!= "zh"),
+          "min_tokens" -> (col("n_tok") >= 40),
+          "distinct_ratio" -> (col("n_uniq") * 100 >= col("n_tok") * 35),
+          "max_chars" -> (col("n_chars") <= 500)))
+      },
+      Some("""WITH t AS (SELECT n_chars, lang,
+             |    len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tok,
+             |    len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS n_uniq
+             |  FROM documents),
+             |f AS (SELECT
+             |    n_chars >= 200 AS p1,
+             |    n_chars >= 200 AND lang <> 'zh' AS p2,
+             |    n_chars >= 200 AND lang <> 'zh' AND n_tok >= 40 AS p3,
+             |    n_chars >= 200 AND lang <> 'zh' AND n_tok >= 40
+             |      AND n_uniq * 100 >= n_tok * 35 AS p4,
+             |    n_chars >= 200 AND lang <> 'zh' AND n_tok >= 40
+             |      AND n_uniq * 100 >= n_tok * 35 AND n_chars <= 500 AS p5
+             |  FROM t),
+             |a AS (SELECT CAST(count(*) AS BIGINT) AS n0,
+             |    CAST(sum(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             |    CAST(sum(CASE WHEN p2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             |    CAST(sum(CASE WHEN p3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+             |    CAST(sum(CASE WHEN p4 THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+             |    CAST(sum(CASE WHEN p5 THEN 1 ELSE 0 END) AS BIGINT) AS n5
+             |  FROM f)
+             |SELECT * FROM (
+             |  SELECT CAST(1 AS BIGINT) AS step, 'min_chars' AS rule,
+             |    n0 AS n_in, n0 - n1 AS n_drop, n1 AS n_out FROM a
+             |  UNION ALL SELECT CAST(2 AS BIGINT), 'lang_known', n1, n1 - n2, n2 FROM a
+             |  UNION ALL SELECT CAST(3 AS BIGINT), 'min_tokens', n2, n2 - n3, n3 FROM a
+             |  UNION ALL SELECT CAST(4 AS BIGINT), 'distinct_ratio', n3, n3 - n4, n4 FROM a
+             |  UNION ALL SELECT CAST(5 AS BIGINT), 'max_chars', n4, n4 - n5, n5 FROM a)
+             |ORDER BY step""".stripMargin))
   )
 }

@@ -36,7 +36,11 @@ class PlanShapeSpec extends SparkSpec {
       "q36_underrepresentation", "q120_assoc_rules",
       // tiny-distinct-domain inequality self-join (|p_type| = 6) and
       // distinct-type × 10-bin grid
-      "q92_fuzzy_types", "q101_psi_drift")
+      "q92_fuzzy_types", "q101_psi_drift",
+      // k-row broadcast centroid model × corpus scan (Lloyd assignment)
+      "q163_kmeans",
+      // 3-row broadcast dense-query side × candidate embeddings (rankJoin)
+      "q162_rrf_fusion")
     val cartesianAllowed = Set("q22_embed_neardup")
     val offenders = QueryRegistry.all.flatMap { q =>
       try {

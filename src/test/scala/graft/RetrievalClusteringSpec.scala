@@ -1,0 +1,108 @@
+package graft
+
+import graft.operators.{DataSelection, KMeansOps, Profiling, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Round-4 additions: token-budget fill, RRF hybrid fusion, Lloyd's
+  * k-means, filter-attrition funnel. The corpus-scale behavior of each is
+  * oracle-checked (q161-q164); these specs pin the edge semantics the
+  * oracles can't reach.
+  */
+class RetrievalClusteringSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("budgetFill: source whose first doc overshoots keeps zero docs") {
+    // one source, one 10-token doc, budget = 10·3 DIV 5 = 6 < 10 → nothing
+    // fits; the summary row must still appear with zeros.
+    val df = Seq((1L, "a b c d e f g h i j", "s1"))
+      .toDF("doc_id", "text", "source")
+    val out = DataSelection.budgetFill(df, "doc_id", "text", "source", 3, 5)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("src_tokens") == 10L)
+    assert(r.getAs[Long]("budget_tokens") == 6L)
+    assert(r.getAs[Long]("n_docs_sel") == 0L)
+    assert(r.getAs[Long]("sel_tokens") == 0L)
+    assert(r.getAs[Long]("fill_x1e4") == 0L)
+  }
+
+  test("budgetFill: greedy prefix stops exactly at the budget boundary") {
+    // 4 docs × 5 tokens in one source: budget = 20·3 DIV 5 = 12 → exactly
+    // 2 docs (10 tokens) fit; the 3rd would reach 15 > 12.
+    val docs = (1L to 4L).map(i => (i, "t1 t2 t3 t4 t5", "s"))
+    val out = DataSelection
+      .budgetFill(docs.toDF("doc_id", "text", "source"), "doc_id", "text",
+        "source", 3, 5)
+      .collect().head
+    assert(out.getAs[Long]("budget_tokens") == 12L)
+    assert(out.getAs[Long]("n_docs_sel") == 2L)
+    assert(out.getAs[Long]("sel_tokens") == 10L)
+    // fill = floor(10/12·1e4 + .5) = 8333
+    assert(out.getAs[Long]("fill_x1e4") == 8333L)
+  }
+
+  test("rrfFuse: doc ranked by both systems beats single-system docs") {
+    val a = Seq(("q", 1L, 1L), ("q", 2L, 2L)).toDF("query_id", "doc_id", "rank")
+    val b = Seq(("q", 1L, 2L), ("q", 3L, 1L)).toDF("query_id", "doc_id", "rank")
+    val out = Similarity.rrfFuse(a, b, k = 3).orderBy("rank").collect()
+    // doc 1: 1/61 + 1/62 ≈ 0.032524 beats doc 3 (1/61) and doc 2 (1/62)
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 3L, 2L))
+    assert(math.abs(out.head.getAs[Double]("rrf") - (1.0 / 61 + 1.0 / 62)) < 1e-6)
+  }
+
+  test("rankJoin keeps self-matches (symmetric candidate set for fusion)") {
+    val emb = Seq((0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(lit("q0").as("query_id"), col("embedding"))
+    val out = Similarity.rankJoin(q, emb, "vec_id", "embedding", k = 2)
+      .orderBy("rank").collect()
+    assert(out.length == 2 && out.head.getAs[Long]("doc_id") == 0L)
+  }
+
+  test("kmeans: two separated blobs recover their centers") {
+    val pts = (Seq.tabulate(10)(i => (i.toLong, Array(0.0 + i * 0.01, 0.0)))
+      ++ Seq.tabulate(10)(i => (10L + i, Array(5.0 + i * 0.01, 5.0))))
+    val df = pts.toDF("vec_id", "embedding")
+    val model = KMeansOps.fit(df, "vec_id", "embedding", k = 2, updates = 3)
+    val centers = model.map(_.toSeq).sortBy(_.head)
+    assert(math.abs(centers(0).head - 0.045) < 1e-9)
+    assert(math.abs(centers(1).head - 5.045) < 1e-9)
+    val sum = KMeansOps.clusterSummary(df, "vec_id", "embedding", 2, 3)
+      .collect()
+    assert(sum.map(_.getAs[Long]("n_points")).sum == 20L)
+  }
+
+  test("kmeans: empty cluster keeps its centroid; summary emits every id") {
+    // duplicate init centroids: c1 loses every round-1 argmin tie (ties
+    // break to the lower cluster id) so its cluster is empty — it must
+    // keep its previous centroid, not NaN out.
+    val df = Seq((0L, Array(0.0, 0.0)), (1L, Array(0.0, 0.0)),
+      (2L, Array(4.0, 4.0))).toDF("vec_id", "embedding")
+    val model = KMeansOps.fit(df, "vec_id", "embedding", k = 2, updates = 1)
+    assert(model(1).toSeq == Seq(0.0, 0.0))
+    assert(model(0).toSeq == Seq(4.0 / 3, 4.0 / 3))
+    // k beyond the data (2 points, k=3): the cluster spine still emits a
+    // row per id, zero-filled for clusters no point lands in.
+    val sum = KMeansOps.clusterSummary(df.filter(col("vec_id") < 2),
+      "vec_id", "embedding", k = 3, updates = 1).collect()
+    assert(sum.length == 3)
+    assert(sum.count(r => r.getAs[Long]("n_points") == 0L
+      && r.getAs[Double]("mean_d2") == 0.0) == 2)
+  }
+
+  test("filterFunnel: counts telescope (n_out(k) = n_in(k+1)) and order is kept") {
+    val df = Seq((1, "en", 10), (2, "en", 3), (3, "zh", 10), (4, "en", 10))
+      .toDF("id", "lang", "n")
+    val out = Profiling.filterFunnel(df, Seq(
+      "min_n" -> (col("n") >= 5),
+      "lang" -> (col("lang") =!= "zh"))).collect()
+    assert(out.map(_.getAs[String]("rule")).toSeq == Seq("min_n", "lang"))
+    assert(out(0).getAs[Long]("n_in") == 4L)
+    assert(out(0).getAs[Long]("n_out") == 3L)
+    assert(out(1).getAs[Long]("n_in") == 3L)
+    assert(out(1).getAs[Long]("n_drop") == 1L)
+    assert(out(1).getAs[Long]("n_out") == 2L)
+  }
+}
