@@ -65,26 +65,40 @@ object KMeansOps {
     centroids
   }
 
-  /** Per-cluster summary after `updates` Lloyd rounds: (cluster, n_points,
-    * mean_d2 6dp) for every cluster id 0..k-1 (empty clusters emit 0/0.0).
+  /** Assign every row to its nearest centroid of a FIXED model:
+    * (idCol, cluster, d2). This is the model-APPLY half — reused by the
+    * summary below and by the streaming twin
+    * ([[graft.streaming.StreamingOps.streamKMeansAssign]]), where the
+    * trained centroids are the static artifact each micro-batch joins.
     */
-  def clusterSummary(df: DataFrame, idCol: String, vecCol: String, k: Int,
-                     updates: Int): DataFrame = {
+  def assignWith(model: Array[Array[Double]], df: DataFrame, idCol: String,
+                 vecCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val model = fit(df, idCol, vecCol, k, updates)
     val cdf = model.zipWithIndex.map { case (a, i) => (i, a) }
       .toSeq.toDF("c", "cv")
-    val stats = vecs(df, idCol, vecCol).crossJoin(broadcast(cdf))
+    vecs(df, idCol, vecCol).crossJoin(broadcast(cdf))
       .select(col("id"), col("c"),
         (VectorFns.dot(col("v"), col("v"))
           - lit(2.0) * VectorFns.dot(col("v"), col("cv"))
           + VectorFns.dot(col("cv"), col("cv"))).as("d2"))
       .groupBy(col("id"))
       .agg(min(struct(col("d2"), col("c"))).as("m"))
-      .groupBy(col("m.c").as("c"))
+      .select(col("id").as(idCol), col("m.c").as("cluster"),
+        col("m.d2").as("d2"))
+  }
+
+  /** Per-cluster summary after `updates` Lloyd rounds: (cluster, n_points,
+    * mean_d2 6dp) for every cluster id 0..k-1 (empty clusters emit 0/0.0).
+    */
+  def clusterSummary(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                     updates: Int): DataFrame = {
+    val spark = df.sparkSession
+    val model = fit(df, idCol, vecCol, k, updates)
+    val stats = assignWith(model, df, idCol, vecCol)
+      .groupBy(col("cluster").as("c"))
       .agg(count(lit(1)).cast("long").as("n_points"),
-        round(avg(col("m.d2")), 6).as("mean_d2"))
+        round(avg(col("d2")), 6).as("mean_d2"))
     spark.range(0, k).toDF("cluster")
       .join(stats, col("cluster") === col("c"), "left")
       .select(col("cluster"),

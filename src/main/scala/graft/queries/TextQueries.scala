@@ -1117,6 +1117,60 @@ object TextQueries {
              |  UNION ALL SELECT CAST(3 AS BIGINT), 'min_tokens', n2, n2 - n3, n3 FROM a
              |  UNION ALL SELECT CAST(4 AS BIGINT), 'distinct_ratio', n3, n3 - n4, n4 FROM a
              |  UNION ALL SELECT CAST(5 AS BIGINT), 'max_chars', n4, n4 - n5, n5 FROM a)
-             |ORDER BY step""".stripMargin))
+             |ORDER BY step""".stripMargin)),
+
+    // Classifier calibration curve: q154's hashed-linear scores bucketed
+    // into 10 fixed-width bins vs a deterministic proxy label — the
+    // reliability diagram a quality-filter threshold decision reads off.
+    // Scores are 6dp-rounded BEFORE binning (portable floor), the
+    // positive rate is fixed-point x1e4; bins ride a 10-row spine so
+    // empty deciles still emit.
+    QDef("q165_calibration_curve",
+      (s, d) => {
+        val scored = graft.operators.QualityClassifier
+          .score(docs(s, d), "doc_id", "text")
+          .select(col("doc_id"), col("score"))
+        val lab = docs(s, d).select(col("doc_id"),
+          (col("n_chars") >= 300).cast("int").as("label"))
+        val binned = scored.join(lab, Seq("doc_id"))
+          .select(least(floor(col("score") * 10), lit(9)).cast("long")
+            .as("bin"), col("score"), col("label"))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            round(avg(col("score")), 6).as("ms"),
+            sum(col("label")).cast("long").as("np"))
+        s.range(0, 10).toDF("bin").join(binned, Seq("bin"), "left")
+          .select(col("bin"),
+            coalesce(col("n"), lit(0L)).as("n_docs"),
+            coalesce(col("ms"), lit(0.0)).as("mean_score"),
+            when(coalesce(col("n"), lit(0L)) === 0, lit(0L))
+              .otherwise(floor(col("np") * 10000.0 / col("n") + 0.5)
+                .cast("long")).as("pos_x1e4"))
+          .orderBy(col("bin"))
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+             |             FROM documents),
+             |s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             |        CAST(sum(md5_number_lower(t) % 2001) AS BIGINT) AS w_sum
+             |      FROM tok GROUP BY 1),
+             |sc AS (SELECT d.doc_id,
+             |         CASE WHEN COALESCE(s.n_tokens, 0) = 0 THEN 0.5
+             |              ELSE round(1.0 / (1.0 + exp(-((s.w_sum - 1000 * s.n_tokens)
+             |                     / (250.0 * s.n_tokens)))), 6) END AS score,
+             |         CASE WHEN d.n_chars >= 300 THEN 1 ELSE 0 END AS label
+             |       FROM documents d LEFT JOIN s USING (doc_id)),
+             |b AS (SELECT CAST(least(floor(score * 10), 9) AS BIGINT) AS bin,
+             |        CAST(count(*) AS BIGINT) AS n, round(avg(score), 6) AS ms,
+             |        CAST(sum(label) AS BIGINT) AS np
+             |      FROM sc GROUP BY 1),
+             |spine AS (SELECT unnest(range(0, 10)) AS bin)
+             |SELECT CAST(spine.bin AS BIGINT) AS bin,
+             |  COALESCE(b.n, 0) AS n_docs,
+             |  COALESCE(b.ms, 0.0) AS mean_score,
+             |  CASE WHEN COALESCE(b.n, 0) = 0 THEN 0
+             |       ELSE CAST(floor(b.np * 10000.0 / b.n + 0.5) AS BIGINT)
+             |  END AS pos_x1e4
+             |FROM spine LEFT JOIN b ON spine.bin = b.bin
+             |ORDER BY bin""".stripMargin))
   )
 }

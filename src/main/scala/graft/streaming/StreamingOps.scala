@@ -461,6 +461,26 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming k-means assignment: the stream-static form of
+    * [[graft.operators.KMeansOps.assignWith]] — each micro-batch of
+    * embedding rows is assigned to the FIXED trained centroids (the
+    * model artifact) and appended with the batch=<id>-overwrite
+    * exactly-once path. Like [[streamDsirScore]], state never grows:
+    * centroids are model-sized and broadcast per batch.
+    */
+  def streamKMeansAssign(rows: DataFrame, idCol: String, vecCol: String,
+                         model: Array[Array[Double]], outDir: String,
+                         checkpointDir: String): StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val assigned = graft.operators.KMeansOps
+          .assignWith(model, batch, idCol, vecCol)
+        graft.sinks.Sinks.idempotentBatchAppend(assigned, outDir, batchId)
+        ()
+      }
+      .start()
+
   /** Drain a streaming query into an in-memory table and stop (test/dev
     * harness — production sinks write parquet with checkpointing).
     */

@@ -296,6 +296,41 @@ class StreamingSpec extends SparkSpec {
     ratio.unpersist()
   }
 
+  test("streaming k-means assignment equals the batch assigner across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-skm").toString
+    // static model: trained once on a seed corpus (two separated blobs)
+    val seedPts = (Seq.tabulate(6)(i => (i.toLong, Array(i * 0.01, 0.0)))
+      ++ Seq.tabulate(6)(i => (6L + i, Array(5.0 + i * 0.01, 5.0))))
+    val model = graft.operators.KMeansOps.fit(
+      seedPts.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      k = 2, updates = 2)
+    val b1 = Seq((100L, Array(0.02, 0.01)), (101L, Array(5.01, 4.99)))
+    val b2 = Seq((102L, Array(4.9, 5.1)))
+    val src = MemoryStream[(Long, Array[Double])]
+    val q = StreamingOps.streamKMeansAssign(
+      src.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      model, s"$base/out", s"$base/ckpt")
+    src.addData(b1: _*)
+    q.processAllAvailable()
+    src.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(s"$base/out")
+      .select("vec_id", "cluster", "d2").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).sorted
+    val batch = graft.operators.KMeansOps
+      .assignWith(model, (b1 ++ b2).toDF("vec_id", "embedding"),
+        "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).sorted
+    assert(streamed.toSeq == batch.toSeq)
+    assert(streamed.length == 3)
+    // the two blob probes land in different clusters
+    assert(streamed.map(_._2).distinct.length == 2)
+  }
+
   test("incremental dedup suppresses duplicates across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
