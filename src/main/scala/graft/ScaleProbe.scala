@@ -130,6 +130,27 @@ object ScaleProbe {
       spark.catalog.clearCache()
       println(f"[scale] c=$c%2d prefixjac=$pjT%.2fs ($pjRows pairs)" +
         f" sparsecos=$scT%.2fs ($scRows pairs)")
+
+      // round-4d: token-budget fill (per-source window), Lloyd's k-means
+      // (fixed k: assignment linear in n, update shuffle keyed k·d), and
+      // the one-scan filter funnel.
+      val (bfT, bfRows) = time(
+        graft.operators.DataSelection.budgetFill(
+          plain.withColumn("source", (col("doc_id") % 20).cast("string")),
+          "doc_id", "text", "source", 3, 5).count())
+      spark.catalog.clearCache()
+      val (kmT, kmRows) = time(
+        graft.operators.KMeansOps.clusterSummary(embCorpus, "vec_id",
+          "embedding", k = 4, updates = 1).count())
+      spark.catalog.clearCache()
+      val (ffT, ffRows) = time(
+        graft.operators.Profiling.filterFunnel(
+          plain.select(length(col("text")).as("n_chars")),
+          Seq("min_chars" -> (col("n_chars") >= 200),
+            "max_chars" -> (col("n_chars") <= 500))).count())
+      spark.catalog.clearCache()
+      println(f"[scale] c=$c%2d budgetfill=$bfT%.2fs ($bfRows sources)" +
+        f" kmeans=$kmT%.2fs ($kmRows clusters) funnel=$ffT%.2fs ($ffRows rules)")
     }
     spark.stop()
   }
