@@ -375,6 +375,117 @@ object PipelineQueries {
              |  count(*) AS n_chunks,
              |  round(avg(token_count), 4) AS avg_chunk_tokens
              |FROM read_parquet('${graft.Fixtures.goldenSf("spine_chunks")}')
-             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Curation spine: the training-data side of the pipeline run end to
+    // end as ONE oracle-checked query — quality funnel (q164's rules) →
+    // exact keep-first dedup on the content fingerprint (q13's form) →
+    // per-source token-budget fill (q161) → shard assignment (q141's
+    // stable md5 convention) → per-source attrition/selection summary.
+    // Every stage is integer/string-exact; each wide op is keyed
+    // (fingerprint, source, source) — no global window, no collect.
+    QDef("q166_curation_spine",
+      (s, d) => {
+        val toks = regexp_extract_all(lower(col("text")),
+          lit("[a-z0-9]+"), lit(0))
+        val base = t(s, d, "documents").select(col("doc_id"), col("text"),
+          col("source"), col("n_chars"), col("lang"),
+          size(toks).cast("long").as("n_tok"),
+          size(array_distinct(toks)).cast("long").as("n_uniq"))
+        val pass = base.filter(col("n_chars") >= 200 && col("lang") =!= "zh"
+          && col("n_tok") >= 40 && col("n_uniq") * 100 >= col("n_tok") * 35
+          && col("n_chars") <= 500)
+        val wFp = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__fp")).orderBy(col("doc_id"))
+        val dd = pass
+          .withColumn("__fp",
+            md5(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
+          .withColumn("__rn", row_number().over(wFp))
+          .filter(col("__rn") === 1)
+        val tok = dd.select(col("source"), col("doc_id"),
+          TextFns.tokenCount(col("text")).as("n_ws"),
+          md5(concat_ws("#", col("source"), col("doc_id").cast("string")))
+            .as("ord"))
+        val budgets = tok.groupBy(col("source"))
+          .agg(sum("n_ws").cast("long").as("dd_tokens"))
+          .withColumn("budget_tokens", expr("dd_tokens * 3 div 5"))
+        val wSrc = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("ord"), col("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        val hh = md5(col("doc_id").cast("string"))
+        val sel = tok.withColumn("cum", sum("n_ws").over(wSrc))
+          .join(broadcast(budgets.select(col("source"),
+            col("budget_tokens"))), Seq("source"))
+          .filter(col("cum") <= col("budget_tokens"))
+          .withColumn("shard_id",
+            (conv(substring(hh, 1, 4), 16, 10).cast("int") % 16)
+              .cast("long"))
+        val raw = base.groupBy(col("source"))
+          .agg(count(lit(1)).cast("long").as("n_raw"))
+        val fil = pass.groupBy(col("source"))
+          .agg(count(lit(1)).cast("long").as("n_filtered"))
+        val ddc = dd.groupBy(col("source"))
+          .agg(count(lit(1)).cast("long").as("n_deduped"))
+        val slc = sel.groupBy(col("source"))
+          .agg(count(lit(1)).cast("long").as("n_selected"),
+            sum("n_ws").cast("long").as("sel_tokens"),
+            countDistinct(col("shard_id")).cast("long").as("n_shards"))
+        raw.join(fil, Seq("source"), "left")
+          .join(ddc, Seq("source"), "left")
+          .join(slc, Seq("source"), "left")
+          .select(col("source"), col("n_raw"),
+            coalesce(col("n_filtered"), lit(0L)).as("n_filtered"),
+            coalesce(col("n_deduped"), lit(0L)).as("n_deduped"),
+            coalesce(col("n_selected"), lit(0L)).as("n_selected"),
+            coalesce(col("sel_tokens"), lit(0L)).as("sel_tokens"),
+            coalesce(col("n_shards"), lit(0L)).as("n_shards"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH base AS (SELECT doc_id, text, source, n_chars, lang,
+             |    len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tok,
+             |    len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS n_uniq
+             |  FROM documents),
+             |pass AS (SELECT * FROM base WHERE n_chars >= 200 AND lang <> 'zh'
+             |    AND n_tok >= 40 AND n_uniq * 100 >= n_tok * 35
+             |    AND n_chars <= 500),
+             |dd AS (SELECT * FROM (SELECT *, row_number() OVER (
+             |      PARTITION BY md5(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+             |      ORDER BY doc_id) AS rn FROM pass) WHERE rn = 1),
+             |tok AS (SELECT source, doc_id,
+             |    CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS n_ws,
+             |    md5(source || '#' || CAST(doc_id AS VARCHAR)) AS ord
+             |  FROM dd),
+             |bud AS (SELECT source, CAST(sum(n_ws) AS BIGINT) AS dd_tokens,
+             |    CAST(sum(n_ws) AS BIGINT) * 3 // 5 AS budget_tokens
+             |  FROM tok GROUP BY 1),
+             |cum AS (SELECT source, doc_id, n_ws,
+             |    sum(n_ws) OVER (PARTITION BY source ORDER BY ord, doc_id
+             |      ROWS UNBOUNDED PRECEDING) AS cum FROM tok),
+             |sel AS (SELECT cum.source, cum.doc_id, cum.n_ws,
+             |    CAST(CAST(('0x' || substr(md5(CAST(cum.doc_id AS VARCHAR)), 1, 4))
+             |      AS INTEGER) % 16 AS BIGINT) AS shard_id
+             |  FROM cum JOIN bud USING (source)
+             |  WHERE cum.cum <= bud.budget_tokens),
+             |raw AS (SELECT source, CAST(count(*) AS BIGINT) AS n_raw
+             |        FROM base GROUP BY 1),
+             |fil AS (SELECT source, CAST(count(*) AS BIGINT) AS n_filtered
+             |        FROM pass GROUP BY 1),
+             |ddc AS (SELECT source, CAST(count(*) AS BIGINT) AS n_deduped
+             |        FROM dd GROUP BY 1),
+             |slc AS (SELECT source, CAST(count(*) AS BIGINT) AS n_selected,
+             |    CAST(sum(n_ws) AS BIGINT) AS sel_tokens,
+             |    CAST(count(DISTINCT shard_id) AS BIGINT) AS n_shards
+             |  FROM sel GROUP BY 1)
+             |SELECT raw.source, raw.n_raw,
+             |  COALESCE(fil.n_filtered, 0) AS n_filtered,
+             |  COALESCE(ddc.n_deduped, 0) AS n_deduped,
+             |  COALESCE(slc.n_selected, 0) AS n_selected,
+             |  COALESCE(slc.sel_tokens, 0) AS sel_tokens,
+             |  COALESCE(slc.n_shards, 0) AS n_shards
+             |FROM raw LEFT JOIN fil USING (source)
+             |  LEFT JOIN ddc USING (source) LEFT JOIN slc USING (source)
+             |ORDER BY raw.source""".stripMargin))
   )
 }
