@@ -88,9 +88,13 @@ object Bench {
     // n_queries/mean_sec: the registry grows round over round, so the
     // comparable figure across rounds is per-query mean, not the total
     val mean = if (ok.nonEmpty) total / ok.size else 0.0
+    // DIRECTIONAL: post/pre. Ambient load arriving during the run slows
+    // the POST sample (> 1 = contaminated); post < 1 only means the JVM
+    // warmed further (harmless). The earlier max/min form misread deep
+    // JIT warm-up on a quiet box as 2.4x "noise".
     val noise =
       if (noisePre.isNaN || noisePost.isNaN || math.min(noisePre, noisePost) <= 0) Double.NaN
-      else math.max(noisePre, noisePost) / math.min(noisePre, noisePost)
+      else noisePost / noisePre
     val slowest = ok.sortBy(-_._2).take(10)
     val failedJson = failed.map("\"" + _._1 + "\"").mkString("[", ",", "]")
 
