@@ -607,6 +607,63 @@ object SimilarityQueries {
              |LEFT JOIN (SELECT c, CAST(count(*) AS BIGINT) AS n,
              |             round(avg(d), 6) AS mean_d2
              |           FROM a2 GROUP BY 1) st ON sp.c = st.c
-             |ORDER BY cluster""".stripMargin))
+             |ORDER BY cluster""".stripMargin)),
+
+    // Dedup threshold sensitivity: the exact pair table computed ONCE at a
+    // low floor (J ≥ 0.3), then swept across candidate thresholds — pairs
+    // removed and docs touched per τ, the table a dedup-aggressiveness
+    // decision reads. The sweep joins the (already materialized) pair
+    // table against a 5-row broadcast threshold spine; comparisons run on
+    // the 6dp-rounded Jaccard both engines share.
+    QDef("q167_dedup_sensitivity",
+      (s, d) => {
+        val pairs = DedupOps.ngramJaccardPairs(docs(s, d), "doc_id", "text",
+          n = 3, threshold = 0.3)
+        val th = s.range(5, 10)
+          .select((col("id") * 10).cast("int").as("threshold_x100"))
+        val m = pairs.join(broadcast(th),
+          col("jaccard") >= col("threshold_x100").cast("double") / 100.0)
+        val np = m.groupBy(col("threshold_x100"))
+          .agg(count(lit(1)).cast("long").as("n_pairs"))
+        val nd = m.select(col("threshold_x100"),
+            explode(array(col("id_a"), col("id_b"))).as("dd"))
+          .groupBy(col("threshold_x100"))
+          .agg(countDistinct(col("dd")).cast("long").as("n_docs"))
+        th.join(np, Seq("threshold_x100"), "left")
+          .join(nd, Seq("threshold_x100"), "left")
+          .select(col("threshold_x100").cast("long").as("threshold_x100"),
+            coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+            coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+          .orderBy(col("threshold_x100"))
+      },
+      Some("""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+             |            FROM documents),
+             |sh AS (SELECT doc_id, unnest(list_distinct(
+             |         [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+             |          for i in range(1, greatest(len(toks) - 1, 1))])) AS s
+             |       FROM t),
+             |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+             |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+             |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |      GROUP BY 1, 2),
+             |pr AS (SELECT id_a, id_b, round(j, 6) AS jac FROM (
+             |    SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS j
+             |    FROM p JOIN sz sa ON p.id_a = sa.doc_id
+             |           JOIN sz sb ON p.id_b = sb.doc_id)
+             |  WHERE j >= 0.3),
+             |th(t) AS (VALUES (50), (60), (70), (80), (90)),
+             |m AS (SELECT th.t, pr.id_a, pr.id_b
+             |      FROM pr JOIN th ON pr.jac >= th.t / 100.0),
+             |np AS (SELECT t, CAST(count(*) AS BIGINT) AS n_pairs
+             |       FROM m GROUP BY 1),
+             |nd AS (SELECT t, CAST(count(DISTINCT dd) AS BIGINT) AS n_docs
+             |       FROM (SELECT t, id_a AS dd FROM m
+             |             UNION ALL SELECT t, id_b FROM m) GROUP BY 1)
+             |SELECT CAST(th.t AS BIGINT) AS threshold_x100,
+             |  COALESCE(np.n_pairs, 0) AS n_pairs,
+             |  COALESCE(nd.n_docs, 0) AS n_docs
+             |FROM th LEFT JOIN np ON th.t = np.t
+             |        LEFT JOIN nd ON th.t = nd.t
+             |ORDER BY threshold_x100""".stripMargin))
   )
 }
