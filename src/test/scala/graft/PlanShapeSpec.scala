@@ -40,7 +40,9 @@ class PlanShapeSpec extends SparkSpec {
       // k-row broadcast centroid model × corpus scan (Lloyd assignment)
       "q163_kmeans",
       // 3-row broadcast dense-query side × candidate embeddings (rankJoin)
-      "q162_rrf_fusion")
+      "q162_rrf_fusion",
+      // 5-row broadcast threshold spine × materialized pair table (≥ join)
+      "q167_dedup_sensitivity")
     val cartesianAllowed = Set("q22_embed_neardup")
     val offenders = QueryRegistry.all.flatMap { q =>
       try {
