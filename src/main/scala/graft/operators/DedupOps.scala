@@ -527,6 +527,66 @@ object DedupOps {
     materializeAndRelease(out, sh, cands)
   }
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003,
+    * "Winnowing: Local Algorithms for Document Fingerprinting" — the MOSS
+    * algorithm): hash every POSITIONAL word k-gram, slide a w-hash window,
+    * keep each window's minimum hash; the distinct kept hashes are the
+    * doc's fingerprints. Guarantees any shared run of ≥ w+k-1 tokens
+    * yields a shared fingerprint, while storing only ~2/(w+1) of the
+    * positions — a sparser index than the full shingle table with a
+    * detection guarantee LSH lacks.
+    *
+    * Portability: the hash is the md5 HEX STRING and the window min is
+    * lexicographic — hex order is unsigned numeric order in every engine,
+    * so an exact SQL oracle reproduces the selection bit-for-bit (signed
+    * 64-bit mins would diverge between engines). Docs with fewer than
+    * w + k - 1 tokens emit no fingerprints (no full window exists).
+    *
+    * Scale shape: positional grams stay inside one per-doc window (keyed
+    * shuffle, no global sort); the fingerprint index the pair join sees is
+    * ~2/(w+1) the size of a full inverted shingle index.
+    */
+  def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String,
+                            k: Int, w: Int): DataFrame = {
+    val gen = udf { text: String =>
+      if (text == null) Array.empty[String]
+      else {
+        val m = tokenRe.matcher(text.toLowerCase(java.util.Locale.ROOT))
+        val toks = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (m.find()) toks += m.group()
+        if (toks.length < k) Array.empty[String]
+        else toks.sliding(k).map(_.mkString(" ")).toArray // ordered, NOT distinct
+      }
+    }
+    val wSpec = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    df.select(col(idCol), gen(col(textCol)).as("__grams"))
+      .select(col(idCol), size(col("__grams")).as("np"),
+        posexplode(col("__grams")).as(Seq("pos", "g")))
+      .select(col(idCol), col("np"), col("pos"), md5(col("g")).as("h"))
+      .withColumn("fingerprint", min(col("h")).over(wSpec))
+      .filter(col("pos") <= col("np") - w) // 0-based window starts only
+      .select(col(idCol), col("fingerprint")).distinct()
+  }
+
+  /** Near-dup pairs by shared winnowing fingerprints: (id_a, id_b,
+    * shared) for pairs sharing ≥ `minShared` fingerprints. The join is
+    * fingerprint-keyed (posting-list bounded, like the shingle join but
+    * over the ~2/(w+1)-sparse winnowed index).
+    */
+  def winnowingPairs(df: DataFrame, idCol: String, textCol: String,
+                     k: Int, w: Int, minShared: Long): DataFrame = {
+    val fp = winnowingFingerprints(df, idCol, textCol, k, w)
+    fp.select(col(idCol).as("id_a"), col("fingerprint"))
+      .hint("shuffle_hash")
+      .join(fp.select(col(idCol).as("id_b"), col("fingerprint")),
+        Seq("fingerprint"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).cast("long").as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** Benchmark decontamination: per corpus document, the number of distinct
     * word `n`-gram shingles it shares with a benchmark slice (`benchPred`
     * selects benchmark rows by id). Used to drop evaluation contamination

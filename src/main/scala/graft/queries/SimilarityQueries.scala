@@ -664,6 +664,33 @@ object SimilarityQueries {
              |  COALESCE(nd.n_docs, 0) AS n_docs
              |FROM th LEFT JOIN np ON th.t = np.t
              |        LEFT JOIN nd ON th.t = nd.t
-             |ORDER BY threshold_x100""".stripMargin))
+             |ORDER BY threshold_x100""".stripMargin)),
+
+    // Winnowing (MOSS) fingerprint near-dup pairs: positional 3-gram md5
+    // hex hashes, 4-hash window minima, pairs sharing ≥ 5 fingerprints.
+    // Hex-string mins make the selection engine-portable, so the oracle
+    // reproduces the EXACT fingerprint sets — no recall argument needed.
+    QDef("q168_winnowing_pairs",
+      (s, d) => DedupOps.winnowingPairs(docs(s, d), "doc_id", "text",
+          k = 3, w = 4, minShared = 5L)
+        .orderBy(col("id_a"), col("id_b")),
+      Some("""WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+             |            FROM documents),
+             |pos AS (SELECT doc_id, unnest(range(1, len(ts) - 1)) AS i, ts,
+             |          len(ts) - 2 AS np
+             |        FROM tok),
+             |h AS (SELECT doc_id, i, np,
+             |        md5(array_to_string(ts[i:i+2], ' ')) AS h
+             |      FROM pos),
+             |mh AS (SELECT doc_id, i, np, min(h) OVER (PARTITION BY doc_id
+             |         ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh
+             |       FROM h),
+             |fp AS (SELECT DISTINCT doc_id, mh FROM mh WHERE i <= np - 3),
+             |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |         CAST(count(*) AS BIGINT) AS shared
+             |       FROM fp a JOIN fp b ON a.mh = b.mh AND a.doc_id < b.doc_id
+             |       GROUP BY 1, 2 HAVING count(*) >= 5)
+             |SELECT id_a, id_b, shared FROM pr
+             |ORDER BY id_a, id_b""".stripMargin))
   )
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{DataSelection, KMeansOps, Profiling, Similarity}
+import graft.operators.{DataSelection, DedupOps, KMeansOps, Profiling, Similarity}
 import org.apache.spark.sql.functions._
 
 /** Round-4 additions: token-budget fill, RRF hybrid fusion, Lloyd's
@@ -90,6 +90,35 @@ class RetrievalClusteringSpec extends SparkSpec {
     assert(sum.length == 3)
     assert(sum.count(r => r.getAs[Long]("n_points") == 0L
       && r.getAs[Double]("mean_d2") == 0.0) == 2)
+  }
+
+  test("winnowing: shared run of w+k-1 tokens guarantees a shared fingerprint") {
+    // k=3, w=4: any common run of ≥ 6 tokens must surface. The two docs
+    // share exactly one 6-token run inside otherwise-disjoint text.
+    val common = "alpha beta gamma delta epsilon zeta"
+    val df = Seq(
+      (1L, s"one two three four five $common six seven eight nine ten"),
+      (2L, s"uno dos tres cuatro cinco $common seis siete ocho nueve diez"))
+      .toDF("doc_id", "text")
+    val fp = DedupOps.winnowingFingerprints(df, "doc_id", "text", k = 3, w = 4)
+    val a = fp.filter(col("doc_id") === 1).select("fingerprint")
+      .collect().map(_.getString(0)).toSet
+    val b = fp.filter(col("doc_id") === 2).select("fingerprint")
+      .collect().map(_.getString(0)).toSet
+    assert((a intersect b).nonEmpty)
+    // density: winnowing keeps ~2/(w+1) of positions, far below all grams
+    val nGrams = 17 - 2 // 17 tokens, k=3
+    assert(a.size < nGrams)
+  }
+
+  test("winnowing: docs shorter than w+k-1 tokens emit no fingerprints") {
+    val df = Seq((1L, "a b c d e"), (2L, "a b c d e f")).toDF("doc_id", "text")
+    // doc 1: 5 tokens → 3 gram positions < w=4 → nothing; doc 2: 6 tokens
+    // → 4 positions = exactly one window → one fingerprint.
+    val fp = DedupOps.winnowingFingerprints(df, "doc_id", "text", k = 3, w = 4)
+      .collect()
+    assert(!fp.exists(_.getLong(0) == 1L))
+    assert(fp.count(_.getLong(0) == 2L) == 1)
   }
 
   test("filterFunnel: counts telescope (n_out(k) = n_in(k+1)) and order is kept") {
