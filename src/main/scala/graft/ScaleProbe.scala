@@ -149,8 +149,13 @@ object ScaleProbe {
           Seq("min_chars" -> (col("n_chars") >= 200),
             "max_chars" -> (col("n_chars") <= 500))).count())
       spark.catalog.clearCache()
+      val (wnT, wnRows) = time(
+        DedupOps.winnowingPairs(lettered, "doc_id", "text",
+          k = 3, w = 4, minShared = 5L).count())
+      spark.catalog.clearCache()
       println(f"[scale] c=$c%2d budgetfill=$bfT%.2fs ($bfRows sources)" +
-        f" kmeans=$kmT%.2fs ($kmRows clusters) funnel=$ffT%.2fs ($ffRows rules)")
+        f" kmeans=$kmT%.2fs ($kmRows clusters) funnel=$ffT%.2fs ($ffRows rules)" +
+        f" winnow=$wnT%.2fs ($wnRows pairs)")
     }
     spark.stop()
   }
