@@ -6,9 +6,9 @@ import org.apache.spark.sql.functions._
 
 /** Distributed Lloyd's k-means over a dense embedding column — the
   * clustering primitive under corpus organization (topic bucketing,
-  * SemDeDup's cluster stage, IVF coarse quantizers). [[IvfIndex]] trains
-  * its coarse centroids with a sampled variant of the same loop; this is
-  * the full-corpus operator form with a deterministic init so an exact
+  * SemDeDup's cluster stage, IVF coarse quantizers). [[IvfIndex.train]]
+  * runs the same loop shape for its coarse quantizer; this is the
+  * general operator form with a deterministic init so an exact
   * unrolled-SQL oracle exists (same trick as q121's k-core unroll).
   *
   * Scale shape per iteration:
