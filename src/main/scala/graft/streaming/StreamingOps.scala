@@ -403,6 +403,61 @@ object StreamingOps {
       .start()
   }
 
+  /** Continuous-ingestion winnowing dedup: [[incrementalNearDedup]]'s
+    * shape with [[graft.operators.DedupOps.winnowingFingerprints]] as the
+    * index — where minhash-LSH gives probabilistic recall, winnowing
+    * DETERMINISTICALLY surfaces any new doc sharing a ≥ w+k-1-token run
+    * with stream history (≥ `minShared` shared fingerprints drops it).
+    *
+    * State per surviving doc is its ~2/(w+1)-sparse fingerprint set
+    * (hex strings — never text); the probe is a fingerprint-keyed
+    * equi-join against state that grows with distinct content only.
+    * Greedy batch-local semantics and the batch=<id>-overwrite
+    * exactly-once path match the other incremental dedup sinks; a
+    * replayed batch excludes its own index partition.
+    */
+  def incrementalWinnowDedup(docs: DataFrame, idCol: String, textCol: String,
+                             indexDir: String, outDir: String,
+                             checkpointDir: String, k: Int = 3, w: Int = 4,
+                             minShared: Long = 5L): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val fp = graft.operators.DedupOps
+          .winnowingFingerprints(batch, idCol, textCol, k, w).persist()
+        val oldFp =
+          try spark.read.parquet(s"$indexDir/fps")
+            .filter(col("batch") =!= batchId)
+            .select(col(idCol), col("fingerprint"))
+          catch { case _: org.apache.spark.sql.AnalysisException =>
+            fp.limit(0)
+          }
+        val vsIndex = fp
+          .join(oldFp.select(col(idCol).as("__old"), col("fingerprint")),
+            Seq("fingerprint"))
+          .groupBy(col(idCol), col("__old"))
+          .agg(count(lit(1)).as("shared"))
+          .filter(col("shared") >= minShared)
+          .select(col(idCol))
+        val local = fp.select(col(idCol).as("__a"), col("fingerprint"))
+          .join(fp.select(col(idCol).as("__b"), col("fingerprint")),
+            Seq("fingerprint"))
+          .filter(col("__a") < col("__b"))
+          .groupBy(col("__a"), col("__b"))
+          .agg(count(lit(1)).as("shared"))
+          .filter(col("shared") >= minShared)
+          .select(col("__b").as(idCol))
+        val dropIds = vsIndex.union(local).distinct().persist()
+        val survivors = batch.join(dropIds, Seq(idCol), "left_anti").persist()
+        graft.sinks.Sinks.idempotentBatchAppend(survivors, outDir, batchId)
+        val keptFp = fp.join(survivors.select(idCol), Seq(idCol), "left_semi")
+        graft.sinks.Sinks.idempotentBatchAppend(keptFp, s"$indexDir/fps", batchId)
+        Seq(fp, dropIds, survivors).foreach(_.unpersist())
+        ()
+      }
+      .start()
+
   /** Continuous-ingestion benchmark decontamination: the streaming twin of
     * [[graft.operators.DedupOps.decontaminate]]. Each micro-batch shingles
     * its documents (one narrow pass), counts distinct n-grams shared with

@@ -416,4 +416,41 @@ class StreamingSpec extends SparkSpec {
     // index holds bands+sigs for the three signatured survivors only
     assert(spark.read.parquet(s"$idx/sigs").count() == 3)
   }
+
+  test("incremental winnowing dedup drops shared-run docs deterministically") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-incwin").toString
+    val (idx, out, ckpt) = (s"$base/index", s"$base/out", s"$base/ckpt")
+
+    val textA = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega " +
+      "one two three four five six seven eight nine ten eleven twelve"
+    // shares a long token run with A (plagiarized middle), new head/tail
+    val plagA = "fresh start words here " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega " +
+      "one two three four five six seven eight nine ten " +
+      "ending differently now"
+    val textB = "entirely unrelated content spark catalyst tungsten codegen " +
+      "shuffle partition broadcast join parquet scan pushdown pruning " +
+      "adaptive execution skew salting watermark state store checkpoint"
+
+    val src = MemoryStream[(Long, String)]
+    val q = StreamingOps.incrementalWinnowDedup(
+      src.toDF().toDF("doc_id", "text"), "doc_id", "text", idx, out, ckpt)
+    // batch 1: A and B survive; batch-local exact copy of A drops (greedy)
+    src.addData((1L, textA), (2L, textB), (3L, textA))
+    q.processAllAvailable()
+    // batch 2: cross-batch plagiarism of A drops; short doc survives
+    // (no full winnowing window exists, so it never matches)
+    src.addData((4L, plagA), (5L, "too short to fingerprint"))
+    q.processAllAvailable()
+    q.stop()
+
+    val kept = spark.read.parquet(out).select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 2L, 5L), kept.mkString(","))
+    // index holds fingerprints for the two fingerprinted survivors only
+    assert(spark.read.parquet(s"$idx/fps").select("doc_id").distinct().count() == 2)
+  }
 }
