@@ -111,6 +111,30 @@ class RetrievalClusteringSpec extends SparkSpec {
     assert(a.size < nGrams)
   }
 
+  test("winnowing guarantee holds over 20 seeded random corpora") {
+    // The Schleimer et al. theorem: any shared run of >= w+k-1 tokens
+    // yields at least one shared fingerprint — for EVERY input, not in
+    // expectation. Plant a (w+k-1)-token run at random offsets inside
+    // otherwise-random token soup and check the guarantee each time.
+    val k = 3; val w = 4
+    val run = (1 to (w + k - 1)).map(i => s"planted$i").mkString(" ")
+    val cases = (1 to 20).map { seed =>
+      val rnd = new scala.util.Random(seed)
+      def soup(n: Int) = Seq.fill(n)("w" + rnd.nextInt(50)).mkString(" ")
+      val a = s"${soup(5 + rnd.nextInt(20))} $run ${soup(5 + rnd.nextInt(20))}"
+      val b = s"${soup(5 + rnd.nextInt(20))} $run ${soup(5 + rnd.nextInt(20))}"
+      (seed.toLong * 2, a, seed.toLong * 2 + 1, b)
+    }
+    val df = cases.flatMap { case (ia, a, ib, b) => Seq((ia, a), (ib, b)) }
+      .toDF("doc_id", "text")
+    val fp = DedupOps.winnowingFingerprints(df, "doc_id", "text", k, w)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rows) => id -> rows.map(_.getString(1)).toSet }
+    cases.foreach { case (ia, _, ib, _) =>
+      assert((fp(ia) intersect fp(ib)).nonEmpty, s"pair ($ia,$ib)")
+    }
+  }
+
   test("winnowing: docs shorter than w+k-1 tokens emit no fingerprints") {
     val df = Seq((1L, "a b c d e"), (2L, "a b c d e f")).toDF("doc_id", "text")
     // doc 1: 5 tokens → 3 gram positions < w=4 → nothing; doc 2: 6 tokens
