@@ -645,7 +645,7 @@ object DedupOps {
     // would be recomputed per agg expression (k× the hashing work)
     val hashed = sh.select(col(idCol),
       pmod(hash(col("shingle")).cast("long"), lit(p)).as("__x"))
-    val aggs = coefs.zipWithIndex.map { case ((a, b), i) =>
+    val aggs = coefs.zipWithIndex.toIndexedSeq.map { case ((a, b), i) =>
       min(pmod(col("__x") * a + b, lit(p))).as(s"mh_$i")
     }
     hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)

@@ -28,7 +28,7 @@ object IvfIndex {
     * ‖c‖² − 2·x·c (equal argmin to true L2, one dot per cell).
     */
   private def bestCell(embCol: Column, model: Model): Column = {
-    val scored = model.centroids.zipWithIndex.map { case (c, i) =>
+    val scored = model.centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
       val c2 = c.map(x => x * x).sum
       struct((lit(c2) - lit(2.0) * VectorFns.dot(embCol, lit(c))).as("dist"),
         lit(i).as("cell"))
@@ -72,7 +72,7 @@ object IvfIndex {
 
   /** Probe-cell list per query: the `nprobe` nearest centroids. */
   private def probeCells(embCol: Column, model: Model, nprobe: Int): Column = {
-    val scored = model.centroids.zipWithIndex.map { case (c, i) =>
+    val scored = model.centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
       val c2 = c.map(x => x * x).sum
       struct((lit(c2) - lit(2.0) * VectorFns.dot(embCol, lit(c))).as("dist"),
         lit(i).as("cell"))

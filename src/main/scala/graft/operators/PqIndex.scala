@@ -35,7 +35,7 @@ object PqIndex {
     */
   def train(df: DataFrame, idCol: String, embCol: String,
             m: Int, k: Int, iters: Int): Model = {
-    val dim = df.select(size(col(embCol))).head.getInt(0)
+    val dim = df.select(size(col(embCol))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val subDim = dim / m
     val init = df.orderBy(col(idCol)).limit(k).select(col(embCol)).collect()

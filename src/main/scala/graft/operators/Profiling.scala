@@ -25,7 +25,7 @@ object Profiling {
   def missingProfile(df: DataFrame): DataFrame =
     df.agg(
       count(lit(1)).cast("long").as("n_rows"),
-      df.columns.map(c =>
+      df.columns.toIndexedSeq.map(c =>
         sum(when(col(c).isNull, 1L).otherwise(0L)).cast("long").as(s"${c}_nulls")): _*)
 
   /** min/max/avg/stddev per numeric column, one wide row (reference A8).
@@ -161,7 +161,7 @@ object Profiling {
 
   /** Convenience: all numeric columns of a DataFrame. */
   def numericCols(df: DataFrame): Seq[String] =
-    df.schema.fields.collect { case f if f.dataType.isInstanceOf[NumericType] => f.name }
+    df.schema.fields.toIndexedSeq.collect { case f if f.dataType.isInstanceOf[NumericType] => f.name }
 
   /** Ordered filter-cascade attrition report: for rule k (applied on top
     * of rules 1..k-1), one row (step, rule, n_in, n_drop, n_out) — the

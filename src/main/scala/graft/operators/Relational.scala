@@ -178,7 +178,7 @@ object Relational {
       .otherwise("keep").as("action")
     target.as("t")
       .join(s, col(s"t.$key") === col(s"s.$key"), "full_outer")
-      .select(coalesce(col(s"s.$key"), col(s"t.$key")).as(key) +: merged :+ action: _*)
+      .select((coalesce(col(s"s.$key"), col(s"t.$key")).as(key) +: merged.toIndexedSeq :+ action): _*)
       .join(deletes.select(col(key)), Seq(key), "left_anti")
   }
 

@@ -235,7 +235,7 @@ object SimilarityQueries {
         val model = PqIndex.train(corpus, "vec_id", "embedding",
           m = 8, k = 16, iters = 2)
         val q = corpus.orderBy(col("vec_id")).limit(1)
-          .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble).toArray
+          .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
         PqIndex.searchWithRerank(corpus.filter(col("vec_id") =!= 0L),
             "vec_id", "embedding", model, q, shortlist = 50, topK = 10)
           .select(col("vec_id"), round(col("dist"), 6).as("dist"))
@@ -256,7 +256,7 @@ object SimilarityQueries {
         val model = PqIndex.train(corpus, "vec_id", "embedding",
           m = 8, k = 16, iters = 2)
         val q = corpus.orderBy(col("vec_id")).limit(1)
-          .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble).toArray
+          .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
         PqIndex.searchWithRerank(corpus.filter(col("vec_id") =!= 0L),
             "vec_id", "embedding", model, q, shortlist = n, topK = 10)
           .select(col("vec_id"), round(sqrt(col("dist")), 6).as("l2_dist"))
@@ -280,7 +280,7 @@ object SimilarityQueries {
         val n = corpus.count().toInt
         val model = SqIndex.train(corpus, "embedding")
         val q = corpus.orderBy(col("vec_id")).limit(1)
-          .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble).toArray
+          .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
         SqIndex.searchWithRerank(corpus.filter(col("vec_id") =!= 0L),
             "vec_id", "embedding", model, q, shortlist = n, topK = 10)
           .select(col("vec_id"), round(sqrt(col("dist")), 6).as("l2_dist"))
