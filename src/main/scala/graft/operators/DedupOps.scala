@@ -485,6 +485,21 @@ object DedupOps {
   def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                          n: Int, threshold: Double): DataFrame = {
     val sh = shingles(df, idCol, textCol, n).cache()
+    val cands = prefixCandidates(sh, idCol, threshold).distinct().cache()
+    val out = verifyCandidates(sh, cands, idCol, threshold)
+    materializeAndRelease(out, sh, cands)
+  }
+
+  /** Candidate (id_a, id_b) pairs from the PPJoin prefix filter over an
+    * (id, shingle) table — the candidate-generation half of
+    * [[prefixJaccardPairs]], shared with [[minhashLshPairs]]'s
+    * exact-recall guard. STRUCTURAL GUARANTEE: contains every pair with
+    * J ≥ threshold (prefix-filter theorem + the length/positional bounds,
+    * which only ever discard pairs that cannot reach the threshold).
+    * May contain false positives; callers verify. Output is not distinct.
+    */
+  private[graft] def prefixCandidates(sh: DataFrame, idCol: String,
+                                      threshold: Double): DataFrame = {
     val shH = sh.select(col(idCol), col("shingle"),
       xxhash64(col("shingle")).as("h"))
     val freq = shH.groupBy(col("h")).agg(count(lit(1)).as("gf"))
@@ -515,16 +530,14 @@ object DedupOps {
       col("rk").as("rk_b"), col("sz").as("sz_b"))
     val minOverlap = ceil(lit(threshold / (1.0 + threshold)) *
       (col("sz_a") + col("sz_b")) - 1e-9)
-    val cands = a.hint("shuffle_hash").join(b,
+    a.hint("shuffle_hash").join(b,
         col("h_a") === col("h_b") &&
           col("id_a") < col("id_b") &&
           col("sz_b") >= lit(threshold) * col("sz_a") - 1e-9 &&
           col("sz_a") >= lit(threshold) * col("sz_b") - 1e-9 &&
           lit(1) + least(col("sz_a") - col("rk_a"),
             col("sz_b") - col("rk_b")) >= minOverlap)
-      .select(col("id_a"), col("id_b")).distinct().cache()
-    val out = verifyCandidates(sh, cands, idCol, threshold)
-    materializeAndRelease(out, sh, cands)
+      .select(col("id_a"), col("id_b"))
   }
 
   /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003,
@@ -710,16 +723,29 @@ object DedupOps {
     * sharing any full band become candidates — the sublinear scale path;
     * candidate count ≈ true-dup count for well-chosen (k, bands).
     *
+    * `exactRecallGuard = true` additionally unions the PPJoin prefix-filter
+    * candidates ([[prefixCandidates]]) before verification. Banding alone
+    * misses a true pair with probability (1-J^(k/bands))^bands — ~1% per
+    * pair at J = 0.5 with 16×2 — so LSH-equals-exact is an EMPIRICAL
+    * property of the corpus; the prefix filter's recall is STRUCTURAL
+    * (every pair with J ≥ τ shares a prefix shingle, by theorem), so the
+    * union verifies to exactly the [[ngramJaccardPairs]] pair set on ANY
+    * corpus. The guard is what makes an exact SQL oracle valid for this
+    * operator under testdata regeneration; pass `false` for the pure
+    * sublinear path when approximate recall is acceptable.
+    *
     * Caches three intermediates that are each referenced several times:
     * banding keys and candidate pairs (int-only, tiny) plus the candidate
     * docs' shingle strings (proportional to candidate-doc text — the
-    * dominant cached footprint when dup clusters are large). All three are
-    * released before returning: the (tiny) pair result is materialized via
-    * eager localCheckpoint, then the caches unpersist.
+    * dominant cached footprint when dup clusters are large; the guard path
+    * shingles the full corpus, which it needs anyway for prefix ranking).
+    * All are released before returning: the (tiny) pair result is
+    * materialized via eager localCheckpoint, then the caches unpersist.
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       n: Int, threshold: Double,
-                      k: Int = 32, bands: Int = 8): DataFrame = {
+                      k: Int = 32, bands: Int = 8,
+                      exactRecallGuard: Boolean = false): DataFrame = {
     // signatures in one narrow pass — no exploded-shingle shuffle
     val sigs = minhashSignaturesOnePass(df, idCol, textCol, n, k)
     val rowsPerBand = k / bands
@@ -734,23 +760,34 @@ object DedupOps {
       // signature pass over the full corpus executes once per side. Ints
       // only, n_docs×bands rows, so it stays compact even at corpus scale.
       .cache()
-    // cached: the candidate set is referenced three times below (id list,
-    // pair semi-join) — uncached, the signature pass + banding self-join
-    // would re-execute per reference
-    val cands = banded.select(col("band"), col("key"), col(idCol).as("id_a"))
+    val lshCands = banded.select(col("band"), col("key"), col(idCol).as("id_a"))
       .join(banded.select(col("band"), col("key"), col(idCol).as("id_b")),
         Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct().cache()
-    // verify candidates with exact Jaccard — shingle the CANDIDATE docs only
-    // (candidate count ≈ dup count << corpus, so this index is tiny; the
-    // full-corpus inverted index never materializes on this path)
-    val candIds = cands.select(col("id_a").as(idCol))
-      .union(cands.select(col("id_b").as(idCol))).distinct()
-    val sh = shingles(df.join(candIds, Seq(idCol), "left_semi"),
-      idCol, textCol, n).cache()
-    val out = verifyCandidates(sh, cands, idCol, threshold)
-    materializeAndRelease(out, banded, cands, sh)
+      .select("id_a", "id_b")
+    if (exactRecallGuard) {
+      // full-corpus shingle table: the prefix guard ranks every doc's
+      // shingles by global frequency, and verification reuses the same rows
+      val sh = shingles(df, idCol, textCol, n).cache()
+      val cands = lshCands.union(prefixCandidates(sh, idCol, threshold))
+        .distinct().cache()
+      val out = verifyCandidates(sh, cands, idCol, threshold)
+      materializeAndRelease(out, banded, cands, sh)
+    } else {
+      // cached: the candidate set is referenced three times below (id list,
+      // pair semi-join) — uncached, the signature pass + banding self-join
+      // would re-execute per reference
+      val cands = lshCands.distinct().cache()
+      // verify candidates with exact Jaccard — shingle the CANDIDATE docs
+      // only (candidate count ≈ dup count << corpus, so this index is tiny;
+      // the full-corpus inverted index never materializes on this path)
+      val candIds = cands.select(col("id_a").as(idCol))
+        .union(cands.select(col("id_b").as(idCol))).distinct()
+      val sh = shingles(df.join(candIds, Seq(idCol), "left_semi"),
+        idCol, textCol, n).cache()
+      val out = verifyCandidates(sh, cands, idCol, threshold)
+      materializeAndRelease(out, banded, cands, sh)
+    }
   }
 
   /** 64-bit SimHash per document: per-bit majority vote over xxhash64 token

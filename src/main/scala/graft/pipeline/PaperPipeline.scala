@@ -2,6 +2,7 @@ package graft.pipeline
 
 import graft.embed.Embedder
 import graft.operators._
+import graft.sinks.{AlertSink, PlotSink}
 import graft.sources.HttpSource
 import graft.functions.TextFns
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -24,6 +25,76 @@ object PaperPipeline {
       source: HttpSource.SourceConfig = HttpSource.SourceConfig(),
       maxRefs: Int = 50,
       disparityThreshold: Double = 50.0)
+
+  /** One failed validation gate, normalized for reporting: the anomaly-gate
+    * rows and the quality-drop rows both reduce to this shape before the
+    * K8/K9 failure report renders them.
+    */
+  final case class GateFailure(anomalyType: String, columnName: String,
+                               severity: String, description: String,
+                               value: Double)
+
+  /** Failure-report configuration — the reference DAG's on-failure path
+    * (`dags/test_dag.py:354-432` renders the dashboards,
+    * `schema_validator.py:568-706` emails the anomaly report with the bias
+    * viz inline). Both halves are skip-when-unconfigured: no
+    * `dashboardDir` → no PNG write, no SMTP credentials → no mail — the
+    * reference's unconfigured-SMTP log-and-skip, never a hard failure.
+    */
+  final case class ReportConfig(
+      dashboardDir: Option[String] = None,
+      smtp: AlertSink.SmtpConfig = AlertSink.SmtpConfig(),
+      transport: () => AlertSink.SmtpTransport =
+        () => new AlertSink.SslSocketTransport)
+
+  /** Render + deliver one failure report: bar-chart PNG of the fired gates
+    * (K8, written to `dashboardDir` and inlined into the mail via
+    * Content-ID), severity-styled HTML alert over SMTP (K9). The gate
+    * tables are tiny by construction (≤ a handful of rows), so everything
+    * here is driver-side on already-collected rows except the one
+    * profile aggregate for the mail header.
+    */
+  def reportFailure(papers: DataFrame, failures: Seq[GateFailure],
+                    runTs: String, report: ReportConfig): Option[Seq[String]] = {
+    val severity =
+      if (failures.exists(_.severity == "critical")) "critical" else "warning"
+    val chart = PlotSink.barChartPng(
+      failures.map(f => (s"${f.anomalyType}:${f.columnName}", f.value)),
+      s"Validation failures $runTs")
+    report.dashboardDir.foreach { dir =>
+      PlotSink.writePng(papers.sparkSession, chart,
+        s"${dir.stripSuffix("/")}/anomaly_dashboard_$runTs.png")
+    }
+    val prof = profile(papers).collect()(0)
+    val schema = org.apache.spark.sql.types.StructType(
+      Seq("anomaly_type", "column_name", "severity", "description").map(
+        org.apache.spark.sql.types.StructField(_,
+          org.apache.spark.sql.types.StringType)))
+    val rows = failures.map(f =>
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array[Any](f.anomalyType, f.columnName, f.severity, f.description),
+        schema): org.apache.spark.sql.Row)
+    val html = AlertSink.renderAnomalyHtml(rows, severity, runTs,
+      prof.getAs[Long]("n_rows"), prof.getAs[Double]("overall_quality"),
+      inlineImageCid = Some("bias_viz"))
+    val msg = AlertSink.buildMimeMessage(
+      s"Data Quality Alert [${severity.toUpperCase}] $runTs",
+      report.smtp.user.getOrElse("graft"),
+      report.smtp.to.orElse(report.smtp.user).getOrElse("alerts"),
+      html, Some(("bias_viz", chart)))
+    AlertSink.sendAlert(report.smtp, msg, report.transport())
+  }
+
+  // The failure report must never MASK the gate signal: any reporting
+  // error (FS down, SMTP rejected) is attached as a suppressed exception
+  // on the gate exception about to be thrown, not propagated in its place.
+  private def tryReport(papers: DataFrame, failures: Seq[GateFailure],
+                        runTs: String, report: Option[ReportConfig],
+                        gateEx: Exception): Unit =
+    report.foreach { r =>
+      try reportFailure(papers, failures, runTs, r)
+      catch { case scala.util.control.NonFatal(t) => gateEx.addSuppressed(t) }
+    }
 
   /** F9: reference lints search terms ≤3 chars (`main.py:474-477`) but
     * proceeds anyway — returns (ok, suspicious) so callers can log the
@@ -71,15 +142,25 @@ object PaperPipeline {
                hasIntroCol: String = "has_intro",
                citationCol: String = "citation_count",
                yearCol: String = "year",
-               domainCol: String = "domain"): DataFrame = {
+               domainCol: String = "domain",
+               report: Option[ReportConfig] = None,
+               runTs: String = "run"): DataFrame = {
     val anomalies = Profiling.anomalyGates(papers, idCol, hasIntroCol,
       citationCol, yearCol, domainCol)
     val critical = anomalies.filter(col("severity") === "critical").collect()
-    if (critical.nonEmpty)
-      throw new CriticalAnomalyException(
+    if (critical.nonEmpty) {
+      val ex = new CriticalAnomalyException(
         critical.map(r => s"${r.getAs[String]("anomaly_type")} " +
           s"(${r.getAs[String]("column_name")}: ${r.getAs[Double]("pct")}%)")
           .mkString("; "))
+      tryReport(papers, critical.toIndexedSeq.map(r => GateFailure(
+        r.getAs[String]("anomaly_type"), r.getAs[String]("column_name"),
+        "critical",
+        s"${r.getAs[Double]("pct")}% of rows " +
+          s"(${r.getAs[Long]("detail_n")} affected)",
+        r.getAs[Double]("pct"))), runTs, report, ex)
+      throw ex
+    }
     anomalies
   }
 
@@ -96,20 +177,29 @@ object PaperPipeline {
     */
   def validateAndTrack(papers: DataFrame, historyPath: String, runTs: String,
                        dropThreshold: Double = 5.0,
-                       failOnDrop: Boolean = true): (DataFrame, DataFrame) = {
-    val anomalies = validate(papers)
+                       failOnDrop: Boolean = true,
+                       report: Option[ReportConfig] = None): (DataFrame, DataFrame) = {
+    val anomalies = validate(papers, report = report, runTs = runTs)
     graft.quality.RunHistory.record(profile(papers), runTs, historyPath)
     val drops = graft.quality.RunHistory.qualityDrop(papers.sparkSession, historyPath,
         threshold = dropThreshold)
       .filter(col("run_ts") === runTs && col("quality_dropped"))
     if (failOnDrop) {
       val flagged = drops.collect()
-      if (flagged.nonEmpty)
-        throw new QualityDropException(
+      if (flagged.nonEmpty) {
+        val ex = new QualityDropException(
           flagged.map(r => s"${r.getAs[String]("metric")} dropped " +
             s"${r.getAs[Double]("drop")} points " +
             s"(${r.getAs[Double]("previous")} -> ${r.getAs[Double]("current")})")
             .mkString("; "))
+        tryReport(papers, flagged.toIndexedSeq.map(r => GateFailure(
+          "quality_drop", r.getAs[String]("metric"), "critical",
+          s"${r.getAs[String]("metric")} dropped ${r.getAs[Double]("drop")} " +
+            s"points (${r.getAs[Double]("previous")} -> " +
+            s"${r.getAs[Double]("current")})",
+          r.getAs[Double]("drop"))), runTs, report, ex)
+        throw ex
+      }
     }
     (anomalies, drops)
   }

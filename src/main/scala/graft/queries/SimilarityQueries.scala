@@ -77,26 +77,19 @@ object SimilarityQueries {
              |    ON a.vec_id < b.vec_id)
              |WHERE sim >= 0.4 ORDER BY id_a, id_b""".stripMargin)),
 
-    // MinHash + LSH banding near-dups, exact-Jaccard verified. Banding is
-    // 16 bands × 2 rows (miss probability (1-J²)^16 ≈ 1% at J=0.5 and
-    // ≈ 0.003% at J=0.7, where the corpus' true pairs live), and every
-    // candidate is verified with exact Jaccard — so the output equals the
-    // exact q24 pair set and shares its SQL oracle. Recall-vs-exact is
-    // additionally pinned in SimilaritySpec; the scale path (banded
-    // candidates, verify-on-candidates-only) is unchanged.
-    //
-    // REGENERATION RISK (accepted): the oracle demands LSH = exact
-    // equality, which is EMPIRICAL, not structural — it holds because this
-    // corpus' true pairs sit at J ≈ 1.0 (identical signatures collide in
-    // every band). If the testdata were regenerated with a borderline pair
-    // near J = 0.5, correct code could miss it with ~1% probability per
-    // pair and fail the row. On the current generator the banding is
-    // exhaustive; SimilaritySpec pins the recall property independently of
-    // the corpus, so a regeneration failure here would be a banding-odds
-    // event, not a code defect.
+    // MinHash + LSH banding near-dups, exact-Jaccard verified, run with the
+    // exact-recall guard: banding alone is 16 bands × 2 rows (miss
+    // probability (1-J²)^16 ≈ 1% at J=0.5), so LSH-equals-exact would be an
+    // EMPIRICAL property of the corpus — a regenerated testdata set with a
+    // borderline J≈0.5 pair could fail the row on correct code. The guard
+    // unions the PPJoin prefix-filter candidates (recall 1 by theorem)
+    // before exact verification, making equality with the q24 pair set
+    // STRUCTURAL under any reseeded corpus. SimilaritySpec pins this with a
+    // planted J=0.50 pair and randomized corpora; pure-LSH recall is
+    // spec'd separately and ScaleProbe exercises the unguarded path.
     QDef("q23_minhash_lsh",
       (s, d) => DedupOps.minhashLshPairs(docs(s, d), "doc_id", "text",
-          n = 3, threshold = 0.5, k = 32, bands = 16)
+          n = 3, threshold = 0.5, k = 32, bands = 16, exactRecallGuard = true)
         .orderBy(col("id_a"), col("id_b")),
       Some("""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
              |            FROM documents),

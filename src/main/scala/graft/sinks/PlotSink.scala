@@ -130,10 +130,19 @@ object PlotSink {
     writeBytes(df, pieChartPng(rows, title), path)
   }
 
-  private def writeBytes(df: DataFrame, bytes: Array[Byte], path: String): Unit = {
+  /** Write pre-rendered PNG bytes to any Hadoop FS URI (file:, gs:, s3a:)
+    * — for callers that rendered with [[barChartPng]]/[[pieChartPng]]
+    * directly, e.g. the pipeline failure-report path that also inlines the
+    * same bytes into the alert mail.
+    */
+  def writePng(spark: org.apache.spark.sql.SparkSession, bytes: Array[Byte],
+               path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
     try out.write(bytes) finally out.close()
   }
+
+  private def writeBytes(df: DataFrame, bytes: Array[Byte], path: String): Unit =
+    writePng(df.sparkSession, bytes, path)
 }

@@ -2,9 +2,9 @@ package graft
 
 import graft.embed.Embedder
 import graft.operators.Similarity
-import graft.pipeline.{PaperPipeline, QualityDropException}
+import graft.pipeline.{CriticalAnomalyException, PaperPipeline, QualityDropException}
 import graft.quality.RunHistory
-import graft.sinks.Sinks
+import graft.sinks.{AlertSink, Sinks}
 import graft.sources.HttpSource._
 import org.apache.spark.sql.functions._
 
@@ -180,5 +180,88 @@ class EndToEndSpec extends SparkSpec {
     val flagged = d2.collect()
     assert(flagged.nonEmpty)
     assert(flagged.forall(_.getAs[String]("run_ts") == "r2"))
+  }
+
+  /** Scripted SMTP transport (the AlertPlotSinkSpec fake, inlined). */
+  private class FakeSmtp extends AlertSink.SmtpTransport {
+    val commands = scala.collection.mutable.ArrayBuffer.empty[String]
+    var connected = false
+    private val replies = Iterator("220 ready", "250 hello",
+      "334 VXNlcm5hbWU6", "334 UGFzc3dvcmQ6", "235 accepted", "250 ok",
+      "250 ok", "354 go ahead", "250 queued", "221 bye")
+    def connect(host: String, port: Int): Unit = connected = true
+    def exchange(command: Option[String]): String = {
+      command.foreach(commands += _); replies.next()
+    }
+    def close(): Unit = ()
+  }
+
+  test("critical anomaly renders the dashboard PNG and sends the alert mail") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-report").toString
+    val hist = java.nio.file.Files.createTempDirectory("graft-report-h").toString
+    // 90% missing intros → extraction_failure_spike at CRITICAL severity
+    val papers = (1 to 50).map { i =>
+      (s"p$i", i <= 5, i.toLong % 7, 2000L + i % 20, s"d${i % 3}", s"t$i")
+    }.toDF("paper_id", "has_intro", "citation_count", "year", "domain", "title")
+    val fake = new FakeSmtp
+    val report = PaperPipeline.ReportConfig(
+      dashboardDir = Some(s"file:$dir"),
+      smtp = AlertSink.SmtpConfig(user = Some("u@x"), password = Some("pw"),
+        to = Some("alerts@y")),
+      transport = () => fake)
+    val ex = intercept[CriticalAnomalyException] {
+      PaperPipeline.validateAndTrack(papers, hist, "r1", report = Some(report))
+    }
+    assert(ex.getMessage.contains("extraction_failure_spike"))
+    assert(ex.getSuppressed.isEmpty, ex.getSuppressed.mkString("; "))
+    // K8: the dashboard PNG landed and decodes
+    val img = javax.imageio.ImageIO.read(
+      new java.io.File(s"$dir/anomaly_dashboard_r1.png"))
+    assert(img != null && img.getWidth == 800)
+    // K9: the full SMTP dialogue ran; DATA carries subject + inline PNG cid
+    assert(fake.commands.contains("DATA"))
+    val data = fake.commands.find(_.contains("Content-ID")).get
+    assert(data.contains("Subject: Data Quality Alert [CRITICAL] r1"))
+    assert(data.contains("Content-ID: <bias_viz>"))
+    assert(data.contains("multipart/related"))
+  }
+
+  test("quality drop sends the alert before failing; unconfigured SMTP skips") {
+    import spark.implicits._
+    val hist = java.nio.file.Files.createTempDirectory("graft-report-q").toString
+    def papers(missing: Boolean) = (1 to 40).map { i =>
+      (s"p$i", i % 2 == 0, i.toLong, 2000L + i % 20,
+        s"d${i % 3}", if (missing && i % 2 == 1) null else s"t$i")
+    }.toDF("paper_id", "has_intro", "citation_count", "year", "domain", "title")
+    val fake = new FakeSmtp
+    val report = PaperPipeline.ReportConfig(
+      smtp = AlertSink.SmtpConfig(user = Some("u@x"), password = Some("pw"),
+        to = Some("alerts@y")),
+      transport = () => fake)
+    PaperPipeline.validateAndTrack(papers(false), hist, "r1",
+      report = Some(report))
+    assert(fake.commands.isEmpty) // clean run -> no report
+    intercept[QualityDropException] {
+      PaperPipeline.validateAndTrack(papers(true), hist, "r2",
+        report = Some(report))
+    }
+    val data = fake.commands.find(_.contains("Content-ID")).get
+    assert(data.contains("Subject: Data Quality Alert [CRITICAL] r2"))
+    // quality_drop pseudo-anomaly block names the dropped metric
+    assert(fake.commands.contains("RCPT TO:<alerts@y>"))
+    // unconfigured credentials: gate still fires, nothing is sent
+    val silent = new FakeSmtp
+    val unconfigured = PaperPipeline.ReportConfig(
+      smtp = AlertSink.SmtpConfig(user = None, password = None, to = None),
+      transport = () => silent)
+    val hist2 = java.nio.file.Files.createTempDirectory("graft-report-q2").toString
+    PaperPipeline.validateAndTrack(papers(false), hist2, "r1",
+      report = Some(unconfigured))
+    intercept[QualityDropException] {
+      PaperPipeline.validateAndTrack(papers(true), hist2, "r2",
+        report = Some(unconfigured))
+    }
+    assert(!silent.connected && silent.commands.isEmpty)
   }
 }

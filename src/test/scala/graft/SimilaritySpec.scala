@@ -105,6 +105,49 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh == exact, s"recall miss: ${(exact -- lsh).size} of ${exact.size}")
   }
 
+  test("exact-recall guard recovers planted J=0.50 borderline pairs exactly") {
+    import spark.implicits._
+    // 40 pairs engineered at exactly J = 0.5 (6 shared of 9+9 distinct
+    // 3-gram shingles) — where 16×2 banding misses ~1% per pair, so across
+    // 40 pairs an unguarded miss is a ~33% event per reseed — plus 10 pairs
+    // just BELOW threshold (5 shared → J≈0.385) that must stay excluded.
+    val planted = (0 until 40).flatMap { g =>
+      val shared = (0 until 8).map(i => s"s${g}w$i").mkString(" ")
+      Seq((g * 2L, shared + s" a${g}x0 a${g}x1 a${g}x2"),
+        (g * 2L + 1, shared + s" b${g}y0 b${g}y1 b${g}y2"))
+    } ++ (0 until 10).flatMap { g =>
+      val shared = (0 until 7).map(i => s"t${g}w$i").mkString(" ")
+      Seq((100L + g * 2L, shared + s" c${g}x0 c${g}x1 c${g}x2 c${g}x3"),
+        (100L + g * 2L + 1, shared + s" d${g}y0 d${g}y1 d${g}y2 d${g}y3"))
+    }
+    val corpus = planted.toDF("doc_id", "text")
+    val exact = DedupOps.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.size == 40 && exact.forall(_._3 == 0.5), s"${exact.size}")
+    val guarded = DedupOps.minhashLshPairs(corpus, "doc_id", "text", 3, 0.5,
+      k = 32, bands = 16, exactRecallGuard = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(guarded == exact,
+      s"missed ${(exact -- guarded).size}, extra ${(guarded -- exact).size}")
+  }
+
+  test("guarded LSH equals exact jaccard on seeded random corpora") {
+    import spark.implicits._
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      val docsR = (0 until 120).map { id =>
+        (id.toLong, Seq.fill(8 + rnd.nextInt(20))(s"w${rnd.nextInt(30)}")
+          .mkString(" "))
+      }.toDF("doc_id", "text")
+      val exact = DedupOps.ngramJaccardPairs(docsR, "doc_id", "text", 3, 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val guarded = DedupOps.minhashLshPairs(docsR, "doc_id", "text", 3, 0.5,
+        k = 32, bands = 16, exactRecallGuard = true).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(guarded == exact, s"seed=$seed")
+    }
+  }
+
   test("prefix-filtered jaccard join is row-identical to the full index") {
     for (tau <- Seq(0.3, 0.5, 0.8)) {
       val full = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", 3, tau)
