@@ -156,6 +156,54 @@ object ScaleProbe {
       println(f"[scale] c=$c%2d budgetfill=$bfT%.2fs ($bfRows sources)" +
         f" kmeans=$kmT%.2fs ($kmRows clusters) funnel=$ffT%.2fs ($ffRows rules)" +
         f" winnow=$wnT%.2fs ($wnRows pairs)")
+
+      // round-5: the iterative graph family (q69/q85/q116/q121 shapes).
+      // Edge replicas are node-OFFSET (disjoint copies): structure — and
+      // therefore iteration/peel depth — stays that of the base graph while
+      // edge count grows c×, so the expected curve is rounds × linear
+      // per-round cost; a superlinear bend would flag a join whose cost is
+      // not posting/degree-bounded.
+      val tradeBase = Tables(spark, sfDir, "orders")
+        .join(Tables(spark, sfDir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 10000000L).as("dst"))
+        .distinct().localCheckpoint()
+      val partBase = Tables(spark, sfDir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+        .groupBy(col("l_orderkey")).agg(collect_set(col("l_partkey")).as("ps"))
+        .select(explode(expr(
+          "filter(flatten(transform(ps, x -> transform(ps, y -> struct(x, y))))," +
+            " p -> p.x < p.y)")).as("p"))
+        .select(col("p.x").as("x"), col("p.y").as("y")).distinct()
+        .localCheckpoint()
+      def offsetCopies(e: org.apache.spark.sql.DataFrame,
+                       a: String, b: String) = (0 until c).map { i =>
+        e.select((col(a) + lit(i.toLong * 1000000000L)).as(a),
+          (col(b) + lit(i.toLong * 1000000000L)).as(b))
+      }.reduce(_ unionAll _).localCheckpoint()
+      val trade = offsetCopies(tradeBase, "src", "dst")
+      val parts = offsetCopies(partBase, "x", "y")
+      val (ccT, ccRows) = time(
+        graft.operators.GraphOps.connectedComponents(trade, "src", "dst").count())
+      spark.catalog.clearCache()
+      val (prT, prRows) = time(
+        graft.operators.GraphOps.pageRank(trade, "src", "dst", iters = 5).count())
+      spark.catalog.clearCache()
+      val triN = {
+        val t0 = System.nanoTime()
+        val r = graft.operators.GraphOps.triangleCount(parts, "x", "y")
+          .head().getLong(1)
+        ((System.nanoTime() - t0) / 1e9, r)
+      }
+      spark.catalog.clearCache()
+      val (kcT, kcRows) = time(
+        graft.operators.GraphOps.kCore(parts, "x", "y", k = 80).count())
+      spark.catalog.clearCache()
+      println(f"[scale] c=$c%2d edges=${trade.count()}%8d/${parts.count()}%8d" +
+        f" cc=$ccT%.2fs ($ccRows nodes) pagerank=$prT%.2fs ($prRows nodes)" +
+        f" triangles=${triN._1}%.2fs (${triN._2} tris)" +
+        f" kcore=$kcT%.2fs ($kcRows vertices)")
     }
     spark.stop()
   }

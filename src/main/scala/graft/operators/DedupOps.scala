@@ -561,21 +561,22 @@ object DedupOps {
     */
   def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String,
                             k: Int, w: Int): DataFrame = {
-    val gen = udf { text: String =>
-      if (text == null) Array.empty[String]
-      else {
-        val m = tokenRe.matcher(text.toLowerCase(java.util.Locale.ROOT))
-        val toks = scala.collection.mutable.ArrayBuffer.empty[String]
-        while (m.find()) toks += m.group()
-        if (toks.length < k) Array.empty[String]
-        else toks.sliding(k).map(_.mkString(" ")).toArray // ordered, NOT distinct
-      }
-    }
+    // Codegen-only gram pass (no Scala UDF — at corpus scale the UDF
+    // serialization boundary would dominate this narrow map): tokens are
+    // materialized ONCE into an array column, then the positional (ordered,
+    // NOT distinct) k-grams come from a transform-over-sequence lambda that
+    // only slices the materialized array — the Generate input is a separate
+    // projection, so the tokenizer regexp is never re-evaluated per gram
+    // (the trap the [[shingles]] scaladoc documents applies to lambdas that
+    // EMBED the tokenizer, not to slicing a materialized array).
     val wSpec = Window.partitionBy(col(idCol)).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, w - 1)
-    df.select(col(idCol), gen(col(textCol)).as("__grams"))
-      .select(col(idCol), size(col("__grams")).as("np"),
-        posexplode(col("__grams")).as(Seq("pos", "g")))
+    df.select(col(idCol), tokens(col(textCol)).as("__ts"))
+      .filter(size(col("__ts")) >= k)
+      .select(col(idCol), (size(col("__ts")) - (k - 1)).as("np"),
+        posexplode(expr(s"transform(sequence(0, size(__ts) - $k), " +
+          s"j -> array_join(slice(__ts, j + 1, $k), ' '))"))
+          .as(Seq("pos", "g")))
       .select(col(idCol), col("np"), col("pos"), md5(col("g")).as("h"))
       .withColumn("fingerprint", min(col("h")).over(wSpec))
       .filter(col("pos") <= col("np") - w) // 0-based window starts only

@@ -170,23 +170,28 @@ object Profiling {
     *
     * ONE corpus scan: every cumulative predicate is a conditional count in
     * a single aggregate (map-side partial), then the rule-count-sized
-    * 1-row result is reshaped with stack(). Rules must be deterministic
-    * Columns over the input row.
+    * 1-row result is reshaped by exploding an array of typed structs —
+    * rule names are `lit` values, never interpolated into SQL text, so any
+    * name (quotes included) is safe. Rules must be deterministic Columns
+    * over the input row.
     */
   def filterFunnel(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "filterFunnel needs at least one rule")
     val cum = rules.scanLeft(lit(true)) { case (acc, (_, c)) => acc && c }.tail
     val aggs: Seq[Column] = count(lit(1)).cast("long").as("n0") +:
       cum.zipWithIndex.map { case (p, i) =>
         sum(when(p, 1L).otherwise(0L)).cast("long").as(s"n${i + 1}")
       }
     val a = df.agg(aggs.head, aggs.tail: _*)
-    val stacked = rules.zipWithIndex.map { case ((name, _), i) =>
-      s"CAST(${i + 1} AS BIGINT), '$name', n$i, n${i + 1}"
-    }.mkString(", ")
-    a.select(expr(
-        s"stack(${rules.size}, $stacked) AS (step, rule, n_in, n_out)"))
-      .select(col("step"), col("rule"), col("n_in"),
-        (col("n_in") - col("n_out")).as("n_drop"), col("n_out"))
+    val steps = rules.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit((i + 1).toLong).as("step"), lit(name).as("rule"),
+        col(s"n$i").as("n_in"), col(s"n${i + 1}").as("n_out"))
+    }
+    a.select(explode(array(steps: _*)).as("s"))
+      .select(col("s.step").as("step"), col("s.rule").as("rule"),
+        col("s.n_in").as("n_in"),
+        (col("s.n_in") - col("s.n_out")).as("n_drop"),
+        col("s.n_out").as("n_out"))
       .orderBy(col("step"))
   }
 }

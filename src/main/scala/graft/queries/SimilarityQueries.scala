@@ -571,6 +571,10 @@ object SimilarityQueries {
     // shuffle; corpus never collected. The engines compute d² by
     // different-but-equivalent formulas (dot expansion vs per-dim sum);
     // round(·,6) absorbs the ~1e-12 FP gap and argmin gaps are O(1).
+    // Empty clusters: KMeansOps keeps the previous centroid (standard
+    // Lloyd fix), so the oracle's c1 COALESCEs the per-dim average with
+    // the init centroid — without it a cluster that attracts no points in
+    // round 1 would silently vanish from the final argmin.
     QDef("q163_kmeans",
       (s, d) => KMeansOps.clusterSummary(embs(s, d), "vec_id", "embedding",
         k = 4, updates = 1),
@@ -585,8 +589,12 @@ object SimilarityQueries {
              |        + list_dot_product(c0.e, c0.e), c0.c) AS rn
              |    FROM v, c0) WHERE rn = 1),
              |dims AS (SELECT unnest(range(1, 65)) AS i),
-             |c1 AS (SELECT a1.c, dims.i, avg(a1.e[dims.i]) AS x
+             |av AS (SELECT a1.c, dims.i, avg(a1.e[dims.i]) AS x
              |       FROM a1, dims GROUP BY 1, 2),
+             |c1 AS (SELECT c0.c AS c, dims.i,
+             |         COALESCE(av.x, c0.e[dims.i]) AS x
+             |       FROM c0 CROSS JOIN dims
+             |       LEFT JOIN av ON av.c = c0.c AND av.i = dims.i),
              |d2 AS (SELECT v.vec_id, c1.c,
              |         sum((v.e[c1.i] - c1.x) * (v.e[c1.i] - c1.x)) AS d
              |       FROM v, c1 GROUP BY 1, 2),

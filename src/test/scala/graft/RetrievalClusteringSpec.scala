@@ -158,4 +158,18 @@ class RetrievalClusteringSpec extends SparkSpec {
     assert(out(1).getAs[Long]("n_drop") == 1L)
     assert(out(1).getAs[Long]("n_out") == 2L)
   }
+
+  test("filterFunnel: quoted rule names are safe; empty rule list rejected") {
+    val df = Seq((1, 10), (2, 3)).toDF("id", "n")
+    // a name with a single quote must pass through verbatim (names are lit
+    // values, not SQL text)
+    val out = Profiling.filterFunnel(df,
+      Seq("n >= 5 ('min' rule)" -> (col("n") >= 5))).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("rule") == "n >= 5 ('min' rule)")
+    assert(out.head.getAs[Long]("n_out") == 1L)
+    intercept[IllegalArgumentException] {
+      Profiling.filterFunnel(df, Seq.empty)
+    }
+  }
 }

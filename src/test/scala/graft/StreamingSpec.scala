@@ -453,4 +453,80 @@ class StreamingSpec extends SparkSpec {
     // index holds fingerprints for the two fingerprinted survivors only
     assert(spark.read.parquet(s"$idx/fps").select("doc_id").distinct().count() == 2)
   }
+
+  test("winnow dedup: crash-retry replay overwrites in place, final table identical") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-winretry").toString
+    val (idx, out, ckpt) = (s"$base/index", s"$base/out", s"$base/ckpt")
+
+    val textA = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega " +
+      "one two three four five six seven eight nine ten eleven twelve"
+    val textB = "entirely unrelated content spark catalyst tungsten codegen " +
+      "shuffle partition broadcast join parquet scan pushdown pruning " +
+      "adaptive execution skew salting watermark state store checkpoint"
+    // simulate a crash AFTER batch-0's data + index writes but BEFORE its
+    // checkpoint commit: both sinks already hold batch=0, and a fresh
+    // checkpoint makes the source replay the same rows as batchId 0. Docs
+    // 1/2 share ≥ minShared fingerprints with their own prior index write —
+    // the batch-exclusion filter must keep the replay from emptying itself.
+    val b0 = Seq((1L, textA), (2L, textB)).toDF("doc_id", "text")
+    b0.write.parquet(s"$out/batch=0")
+    graft.operators.DedupOps.winnowingFingerprints(b0, "doc_id", "text", 3, 4)
+      .write.parquet(s"$idx/fps/batch=0")
+
+    val src = MemoryStream[(Long, String)]
+    val q = StreamingOps.incrementalWinnowDedup(
+      src.toDF().toDF("doc_id", "text"), "doc_id", "text", idx, out, ckpt)
+    src.addData((1L, textA), (2L, textB))
+    q.processAllAvailable()
+    // the stream continues past the replay: a plagiarized doc must still
+    // drop against the (replayed, not duplicated) batch-0 index
+    src.addData((4L, "fresh head " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega " +
+      "one two three four five six seven eight nine ten" + " new tail"))
+    q.processAllAvailable()
+    q.stop()
+
+    val kept = spark.read.parquet(out).select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 2L), kept.mkString(","))
+    // index was overwritten in place: one fingerprint set per survivor,
+    // no doubled rows from the replay
+    val fpPerDoc = spark.read.parquet(s"$idx/fps")
+      .groupBy("doc_id", "fingerprint").count()
+      .filter(col("count") > 1).count()
+    assert(fpPerDoc == 0L, "replay duplicated index fingerprints")
+  }
+
+  test("decontaminate stream: crash-retry replay leaves no stale partial rows") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-deconretry").toString
+    val (out, ckpt) = (s"$base/out", s"$base/ckpt")
+
+    val benchText = "the quick brown fox jumps over the lazy dog again and again"
+    val bench = graft.operators.DedupOps.shingles(
+      Seq((0L, benchText)).toDF("doc_id", "text"), "doc_id", "text", 3)
+    // simulate the crashed attempt: batch=0 was PARTIALLY written — it holds
+    // a contaminated doc (id 9) the finished batch would have filtered out.
+    // The replay must fully overwrite the partition, not merge with it.
+    Seq((9L, benchText + " contaminated copy"))
+      .toDF("doc_id", "text").write.parquet(s"$out/batch=0")
+
+    val src = MemoryStream[(Long, String)]
+    val q = StreamingOps.streamDecontaminate(
+      src.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      bench, n = 3, maxSharedGrams = 2L, out, ckpt)
+    src.addData(
+      (9L, benchText + " contaminated copy"), // shares 10 grams -> dropped
+      (10L, "clean novel document about columnar storage and encodings"))
+    q.processAllAvailable()
+    q.stop()
+
+    val kept = spark.read.parquet(out).select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(10L), kept.mkString(","))
+  }
 }
