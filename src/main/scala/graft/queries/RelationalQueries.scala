@@ -1063,6 +1063,168 @@ object RelationalQueries {
              |    AS rows_below_k10,
              |  round(sum(CASE WHEN k < 10 THEN k ELSE 0 END)
              |    / CAST(sum(k) AS DOUBLE), 6) AS frac_below_k10
-             |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- Round 5: the remaining TPC-H query shapes, adapted to the
+    // driver schema (no partsupp table, no commit/receipt dates): the
+    // lineitem (l_partkey, l_suppkey) pairs stand in for partsupp, with
+    // min unit price as the supply-cost proxy. What each adaptation
+    // preserves is the PLAN SHAPE the original exercises.
+
+    // TPC-H Q2 shape: min-cost supplier per part within a region —
+    // correlated-min subquery decorrelated to a per-part window. One
+    // shuffle by part; region/nation dims broadcast; the window min
+    // replaces TPC-H's correlated scalar subquery (Catalyst would
+    // otherwise rewrite it to the same aggregate+join).
+    QDef("q169_tpch_q2",
+      (s, d) => {
+        val sc = t(s, d, "lineitem")
+          .groupBy(col("l_partkey").as("partkey"), col("l_suppkey").as("suppkey"))
+          .agg(min(col("l_extendedprice") / col("l_quantity")).as("cost"))
+        val asia = t(s, d, "supplier")
+          .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, d, "region").filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+        val w = Window.partitionBy(col("partkey"))
+        sc.join(asia, col("suppkey") === col("s_suppkey"))
+          .withColumn("mincost", min(col("cost")).over(w))
+          .filter(col("cost") === col("mincost"))
+          .join(t(s, d, "part").filter(col("p_size") <= 10),
+            col("partkey") === col("p_partkey"))
+          .select(col("s_suppkey"), col("s_name"), col("n_name"),
+            col("p_partkey"), col("p_name"), col("s_acctbal"),
+            round(col("cost"), 6).as("cost"))
+          .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+            col("p_partkey"), col("s_suppkey"))
+          .limit(100)
+      },
+      Some("""WITH sc AS (SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             |              min(l_extendedprice / l_quantity) AS cost
+             |            FROM lineitem GROUP BY 1, 2),
+             |asia AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+             |         FROM supplier JOIN nation ON s_nationkey = n_nationkey
+             |         JOIN region ON n_regionkey = r_regionkey
+             |         WHERE r_name = 'ASIA'),
+             |ia AS (SELECT sc.partkey, sc.cost, asia.s_suppkey, asia.s_name,
+             |              asia.s_acctbal, asia.n_name
+             |       FROM sc JOIN asia ON sc.suppkey = asia.s_suppkey),
+             |m AS (SELECT partkey, min(cost) AS mincost FROM ia GROUP BY 1)
+             |SELECT ia.s_suppkey, ia.s_name, ia.n_name, p.p_partkey, p.p_name,
+             |       ia.s_acctbal, round(ia.cost, 6) AS cost
+             |FROM ia JOIN m ON ia.partkey = m.partkey AND ia.cost = m.mincost
+             |JOIN part p ON p.p_partkey = ia.partkey
+             |WHERE p.p_size <= 10
+             |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey
+             |LIMIT 100""".stripMargin)),
+
+    // TPC-H Q9 shape: profit by (nation, ship year) over a name-filtered
+    // part slice — the 4-way join + two-key rollup; supply cost proxied by
+    // 10% of retail price. Part/supplier joins shuffle on their keys,
+    // nation broadcasts, the rollup key space is nations × years (tiny).
+    QDef("q170_tpch_q9",
+      (s, d) => t(s, d, "lineitem")
+        .join(t(s, d, "part").filter(col("p_name").contains("red")),
+          col("l_partkey") === col("p_partkey"))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"), year(col("l_shipdate")).as("o_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          - col("p_retailprice") * col("l_quantity") * lit(0.1)), 2).as("profit"))
+        .orderBy(col("nation"), col("o_year").desc),
+      Some("""SELECT n_name AS nation, CAST(year(l_shipdate) AS INTEGER) AS o_year,
+             |  round(sum(l_extendedprice * (1 - l_discount)
+             |    - p_retailprice * l_quantity * 0.1), 2) AS profit
+             |FROM lineitem
+             |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin)),
+
+    // TPC-H Q11 shape: per-part inventory value within one nation, kept
+    // only when above a fraction of the nation's total — the
+    // global-scalar-subquery group filter. The total is a 1-row broadcast;
+    // the 0.001 cutoff sits far from FP summation noise for non-adversarial
+    // price data (both engines round group values to 2dp).
+    QDef("q171_tpch_q11",
+      (s, d) => {
+        val v = t(s, d, "lineitem")
+          .join(t(s, d, "supplier").filter(col("s_nationkey") === 3),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("l_partkey").as("partkey"))
+          .agg(sum(col("l_extendedprice") * col("l_quantity")).as("value"))
+        v.crossJoin(broadcast(v.agg(sum(col("value")).as("tot"))))
+          .filter(col("value") > col("tot") * 0.001)
+          .select(col("partkey"), round(col("value"), 2).as("value"))
+          .orderBy(col("value").desc, col("partkey"))
+      },
+      Some("""WITH v AS (SELECT l_partkey AS partkey,
+             |             sum(l_extendedprice * l_quantity) AS value
+             |           FROM lineitem
+             |           JOIN supplier ON l_suppkey = s_suppkey
+             |           WHERE s_nationkey = 3
+             |           GROUP BY 1)
+             |SELECT partkey, round(value, 2) AS value FROM v
+             |WHERE value > (SELECT sum(value) * 0.001 FROM v)
+             |ORDER BY value DESC, partkey""".stripMargin)),
+
+    // TPC-H Q16 shape: distinct-supplier counts per part attribute,
+    // excluding flagged suppliers — NOT IN over a non-null key is the
+    // broadcast anti-join (negative account balance stands in for the
+    // complaint-comment filter).
+    QDef("q172_tpch_q16",
+      (s, d) => t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "supplier").filter(col("s_acctbal") < 0)
+            .select(col("s_suppkey"))),
+          col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(t(s, d, "part").filter(col("p_brand") =!= "Brand#1"
+            && col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34)),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).cast("long").as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size")),
+      Some("""SELECT p_brand, p_type, p_size,
+             |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+             |FROM lineitem
+             |JOIN part ON l_partkey = p_partkey
+             |WHERE p_brand <> 'Brand#1'
+             |  AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+             |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+             |                        WHERE s_acctbal < 0)
+             |GROUP BY 1, 2, 3
+             |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)),
+
+    // TPC-H Q20 shape: suppliers holding a dominant share (>15% — shares
+    // dilute as SF grows more suppliers per part; 15% yields rows at every
+    // verified SF) of some part's shipped quantity — nested aggregate +
+    // semi-join chain. The share test runs as q*100 > tq*15: quantities
+    // are integer-valued, so the scaled comparison is EXACT in both
+    // engines (0.15*tq would put ties on an FP boundary).
+    QDef("q173_tpch_q20",
+      (s, d) => {
+        val pq = t(s, d, "lineitem")
+          .groupBy(col("l_partkey").as("partkey"), col("l_suppkey").as("suppkey"))
+          .agg(sum(col("l_quantity")).as("q"))
+        val dominant = pq
+          .withColumn("tq", sum(col("q")).over(Window.partitionBy(col("partkey"))))
+          .filter(col("q") * 100 > col("tq") * 15)
+          .select(col("suppkey")).distinct()
+        t(s, d, "supplier")
+          .join(dominant, col("s_suppkey") === col("suppkey"), "left_semi")
+          .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_name"), col("n_name"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""WITH pq AS (SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             |              sum(l_quantity) AS q
+             |            FROM lineitem GROUP BY 1, 2),
+             |tot AS (SELECT partkey, sum(q) AS tq FROM pq GROUP BY 1),
+             |dom AS (SELECT DISTINCT suppkey FROM pq
+             |        JOIN tot USING (partkey) WHERE q * 100 > tq * 15)
+             |SELECT s_suppkey, s_name, n_name
+             |FROM supplier JOIN dom ON s_suppkey = dom.suppkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |ORDER BY s_suppkey""".stripMargin))
   )
 }

@@ -42,7 +42,9 @@ class PlanShapeSpec extends SparkSpec {
       // 3-row broadcast dense-query side × candidate embeddings (rankJoin)
       "q162_rrf_fusion",
       // 5-row broadcast threshold spine × materialized pair table (≥ join)
-      "q167_dedup_sensitivity")
+      "q167_dedup_sensitivity",
+      // one-row national-total scalar broadcast onto the per-part values
+      "q171_tpch_q11")
     val cartesianAllowed = Set("q22_embed_neardup")
     val offenders = QueryRegistry.all.flatMap { q =>
       try {
@@ -125,6 +127,21 @@ class PlanShapeSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_orders")
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
+  }
+
+  test("round-5 TPC-H shapes: keyed windows and broadcast anti-join") {
+    // q169: the decorrelated min-cost subquery must run as a window keyed
+    // by part (one shuffle), and the LIMIT as TakeOrderedAndProject
+    val p2 = plan("q169_tpch_q2")
+    assert(p2.contains("hashpartitioning(partkey"), p2)
+    assert(p2.contains("TakeOrderedAndProject"), p2)
+    // q172: NOT IN over the non-null supplier key = broadcast anti-join
+    val p6 = plan("q172_tpch_q16")
+    assert(p6.contains("BroadcastHashJoin") && p6.contains("LeftAnti"), p6)
+    // q173: dominance share via part-keyed window — never a global sort
+    val p0 = plan("q173_tpch_q20")
+    assert(p0.contains("hashpartitioning(partkey"), p0)
+    assert(!p0.contains("SinglePartition"), s"single-partition stage:\n$p0")
   }
 
   test("q68 as-of join plans as one keyed window, not a join") {
