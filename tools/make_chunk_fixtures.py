@@ -22,6 +22,8 @@ dependency.
 """
 import hashlib
 import importlib.util
+import sys
+
 import pyarrow as pa
 import pyarrow.parquet as pq
 import duckdb
@@ -37,6 +39,11 @@ chunker = mod.DocumentChunker()  # size=512, overlap=50, min=100
 SFS = [("/root/testdata/sf0.001", "sf0001"),
        ("/root/testdata/sf0.01", "sf001"),
        ("/root/testdata/sf0.1", "sf01")]
+# Override: `make_chunk_fixtures.py <dir> <tag>` generates for ONE corpus
+# (e.g. the tools/perturb_testdata.py output, tag graft_perturbed) —
+# graft.Fixtures derives the tag from the sfDir basename with dots removed.
+if len(sys.argv) >= 3:
+    SFS = [(sys.argv[1], sys.argv[2])]
 
 CLEAN_SQL = r"""
 SELECT doc_id, source,
