@@ -93,13 +93,13 @@ class BpeSpec extends SparkSpec {
     assert(model.merges.size == 20, model.merges.size.toString)
     val enc = Bpe.encode(docs, "text", model)
       .select(size(col("bpe_tokens")).cast("long").as("n"))
-      .agg(sum("n")).head.getLong(0)
+      .agg(sum("n")).head().getLong(0)
     // char-level baseline: letters+digits + one end-marker per word
     val chars = docs.select(
         length(regexp_replace(lower(col("text")), "[^a-z0-9]", "")).cast("long")
           .as("c"),
         size(split(trim(col("text")), " +")).cast("long").as("w"))
-      .agg(sum(col("c") + col("w"))).head.getLong(0)
+      .agg(sum(col("c") + col("w"))).head().getLong(0)
     // 20 merges on the ~30-word synthetic vocab: ~31% shorter than
     // char-level (full-word tokens need ~vocab-size merges)
     assert(enc < chars * 3 / 4, s"bpe=$enc chars=$chars")

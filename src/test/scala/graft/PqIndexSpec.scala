@@ -21,20 +21,20 @@ class PqIndexSpec extends SparkSpec {
   test("codes compress 64 floats to 8 byte-range ints and reconstruct " +
     "better than the global-mean baseline") {
     val enc = PqIndex.encode(emb, "embedding", model)
-    val codes = enc.select(col("code")).head.getSeq[Int](0)
+    val codes = enc.select(col("code")).head().getSeq[Int](0)
     assert(codes.length == 8 && codes.forall(c => c >= 0 && c < 16))
 
     val se = udf { (a: Seq[Float], b: Seq[Double]) =>
       a.iterator.zip(b.iterator).map { case (x, y) => (x - y) * (x - y) }.sum
     }
     val pqErr = PqIndex.decode(enc, "code", model)
-      .select(avg(se(col("embedding"), col("decoded")))).head.getDouble(0)
+      .select(avg(se(col("embedding"), col("decoded")))).head().getDouble(0)
     // baseline: the best 0-bit "code" is the global mean vector
     val meanVec = emb.select(posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy("pos").agg(avg(col("v").cast("double")).as("m"))
       .orderBy("pos").collect().map(_.getDouble(1))
     val baseErr = emb
-      .select(avg(se(col("embedding"), typedLit(meanVec.toSeq)))).head.getDouble(0)
+      .select(avg(se(col("embedding"), typedLit(meanVec.toSeq)))).head().getDouble(0)
     assert(pqErr < baseErr * 0.8, s"pq=$pqErr base=$baseErr")
   }
 

@@ -65,7 +65,7 @@ class RelationalQueriesSpec extends SparkSpec {
   test("q01 pricing summary: groups are distinct flag/status pairs") {
     val df = SparkEntry.queries("q01_pricing_summary")(spark, sf)
     val n = df.count()
-    assert(n == df.select("l_returnflag", "l_linestatus").distinct.count())
+    assert(n == df.select("l_returnflag", "l_linestatus").distinct().count())
     assert(n > 0)
   }
 

@@ -226,15 +226,15 @@ class SimilaritySpec extends SparkSpec {
     val corpus = embs
     val model = SqIndex.train(corpus, "embedding")
     val dim = model.dim
-    assert(dim == corpus.select(size(col("embedding"))).head.getInt(0))
+    assert(dim == corpus.select(size(col("embedding"))).head().getInt(0))
     // codes are 1 byte/dim vs 4 (float32) — the 4x claim, structurally
     val code = SqIndex.encode(corpus.limit(1), "embedding", model)
-      .select(col("qcode")).head.getAs[Array[Byte]](0)
+      .select(col("qcode")).head().getAs[Array[Byte]](0)
     assert(code.length == dim)
     // int8 quantization error is tiny relative to inter-vector distances:
     // a 50-of-N shortlist must recall the exact top-10 completely here
     val q = corpus.filter(col("vec_id") === 3L)
-      .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble).toArray
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
     val rest = corpus.filter(col("vec_id") =!= 3L)
     def ids(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.getLong(0)).toSet

@@ -144,8 +144,8 @@ class SinksSpec extends SparkSpec {
       .collect()
     assert(perFile.length == 8, perFile.length.toString)
     assert(spark.read.parquet(dir).count() == ev.count())
-    val gu = ev.agg(max("user_id") - min("user_id")).head.getLong(0).toDouble
-    val gv = ev.agg(max("value") - min("value")).head.getDouble(0)
+    val gu = ev.agg(max("user_id") - min("user_id")).head().getLong(0).toDouble
+    val gv = ev.agg(max("value") - min("value")).head().getDouble(0)
     val avgU = perFile.map(_.getAs[Long]("u_range").toDouble).sum / perFile.length
     val avgV = perFile.map(_.getAs[Double]("v_range")).sum / perFile.length
     // every file must cover a strict sub-rectangle on average — a plain
