@@ -13,11 +13,16 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * accumulate in a bounded in-memory ring (driver-side, tiny) and can be
   * drained any time. Failures record the error class instead of metrics.
   */
-final class GraftMetricsListener(maxEntries: Int = 1000)
-    extends QueryExecutionListener {
-
+object GraftMetricsListener {
+  // companion-scoped (not an inner class): an inner case class would make
+  // every pattern match carry an unverifiable outer-instance test
   final case class QueryMetrics(funcName: String, durationNs: Long,
                                 scanRows: Long, error: Option[String])
+}
+
+final class GraftMetricsListener(maxEntries: Int = 1000)
+    extends QueryExecutionListener {
+  import GraftMetricsListener.QueryMetrics
 
   private val buf =
     new java.util.concurrent.ConcurrentLinkedQueue[QueryMetrics]()

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QDef, Tables}
-import graft.operators.{DedupOps, Profiling, Relational}
+import graft.operators.{DedupOps, Layout, Profiling, Relational}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1225,6 +1225,30 @@ object RelationalQueries {
              |SELECT s_suppkey, s_name, n_name
              |FROM supplier JOIN dom ON s_suppkey = dom.suppkey
              |JOIN nation ON s_nationkey = n_nationkey
-             |ORDER BY s_suppkey""".stripMargin))
+             |ORDER BY s_suppkey""".stripMargin)),
+
+    // Z-order (Morton) layout stats over the (partkey, suppkey) plane:
+    // per-slice row count + min/max of BOTH keys — the footer-stats table
+    // a 100 TB layout decision reads (a z-sorted file covers a bounded
+    // rectangle stack, so selective predicates on EITHER key skip most
+    // files; LayoutSpec asserts the pruning win). Slicing is value-based
+    // (equal z-width), never a global-order ntile — no single-partition
+    // stage; the one scalar (max z) is a 1-row broadcast. The oracle
+    // recomputes the 16-bit interleave from the SAME generated SQL
+    // fragment the engine uses.
+    QDef("q174_zorder_stats",
+      (s, d) => Layout.zSliceStats(
+        t(s, d, "lineitem"), "l_partkey", "l_suppkey", nSlices = 64),
+      Some(s"""WITH z AS (SELECT l_partkey, l_suppkey,
+             |  ${Layout.zValueSql("l_partkey", "l_suppkey")} AS zv
+             |  FROM lineitem),
+             |m AS (SELECT max(zv) AS zmax FROM z)
+             |SELECT CAST(floor(zv * 64 / (zmax + 1)) AS BIGINT) AS slice,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  min(l_partkey) AS min_l_partkey,
+             |  max(l_partkey) AS max_l_partkey,
+             |  min(l_suppkey) AS min_l_suppkey,
+             |  max(l_suppkey) AS max_l_suppkey
+             |FROM z, m GROUP BY 1 ORDER BY slice""".stripMargin))
   )
 }
