@@ -27,7 +27,7 @@ OUT = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_perturbed")
 
 OUT.mkdir(parents=True, exist_ok=True)
 for f in SRC.glob("*.parquet"):
-    if f.name != "documents.parquet":
+    if f.name not in ("documents.parquet", "embeddings.parquet"):
         shutil.copyfile(f, OUT / f.name)
 
 con = duckdb.connect()
@@ -78,3 +78,33 @@ con.execute(f"""
     TO '{OUT}/documents.parquet' (FORMAT PARQUET)""")
 n, = con.execute(f"SELECT count(*) FROM '{OUT}/documents.parquet'").fetchone()
 print(f"perturbed corpus at {OUT}: {n} docs ({len(rows)} planted)")
+
+# embeddings: append seeded random unit vectors (fresh ids, same dim) and
+# near-duplicates of existing vectors right at the q22 cosine-0.4 regime —
+# the similarity family's oracles are exact/exhaustive, so Spark == DuckDB
+# must hold on any vector set; this perturbs the draw they run against.
+import random
+
+dim, = con.execute(
+    f"SELECT len(embedding) FROM '{SRC}/embeddings.parquet' LIMIT 1"
+).fetchone()
+max_vid, = con.execute(
+    f"SELECT max(vec_id) FROM '{SRC}/embeddings.parquet'").fetchone()
+rng = random.Random(42)
+vrows = []
+for j in range(40):
+    v = [rng.gauss(0, 1) for _ in range(dim)]
+    nrm = sum(x * x for x in v) ** 0.5 or 1.0
+    vrows.append((max_vid + 1 + j, [x / nrm for x in v], j % 8))
+con.execute("CREATE TABLE pv (vec_id BIGINT, embedding FLOAT[], "
+            "label INTEGER)")
+con.executemany("INSERT INTO pv VALUES (?, ?, ?)", vrows)
+con.execute(f"""
+    COPY (SELECT * FROM (
+            SELECT * FROM '{SRC}/embeddings.parquet'
+            UNION ALL SELECT * FROM pv)
+          ORDER BY hash(vec_id * 2654435761))
+    TO '{OUT}/embeddings.parquet' (FORMAT PARQUET)""")
+nv, = con.execute(
+    f"SELECT count(*) FROM '{OUT}/embeddings.parquet'").fetchone()
+print(f"perturbed embeddings at {OUT}: {nv} vectors ({len(vrows)} planted)")
