@@ -44,7 +44,9 @@ class PlanShapeSpec extends SparkSpec {
       // 5-row broadcast threshold spine × materialized pair table (≥ join)
       "q167_dedup_sensitivity",
       // one-row national-total scalar broadcast onto the per-part values
-      "q171_tpch_q11")
+      "q171_tpch_q11",
+      // one-row max-z scalar broadcast onto the z-valued rows
+      "q174_zorder_stats")
     val cartesianAllowed = Set("q22_embed_neardup")
     val offenders = QueryRegistry.all.flatMap { q =>
       try {
