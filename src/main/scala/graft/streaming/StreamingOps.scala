@@ -493,6 +493,92 @@ object StreamingOps {
       .start()
   }
 
+  /** Continuous-ingestion curation spine — the streaming twin of the
+    * batch curation funnel (q166's shape): each micro-batch runs
+    *   1. quality gate ([[graft.functions.TextFns.qualityScore]] ≥
+    *      `minQuality` — a codegen column score, no shuffle),
+    *   2. benchmark decontamination against the FIXED gram set (broadcast
+    *      while small; state never grows with the stream),
+    *   3. winnowing near-dedup — batch-local greedy (lower id wins), then
+    *      against the accumulated fingerprint index (detection guarantee
+    *      for any shared run of ≥ w+k-1 tokens),
+    * and appends three exactly-once outputs with the batch=<id>-overwrite
+    * path: survivors, their fingerprint index rows, and ONE funnel-stats
+    * row (batch_id, n_in, n_quality_drop, n_contaminated, n_dup, n_out) —
+    * the same attrition accounting the batch
+    * [[graft.operators.Profiling.filterFunnel]] publishes, here per batch.
+    *
+    * Scale shape: per-batch work is batch-sized; cross-batch state is the
+    * ~2/(w+1)-sparse fingerprint index of SURVIVING docs only (hex
+    * strings, never text). A replayed batch excludes its own index
+    * partition, so crash-retry converges (spec'd like the other
+    * incremental sinks).
+    */
+  def curationStream(docs: DataFrame, idCol: String, textCol: String,
+                     benchGrams: DataFrame, n: Int, maxSharedGrams: Long,
+                     minQuality: Long, indexDir: String, outDir: String,
+                     statsDir: String, checkpointDir: String,
+                     k: Int = 3, w: Int = 4,
+                     minShared: Long = 5L): StreamingQuery = {
+    val bench = benchGrams.select(col("shingle")).distinct().persist()
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val nIn = batch.count()
+        val q = batch.filter(
+          graft.functions.TextFns.qualityScore(col(textCol)) >= minQuality)
+          .persist()
+        val nQ = q.count()
+        val grams = graft.operators.DedupOps.shingles(q, idCol, textCol, n)
+        val contaminated = grams.join(broadcast(bench), Seq("shingle"))
+          .groupBy(col(idCol)).agg(count(lit(1)).as("__ns"))
+          .filter(col("__ns") > maxSharedGrams)
+          .select(col(idCol))
+        val clean = q.join(contaminated, Seq(idCol), "left_anti").persist()
+        val nClean = clean.count()
+        val fp = graft.operators.DedupOps
+          .winnowingFingerprints(clean, idCol, textCol, k, w).persist()
+        val oldFp =
+          try spark.read.parquet(s"$indexDir/fps")
+            .filter(col("batch") =!= batchId)
+            .select(col(idCol), col("fingerprint"))
+          catch { case _: org.apache.spark.sql.AnalysisException =>
+            fp.limit(0)
+          }
+        val vsIndex = fp
+          .join(oldFp.select(col(idCol).as("__old"), col("fingerprint")),
+            Seq("fingerprint"))
+          .groupBy(col(idCol), col("__old"))
+          .agg(count(lit(1)).as("shared"))
+          .filter(col("shared") >= minShared)
+          .select(col(idCol))
+        val local = fp.select(col(idCol).as("__a"), col("fingerprint"))
+          .join(fp.select(col(idCol).as("__b"), col("fingerprint")),
+            Seq("fingerprint"))
+          .filter(col("__a") < col("__b"))
+          .groupBy(col("__a"), col("__b"))
+          .agg(count(lit(1)).as("shared"))
+          .filter(col("shared") >= minShared)
+          .select(col("__b").as(idCol))
+        val dropIds = vsIndex.union(local).distinct()
+        val out = clean.join(dropIds, Seq(idCol), "left_anti").persist()
+        val nOut = out.count()
+        graft.sinks.Sinks.idempotentBatchAppend(out, outDir, batchId)
+        val keptFp = fp.join(out.select(idCol), Seq(idCol), "left_semi")
+        graft.sinks.Sinks.idempotentBatchAppend(keptFp, s"$indexDir/fps", batchId)
+        import spark.implicits._
+        val stats = Seq((batchId, nIn, nIn - nQ, nQ - nClean,
+            nClean - nOut, nOut))
+          .toDF("batch_id", "n_in", "n_quality_drop", "n_contaminated",
+            "n_dup", "n_out")
+        graft.sinks.Sinks.idempotentBatchAppend(stats, statsDir, batchId)
+        Seq(q, clean, fp, out).foreach(_.unpersist())
+        ()
+      }
+      .start()
+  }
+
   /** Streaming DSIR scoring: the stream-static form of
     * [[graft.operators.DataSelection.scoreWith]] — each micro-batch of
     * documents is scored against the FIXED (word, lr) importance-ratio

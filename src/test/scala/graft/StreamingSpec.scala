@@ -500,6 +500,59 @@ class StreamingSpec extends SparkSpec {
     assert(fpPerDoc == 0L, "replay duplicated index fingerprints")
   }
 
+  test("curation stream: quality gate, decontamination, dedup and funnel stats") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-curation").toString
+    val (idx, out, stats, ckpt) =
+      (s"$base/index", s"$base/out", s"$base/stats", s"$base/ckpt")
+
+    val benchText = "the quick brown fox jumps over the lazy dog while " +
+      "seven wizards brew strong coffee near the river bank"
+    val bench = graft.operators.DedupOps.shingles(
+      Seq((0L, benchText)).toDF("doc_id", "text"), "doc_id", "text", 3)
+    val good1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "and the lambda mu nu xi omicron pi rho sigma tau upsilon phi chi " +
+      "psi omega one two three four five six seven eight nine ten of it"
+    val dupOf1 = "fresh head words then " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi " +
+      "psi omega one two three four five six seven eight nine ten" +
+      " but a different tail"
+    val good2 = "entirely unrelated content about spark catalyst tungsten " +
+      "and the codegen shuffle partition broadcast join parquet scan " +
+      "pushdown pruning adaptive execution skew salting watermark state"
+
+    val src = MemoryStream[(Long, String)]
+    val q = StreamingOps.curationStream(src.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", bench, n = 3, maxSharedGrams = 2L,
+      minQuality = 100000L, idx, out, stats, ckpt)
+    // batch 0: good doc, digits-only (fails quality), benchmark plagiarism
+    // (good quality, contaminated), batch-local near-dup of the good doc
+    src.addData((1L, good1), (2L, "1 2 3 4 5 6 7 8 9 0 11 22 33 44 55"),
+      (3L, benchText + " with some extra trailing words appended here"),
+      (4L, dupOf1))
+    q.processAllAvailable()
+    // batch 1: cross-batch near-dup of doc 1 + a genuinely new good doc
+    src.addData((5L, dupOf1 + " reworded slightly"), (6L, good2))
+    q.processAllAvailable()
+    q.stop()
+
+    val kept = spark.read.parquet(out).select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 6L), kept.mkString(","))
+    val s = spark.read.parquet(stats).orderBy("batch_id")
+      .select("batch_id", "n_in", "n_quality_drop", "n_contaminated",
+        "n_dup", "n_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(s.toSeq == Seq((0L, 4L, 1L, 1L, 1L, 1L), (1L, 2L, 0L, 0L, 1L, 1L)),
+      s.mkString(";"))
+    // funnel telescopes: n_out = n_in - drops at every stage
+    s.foreach { case (_, nIn, nq, nc, nd, nOut) =>
+      assert(nOut == nIn - nq - nc - nd)
+    }
+  }
+
   test("decontaminate stream: crash-retry replay leaves no stale partial rows") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
