@@ -641,8 +641,8 @@ object DedupOps {
     * latter until LRU eviction is the session-lifetime leak ADVICE.md
     * flagged. One extra job per call, bounded by the result size.
     */
-  private def materializeAndRelease(out: DataFrame,
-                                    cached: DataFrame*): DataFrame = {
+  private[graft] def materializeAndRelease(out: DataFrame,
+                                           cached: DataFrame*): DataFrame = {
     val result = out.localCheckpoint()
     cached.foreach(_.unpersist())
     result
@@ -869,17 +869,29 @@ object DedupOps {
                    maxDist: Int = 3, md5Portable: Boolean = false): DataFrame = {
     val sig = if (md5Portable) simhashMd5(df, idCol, textCol)
               else simhash(df, idCol, textCol)
-    val banded = sig.select(col(idCol), col("simhash"),
+    hammingPairs(sig, idCol, "simhash", maxDist)
+  }
+
+  /** Hamming-distance ≤ `maxDist` pairs over ANY 64-bit signature column
+    * — the banding half of [[simhashPairs]], reusable for other 64-bit
+    * perceptual signatures (e.g. the image average-hash in
+    * [[Multimodal.imageNearDupPairs]]). 4×16-bit band keys (pigeonhole:
+    * exact recall for maxDist ≤ 3), `bit_count(xor)` verification, only
+    * (id, 8-byte signature) rows ever enter the join.
+    */
+  def hammingPairs(sig: DataFrame, idCol: String, sigCol: String,
+                   maxDist: Int = 3): DataFrame = {
+    val banded = sig.select(col(idCol), col(sigCol),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),
-          shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("key"))
+          shiftright(col(sigCol), b * 16).bitwiseAND(0xFFFFL).as("key"))
       }: _*)).as("bk"))
-      .select(col(idCol), col("simhash"),
+      .select(col(idCol), col(sigCol),
         col("bk.band").as("band"), col("bk.key").as("key"))
     banded.select(col("band"), col("key"), col(idCol).as("id_a"),
-      col("simhash").as("sh_a"))
+      col(sigCol).as("sh_a"))
       .join(banded.select(col("band"), col("key"), col(idCol).as("id_b"),
-        col("simhash").as("sh_b")), Seq("band", "key"))
+        col(sigCol).as("sh_b")), Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))

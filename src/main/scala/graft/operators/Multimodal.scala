@@ -253,4 +253,33 @@ object Multimodal {
         sort_array(collect_list(col(idCol))).as("members"))
       .filter(col("n_dups") > 1)
   }
+
+  /** Perceptual NEAR-dup image pairs: average-hash signatures joined by
+    * the banded Hamming path ([[DedupOps.hammingPairs]], ≤ `maxDist` bit
+    * flips — tolerant of lossy re-encodes that flip hash bits, which the
+    * exact [[imageDupGroups]] key cannot be). Degenerate flat images
+    * (hash 0 — every uniform color) carry no bit structure, so they pair
+    * only on exact quantized-mean equality, never through the bands.
+    * One narrow decode pass; only (id, 8-byte hash) rows shuffle.
+    */
+  def imageNearDupPairs(df: DataFrame, idCol: String, payloadCol: String,
+                        maxDist: Int = 3): DataFrame = {
+    val ah = udf { payload: Array[Byte] =>
+      if (payload == null) None else averageHash(payload)
+    }
+    val sigs = df.select(col(idCol), ah(col(payloadCol)).as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col(idCol), col("sig._1").as("ahash"),
+        col("sig._2").as("mean_luma"))
+      .cache()
+    val banded = DedupOps.hammingPairs(
+      sigs.filter(col("ahash") =!= 0L), idCol, "ahash", maxDist)
+    val deg = sigs.filter(col("ahash") === 0L)
+    val degPairs = deg.select(col(idCol).as("id_a"), col("mean_luma"))
+      .join(deg.select(col(idCol).as("id_b"), col("mean_luma")),
+        Seq("mean_luma"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(0L).as("hamming"))
+    DedupOps.materializeAndRelease(banded.unionByName(degPairs), sigs)
+  }
 }

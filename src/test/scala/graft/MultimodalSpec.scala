@@ -195,4 +195,47 @@ class MultimodalSpec extends SparkSpec {
     assert(!members.contains(6L) && !members.contains(7L), members)
     assert(groups(0).getAs[Long]("keeper") == 1L)
   }
+
+  test("perceptual near-dup pairs tolerate bit flips; flats pair by mean only") {
+    import spark.implicits._
+    def gradient(flip: Boolean): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(128, 96,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 128; y <- 0 until 96) {
+        val v = if (flip) 255 - (255 * x / 128) else 255 * x / 128
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    def enc(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def flat(rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(32, 32,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 32; y <- 0 until 32) img.setRGB(x, y, rgb)
+      enc(img)
+    }
+    // blemish ONE 8×8-grid cell: exactly one ahash bit flips (the cell
+    // turns white) and the global mean moves ~4 luma — well inside the
+    // ~32-luma margin between the gradient's cell values and the mean,
+    // so no other bit follows. The exact-group path would split these.
+    val near = gradient(flip = false)
+    for (x <- 0 until 16; y <- 0 until 12) near.setRGB(x, y, 0xffffff)
+    val rows = Seq(
+      1L -> enc(gradient(flip = false)),
+      2L -> enc(near),                    // ≤3 bit flips -> pairs with 1
+      3L -> enc(gradient(flip = true)),   // visually inverted -> no pair
+      4L -> flat(0xffffff), 5L -> flat(0xffffff), // identical flats pair
+      6L -> flat(0x000000),               // flat black: hash 0 too, mean 0
+      7L -> Array[Byte](9, 9, 9))         // not an image: ignored
+    val pairs = Multimodal.imageNearDupPairs(
+      rows.toDF("media_id", "payload"), "media_id", "payload")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L), (4L, 5L)),
+      pairs.mkString(";"))
+    assert(pairs.forall(_._3 <= 3), pairs.mkString(";"))
+  }
 }
