@@ -747,10 +747,8 @@ object DedupOps {
                       n: Int, threshold: Double,
                       k: Int = 32, bands: Int = 8,
                       exactRecallGuard: Boolean = false): DataFrame = {
-    // signatures in one narrow pass — no exploded-shingle shuffle
-    val sigs = minhashSignaturesOnePass(df, idCol, textCol, n, k)
     val rowsPerBand = k / bands
-    val banded = sigs.select(col(idCol),
+    def bandedFrom(sigs: DataFrame): DataFrame = sigs.select(col(idCol),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           hash((b * rowsPerBand until (b + 1) * rowsPerBand)
@@ -761,20 +759,30 @@ object DedupOps {
       // signature pass over the full corpus executes once per side. Ints
       // only, n_docs×bands rows, so it stays compact even at corpus scale.
       .cache()
-    val lshCands = banded.select(col("band"), col("key"), col(idCol).as("id_a"))
-      .join(banded.select(col("band"), col("key"), col(idCol).as("id_b")),
-        Seq("band", "key"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+    def lshCandsFrom(banded: DataFrame): DataFrame =
+      banded.select(col("band"), col("key"), col(idCol).as("id_a"))
+        .join(banded.select(col("band"), col("key"), col(idCol).as("id_b")),
+          Seq("band", "key"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
     if (exactRecallGuard) {
       // full-corpus shingle table: the prefix guard ranks every doc's
-      // shingles by global frequency, and verification reuses the same rows
+      // shingles by global frequency, and verification reuses the same
+      // rows. With that table materialized anyway, signatures come from
+      // the aggregate form OVER THE CACHED SHINGLES (one int-keyed
+      // shuffle) instead of the one-pass UDF — the regex tokenizer runs
+      // ONCE on this path, not once per consumer (cross-checked equal
+      // signature-for-signature in SimilaritySpec).
       val sh = shingles(df, idCol, textCol, n).cache()
-      val cands = lshCands.union(prefixCandidates(sh, idCol, threshold))
+      val banded = bandedFrom(minhashSignatures(sh, idCol, k))
+      val cands = lshCandsFrom(banded).union(prefixCandidates(sh, idCol, threshold))
         .distinct().cache()
       val out = verifyCandidates(sh, cands, idCol, threshold)
       materializeAndRelease(out, banded, cands, sh)
     } else {
+      // signatures in one narrow pass — no exploded-shingle shuffle
+      val banded = bandedFrom(minhashSignaturesOnePass(df, idCol, textCol, n, k))
+      val lshCands = lshCandsFrom(banded)
       // cached: the candidate set is referenced three times below (id list,
       // pair semi-join) — uncached, the signature pass + banding self-join
       // would re-execute per reference
