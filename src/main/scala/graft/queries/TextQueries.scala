@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QDef, Tables}
 import graft.functions.TextFns
-import graft.operators.{Bm25, Chunking, DataSelection, DedupOps, PrefixSum, Profiling, Similarity}
+import graft.operators.{Bm25, Chunking, DataSelection, DedupOps, PrefixSum, Profiling, Similarity, TextMining}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1171,6 +1171,74 @@ object TextQueries {
              |       ELSE CAST(floor(b.np * 10000.0 / b.n + 0.5) AS BIGINT)
              |  END AS pos_x1e4
              |FROM spine LEFT JOIN b ON spine.bin = b.bin
-             |ORDER BY bin""".stripMargin))
+             |ORDER BY bin""".stripMargin)),
+
+    // PMI collocation mining (Church & Hanks 1990): adjacent-pair
+    // association over the corpus token stream. Everything after the two
+    // count aggregations is vocabulary-sized; the scalar totals ride
+    // one-row broadcast cross joins (PlanShapeSpec allowlists them).
+    QDef("q175_pmi_collocations",
+      (s, d) => TextMining.pmiCollocations(docs(s, d), "text", minCount = 5L)
+        .orderBy(col("w1"), col("w2")),
+      Some("""WITH t AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents),
+             |uni AS (SELECT w, count(*) AS cw
+             |        FROM (SELECT unnest(ts) AS w FROM t) GROUP BY 1),
+             |bi AS (SELECT split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2,
+             |              count(*) AS c
+             |       FROM (SELECT unnest([ts[i] || ' ' || ts[i+1]
+             |                            for i in range(1, len(ts))]) AS g
+             |             FROM t WHERE len(ts) >= 2)
+             |       GROUP BY 1, 2),
+             |tot AS (SELECT (SELECT sum(cw)::DOUBLE FROM uni) AS n,
+             |               (SELECT sum(c)::DOUBLE FROM bi) AS m)
+             |SELECT w1, w2, CAST(c AS BIGINT) AS pair_count,
+             |       round(ln(c::DOUBLE * n * n / (m * u1.cw::DOUBLE * u2.cw::DOUBLE)), 6) AS pmi
+             |FROM bi CROSS JOIN tot
+             |JOIN uni u1 ON u1.w = bi.w1
+             |JOIN uni u2 ON u2.w = bi.w2
+             |WHERE c >= 5
+             |ORDER BY w1, w2""".stripMargin)),
+
+    // Exact phrase search: adjacent-token runs equal to the query phrase,
+    // overlaps counted. The gram stream is broadcast-filtered to phrase
+    // matches BEFORE the only shuffle; one narrow pass per phrase length.
+    QDef("q176_phrase_search",
+      (s, d) => TextMining.phraseOccurrences(docs(s, d), "doc_id", "text",
+          Seq("hash join", "sort merge", "sort merge join", "the fast table"))
+        .orderBy(col("phrase"), col("doc_id")),
+      Some("""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents),
+             |g2 AS (SELECT doc_id, unnest([ts[i] || ' ' || ts[i+1]
+             |                              for i in range(1, len(ts))]) AS g
+             |       FROM t WHERE len(ts) >= 2),
+             |g3 AS (SELECT doc_id, unnest([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+             |                              for i in range(1, len(ts) - 1)]) AS g
+             |       FROM t WHERE len(ts) >= 3),
+             |ph(phrase, g) AS (VALUES ('hash join', 'hash join'),
+             |                         ('sort merge', 'sort merge'),
+             |                         ('sort merge join', 'sort merge join'),
+             |                         ('the fast table', 'the fast table')),
+             |u AS (SELECT * FROM g2 UNION ALL SELECT * FROM g3)
+             |SELECT doc_id, phrase, CAST(count(*) AS BIGINT) AS occurrences
+             |FROM u JOIN ph USING (g)
+             |GROUP BY 1, 2 ORDER BY phrase, doc_id""".stripMargin)),
+
+    // Per-document novelty in corpus order: the fraction of each doc's
+    // distinct 3-gram shingles first introduced BY that doc — the
+    // dedup-aware selection signal; q158's Heaps curve is its integral.
+    QDef("q177_novelty_profile",
+      (s, d) => TextMining.noveltyProfile(docs(s, d), "doc_id", "text", n = 3)
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents),
+             |sh AS (SELECT doc_id, unnest(list_distinct(
+             |         [ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+             |          for i in range(1, greatest(len(ts) - 1, 1))])) AS s
+             |       FROM t),
+             |f AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+             |SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+             |       CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+             |       round(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)::DOUBLE
+             |             / count(*)::DOUBLE, 6) AS novelty
+             |FROM sh JOIN f USING (s)
+             |GROUP BY 1 ORDER BY doc_id""".stripMargin))
   )
 }

@@ -46,7 +46,9 @@ class PlanShapeSpec extends SparkSpec {
       // one-row national-total scalar broadcast onto the per-part values
       "q171_tpch_q11",
       // one-row max-z scalar broadcast onto the z-valued rows
-      "q174_zorder_stats")
+      "q174_zorder_stats",
+      // two one-row corpus-total scalars broadcast onto vocab-sized rows
+      "q175_pmi_collocations")
     val cartesianAllowed = Set("q22_embed_neardup")
     val offenders = QueryRegistry.all.flatMap { q =>
       try {
