@@ -665,7 +665,7 @@ object DedupOps {
     hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
-  private def minhashCoefs(k: Int, seed: Long): Array[(Long, Long)] = {
+  private[graft] def minhashCoefs(k: Int, seed: Long): Array[(Long, Long)] = {
     val rnd = new scala.util.Random(seed)
     Array.fill(k)((1 + rnd.nextInt(Int.MaxValue - 1)).toLong,
       rnd.nextInt(Int.MaxValue).toLong)
@@ -797,6 +797,74 @@ object DedupOps {
       val out = verifyCandidates(sh, cands, idCol, threshold)
       materializeAndRelease(out, banded, cands, sh)
     }
+  }
+
+  /** MinHash estimator-accuracy audit: for every TRUE near-dup pair
+    * (exact n-gram Jaccard ≥ threshold), the signature-estimated Jaccard —
+    * the fraction of k MinHash components that agree — next to the exact
+    * value and their absolute error. This is the calibration table that
+    * justifies a chosen k before trusting the sublinear LSH path at scale:
+    * E[est] = J with Var = J(1-J)/k, and the audit makes the realized
+    * error distribution inspectable per corpus.
+    *
+    * Engine-portable by construction, so a plain SQL oracle recomputes the
+    * signatures bit-for-bit: the base hash is the LOW 64 bits of MD5 read
+    * as an UNSIGNED value mod p = 2^31-1 (DuckDB: `md5_number_lower(s) %
+    * p`; here: signed-long floorMod plus the 2^64 ≡ 4 (mod p) correction
+    * for negative longs — known-answer spec pins the equivalence), and the
+    * k affine permutations share [[minhashCoefs]] with the production
+    * signatures.
+    *
+    * Scale shape: one shingle table feeds both halves — the exact pair
+    * join (index-join + size closure, the q24 engine) and a per-doc k-min
+    * aggregation (map-side combinable); the signature join back onto pairs
+    * is pair-bounded. Estimates are exact k-denominator fractions, so the
+    * 6dp round sees identical IEEE values in both engines.
+    */
+  def minhashEstimateAudit(df: DataFrame, idCol: String, textCol: String,
+                           n: Int, threshold: Double, k: Int,
+                           seed: Long = 42L): DataFrame = {
+    val p = 2147483647L
+    val coefs = minhashCoefs(k, seed)
+    val xOf = udf { s: String =>
+      val l = md5Low64Token(s)
+      val m = ((l % p) + p) % p
+      if (l < 0) (m + 4) % p else m
+    }
+    val sh = shingles(df, idCol, textCol, n).cache()
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val pairs = sh.select(col(idCol).as("id_a"), col("shingle"))
+      .hint("shuffle_hash")
+      .join(sh.select(col(idCol).as("id_b"), col("shingle")), Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("__j",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("__j") >= threshold)
+      .select(col("id_a"), col("id_b"), col("__j"))
+    val aggs = coefs.zipWithIndex.toIndexedSeq.map { case ((a, b), i) =>
+      min(pmod(col("__x") * a + b, lit(p))).as(s"mh_$i")
+    }
+    val sigs = sh.select(col(idCol), xOf(col("shingle")).as("__x"))
+      .groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    def side(tag: String) = sigs.select(
+      col(idCol).as(s"id_$tag") +:
+        (0 until k).map(i => col(s"mh_$i").as(s"${tag}_mh_$i")): _*)
+    val matches = (0 until k)
+      .map(i => when(col(s"a_mh_$i") === col(s"b_mh_$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val out = pairs
+      .join(side("a"), Seq("id_a"))
+      .join(side("b"), Seq("id_b"))
+      .withColumn("__est", matches.cast("double") / lit(k.toDouble))
+      .select(col("id_a"), col("id_b"),
+        round(col("__j"), 6).as("jaccard"),
+        round(col("__est"), 6).as("est_jaccard"),
+        round(abs(col("__est") - col("__j")), 6).as("abs_err"))
+    materializeAndRelease(out, sh)
   }
 
   /** 64-bit SimHash per document: per-bit majority vote over xxhash64 token

@@ -692,6 +692,50 @@ object SimilarityQueries {
              |       FROM fp a JOIN fp b ON a.mh = b.mh AND a.doc_id < b.doc_id
              |       GROUP BY 1, 2 HAVING count(*) >= 5)
              |SELECT id_a, id_b, shared FROM pr
-             |ORDER BY id_a, id_b""".stripMargin))
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // MinHash estimator calibration: signature-estimated Jaccard vs exact
+    // on every true pair — the k-selection evidence for the LSH scale
+    // path. The oracle recomputes the k=8 signatures bit-for-bit from the
+    // SAME affine coefficients (interpolated below) over the portable
+    // md5-low-64 mod p base hash.
+    QDef("q178_minhash_estimate",
+      (s, d) => DedupOps.minhashEstimateAudit(docs(s, d), "doc_id", "text",
+          n = 3, threshold = 0.5, k = 8)
+        .orderBy(col("id_a"), col("id_b")),
+      Some {
+        val sigCols = DedupOps.minhashCoefs(8, 42L).zipWithIndex.map {
+          case ((a, b), i) =>
+            s"CAST(min(($a * x + $b) % 2147483647) AS BIGINT) AS mh_$i"
+        }.mkString(",\n")
+        val estSum = (0 until 8)
+          .map(i => s"CASE WHEN ga.mh_$i = gb.mh_$i THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+           |            FROM documents),
+           |sh AS (SELECT doc_id, unnest(list_distinct(
+           |         [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+           |          for i in range(1, greatest(len(toks) - 1, 1))])) AS s
+           |       FROM t),
+           |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+           |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+           |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           |      GROUP BY 1, 2),
+           |pj AS (SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS j
+           |       FROM p JOIN sz sa ON p.id_a = sa.doc_id
+           |              JOIN sz sb ON p.id_b = sb.doc_id
+           |       WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
+           |hx AS (SELECT doc_id, CAST(md5_number_lower(s) AS HUGEINT) % 2147483647 AS x
+           |       FROM sh),
+           |sg AS (SELECT doc_id,
+           |$sigCols
+           |       FROM hx GROUP BY 1)
+           |SELECT id_a, id_b, round(j, 6) AS jaccard,
+           |       round(($estSum) / 8.0, 6) AS est_jaccard,
+           |       round(abs(($estSum) / 8.0 - j), 6) AS abs_err
+           |FROM pj JOIN sg ga ON pj.id_a = ga.doc_id
+           |        JOIN sg gb ON pj.id_b = gb.doc_id
+           |ORDER BY id_a, id_b""".stripMargin
+      })
   )
 }

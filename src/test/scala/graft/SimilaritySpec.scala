@@ -273,6 +273,36 @@ class SimilaritySpec extends SparkSpec {
     assert(DedupOps.md5Low64Token("42") == java.lang.Long.parseUnsignedLong("11986520573880583896"))
   }
 
+  test("minhashEstimateAudit: est exact for identical docs, unsigned mod-p parity") {
+    import spark.implicits._
+    // the signed-long mod-p correction (2^64 ≡ 4 mod 2^31-1) must equal
+    // true unsigned arithmetic for every sign case
+    val p = BigInt(2147483647L)
+    for (tok <- Seq("abc", "the", "42", "hash join fast")) {
+      val l = DedupOps.md5Low64Token(tok)
+      val viaFormula = {
+        val m = ((l % 2147483647L) + 2147483647L) % 2147483647L
+        if (l < 0) (m + 4) % 2147483647L else m
+      }
+      val unsigned = (BigInt(l) + (if (l < 0) BigInt(1) << 64 else BigInt(0))) mod p
+      assert(BigInt(viaFormula) == unsigned, tok)
+    }
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"), // identical → J = 1
+      (3L, "totally different unrelated words nothing shared here ok"))
+      .toDF("doc_id", "text")
+    val rows = DedupOps.minhashEstimateAudit(df, "doc_id", "text",
+      n = 3, threshold = 0.5, k = 8).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert((r.getLong(0), r.getLong(1)) == ((1L, 2L)))
+    // identical shingle sets → every component matches: est = J = 1 exactly
+    assert(r.getAs[Double]("jaccard") == 1.0)
+    assert(r.getAs[Double]("est_jaccard") == 1.0)
+    assert(r.getAs[Double]("abs_err") == 0.0)
+  }
+
   test("md5-portable simhash pair set equals the xxh64 banding's guarantees") {
     import spark.implicits._
     val df = Seq((1L, "alpha beta gamma delta epsilon zeta"),
