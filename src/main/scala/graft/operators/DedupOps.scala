@@ -867,6 +867,60 @@ object DedupOps {
     materializeAndRelease(out, sh)
   }
 
+  /** Content-defined chunking (CDC) duplication profile — the
+    * LBFS/rsync-family char-level dedup signal (Muthitacharoen et al.
+    * 2001, "A Low-Bandwidth Network File System" §3.1): a chunk boundary
+    * falls after position i whenever the hash of the trailing `w`-char
+    * window ≡ 0 (mod `modulus`), so boundaries move WITH the content —
+    * an insertion re-chunks only its neighborhood, where fixed-offset
+    * blocks would shift every subsequent block (the property token
+    * shingles get from sliding windows, obtained here without storing
+    * every position). Per doc: chunk count, chunks/chars whose exact
+    * content recurs anywhere in the corpus, and the duplicated-char
+    * fraction.
+    *
+    * Portability: the window hash is md5 — low byte (digest byte 8, the
+    * least-significant byte of DuckDB's `md5_number_lower`) mod `modulus`
+    * decides boundaries, so a SQL oracle reproduces the chunking
+    * bit-for-bit. A production deployment would swap in a gear/Rabin
+    * rolling hash (O(1) per position instead of O(w)) — a narrow-map
+    * change that doesn't alter the plan shape.
+    *
+    * Scale shape: chunking is a narrow per-doc pass (boundary positions,
+    * then chunk slices, from ONE materialized text column — no shuffle);
+    * the only wide ops are a chunk-keyed count aggregation, the posting
+    * join back, and the per-doc rollup — [[TextMining.noveltyProfile]]'s
+    * shape over chunk content instead of shingles. Chunk identity is the
+    * exact STRING (no hash-collision caveat); expected chunk length ≈
+    * `modulus` chars, so the chunk index carries ~1/modulus the rows of a
+    * char-gram table.
+    */
+  def cdcDupProfile(df: DataFrame, idCol: String, textCol: String,
+                    w: Int = 8, modulus: Int = 64): DataFrame = {
+    val boundary =
+      s"pmod(cast(conv(substring(md5(substring(__t, i - ${w - 1}, $w)), 17, 2), 16, 10) as int), $modulus) = 0"
+    val chunks = df.select(col(idCol), col(textCol).as("__t"))
+      .filter(col("__t").isNotNull && length(col("__t")) > 0)
+      .withColumn("__b", expr(
+        s"array_union(array(0), array_union(" +
+          s"filter(sequence($w, length(__t)), i -> $boundary), " +
+          s"array(length(__t))))"))
+      .select(col(idCol), explode(expr(
+        "transform(sequence(1, size(__b) - 1), " +
+          "j -> substring(__t, element_at(__b, j) + 1, " +
+          "element_at(__b, j + 1) - element_at(__b, j)))")).as("chunk"))
+    val freq = chunks.groupBy(col("chunk")).agg(count(lit(1)).as("__n"))
+    chunks.join(freq, Seq("chunk"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__n") >= 2, 1L).otherwise(0L)).as("dup_chunks"),
+        sum(length(col("chunk"))).cast("long").as("total_chars"),
+        sum(when(col("__n") >= 2, length(col("chunk"))).otherwise(0))
+          .cast("long").as("dup_chars"))
+      .withColumn("dup_frac",
+        round(col("dup_chars").cast("double") / col("total_chars").cast("double"), 6))
+  }
+
   /** 64-bit SimHash per document: per-bit majority vote over xxhash64 token
     * hashes, weighted by term frequency.
     *

@@ -736,6 +736,39 @@ object SimilarityQueries {
            |FROM pj JOIN sg ga ON pj.id_a = ga.doc_id
            |        JOIN sg gb ON pj.id_b = gb.doc_id
            |ORDER BY id_a, id_b""".stripMargin
-      })
+      }),
+
+    // Content-defined chunking dup profile: boundaries where the trailing
+    // 8-char window's md5 low byte ≡ 0 (mod 64) — content-anchored, so
+    // the oracle re-chunks bit-for-bit via md5_number_lower's low byte.
+    QDef("q179_cdc_dedup",
+      (s, d) => DedupOps.cdcDupProfile(docs(s, d), "doc_id", "text",
+          w = 8, modulus = 64)
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (SELECT doc_id, text AS s FROM documents
+             |            WHERE text IS NOT NULL AND len(text) > 0),
+             |bl AS (SELECT doc_id, s,
+             |         [i for i in range(8, len(s) + 1)
+             |          if md5_number_lower(substr(s, i - 7, 8)) % 64 = 0] AS mids
+             |       FROM t),
+             |b AS (SELECT doc_id, s,
+             |        list_concat(list_concat([0], mids),
+             |          CASE WHEN len(mids) > 0 AND mids[-1] = len(s)
+             |               THEN [] ELSE [len(s)] END) AS bs
+             |      FROM bl),
+             |ch AS (SELECT doc_id,
+             |         unnest([substr(s, bs[j] + 1, bs[j + 1] - bs[j])
+             |                 for j in range(1, len(bs))]) AS chunk
+             |       FROM b),
+             |fr AS (SELECT chunk, count(*) AS n FROM ch GROUP BY 1)
+             |SELECT doc_id,
+             |  CAST(count(*) AS BIGINT) AS n_chunks,
+             |  CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+             |  CAST(sum(len(chunk)) AS BIGINT) AS total_chars,
+             |  CAST(sum(CASE WHEN n >= 2 THEN len(chunk) ELSE 0 END) AS BIGINT) AS dup_chars,
+             |  round(sum(CASE WHEN n >= 2 THEN len(chunk) ELSE 0 END)::DOUBLE
+             |        / sum(len(chunk))::DOUBLE, 6) AS dup_frac
+             |FROM ch JOIN fr USING (chunk)
+             |GROUP BY 1 ORDER BY doc_id""".stripMargin))
   )
 }

@@ -303,6 +303,33 @@ class SimilaritySpec extends SparkSpec {
     assert(r.getAs[Double]("abs_err") == 0.0)
   }
 
+  test("cdcDupProfile: chunks cover the text; boundaries survive an insertion") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7L)
+    val t = Array.fill(2000)(('a' + rnd.nextInt(26)).toChar).mkString
+    val df = Seq(
+      (1L, t),
+      (2L, "INSERTED PREFIX " + t), // shifts every fixed-offset block
+      (3L, t),                      // identical twin of doc 1
+      (4L, Array.fill(500)(('a' + rnd.nextInt(26)).toChar).mkString))
+      .toDF("doc_id", "text")
+    val got = DedupOps.cdcDupProfile(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // chunks partition the text exactly: total_chars = len(text)
+    assert(got(1L).getAs[Long]("total_chars") == t.length.toLong)
+    assert(got(2L).getAs[Long]("total_chars") == t.length.toLong + 16)
+    // identical docs: every chunk recurs → dup_frac = 1
+    assert(got(1L).getAs[Double]("dup_frac") == 1.0)
+    assert(got(3L).getAs[Double]("dup_frac") == 1.0)
+    // content-defined boundaries re-anchor after the insertion: the bulk
+    // of doc 2's chars land in chunks shared with doc 1/3 (fixed-offset
+    // blocks would share nothing past the shift)
+    assert(got(2L).getAs[Double]("dup_frac") > 0.5,
+      s"shift resistance lost: ${got(2L)}")
+    // unrelated content shares nothing
+    assert(got(4L).getAs[Long]("dup_chars") == 0L)
+  }
+
   test("md5-portable simhash pair set equals the xxh64 banding's guarantees") {
     import spark.implicits._
     val df = Seq((1L, "alpha beta gamma delta epsilon zeta"),
