@@ -208,3 +208,72 @@ object ScaleProbe {
     spark.stop()
   }
 }
+
+/** Dev tool: growth curves for the round-5 corpus-mining family
+  * (q175-q179) alone — `runMain graft.TextMiningScaleProbe 1,2,5,10`.
+  *
+  * PMI/phrase run on PLAIN replicas (constant vocabulary, token count
+  * grows c× — the realistic shape for both: more corpus, same language).
+  * Novelty / CDC / the estimator audit run on LETTER-salted replicas
+  * (disjoint per-copy vocabularies, so novelty density, chunk-recurrence
+  * density and true-pair density stay those of the base corpus while
+  * size grows c×). Expected curves: all scan-shaped linear — any
+  * superlinear bend flags a join that is not posting/pair-bounded.
+  */
+object TextMiningScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val factors = (if (args.nonEmpty) args(0) else "1,2,5,10")
+      .split(",").map(_.trim.toInt).toSeq
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.operators.TextMining
+    val base = Tables(spark, sfDir, "documents").select("doc_id", "text")
+    val n = base.count()
+    factors.foreach { c =>
+      def copies(salt: Boolean) = (0 until c).map { i =>
+        val t = if (salt) {
+          val s = ('a' + (i % 26)).toChar.toString * 2
+          regexp_replace(col("text"), "([a-z0-9]+)", s"$s$$1")
+        } else col("text")
+        base.select((col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+          t.as("text"))
+      }.reduce(_ unionAll _).localCheckpoint()
+      val plain = copies(salt = false)
+      val lettered = copies(salt = true)
+      def time(f: => Long): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val rows = f
+        ((System.nanoTime() - t0) / 1e9, rows)
+      }
+      val (pmT, pmRows) = time(
+        TextMining.pmiCollocations(plain, "text", minCount = 5L).count())
+      spark.catalog.clearCache()
+      val (phT, phRows) = time(
+        TextMining.phraseOccurrences(plain, "doc_id", "text",
+          Seq("hash join", "sort merge", "sort merge join")).count())
+      spark.catalog.clearCache()
+      val (nvT, nvRows) = time(
+        TextMining.noveltyProfile(lettered, "doc_id", "text", n = 3).count())
+      spark.catalog.clearCache()
+      val (cdT, cdRows) = time(
+        DedupOps.cdcDupProfile(lettered, "doc_id", "text").count())
+      spark.catalog.clearCache()
+      val (meT, meRows) = time(
+        DedupOps.minhashEstimateAudit(lettered, "doc_id", "text",
+          n = 3, threshold = 0.5, k = 8).count())
+      spark.catalog.clearCache()
+      println(f"[scale] c=$c%2d docs=${n * c}%7d pmi=$pmT%.2fs ($pmRows pairs)" +
+        f" phrase=$phT%.2fs ($phRows rows) novelty=$nvT%.2fs ($nvRows docs)" +
+        f" cdc=$cdT%.2fs ($cdRows docs) mhest=$meT%.2fs ($meRows pairs)")
+    }
+    spark.stop()
+  }
+}

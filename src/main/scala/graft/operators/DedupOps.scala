@@ -867,6 +867,16 @@ object DedupOps {
     materializeAndRelease(out, sh)
   }
 
+  /** CDC window-hash constants: polynomial base and prime modulus, plus
+    * the descending power table B^(w-1)..B^0 (mod M) — interpolated as
+    * LITERALS into both the Spark expression and the SQL oracle so the
+    * two engines share the exact arithmetic.
+    */
+  private[graft] val CdcB = 257L
+  private[graft] val CdcM = 1000000007L
+  private[graft] def cdcPows(w: Int): IndexedSeq[Long] =
+    Iterator.iterate(1L)(p => p * CdcB % CdcM).take(w).toIndexedSeq.reverse
+
   /** Content-defined chunking (CDC) duplication profile — the
     * LBFS/rsync-family char-level dedup signal (Muthitacharoen et al.
     * 2001, "A Low-Bandwidth Network File System" §3.1): a chunk boundary
@@ -879,16 +889,21 @@ object DedupOps {
     * content recurs anywhere in the corpus, and the duplicated-char
     * fraction.
     *
-    * Portability: the window hash is md5 — low byte (digest byte 8, the
-    * least-significant byte of DuckDB's `md5_number_lower`) mod `modulus`
-    * decides boundaries, so a SQL oracle reproduces the chunking
-    * bit-for-bit. A production deployment would swap in a gear/Rabin
-    * rolling hash (O(1) per position instead of O(w)) — a narrow-map
-    * change that doesn't alter the plan shape.
+    * Portability: the window hash is the Rabin-style polynomial
+    * Σ code(cᵢ)·B^(w-1-i) mod M (B = 257, M = 1e9+7), whose low bits mod
+    * `modulus` decide boundaries. The SQL oracle evaluates it as w
+    * multiply-adds per position from the [[cdcPows]] literals; here the
+    * whole per-doc scan is ONE linear-pass UDF with the O(1) rolling
+    * update h' = (h − c_out·B^(w-1))·B + c_in (mod M) — the [[shingles]]
+    * precedent: a per-char HOF pipeline (split + filter-over-sequence)
+    * measured ~2.5× slower at sf0.1, an md5-per-window rule ~6× slower.
+    * Character codes are UTF-16 code units here vs code points in the
+    * oracle — identical for BMP text (corpus and fixtures are BMP-only),
+    * and the chunking property does not depend on which valid code
+    * sequence the rule sees.
     *
-    * Scale shape: chunking is a narrow per-doc pass (boundary positions,
-    * then chunk slices, from ONE materialized text column — no shuffle);
-    * the only wide ops are a chunk-keyed count aggregation, the posting
+    * Scale shape: chunking is a narrow per-doc pass (no shuffle); the
+    * only wide ops are a chunk-keyed count aggregation, the posting
     * join back, and the per-doc rollup — [[TextMining.noveltyProfile]]'s
     * shape over chunk content instead of shingles. Chunk identity is the
     * exact STRING (no hash-collision caveat); expected chunk length ≈
@@ -897,18 +912,26 @@ object DedupOps {
     */
   def cdcDupProfile(df: DataFrame, idCol: String, textCol: String,
                     w: Int = 8, modulus: Int = 64): DataFrame = {
-    val boundary =
-      s"pmod(cast(conv(substring(md5(substring(__t, i - ${w - 1}, $w)), 17, 2), 16, 10) as int), $modulus) = 0"
-    val chunks = df.select(col(idCol), col(textCol).as("__t"))
-      .filter(col("__t").isNotNull && length(col("__t")) > 0)
-      .withColumn("__b", expr(
-        s"array_union(array(0), array_union(" +
-          s"filter(sequence($w, length(__t)), i -> $boundary), " +
-          s"array(length(__t))))"))
-      .select(col(idCol), explode(expr(
-        "transform(sequence(1, size(__b) - 1), " +
-          "j -> substring(__t, element_at(__b, j) + 1, " +
-          "element_at(__b, j + 1) - element_at(__b, j)))")).as("chunk"))
+    val bw1 = cdcPows(w).head // B^(w-1) mod M
+    val chunkUdf = udf { t: String =>
+      if (t == null || t.isEmpty) Array.empty[String]
+      else {
+        val bnd = scala.collection.mutable.ArrayBuffer(0)
+        var h = 0L
+        var i = 0
+        while (i < t.length) {
+          val c = t.charAt(i).toLong
+          h = if (i < w) (h * CdcB + c) % CdcM
+              else (((h - t.charAt(i - w).toLong * bw1 % CdcM + CdcM) % CdcM)
+                * CdcB + c) % CdcM
+          if (i >= w - 1 && h % modulus == 0) bnd += (i + 1)
+          i += 1
+        }
+        if (bnd.last != t.length) bnd += t.length
+        Array.tabulate(bnd.length - 1)(j => t.substring(bnd(j), bnd(j + 1)))
+      }
+    }
+    val chunks = df.select(col(idCol), explode(chunkUdf(col(textCol))).as("chunk"))
     val freq = chunks.groupBy(col("chunk")).agg(count(lit(1)).as("__n"))
     chunks.join(freq, Seq("chunk"))
       .groupBy(col(idCol))

@@ -739,19 +739,25 @@ object SimilarityQueries {
       }),
 
     // Content-defined chunking dup profile: boundaries where the trailing
-    // 8-char window's md5 low byte ≡ 0 (mod 64) — content-anchored, so
-    // the oracle re-chunks bit-for-bit via md5_number_lower's low byte.
+    // 8-char window's polynomial hash ≡ 0 (mod 64) — content-anchored;
+    // the oracle re-chunks bit-for-bit from the SAME power-of-B literals.
     QDef("q179_cdc_dedup",
       (s, d) => DedupOps.cdcDupProfile(docs(s, d), "doc_id", "text",
           w = 8, modulus = 64)
         .orderBy(col("doc_id")),
-      Some("""WITH t AS (SELECT doc_id, text AS s FROM documents
-             |            WHERE text IS NOT NULL AND len(text) > 0),
-             |bl AS (SELECT doc_id, s,
-             |         [i for i in range(8, len(s) + 1)
-             |          if md5_number_lower(substr(s, i - 7, 8)) % 64 = 0] AS mids
-             |       FROM t),
-             |b AS (SELECT doc_id, s,
+      Some {
+        val winSum = DedupOps.cdcPows(8).zipWithIndex
+          .map { case (p, j) => s"cs[i - ${7 - j}] * $p" }
+          .mkString(" + ")
+        s"""WITH t AS (SELECT doc_id, text AS s,
+           |             [unicode(ch)::BIGINT for ch in string_split(text, '')] AS cs
+           |            FROM documents
+           |            WHERE text IS NOT NULL AND len(text) > 0),
+           |bl AS (SELECT doc_id, s,
+           |         [i for i in range(8, len(s) + 1)
+           |          if (($winSum) % ${DedupOps.CdcM}) % 64 = 0] AS mids
+           |       FROM t),
+           |""".stripMargin + """b AS (SELECT doc_id, s,
              |        list_concat(list_concat([0], mids),
              |          CASE WHEN len(mids) > 0 AND mids[-1] = len(s)
              |               THEN [] ELSE [len(s)] END) AS bs
@@ -769,6 +775,7 @@ object SimilarityQueries {
              |  round(sum(CASE WHEN n >= 2 THEN len(chunk) ELSE 0 END)::DOUBLE
              |        / sum(len(chunk))::DOUBLE, 6) AS dup_frac
              |FROM ch JOIN fr USING (chunk)
-             |GROUP BY 1 ORDER BY doc_id""".stripMargin))
+             |GROUP BY 1 ORDER BY doc_id""".stripMargin
+      })
   )
 }
