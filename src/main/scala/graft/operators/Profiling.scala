@@ -194,4 +194,41 @@ object Profiling {
         col("s.n_out").as("n_out"))
       .orderBy(col("step"))
   }
+
+  /** Approximate-query-processing estimate audit (the BlinkDB/AQUA
+    * pattern, Agarwal et al. EuroSys 2013): per group, the exact SUM next
+    * to the Horvitz-Thompson estimate a deterministic `permille`/1000
+    * hash sample would have produced, and their relative error. Sampling
+    * is BY VALUE of the unit key — md5 low 16 bits mod 1000 — so
+    * membership is engine-portable (a SQL oracle reproduces the sample
+    * row-for-row), stable under reruns, and consistent across tables
+    * sharing the key (joinable samples, the AQP requirement plain
+    * `TABLESAMPLE` loses).
+    *
+    * This AUDIT form scans the full table once (both sides from one
+    * aggregation) to measure the error; the production AQP flow
+    * materializes the sample ONCE with the same predicate (1/1000th the
+    * scan at permille=1) and serves estimates from it, quoting this
+    * audit's observed error as the confidence evidence.
+    */
+  def hashSampleEstimate(df: DataFrame, unitKey: Column, groupCol: String,
+                         valCol: String, permille: Int): DataFrame = {
+    require(permille > 0 && permille < 1000, "permille in (0, 1000)")
+    // low 16 bits of md5 = hex bytes 9 (chars 19-20) then 8 (chars 17-18),
+    // little-endian — the md5_number_lower % 65536 convention
+    val bucket = pmod(
+      conv(concat(substring(md5(unitKey), 19, 2), substring(md5(unitKey), 17, 2)),
+        16, 10).cast("long"), lit(1000L))
+    val scale = 1000.0 / permille
+    df.select(col(groupCol), col(valCol).as("__v"),
+        (bucket < permille).as("__in"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("long").as("n_exact"),
+        round(sum(col("__v")), 2).as("sum_exact"),
+        sum(when(col("__in"), 1L).otherwise(0L)).cast("long").as("n_sample"),
+        round(sum(when(col("__in"), col("__v")).otherwise(0.0)) * scale, 2)
+          .as("est_sum"))
+      .withColumn("rel_err",
+        round(abs(col("est_sum") - col("sum_exact")) / col("sum_exact"), 6))
+  }
 }

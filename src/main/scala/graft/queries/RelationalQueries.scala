@@ -1249,6 +1249,30 @@ object RelationalQueries {
              |  max(l_partkey) AS max_l_partkey,
              |  min(l_suppkey) AS min_l_suppkey,
              |  max(l_suppkey) AS max_l_suppkey
-             |FROM z, m GROUP BY 1 ORDER BY slice""".stripMargin))
+             |FROM z, m GROUP BY 1 ORDER BY slice""".stripMargin)),
+
+    // AQP estimate audit: exact group sums next to the Horvitz-Thompson
+    // estimate a deterministic 10% md5-hash sample yields, with relative
+    // error — the evidence table a sampled-serving layer quotes. The
+    // oracle reproduces sample membership row-for-row via
+    // md5_number_lower's low 16 bits.
+    QDef("q180_sample_estimate",
+      (s, d) => Profiling.hashSampleEstimate(t(s, d, "lineitem"),
+          concat_ws("-", col("l_orderkey"), col("l_linenumber")),
+          "l_returnflag", "l_quantity", permille = 100)
+        .orderBy(col("l_returnflag")),
+      Some("""WITH l AS (SELECT l_returnflag, l_quantity,
+             |  (md5_number_lower(l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR)
+             |   % 65536) % 1000 < 100 AS inn
+             |  FROM lineitem)
+             |SELECT l_returnflag,
+             |  CAST(count(*) AS BIGINT) AS n_exact,
+             |  round(sum(l_quantity), 2) AS sum_exact,
+             |  CAST(sum(CASE WHEN inn THEN 1 ELSE 0 END) AS BIGINT) AS n_sample,
+             |  round(sum(CASE WHEN inn THEN l_quantity ELSE 0 END) * 10.0, 2) AS est_sum,
+             |  round(abs(round(sum(CASE WHEN inn THEN l_quantity ELSE 0 END) * 10.0, 2)
+             |            - round(sum(l_quantity), 2))
+             |        / round(sum(l_quantity), 2), 6) AS rel_err
+             |FROM l GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

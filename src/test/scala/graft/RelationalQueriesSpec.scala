@@ -223,4 +223,29 @@ class RelationalQueriesSpec extends SparkSpec {
       assert(j >= 0.5 && j <= 1.0)
     }
   }
+
+  test("hashSampleEstimate: portable membership, exact HT arithmetic") {
+    import spark.implicits._
+    val df = (1 to 400).map(i => (i.toLong, if (i % 2 == 0) "even" else "odd",
+      (i % 7).toDouble)).toDF("k", "grp", "v")
+    val got = operators.Profiling.hashSampleEstimate(df,
+      col("k").cast("string"), "grp", "v", permille = 100)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // membership recomputed independently: md5 low 16 bits (signed-long
+    // bit slice of the md5_number_lower convention) mod 1000 < 100
+    def in(k: Long): Boolean =
+      (operators.DedupOps.md5Low64Token(k.toString) & 0xFFFFL) % 1000L < 100L
+    for (g <- Seq("even", "odd")) {
+      val rows = (1 to 400).filter(i =>
+        (if (i % 2 == 0) "even" else "odd") == g)
+      val expSample = rows.filter(i => in(i.toLong))
+      val r = got(g)
+      assert(r.getAs[Long]("n_exact") == rows.length.toLong)
+      assert(r.getAs[Long]("n_sample") == expSample.length.toLong, g)
+      assert(r.getAs[Double]("sum_exact") == rows.map(i => (i % 7).toDouble).sum)
+      assert(r.getAs[Double]("est_sum") ==
+        BigDecimal(expSample.map(i => (i % 7).toDouble).sum * 10.0)
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble, g)
+    }
+  }
 }
