@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorFns
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -55,6 +55,53 @@ object Similarity {
           / (col("__norm") * col("__qnorm"))).as("sim"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
+  }
+
+  /** Matryoshka truncation audit (Kusupati et al. 2022, "Matryoshka
+    * Representation Learning"): how much of full-dimension retrieval
+    * survives truncating embeddings to their first `dims` components —
+    * per query: the size of the top-k overlap between full-dim and
+    * truncated-dim cosine retrieval, and both top-1 ids. The evidence
+    * table for serving truncated vectors (memory/bandwidth ÷ d/dims) at a
+    * known recall cost.
+    *
+    * Scale shape: each ranking is an independent broadcast-query pass
+    * with a per-query top-k heap (rank-filtered window —
+    * WindowGroupLimit pushdown applies to each, which an OR-of-ranks
+    * single-pass formulation would forfeit); the overlap join touches
+    * only the two k-sized lists per query. At corpus scale the candidate
+    * pass is the same scan ANN shortlisting replaces.
+    */
+  def truncationAudit(queries: DataFrame, corpus: DataFrame, idCol: String,
+                      embCol: String, dims: Int, k: Int): DataFrame = {
+    def ranked(project: Column => Column, tag: String): DataFrame = {
+      val q = queries.select(col(idCol).as("query_id"),
+        project(col(embCol)).as("__qemb"))
+        .withColumn("__qnorm", VectorFns.norm(col("__qemb")))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col(idCol))
+      corpus.select(col(idCol), project(col(embCol)).as("__cemb"))
+        .withColumn("__norm", VectorFns.norm(col("__cemb")))
+        .crossJoin(broadcast(q))
+        .filter(col(idCol) =!= col("query_id"))
+        .select(col("query_id"), col(idCol),
+          (VectorFns.dot(col("__cemb"), col("__qemb"))
+            / (col("__norm") * col("__qnorm"))).as("sim"))
+        .withColumn(s"r_$tag", row_number().over(w).cast("long"))
+        .filter(col(s"r_$tag") <= k)
+        .select(col("query_id"), col(idCol), col(s"r_$tag"))
+    }
+    val f = ranked(identity, "full")
+    val t = ranked(e => slice(e, 1, dims), "trunc")
+    f.join(t, Seq("query_id", idCol), "full_outer")
+      .groupBy(col("query_id"))
+      .agg(
+        sum(when(col("r_full").isNotNull && col("r_trunc").isNotNull, 1L)
+          .otherwise(0L)).cast("long").as("overlap"),
+        max(when(col("r_full") === 1L, col(idCol))).as("top1_full"),
+        max(when(col("r_trunc") === 1L, col(idCol))).as("top1_trunc"))
+      .withColumn("overlap_frac",
+        round(col("overlap").cast("double") / lit(k.toDouble), 6))
   }
 
   /** Hard-negative mining (contrastive-training data prep): for each query

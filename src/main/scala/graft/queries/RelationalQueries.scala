@@ -1273,6 +1273,53 @@ object RelationalQueries {
              |  round(abs(round(sum(CASE WHEN inn THEN l_quantity ELSE 0 END) * 10.0, 2)
              |            - round(sum(l_quantity), 2))
              |        / round(sum(l_quantity), 2), 6) AS rel_err
-             |FROM l GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM l GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // l-diversity audit (Machanavajjhala et al. 2007), completing q156's
+    // privacy ladder: k-anonymity bounds re-identification, but a class
+    // where every member shares one sensitive value still leaks it —
+    // distinct-l per equivalence class is the guard. Same one-shuffle
+    // grouping-sets spine as q156; the sensitive attribute here is the
+    // market segment, the QI ladder nation → nation+balance-band.
+    QDef("q181_ldiversity",
+      (s, d) => t(s, d, "customer")
+        .withColumn("balband", floor(col("c_acctbal") / 2000).cast("long"))
+        .groupingSets(
+          Seq(Seq(col("c_nationkey")), Seq(col("c_nationkey"), col("balband"))),
+          col("c_nationkey"), col("balband"))
+        .agg(countDistinct(col("c_mktsegment")).cast("long").as("l"),
+          count(lit(1)).cast("long").as("k"))
+        .select(
+          when(col("balband").isNotNull, "nation+balband")
+            .otherwise("nation").as("qi_level"),
+          col("l"), col("k"))
+        .groupBy(col("qi_level"))
+        .agg(count(lit(1)).cast("long").as("n_classes"),
+          min(col("l")).as("min_l"),
+          sum(when(col("l") < 3, 1L).otherwise(0L)).cast("long")
+            .as("classes_below_l3"),
+          sum(when(col("l") < 3, col("k")).otherwise(0L)).cast("long")
+            .as("rows_below_l3"),
+          round(sum(when(col("l") < 3, col("k")).otherwise(0L))
+            .cast("double") / sum(col("k")), 6).as("frac_below_l3"))
+        .orderBy(col("qi_level")),
+      Some("""WITH c2 AS (SELECT c_nationkey, c_mktsegment,
+             |              CAST(floor(c_acctbal / 2000) AS BIGINT) AS balband
+             |            FROM customer),
+             |cls AS (
+             |  SELECT CASE WHEN balband IS NOT NULL THEN 'nation+balband'
+             |              ELSE 'nation' END AS qi_level,
+             |         CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l,
+             |         CAST(count(*) AS BIGINT) AS k
+             |  FROM c2
+             |  GROUP BY GROUPING SETS ((c_nationkey), (c_nationkey, balband)))
+             |SELECT qi_level, count(*) AS n_classes, min(l) AS min_l,
+             |  CAST(sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS classes_below_l3,
+             |  CAST(sum(CASE WHEN l < 3 THEN k ELSE 0 END) AS BIGINT)
+             |    AS rows_below_l3,
+             |  round(sum(CASE WHEN l < 3 THEN k ELSE 0 END)
+             |    / CAST(sum(k) AS DOUBLE), 6) AS frac_below_l3
+             |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -776,6 +776,43 @@ object SimilarityQueries {
              |        / sum(len(chunk))::DOUBLE, 6) AS dup_frac
              |FROM ch JOIN fr USING (chunk)
              |GROUP BY 1 ORDER BY doc_id""".stripMargin
-      })
+      }),
+
+    // Matryoshka truncation audit: top-10 overlap between full-dim (64)
+    // and first-16-dim cosine retrieval for the first 5 query vectors —
+    // the recall-cost evidence for serving truncated embeddings.
+    QDef("q182_matryoshka",
+      (s, d) => Similarity.truncationAudit(
+          embs(s, d).filter(col("vec_id") < 5), embs(s, d),
+          "vec_id", "embedding", dims = 16, k = 10)
+        .orderBy(col("query_id")),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+             |      FROM embeddings WHERE vec_id < 5),
+             |pf AS (SELECT qid, e.vec_id AS vid,
+             |         list_dot_product(e.v, q.qv)
+             |           / (sqrt(list_dot_product(e.v, e.v))
+             |              * sqrt(list_dot_product(q.qv, q.qv))) AS sim
+             |       FROM e, q WHERE e.vec_id <> q.qid),
+             |pt AS (SELECT qid, e.vec_id AS vid,
+             |         list_dot_product(e.v[1:16], q.qv[1:16])
+             |           / (sqrt(list_dot_product(e.v[1:16], e.v[1:16]))
+             |              * sqrt(list_dot_product(q.qv[1:16], q.qv[1:16]))) AS sim
+             |       FROM e, q WHERE e.vec_id <> q.qid),
+             |rf AS (SELECT qid, vid,
+             |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vid) AS r
+             |       FROM pf QUALIFY r <= 10),
+             |rt AS (SELECT qid, vid,
+             |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vid) AS r
+             |       FROM pt QUALIFY r <= 10)
+             |SELECT COALESCE(rf.qid, rt.qid) AS query_id,
+             |  CAST(sum(CASE WHEN rf.vid IS NOT NULL AND rt.vid IS NOT NULL
+             |           THEN 1 ELSE 0 END) AS BIGINT) AS overlap,
+             |  max(CASE WHEN rf.r = 1 THEN rf.vid END) AS top1_full,
+             |  max(CASE WHEN rt.r = 1 THEN rt.vid END) AS top1_trunc,
+             |  round(sum(CASE WHEN rf.vid IS NOT NULL AND rt.vid IS NOT NULL
+             |            THEN 1 ELSE 0 END)::DOUBLE / 10.0, 6) AS overlap_frac
+             |FROM rf FULL JOIN rt ON rf.qid = rt.qid AND rf.vid = rt.vid
+             |GROUP BY 1 ORDER BY query_id""".stripMargin))
   )
 }

@@ -48,7 +48,9 @@ class PlanShapeSpec extends SparkSpec {
       // one-row max-z scalar broadcast onto the z-valued rows
       "q174_zorder_stats",
       // two one-row corpus-total scalars broadcast onto vocab-sized rows
-      "q175_pmi_collocations")
+      "q175_pmi_collocations",
+      // 5-row broadcast query side × corpus scan, twice (full + truncated)
+      "q182_matryoshka")
     val cartesianAllowed = Set("q22_embed_neardup")
     val offenders = QueryRegistry.all.flatMap { q =>
       try {

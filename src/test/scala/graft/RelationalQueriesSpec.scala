@@ -224,6 +224,30 @@ class RelationalQueriesSpec extends SparkSpec {
     }
   }
 
+  test("l-diversity summary matches a hand-built class table") {
+    import spark.implicits._
+    // nation 1: segments A,A,B (l=2, k=3); nation 2: C,C,C (l=1, k=3) —
+    // nation-level: 2 classes, min_l 1, one class below l=3 contributing 3
+    // of 6 rows; both classes are below l=3 at this tiny scale? no: l<3
+    // catches BOTH (2 and 1) → 6 of 6 rows
+    val df = Seq((1L, "A", 100.0), (1L, "A", 100.0), (1L, "B", 100.0),
+      (2L, "C", 100.0), (2L, "C", 100.0), (2L, "C", 100.0))
+      .toDF("c_nationkey", "c_mktsegment", "c_acctbal")
+    val got = df
+      .withColumn("balband", floor(col("c_acctbal") / 2000).cast("long"))
+      .groupBy(col("c_nationkey"))
+      .agg(countDistinct(col("c_mktsegment")).cast("long").as("l"),
+        count(lit(1)).cast("long").as("k"))
+      .agg(count(lit(1)).cast("long").as("n_classes"),
+        min(col("l")).as("min_l"),
+        sum(when(col("l") < 3, col("k")).otherwise(0L)).cast("long")
+          .as("rows_below_l3"))
+      .head()
+    assert(got.getAs[Long]("n_classes") == 2L)
+    assert(got.getAs[Long]("min_l") == 1L)
+    assert(got.getAs[Long]("rows_below_l3") == 6L)
+  }
+
   test("hashSampleEstimate: portable membership, exact HT arithmetic") {
     import spark.implicits._
     val df = (1 to 400).map(i => (i.toLong, if (i % 2 == 0) "even" else "odd",

@@ -303,6 +303,23 @@ class SimilaritySpec extends SparkSpec {
     assert(r.getAs[Double]("abs_err") == 0.0)
   }
 
+  test("truncationAudit: full-width truncation is the identity audit") {
+    val embs = Tables(spark, sf, "embeddings").limit(60)
+    val q = embs.filter(col("vec_id") < 3)
+    val full = operators.Similarity.truncationAudit(q, embs,
+      "vec_id", "embedding", dims = 64, k = 5).collect()
+    assert(full.length == 3)
+    full.foreach { r =>
+      assert(r.getAs[Long]("overlap") == 5L, r)
+      assert(r.getAs[Long]("top1_full") == r.getAs[Long]("top1_trunc"), r)
+      assert(r.getAs[Double]("overlap_frac") == 1.0)
+    }
+    // a real truncation can only keep or shrink the overlap
+    val trunc = operators.Similarity.truncationAudit(q, embs,
+      "vec_id", "embedding", dims = 8, k = 5).collect()
+    trunc.foreach(r => assert(r.getAs[Long]("overlap") <= 5L))
+  }
+
   test("cdcDupProfile: chunks cover the text; boundaries survive an insertion") {
     import spark.implicits._
     val rnd = new scala.util.Random(7L)
