@@ -56,10 +56,12 @@ object Bench {
     }
 
     val sentinel = SparkEntry.queries.get("q01_pricing_summary")
-    // one untimed sentinel run first: its codegen/JIT compile must not be
-    // billed to the PRE sample, or the ratio reads "noisy" on a quiet box
-    sentinel.foreach(fn => try { fn(spark, sfDir).count() }
-      catch { case _: Throwable => () })
+    // several untimed sentinel runs first: q01's own codegen AND the
+    // JVM-wide C2 ramp on the scan/agg path must not be billed to the PRE
+    // sample — with a single warm-up, a perfectly quiet box read ~0.4
+    // (post 2× faster than pre), which is JIT ramp masquerading as load
+    sentinel.foreach(fn => (1 to 4).foreach(_ =>
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }))
     val noisePre = sentinel.map(time).getOrElse(Double.NaN)
     // reps run as INTERLEAVED FULL PASSES (pass 1 over every query, then
     // pass 2, ...), not back-to-back per query: a transient ambient-load
