@@ -108,4 +108,42 @@ object DataSelection {
             / col("budget_tokens") + lit(0.5)).cast("long"))
           .otherwise(lit(0L)).as("fill_x1e4"))
   }
+
+  /** Leakage-free train/val/test assignment: the split hash runs over the
+    * NEAR-DUP GROUP key, not the doc id, so every member of a near-dup
+    * component lands in the same split BY CONSTRUCTION — closing the hole
+    * q80's plain per-doc hash split leaves and q159's audit measures
+    * (near-identical docs straddling train and test silently inflate
+    * eval). Group key = connected-component id over exact n-gram-Jaccard
+    * pairs (the component's minimum doc id); singletons group as
+    * themselves, so their assignment is IDENTICAL to the plain q80 rule —
+    * adopting this split re-assigns only documents that have a near-dup.
+    *
+    * Split rule (shared with q80): first hex char of md5(group_key) —
+    * 0-9ab train (12/16), cd val (2/16), else test (2/16).
+    *
+    * Scale shape: pair generation here is the exact inverted-index engine
+    * (the oracle baseline); at corpus scale pass [[DedupOps.minhashLshPairs]]
+    * or [[DedupOps.prefixJaccardPairs]] output as `pairs` instead — the
+    * component loop and the assignment are unchanged. Assignment itself
+    * is one left join (components table is dup-bounded, far smaller than
+    * the corpus) plus a narrow hash map.
+    */
+  def leakageFreeSplit(df: DataFrame, idCol: String, textCol: String,
+                       n: Int, threshold: Double,
+                       pairs: Option[DataFrame] = None): DataFrame = {
+    val edges = pairs.getOrElse(
+      DedupOps.ngramJaccardPairs(df, idCol, textCol, n, threshold))
+    val comp = GraphOps.connectedComponents(edges, "id_a", "id_b")
+      .select(col("id").as(idCol), col("component"))
+    df.select(col(idCol))
+      .join(comp, Seq(idCol), "left")
+      .withColumn("group_key", coalesce(col("component"), col(idCol)))
+      .withColumn("__h", substring(md5(col("group_key").cast("string")), 1, 1))
+      .withColumn("split",
+        when(col("__h").between("0", "9") || col("__h").isin("a", "b"), "train")
+          .when(col("__h").isin("c", "d"), "val")
+          .otherwise("test"))
+      .select(col(idCol), col("group_key"), col("split"))
+  }
 }

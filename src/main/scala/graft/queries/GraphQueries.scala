@@ -574,7 +574,47 @@ object GraphQueries {
         GraphOps.kCore(edges, "x", "y", k = 80)
           .orderBy(col("v"))
       },
-      Some(kcoreOracleSql(k = 80, rounds = 12)))
+      Some(kcoreOracleSql(k = 80, rounds = 12))),
+
+    // Leakage-free split assignment: the split hash runs over the q69
+    // near-dup COMPONENT key (singletons hash as themselves = q80's rule),
+    // so no near-dup pair can straddle train/test — assignment-side
+    // closure of the hole q159 audits. Oracle: recursive-CTE components
+    // + the same md5 first-hex-char split rule.
+    QDef("q183_group_split",
+      (s, d) => graft.operators.DataSelection.leakageFreeSplit(
+          t(s, d, "documents"), "doc_id", "text", n = 3, threshold = 0.5)
+        .orderBy(col("doc_id")),
+      Some(s"""WITH RECURSIVE t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+             |            FROM documents),
+             |sh AS (SELECT doc_id, unnest(list_distinct(
+             |         [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+             |          for i in range(1, greatest(len(toks) - 1, 1))])) AS s
+             |       FROM t),
+             |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+             |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+             |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |      GROUP BY 1, 2),
+             |pairs AS (SELECT id_a, id_b FROM (
+             |    SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS j
+             |    FROM p JOIN sz sa ON p.id_a = sa.doc_id
+             |           JOIN sz sb ON p.id_b = sb.doc_id)
+             |  WHERE j >= 0.5),
+             |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+             |          UNION SELECT id_b, id_a FROM pairs),
+             |nodes AS (SELECT DISTINCT a AS id FROM edges),
+             |reach(id, r) AS (SELECT id, id FROM nodes
+             |  UNION SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+             |comp AS (SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component
+             |         FROM reach GROUP BY 1),
+             |g AS (SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS group_key
+             |      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+             |h AS (SELECT doc_id, group_key,
+             |        substr(md5(CAST(group_key AS VARCHAR)), 1, 1) AS hx FROM g)
+             |SELECT doc_id, group_key,
+             |  CASE WHEN hx BETWEEN '0' AND '9' OR hx IN ('a', 'b') THEN 'train'
+             |       WHEN hx IN ('c', 'd') THEN 'val' ELSE 'test' END AS split
+             |FROM h ORDER BY doc_id""".stripMargin))
   )
 
   /** Unrolled simultaneous-peeling k-core in plain SQL (the oracle for

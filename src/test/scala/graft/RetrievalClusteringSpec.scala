@@ -11,6 +11,36 @@ import org.apache.spark.sql.functions._
 class RetrievalClusteringSpec extends SparkSpec {
   import spark.implicits._
 
+  test("leakageFreeSplit: no near-dup pair straddles splits; singletons match q80") {
+    val docs = Tables(spark, sf, "documents")
+    val assign = DataSelection.leakageFreeSplit(docs, "doc_id", "text",
+      n = 3, threshold = 0.5).cache()
+    val splitOf = assign.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(splitOf.size == docs.count())
+    // the guarantee: every exact near-dup pair shares a split
+    val pairs = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty) // corpus plants dup clusters; vacuous otherwise
+    pairs.foreach { case (a, b) =>
+      assert(splitOf(a)._2 == splitOf(b)._2, s"pair ($a,$b) straddles splits")
+    }
+    // singletons (group_key == own id) get exactly the q80 per-doc rule
+    val grouped = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    splitOf.foreach { case (id, (gk, sp)) =>
+      if (!grouped(id)) {
+        assert(gk == id)
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.head
+        val exp = if (h <= '9' || h == 'a' || h == 'b') "train"
+                  else if (h == 'c' || h == 'd') "val" else "test"
+        assert(sp == exp, s"singleton $id")
+      } else assert(gk <= id) // component id = min member
+    }
+    assign.unpersist()
+  }
+
   test("budgetFill: source whose first doc overshoots keeps zero docs") {
     // one source, one 10-token doc, budget = 10·3 DIV 5 = 6 < 10 → nothing
     // fits; the summary row must still appear with zeros.
