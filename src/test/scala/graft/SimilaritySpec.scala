@@ -347,6 +347,49 @@ class SimilaritySpec extends SparkSpec {
     assert(got(4L).getAs[Long]("dup_chars") == 0L)
   }
 
+  test("cdc profile matches an independent recompute on seeded random corpora") {
+    import spark.implicits._
+    // reference chunker with INDEPENDENT arithmetic: per-window O(w)
+    // polynomial sum (no rolling update), same B/M/modulus constants
+    def chunksOf(t: String, w: Int = 8, modulus: Int = 64): Seq[String] = {
+      val B = 257L; val M = 1000000007L
+      val pows = Array.iterate(1L, w)(p => p * B % M).reverse
+      val bs = scala.collection.mutable.ArrayBuffer(0)
+      for (i <- w to t.length) {
+        val h = (0 until w).map(j => t.charAt(i - w + j).toLong * pows(j) % M).sum % M
+        if (h % modulus == 0) bs += i
+      }
+      if (bs.last != t.length) bs += t.length
+      bs.toSeq.sliding(2).map { case Seq(a, b) => t.substring(a, b) }.toSeq
+    }
+    val docs = (1 to 12).map { seed =>
+      val rnd = new scala.util.Random(seed * 31L)
+      val base = Array.fill(300 + rnd.nextInt(900))(
+        ('a' + rnd.nextInt(26)).toChar).mkString
+      val text = seed % 3 match {
+        case 0 => base
+        case 1 => "prefix" + base          // shifted copy of... itself only
+        case _ => base + base.take(100)    // self-repeating tail
+      }
+      (seed.toLong, text)
+    }
+    val expected = {
+      val all = docs.flatMap { case (id, t) => chunksOf(t).map(c => (id, c)) }
+      val freq = all.groupBy(_._2).map { case (c, xs) => c -> xs.size }
+      docs.map { case (id, t) =>
+        val cs = chunksOf(t)
+        val dup = cs.filter(c => freq(c) >= 2)
+        id -> ((cs.size.toLong, dup.size.toLong,
+          cs.map(_.length).sum.toLong, dup.map(_.length).sum.toLong))
+      }.toMap
+    }
+    val got = operators.DedupOps.cdcDupProfile(
+      docs.toDF("doc_id", "text"), "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expected)
+  }
+
   test("md5-portable simhash pair set equals the xxh64 banding's guarantees") {
     import spark.implicits._
     val df = Seq((1L, "alpha beta gamma delta epsilon zeta"),
