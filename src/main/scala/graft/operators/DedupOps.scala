@@ -910,8 +910,12 @@ object DedupOps {
     * `modulus` chars, so the chunk index carries ~1/modulus the rows of a
     * char-gram table.
     */
-  def cdcDupProfile(df: DataFrame, idCol: String, textCol: String,
-                    w: Int = 8, modulus: Int = 64): DataFrame = {
+  /** The (id, chunk) table behind [[cdcDupProfile]] — every CDC chunk
+    * occurrence in document order. Exposed for the incremental streaming
+    * twin, which indexes chunk hashes instead of re-profiling the corpus.
+    */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+                w: Int, modulus: Int): DataFrame = {
     val bw1 = cdcPows(w).head // B^(w-1) mod M
     val chunkUdf = udf { t: String =>
       if (t == null || t.isEmpty) Array.empty[String]
@@ -931,7 +935,12 @@ object DedupOps {
         Array.tabulate(bnd.length - 1)(j => t.substring(bnd(j), bnd(j + 1)))
       }
     }
-    val chunks = df.select(col(idCol), explode(chunkUdf(col(textCol))).as("chunk"))
+    df.select(col(idCol), explode(chunkUdf(col(textCol))).as("chunk"))
+  }
+
+  def cdcDupProfile(df: DataFrame, idCol: String, textCol: String,
+                    w: Int = 8, modulus: Int = 64): DataFrame = {
+    val chunks = cdcChunks(df, idCol, textCol, w, modulus)
     val freq = chunks.groupBy(col("chunk")).agg(count(lit(1)).as("__n"))
     chunks.join(freq, Seq("chunk"))
       .groupBy(col(idCol))

@@ -458,6 +458,69 @@ object StreamingOps {
       }
       .start()
 
+  /** Continuous-ingestion CHAR-level dedup: the streaming twin of
+    * [[graft.operators.DedupOps.cdcDupProfile]], completing the
+    * incremental family (exact fingerprint / minhash / winnowing / CDC).
+    * Each micro-batch is content-defined-chunked; a new document is
+    * dropped when ≥ `maxDupFrac` of its distinct-chunk chars match the
+    * accumulated survivor index (or an earlier surviving doc of the same
+    * batch, lower id first) — the shift-resistant dedup token-level
+    * fingerprints miss when an edit re-aligns every fixed window.
+    *
+    * Index rows are (id, md5(chunk), chunk chars): hash-keyed so corpus
+    * TEXT never persists in the index, length-weighted so the drop rule
+    * is the char fraction q179 profiles. Per-doc chunk multiplicity is
+    * collapsed BEFORE comparison (distinct content per doc) — a
+    * self-repeating doc can't double-count its own duplication. Replay
+    * safety: reads exclude the current batchId, writes go through the
+    * batch=<id>-overwrite sink — the [[incrementalWinnowDedup]] contract.
+    */
+  def incrementalCdcDedup(docs: DataFrame, idCol: String, textCol: String,
+                          indexDir: String, outDir: String,
+                          checkpointDir: String, w: Int = 8,
+                          modulus: Int = 64,
+                          maxDupFrac: Double = 0.5): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        // distinct chunk content per doc, char-weighted
+        val ch = graft.operators.DedupOps
+          .cdcChunks(batch, idCol, textCol, w, modulus)
+          .select(col(idCol), md5(col("chunk")).as("h"),
+            length(col("chunk")).cast("long").as("len"))
+          .distinct().persist()
+        val tot = ch.groupBy(col(idCol)).agg(sum(col("len")).as("__tot"))
+        val oldCh =
+          try spark.read.parquet(s"$indexDir/chunks")
+            .filter(col("batch") =!= batchId)
+            .select(col("h")).distinct()
+          catch { case _: org.apache.spark.sql.AnalysisException =>
+            ch.select(col("h")).limit(0)
+          }
+        val vsIndex = ch.join(oldCh, Seq("h"))
+          .groupBy(col(idCol)).agg(sum(col("len")).as("__shared"))
+          .join(tot, Seq(idCol))
+          .filter(col("__shared") >= lit(maxDupFrac) * col("__tot"))
+          .select(col(idCol))
+        val local = ch.select(col(idCol).as("__a"), col("h"))
+          .join(ch.select(col(idCol).as("__b"), col("h"),
+            col("len")), Seq("h"))
+          .filter(col("__a") < col("__b"))
+          .groupBy(col("__a"), col("__b")).agg(sum(col("len")).as("__shared"))
+          .join(tot.select(col(idCol).as("__b"), col("__tot")), Seq("__b"))
+          .filter(col("__shared") >= lit(maxDupFrac) * col("__tot"))
+          .select(col("__b").as(idCol))
+        val dropIds = vsIndex.union(local).distinct().persist()
+        val survivors = batch.join(dropIds, Seq(idCol), "left_anti").persist()
+        graft.sinks.Sinks.idempotentBatchAppend(survivors, outDir, batchId)
+        val keptCh = ch.join(survivors.select(idCol), Seq(idCol), "left_semi")
+        graft.sinks.Sinks.idempotentBatchAppend(keptCh, s"$indexDir/chunks", batchId)
+        Seq(ch, dropIds, survivors).foreach(_.unpersist())
+        ()
+      }
+      .start()
+
   /** Continuous-ingestion benchmark decontamination: the streaming twin of
     * [[graft.operators.DedupOps.decontaminate]]. Each micro-batch shingles
     * its documents (one narrow pass), counts distinct n-grams shared with

@@ -454,6 +454,40 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$idx/fps").select("doc_id").distinct().count() == 2)
   }
 
+  test("incremental CDC dedup: shift-resistant cross-batch drops, char-frac rule") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-inccdc").toString
+    val (idx, out, ckpt) = (s"$base/index", s"$base/out", s"$base/ckpt")
+
+    val rnd = new scala.util.Random(11L)
+    val textA = Array.fill(1500)(('a' + rnd.nextInt(26)).toChar).mkString
+    val textB = Array.fill(1500)(('a' + rnd.nextInt(26)).toChar).mkString
+
+    val src = MemoryStream[(Long, String)]
+    val q = StreamingOps.incrementalCdcDedup(
+      src.toDF().toDF("doc_id", "text"), "doc_id", "text", idx, out, ckpt)
+    // batch 1: A and B survive; exact batch-local copy of A drops
+    src.addData((1L, textA), (2L, textB), (3L, textA))
+    q.processAllAvailable()
+    // batch 2: a SHIFTED copy of A (inserted prefix re-aligns every fixed
+    // window — the case CDC exists for) drops against the index; fresh
+    // random text survives
+    val shifted = "INSERTED LEADING EDIT " + textA
+    val fresh = Array.fill(1200)(('a' + rnd.nextInt(26)).toChar).mkString
+    src.addData((4L, shifted), (5L, fresh))
+    q.processAllAvailable()
+    q.stop()
+
+    val kept = spark.read.parquet(out).select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 2L, 5L), kept.mkString(","))
+    // index carries hashes only — never chunk text — for survivors only
+    val idxDf = spark.read.parquet(s"$idx/chunks")
+    assert(idxDf.columns.toSet == Set("doc_id", "h", "len", "batch"))
+    assert(idxDf.select("doc_id").distinct().count() == 3)
+  }
+
   test("winnow dedup: crash-retry replay overwrites in place, final table identical") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
