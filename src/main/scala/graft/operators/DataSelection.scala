@@ -109,6 +109,131 @@ object DataSelection {
           .otherwise(lit(0L)).as("fill_x1e4"))
   }
 
+  /** One doc entering the greedy packer: shard + deterministic order key +
+    * token count. Kept object-level so the Dataset encoder is derivable.
+    */
+  private[graft] final case class PackIn(shard: Long, ord: String, id: Long,
+                                         nTok: Long)
+
+  /** Packer output: the doc's context-window index within its shard
+    * (−1 = oversize, excluded), token count carried for the stats pass.
+    */
+  private[graft] final case class PackAssign(shard: Long, id: Long, bin: Long,
+                                             nTok: Long)
+
+  /** Greedy no-split sequence packing: assign whole docs, in deterministic
+    * md5-shuffle order within a stable md5 shard, into fixed `budget`-token
+    * context windows — the "pack documents into training sequences" step
+    * between selection and tensorization (the Raffel et al. T5 / GPT-style
+    * packer, in its no-document-crosses-a-boundary form, so no attention
+    * mask ever spans two docs). A doc goes into the current window iff it
+    * fits; otherwise a new window opens. Docs longer than `budget` are
+    * marked oversize (`bin = -1`) and skipped — the caller routes those to
+    * a chunker ([[Chunking]]) instead of silently truncating.
+    *
+    * Returns one row per doc: (shard, id, bin, nTok).
+    *
+    * Scale shape: packing is inherently sequential PER SHARD (each doc's
+    * window depends on every earlier doc), so the shard is the unit of
+    * distribution — production shards are bounded (fixed doc/token counts
+    * per shard at export, q141), and at 100 TB there are tens of thousands
+    * of them. One shuffle keys docs by shard; within each partition the
+    * scan is a single forward pass with O(1) state (current window fill),
+    * resetting at shard boundaries — group state never materializes, so a
+    * hot shard streams instead of OOMing. No global sort, no driver state.
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    budget: Long, nShards: Int): DataFrame = {
+    require(budget > 0 && nShards > 0, "budget and nShards must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val h = md5(col(idCol).cast("string"))
+    val tok = df.select(
+      (conv(substring(h, 1, 4), 16, 10).cast("int") % nShards)
+        .cast("long").as("shard"),
+      h.as("ord"), col(idCol).cast("long").as("id"),
+      TextFns.tokenCount(col(textCol)).as("nTok"))
+    tok.as[PackIn]
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "ord", "id")
+      .mapPartitions { it =>
+        var cur = Long.MinValue; var bin = -1L; var fill = 0L
+        it.map { r =>
+          if (r.shard != cur) { cur = r.shard; bin = -1L; fill = 0L }
+          if (r.nTok > budget) PackAssign(r.shard, r.id, -1L, r.nTok)
+          else {
+            if (bin < 0L || fill + r.nTok > budget) { bin += 1L; fill = 0L }
+            fill += r.nTok
+            PackAssign(r.shard, r.id, bin, r.nTok)
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** Per-shard packing efficiency over [[packSequences]]: window count,
+    * oversize count, packed tokens, padding (the tokens a trainer burns on
+    * pad-to-budget), and fill rate ×10⁴ (fixed-point floor(x+0.5) so
+    * engines can't disagree at half-ulp). One doc-level aggregate keyed by
+    * shard — the packing scan's output never re-sorts.
+    */
+  def packingStats(df: DataFrame, idCol: String, textCol: String,
+                   budget: Long, nShards: Int): DataFrame = {
+    val a = packSequences(df, idCol, textCol, budget, nShards)
+    a.groupBy(col("shard"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        count(when(col("bin") === -1L, lit(1))).cast("long").as("n_oversize"),
+        (greatest(max(col("bin")), lit(-1L)) + 1L).cast("long").as("n_bins"),
+        coalesce(sum(when(col("bin") >= 0L, col("nTok"))), lit(0L))
+          .cast("long").as("packed_tokens"))
+      .withColumn("padding_tokens",
+        (col("n_bins") * budget - col("packed_tokens")).cast("long"))
+      .withColumn("fill_x1e4",
+        when(col("n_bins") > 0L,
+          floor(col("packed_tokens") * lit(10000.0)
+            / (col("n_bins") * budget) + lit(0.5)).cast("long"))
+          .otherwise(lit(0L)))
+  }
+
+  /** Concat-and-cut packing audit — the OTHER packing discipline: docs are
+    * concatenated in deterministic shard order and cut at every `budget`
+    * tokens (the T5/GPT pretraining default), so padding exists only in
+    * each shard's tail but documents straddle window boundaries (which
+    * costs either cross-doc attention or a mid-doc truncation). This query
+    * reports the tradeoff q184's no-split packer avoids: per shard, the
+    * window count, the straddling-doc count, and the tail padding.
+    *
+    * Pure window math — the per-shard running sum IS the window id
+    * (`(cum−1) div budget`), so unlike [[packSequences]] no sequential
+    * scan exists at all: one keyed shuffle, one partitioned window, one
+    * aggregate. All arithmetic integral (div, never floating division).
+    */
+  def concatPackStats(df: DataFrame, idCol: String, textCol: String,
+                      budget: Long, nShards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget > 0 && nShards > 0, "budget and nShards must be positive")
+    val h = md5(col(idCol).cast("string"))
+    val tok = df.select(
+      (conv(substring(h, 1, 4), 16, 10).cast("int") % nShards)
+        .cast("long").as("shard"),
+      h.as("ord"), col(idCol).cast("long").as("id"),
+      TextFns.tokenCount(col(textCol)).as("nTok"))
+    val w = Window.partitionBy("shard").orderBy("ord", "id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tok.withColumn("cum", sum("nTok").over(w))
+      .withColumn("straddles",
+        col("nTok") > 0L &&
+          expr(s"(cum - nTok) div $budget") =!= expr(s"(cum - 1) div $budget"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum("nTok").cast("long").as("total_tokens"),
+        count(when(col("straddles"), lit(1))).cast("long")
+          .as("n_boundary_docs"))
+      .withColumn("n_bins", expr(s"(total_tokens + $budget - 1) div $budget"))
+      .withColumn("tail_padding",
+        (col("n_bins") * budget - col("total_tokens")).cast("long"))
+  }
+
   /** Leakage-free train/val/test assignment: the split hash runs over the
     * NEAR-DUP GROUP key, not the doc id, so every member of a near-dup
     * component lands in the same split BY CONSTRUCTION — closing the hole

@@ -278,4 +278,50 @@ object GraphOps {
     import spark.implicits._
     Seq((row.getLong(0), row.getLong(1))).toDF("n_edges", "n_triangles")
   }
+
+  /** Minimum hop distance from a seed set, bounded at `maxHops` — the
+    * transitive-contamination closure: a doc that near-duplicates a
+    * contaminated doc is itself suspect, and so on outward. Direct n-gram
+    * decontamination (q79) catches hop 0 only; this walks the near-dup
+    * graph to flag the paraphrase-of-a-paraphrase tail.
+    *
+    * `seeds` is one `idCol` column (hop 0); `edges` an undirected pair
+    * list. Returns (id, hop) for every node within `maxHops` of a seed,
+    * hop = shortest distance (seeds themselves at 0, even if also
+    * reachable).
+    *
+    * Scale shape: classic frontier BFS as iterated joins — each round
+    * joins only the PREVIOUS frontier (new nodes at hop h−1, a shrinking
+    * dup-bounded set) against the checkpointed edge list, then folds into
+    * the label table with a min-hop groupBy. `localCheckpoint` cuts loop
+    * lineage; an emptied frontier exits early (the count is frontier-sized,
+    * not corpus-sized). Labels stay vertex-bounded; AQE broadcasts the
+    * frontier side of the join while it fits, shuffles past that.
+    */
+  def minHopFrom(seeds: DataFrame, edges: DataFrame, srcCol: String,
+                 dstCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, "maxHops must be >= 0")
+    val idCol = seeds.columns.head
+    val und = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      .distinct().localCheckpoint()
+    var labels = seeds.select(col(idCol).as("id")).distinct()
+      .withColumn("hop", lit(0L)).localCheckpoint()
+    var h = 1L
+    var exhausted = false
+    while (h <= maxHops && !exhausted) {
+      val frontier = labels.filter(col("hop") === (h - 1L))
+        .select(col("id").as("a"))
+      val next = und.join(frontier, Seq("a"))
+        .select(col("b").as("id")).distinct()
+        .withColumn("hop", lit(h))
+      val folded = labels.union(next)
+        .groupBy("id").agg(min("hop").as("hop"))
+        .localCheckpoint()
+      exhausted = folded.filter(col("hop") === h).limit(1).count() == 0
+      labels = folded
+      h += 1L
+    }
+    labels
+  }
 }

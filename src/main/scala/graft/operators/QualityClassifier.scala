@@ -62,4 +62,40 @@ object QualityClassifier {
       .withColumn("score", prob)
       .withColumn("keep", (col("score") >= 0.5).cast("int"))
   }
+
+  /** Exact ROC-AUC of a score column against 0/1 labels — the
+    * discrimination summary next to q165's calibration curve. Computed as
+    * the tie-corrected Mann–Whitney rank-sum: group once by distinct score
+    * (fixed-point ×10⁶, so the key is integral and engine-portable), take
+    * the cumulative negative count over the DISTINCT-SCORE table, and fold
+    * `2U = Σ_s np(s)·(2·neg_below(s) + nn(s))` — ties contribute half,
+    * with every term an exact integer until the single final division.
+    *
+    * Scale shape: the corpus is touched by ONE groupBy(score); ranking
+    * happens on the distinct-score table (≤10⁶+1 rows by construction)
+    * via the two-pass [[PrefixSum]] — no corpus sort, no SinglePartition
+    * window anywhere. Returns one row: (n_pos, n_neg, u2, auc 6dp);
+    * degenerate single-class inputs report auc = 0.
+    */
+  def auc(scored: DataFrame, idCol: String, labels: DataFrame,
+          labelCol: String): DataFrame = {
+    val sc = scored.select(col(idCol),
+      floor(col("score") * lit(1000000.0) + lit(0.5)).cast("long").as("s"))
+    val g = sc
+      .join(labels.select(col(idCol), col(labelCol).cast("long").as("__l")),
+        Seq(idCol))
+      .groupBy(col("s"))
+      .agg(sum(col("__l")).as("np"),
+        (count(lit(1)) - sum(col("__l"))).as("nn"))
+    PrefixSum.runningSum(g, "s", "nn", "cum_nn")
+      .agg(sum("np").cast("long").as("n_pos"),
+        sum("nn").cast("long").as("n_neg"),
+        coalesce(sum(col("np") *
+          (lit(2L) * (col("cum_nn") - col("nn")) + col("nn"))), lit(0L))
+          .cast("long").as("u2"))
+      .select(col("n_pos"), col("n_neg"), col("u2"),
+        when(col("n_pos") > 0L && col("n_neg") > 0L,
+          round(col("u2") / (lit(2.0) * col("n_pos") * col("n_neg")), 6))
+          .otherwise(lit(0.0)).as("auc"))
+  }
 }

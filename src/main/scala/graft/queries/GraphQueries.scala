@@ -614,7 +614,58 @@ object GraphQueries {
              |SELECT doc_id, group_key,
              |  CASE WHEN hx BETWEEN '0' AND '9' OR hx IN ('a', 'b') THEN 'train'
              |       WHEN hx IN ('c', 'd') THEN 'val' ELSE 'test' END AS split
-             |FROM h ORDER BY doc_id""".stripMargin))
+             |FROM h ORDER BY doc_id""".stripMargin)),
+
+    // Transitive-contamination closure: direct-overlap seeds (docs
+    // sharing ≥3 distinct 4-grams with a doc_id%7 pseudo-benchmark slice;
+    // q79's rule with a wider slice so the walk is exercised) walked
+    // ≤3 hops outward through q24's exact near-dup pairs — min hop per
+    // reached doc. Catches the paraphrase-of-a-paraphrase tail direct
+    // decontamination misses; frontier BFS, each round joins only the
+    // newest (dup-bounded) frontier. Oracle: recursive-CTE min-hop BFS
+    // over the same seed rule and pair set.
+    QDef("q185_taint_hops",
+      (s, d) => {
+        val ds = t(s, d, "documents")
+        val edges = DedupOps.ngramJaccardPairs(ds, "doc_id", "text",
+          n = 3, threshold = 0.5)
+        val seeds = DedupOps.decontaminate(ds, "doc_id", "text", 4,
+            col("doc_id") % 7 === 0)
+          .filter(col("n_shared_grams") >= 3L)
+          .select(col("doc_id"))
+        GraphOps.minHopFrom(seeds, edges, "id_a", "id_b", maxHops = 3)
+          .select(col("id").as("doc_id"), col("hop"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH RECURSIVE t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+             |            FROM documents),
+             |sh AS (SELECT doc_id, unnest(list_distinct(
+             |         [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+             |          for i in range(1, greatest(len(toks) - 1, 1))])) AS s
+             |       FROM t),
+             |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+             |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+             |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |      GROUP BY 1, 2),
+             |pairs AS (SELECT id_a, id_b FROM (
+             |    SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS j
+             |    FROM p JOIN sz sa ON p.id_a = sa.doc_id
+             |           JOIN sz sb ON p.id_b = sb.doc_id)
+             |  WHERE j >= 0.5),
+             |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+             |          UNION SELECT id_b, id_a FROM pairs),
+             |g4 AS (SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i, i+3), ' ') AS g
+             |       FROM t, UNNEST(range(1, len(toks)-2)) AS u(i)),
+             |bench AS (SELECT DISTINCT g FROM g4 WHERE doc_id % 7 = 0),
+             |seeds AS (SELECT c.doc_id FROM g4 c JOIN bench b USING (g)
+             |          WHERE c.doc_id % 7 <> 0 GROUP BY 1 HAVING count(*) >= 3),
+             |walk(id, hop) AS (
+             |  SELECT doc_id, 0 FROM seeds
+             |  UNION
+             |  SELECT e.b, walk.hop + 1 FROM walk JOIN edges e ON e.a = walk.id
+             |  WHERE walk.hop < 3)
+             |SELECT id AS doc_id, CAST(min(hop) AS BIGINT) AS hop
+             |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   /** Unrolled simultaneous-peeling k-core in plain SQL (the oracle for

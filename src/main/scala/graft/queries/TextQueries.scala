@@ -1239,6 +1239,125 @@ object TextQueries {
              |       round(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)::DOUBLE
              |             / count(*)::DOUBLE, 6) AS novelty
              |FROM sh JOIN f USING (s)
-             |GROUP BY 1 ORDER BY doc_id""".stripMargin))
+             |GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
+    // Greedy no-split sequence packing into 96-token context windows over
+    // 8 md5 shards: per-shard window count, oversize docs, packed tokens,
+    // padding burn and fill rate — the packing-efficiency audit between
+    // selection and tensorization. Packing is sequential per shard (the
+    // honest dependency), distributed across shards; the oracle replays
+    // the same greedy rule one doc per step in a recursive CTE.
+    QDef("q184_sequence_packing",
+      (s, d) => DataSelection.packingStats(docs(s, d), "doc_id", "text",
+          budget = 96L, nShards = 8)
+        .orderBy(col("shard")),
+      Some("""WITH RECURSIVE t AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+             |    CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS n_tok
+             |  FROM documents),
+             |s AS (SELECT doc_id, n_tok,
+             |    CAST(CAST(('0x' || substr(h, 1, 4)) AS INTEGER) % 8 AS BIGINT) AS shard,
+             |    CAST(row_number() OVER (
+             |      PARTITION BY CAST(('0x' || substr(h, 1, 4)) AS INTEGER) % 8
+             |      ORDER BY h, doc_id) AS BIGINT) AS rn
+             |  FROM t),
+             |walk(shard, rn, bin, fill, n_tok, over) AS (
+             |  SELECT DISTINCT shard, CAST(0 AS BIGINT), CAST(-1 AS BIGINT),
+             |      CAST(0 AS BIGINT), CAST(0 AS BIGINT), FALSE
+             |    FROM s
+             |  UNION ALL
+             |  SELECT s.shard, s.rn,
+             |    CASE WHEN s.n_tok > 96 THEN w.bin
+             |         WHEN w.bin < 0 OR w.fill + s.n_tok > 96 THEN w.bin + 1
+             |         ELSE w.bin END,
+             |    CASE WHEN s.n_tok > 96 THEN w.fill
+             |         WHEN w.bin < 0 OR w.fill + s.n_tok > 96 THEN s.n_tok
+             |         ELSE w.fill + s.n_tok END,
+             |    s.n_tok, s.n_tok > 96
+             |  FROM walk w JOIN s ON s.shard = w.shard AND s.rn = w.rn + 1)
+             |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(count(*) FILTER (WHERE over) AS BIGINT) AS n_oversize,
+             |  CAST(greatest(max(bin), -1) + 1 AS BIGINT) AS n_bins,
+             |  CAST(COALESCE(sum(n_tok) FILTER (WHERE NOT over), 0) AS BIGINT)
+             |    AS packed_tokens,
+             |  CAST((greatest(max(bin), -1) + 1) * 96
+             |    - COALESCE(sum(n_tok) FILTER (WHERE NOT over), 0) AS BIGINT)
+             |    AS padding_tokens,
+             |  CASE WHEN max(bin) >= 0 THEN CAST(floor(
+             |      COALESCE(sum(n_tok) FILTER (WHERE NOT over), 0) * 10000.0
+             |      / ((max(bin) + 1) * 96) + 0.5) AS BIGINT)
+             |    ELSE 0 END AS fill_x1e4
+             |FROM walk WHERE rn >= 1
+             |GROUP BY shard ORDER BY shard""".stripMargin)),
+
+    // Concat-and-cut packing audit (q184's counterpart discipline): docs
+    // concatenated in shard order, windows cut every 96 tokens — zero
+    // padding except the shard tail, but boundary-straddling docs need
+    // cross-doc attention masking. The window id IS the running sum div
+    // budget, so this is pure window math: one keyed shuffle, no
+    // sequential scan anywhere.
+    QDef("q186_concat_packing",
+      (s, d) => DataSelection.concatPackStats(docs(s, d), "doc_id", "text",
+          budget = 96L, nShards = 8)
+        .orderBy(col("shard")),
+      Some("""WITH t AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+             |    CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS n_tok
+             |  FROM documents),
+             |s AS (SELECT doc_id, n_tok, h,
+             |    CAST(CAST(('0x' || substr(h, 1, 4)) AS INTEGER) % 8 AS BIGINT) AS shard
+             |  FROM t),
+             |c AS (SELECT shard, n_tok,
+             |    sum(n_tok) OVER (PARTITION BY shard ORDER BY h, doc_id
+             |      ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM s),
+             |a AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+             |    CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+             |    CAST(count(*) FILTER (WHERE n_tok > 0
+             |      AND (cum - n_tok) // 96 <> (cum - 1) // 96) AS BIGINT)
+             |      AS n_boundary_docs
+             |  FROM c GROUP BY 1)
+             |SELECT shard, n_docs, total_tokens, n_boundary_docs,
+             |  (total_tokens + 95) // 96 AS n_bins,
+             |  (total_tokens + 95) // 96 * 96 - total_tokens AS tail_padding
+             |FROM a ORDER BY shard""".stripMargin)),
+
+    // Exact ROC-AUC of the q154 hashed-linear classifier against the q165
+    // proxy label — tie-corrected Mann–Whitney rank-sum. One corpus
+    // groupBy(distinct fixed-point score); the cumulative runs over the
+    // distinct-score table through the two-pass prefix sum (q67's shape),
+    // so no corpus-wide sort or SinglePartition window exists.
+    QDef("q187_classifier_auc",
+      (s, d) => {
+        val sc = graft.operators.QualityClassifier
+          .score(docs(s, d), "doc_id", "text")
+        val lab = docs(s, d).select(col("doc_id"),
+          (col("n_chars") >= 300).cast("int").as("label"))
+        graft.operators.QualityClassifier.auc(sc, "doc_id", lab, "label")
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+             |             FROM documents),
+             |s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             |        CAST(sum(md5_number_lower(t) % 2001) AS BIGINT) AS w_sum
+             |      FROM tok GROUP BY 1),
+             |sc AS (SELECT d.doc_id,
+             |         CASE WHEN COALESCE(s.n_tokens, 0) = 0 THEN 0.5
+             |              ELSE round(1.0 / (1.0 + exp(-((s.w_sum - 1000 * s.n_tokens)
+             |                     / (250.0 * s.n_tokens)))), 6) END AS score,
+             |         CASE WHEN d.n_chars >= 300 THEN 1 ELSE 0 END AS label
+             |       FROM documents d LEFT JOIN s USING (doc_id)),
+             |g AS (SELECT CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS sk,
+             |        CAST(sum(label) AS BIGINT) AS np,
+             |        CAST(count(*) - sum(label) AS BIGINT) AS nn
+             |      FROM sc GROUP BY 1),
+             |c AS (SELECT sk, np, nn,
+             |        sum(nn) OVER (ORDER BY sk ROWS UNBOUNDED PRECEDING) AS cum
+             |      FROM g)
+             |SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+             |  CAST(sum(nn) AS BIGINT) AS n_neg,
+             |  CAST(COALESCE(sum(np * (2 * (cum - nn) + nn)), 0) AS BIGINT) AS u2,
+             |  CASE WHEN sum(np) > 0 AND sum(nn) > 0
+             |    THEN round(CAST(sum(np * (2 * (cum - nn) + nn)) AS DOUBLE)
+             |           / (2.0 * sum(np) * sum(nn)), 6)
+             |    ELSE 0.0 END AS auc
+             |FROM c""".stripMargin))
   )
 }

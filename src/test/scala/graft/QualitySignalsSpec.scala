@@ -96,4 +96,45 @@ class QualitySignalsSpec extends SparkSpec {
       assert(rows(i).getAs[Int]("keep") == 1)
     }
   }
+
+  private def aucOf(rows: Seq[(Long, Double, Int)]): (Double, Long) = {
+    import graft.operators.QualityClassifier
+    val scored = rows.map { case (id, s, _) => (id, s) }.toDF("doc_id", "score")
+    val labels = rows.map { case (id, _, l) => (id, l) }.toDF("doc_id", "label")
+    val r = QualityClassifier.auc(scored, "doc_id", labels, "label").head()
+    (r.getAs[Double]("auc"), r.getAs[Long]("u2"))
+  }
+
+  /** O(n²) pairwise reference: fraction of (pos, neg) pairs ranked
+    * correctly, ties half — the definition the rank-sum must equal.
+    */
+  private def pairwiseAuc(rows: Seq[(Long, Double, Int)]): Double = {
+    val pos = rows.filter(_._3 == 1).map(_._2)
+    val neg = rows.filter(_._3 == 0).map(_._2)
+    val hits = (for (p <- pos; n <- neg)
+      yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+    hits / (pos.size * neg.size)
+  }
+
+  test("AUC: rank-sum equals the O(n²) pairwise definition, ties included") {
+    val rows = (1L to 60L).map { i =>
+      // quantized scores with deliberate cross-class ties
+      (i, (i * 7 % 10) / 10.0, if ((i * 3 % 7) < 3) 1 else 0)
+    }
+    val (auc, _) = aucOf(rows)
+    assert(math.abs(auc - pairwiseAuc(rows)) < 5e-7) // 6dp rounding only
+  }
+
+  test("AUC: perfect separation is 1, inverted is 0, all-tied is 0.5") {
+    val sep = Seq((1L, 0.9, 1), (2L, 0.8, 1), (3L, 0.2, 0), (4L, 0.1, 0))
+    assert(aucOf(sep)._1 == 1.0)
+    val inv = sep.map { case (id, s, l) => (id, s, 1 - l) }
+    assert(aucOf(inv)._1 == 0.0)
+    val tied = Seq((1L, 0.5, 1), (2L, 0.5, 0), (3L, 0.5, 1), (4L, 0.5, 0))
+    assert(aucOf(tied)._1 == 0.5)
+  }
+
+  test("AUC: single-class input reports 0 without dividing by zero") {
+    assert(aucOf(Seq((1L, 0.4, 1), (2L, 0.6, 1)))._1 == 0.0)
+  }
 }
