@@ -200,6 +200,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), s"single-partition stage:\n$p")
   }
 
+  test("round-5 packing/AUC family: shard-keyed shuffles, no single-partition stage") {
+    // q184's sequential scan is per-partition after a shard-keyed
+    // repartition; q186 is a shard-partitioned window; q187's rank-sum
+    // cumulative runs through the two-pass prefix sum — none of them may
+    // ever plan Exchange SinglePartition (the global-sort death at scale)
+    Seq("q184_sequence_packing", "q186_concat_packing").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("SinglePartition"), s"single-partition stage in $q:\n$p")
+    }
+    assert(plan("q184_sequence_packing").contains("hashpartitioning(shard"))
+    // q187 ends in a one-row scalar aggregate (its final Exchange
+    // SinglePartition moves partial sums, not data) — the pin here is that
+    // the rank-sum WINDOW is bucket-partitioned, never global
+    val p187 = plan("q187_classifier_auc")
+    assert(p187.contains("windowspecdefinition(_psb"),
+      s"prefix-sum window lost its bucket partitioning:\n$p187")
+    assert(p187.contains("hashpartitioning(_psb"), p187)
+  }
+
   test("q139 bm25 joins stay broadcast — no shuffle join in the scoring path") {
     val p = plan("q139_bm25_topk")
     assert(p.contains("BroadcastHashJoin"), p)
