@@ -234,6 +234,61 @@ object DataSelection {
         (col("n_bins") * budget - col("total_tokens")).cast("long"))
   }
 
+  /** Exact top-fraction selection by score WITHOUT a global sort — "keep
+    * the best `num/den` of the corpus by quality score", the selection
+    * step after scoring (q154) and before packing (q184). Selection is
+    * exact and deterministic: the score threshold is an exact order
+    * statistic, and ties at the boundary score are broken by md5(id) (the
+    * engine's stable-shuffle order), so two engines pick the same docs.
+    *
+    * k = N·num div den (integer). Docs with score strictly above the
+    * boundary score are all in; the boundary-score group contributes its
+    * first `k − (docs above)` members in md5 order.
+    *
+    * Scale shape: ONE corpus pass builds the fixed-point score histogram
+    * (≤10⁶+1 rows by construction); the descending cumulative runs over
+    * that histogram via the two-pass [[PrefixSum]]; the boundary bucket is
+    * ONE collected row. The corpus is then filtered by broadcast scalar
+    * threshold — only the boundary-score GROUP (tie-sized, not
+    * corpus-sized) passes through a rank window, partitioned by its score
+    * key. No global sort or corpus-wide window anywhere. If the boundary
+    * group itself were pathologically hot (a corpus where half the docs
+    * share one score), pre-salt the tie rank by md5 prefix — the
+    * deterministic order makes the split associative.
+    *
+    * Returns the selected rows of `scored`: (idCol, score).
+    */
+  def topFractionByScore(scored: DataFrame, idCol: String,
+                         num: Int, den: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(num >= 0 && den > 0, "need num >= 0 and den > 0")
+    val sc = scored.select(col(idCol),
+      floor(col("score") * lit(1000000.0) + lit(0.5)).cast("long").as("__s"))
+    val n = sc.count()
+    val k = n * num / den
+    if (k <= 0L) return scored.filter(lit(false)).select(col(idCol), col("score"))
+    val hist = sc.groupBy(col("__s")).agg(count(lit(1)).as("__cnt"))
+      .withColumn("__negs", -col("__s"))
+    val cum = PrefixSum.runningSum(hist, "__negs", "__cnt", "__cum")
+    // boundary bucket: the highest-score bucket whose running total first
+    // reaches k — everything above it is fully selected
+    val b = cum.filter(col("__cum") - col("__cnt") < k)
+      .orderBy(col("__s")).limit(1)
+      .select(col("__s"), (lit(k) - (col("__cum") - col("__cnt"))).as("__take"))
+      .head()
+    val (sB, takeB) = (b.getLong(0), b.getLong(1))
+    val above = sc.filter(col("__s") > sB)
+    val wTie = Window.partitionBy(col("__s"))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    val boundary = sc.filter(col("__s") === sB)
+      .withColumn("__r", row_number().over(wTie))
+      .filter(col("__r") <= takeB)
+      .select(col(idCol), col("__s"))
+    above.unionByName(boundary)
+      .join(scored.select(col(idCol), col("score")), Seq(idCol))
+      .select(col(idCol), col("score"))
+  }
+
   /** Leakage-free train/val/test assignment: the split hash runs over the
     * NEAR-DUP GROUP key, not the doc id, so every member of a near-dup
     * component lands in the same split BY CONSTRUCTION — closing the hole

@@ -1358,6 +1358,46 @@ object TextQueries {
              |    THEN round(CAST(sum(np * (2 * (cum - nn) + nn)) AS DOUBLE)
              |           / (2.0 * sum(np) * sum(nn)), 6)
              |    ELSE 0.0 END AS auc
-             |FROM c""".stripMargin))
+             |FROM c""".stripMargin)),
+
+    // Exact "keep the best 25% by quality score" — global order statistic
+    // without a global sort: fixed-point score histogram + descending
+    // prefix sum give the exact threshold; boundary ties break by md5(id)
+    // so the selected SET is engine-portable. Only the tie group passes
+    // through a rank window. Oracle: the O(N log N) global row_number
+    // form this operator refuses to plan.
+    QDef("q188_top_fraction",
+      (s, d) => {
+        val sc = graft.operators.QualityClassifier
+          .score(docs(s, d), "doc_id", "text")
+        val sel = DataSelection.topFractionByScore(sc, "doc_id", 1, 4)
+        sel.join(docs(s, d).select(col("doc_id"), col("source")),
+            Seq("doc_id"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).cast("long").as("n_sel"),
+            min(floor(col("score") * 1000000.0 + 0.5).cast("long"))
+              .as("min_score_x1e6"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+             |             FROM documents),
+             |s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             |        CAST(sum(md5_number_lower(t) % 2001) AS BIGINT) AS w_sum
+             |      FROM tok GROUP BY 1),
+             |sc AS (SELECT d.doc_id, d.source,
+             |         CASE WHEN COALESCE(s.n_tokens, 0) = 0 THEN 0.5
+             |              ELSE round(1.0 / (1.0 + exp(-((s.w_sum - 1000 * s.n_tokens)
+             |                     / (250.0 * s.n_tokens)))), 6) END AS score
+             |       FROM documents d LEFT JOIN s USING (doc_id)),
+             |f AS (SELECT doc_id, source,
+             |        CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS sk
+             |      FROM sc),
+             |r AS (SELECT *, row_number() OVER (ORDER BY sk DESC,
+             |        md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM f),
+             |sel AS (SELECT * FROM r
+             |        WHERE rn <= (SELECT count(*) FROM f) * 1 // 4)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_sel,
+             |  CAST(min(sk) AS BIGINT) AS min_score_x1e6
+             |FROM sel GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

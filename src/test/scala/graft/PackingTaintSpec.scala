@@ -134,6 +134,42 @@ class PackingTaintSpec extends SparkSpec {
     }
   }
 
+  private def selectTop(rows: Seq[(Long, Double)], num: Int, den: Int) = {
+    import spark.implicits._
+    DataSelection
+      .topFractionByScore(rows.toDF("doc_id", "score"), "doc_id", num, den)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+  }
+
+  /** Reference: global (score desc, md5, id) order, first k. */
+  private def refTop(rows: Seq[(Long, Double)], num: Int, den: Int) = {
+    val k = (rows.size.toLong * num / den).toInt
+    rows.sortBy { case (id, s) =>
+      (-math.floor(s * 1000000.0 + 0.5).toLong, md5hex(id.toString), id)
+    }.take(k).map(_._1).toSet
+  }
+
+  test("topFractionByScore equals the global-sort reference under heavy ties") {
+    val rows = (1L to 200L).map(i => i -> (i % 5) / 10.0) // 5 score values
+    Seq((1, 4), (1, 3), (2, 3), (9, 10)).foreach { case (num, den) =>
+      val got = selectTop(rows, num, den)
+      assert(got == refTop(rows, num, den), s"fraction $num/$den")
+      assert(got.size == rows.size * num / den)
+    }
+  }
+
+  test("topFractionByScore: all-tied corpus picks exactly k in md5 order") {
+    val rows = (1L to 90L).map(_ -> 0.5)
+    val got = selectTop(rows, 1, 3)
+    assert(got == refTop(rows, 1, 3) && got.size == 30)
+  }
+
+  test("topFractionByScore: zero fraction is empty, full fraction is everything") {
+    val rows = (1L to 40L).map(i => i -> i / 100.0)
+    assert(selectTop(rows, 0, 4).isEmpty)
+    assert(selectTop(rows, 1, 1) == rows.map(_._1).toSet)
+  }
+
   private def hops(seeds: Seq[Long], edges: Seq[(Long, Long)],
                    maxHops: Int): Map[Long, Long] = {
     import spark.implicits._
