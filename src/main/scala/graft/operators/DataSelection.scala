@@ -262,13 +262,18 @@ object DataSelection {
                          num: Int, den: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(num >= 0 && den > 0, "need num >= 0 and den > 0")
-    val sc = scored.select(col(idCol),
-      floor(col("score") * lit(1000000.0) + lit(0.5)).cast("long").as("__s"))
+    // checkpoint the narrow (id, score, key) projection: five downstream
+    // actions (count, prefix-sum bounds/totals, boundary lookup, final
+    // filters) would otherwise each replay the upstream scoring scan
+    val sc = scored.select(col(idCol), col("score"),
+        floor(col("score") * lit(1000000.0) + lit(0.5)).cast("long").as("__s"))
+      .localCheckpoint()
     val n = sc.count()
     val k = n * num / den
     if (k <= 0L) return scored.filter(lit(false)).select(col(idCol), col("score"))
     val hist = sc.groupBy(col("__s")).agg(count(lit(1)).as("__cnt"))
       .withColumn("__negs", -col("__s"))
+      .localCheckpoint() // distinct-score-sized; prefix sum reads it 3×
     val cum = PrefixSum.runningSum(hist, "__negs", "__cnt", "__cum")
     // boundary bucket: the highest-score bucket whose running total first
     // reaches k — everything above it is fully selected
@@ -277,16 +282,14 @@ object DataSelection {
       .select(col("__s"), (lit(k) - (col("__cum") - col("__cnt"))).as("__take"))
       .head()
     val (sB, takeB) = (b.getLong(0), b.getLong(1))
-    val above = sc.filter(col("__s") > sB)
+    val above = sc.filter(col("__s") > sB).select(col(idCol), col("score"))
     val wTie = Window.partitionBy(col("__s"))
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
     val boundary = sc.filter(col("__s") === sB)
       .withColumn("__r", row_number().over(wTie))
       .filter(col("__r") <= takeB)
-      .select(col(idCol), col("__s"))
-    above.unionByName(boundary)
-      .join(scored.select(col(idCol), col("score")), Seq(idCol))
       .select(col(idCol), col("score"))
+    above.unionByName(boundary)
   }
 
   /** Leakage-free train/val/test assignment: the split hash runs over the

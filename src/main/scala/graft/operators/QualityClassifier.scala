@@ -81,12 +81,17 @@ object QualityClassifier {
           labelCol: String): DataFrame = {
     val sc = scored.select(col(idCol),
       floor(col("score") * lit(1000000.0) + lit(0.5)).cast("long").as("s"))
+    // materialize the distinct-score histogram (≤10⁶+1 rows) once: the
+    // prefix sum underneath runs three separate actions (bounds, bucket
+    // totals, final agg), and without this each would replay the corpus
+    // scoring scan (measured 2.4 s vs 0.4 s warm at sf0.1)
     val g = sc
       .join(labels.select(col(idCol), col(labelCol).cast("long").as("__l")),
         Seq(idCol))
       .groupBy(col("s"))
       .agg(sum(col("__l")).as("np"),
         (count(lit(1)) - sum(col("__l"))).as("nn"))
+      .localCheckpoint()
     PrefixSum.runningSum(g, "s", "nn", "cum_nn")
       .agg(sum("np").cast("long").as("n_pos"),
         sum("nn").cast("long").as("n_neg"),
