@@ -292,6 +292,43 @@ object DataSelection {
     above.unionByName(boundary)
   }
 
+  /** Stride-scheduled source interleave — the final ORDERING step of the
+    * mixture family (q81 weights → q157 temperature → q161 fill → this):
+    * a training order where every source is spread uniformly instead of
+    * appearing in contiguous blocks (blocked order = catastrophic
+    * single-source gradient windows). Doc r of a source with Nₛ docs gets
+    * virtual time t = r/Nₛ (per-source md5 rank order), and the global
+    * ascending-t order interleaves sources proportionally to size —
+    * classic stride scheduling, deterministic on any engine (one IEEE
+    * division; ties broken by (source, id)).
+    *
+    * Returns (idCol, source, vt, shard) with shard = the doc's
+    * 1/`nShards` virtual-time slice — consecutive shards ARE the training
+    * order at file granularity, so the writer never needs a global sort:
+    * per-shard counts of every source differ by at most 1 from Nₛ/nShards
+    * (spec-pinned invariant).
+    *
+    * Scale shape: one per-source rank window (source-keyed shuffle) + a
+    * broadcast of the source-count table. No global window or sort; the
+    * order is materialized as a computed COLUMN, not a sort operation.
+    */
+  def stratifiedInterleave(df: DataFrame, idCol: String, srcCol: String,
+                           nShards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nShards > 0, "nShards must be positive")
+    val w = Window.partitionBy(col(srcCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    val ranked = df.select(col(idCol), col(srcCol).as("source"))
+      .withColumn("__r", row_number().over(w).cast("long"))
+    val counts = df.groupBy(col(srcCol).as("source"))
+      .agg(count(lit(1)).as("__n"))
+    ranked.join(broadcast(counts), Seq("source"))
+      .withColumn("vt", col("__r").cast("double") / col("__n"))
+      .withColumn("shard",
+        least(floor(col("vt") * nShards), lit(nShards - 1L)).cast("long"))
+      .select(col(idCol), col("source"), col("vt"), col("shard"))
+  }
+
   /** Leakage-free train/val/test assignment: the split hash runs over the
     * NEAR-DUP GROUP key, not the doc id, so every member of a near-dup
     * component lands in the same split BY CONSTRUCTION — closing the hole

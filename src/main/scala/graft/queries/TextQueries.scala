@@ -1398,6 +1398,30 @@ object TextQueries {
              |        WHERE rn <= (SELECT count(*) FROM f) * 1 // 4)
              |SELECT source, CAST(count(*) AS BIGINT) AS n_sel,
              |  CAST(min(sk) AS BIGINT) AS min_score_x1e6
-             |FROM sel GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM sel GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Stride-scheduled source interleave: the final ordering step of the
+    // mixture family — every source spread uniformly through the training
+    // order (virtual time r/N_src), shards = virtual-time slices. Per
+    // (shard, source) doc counts pin the uniformity (each within 1 of
+    // N_src/8 by the stride property). One source-keyed window; the order
+    // is a computed column, never a global sort.
+    QDef("q189_interleaved_order",
+      (s, d) => DataSelection
+        .stratifiedInterleave(docs(s, d), "doc_id", "source", nShards = 8)
+        .groupBy(col("shard"), col("source"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          round(min(col("vt")), 6).as("first_vt"))
+        .orderBy(col("shard"), col("source")),
+      Some("""WITH n AS (SELECT source, count(*) AS ns FROM documents GROUP BY 1),
+             |r AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source
+             |        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+             |      FROM documents),
+             |t AS (SELECT doc_id, r.source, rk / CAST(ns AS DOUBLE) AS vt
+             |      FROM r JOIN n USING (source))
+             |SELECT CAST(least(floor(vt * 8), 7) AS BIGINT) AS shard, source,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  round(min(vt), 6) AS first_vt
+             |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }

@@ -170,6 +170,30 @@ class PackingTaintSpec extends SparkSpec {
     assert(selectTop(rows, 1, 1) == rows.map(_._1).toSet)
   }
 
+  test("stratifiedInterleave: per-shard source counts within 1 of Ns/shards") {
+    import spark.implicits._
+    val docs = ((1L to 97L).map(_ -> "a") ++ (200L to 229L).map(_ -> "b") ++
+      (300L to 303L).map(_ -> "c")).toDF("doc_id", "source")
+    val out = DataSelection
+      .stratifiedInterleave(docs, "doc_id", "source", nShards = 8)
+      .collect()
+    assert(out.length == 97 + 30 + 4)
+    val bySrc = Map("a" -> 97.0, "b" -> 30.0, "c" -> 4.0)
+    out.groupBy(r => (r.getAs[Long]("shard"), r.getAs[String]("source")))
+      .foreach { case ((shard, src), rows) =>
+        assert(shard >= 0 && shard < 8)
+        val ideal = bySrc(src) / 8.0
+        assert(math.abs(rows.length - ideal) <= 1.0,
+          s"shard $shard source $src: ${rows.length} vs ideal $ideal")
+      }
+    // stride property: ascending virtual time within a source follows its
+    // md5 rank order exactly
+    val aOrder = out.filter(_.getAs[String]("source") == "a")
+      .sortBy(_.getAs[Double]("vt")).map(_.getAs[Long]("doc_id")).toSeq
+    val aRef = (1L to 97L).sortBy(id => (md5hex(id.toString), id))
+    assert(aOrder == aRef)
+  }
+
   private def hops(seeds: Seq[Long], edges: Seq[(Long, Long)],
                    maxHops: Int): Map[Long, Long] = {
     import spark.implicits._
