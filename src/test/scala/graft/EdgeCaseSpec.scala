@@ -255,6 +255,39 @@ class EdgeCaseSpec extends SparkSpec {
     assert((r.getLong(1), r.getLong(2), r.getDouble(3)) == ((0L, 0L, 0.0)))
   }
 
+  test("round-5 selection family on empty and degenerate inputs") {
+    import graft.operators.{DataSelection, GraphOps, QualityClassifier}
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(DataSelection.packSequences(noDocs, "doc_id", "text", 96L, 8)
+      .count() == 0)
+    assert(DataSelection.packingStats(noDocs, "doc_id", "text", 96L, 8)
+      .count() == 0)
+    assert(DataSelection.concatPackStats(noDocs, "doc_id", "text", 96L, 8)
+      .count() == 0)
+    val noSrc = Seq.empty[(Long, String)].toDF("doc_id", "source")
+    assert(DataSelection.stratifiedInterleave(noSrc, "doc_id", "source", 8)
+      .count() == 0)
+    // empty scored input: top-fraction selects nothing, AUC reports the
+    // single degenerate row without dividing by zero
+    val noScores = Seq.empty[(Long, Double)].toDF("doc_id", "score")
+    val noLabels = Seq.empty[(Long, Int)].toDF("doc_id", "label")
+    assert(DataSelection.topFractionByScore(noScores, "doc_id", 1, 4)
+      .count() == 0)
+    val aucRow = QualityClassifier.auc(noScores, "doc_id", noLabels, "label")
+      .head()
+    assert(aucRow.getAs[Double]("auc") == 0.0)
+    // empty seed set: BFS returns no labels, terminates immediately
+    val edges = Seq((1L, 2L)).toDF("a", "b")
+    assert(GraphOps.minHopFrom(Seq.empty[Long].toDF("id"), edges, "a", "b", 3)
+      .count() == 0)
+    // single doc: one bin, zero padding iff it exactly fills the budget
+    val one = Seq((7L, Seq.fill(96)("w").mkString(" "))).toDF("doc_id", "text")
+    val st = DataSelection.packingStats(one, "doc_id", "text", 96L, 1).head()
+    assert(st.getAs[Long]("n_bins") == 1L
+      && st.getAs[Long]("padding_tokens") == 0L
+      && st.getAs[Long]("fill_x1e4") == 10000L)
+  }
+
   test("semantic dedup threshold 1.0 only drops exact-direction duplicates") {
     import graft.operators.Similarity
     val vecs = Seq(
