@@ -40,6 +40,20 @@ object DataCard {
       coalesce(sum(col("n_dups") - 1), lit(0L)).cast("long").as("n_redundant"),
       count(lit(1)).cast("long").as("n_groups")).head()
 
+    // packing readiness at the default 2048-token context: window count,
+    // padding burn, oversize docs needing the chunker (q184's audit,
+    // folded to corpus level for the card)
+    val pack = graft.operators.DataSelection
+      .packingStats(docs, idCol, textCol, budget = 2048L, nShards = 64)
+      .agg(coalesce(sum(col("n_bins")), lit(0L)).cast("long").as("bins"),
+        coalesce(sum(col("n_oversize")), lit(0L)).cast("long").as("oversize"),
+        coalesce(sum(col("packed_tokens")), lit(0L)).cast("long").as("packed"))
+      .head()
+    val packFill =
+      if (pack.getAs[Long]("bins") == 0L) 0L
+      else math.floor(pack.getAs[Long]("packed") * 10000.0
+        / (pack.getAs[Long]("bins") * 2048L) + 0.5).toLong
+
     def row(metric: String, value: Long) = (metric, value)
     Seq(
       row("n_docs", base.getAs[Long]("n_docs")),
@@ -51,7 +65,10 @@ object DataCard {
       row("top_lang_docs", topLang),
       row("exact_dup_redundant_docs", dupStats.getAs[Long]("n_redundant")),
       row("exact_dup_groups", dupStats.getAs[Long]("n_groups")),
-      row("quality_pass_docs", base.getAs[Long]("n_quality"))
+      row("quality_pass_docs", base.getAs[Long]("n_quality")),
+      row("pack_windows_b2048", pack.getAs[Long]("bins")),
+      row("pack_oversize_docs", pack.getAs[Long]("oversize")),
+      row("pack_fill_x1e4", packFill)
     ).toDF("metric", "value")
   }
 }

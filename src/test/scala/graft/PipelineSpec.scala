@@ -51,6 +51,11 @@ class PipelineSpec extends SparkSpec {
       .select(TextFns.fingerprint(col("text"))).distinct().count()
     assert(card("exact_dup_redundant_docs") == docs.count() - distinctFp,
       card.toString)
+    // packing readiness rows: every doc fits the 2048 window (corpus max
+    // is ~99 tokens), so windows exist, nothing is oversize, and fill is
+    // a valid rate
+    assert(card("pack_windows_b2048") > 0 && card("pack_oversize_docs") == 0)
+    assert(card("pack_fill_x1e4") > 0 && card("pack_fill_x1e4") <= 10000)
   }
 
   test("validation gate passes healthy stages and fails on critical anomalies") {
