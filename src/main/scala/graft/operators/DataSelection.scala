@@ -145,14 +145,24 @@ object DataSelection {
   def packSequences(df: DataFrame, idCol: String, textCol: String,
                     budget: Long, nShards: Int): DataFrame = {
     require(budget > 0 && nShards > 0, "budget and nShards must be positive")
-    val spark = df.sparkSession
-    import spark.implicits._
     val h = md5(col(idCol).cast("string"))
     val tok = df.select(
       (conv(substring(h, 1, 4), 16, 10).cast("int") % nShards)
         .cast("long").as("shard"),
       h.as("ord"), col(idCol).cast("long").as("id"),
       TextFns.tokenCount(col(textCol)).as("nTok"))
+    packScan(tok, budget)
+  }
+
+  /** The greedy scan itself over prepared (shard, ord, id, nTok) rows:
+    * shard-keyed shuffle, then one forward pass per partition with O(1)
+    * state, resetting at shard boundaries. Shared by [[packSequences]]
+    * (whole docs, oversize → −1) and [[packWithChunking]] (pieces, never
+    * oversize).
+    */
+  private def packScan(tok: DataFrame, budget: Long): DataFrame = {
+    val spark = tok.sparkSession
+    import spark.implicits._
     tok.as[PackIn]
       .repartition(col("shard"))
       .sortWithinPartitions("shard", "ord", "id")
@@ -169,6 +179,55 @@ object DataSelection {
         }
       }
       .toDF()
+  }
+
+  /** Chunk-then-pack: the complete packing flow — docs longer than
+    * `budget` are first split into ⌈n/budget⌉ deterministic token-window
+    * pieces (what [[Chunking]] does to real text; here at the token-count
+    * level the packer needs), then EVERYTHING packs greedily, so nothing
+    * is left behind as oversize. Pieces keep their document's shuffle
+    * position (piece index appended to the md5 order key), so a split doc
+    * packs as consecutive pieces. Returns per-shard stats: piece count,
+    * split-doc count, window count, packed tokens, padding, fill ×10⁴.
+    *
+    * Identity encoding: piece rows use id·10⁴ + pieceIdx (≤ 9999 pieces ≈
+    * 1M tokens per doc — raise the multiplier and the order-key pad
+    * together if a corpus exceeds that). Same scan, same scale shape as
+    * [[packSequences]].
+    */
+  def packWithChunking(df: DataFrame, idCol: String, textCol: String,
+                       budget: Long, nShards: Int): DataFrame = {
+    require(budget > 0 && nShards > 0, "budget and nShards must be positive")
+    val h = md5(col(idCol).cast("string"))
+    val base = df.select(col(idCol).cast("long").as("docId"), h.as("h"),
+      TextFns.tokenCount(col(textCol)).as("docTok"))
+    val pieces = base.select(col("docId"), col("h"), col("docTok"),
+        explode(sequence(lit(0L),
+          expr(s"(greatest(docTok, 1L) - 1L) div $budget"))).as("piece"))
+      .withColumn("pieceTok",
+        greatest(least(lit(budget), col("docTok") - col("piece") * budget),
+          lit(0L)))
+    val tok = pieces.select(
+      (conv(substring(col("h"), 1, 4), 16, 10).cast("int") % nShards)
+        .cast("long").as("shard"),
+      concat(col("h"), lit("#"),
+        lpad(col("piece").cast("string"), 4, "0")).as("ord"),
+      (col("docId") * 10000L + col("piece")).as("id"),
+      col("pieceTok").as("nTok"))
+    packScan(tok, budget)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).cast("long").as("n_pieces"),
+        countDistinct(when(col("id") % 10000L > 0L, expr("id div 10000")))
+          .cast("long").as("n_split_docs"),
+        (greatest(max(col("bin")), lit(-1L)) + 1L).cast("long").as("n_bins"),
+        coalesce(sum(col("nTok")), lit(0L)).cast("long").as("packed_tokens"))
+      .withColumn("padding_tokens",
+        (col("n_bins") * budget - col("packed_tokens")).cast("long"))
+      .withColumn("fill_x1e4",
+        when(col("n_bins") > 0L,
+          floor(col("packed_tokens") * lit(10000.0)
+            / (col("n_bins") * budget) + lit(0.5)).cast("long"))
+          .otherwise(lit(0L)))
   }
 
   /** Per-shard packing efficiency over [[packSequences]]: window count,

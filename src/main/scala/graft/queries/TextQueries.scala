@@ -1422,6 +1422,54 @@ object TextQueries {
              |SELECT CAST(least(floor(vt * 8), 7) AS BIGINT) AS shard, source,
              |  CAST(count(*) AS BIGINT) AS n_docs,
              |  round(min(vt), 6) AS first_vt
-             |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Chunk-then-pack (q184 completed): docs over the 64-token budget are
+    // split into deterministic token-window pieces first, so NOTHING is
+    // left oversize; pieces keep their doc's shuffle position and pack as
+    // consecutive runs. Same greedy scan, same recursive-CTE oracle shape
+    // with a piece-explosion front.
+    QDef("q190_chunked_packing",
+      (s, d) => DataSelection.packWithChunking(docs(s, d), "doc_id", "text",
+          budget = 64L, nShards = 8)
+        .orderBy(col("shard")),
+      Some("""WITH RECURSIVE t AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+             |    CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS n_tok
+             |  FROM documents),
+             |p AS (SELECT doc_id, h, CAST(u.i AS BIGINT) AS piece,
+             |    greatest(least(64, n_tok - 64 * u.i), 0) AS piece_tok
+             |  FROM t, UNNEST(range(0, (greatest(n_tok, 1) - 1) // 64 + 1)) AS u(i)),
+             |s AS (SELECT doc_id, piece, piece_tok AS n_tok,
+             |    CAST(CAST(('0x' || substr(h, 1, 4)) AS INTEGER) % 8 AS BIGINT) AS shard,
+             |    h || '#' || lpad(CAST(piece AS VARCHAR), 4, '0') AS ord
+             |  FROM p),
+             |s2 AS (SELECT *, CAST(row_number() OVER (
+             |    PARTITION BY shard ORDER BY ord) AS BIGINT) AS rn FROM s),
+             |walk(shard, rn, bin, fill, n_tok, piece, doc_id) AS (
+             |  SELECT DISTINCT shard, CAST(0 AS BIGINT), CAST(-1 AS BIGINT),
+             |      CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+             |      CAST(NULL AS BIGINT)
+             |    FROM s2
+             |  UNION ALL
+             |  SELECT s2.shard, s2.rn,
+             |    CASE WHEN w.bin < 0 OR w.fill + s2.n_tok > 64
+             |         THEN w.bin + 1 ELSE w.bin END,
+             |    CASE WHEN w.bin < 0 OR w.fill + s2.n_tok > 64
+             |         THEN s2.n_tok ELSE w.fill + s2.n_tok END,
+             |    s2.n_tok, s2.piece, s2.doc_id
+             |  FROM walk w JOIN s2 ON s2.shard = w.shard AND s2.rn = w.rn + 1)
+             |SELECT shard, CAST(count(*) AS BIGINT) AS n_pieces,
+             |  CAST(count(DISTINCT doc_id) FILTER (WHERE piece > 0) AS BIGINT)
+             |    AS n_split_docs,
+             |  CAST(greatest(max(bin), -1) + 1 AS BIGINT) AS n_bins,
+             |  CAST(COALESCE(sum(n_tok), 0) AS BIGINT) AS packed_tokens,
+             |  CAST((greatest(max(bin), -1) + 1) * 64 - COALESCE(sum(n_tok), 0)
+             |    AS BIGINT) AS padding_tokens,
+             |  CASE WHEN max(bin) >= 0 THEN CAST(floor(
+             |      COALESCE(sum(n_tok), 0) * 10000.0 / ((max(bin) + 1) * 64)
+             |      + 0.5) AS BIGINT)
+             |    ELSE 0 END AS fill_x1e4
+             |FROM walk WHERE rn >= 1
+             |GROUP BY shard ORDER BY shard""".stripMargin))
   )
 }

@@ -106,6 +106,38 @@ class PackingTaintSpec extends SparkSpec {
       && r.getAs[Long]("padding_tokens") == 0L)
   }
 
+  test("packWithChunking: split docs pack fully, tokens conserved per shard") {
+    val rows = (1L to 120L).map(i => i -> (i * 13 % 150 + 1)) // up to 150 toks
+    val budget = 40L
+    val stats = DataSelection
+      .packWithChunking(docsOf(rows), "doc_id", "text", budget, nShards = 4)
+      .collect().map(r => r.getAs[Long]("shard") -> r).toMap
+    val byShard = rows.groupBy { case (id, _) =>
+      Integer.parseInt(md5hex(id.toString).substring(0, 4), 16) % 4L
+    }
+    assert(stats.keySet == byShard.keySet)
+    byShard.foreach { case (shard, ds) =>
+      val r = stats(shard)
+      // chunking leaves nothing behind: every token of every doc packs
+      assert(r.getAs[Long]("packed_tokens") == ds.map(_._2).sum)
+      val pieces = ds.map { case (_, n) => (n + budget - 1) / budget }.sum
+      assert(r.getAs[Long]("n_pieces") == pieces)
+      assert(r.getAs[Long]("n_split_docs") ==
+        ds.count { case (_, n) => n > budget }.toLong)
+      // replaying the greedy rule over the piece sequence gives the bins
+      var bin = -1L; var fill = 0L
+      ds.sortBy { case (id, _) => (md5hex(id.toString), id) }
+        .foreach { case (_, n) =>
+          (0L until (n + budget - 1) / budget).foreach { i =>
+            val pt = math.min(budget, n - i * budget)
+            if (bin < 0L || fill + pt > budget) { bin += 1L; fill = 0L }
+            fill += pt
+          }
+        }
+      assert(r.getAs[Long]("n_bins") == bin + 1L)
+    }
+  }
+
   test("concatPackStats matches a driver-side concat-and-cut replay") {
     val rows = (1L to 150L).map(i => i -> (i % 29 + 1))
     val budget = 40L
