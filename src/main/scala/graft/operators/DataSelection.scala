@@ -181,6 +181,82 @@ object DataSelection {
       .toDF()
   }
 
+  /** One sweep row: greedy state for one budget at one doc. */
+  private[graft] final case class SweepAssign(budget: Long, shard: Long,
+                                              bin: Long, nTok: Long)
+
+  /** Packing-budget tuning curve: the q184 greedy rule evaluated at
+    * SEVERAL candidate context budgets in ONE corpus scan (per-budget
+    * (bin, fill) state advances in lockstep down the same shard order) —
+    * the padding-burn-vs-context-length evidence for choosing a training
+    * sequence length, the q167 sensitivity-sweep idea applied to packing.
+    * Returns one row per budget: windows, oversize docs, packed tokens,
+    * padding, fill ×10⁴, aggregated over all shards.
+    *
+    * Scale shape: identical to [[packSequences]] — one shard-keyed
+    * shuffle, one O(budgets)-state forward pass, then a (shard, budget)
+    * aggregate folded to budget level. Sweeping b budgets costs one scan,
+    * not b.
+    */
+  def packingSweep(df: DataFrame, idCol: String, textCol: String,
+                   budgets: Seq[Long], nShards: Int): DataFrame = {
+    require(budgets.nonEmpty && budgets.forall(_ > 0) && nShards > 0,
+      "budgets must be positive and non-empty")
+    val bs = budgets.distinct.sorted
+    val spark = df.sparkSession
+    import spark.implicits._
+    val h = md5(col(idCol).cast("string"))
+    val tok = df.select(
+      (conv(substring(h, 1, 4), 16, 10).cast("int") % nShards)
+        .cast("long").as("shard"),
+      h.as("ord"), col(idCol).cast("long").as("id"),
+      TextFns.tokenCount(col(textCol)).as("nTok"))
+    val assigns = tok.as[PackIn]
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "ord", "id")
+      .mapPartitions { it =>
+        val budgetsArr = bs.toArray
+        var cur = Long.MinValue
+        val bin = Array.fill(budgetsArr.length)(-1L)
+        val fill = Array.fill(budgetsArr.length)(0L)
+        it.flatMap { r =>
+          if (r.shard != cur) {
+            cur = r.shard
+            java.util.Arrays.fill(bin, -1L)
+            java.util.Arrays.fill(fill, 0L)
+          }
+          budgetsArr.indices.map { j =>
+            val b = budgetsArr(j)
+            if (r.nTok > b) SweepAssign(b, r.shard, -1L, r.nTok)
+            else {
+              if (bin(j) < 0L || fill(j) + r.nTok > b) {
+                bin(j) += 1L; fill(j) = 0L
+              }
+              fill(j) += r.nTok
+              SweepAssign(b, r.shard, bin(j), r.nTok)
+            }
+          }
+        }
+      }
+      .toDF()
+    val perShard = assigns.groupBy(col("budget"), col("shard"))
+      .agg((greatest(max(col("bin")), lit(-1L)) + 1L).as("bins"),
+        coalesce(sum(when(col("bin") >= 0L, col("nTok"))), lit(0L))
+          .as("packed"),
+        count(when(col("bin") === -1L, lit(1))).as("over"))
+    perShard.groupBy(col("budget"))
+      .agg(sum(col("bins")).cast("long").as("n_bins"),
+        sum(col("over")).cast("long").as("n_oversize"),
+        sum(col("packed")).cast("long").as("packed_tokens"))
+      .withColumn("padding_tokens",
+        (col("n_bins") * col("budget") - col("packed_tokens")).cast("long"))
+      .withColumn("fill_x1e4",
+        when(col("n_bins") > 0L,
+          floor(col("packed_tokens") * lit(10000.0)
+            / (col("n_bins") * col("budget")) + lit(0.5)).cast("long"))
+          .otherwise(lit(0L)))
+  }
+
   /** Chunk-then-pack: the complete packing flow — docs longer than
     * `budget` are first split into ⌈n/budget⌉ deterministic token-window
     * pieces (what [[Chunking]] does to real text; here at the token-count
@@ -372,11 +448,14 @@ object DataSelection {
     * order is materialized as a computed COLUMN, not a sort operation.
     */
   def stratifiedInterleave(df: DataFrame, idCol: String, srcCol: String,
-                           nShards: Int): DataFrame = {
+                           nShards: Int, epoch: Long = 1L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nShards > 0, "nShards must be positive")
-    val w = Window.partitionBy(col(srcCol))
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    // the epoch salts the per-source rank hash: every epoch gets a fresh,
+    // equally-uniform order (multi-epoch training must not replay the
+    // same sequence), and the same (epoch, corpus) always reproduces it
+    val ordKey = md5(concat_ws("#", lit(epoch), col(idCol).cast("string")))
+    val w = Window.partitionBy(col(srcCol)).orderBy(ordKey, col(idCol))
     val ranked = df.select(col(idCol), col(srcCol).as("source"))
       .withColumn("__r", row_number().over(w).cast("long"))
     val counts = df.groupBy(col(srcCol).as("source"))

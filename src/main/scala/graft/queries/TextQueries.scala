@@ -1415,7 +1415,7 @@ object TextQueries {
         .orderBy(col("shard"), col("source")),
       Some("""WITH n AS (SELECT source, count(*) AS ns FROM documents GROUP BY 1),
              |r AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source
-             |        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+             |        ORDER BY md5('1#' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
              |      FROM documents),
              |t AS (SELECT doc_id, r.source, rk / CAST(ns AS DOUBLE) AS vt
              |      FROM r JOIN n USING (source))
@@ -1470,6 +1470,73 @@ object TextQueries {
              |      + 0.5) AS BIGINT)
              |    ELSE 0 END AS fill_x1e4
              |FROM walk WHERE rn >= 1
-             |GROUP BY shard ORDER BY shard""".stripMargin))
+             |GROUP BY shard ORDER BY shard""".stripMargin)),
+
+    // Packing-budget tuning curve: the q184 greedy rule at four candidate
+    // context budgets in ONE corpus scan (per-budget state advances in
+    // lockstep down the same shard order) — padding burn vs context
+    // length, the evidence for choosing a training sequence length.
+    QDef("q191_packing_sweep",
+      (s, d) => DataSelection.packingSweep(docs(s, d), "doc_id", "text",
+          budgets = Seq(32L, 64L, 96L, 128L), nShards = 8)
+        .orderBy(col("budget")),
+      Some(packSweepOracleSql(Seq(32L, 64L, 96L, 128L))))
   )
+
+  /** The q184 recursive greedy walk carrying one (bin, fill) state pair
+    * per swept budget — the oracle for q191. Mechanical expansion of the
+    * single-budget form.
+    */
+  private def packSweepOracleSql(budgets: Seq[Long]): String = {
+    val bs = budgets.distinct.sorted
+    val stateCols = bs.map(b => s"b$b, f$b").mkString(", ")
+    val baseState = bs.map(_ =>
+      "CAST(-1 AS BIGINT), CAST(0 AS BIGINT)").mkString(", ")
+    val stepState = bs.map { b =>
+      s"""    CASE WHEN s.n_tok > $b THEN w.b$b
+         |         WHEN w.b$b < 0 OR w.f$b + s.n_tok > $b THEN w.b$b + 1
+         |         ELSE w.b$b END,
+         |    CASE WHEN s.n_tok > $b THEN w.f$b
+         |         WHEN w.b$b < 0 OR w.f$b + s.n_tok > $b THEN s.n_tok
+         |         ELSE w.f$b + s.n_tok END""".stripMargin
+    }.mkString(",\n")
+    val perCols = bs.map { b =>
+      s"""    greatest(max(b$b), -1) + 1 AS bins$b,
+         |    COALESCE(sum(n_tok) FILTER (WHERE n_tok <= $b), 0) AS packed$b,
+         |    count(*) FILTER (WHERE n_tok > $b) AS over$b""".stripMargin
+    }.mkString(",\n")
+    val unions = bs.map { b =>
+      s"""  SELECT CAST($b AS BIGINT) AS budget,
+         |    CAST(sum(bins$b) AS BIGINT) AS n_bins,
+         |    CAST(sum(over$b) AS BIGINT) AS n_oversize,
+         |    CAST(sum(packed$b) AS BIGINT) AS packed_tokens,
+         |    CAST(sum(bins$b) * $b - sum(packed$b) AS BIGINT) AS padding_tokens,
+         |    CASE WHEN sum(bins$b) > 0 THEN CAST(floor(
+         |        sum(packed$b) * 10000.0 / (sum(bins$b) * $b) + 0.5) AS BIGINT)
+         |      ELSE 0 END AS fill_x1e4
+         |  FROM per""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH RECURSIVE t AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+       |    CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |s AS (SELECT doc_id, n_tok,
+       |    CAST(CAST(('0x' || substr(h, 1, 4)) AS INTEGER) % 8 AS BIGINT) AS shard,
+       |    CAST(row_number() OVER (
+       |      PARTITION BY CAST(('0x' || substr(h, 1, 4)) AS INTEGER) % 8
+       |      ORDER BY h, doc_id) AS BIGINT) AS rn
+       |  FROM t),
+       |walk(shard, rn, n_tok, $stateCols) AS (
+       |  SELECT DISTINCT shard, CAST(0 AS BIGINT), CAST(0 AS BIGINT), $baseState
+       |    FROM s
+       |  UNION ALL
+       |  SELECT s.shard, s.rn, s.n_tok,
+       |$stepState
+       |  FROM walk w JOIN s ON s.shard = w.shard AND s.rn = w.rn + 1),
+       |per AS (SELECT shard,
+       |$perCols
+       |  FROM walk WHERE rn >= 1 GROUP BY shard)
+       |SELECT * FROM (
+       |$unions
+       |) ORDER BY budget""".stripMargin
+  }
 }

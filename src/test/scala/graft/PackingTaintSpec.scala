@@ -138,6 +138,25 @@ class PackingTaintSpec extends SparkSpec {
     }
   }
 
+  test("packingSweep: one scan equals per-budget packingStats, budget by budget") {
+    val rows = (1L to 150L).map(i => i -> (i * 11 % 80 + 1))
+    val docs = docsOf(rows)
+    val sweep = DataSelection
+      .packingSweep(docs, "doc_id", "text", Seq(24L, 48L, 72L), nShards = 4)
+      .collect().map(r => r.getAs[Long]("budget") -> r).toMap
+    Seq(24L, 48L, 72L).foreach { b =>
+      val solo = DataSelection.packingStats(docs, "doc_id", "text", b, 4)
+        .agg(sum("n_bins"), sum("n_oversize"), sum("packed_tokens"),
+          sum("padding_tokens"))
+        .head()
+      val r = sweep(b)
+      assert(r.getAs[Long]("n_bins") == solo.getLong(0), s"bins at $b")
+      assert(r.getAs[Long]("n_oversize") == solo.getLong(1))
+      assert(r.getAs[Long]("packed_tokens") == solo.getLong(2))
+      assert(r.getAs[Long]("padding_tokens") == solo.getLong(3))
+    }
+  }
+
   test("concatPackStats matches a driver-side concat-and-cut replay") {
     val rows = (1L to 150L).map(i => i -> (i % 29 + 1))
     val budget = 40L
@@ -219,11 +238,20 @@ class PackingTaintSpec extends SparkSpec {
           s"shard $shard source $src: ${rows.length} vs ideal $ideal")
       }
     // stride property: ascending virtual time within a source follows its
-    // md5 rank order exactly
+    // epoch-salted md5 rank order exactly
     val aOrder = out.filter(_.getAs[String]("source") == "a")
       .sortBy(_.getAs[Double]("vt")).map(_.getAs[Long]("doc_id")).toSeq
-    val aRef = (1L to 97L).sortBy(id => (md5hex(id.toString), id))
+    val aRef = (1L to 97L).sortBy(id => (md5hex(s"1#$id"), id))
     assert(aOrder == aRef)
+    // epoch reshuffle: a different epoch yields a different (still
+    // uniform) order of the same docs
+    val e2 = DataSelection
+      .stratifiedInterleave(docs, "doc_id", "source", nShards = 8, epoch = 2L)
+      .collect()
+    val aOrder2 = e2.filter(_.getAs[String]("source") == "a")
+      .sortBy(_.getAs[Double]("vt")).map(_.getAs[Long]("doc_id")).toSeq
+    assert(aOrder2 == (1L to 97L).sortBy(id => (md5hex(s"2#$id"), id)))
+    assert(aOrder2 != aOrder)
   }
 
   private def hops(seeds: Seq[Long], edges: Seq[(Long, Long)],
