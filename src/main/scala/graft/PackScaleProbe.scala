@@ -63,9 +63,23 @@ object PackScaleProbe {
       val (bfsT, bfsRows) = time(
         GraphOps.minHopFrom(seeds, edges, "a", "b", maxHops = 3).count())
       spark.catalog.clearCache()
+      val (chunkT, _) = time(DataSelection.packWithChunking(
+        corpus, "doc_id", "text", budget = 64L, nShards = 64).count())
+      spark.catalog.clearCache()
+      val (sweepT, _) = time(DataSelection.packingSweep(
+        corpus, "doc_id", "text", Seq(32L, 64L, 96L, 128L), nShards = 64)
+        .count())
+      spark.catalog.clearCache()
+      val (tfT, tfRows) = time {
+        val sc = QualityClassifier.score(corpus, "doc_id", "text")
+        DataSelection.topFractionByScore(sc, "doc_id", 1, 4).count()
+      }
+      spark.catalog.clearCache()
       println(f"c=$c%2d docs=${nBase * c}%7d pack=$packT%.2fs " +
         f"($packRows shards) concat=$ccT%.2fs ($ccRows) auc=$aucT%.2fs " +
-        f"bfs[${nNodes}n]=$bfsT%.2fs ($bfsRows reached)")
+        f"bfs[${nNodes}n]=$bfsT%.2fs ($bfsRows reached) " +
+        f"chunkpack=$chunkT%.2fs sweep4=$sweepT%.2fs " +
+        f"topfrac=$tfT%.2fs ($tfRows sel)")
     }
     spark.stop()
   }
