@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.dotProductDescriptor)
     GraftExtensions.textFnDescriptors.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => graft.plans.ApproxCountDistinctRewrite)
+    ext.injectPlannerStrategy(_ => graft.plans.PackStrategy)
   }
 }
 
@@ -72,5 +73,8 @@ object GraftExtensions {
       spark.experimental.extraOptimizations
         .filterNot(_ eq graft.plans.ApproxCountDistinctRewrite) :+
         graft.plans.ApproxCountDistinctRewrite
+    spark.experimental.extraStrategies =
+      spark.experimental.extraStrategies
+        .filterNot(_ eq graft.plans.PackStrategy) :+ graft.plans.PackStrategy
   }
 }

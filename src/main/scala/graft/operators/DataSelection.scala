@@ -313,8 +313,14 @@ object DataSelection {
     * shard — the packing scan's output never re-sorts.
     */
   def packingStats(df: DataFrame, idCol: String, textCol: String,
-                   budget: Long, nShards: Int): DataFrame = {
-    val a = packSequences(df, idCol, textCol, budget, nShards)
+                   budget: Long, nShards: Int): DataFrame =
+    packStats(packSequences(df, idCol, textCol, budget, nShards), budget)
+
+  /** Fold (shard, id, bin, nTok) assignments — from [[packSequences]] or
+    * the Catalyst-node twin [[graft.plans.Packing.packSequences]] — into
+    * the per-shard efficiency stats.
+    */
+  private[graft] def packStats(a: DataFrame, budget: Long): DataFrame = {
     a.groupBy(col("shard"))
       .agg(count(lit(1)).cast("long").as("n_docs"),
         count(when(col("bin") === -1L, lit(1))).cast("long").as("n_oversize"),

@@ -1251,7 +1251,28 @@ object TextQueries {
       (s, d) => DataSelection.packingStats(docs(s, d), "doc_id", "text",
           budget = 96L, nShards = 8)
         .orderBy(col("shard")),
-      Some("""WITH RECURSIVE t AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+      Some(packOracle96)),
+
+    // The SAME packing semantics through the custom Catalyst operator
+    // (plans/Packing.scala: PackPlan → PackStrategy → PackExec, whose
+    // required child distribution/ordering make EnsureRequirements plan
+    // the shuffle+sort) — q184's oracle verbatim, so the driver gate
+    // proves the custom node agrees with both the mapPartitions twin and
+    // DuckDB. Self-installs the strategy on the session.
+    QDef("q192_packing_exec",
+      (s, d) => {
+        graft.GraftExtensions.install(s)
+        DataSelection.packStats(
+            graft.plans.Packing.packSequences(docs(s, d), "doc_id", "text",
+              budget = 96L, nShards = 8),
+            budget = 96L)
+          .orderBy(col("shard"))
+      },
+      Some(packOracle96))
+  ) ++ defsTail
+
+  private lazy val packOracle96: String =
+    """WITH RECURSIVE t AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
              |    CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS n_tok
              |  FROM documents),
              |s AS (SELECT doc_id, n_tok,
@@ -1287,7 +1308,9 @@ object TextQueries {
              |      / ((max(bin) + 1) * 96) + 0.5) AS BIGINT)
              |    ELSE 0 END AS fill_x1e4
              |FROM walk WHERE rn >= 1
-             |GROUP BY shard ORDER BY shard""".stripMargin)),
+             |GROUP BY shard ORDER BY shard""".stripMargin
+
+  private lazy val defsTail: Seq[QDef] = Seq(
 
     // Concat-and-cut packing audit (q184's counterpart discipline): docs
     // concatenated in shard order, windows cut every 96 tokens — zero

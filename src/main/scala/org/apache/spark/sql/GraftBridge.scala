@@ -19,6 +19,22 @@ object GraftBridge {
   def catalystExpression(c: Column): Expression =
     classic.ColumnNodeToExpressionConverter(c.node)
 
+  /** Wrap a custom LogicalPlan as a user-facing DataFrame (the
+    * `Dataset.ofRows` constructor is sql-private; custom plan nodes —
+    * e.g. graft.plans.PackPlan — need it to enter the public API).
+    */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The analyzed logical plan under a DataFrame (for embedding it as the
+    * child of a custom plan node).
+    */
+  def logicalPlan(df: Dataset[_])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
+
   /** External Row → InternalRow converter for a given schema (DSv2 readers
     * must emit InternalRow; the converter factory is sql-private).
     */

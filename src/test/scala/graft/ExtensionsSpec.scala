@@ -87,4 +87,46 @@ class ExtensionsSpec extends SparkSpec {
     assert(salted.count() == plain.count())
     assert(salted.select("k", "v", "w").exceptAll(plain.select("k", "v", "w")).count() == 0)
   }
+
+  test("PackExec node equals the mapPartitions packer and plans one exchange") {
+    import graft.operators.DataSelection
+    GraftExtensions.install(spark)
+    import spark.implicits._
+    val docs = (1L to 300L)
+      .map(i => (i, Seq.fill((i % 61 + 1).toInt)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val viaExec = graft.plans.Packing
+      .packSequences(docs, "doc_id", "text", budget = 48L, nShards = 4)
+    val viaMap = DataSelection
+      .packSequences(docs, "doc_id", "text", budget = 48L, nShards = 4)
+    assert(viaExec.exceptAll(viaMap).count() == 0)
+    assert(viaMap.exceptAll(viaExec).count() == 0)
+    val p = viaExec.queryExecution.executedPlan.toString
+    assert(p.contains("Pack 48"), p) // PackExec prints as "Pack <budget>"
+    // EnsureRequirements plans exactly one shard exchange + sort
+    assert("Exchange hashpartitioning\\(shard".r.findAllIn(p).size == 1, p)
+  }
+
+  test("PackExec adds NO exchange over an already shard-clustered child") {
+    GraftExtensions.install(spark)
+    import org.apache.spark.sql.GraftBridge
+    import spark.implicits._
+    val tok = (1L to 100L).map(i => (i % 4, f"o$i%04d", i, i % 9 + 1))
+      .toDF("shard", "ord", "id", "nTok")
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "ord", "id")
+    val packed = GraftBridge.ofRows(spark,
+      graft.plans.PackPlan(GraftBridge.logicalPlan(tok), budget = 10L))
+    val p = packed.queryExecution.executedPlan.toString
+    // the child's explicit repartition is the ONLY exchange: the node's
+    // required distribution/ordering are already satisfied, so
+    // EnsureRequirements inserts nothing — the zero-new-shuffle claim
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+    assert(packed.count() == 100L)
+    // and its bins respect the budget
+    val sums = packed.filter(col("bin") >= 0)
+      .groupBy("shard", "bin").agg(sum("nTok").as("s"))
+      .collect().map(_.getAs[Long]("s"))
+    assert(sums.nonEmpty && sums.forall(_ <= 10L))
+  }
 }
