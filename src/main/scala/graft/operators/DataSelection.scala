@@ -160,7 +160,7 @@ object DataSelection {
     * (whole docs, oversize → −1) and [[packWithChunking]] (pieces, never
     * oversize).
     */
-  private def packScan(tok: DataFrame, budget: Long): DataFrame = {
+  private[graft] def packScan(tok: DataFrame, budget: Long): DataFrame = {
     val spark = tok.sparkSession
     import spark.implicits._
     tok.as[PackIn]

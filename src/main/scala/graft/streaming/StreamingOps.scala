@@ -688,6 +688,100 @@ object StreamingOps {
   /** Drain a streaming query into an in-memory table and stop (test/dev
     * harness — production sinks write parquet with checkpointing).
     */
+  /** One doc entering the seeded packing scan: the q184 fields plus the
+    * shard's carried window state from the previous batches.
+    */
+  private[streaming] final case class PackSeedIn(shard: Long, ord: String,
+                                                 id: Long, nTok: Long,
+                                                 startBin: Long,
+                                                 startFill: Long)
+
+  /** Continuous-ingestion sequence packing: the streaming twin of
+    * [[graft.operators.DataSelection.packSequences]]. Each micro-batch
+    * packs its docs in deterministic within-batch order (md5 rank per
+    * shard), CONTINUING each shard's last open window from the persisted
+    * state — so the accumulated assignment equals the batch packer run
+    * once over the arrival order (batch-twin spec). Docs over the budget
+    * are flagged `bin = -1` exactly like the batch rule.
+    *
+    * State is nShards rows — (shard, bin, fill), the open-window cursor —
+    * re-written per batch through the batch=<id>-overwrite sink; reads
+    * exclude the current batchId and take each shard's latest surviving
+    * row, so a replayed batch re-packs from the SAME seed it saw before
+    * the crash and converges ([[incrementalDedup]]'s contract). The
+    * assignment output itself is corpus-sized and append-only.
+    */
+  def incrementalPack(docs: DataFrame, idCol: String, textCol: String,
+                      budget: Long, nShards: Int, stateDir: String,
+                      outDir: String, checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val h = md5(col(idCol).cast("string"))
+        val tok = batch.select(
+          (conv(substring(h, 1, 4), 16, 10).cast("int") % nShards)
+            .cast("long").as("shard"),
+          h.as("ord"), col(idCol).cast("long").as("id"),
+          graft.functions.TextFns.tokenCount(col(textCol)).as("nTok"))
+        // latest surviving state per shard, excluding this batch's own
+        // (possibly partial) prior write
+        val state =
+          try {
+            val all = spark.read.parquet(stateDir)
+              .filter(col("batch") =!= batchId)
+            graft.operators.Relational.dedupKeepFirst(
+                all, Seq("shard"), Seq(col("batch").desc))
+              .select(col("shard"), col("bin").as("startBin"),
+                col("fill").as("startFill"))
+          } catch { case _: org.apache.spark.sql.AnalysisException =>
+            Seq.empty[(Long, Long, Long)]
+              .toDF("shard", "startBin", "startFill")
+          }
+        val seeded = tok.join(broadcast(state), Seq("shard"), "left")
+          .select(col("shard"), col("ord"), col("id"), col("nTok"),
+            coalesce(col("startBin"), lit(-1L)).as("startBin"),
+            coalesce(col("startFill"), lit(0L)).as("startFill"))
+        val assigns = seeded.as[PackSeedIn]
+          .repartition(col("shard"))
+          .sortWithinPartitions("shard", "ord", "id")
+          .mapPartitions { it =>
+            var cur = Long.MinValue; var bin = -1L; var fill = 0L
+            it.map { r =>
+              if (r.shard != cur) {
+                cur = r.shard; bin = r.startBin; fill = r.startFill
+              }
+              if (r.nTok > budget)
+                graft.operators.DataSelection.PackAssign(r.shard, r.id, -1L, r.nTok)
+              else {
+                if (bin < 0L || fill + r.nTok > budget) { bin += 1L; fill = 0L }
+                fill += r.nTok
+                graft.operators.DataSelection.PackAssign(r.shard, r.id, bin, r.nTok)
+              }
+            }
+          }
+          .toDF().persist()
+        graft.sinks.Sinks.idempotentBatchAppend(assigns, outDir, batchId)
+        // new cursor per shard touched this batch: the last open window
+        // and its fill (tokens this batch landed in it, plus the carried
+        // fill iff the batch never advanced past the seeded window)
+        val packed = assigns.filter(col("bin") >= 0L)
+        val lastBin = packed.groupBy(col("shard")).agg(max(col("bin")).as("bin"))
+        val newState = packed.join(lastBin, Seq("shard", "bin"))
+          .groupBy(col("shard"), col("bin"))
+          .agg(sum(col("nTok")).cast("long").as("__batchFill"))
+          .join(state, Seq("shard"), "left")
+          .select(col("shard"), col("bin"),
+            (col("__batchFill") + when(col("bin") === col("startBin"),
+              coalesce(col("startFill"), lit(0L))).otherwise(lit(0L)))
+              .cast("long").as("fill"))
+        graft.sinks.Sinks.idempotentBatchAppend(newState, stateDir, batchId)
+        assigns.unpersist()
+        ()
+      }
+      .start()
+
   def runToMemory(df: DataFrame, name: String, outputMode: String): DataFrame = {
     val q = df.writeStream
       .format("memory")

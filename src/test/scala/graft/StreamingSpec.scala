@@ -616,4 +616,78 @@ class StreamingSpec extends SparkSpec {
     val kept = spark.read.parquet(out).select("doc_id").as[Long].collect().sorted
     assert(kept.toSeq == Seq(10L), kept.mkString(","))
   }
+
+  private def md5x(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def wordsOf(n: Int): String = Seq.fill(n)("w").mkString(" ")
+
+  /** Batch twin of the incremental packer: the one-pass greedy scan over
+    * arrival order (batch index prefixed to the per-batch md5 order key).
+    */
+  private def expectedPack(batches: Seq[Seq[(Long, Int)]], budget: Long,
+                           nShards: Int): Map[Long, Long] = {
+    import spark.implicits._
+    val tok = batches.zipWithIndex.flatMap { case (b, i) =>
+      b.map { case (id, n) =>
+        val h = md5x(id.toString)
+        (Integer.parseInt(h.substring(0, 4), 16).toLong % nShards,
+          f"$i%04d#$h", id, n.toLong)
+      }
+    }.toDF("shard", "ord", "id", "nTok")
+    graft.operators.DataSelection.packScan(tok, budget)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("bin")).toMap
+  }
+
+  test("incremental packing continues shard windows across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-incpack").toString
+    val (st, out, ckpt) = (s"$base/state", s"$base/out", s"$base/ckpt")
+    val b1 = Seq(1L -> 4, 2L -> 7, 3L -> 3, 4L -> 9, 5L -> 2, 6L -> 99)
+    val b2 = Seq(11L -> 5, 12L -> 6, 13L -> 1, 14L -> 8)
+    val src = MemoryStream[(Long, String)]
+    val docs = src.toDF().toDF("doc_id", "text")
+    val q = StreamingOps.incrementalPack(docs, "doc_id", "text",
+      budget = 10L, nShards = 2, st, out, ckpt)
+    src.addData(b1.map { case (id, n) => (id, wordsOf(n)) }: _*)
+    q.processAllAvailable()
+    src.addData(b2.map { case (id, n) => (id, wordsOf(n)) }: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(out)
+      .select("id", "bin").as[(Long, Long)].collect().toMap
+    assert(got == expectedPack(Seq(b1, b2), 10L, 2))
+    assert(got(6L) == -1L) // oversize rule carries into the stream
+  }
+
+  test("incremental packing retry re-packs from the same seed") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-incpack2").toString
+    val (st, out, ckpt) = (s"$base/state", s"$base/out", s"$base/ckpt")
+    val b0 = Seq(1L -> 4, 2L -> 7, 3L -> 3)
+    // simulate a crash mid-batch-0: a PARTIAL assignment write and a
+    // wrong cursor landed, but the checkpoint never committed — the
+    // source will replay batch 0, which must overwrite both
+    Seq((0L, 1L, 0L, 4L)).toDF("shard", "id", "bin", "nTok")
+      .write.parquet(s"$out/batch=0")
+    Seq((0L, 7L, 9L)).toDF("shard", "bin", "fill")
+      .write.parquet(s"$st/batch=0")
+    val src = MemoryStream[(Long, String)]
+    val q = StreamingOps.incrementalPack(src.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", budget = 10L, nShards = 2, st, out, ckpt)
+    src.addData(b0.map { case (id, n) => (id, wordsOf(n)) }: _*)
+    q.processAllAvailable()
+    src.addData((11L, wordsOf(5)), (12L, wordsOf(6)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(out)
+      .select("id", "bin").as[(Long, Long)].collect().toMap
+    assert(got ==
+      expectedPack(Seq(b0, Seq(11L -> 5, 12L -> 6)), 10L, 2))
+  }
 }
