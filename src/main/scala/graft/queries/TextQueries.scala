@@ -1268,7 +1268,72 @@ object TextQueries {
             budget = 96L)
           .orderBy(col("shard"))
       },
-      Some(packOracle96))
+      Some(packOracle96)),
+
+    // Filter-threshold operating curve: q154's classifier swept across 9
+    // keep thresholds against the q165 proxy label — confusion counts +
+    // precision/recall (fixed-point ×10⁴), the third standard view next
+    // to the calibration curve (q165) and threshold-free AUC (q187).
+    // ONE scoring pass; the 9-row threshold spine broadcasts onto it and
+    // the confusion matrix is one grouped aggregate.
+    QDef("q193_threshold_sweep",
+      (s, d) => {
+        val sc = graft.operators.QualityClassifier
+          .score(docs(s, d), "doc_id", "text")
+          .join(docs(s, d).select(col("doc_id"),
+            (col("n_chars") >= 300).cast("long").as("label")), Seq("doc_id"))
+        val spine = s.range(1, 10).toDF("t10")
+        sc.crossJoin(broadcast(spine))
+          .withColumn("pred",
+            (col("score") >= col("t10").cast("double") / 10.0).cast("long"))
+          .groupBy(col("t10"))
+          .agg(sum(when(col("pred") === 1L && col("label") === 1L, 1L)
+              .otherwise(0L)).cast("long").as("tp"),
+            sum(when(col("pred") === 1L && col("label") === 0L, 1L)
+              .otherwise(0L)).cast("long").as("fp"),
+            sum(when(col("pred") === 0L && col("label") === 1L, 1L)
+              .otherwise(0L)).cast("long").as("fn"),
+            sum(col("pred")).cast("long").as("n_kept"))
+          .withColumn("precision_x1e4",
+            when(col("tp") + col("fp") > 0L,
+              floor(col("tp") * lit(10000.0) / (col("tp") + col("fp"))
+                + lit(0.5)).cast("long")).otherwise(lit(0L)))
+          .withColumn("recall_x1e4",
+            when(col("tp") + col("fn") > 0L,
+              floor(col("tp") * lit(10000.0) / (col("tp") + col("fn"))
+                + lit(0.5)).cast("long")).otherwise(lit(0L)))
+          .orderBy(col("t10"))
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+             |             FROM documents),
+             |s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             |        CAST(sum(md5_number_lower(t) % 2001) AS BIGINT) AS w_sum
+             |      FROM tok GROUP BY 1),
+             |sc AS (SELECT d.doc_id,
+             |         CASE WHEN COALESCE(s.n_tokens, 0) = 0 THEN 0.5
+             |              ELSE round(1.0 / (1.0 + exp(-((s.w_sum - 1000 * s.n_tokens)
+             |                     / (250.0 * s.n_tokens)))), 6) END AS score,
+             |         CASE WHEN d.n_chars >= 300 THEN 1 ELSE 0 END AS label
+             |       FROM documents d LEFT JOIN s USING (doc_id)),
+             |g AS (SELECT t.t10,
+             |        CAST(sum(CASE WHEN score >= t.t10 / 10.0 AND label = 1
+             |                 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             |        CAST(sum(CASE WHEN score >= t.t10 / 10.0 AND label = 0
+             |                 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             |        CAST(sum(CASE WHEN score < t.t10 / 10.0 AND label = 1
+             |                 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+             |        CAST(sum(CASE WHEN score >= t.t10 / 10.0
+             |                 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+             |      FROM sc, (SELECT unnest(range(1, 10)) AS t10) t
+             |      GROUP BY 1)
+             |SELECT CAST(t10 AS BIGINT) AS t10, tp, fp, fn, n_kept,
+             |  CASE WHEN tp + fp > 0 THEN CAST(floor(
+             |      tp * 10000.0 / (tp + fp) + 0.5) AS BIGINT) ELSE 0 END
+             |    AS precision_x1e4,
+             |  CASE WHEN tp + fn > 0 THEN CAST(floor(
+             |      tp * 10000.0 / (tp + fn) + 0.5) AS BIGINT) ELSE 0 END
+             |    AS recall_x1e4
+             |FROM g ORDER BY t10""".stripMargin))
   ) ++ defsTail
 
   private lazy val packOracle96: String =

@@ -137,4 +137,16 @@ class QualitySignalsSpec extends SparkSpec {
   test("AUC: single-class input reports 0 without dividing by zero") {
     assert(aucOf(Seq((1L, 0.4, 1), (2L, 0.6, 1)))._1 == 0.0)
   }
+
+  test("threshold sweep: kept and recall fall monotonically, positives constant") {
+    val rows = run("q193_threshold_sweep", sf).collect()
+    assert(rows.length == 9)
+    val kept = rows.map(_.getAs[Long]("n_kept"))
+    val recall = rows.map(_.getAs[Long]("recall_x1e4"))
+    assert(kept.zip(kept.tail).forall { case (a, b) => a >= b })
+    assert(recall.zip(recall.tail).forall { case (a, b) => a >= b })
+    // tp + fn is the positive count — threshold-invariant
+    assert(rows.map(r => r.getAs[Long]("tp") + r.getAs[Long]("fn"))
+      .distinct.length == 1)
+  }
 }
