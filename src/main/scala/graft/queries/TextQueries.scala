@@ -89,6 +89,49 @@ object TextQueries {
              |  FROM documents))
              |ORDER BY doc_id""".stripMargin)),
 
+    // Metadata-language audit: declared `lang` column vs the n-gram
+    // detector — the confusion matrix + per-declared-language agreement
+    // rate. Disagreement rows are exactly where metadata-trusting
+    // per-language pipelines (tokenizer choice, stopword lists, quality
+    // thresholds) silently misprocess documents. One scan + one grouped
+    // aggregate; the tiny lang×lang matrix carries its own marginals.
+    QDef("q194_lang_agreement",
+      (s, d) => docs(s, d)
+        .select(col("lang"), TextFns.languageId(col("text")).as("detected"))
+        .groupBy(col("lang"), col("detected"))
+        .agg(count(lit(1)).cast("long").as("n_docs"))
+        .withColumn("lang_total",
+          sum(col("n_docs")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("lang"))).cast("long"))
+        .withColumn("agree_x1e4",
+          when(col("lang") === col("detected"),
+            floor(col("n_docs") * lit(10000.0) / col("lang_total") + lit(0.5))
+              .cast("long")).otherwise(lit(0L)))
+        .orderBy(col("lang"), col("detected")),
+      Some("""WITH det AS (SELECT lang,
+             |  CASE WHEN best = 0 THEN 'unknown'
+             |       WHEN en = best THEN 'en'
+             |       WHEN es = best THEN 'es'
+             |       WHEN de = best THEN 'de'
+             |       ELSE 'fr' END AS detected
+             |FROM (SELECT lang, en, es, de, fr, greatest(en, es, de, fr) AS best
+             |  FROM (SELECT lang,
+             |    len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|a)\b')) AS en,
+             |    len(regexp_extract_all(lower(text), '\b(el|la|los|que|de|y)\b')) AS es,
+             |    len(regexp_extract_all(lower(text), '\b(der|die|und|das|nicht|ist)\b')) AS de,
+             |    len(regexp_extract_all(lower(text), '\b(le|les|des|et|une|est)\b')) AS fr
+             |  FROM documents))),
+             |g AS (SELECT lang, detected, CAST(count(*) AS BIGINT) AS n_docs
+             |      FROM det GROUP BY 1, 2),
+             |t AS (SELECT lang, CAST(sum(n_docs) AS BIGINT) AS lang_total
+             |      FROM g GROUP BY 1)
+             |SELECT g.lang, g.detected, g.n_docs, t.lang_total,
+             |  CASE WHEN g.lang = g.detected THEN CAST(floor(
+             |      g.n_docs * 10000.0 / t.lang_total + 0.5) AS BIGINT)
+             |    ELSE 0 END AS agree_x1e4
+             |FROM g JOIN t USING (lang)
+             |ORDER BY lang, detected""".stripMargin)),
+
     // Composite quality score (length/alpha/stopword saturation).
     QDef("q16_text_quality",
       (s, d) => docs(s, d).select(
