@@ -43,6 +43,8 @@ class PlanShapeSpec extends SparkSpec {
       "q162_rrf_fusion",
       // 5-row broadcast threshold spine × materialized pair table (≥ join)
       "q167_dedup_sensitivity",
+      // 9-row broadcast threshold spine × scored corpus (q167's shape)
+      "q193_threshold_sweep",
       // one-row national-total scalar broadcast onto the per-part values
       "q171_tpch_q11",
       // one-row max-z scalar broadcast onto the z-valued rows
