@@ -77,6 +77,44 @@ object QualityClassifier {
     * window anywhere. Returns one row: (n_pos, n_neg, u2, auc 6dp);
     * degenerate single-class inputs report auc = 0.
     */
+  /** Exact average precision (area under the precision-recall curve in
+    * its standard step form): AP = Σ_s np(s) · P(s) / N_pos over distinct
+    * scores s descending, where P(s) = cumulative positives at-or-above s
+    * over cumulative total at-or-above s — every positive contributes the
+    * precision at its own score level, ties sharing one level (the
+    * scikit-learn `average_precision_score` definition on quantized
+    * scores). The complement of [[auc]] for imbalanced labels: ROC-AUC
+    * saturates when negatives dominate, AP does not.
+    *
+    * Same scale shape as [[auc]]: ONE corpus groupBy(fixed-point score);
+    * both cumulatives ride the two-pass [[PrefixSum]] over the
+    * checkpointed distinct-score histogram (descending via the negated
+    * key). Returns (n_pos, n_neg, ap 6dp); 0 when no positives.
+    */
+  def averagePrecision(scored: DataFrame, idCol: String, labels: DataFrame,
+                       labelCol: String): DataFrame = {
+    val sc = scored.select(col(idCol),
+      floor(col("score") * lit(1000000.0) + lit(0.5)).cast("long").as("s"))
+    val g = sc
+      .join(labels.select(col(idCol), col(labelCol).cast("long").as("__l")),
+        Seq(idCol))
+      .groupBy(col("s"))
+      .agg(sum(col("__l")).as("np"),
+        (count(lit(1)) - sum(col("__l"))).as("nn"))
+      .withColumn("__negs", -col("s"))
+      .localCheckpoint() // PrefixSum runs 3 actions per call — see auc
+    val c1 = PrefixSum.runningSum(g, "__negs", "np", "cum_np")
+    val c = PrefixSum.runningSum(
+      c1.withColumn("__n", col("np") + col("nn")), "__negs", "__n", "cum_all")
+    c.agg(sum("np").cast("long").as("n_pos"),
+        sum("nn").cast("long").as("n_neg"),
+        coalesce(sum(col("np") * col("cum_np").cast("double")
+          / col("cum_all")), lit(0.0)).as("__apSum"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0L, round(col("__apSum") / col("n_pos"), 6))
+          .otherwise(lit(0.0)).as("ap"))
+  }
+
   def auc(scored: DataFrame, idCol: String, labels: DataFrame,
           labelCol: String): DataFrame = {
     val sc = scored.select(col(idCol),

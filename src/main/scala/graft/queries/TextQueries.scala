@@ -1376,7 +1376,49 @@ object TextQueries {
              |  CASE WHEN tp + fn > 0 THEN CAST(floor(
              |      tp * 10000.0 / (tp + fn) + 0.5) AS BIGINT) ELSE 0 END
              |    AS recall_x1e4
-             |FROM g ORDER BY t10""".stripMargin))
+             |FROM g ORDER BY t10""".stripMargin)),
+
+    // Exact average precision (PR-AUC, step form): every positive
+    // contributes the precision at its own score level — the
+    // imbalance-robust complement of q187's ROC-AUC, from the SAME
+    // distinct-score histogram machinery (descending two-pass prefix
+    // sums, no corpus sort).
+    QDef("q195_average_precision",
+      (s, d) => {
+        val sc = graft.operators.QualityClassifier
+          .score(docs(s, d), "doc_id", "text")
+        val lab = docs(s, d).select(col("doc_id"),
+          (col("n_chars") >= 300).cast("int").as("label"))
+        graft.operators.QualityClassifier
+          .averagePrecision(sc, "doc_id", lab, "label")
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+             |             FROM documents),
+             |s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             |        CAST(sum(md5_number_lower(t) % 2001) AS BIGINT) AS w_sum
+             |      FROM tok GROUP BY 1),
+             |sc AS (SELECT d.doc_id,
+             |         CASE WHEN COALESCE(s.n_tokens, 0) = 0 THEN 0.5
+             |              ELSE round(1.0 / (1.0 + exp(-((s.w_sum - 1000 * s.n_tokens)
+             |                     / (250.0 * s.n_tokens)))), 6) END AS score,
+             |         CASE WHEN d.n_chars >= 300 THEN 1 ELSE 0 END AS label
+             |       FROM documents d LEFT JOIN s USING (doc_id)),
+             |g AS (SELECT CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS sk,
+             |        CAST(sum(label) AS BIGINT) AS np,
+             |        CAST(count(*) - sum(label) AS BIGINT) AS nn
+             |      FROM sc GROUP BY 1),
+             |c AS (SELECT sk, np, nn,
+             |        sum(np) OVER w AS cum_np,
+             |        sum(np + nn) OVER w AS cum_all
+             |      FROM g
+             |      WINDOW w AS (ORDER BY sk DESC ROWS UNBOUNDED PRECEDING))
+             |SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+             |  CAST(sum(nn) AS BIGINT) AS n_neg,
+             |  CASE WHEN sum(np) > 0
+             |    THEN round(sum(np * (cum_np / CAST(cum_all AS DOUBLE)))
+             |           / sum(np), 6)
+             |    ELSE 0.0 END AS ap
+             |FROM c""".stripMargin))
   ) ++ defsTail
 
   private lazy val packOracle96: String =

@@ -138,6 +138,39 @@ class QualitySignalsSpec extends SparkSpec {
     assert(aucOf(Seq((1L, 0.4, 1), (2L, 0.6, 1)))._1 == 0.0)
   }
 
+  private def apOf(rows: Seq[(Long, Double, Int)]): Double = {
+    import graft.operators.QualityClassifier
+    val scored = rows.map { case (id, s, _) => (id, s) }.toDF("doc_id", "score")
+    val labels = rows.map { case (id, _, l) => (id, l) }.toDF("doc_id", "label")
+    QualityClassifier.averagePrecision(scored, "doc_id", labels, "label")
+      .head().getAs[Double]("ap")
+  }
+
+  /** Step-form AP over quantized score levels, computed sequentially. */
+  private def apReference(rows: Seq[(Long, Double, Int)]): Double = {
+    val byLevel = rows
+      .groupBy(r => math.floor(r._2 * 1000000.0 + 0.5).toLong)
+      .toSeq.sortBy(-_._1)
+      .map { case (_, g) => (g.count(_._3 == 1).toLong, g.size.toLong) }
+    var cumP = 0L; var cumAll = 0L; var s = 0.0
+    byLevel.foreach { case (np, n) =>
+      cumP += np; cumAll += n
+      s += np * (cumP.toDouble / cumAll)
+    }
+    if (cumP == 0L) 0.0 else s / cumP
+  }
+
+  test("average precision matches a sequential level replay, ties included") {
+    val rows = (1L to 80L).map(i =>
+      (i, (i * 7 % 10) / 10.0, if ((i * 3 % 7) < 3) 1 else 0))
+    assert(math.abs(apOf(rows) - apReference(rows)) < 5e-7)
+    // hand case: +0.9, -0.8, +0.7 -> AP = (1 + 2/3) / 2
+    assert(apOf(Seq((1L, 0.9, 1), (2L, 0.8, 0), (3L, 0.7, 1))) == 0.833333)
+    val sep = Seq((1L, 0.9, 1), (2L, 0.8, 1), (3L, 0.2, 0), (4L, 0.1, 0))
+    assert(apOf(sep) == 1.0)
+    assert(apOf(Seq((1L, 0.4, 0), (2L, 0.6, 0))) == 0.0) // no positives
+  }
+
   test("threshold sweep: kept and recall fall monotonically, positives constant") {
     val rows = run("q193_threshold_sweep", sf).collect()
     assert(rows.length == 9)
