@@ -1418,7 +1418,97 @@ object TextQueries {
              |    THEN round(sum(np * (cum_np / CAST(cum_all AS DOUBLE)))
              |           / sum(np), 6)
              |    ELSE 0.0 END AS ap
-             |FROM c""".stripMargin))
+             |FROM c""".stripMargin)),
+
+    // The modern pretraining-prep spine in ONE query: keep the best 25%
+    // by classifier score (q188's exact order statistic), stride-interleave
+    // the survivors into a uniform training order (q189), and greedily
+    // pack that ORDER into 96-token windows per interleave shard (q184's
+    // scan, with the virtual time as the order key). Per-shard packing
+    // stats out. Every stage is the proven operator — the composition is
+    // what a real tensorization-prep job runs nightly.
+    QDef("q196_pretrain_spine",
+      (s, d) => {
+        val ds = docs(s, d)
+        val sc = graft.operators.QualityClassifier
+          .score(ds, "doc_id", "text")
+        val sel = DataSelection.topFractionByScore(sc, "doc_id", 1, 4)
+        val selDocs = ds.join(sel.select(col("doc_id")), Seq("doc_id"),
+          "left_semi")
+        val ord = DataSelection.stratifiedInterleave(selDocs, "doc_id",
+          "source", nShards = 8)
+        val tok = ord
+          .join(ds.select(col("doc_id"),
+            TextFns.tokenCount(col("text")).as("nTok")), Seq("doc_id"))
+          .select(col("shard"),
+            lpad(floor(col("vt") * lit(1000000000000.0)).cast("long")
+              .cast("string"), 13, "0").as("ord"),
+            col("doc_id").as("id"), col("nTok"))
+        DataSelection.packStats(DataSelection.packScan(tok, 96L), 96L)
+          .orderBy(col("shard"))
+      },
+      Some("""WITH RECURSIVE tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+             |             FROM documents),
+             |st AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             |        CAST(sum(md5_number_lower(t) % 2001) AS BIGINT) AS w_sum
+             |      FROM tok GROUP BY 1),
+             |sc AS (SELECT d.doc_id, d.source,
+             |         CAST(len(regexp_extract_all(d.text, '[^ ]+')) AS BIGINT) AS n_tok,
+             |         CASE WHEN COALESCE(st.n_tokens, 0) = 0 THEN 0.5
+             |              ELSE round(1.0 / (1.0 + exp(-((st.w_sum - 1000 * st.n_tokens)
+             |                     / (250.0 * st.n_tokens)))), 6) END AS score
+             |       FROM documents d LEFT JOIN st USING (doc_id)),
+             |f AS (SELECT doc_id, source, n_tok,
+             |        CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS skv
+             |      FROM sc),
+             |r AS (SELECT *, row_number() OVER (ORDER BY skv DESC,
+             |        md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk FROM f),
+             |sel AS (SELECT doc_id, source, n_tok FROM r
+             |        WHERE rnk <= (SELECT count(*) FROM f) // 4),
+             |n AS (SELECT source, count(*) AS ns FROM sel GROUP BY 1),
+             |rk AS (SELECT doc_id, sel.source, n_tok, row_number() OVER (
+             |        PARTITION BY sel.source
+             |        ORDER BY md5('1#' || CAST(doc_id AS VARCHAR)), doc_id) AS rkk
+             |      FROM sel),
+             |t2 AS (SELECT doc_id, n_tok, rkk / CAST(ns AS DOUBLE) AS vt
+             |       FROM rk JOIN n USING (source)),
+             |s2 AS (SELECT doc_id, n_tok,
+             |        CAST(least(floor(vt * 8), 7) AS BIGINT) AS shard,
+             |        lpad(CAST(CAST(floor(vt * 1000000000000) AS BIGINT)
+             |          AS VARCHAR), 13, '0') AS ord
+             |      FROM t2),
+             |s3 AS (SELECT doc_id, n_tok, shard,
+             |        CAST(row_number() OVER (PARTITION BY shard
+             |          ORDER BY ord, doc_id) AS BIGINT) AS rn
+             |      FROM s2),
+             |walk(shard, rn, bin, fill, n_tok, over) AS (
+             |  SELECT DISTINCT shard, CAST(0 AS BIGINT), CAST(-1 AS BIGINT),
+             |      CAST(0 AS BIGINT), CAST(0 AS BIGINT), FALSE
+             |    FROM s3
+             |  UNION ALL
+             |  SELECT s3.shard, s3.rn,
+             |    CASE WHEN s3.n_tok > 96 THEN w.bin
+             |         WHEN w.bin < 0 OR w.fill + s3.n_tok > 96 THEN w.bin + 1
+             |         ELSE w.bin END,
+             |    CASE WHEN s3.n_tok > 96 THEN w.fill
+             |         WHEN w.bin < 0 OR w.fill + s3.n_tok > 96 THEN s3.n_tok
+             |         ELSE w.fill + s3.n_tok END,
+             |    s3.n_tok, s3.n_tok > 96
+             |  FROM walk w JOIN s3 ON s3.shard = w.shard AND s3.rn = w.rn + 1)
+             |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(count(*) FILTER (WHERE over) AS BIGINT) AS n_oversize,
+             |  CAST(greatest(max(bin), -1) + 1 AS BIGINT) AS n_bins,
+             |  CAST(COALESCE(sum(n_tok) FILTER (WHERE NOT over), 0) AS BIGINT)
+             |    AS packed_tokens,
+             |  CAST((greatest(max(bin), -1) + 1) * 96
+             |    - COALESCE(sum(n_tok) FILTER (WHERE NOT over), 0) AS BIGINT)
+             |    AS padding_tokens,
+             |  CASE WHEN max(bin) >= 0 THEN CAST(floor(
+             |      COALESCE(sum(n_tok) FILTER (WHERE NOT over), 0) * 10000.0
+             |      / ((max(bin) + 1) * 96) + 0.5) AS BIGINT)
+             |    ELSE 0 END AS fill_x1e4
+             |FROM walk WHERE rn >= 1
+             |GROUP BY shard ORDER BY shard""".stripMargin))
   ) ++ defsTail
 
   private lazy val packOracle96: String =
