@@ -634,6 +634,129 @@ object DedupOps {
       .agg(count(lit(1)).cast("long").as("n_shared_grams"))
   }
 
+  /** Positional (ordered, NOT distinct) word n-gram windows per document:
+    * (id, pos, h) with `pos` the 0-based token offset of the window start
+    * and `h` = md5 of the gram text — 32 bytes no matter how large `n`
+    * is, computed BEFORE any exchange so raw text never shuffles.
+    * Codegen-only ([[winnowingFingerprints]] shape): tokens materialize
+    * once into an array column and the grams slice that array, so the
+    * tokenizer regexp never re-evaluates per gram.
+    */
+  private def positionalGramHashes(df: DataFrame, idCol: String,
+                                   textCol: String, n: Int): DataFrame =
+    df.select(col(idCol), tokens(col(textCol)).as("__ts"))
+      .filter(size(col("__ts")) >= n)
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, size(__ts) - $n), " +
+          s"j -> array_join(slice(__ts, j + 1, $n), ' '))")).as(Seq("pos", "g")))
+      .select(col(idCol), col("pos"), md5(col("g")).as("h"))
+
+  /** Merge marked (id, pos) token windows of width `n` into maximal
+    * non-overlapping spans (gaps-and-islands over token offsets — the
+    * [[substringDedupSpans]] merge, in token space) and aggregate per id:
+    * (n_spans, tokens_removed, n_marked_windows). Each token counts once
+    * even when covered by several marked windows.
+    */
+  private def spanStats(marked: DataFrame, idCol: String, n: Int): DataFrame = {
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val prevMax = byDoc.rowsBetween(Window.unboundedPreceding, -1)
+    marked
+      .withColumn("pe", max(col("pos") + n).over(prevMax))
+      .withColumn("ni",
+        when(col("pe").isNull || col("pos") >= col("pe"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("ni")).over(byDoc))
+      .groupBy(col(idCol), col("island"))
+      .agg((max(col("pos")) + n - min(col("pos"))).as("len"),
+        count(lit(1)).as("nw"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_spans"),
+        sum(col("len")).cast("long").as("tokens_removed"),
+        sum(col("nw")).cast("long").as("n_marked_windows"))
+  }
+
+  /** Span-level benchmark decontamination: instead of DROPPING every
+    * document that shares grams with the benchmark ([[decontaminate]] —
+    * which at realistic contamination rates discards mostly-clean
+    * documents wholesale), locate the contaminated token RANGES and report
+    * what a surgical excision would remove. A token window is marked when
+    * its `n`-gram appears anywhere in the benchmark slice (`benchPred`
+    * selects benchmark rows); overlapping marked windows merge into
+    * maximal spans, so `tokens_removed` counts each token once. Returns
+    * one row per NON-benchmark document — including untouched ones —
+    * (id, n_tokens, n_marked_windows, n_spans, tokens_removed,
+    * removed_frac).
+    *
+    * Scale shape: same contract as [[decontaminate]] — one gram pass with
+    * `benchPred` pushed to the scan split, only the benchmark's DISTINCT
+    * gram-hash set persisted (benchmark-bounded), broadcast only while
+    * provably small with a shuffled-hash fallback past
+    * `maxBroadcastRows`. The marked subset (contamination-bounded, not
+    * corpus-bounded) then shuffles ONCE by document for the span merge;
+    * per-document `n_tokens` comes from a second NARROW scan of the text
+    * (scan cost, no shuffle) rather than caching the corpus-sized gram
+    * table (the cache-spill trap the [[decontaminate]] scaladoc measures).
+    */
+  def decontaminateSpans(df: DataFrame, idCol: String, textCol: String,
+                         n: Int, benchPred: org.apache.spark.sql.Column,
+                         maxBroadcastRows: Long = 4000000L): DataFrame = {
+    val grams = positionalGramHashes(df, idCol, textCol, n)
+    val bench = grams.filter(benchPred).select(col("h")).distinct().persist()
+    val nBench = bench.count() // materializes the gram-set cache
+    val benchSide =
+      if (nBench <= maxBroadcastRows) broadcast(bench)
+      else bench.hint("shuffle_hash")
+    val marked = grams.filter(!benchPred).join(benchSide, Seq("h"))
+      .select(col(idCol), col("pos"))
+    df.filter(!benchPred)
+      .select(col(idCol), size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .join(spanStats(marked, idCol, n), Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_marked_windows"), lit(0L)).as("n_marked_windows"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("tokens_removed"), lit(0L)).as("tokens_removed"),
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(round(coalesce(col("tokens_removed"), lit(0L))
+            .cast("double") / col("n_tokens"), 6)).as("removed_frac"))
+  }
+
+  /** Intra-document repetition removal profile (the within-document half
+    * of repetition cleaning — MassiveText/Gopher drop or trim documents
+    * whose content repeats itself; [[repetitionStats]] only SCORES that
+    * repetition, this is the excision decision): every token `n`-gram
+    * window whose gram already occurred EARLIER IN THE SAME document is
+    * marked (keep-first rule, the [[substringDedupSpans]] semantics
+    * restricted to one document), marked windows merge into maximal
+    * spans, and each document reports what trimming its self-repeats
+    * would remove: (id, n_tokens, n_marked_windows, n_spans,
+    * tokens_removed, removed_frac).
+    *
+    * Scale shape: one shuffle keyed by (document, gram-hash) for the
+    * keep-first rank — partitions are bounded by a single document's own
+    * repetition, so corpus-hot grams (the [[substringDedupSpans]] skew
+    * risk) cannot concentrate here; the marked subset
+    * (repetition-bounded) then shuffles by document for the span merge.
+    * Gram hashes are computed before the exchange, so raw text never
+    * shuffles.
+    */
+  def intraDocDupSpans(df: DataFrame, idCol: String, textCol: String,
+                       n: Int): DataFrame = {
+    val grams = positionalGramHashes(df, idCol, textCol, n)
+    val marked = grams
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(idCol), col("h")).orderBy(col("pos"))))
+      .filter(col("rn") > 1)
+      .select(col(idCol), col("pos"))
+    df.select(col(idCol), size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .join(spanStats(marked, idCol, n), Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_marked_windows"), lit(0L)).as("n_marked_windows"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("tokens_removed"), lit(0L)).as("tokens_removed"),
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(round(coalesce(col("tokens_removed"), lit(0L))
+            .cast("double") / col("n_tokens"), 6)).as("removed_frac"))
+  }
+
   /** Materialize a (small) result via eager `localCheckpoint`, then release
     * the cached intermediates that produced it. The pair outputs here are
     * O(duplicate pairs) — tiny relative to the corpus at any scale — while

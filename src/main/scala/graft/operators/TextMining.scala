@@ -125,4 +125,122 @@ object TextMining {
       .withColumn("novelty",
         round(col("n_novel").cast("double") / col("n_shingles").cast("double"), 6))
   }
+
+  /** Aho–Corasick multi-pattern automaton (Aho & Corasick 1975): goto
+    * trie + BFS failure links, with each node's output set pre-resolved
+    * through its failure chain so matching never walks suffix links at
+    * scan time. `countAll` reports EVERY occurrence of every pattern
+    * (overlapping matches included — for a pattern with no proper border,
+    * i.e. no non-empty proper prefix that is also a suffix, occurrences
+    * cannot self-overlap, so this equals the greedy non-overlapping
+    * count). Built once on the driver (O(Σ|patterns|) nodes) and shipped
+    * in the task closure — dictionary size never multiplies the scan
+    * count.
+    */
+  final class AhoCorasick private (
+      val patterns: Array[String],
+      gotoMaps: Array[Map[Char, Int]],
+      fail: Array[Int],
+      out: Array[Array[Int]]) extends Serializable {
+
+    /** Per-pattern total occurrence counts in one left-to-right pass. */
+    def countAll(text: String): Array[Long] = {
+      val counts = new Array[Long](patterns.length)
+      var state = 0
+      var i = 0
+      while (i < text.length) {
+        val c = text.charAt(i)
+        // follow failure links until a goto transition exists (root loops)
+        while (state != 0 && !gotoMaps(state).contains(c)) state = fail(state)
+        state = gotoMaps(state).getOrElse(c, 0)
+        val hits = out(state)
+        var j = 0
+        while (j < hits.length) { counts(hits(j)) += 1L; j += 1 }
+        i += 1
+      }
+      counts
+    }
+  }
+
+  object AhoCorasick {
+    def build(patterns: Seq[String]): AhoCorasick = {
+      require(patterns.nonEmpty && patterns.forall(_.nonEmpty),
+        "patterns must be non-empty")
+      val pats = patterns.toArray
+      val gotoMaps = scala.collection.mutable.ArrayBuffer(Map.empty[Char, Int])
+      val ends = scala.collection.mutable.ArrayBuffer(List.empty[Int])
+      pats.zipWithIndex.foreach { case (p, pi) =>
+        var node = 0
+        p.foreach { c =>
+          gotoMaps(node).get(c) match {
+            case Some(nxt) => node = nxt
+            case None =>
+              gotoMaps += Map.empty[Char, Int]
+              ends += Nil
+              gotoMaps(node) = gotoMaps(node) + (c -> (gotoMaps.length - 1))
+              node = gotoMaps.length - 1
+          }
+        }
+        ends(node) = pi :: ends(node)
+      }
+      val n = gotoMaps.length
+      val fail = new Array[Int](n)
+      val out = Array.fill(n)(Array.empty[Int])
+      val queue = scala.collection.mutable.Queue.empty[Int]
+      gotoMaps(0).values.foreach { v => fail(v) = 0; queue += v }
+      out(0) = ends(0).toArray
+      while (queue.nonEmpty) {
+        val u = queue.dequeue()
+        // resolve outputs through the (already-finalized) failure target
+        out(u) = (ends(u) ++ out(fail(u)).toList).toArray
+        gotoMaps(u).foreach { case (c, v) =>
+          var f = fail(u)
+          while (f != 0 && !gotoMaps(f).contains(c)) f = fail(f)
+          // the fallback is strictly shallower than v, so this is never v
+          fail(v) = gotoMaps(f).getOrElse(c, 0)
+          queue += v
+        }
+      }
+      new AhoCorasick(pats, gotoMaps.toArray, fail, out)
+    }
+
+    /** Proper borders (non-empty proper prefix = suffix) of a pattern —
+      * the self-overlap witness; empty for patterns where all-occurrence
+      * and non-overlapping counts coincide.
+      */
+    def borders(p: String): Seq[String] =
+      (1 until p.length).collect {
+        case k if p.startsWith(p.substring(p.length - k)) =>
+          p.substring(p.length - k)
+      }
+  }
+
+  /** Blocklist audit (the C4 badword-filter shape): per blocklist term,
+    * how many documents contain it as a SUBSTRING of the lowercased text
+    * and how many times in total. Substring (not token) semantics is the
+    * point — obfuscated concatenations match — and one Aho–Corasick pass
+    * scans the corpus ONCE regardless of dictionary size, where the
+    * per-term `LIKE`/regex form costs K full scans.
+    *
+    * Scale shape: the automaton (O(Σ term lengths), MBs for a 100k-term
+    * blocklist) ships in the task closure to each executor; the scan is a
+    * narrow map emitting one fixed-width count vector per document, and
+    * the only shuffle is the final K-row per-term aggregation (map-side
+    * combined). Every term appears in the output even at zero hits —
+    * each document emits the full vector.
+    */
+  def blocklistHits(df: DataFrame, textCol: String,
+                    terms: Seq[String]): DataFrame = {
+    val ac = AhoCorasick.build(terms)
+    val counts = udf { text: String =>
+      if (text == null) new Array[Long](terms.size)
+      else ac.countAll(text.toLowerCase(java.util.Locale.ROOT))
+    }
+    df.select(posexplode(counts(col(textCol))).as(Seq("__i", "__n")))
+      .groupBy(col("__i"))
+      .agg(count(when(col("__n") > 0, lit(1))).cast("long").as("n_docs"),
+        sum(col("__n")).cast("long").as("n_hits"))
+      .select(element_at(typedLit(terms), col("__i") + 1).as("term"),
+        col("n_docs"), col("n_hits"))
+  }
 }

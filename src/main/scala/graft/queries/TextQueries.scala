@@ -30,6 +30,16 @@ object TextQueries {
     .flatMap { case (qid, q) => Bm25.queryTerms(q).map(t => s"('$qid', '$t')") }
     .mkString(", ")
 
+  /** q198's blocklist: multi-word substrings over the corpus vocabulary,
+    * each border-free (no non-empty proper prefix that is also a suffix),
+    * so occurrences cannot self-overlap and the oracle's replace-based
+    * non-overlapping count equals Aho-Corasick's all-occurrence count —
+    * TextMiningSpec asserts the border-free property for every term.
+    */
+  val blocklistTerms: Seq[String] = Seq(
+    "fast table", "big query", "scan slow", "window stream",
+    "value table", "merge batch")
+
   val defs: Seq[QDef] = Seq(
 
     // P7 cleaning chain + content fingerprint. Hash the cleaned text so the
@@ -453,6 +463,110 @@ object TextQueries {
              |FROM grams c JOIN bench b USING (g)
              |WHERE c.doc_id % 97 <> 0
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Span-level decontamination: q79's benchmark overlap located as token
+    // RANGES (surgical excision evidence) instead of a per-doc drop score.
+    // Same bench slice + broadcast gating as q79; the marked subset is
+    // contamination-bounded before the per-doc span merge.
+    QDef("q197_decontaminate_spans",
+      (s, d) => DedupOps.decontaminateSpans(docs(s, d), "doc_id", "text", 4,
+          col("doc_id") % 97 === 0)
+        .orderBy(col("doc_id")),
+      Some("""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+             |pg AS (SELECT doc_id, i AS pos, array_to_string(list_slice(t, i, i + 3), ' ') AS g
+             |       FROM toks, UNNEST(range(1, len(t) - 2)) AS u(i)),
+             |bench AS (SELECT DISTINCT g FROM pg WHERE doc_id % 97 = 0),
+             |mk AS (SELECT pg.doc_id, pg.pos FROM pg JOIN bench USING (g) WHERE pg.doc_id % 97 <> 0),
+             |isl AS (SELECT doc_id, pos, CASE WHEN pe IS NULL OR pos >= pe THEN 1 ELSE 0 END AS ni
+             |        FROM (SELECT doc_id, pos, max(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
+             |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe FROM mk)),
+             |g2 AS (SELECT doc_id, pos, sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM isl),
+             |sp AS (SELECT doc_id, island, max(pos) + 4 - min(pos) AS len, count(*) AS nw FROM g2 GROUP BY 1, 2),
+             |ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+             |       CAST(sum(len) AS BIGINT) AS tokens_removed,
+             |       CAST(sum(nw) AS BIGINT) AS n_marked_windows FROM sp GROUP BY 1)
+             |SELECT d.doc_id, CAST(len(d.t) AS BIGINT) AS n_tokens,
+             |  coalesce(a.n_marked_windows, 0) AS n_marked_windows,
+             |  coalesce(a.n_spans, 0) AS n_spans,
+             |  coalesce(a.tokens_removed, 0) AS tokens_removed,
+             |  CASE WHEN len(d.t) = 0 THEN 0.0
+             |       ELSE round(coalesce(a.tokens_removed, 0) / len(d.t), 6) END AS removed_frac
+             |FROM toks d LEFT JOIN ag a USING (doc_id)
+             |WHERE d.doc_id % 97 <> 0 ORDER BY doc_id""".stripMargin)),
+
+    // Intra-document repetition removal: within-doc keep-first on token
+    // trigram windows, marked windows merged to maximal spans — the
+    // MassiveText-style self-repeat trim decision (q78 only scores it).
+    QDef("q199_intradoc_dedup",
+      (s, d) => DedupOps.intraDocDupSpans(docs(s, d), "doc_id", "text", 3)
+        .orderBy(col("doc_id")),
+      Some("""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+             |pg AS (SELECT doc_id, i AS pos, array_to_string(list_slice(t, i, i + 2), ' ') AS g
+             |       FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)),
+             |mk AS (SELECT doc_id, pos FROM (
+             |        SELECT doc_id, pos, row_number() OVER (PARTITION BY doc_id, g ORDER BY pos) AS rn FROM pg)
+             |       WHERE rn > 1),
+             |isl AS (SELECT doc_id, pos, CASE WHEN pe IS NULL OR pos >= pe THEN 1 ELSE 0 END AS ni
+             |        FROM (SELECT doc_id, pos, max(pos + 3) OVER (PARTITION BY doc_id ORDER BY pos
+             |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe FROM mk)),
+             |g2 AS (SELECT doc_id, pos, sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM isl),
+             |sp AS (SELECT doc_id, island, max(pos) + 3 - min(pos) AS len, count(*) AS nw FROM g2 GROUP BY 1, 2),
+             |ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+             |       CAST(sum(len) AS BIGINT) AS tokens_removed,
+             |       CAST(sum(nw) AS BIGINT) AS n_marked_windows FROM sp GROUP BY 1)
+             |SELECT d.doc_id, CAST(len(d.t) AS BIGINT) AS n_tokens,
+             |  coalesce(a.n_marked_windows, 0) AS n_marked_windows,
+             |  coalesce(a.n_spans, 0) AS n_spans,
+             |  coalesce(a.tokens_removed, 0) AS tokens_removed,
+             |  CASE WHEN len(d.t) = 0 THEN 0.0
+             |       ELSE round(coalesce(a.tokens_removed, 0) / len(d.t), 6) END AS removed_frac
+             |FROM toks d LEFT JOIN ag a USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Blocklist audit via ONE Aho-Corasick pass (substring semantics; the
+    // oracle's replace-based count equals the all-occurrence count because
+    // every term is border-free — asserted in TextMiningSpec).
+    QDef("q198_blocklist_hits",
+      (s, d) => TextMining.blocklistHits(docs(s, d), "text",
+          TextQueries.blocklistTerms)
+        .orderBy(col("term")),
+      Some(s"""WITH terms(term) AS (VALUES ${TextQueries.blocklistTerms
+               .map(t => s"('$t')").mkString(", ")}),
+             |h AS (SELECT t.term,
+             |    (len(lower(d.text)) - len(replace(lower(d.text), t.term, ''))) // len(t.term) AS c
+             |  FROM documents d CROSS JOIN terms t)
+             |SELECT term, CAST(count(*) FILTER (WHERE c > 0) AS BIGINT) AS n_docs,
+             |  CAST(sum(c) AS BIGINT) AS n_hits
+             |FROM h GROUP BY 1 ORDER BY term""".stripMargin)),
+
+    // Tokenizer fertility per language: subwords per whitespace token and
+    // chars per subword (x1e4 fixed point) — the multilingual tokenizer-
+    // efficiency diagnostic (CJK text shows its per-char fertility here).
+    QDef("q200_fertility_by_lang",
+      (s, d) => docs(s, d)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(length(col("text"))).cast("long").as("sum_chars"),
+          sum(TextFns.tokenCount(col("text"))).cast("long").as("sum_ws_tokens"),
+          sum(TextFns.subwordCount(col("text"))).cast("long").as("sum_subwords"))
+        .withColumn("fertility_x1e4", when(col("sum_ws_tokens") === 0, lit(0L))
+          .otherwise(floor(col("sum_subwords") * lit(10000.0)
+            / col("sum_ws_tokens") + lit(0.5)).cast("long")))
+        .withColumn("chars_per_subword_x1e4", when(col("sum_subwords") === 0, lit(0L))
+          .otherwise(floor(col("sum_chars") * lit(10000.0)
+            / col("sum_subwords") + lit(0.5)).cast("long")))
+        .orderBy(col("lang")),
+      Some("""SELECT lang, n_docs, sum_chars, sum_ws_tokens, sum_subwords,
+             |  CASE WHEN sum_ws_tokens = 0 THEN 0
+             |       ELSE CAST(floor(sum_subwords * 10000.0 / sum_ws_tokens + 0.5) AS BIGINT) END AS fertility_x1e4,
+             |  CASE WHEN sum_subwords = 0 THEN 0
+             |       ELSE CAST(floor(sum_chars * 10000.0 / sum_subwords + 0.5) AS BIGINT) END AS chars_per_subword_x1e4
+             |FROM (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             |    CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+             |    CAST(sum(len(regexp_extract_all(text, '[^ ]+'))) AS BIGINT) AS sum_ws_tokens,
+             |    CAST(sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]'))) AS BIGINT) AS sum_subwords
+             |  FROM documents GROUP BY 1)
+             |ORDER BY lang""".stripMargin)),
 
     // Deterministic train/val/test split: first hex digit of md5(doc_id)
     // buckets 75/12.5/12.5 — stable under resharding and across engines.

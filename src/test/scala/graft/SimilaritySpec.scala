@@ -451,6 +451,51 @@ class SimilaritySpec extends SparkSpec {
     assert(r.getAs[Long]("chars_removed") == 19)
   }
 
+  test("decontaminate spans: marks, merges, and zero-fills exactly") {
+    import spark.implicits._
+    val df = Seq(
+      (100L, "a b c"),          // benchmark: 2-grams {a b, b c}
+      (1L, "a b c x y a b"),    // marked at 0, 1, 5
+      (2L, "q r s"))            // untouched — still gets a zero row
+      .toDF("doc_id", "text")
+    val rows = DedupOps.decontaminateSpans(df, "doc_id", "text", n = 2,
+        benchPred = col("doc_id") >= 100L)
+      .orderBy("doc_id").collect()
+    assert(rows.length == 2) // benchmark docs excluded from the output
+    val d1 = rows(0)
+    // windows 0 and 1 merge ([0,3), 3 tokens); window 5 stands alone ([5,7))
+    assert(d1.getAs[Long]("n_tokens") == 7)
+    assert(d1.getAs[Long]("n_marked_windows") == 3)
+    assert(d1.getAs[Long]("n_spans") == 2)
+    assert(d1.getAs[Long]("tokens_removed") == 5)
+    assert(d1.getAs[Double]("removed_frac") == 0.714286)
+    val d2 = rows(1)
+    assert(d2.getAs[Long]("n_marked_windows") == 0)
+    assert(d2.getAs[Long]("tokens_removed") == 0)
+    assert(d2.getAs[Double]("removed_frac") == 0.0)
+  }
+
+  test("intra-doc dedup spans: keep-first within the document only") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b a b a"), // grams: ab ba ab ba — repeats at pos 2, 3
+      (2L, "x y z"),     // no repeats
+      (3L, "a b c"))     // "a b" repeats doc 1's gram but docs are independent
+      .toDF("doc_id", "text")
+    val rows = DedupOps.intraDocDupSpans(df, "doc_id", "text", n = 2)
+      .orderBy("doc_id").collect()
+    val d1 = rows(0)
+    // marked windows [2,4) and [3,5) overlap → ONE span covering [2,5)
+    assert(d1.getAs[Long]("n_tokens") == 5)
+    assert(d1.getAs[Long]("n_marked_windows") == 2)
+    assert(d1.getAs[Long]("n_spans") == 1)
+    assert(d1.getAs[Long]("tokens_removed") == 3)
+    assert(d1.getAs[Double]("removed_frac") == 0.6)
+    // cross-document sharing never marks anything
+    assert(rows(1).getAs[Long]("n_marked_windows") == 0)
+    assert(rows(2).getAs[Long]("n_marked_windows") == 0)
+  }
+
   test("source overlap matrix: shared shingles, zero-overlap pair absent") {
     import spark.implicits._
     val df = Seq(

@@ -61,4 +61,43 @@ class TextMiningSpec extends SparkSpec {
       1L -> ((2L, 2L, 1.0)),
       2L -> ((2L, 1L, 0.5))))
   }
+
+  test("AhoCorasick counts all matches, fail links included (ushers)") {
+    // the textbook automaton: "ushers" hits she@3, he@3 (via the she→he
+    // suffix output), hers@5 — his never fires
+    val ac = TextMining.AhoCorasick.build(Seq("he", "she", "his", "hers"))
+    assert(ac.countAll("ushers").toSeq === Seq(1L, 1L, 0L, 1L))
+    // independent restart mid-word: "shis" → his via the sh→h fail link
+    assert(ac.countAll("shis").toSeq === Seq(0L, 0L, 1L, 0L))
+  }
+
+  test("AhoCorasick counts self-overlapping occurrences of bordered terms") {
+    val ac = TextMining.AhoCorasick.build(Seq("aba"))
+    // "ababa" contains aba at 0 and 2 — overlapping, both reported
+    assert(ac.countAll("ababa")(0) == 2L)
+    assert(TextMining.AhoCorasick.borders("aba") === Seq("a"))
+    assert(TextMining.AhoCorasick.borders("abab") === Seq("ab"))
+  }
+
+  test("q198's blocklist terms are border-free (oracle-count parity)") {
+    // the DuckDB oracle counts non-overlapping occurrences via replace();
+    // that equals the automaton's all-occurrence count ONLY for terms that
+    // cannot self-overlap, i.e. have no proper border
+    graft.queries.TextQueries.blocklistTerms.foreach { t =>
+      assert(TextMining.AhoCorasick.borders(t).isEmpty, s"term '$t' has a border")
+    }
+  }
+
+  test("blocklistHits: per-term totals, zero terms present, null text safe") {
+    val df = Seq(
+      (1L, "spam and SPAM again"),            // case-insensitive, 2 hits
+      (2L, "clean text"),
+      (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = TextMining.blocklistHits(df, "text", Seq("spam", "absent"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(
+      "spam" -> ((1L, 2L)),   // one doc, two occurrences
+      "absent" -> ((0L, 0L)))) // zero-hit term still reported
+  }
 }
