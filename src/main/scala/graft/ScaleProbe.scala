@@ -277,3 +277,64 @@ object TextMiningScaleProbe {
     spark.stop()
   }
 }
+
+/** Dev tool: growth curves for the round-5b span-cleaning family
+  * (q197-q201) — `runMain graft.SpanCleanScaleProbe 1,2,5,10`.
+  *
+  * All four run on PLAIN replicas: the benchmark slice replicates with
+  * the corpus, so the bench gram SET stays base-sized while the marked
+  * set grows c× (contamination density constant); intra-doc dedup and
+  * the blocklist automaton are per-document scans. Expected curves:
+  * scan-shaped linear — a superlinear bend would flag the span-merge
+  * window or the bench join shuffling more than the marked subset.
+  */
+object SpanCleanScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val factors = (if (args.nonEmpty) args(0) else "1,2,5,10")
+      .split(",").map(_.trim.toInt).toSeq
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val base = Tables(spark, sfDir, "documents").select("doc_id", "text")
+    val n = base.count()
+    factors.foreach { c =>
+      // doc_id offsets are multiples of 97·10⁵ so the %97 benchmark rule
+      // selects the SAME documents in every replica (density constant)
+      val plain = (0 until c).map { i =>
+        base.select((col("doc_id") + lit(i.toLong * 9700000L)).as("doc_id"),
+          col("text"))
+      }.reduce(_ unionAll _).localCheckpoint()
+      def time(f: => Long): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val rows = f
+        ((System.nanoTime() - t0) / 1e9, rows)
+      }
+      val (dsT, dsRows) = time(
+        DedupOps.decontaminateSpans(plain, "doc_id", "text", 4,
+          col("doc_id") % 97 === 0).count())
+      spark.catalog.clearCache()
+      val (exT, exRows) = time(
+        DedupOps.exciseContamination(plain, "doc_id", "text", 4,
+          col("doc_id") % 97 === 0).count())
+      spark.catalog.clearCache()
+      val (idT, idRows) = time(
+        DedupOps.intraDocDupSpans(plain, "doc_id", "text", 3).count())
+      spark.catalog.clearCache()
+      val (blT, blRows) = time(
+        graft.operators.TextMining.blocklistHits(plain, "text",
+          graft.queries.TextQueries.blocklistTerms).count())
+      spark.catalog.clearCache()
+      println(f"[scale] c=$c%2d docs=${n * c}%7d spans=$dsT%.2fs ($dsRows docs)" +
+        f" excise=$exT%.2fs ($exRows docs) intradoc=$idT%.2fs ($idRows docs)" +
+        f" blocklist=$blT%.2fs ($blRows terms)")
+    }
+    spark.stop()
+  }
+}

@@ -653,11 +653,11 @@ object DedupOps {
 
   /** Merge marked (id, pos) token windows of width `n` into maximal
     * non-overlapping spans (gaps-and-islands over token offsets — the
-    * [[substringDedupSpans]] merge, in token space) and aggregate per id:
-    * (n_spans, tokens_removed, n_marked_windows). Each token counts once
-    * even when covered by several marked windows.
+    * [[substringDedupSpans]] merge, in token space): per span
+    * (id, start, end, nw) with `end` exclusive and `nw` the number of
+    * marked windows the span absorbed.
     */
-  private def spanStats(marked: DataFrame, idCol: String, n: Int): DataFrame = {
+  private def mergedSpans(marked: DataFrame, idCol: String, n: Int): DataFrame = {
     val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     val prevMax = byDoc.rowsBetween(Window.unboundedPreceding, -1)
     marked
@@ -666,12 +666,39 @@ object DedupOps {
         when(col("pe").isNull || col("pos") >= col("pe"), 1L).otherwise(0L))
       .withColumn("island", sum(col("ni")).over(byDoc))
       .groupBy(col(idCol), col("island"))
-      .agg((max(col("pos")) + n - min(col("pos"))).as("len"),
+      .agg(min(col("pos")).as("start"), (max(col("pos")) + n).as("end"),
         count(lit(1)).as("nw"))
+  }
+
+  /** Per-id aggregate of [[mergedSpans]]: (n_spans, tokens_removed,
+    * n_marked_windows). Each token counts once even when covered by
+    * several marked windows.
+    */
+  private def spanStats(marked: DataFrame, idCol: String, n: Int): DataFrame =
+    mergedSpans(marked, idCol, n)
       .groupBy(col(idCol))
       .agg(count(lit(1)).cast("long").as("n_spans"),
-        sum(col("len")).cast("long").as("tokens_removed"),
+        sum(col("end") - col("start")).cast("long").as("tokens_removed"),
         sum(col("nw")).cast("long").as("n_marked_windows"))
+
+  /** Benchmark-contaminated window starts (id, pos) of the non-benchmark
+    * slice — the shared marking pass of [[decontaminateSpans]] and
+    * [[exciseContamination]]: one gram pass with `benchPred` split at the
+    * scan, benchmark's DISTINCT gram-hash set persisted
+    * (benchmark-bounded) and broadcast only while provably small.
+    */
+  private def benchMarkedPositions(df: DataFrame, idCol: String,
+                                   textCol: String, n: Int,
+                                   benchPred: org.apache.spark.sql.Column,
+                                   maxBroadcastRows: Long): DataFrame = {
+    val grams = positionalGramHashes(df, idCol, textCol, n)
+    val bench = grams.filter(benchPred).select(col("h")).distinct().persist()
+    val nBench = bench.count() // materializes the gram-set cache
+    val benchSide =
+      if (nBench <= maxBroadcastRows) broadcast(bench)
+      else bench.hint("shuffle_hash")
+    grams.filter(!benchPred).join(benchSide, Seq("h"))
+      .select(col(idCol), col("pos"))
   }
 
   /** Span-level benchmark decontamination: instead of DROPPING every
@@ -699,14 +726,8 @@ object DedupOps {
   def decontaminateSpans(df: DataFrame, idCol: String, textCol: String,
                          n: Int, benchPred: org.apache.spark.sql.Column,
                          maxBroadcastRows: Long = 4000000L): DataFrame = {
-    val grams = positionalGramHashes(df, idCol, textCol, n)
-    val bench = grams.filter(benchPred).select(col("h")).distinct().persist()
-    val nBench = bench.count() // materializes the gram-set cache
-    val benchSide =
-      if (nBench <= maxBroadcastRows) broadcast(bench)
-      else bench.hint("shuffle_hash")
-    val marked = grams.filter(!benchPred).join(benchSide, Seq("h"))
-      .select(col(idCol), col("pos"))
+    val marked =
+      benchMarkedPositions(df, idCol, textCol, n, benchPred, maxBroadcastRows)
     df.filter(!benchPred)
       .select(col(idCol), size(tokens(col(textCol))).cast("long").as("n_tokens"))
       .join(spanStats(marked, idCol, n), Seq(idCol), "left")
@@ -755,6 +776,44 @@ object DedupOps {
         when(col("n_tokens") === 0, lit(0.0))
           .otherwise(round(coalesce(col("tokens_removed"), lit(0L))
             .cast("double") / col("n_tokens"), 6)).as("removed_frac"))
+  }
+
+  /** APPLY the span-level decontamination decision ([[decontaminateSpans]]
+    * reports it): per non-benchmark document, the token stream with every
+    * contaminated span excised — proven by content hash so the result
+    * stays row-small: (id, n_tokens_kept, kept_md5) with kept_md5 =
+    * md5 of the space-joined surviving tokens (md5('') for fully-excised
+    * or empty documents).
+    *
+    * Scale shape: the marking pass is [[benchMarkedPositions]] (gated
+    * broadcast, contamination-bounded marked set); spans then aggregate
+    * per document into a span LIST (contaminated documents only — a
+    * small side AQE broadcasts onto the corpus), and the excision itself
+    * is a narrow per-row array filter over the span list (O(spans) per
+    * token, spans contamination-bounded) — the corpus never shuffles and
+    * raw text never leaves its scan partition.
+    */
+  def exciseContamination(df: DataFrame, idCol: String, textCol: String,
+                          n: Int, benchPred: org.apache.spark.sql.Column,
+                          maxBroadcastRows: Long = 4000000L): DataFrame = {
+    val marked =
+      benchMarkedPositions(df, idCol, textCol, n, benchPred, maxBroadcastRows)
+    val spanLists = mergedSpans(marked, idCol, n)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("start"), col("end"))).as("__spans"))
+    df.filter(!benchPred)
+      .select(col(idCol),
+        expr("coalesce(" +
+          s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0), " +
+          "cast(array() as array<string>))").as("__ts"))
+      .join(spanLists, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__spans").isNull, col("__ts")).otherwise(expr(
+          "filter(__ts, (x, i) -> NOT exists(__spans, " +
+            "s -> i >= s.start AND i < s.end))")).as("__kept"))
+      .select(col(idCol),
+        size(col("__kept")).cast("long").as("n_tokens_kept"),
+        md5(array_join(col("__kept"), " ")).as("kept_md5"))
   }
 
   /** Materialize a (small) result via eager `localCheckpoint`, then release

@@ -494,6 +494,36 @@ object TextQueries {
              |FROM toks d LEFT JOIN ag a USING (doc_id)
              |WHERE d.doc_id % 97 <> 0 ORDER BY doc_id""".stripMargin)),
 
+    // APPLY the q197 excision: per surviving doc, the de-contaminated
+    // token stream proven by content hash (md5 of the kept tokens) — the
+    // corpus never shuffles; spans broadcast onto a narrow array filter.
+    QDef("q201_excise_contamination",
+      (s, d) => DedupOps.exciseContamination(docs(s, d), "doc_id", "text", 4,
+          col("doc_id") % 97 === 0)
+        .orderBy(col("doc_id")),
+      Some("""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+             |pg AS (SELECT doc_id, i AS pos, array_to_string(list_slice(t, i, i + 3), ' ') AS g
+             |       FROM toks, UNNEST(range(1, len(t) - 2)) AS u(i)),
+             |bench AS (SELECT DISTINCT g FROM pg WHERE doc_id % 97 = 0),
+             |mk AS (SELECT pg.doc_id, pg.pos FROM pg JOIN bench USING (g) WHERE pg.doc_id % 97 <> 0),
+             |isl AS (SELECT doc_id, pos, CASE WHEN pe IS NULL OR pos >= pe THEN 1 ELSE 0 END AS ni
+             |        FROM (SELECT doc_id, pos, max(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
+             |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe FROM mk)),
+             |g2 AS (SELECT doc_id, pos, sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM isl),
+             |sp AS (SELECT doc_id, island, min(pos) AS s, max(pos) + 4 AS e FROM g2 GROUP BY 1, 2),
+             |pos AS (SELECT doc_id, i, t[i] AS tok FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)
+             |        WHERE doc_id % 97 <> 0),
+             |kept AS (SELECT p.doc_id, p.i, p.tok FROM pos p
+             |         WHERE NOT EXISTS (SELECT 1 FROM sp
+             |           WHERE sp.doc_id = p.doc_id AND p.i >= sp.s AND p.i < sp.e)),
+             |ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+             |       md5(string_agg(tok, ' ' ORDER BY i)) AS m FROM kept GROUP BY 1)
+             |SELECT d.doc_id, coalesce(a.n_kept, 0) AS n_tokens_kept,
+             |  coalesce(a.m, md5('')) AS kept_md5
+             |FROM (SELECT doc_id FROM toks WHERE doc_id % 97 <> 0) d
+             |LEFT JOIN ag a USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
     // Intra-document repetition removal: within-doc keep-first on token
     // trigram windows, marked windows merged to maximal spans — the
     // MassiveText-style self-repeat trim decision (q78 only scores it).

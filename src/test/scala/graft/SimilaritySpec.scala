@@ -475,6 +475,35 @@ class SimilaritySpec extends SparkSpec {
     assert(d2.getAs[Double]("removed_frac") == 0.0)
   }
 
+  test("excise contamination: kept stream hashes right, stats-consistent") {
+    import spark.implicits._
+    val df = Seq(
+      (100L, "a b c"),          // benchmark: 2-grams {a b, b c}
+      (1L, "a b c x y a b"),    // spans [0,3) and [5,7) → keeps "x y"
+      (2L, "q r s"),            // untouched
+      (3L, null.asInstanceOf[String])) // null text → md5 of empty
+      .toDF("doc_id", "text")
+    val got = DedupOps.exciseContamination(df, "doc_id", "text", n = 2,
+        benchPred = col("doc_id") >= 100L)
+      .orderBy("doc_id").collect()
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got.length == 3)
+    assert(got(0).getAs[Long]("n_tokens_kept") == 2)
+    assert(got(0).getAs[String]("kept_md5") == m("x y"))
+    assert(got(1).getAs[Long]("n_tokens_kept") == 3)
+    assert(got(1).getAs[String]("kept_md5") == m("q r s"))
+    assert(got(2).getAs[Long]("n_tokens_kept") == 0)
+    assert(got(2).getAs[String]("kept_md5") == m(""))
+    // kept + removed telescopes against the stats operator
+    val stats = DedupOps.decontaminateSpans(df, "doc_id", "text", n = 2,
+        benchPred = col("doc_id") >= 100L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens") - r.getAs[Long]("tokens_removed"))).toMap
+    got.foreach(r => assert(
+      r.getAs[Long]("n_tokens_kept") == stats(r.getAs[Long]("doc_id"))))
+  }
+
   test("intra-doc dedup spans: keep-first within the document only") {
     import spark.implicits._
     val df = Seq(
