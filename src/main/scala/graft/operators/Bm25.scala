@@ -88,4 +88,79 @@ object Bm25 {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col(idCol), col("score"))
   }
+
+  /** Exact retrieval-evaluation metrics for [[topK]]: per query, MRR,
+    * recall@k and nDCG@k (binary gains) against deterministic boolean-AND
+    * pseudo-qrels — a document is relevant to a query iff it contains
+    * EVERY query term. The relevance rule is independent of the BM25
+    * scoring formula (qrels don't tautologically reward the ranker) and
+    * is restated verbatim by the SQL oracle. All three metrics are
+    * emitted ×1e6 fixed point, with the DCG/IDCG terms floored to
+    * integers BEFORE summing so the aggregation order cannot perturb the
+    * result: (query_id, n_relevant, n_retrieved_relevant, mrr_x1e6,
+    * recall_x1e6, ndcg_x1e6) — one row per query even at zero relevant.
+    *
+    * Scale shape: qrels come from the same array-filtered posting scan as
+    * [[topK]] (exploded cardinality = matching tokens only) aggregated to
+    * (query, doc) matched-term counts; everything downstream of that
+    * aggregate — hits, first ranks, ideal-gain spines — is bounded by
+    * (matching docs × queries), never the corpus. The queries/term tables
+    * broadcast.
+    */
+  def evalMetrics(docs: DataFrame, idCol: String, textCol: String,
+                  queries: Seq[(String, String)], k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ranked = topK(docs, idCol, textCol, queries, k)
+    val terms = queries.flatMap { case (qid, q) => queryTerms(q).map(qid -> _) }
+      .toDF("query_id", "term")
+    val nTerms = queries.map { case (qid, q) => (qid, queryTerms(q).size.toLong) }
+      .toDF("query_id", "n_terms")
+    val termSet = queries.flatMap { case (_, q) => queryTerms(q) }.distinct
+    // binary-gain DCG term at 1-based rank r, floored to a long so sums
+    // are integer-exact and engine-portable
+    def gain(r: Column): Column =
+      floor(lit(1000000.0) / log2(r + lit(1)) + lit(0.5)).cast("long")
+    val qrel = docs
+      .select(col(idCol), TextFns.words(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        explode(filter(col("__toks"), t => t.isInCollection(termSet))).as("term"))
+      .distinct()
+      .join(broadcast(terms), Seq("term"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(count(lit(1)).as("__m"))
+      .join(broadcast(nTerms), Seq("query_id"))
+      .filter(col("__m") === col("n_terms"))
+      .select(col("query_id"), col(idCol))
+    val nRel = qrel.groupBy(col("query_id"))
+      .agg(count(lit(1)).cast("long").as("n_relevant"))
+    val hits = ranked.join(qrel, Seq("query_id", idCol))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).cast("long").as("n_retrieved_relevant"),
+        min(col("rank")).cast("long").as("__first"),
+        sum(gain(col("rank"))).cast("long").as("__dcg"))
+    val ideal = nRel
+      .select(col("query_id"),
+        explode(sequence(lit(1L), least(col("n_relevant"), lit(k.toLong))))
+          .as("__i"))
+      .groupBy(col("query_id"))
+      .agg(sum(gain(col("__i"))).cast("long").as("__idcg"))
+    queries.map(_._1).toDF("query_id")
+      .join(nRel, Seq("query_id"), "left")
+      .join(hits, Seq("query_id"), "left")
+      .join(ideal, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_relevant"), lit(0L)).as("n_relevant"),
+        coalesce(col("n_retrieved_relevant"), lit(0L)).as("n_retrieved_relevant"),
+        when(col("__first").isNull, lit(0L))
+          .otherwise(floor(lit(1000000.0) / col("__first") + lit(0.5))
+            .cast("long")).as("mrr_x1e6"),
+        when(coalesce(col("n_relevant"), lit(0L)) === 0, lit(0L))
+          .otherwise(floor(coalesce(col("n_retrieved_relevant"), lit(0L))
+            * lit(1000000.0) / col("n_relevant") + lit(0.5)).cast("long"))
+          .as("recall_x1e6"),
+        when(col("__idcg").isNull || col("__dcg").isNull, lit(0L))
+          .otherwise(floor(col("__dcg") * lit(1000000.0) / col("__idcg")
+            + lit(0.5)).cast("long")).as("ndcg_x1e6"))
+  }
 }

@@ -701,6 +701,49 @@ object DedupOps {
       .select(col(idCol), col("pos"))
   }
 
+  /** Per-benchmark-suite contamination matrix: [[decontaminate]] audits
+    * overlap against ONE benchmark slice; real pipelines decontaminate
+    * against MANY suites at once and report per-suite rates (which
+    * benchmark leaks into which documents decides per-suite drop lists
+    * and eval caveats). For every non-benchmark document sharing ≥1
+    * distinct `n`-gram with a suite: (id, suite, n_shared_grams,
+    * n_grams, shared_frac). `suites` maps suite name → membership
+    * predicate; a document in ANY suite is excluded from the probe side.
+    *
+    * Scale shape: ONE gram pass (suite predicates split at the scan);
+    * the union of per-suite DISTINCT gram sets — S× benchmark-bounded,
+    * not corpus-bounded — is the only persisted state, broadcast while
+    * provably small with the [[decontaminate]] shuffled-hash fallback.
+    * The output is sparse (contaminated (doc, suite) cells only), and
+    * the per-doc gram total rides the SAME gram table, so adding suites
+    * never adds corpus scans.
+    */
+  def contaminationBySuite(df: DataFrame, idCol: String, textCol: String,
+                           n: Int,
+                           suites: Seq[(String, org.apache.spark.sql.Column)],
+                           maxBroadcastRows: Long = 4000000L): DataFrame = {
+    require(suites.nonEmpty, "at least one benchmark suite")
+    val inAnySuite = suites.map(_._2).reduce(_ || _)
+    val grams = shingles(df, idCol, textCol, n)
+    val bench = suites.map { case (name, pred) =>
+      grams.filter(pred).select(lit(name).as("suite"), col("shingle"))
+    }.reduce(_ union _).distinct().persist()
+    val nBench = bench.count() // materializes the suite gram-set cache
+    val benchSide =
+      if (nBench <= maxBroadcastRows) broadcast(bench)
+      else bench.hint("shuffle_hash")
+    val probe = grams.filter(!inAnySuite)
+    val totals = probe.groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_grams"))
+    probe.join(benchSide, Seq("shingle"))
+      .groupBy(col(idCol), col("suite"))
+      .agg(count(lit(1)).cast("long").as("n_shared_grams"))
+      .join(totals, Seq(idCol))
+      .select(col(idCol), col("suite"), col("n_shared_grams"), col("n_grams"),
+        round(col("n_shared_grams").cast("double") / col("n_grams"), 6)
+          .as("shared_frac"))
+  }
+
   /** Span-level benchmark decontamination: instead of DROPPING every
     * document that shares grams with the benchmark ([[decontaminate]] —
     * which at realistic contamination rates discards mostly-clean

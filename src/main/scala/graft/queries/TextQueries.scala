@@ -314,6 +314,65 @@ object TextQueries {
              |    ORDER BY score DESC, doc_id) AS rank FROM scored)
              |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
 
+    // Retrieval evaluation: exact MRR / recall@10 / nDCG@10 for the BM25
+    // ranker against boolean-AND pseudo-qrels (relevant iff the doc holds
+    // every query term — independent of the scoring formula). DCG terms
+    // are floored to integers BEFORE summing, so aggregation order cannot
+    // perturb the fixed-point result.
+    QDef("q203_retrieval_eval",
+      (s, d) => Bm25.evalMetrics(docs(s, d), "doc_id", "text", bm25Queries,
+          k = 10)
+        .orderBy(col("query_id")),
+      Some(s"""WITH q(query_id, term) AS (VALUES $bm25TermValues),
+             |nq AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_terms FROM q GROUP BY 1),
+             |tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]{3,}')) AS term
+             |        FROM documents),
+             |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+             |    avg(len(regexp_extract_all(lower(text), '[a-z]{3,}'))) AS avgdl
+             |  FROM documents),
+             |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS doc_len FROM tok GROUP BY 1),
+             |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok
+             |       WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1, 2),
+             |idf AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY 1),
+             |scored AS (SELECT q.query_id, tf.doc_id,
+             |    round(sum(ln(1.0 + (stats.n - idf.df + 0.5) / (idf.df + 0.5))
+             |      * (tf.tf * (1.2 + 1.0)
+             |         / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.doc_len / stats.avgdl)))), 6) AS score
+             |  FROM tf JOIN idf USING (term) JOIN q USING (term)
+             |    JOIN dl USING (doc_id), stats
+             |  GROUP BY 1, 2),
+             |ranked AS (SELECT query_id, doc_id, rank FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY query_id
+             |      ORDER BY score DESC, doc_id) AS rank FROM scored)
+             |  WHERE rank <= 10),
+             |dt AS (SELECT DISTINCT t.doc_id, q.query_id, q.term
+             |       FROM (SELECT DISTINCT doc_id, term FROM tok) t JOIN q USING (term)),
+             |qrel AS (SELECT dt.query_id, dt.doc_id FROM dt JOIN nq USING (query_id)
+             |         GROUP BY dt.query_id, dt.doc_id, nq.n_terms
+             |         HAVING count(*) = nq.n_terms),
+             |nrel AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_relevant FROM qrel GROUP BY 1),
+             |hit AS (SELECT r.query_id, r.rank FROM ranked r JOIN qrel USING (query_id, doc_id)),
+             |agg AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rr,
+             |        CAST(min(rank) AS BIGINT) AS first_rank,
+             |        CAST(sum(CAST(floor(1000000.0 / log2(rank + 1) + 0.5) AS BIGINT)) AS BIGINT) AS dcg
+             |        FROM hit GROUP BY 1),
+             |ideal AS (SELECT n.query_id,
+             |        CAST(sum(CAST(floor(1000000.0 / log2(i + 1) + 0.5) AS BIGINT)) AS BIGINT) AS idcg
+             |        FROM nrel n, UNNEST(range(1, least(n.n_relevant, 10) + 1)) AS u(i)
+             |        GROUP BY 1),
+             |qs AS (SELECT DISTINCT query_id FROM q)
+             |SELECT qs.query_id, coalesce(n.n_relevant, 0) AS n_relevant,
+             |  coalesce(a.n_rr, 0) AS n_retrieved_relevant,
+             |  CASE WHEN a.first_rank IS NULL THEN 0
+             |       ELSE CAST(floor(1000000.0 / a.first_rank + 0.5) AS BIGINT) END AS mrr_x1e6,
+             |  CASE WHEN coalesce(n.n_relevant, 0) = 0 THEN 0
+             |       ELSE CAST(floor(coalesce(a.n_rr, 0) * 1000000.0 / n.n_relevant + 0.5) AS BIGINT) END AS recall_x1e6,
+             |  CASE WHEN i.idcg IS NULL OR a.dcg IS NULL THEN 0
+             |       ELSE CAST(floor(a.dcg * 1000000.0 / i.idcg + 0.5) AS BIGINT) END AS ndcg_x1e6
+             |FROM qs LEFT JOIN nrel n USING (query_id) LEFT JOIN agg a USING (query_id)
+             |LEFT JOIN ideal i USING (query_id)
+             |ORDER BY query_id""".stripMargin)),
+
     // Passage-level duplication profile: sliding 5-token windows, a window
     // duplicated iff its passage occurs ≥2 times corpus-wide. Exact oracle
     // builds the same windows with list slicing. explode_outer keeps
@@ -493,6 +552,28 @@ object TextQueries {
              |       ELSE round(coalesce(a.tokens_removed, 0) / len(d.t), 6) END AS removed_frac
              |FROM toks d LEFT JOIN ag a USING (doc_id)
              |WHERE d.doc_id % 97 <> 0 ORDER BY doc_id""".stripMargin)),
+
+    // Per-suite contamination matrix: q79 against MANY benchmark suites
+    // at once — sparse (doc, suite) overlap cells from ONE gram pass;
+    // suite gram sets are S x benchmark-bounded and gated-broadcast.
+    QDef("q202_contamination_matrix",
+      (s, d) => DedupOps.contaminationBySuite(docs(s, d), "doc_id", "text", 4,
+          Seq("A" -> (col("doc_id") % 97 === 0),
+            "B" -> (col("doc_id") % 89 === 0)))
+        .orderBy(col("doc_id"), col("suite")),
+      Some("""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+             |grams AS (SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i+3), ' ') AS g
+             |          FROM toks, UNNEST(range(1, len(t)-2)) AS u(i)),
+             |su AS (SELECT 'A' AS suite, g FROM grams WHERE doc_id % 97 = 0
+             |       UNION SELECT 'B' AS suite, g FROM grams WHERE doc_id % 89 = 0),
+             |probe AS (SELECT doc_id, g FROM grams WHERE doc_id % 97 <> 0 AND doc_id % 89 <> 0),
+             |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM probe GROUP BY 1),
+             |sh AS (SELECT p.doc_id, s.suite, CAST(count(*) AS BIGINT) AS n_shared_grams
+             |       FROM probe p JOIN su s USING (g) GROUP BY 1, 2)
+             |SELECT sh.doc_id, sh.suite, sh.n_shared_grams, t.n_grams,
+             |  round(sh.n_shared_grams / CAST(t.n_grams AS DOUBLE), 6) AS shared_frac
+             |FROM sh JOIN tot t USING (doc_id)
+             |ORDER BY doc_id, suite""".stripMargin)),
 
     // APPLY the q197 excision: per surviving doc, the de-contaminated
     // token stream proven by content hash (md5 of the kept tokens) — the

@@ -57,4 +57,37 @@ class Bm25Spec extends SparkSpec {
     assert(Bm25.queryTerms("Fast HASH-join, a an of") == Seq("fast", "hash", "join"))
     assert(Bm25.queryTerms("dup dup dup") == Seq("dup"))
   }
+
+  test("evalMetrics: perfect retrieval scores 1e6 across the board") {
+    import spark.implicits._
+    // every doc holding ANY query term holds ALL of them, so the top-k is
+    // exactly the relevant set at contiguous ranks → MRR = recall = nDCG = 1
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta"),
+      (3L, "yyy zzz")).toDF("doc_id", "text")
+    val rows = Bm25.evalMetrics(docs, "doc_id", "text",
+        Seq("p" -> "alpha beta", "z" -> "qqq www"), k = 10)
+      .orderBy("query_id").collect()
+    val p = rows(0)
+    assert(p.getAs[Long]("n_relevant") == 2)
+    assert(p.getAs[Long]("n_retrieved_relevant") == 2)
+    assert(p.getAs[Long]("mrr_x1e6") == 1000000L)
+    assert(p.getAs[Long]("recall_x1e6") == 1000000L)
+    assert(p.getAs[Long]("ndcg_x1e6") == 1000000L)
+    // a query matching nothing still gets its (all-zero) row
+    val z = rows(1)
+    assert(z.getAs[Long]("n_relevant") == 0)
+    assert(z.getAs[Long]("mrr_x1e6") == 0 && z.getAs[Long]("ndcg_x1e6") == 0)
+  }
+
+  test("evalMetrics qrels are boolean-AND: one-of-two terms is irrelevant") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta"), (2L, "alpha only here"),
+      (3L, "beta solo")).toDF("doc_id", "text")
+    val r = Bm25.evalMetrics(docs, "doc_id", "text",
+        Seq("p" -> "alpha beta"), k = 10).collect()(0)
+    // docs 2 and 3 match one term each — retrieved maybe, relevant never
+    assert(r.getAs[Long]("n_relevant") == 1)
+    assert(r.getAs[Long]("n_retrieved_relevant") == 1)
+    assert(r.getAs[Long]("recall_x1e6") == 1000000L)
+  }
 }

@@ -475,6 +475,26 @@ class SimilaritySpec extends SparkSpec {
     assert(d2.getAs[Double]("removed_frac") == 0.0)
   }
 
+  test("contamination matrix: per-suite counts, suite docs excluded") {
+    import spark.implicits._
+    val df = Seq(
+      (100L, "a b c d"),  // suite A: 2-grams {a b, b c, c d}
+      (200L, "c d e f"),  // suite B: 2-grams {c d, d e, e f}
+      (1L, "a b c q"),    // shares {a b, b c} with A only
+      (2L, "c d z"),      // shares {c d} with BOTH suites
+      (3L, "x y"))        // clean — absent from the sparse matrix
+      .toDF("doc_id", "text")
+    val got = DedupOps.contaminationBySuite(df, "doc_id", "text", n = 2,
+        Seq("A" -> (col("doc_id") === 100L), "B" -> (col("doc_id") === 200L)))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got === Map(
+      (1L, "A") -> ((2L, 3L, 0.666667)),
+      (2L, "A") -> ((1L, 2L, 0.5)),
+      (2L, "B") -> ((1L, 2L, 0.5))))
+  }
+
   test("excise contamination: kept stream hashes right, stats-consistent") {
     import spark.implicits._
     val df = Seq(
