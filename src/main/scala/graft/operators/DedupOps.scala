@@ -841,10 +841,37 @@ object DedupOps {
                           maxBroadcastRows: Long = 4000000L): DataFrame = {
     val marked =
       benchMarkedPositions(df, idCol, textCol, n, benchPred, maxBroadcastRows)
+    exciseByMarked(df.filter(!benchPred), marked, idCol, textCol, n)
+  }
+
+  /** Excise against an EXTERNAL benchmark gram table (`benchGrams`:
+    * `shingle` strings, the [[shingles]] convention the streaming twins
+    * share) — the per-batch form
+    * [[graft.streaming.StreamingOps.streamExcise]] applies: the gram set
+    * is fixed and benchmark-bounded, so it broadcasts unconditionally
+    * per batch and state never grows with the stream.
+    */
+  def exciseAgainst(df: DataFrame, idCol: String, textCol: String, n: Int,
+                    benchGrams: DataFrame): DataFrame = {
+    val benchH = benchGrams.select(md5(col("shingle")).as("h")).distinct()
+    val marked = positionalGramHashes(df, idCol, textCol, n)
+      .join(broadcast(benchH), Seq("h"))
+      .select(col(idCol), col("pos"))
+    exciseByMarked(df, marked, idCol, textCol, n)
+  }
+
+  /** Shared excision tail: merge marked windows to spans, collect each
+    * contaminated doc's span LIST (small side — AQE broadcasts it back
+    * onto the corpus), and cut the spans with a narrow per-row array
+    * filter. `probe` must already be restricted to the docs to clean.
+    */
+  private def exciseByMarked(probe: DataFrame, marked: DataFrame,
+                             idCol: String, textCol: String,
+                             n: Int): DataFrame = {
     val spanLists = mergedSpans(marked, idCol, n)
       .groupBy(col(idCol))
       .agg(collect_list(struct(col("start"), col("end"))).as("__spans"))
-    df.filter(!benchPred)
+    probe
       .select(col(idCol),
         expr("coalesce(" +
           s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0), " +

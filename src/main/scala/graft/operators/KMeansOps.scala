@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.VectorFns
 import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed Lloyd's k-means over a dense embedding column — the
@@ -86,6 +87,59 @@ object KMeansOps {
       .agg(min(struct(col("d2"), col("c"))).as("m"))
       .select(col("id").as(idCol), col("m.c").as("cluster"),
         col("m.d2").as("d2"))
+  }
+
+  /** Simplified (centroid-based) silhouette per cluster — the clustering
+    * counterpart of the classifier/retrieval eval metrics (q187/q203):
+    * for each point, a = distance to its own centroid, b = distance to
+    * the nearest OTHER centroid, s = (b − a) / max(a, b) — which reduces
+    * to 1 − a/b since b ≥ a by construction. The exact silhouette's
+    * per-PAIR form is O(n²) and cannot run at corpus scale; the
+    * centroid-based simplification (Hruschka et al.'s "simplified
+    * silhouette") is the standard linear-time substitute and needs only
+    * the k×dim model. Returns every cluster 0..k−1: (cluster, n_points,
+    * mean_silhouette 6dp), empty clusters 0/0.0.
+    *
+    * Scale shape: one broadcast of the k×dim centroid table against a
+    * single corpus scan (k·n distance rows), a per-point rank window
+    * (k-row partitions), then a k-row aggregate — no corpus self-join,
+    * no driver-side data beyond the model. d² is clamped at 0 before
+    * sqrt (the dot-product identity can go −ε in floating point).
+    */
+  def silhouette(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                 updates: Int): DataFrame = {
+    require(k >= 2, "silhouette needs at least two clusters")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val model = fit(df, idCol, vecCol, k, updates)
+    val cdf = model.zipWithIndex.map { case (a, i) => (i, a) }
+      .toSeq.toDF("c", "cv")
+    val dists = vecs(df, idCol, vecCol).crossJoin(broadcast(cdf))
+      .select(col("id"), col("c"),
+        (VectorFns.dot(col("v"), col("v"))
+          - lit(2.0) * VectorFns.dot(col("v"), col("cv"))
+          + VectorFns.dot(col("cv"), col("cv"))).as("d2"))
+    val w = Window.partitionBy(col("id")).orderBy(col("d2"), col("c"))
+    val per = dists
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+      .groupBy(col("id"))
+      .agg(min(when(col("rn") === 1, col("c"))).as("cl"),
+        min(when(col("rn") === 1, col("d2"))).as("a2"),
+        min(when(col("rn") === 2, col("d2"))).as("b2"))
+      .select(col("cl"),
+        when(col("b2") <= lit(0.0), lit(0.0))
+          .otherwise((sqrt(greatest(col("b2"), lit(0.0)))
+            - sqrt(greatest(col("a2"), lit(0.0))))
+            / sqrt(greatest(col("b2"), lit(0.0)))).as("s"))
+    val stats = per.groupBy(col("cl"))
+      .agg(count(lit(1)).cast("long").as("n_points"),
+        round(avg(col("s")), 6).as("mean_silhouette"))
+    spark.range(0, k).toDF("cluster")
+      .join(stats, col("cluster") === col("cl"), "left")
+      .select(col("cluster"),
+        coalesce(col("n_points"), lit(0L)).as("n_points"),
+        coalesce(col("mean_silhouette"), lit(0.0)).as("mean_silhouette"))
+      .orderBy(col("cluster"))
   }
 
   /** Per-cluster summary after `updates` Lloyd rounds: (cluster, n_points,

@@ -610,6 +610,54 @@ object SimilarityQueries {
              |           FROM a2 GROUP BY 1) st ON sp.c = st.c
              |ORDER BY cluster""".stripMargin)),
 
+    // Clustering-quality eval: simplified (centroid-based) silhouette per
+    // cluster over the same deterministic 1-update Lloyd model as q163 —
+    // the exact per-pair silhouette is O(n²); the centroid form is the
+    // linear-time corpus-scale substitute. d² clamps at 0 before sqrt in
+    // BOTH engines (the dot identity can go −ε).
+    QDef("q204_cluster_silhouette",
+      (s, d) => KMeansOps.silhouette(embs(s, d), "vec_id", "embedding",
+        k = 4, updates = 1),
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e
+             |           FROM embeddings),
+             |c0 AS (SELECT vec_id AS c, e FROM v WHERE vec_id < 4),
+             |a1 AS (SELECT vec_id, c, e FROM (
+             |    SELECT v.vec_id, c0.c, v.e,
+             |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             |        list_dot_product(v.e, v.e)
+             |        - 2 * list_dot_product(v.e, c0.e)
+             |        + list_dot_product(c0.e, c0.e), c0.c) AS rn
+             |    FROM v, c0) WHERE rn = 1),
+             |dims AS (SELECT unnest(range(1, 65)) AS i),
+             |av AS (SELECT a1.c, dims.i, avg(a1.e[dims.i]) AS x
+             |       FROM a1, dims GROUP BY 1, 2),
+             |c1 AS (SELECT c0.c AS c, dims.i,
+             |         COALESCE(av.x, c0.e[dims.i]) AS x
+             |       FROM c0 CROSS JOIN dims
+             |       LEFT JOIN av ON av.c = c0.c AND av.i = dims.i),
+             |d2 AS (SELECT v.vec_id, c1.c,
+             |         sum((v.e[c1.i] - c1.x) * (v.e[c1.i] - c1.x)) AS d
+             |       FROM v, c1 GROUP BY 1, 2),
+             |rk AS (SELECT vec_id, c, d, row_number() OVER (
+             |         PARTITION BY vec_id ORDER BY d, c) AS rn FROM d2),
+             |per AS (SELECT vec_id,
+             |    min(CASE WHEN rn = 1 THEN c END) AS cl,
+             |    min(CASE WHEN rn = 1 THEN d END) AS a2,
+             |    min(CASE WHEN rn = 2 THEN d END) AS b2
+             |  FROM rk WHERE rn <= 2 GROUP BY 1),
+             |sil AS (SELECT cl, CASE WHEN b2 <= 0 THEN 0.0
+             |    ELSE (sqrt(greatest(b2, 0)) - sqrt(greatest(a2, 0)))
+             |         / sqrt(greatest(b2, 0)) END AS s
+             |  FROM per)
+             |SELECT CAST(sp.c AS BIGINT) AS cluster,
+             |  COALESCE(st.n, 0) AS n_points,
+             |  COALESCE(st.ms, 0.0) AS mean_silhouette
+             |FROM (SELECT unnest(range(0, 4)) AS c) sp
+             |LEFT JOIN (SELECT cl, CAST(count(*) AS BIGINT) AS n,
+             |             round(avg(s), 6) AS ms FROM sil GROUP BY 1) st
+             |ON sp.c = st.cl
+             |ORDER BY cluster""".stripMargin)),
+
     // Dedup threshold sensitivity: the exact pair table computed ONCE at a
     // low floor (J ≥ 0.3), then swept across candidate thresholds — pairs
     // removed and docs touched per τ, the table a dedup-aggressiveness

@@ -556,6 +556,34 @@ object StreamingOps {
       .start()
   }
 
+  /** Continuous-ingestion SPAN excision: the streaming twin of
+    * [[graft.operators.DedupOps.exciseContamination]]. Where
+    * [[streamDecontaminate]] drops whole contaminated documents, this
+    * cuts only the contaminated token ranges from each micro-batch's
+    * documents (against the FIXED benchmark gram set) and appends the
+    * per-doc excision proof (id, n_tokens_kept, kept_md5) with the
+    * batch=<id>-overwrite exactly-once path.
+    *
+    * State never grows with the stream: the gram set is static and
+    * benchmark-bounded (broadcast per batch), excision is a property of
+    * the doc against the benchmark — no cross-batch index, so replayed
+    * batches are trivially idempotent.
+    */
+  def streamExcise(docs: DataFrame, idCol: String, textCol: String,
+                   benchGrams: DataFrame, n: Int, outDir: String,
+                   checkpointDir: String): StreamingQuery = {
+    val bench = benchGrams.select(col("shingle")).distinct().persist()
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val out = graft.operators.DedupOps
+          .exciseAgainst(batch, idCol, textCol, n, bench)
+        graft.sinks.Sinks.idempotentBatchAppend(out, outDir, batchId)
+        ()
+      }
+      .start()
+  }
+
   /** Continuous-ingestion curation spine — the streaming twin of the
     * batch curation funnel (q166's shape): each micro-batch runs
     *   1. quality gate ([[graft.functions.TextFns.qualityScore]] ≥

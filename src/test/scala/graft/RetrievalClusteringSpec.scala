@@ -122,6 +122,30 @@ class RetrievalClusteringSpec extends SparkSpec {
       && r.getAs[Double]("mean_d2") == 0.0) == 2)
   }
 
+  test("silhouette: separated blobs near 1, degenerate ties are 0") {
+    val pts = (Seq.tabulate(4)(i => (i.toLong * 2, Array(0.0 + i * 0.01, 0.0)))
+      ++ Seq.tabulate(4)(i => (1L + i * 2, Array(5.0 + i * 0.01, 5.0))))
+    val df = pts.toDF("vec_id", "embedding")
+    // init = ids 0,1 → one seed per blob; after 1 update the centroids sit
+    // on the blob means, so every point is ~70× closer to its own center
+    val sil = KMeansOps.silhouette(df, "vec_id", "embedding",
+      k = 2, updates = 1).collect()
+    assert(sil.length == 2)
+    sil.foreach { r =>
+      assert(r.getAs[Long]("n_points") == 4L)
+      assert(r.getAs[Double]("mean_silhouette") > 0.99)
+    }
+    // identical points: both centroids coincide, a = b = 0 → s = 0, and
+    // the d2-tie assigns everything to cluster 0 (lower id wins)
+    val same = Seq((0L, Array(1.0, 1.0)), (1L, Array(1.0, 1.0)),
+      (2L, Array(1.0, 1.0))).toDF("vec_id", "embedding")
+    val s2 = KMeansOps.silhouette(same, "vec_id", "embedding",
+      k = 2, updates = 1).orderBy("cluster").collect()
+    assert(s2(0).getAs[Long]("n_points") == 3L)
+    assert(s2(0).getAs[Double]("mean_silhouette") == 0.0)
+    assert(s2(1).getAs[Long]("n_points") == 0L)
+  }
+
   test("winnowing: shared run of w+k-1 tokens guarantees a shared fingerprint") {
     // k=3, w=4: any common run of ≥ 6 tokens must surface. The two docs
     // share exactly one 6-token run inside otherwise-disjoint text.

@@ -225,6 +225,43 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("streaming span excision matches the batch excision across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-sexc").toString
+    val bench = Seq("the quick brown", "quick brown fox", "brown fox jumps")
+      .toDF("shingle")
+    val b1 = Seq(
+      (1L, "intro words the quick brown fox jumps outro words"),
+      (2L, "completely unrelated content"))
+    val b2 = Seq((3L, "the quick brown cat naps"))
+    val src = MemoryStream[(Long, String)]
+    val q = StreamingOps.streamExcise(
+      src.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      bench, n = 3, s"$base/out", s"$base/ckpt")
+    src.addData(b1: _*)
+    q.processAllAvailable()
+    src.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val got = spark.read.parquet(s"$base/out")
+      .select("doc_id", "n_tokens_kept", "kept_md5")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // doc 1: marked windows at 2,3,4 merge to the span [2,7) → 5 cut
+    assert(got(1L) === ((4L, m("intro words outro words"))))
+    assert(got(2L) === ((3L, m("completely unrelated content"))))
+    // doc 3: only "the quick brown" matches → span [0,3)
+    assert(got(3L) === ((2L, m("cat naps"))))
+    // batch twin over the union is row-identical
+    val twin = graft.operators.DedupOps.exciseAgainst(
+        (b1 ++ b2).toDF("doc_id", "text"), "doc_id", "text", 3, bench)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(twin === got)
+  }
+
   test("streaming decontamination matches the batch operator across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
