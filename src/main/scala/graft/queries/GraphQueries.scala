@@ -467,6 +467,62 @@ object GraphQueries {
              |    - CAST(sum(CASE WHEN id <> component THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors
              |FROM comps""".stripMargin)),
 
+    // Dup-cluster SIZE histogram — the dedup-policy evidence q77's single
+    // summary row hides: how many clusters of each size exist and how many
+    // docs they hold (size 1 = the untouched singleton mass). Same exact
+    // pairs → components machinery; the histogram is a component-count
+    // aggregate, so everything past the pair join is dup-bounded.
+    QDef("q205_dup_cluster_histogram",
+      (s, d) => {
+        val corpus = t(s, d, "documents")
+        val pairs = DedupOps.ngramJaccardPairs(corpus, "doc_id", "text",
+          n = 3, threshold = 0.5)
+        val comps = GraphOps.connectedComponents(pairs, "id_a", "id_b")
+        val hist = comps.groupBy(col("component"))
+          .agg(count(lit(1)).as("sz"))
+          .groupBy(col("sz").cast("long").as("cluster_size"))
+          .agg(count(lit(1)).cast("long").as("n_clusters"))
+        val singletons = corpus.agg(count(lit(1)).as("n"))
+          .crossJoin(comps.agg(count(lit(1)).as("dup")))
+          .select(lit(1L).as("cluster_size"),
+            (col("n") - col("dup")).cast("long").as("n_clusters"))
+        hist.unionByName(singletons)
+          .groupBy(col("cluster_size"))
+          .agg(sum(col("n_clusters")).cast("long").as("n_clusters"))
+          .withColumn("n_docs",
+            (col("cluster_size") * col("n_clusters")).cast("long"))
+          .orderBy(col("cluster_size"))
+      },
+      Some("""WITH RECURSIVE t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+             |            FROM documents),
+             |sh AS (SELECT doc_id, unnest(list_distinct(
+             |         [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+             |          for i in range(1, greatest(len(toks) - 1, 1))])) AS s
+             |       FROM t),
+             |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+             |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+             |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |      GROUP BY 1, 2),
+             |pairs AS (SELECT id_a, id_b FROM (
+             |    SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS j
+             |    FROM p JOIN sz sa ON p.id_a = sa.doc_id
+             |           JOIN sz sb ON p.id_b = sb.doc_id)
+             |  WHERE j >= 0.5),
+             |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+             |          UNION SELECT id_b, id_a FROM pairs),
+             |nodes AS (SELECT DISTINCT a AS id FROM edges),
+             |reach(id, r) AS (SELECT id, id FROM nodes
+             |  UNION SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+             |comps AS (SELECT id, min(r) AS component FROM reach GROUP BY 1),
+             |csz AS (SELECT component, count(*) AS sz FROM comps GROUP BY 1),
+             |hist AS (SELECT sz AS cluster_size, count(*) AS n_clusters FROM csz GROUP BY 1
+             |         UNION ALL
+             |         SELECT 1, (SELECT count(*) FROM documents) - (SELECT count(*) FROM comps))
+             |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+             |  CAST(sum(n_clusters) AS BIGINT) AS n_clusters,
+             |  CAST(cluster_size * sum(n_clusters) AS BIGINT) AS n_docs
+             |FROM hist GROUP BY cluster_size ORDER BY 1""".stripMargin)),
+
     // Exact triangle count on the co-purchase graph (parts linked when
     // co-ordered in ≥2 distinct orders). The engine uses degree
     // orientation ([[GraphOps.triangleCount]]) so hub vertices can't blow

@@ -475,6 +475,24 @@ class SimilaritySpec extends SparkSpec {
     assert(d2.getAs[Double]("removed_frac") == 0.0)
   }
 
+  test("dup-cluster histogram: component sizes plus the singleton mass") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "alpha beta gamma delta"), // one cluster of 3 identical docs
+      (4L, "totally different words here"),
+      (5L, "another unrelated document text")) // two singletons
+      .toDF("doc_id", "text")
+    val pairs = DedupOps.ngramJaccardPairs(df, "doc_id", "text", 3, 0.5)
+    val comps = graft.operators.GraphOps.connectedComponents(pairs, "id_a", "id_b")
+    val hist = comps.groupBy(col("component")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hist === Map(3L -> 1L))
+    // singleton mass = corpus minus dup nodes (the q205 composition rule)
+    assert(df.count() - comps.count() == 2)
+  }
+
   test("contamination matrix: per-suite counts, suite docs excluded") {
     import spark.implicits._
     val df = Seq(
