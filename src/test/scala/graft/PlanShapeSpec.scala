@@ -39,6 +39,10 @@ class PlanShapeSpec extends SparkSpec {
       "q92_fuzzy_types", "q101_psi_drift",
       // k-row broadcast centroid model × corpus scan (Lloyd assignment)
       "q163_kmeans",
+      // q163's model-broadcast shape for the silhouette distances
+      "q204_cluster_silhouette",
+      // one-row corpus-count × one-row dup-count (report assembly, q77's shape)
+      "q205_dup_cluster_histogram",
       // 3-row broadcast dense-query side × candidate embeddings (rankJoin)
       "q162_rrf_fusion",
       // 5-row broadcast threshold spine × materialized pair table (≥ join)
