@@ -426,4 +426,65 @@ object Similarity {
     w.unpersist(); termDf.unpersist(); packed.unpersist()
     result
   }
+
+  /** Embedding covariance spectrum audit: the top eigenvalue of the
+    * corpus covariance via `iters` distributed power iterations, plus
+    * the total variance (trace) — the anisotropy evidence behind
+    * whitening and dimensionality decisions (complements q150's health
+    * gate and q182's Matryoshka truncation audit). One row:
+    * (n_vecs, dim, total_var, top_eig, explained_x1e6).
+    *
+    * Scale shape: the d×d covariance NEVER materializes — C·v unrolls as
+    * (1/n)·Σ_r x_r·(x_r·v − μ·v), exact by Σx = n·μ, so each iteration
+    * is ONE corpus scan (a codegen dot per row + a d-row aggregate).
+    * Driver state is two d-vectors (μ and the iterate) shipped as plan
+    * literals — the PageRank pattern on dense vectors. All scalar folds
+    * (μ·v, norms, trace) run in ascending-dim order on the driver, the
+    * same order as the oracle's `list_dot_product`/ordered lists, so the
+    * 6dp-rounded outputs agree across engines.
+    */
+  def spectrumAudit(df: DataFrame, idCol: String, embCol: String,
+                    iters: Int): DataFrame = {
+    val spark = df.sparkSession
+    val vecs = df.select(col(idCol).as("id"),
+      col(embCol).cast("array<double>").as("e"))
+    val stats = vecs.select(posexplode(col("e")).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(avg(col("x")).as("m"), avg(col("x") * col("x")).as("m2"))
+      .orderBy(col("i")).collect()
+    val d = stats.length
+    val n = vecs.count().toDouble
+    val mu = Array.tabulate(d)(i => stats(i).getDouble(1))
+    var totalVar = 0.0
+    var i = 0
+    while (i < d) { totalVar += stats(i).getDouble(2) - mu(i) * mu(i); i += 1 }
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    var lambda = 0.0
+    for (_ <- 1 to iters) {
+      var c = 0.0
+      var j = 0
+      while (j < d) { c += mu(j) * v(j); j += 1 }
+      val xs = vecs
+        .select((VectorFns.dot(col("e"), lit(v)) - lit(c)).as("s"), col("e"))
+        .select(col("s"), posexplode(col("e")).as(Seq("i", "x")))
+        .groupBy(col("i")).agg(sum(col("x") * col("s")).as("xs"))
+        .orderBy(col("i")).collect()
+      val w = Array.tabulate(d)(k => xs(k).getDouble(1) / n)
+      var nsq = 0.0
+      j = 0
+      while (j < d) { nsq += w(j) * w(j); j += 1 }
+      lambda = math.sqrt(nsq)
+      if (lambda > 0) v = w.map(_ / lambda)
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val tvR = r6(totalVar)
+    val eigR = r6(lambda)
+    val explained =
+      if (tvR <= 0) 0L else math.floor(eigR * 1000000.0 / tvR + 0.5).toLong
+    spark.range(1).select(
+      lit(n.toLong).as("n_vecs"), lit(d.toLong).as("dim"),
+      lit(tvR).as("total_var"), lit(eigR).as("top_eig"),
+      lit(explained).as("explained_x1e6"))
+  }
 }

@@ -658,6 +658,49 @@ object SimilarityQueries {
              |ON sp.c = st.cl
              |ORDER BY cluster""".stripMargin)),
 
+    // Embedding covariance spectrum: top eigenvalue via 3 power
+    // iterations, C·v unrolled as (1/n)·Σ x·(x·v − μ·v) so the d×d
+    // covariance never materializes — one corpus scan per iteration,
+    // driver state = two 64-vectors (the PageRank pattern on dense
+    // vectors). Oracle unrolls the same 3 iterations with ordered lists
+    // and list_dot_product so every scalar fold runs in the same order.
+    QDef("q206_embedding_spectrum",
+      (s, d) => Similarity.spectrumAudit(embs(s, d), "vec_id", "embedding",
+        iters = 3),
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+             |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM v),
+             |dims AS (SELECT unnest(range(1, 65)) AS i),
+             |ex AS (SELECT vec_id, dims.i, e[dims.i] AS x FROM v, dims),
+             |st AS (SELECT i, avg(x) AS m, avg(x*x) AS m2 FROM ex GROUP BY 1),
+             |tv AS (SELECT sum(m2 - m*m) AS total_var FROM st),
+             |mu AS (SELECT list(m ORDER BY i) AS ml FROM st),
+             |u0 AS (SELECT [0.125 for x in range(64)] AS vl),
+             |s1 AS (SELECT v.vec_id, list_dot_product(v.e, u0.vl)
+             |         - list_dot_product(mu.ml, u0.vl) AS s FROM v, u0, mu),
+             |w1 AS (SELECT ex.i, sum(ex.x * s1.s) / (SELECT n FROM nn) AS w
+             |       FROM ex JOIN s1 USING (vec_id) GROUP BY 1),
+             |n1 AS (SELECT sqrt(sum(w*w)) AS nr FROM w1),
+             |u1 AS (SELECT list(w / (SELECT nr FROM n1) ORDER BY i) AS vl FROM w1),
+             |s2 AS (SELECT v.vec_id, list_dot_product(v.e, u1.vl)
+             |         - list_dot_product(mu.ml, u1.vl) AS s FROM v, u1, mu),
+             |w2 AS (SELECT ex.i, sum(ex.x * s2.s) / (SELECT n FROM nn) AS w
+             |       FROM ex JOIN s2 USING (vec_id) GROUP BY 1),
+             |n2 AS (SELECT sqrt(sum(w*w)) AS nr FROM w2),
+             |u2 AS (SELECT list(w / (SELECT nr FROM n2) ORDER BY i) AS vl FROM w2),
+             |s3 AS (SELECT v.vec_id, list_dot_product(v.e, u2.vl)
+             |         - list_dot_product(mu.ml, u2.vl) AS s FROM v, u2, mu),
+             |w3 AS (SELECT ex.i, sum(ex.x * s3.s) / (SELECT n FROM nn) AS w
+             |       FROM ex JOIN s3 USING (vec_id) GROUP BY 1),
+             |n3 AS (SELECT sqrt(sum(w*w)) AS nr FROM w3)
+             |SELECT CAST((SELECT n FROM nn) AS BIGINT) AS n_vecs,
+             |  CAST(64 AS BIGINT) AS dim,
+             |  round((SELECT total_var FROM tv), 6) AS total_var,
+             |  round((SELECT nr FROM n3), 6) AS top_eig,
+             |  CASE WHEN round((SELECT total_var FROM tv), 6) <= 0 THEN 0
+             |    ELSE CAST(floor(round((SELECT nr FROM n3), 6) * 1000000.0
+             |      / round((SELECT total_var FROM tv), 6) + 0.5) AS BIGINT)
+             |  END AS explained_x1e6""".stripMargin)),
+
     // Dedup threshold sensitivity: the exact pair table computed ONCE at a
     // low floor (J ≥ 0.3), then swept across candidate thresholds — pairs
     // removed and docs touched per τ, the table a dedup-aggressiveness

@@ -475,6 +475,29 @@ class SimilaritySpec extends SparkSpec {
     assert(d2.getAs[Double]("removed_frac") == 0.0)
   }
 
+  test("spectrum audit: planted axis recovered exactly, isotropy split") {
+    import spark.implicits._
+    // all variance on dim 0: C = diag(2.5, 0) → λ = 2.5, explained = 1
+    val planted = Seq((0L, Array(1.0, 0.0)), (1L, Array(-1.0, 0.0)),
+      (2L, Array(2.0, 0.0)), (3L, Array(-2.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.spectrumAudit(planted, "vec_id", "embedding", iters = 3)
+      .collect()(0)
+    assert(r.getAs[Long]("n_vecs") == 4 && r.getAs[Long]("dim") == 2)
+    assert(r.getAs[Double]("total_var") == 2.5)
+    assert(r.getAs[Double]("top_eig") == 2.5)
+    assert(r.getAs[Long]("explained_x1e6") == 1000000L)
+    // isotropic: C = diag(0.5, 0.5) → any direction gives λ = 0.5 of 1.0
+    val iso = Seq((0L, Array(1.0, 0.0)), (1L, Array(-1.0, 0.0)),
+      (2L, Array(0.0, 1.0)), (3L, Array(0.0, -1.0)))
+      .toDF("vec_id", "embedding")
+    val r2 = Similarity.spectrumAudit(iso, "vec_id", "embedding", iters = 3)
+      .collect()(0)
+    assert(r2.getAs[Double]("total_var") == 1.0)
+    assert(r2.getAs[Double]("top_eig") == 0.5)
+    assert(r2.getAs[Long]("explained_x1e6") == 500000L)
+  }
+
   test("dup-cluster histogram: component sizes plus the singleton mass") {
     import spark.implicits._
     val df = Seq(
