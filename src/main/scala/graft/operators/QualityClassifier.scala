@@ -47,18 +47,23 @@ object QualityClassifier {
     }
   }
 
-  /** Score every row of `df`: returns (idCol, n_tokens, w_sum, score,
-    * keep) where score = sigmoid of the mean centered bucket weight
-    * (scaled ×4 so corpus-typical means land on the sigmoid's slope) and
-    * keep = score ≥ 0.5. Zero-token documents score 0.5 by convention.
+  /** Score every row of `df`: returns (idCol, [carry...], n_tokens,
+    * w_sum, score, keep) where score = sigmoid of the mean centered
+    * bucket weight (scaled ×4 so corpus-typical means land on the
+    * sigmoid's slope) and keep = score ≥ 0.5. Zero-token documents score
+    * 0.5 by convention. `carry` columns ride through the (narrow) map —
+    * downstream consumers that need, e.g., `source` next to the score
+    * (q207's weighted sampler) get it without a corpus self-join.
     */
-  def score(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def score(df: DataFrame, idCol: String, textCol: String,
+            carry: Seq[String] = Nil): DataFrame = {
     val z = (col("w_sum") - lit(1000L) * col("n_tokens")) /
       (lit(250.0) * col("n_tokens"))
     val prob = when(col("n_tokens") === 0L, lit(0.5))
       .otherwise(round(lit(1.0) / (lit(1.0) + exp(-z)), 6))
-    df.select(col(idCol), featUdf(col(textCol)).as("f"))
-      .select(col(idCol), col("f._1").as("n_tokens"), col("f._2").as("w_sum"))
+    df.select(col(idCol) +: carry.map(col) :+ featUdf(col(textCol)).as("f"): _*)
+      .select(col(idCol) +: carry.map(col)
+        :+ col("f._1").as("n_tokens") :+ col("f._2").as("w_sum"): _*)
       .withColumn("score", prob)
       .withColumn("keep", (col("score") >= 0.5).cast("int"))
   }

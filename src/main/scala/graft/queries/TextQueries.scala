@@ -1137,6 +1137,50 @@ object TextQueries {
              |  CAST(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END AS INT) AS keep
              |FROM sc ORDER BY doc_id""".stripMargin)),
 
+    // Quality-weighted deterministic sampling: q117's Efraimidis-Spirakis
+    // A-ES machinery with the q154 classifier score as the weight — keep
+    // 5 docs per source, sampled ∝ quality. The score rides the narrow
+    // classifier map (carry column), so weighting adds NO corpus join;
+    // md5-derived uniforms keep the sample engine-portable.
+    QDef("q207_quality_weighted_sample",
+      (s, d) => {
+        val scored = graft.operators.QualityClassifier
+          .score(docs(s, d), "doc_id", "text", carry = Seq("source"))
+        scored
+          .withColumn("u",
+            conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+              .cast("long"))
+          .withColumn("k", log((col("u") + 0.5) / 16777216.0) / col("score"))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("source"))
+              .orderBy(col("k").desc, col("doc_id"))))
+          .filter(col("rank") <= 5)
+          .select(col("source"), col("rank").cast("long").as("rank"),
+            col("doc_id"),
+            floor(col("score") * lit(1000000.0) + lit(0.5)).cast("long")
+              .as("score_x1e6"))
+          .orderBy(col("source"), col("rank"))
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+             |             FROM documents),
+             |s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             |        CAST(sum(md5_number_lower(t) % 2001) AS BIGINT) AS w_sum
+             |      FROM tok GROUP BY 1),
+             |sc AS (SELECT d.doc_id, d.source,
+             |         CASE WHEN COALESCE(s.n_tokens, 0) = 0 THEN 0.5
+             |              ELSE round(1.0 / (1.0 + exp(-((s.w_sum - 1000 * s.n_tokens)
+             |                     / (250.0 * s.n_tokens)))), 6) END AS score
+             |       FROM documents d LEFT JOIN s USING (doc_id)),
+             |keyed AS (SELECT source, doc_id, score,
+             |  ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) + 0.5)
+             |     / 16777216.0) / score AS k
+             |  FROM sc),
+             |ranked AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY k DESC, doc_id) AS rank
+             |           FROM keyed)
+             |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id,
+             |  CAST(floor(score * 1000000.0 + 0.5) AS BIGINT) AS score_x1e6
+             |FROM ranked WHERE rank <= 5 ORDER BY source, rank""".stripMargin)),
+
     // Temperature-scaled source mixing (the UNIMAX/PaLM α-sampling family):
     // per-source token share s_i is flattened to w_i = s_i^α / Σ s_j^α
     // (α = 0.7), and epochs_x1e4 = w_i / s_i is the implied number of

@@ -182,4 +182,26 @@ class QualitySignalsSpec extends SparkSpec {
     assert(rows.map(r => r.getAs[Long]("tp") + r.getAs[Long]("fn"))
       .distinct.length == 1)
   }
+
+  test("quality-weighted sample matches a driver-side A-ES recompute") {
+    val out = run("q207_quality_weighted_sample", sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // independent recompute: score from the operator, key math in plain Scala
+    val scored = graft.operators.QualityClassifier
+      .score(Tables(spark, sf, "documents"), "doc_id", "text",
+        carry = Seq("source"))
+      .select("doc_id", "source", "score").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = scored.groupBy(_._2).toSeq.flatMap { case (src, rows) =>
+      rows.toSeq.map { case (id, _, sc) =>
+        val u = java.lang.Long.parseLong(md5hex(id.toString).take(6), 16)
+        (id, math.log((u + 0.5) / 16777216.0) / sc)
+      }.sortBy { case (id, k) => (-k, id) }.take(5).zipWithIndex
+        .map { case ((id, _), i) => (src, i + 1L) -> id }
+    }.toMap
+    assert(expected.size == out.size)
+    expected.foreach { case (key, id) => assert(out(key) == id, key) }
+  }
 }
