@@ -191,6 +191,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("InMemoryTableScan"), s"bench gram set recomputed:\n$p")
   }
 
+  test("q197/q201 span decontamination broadcasts bench grams and span lists") {
+    // the span family inherits q79's contract: the benchmark gram-hash
+    // set is gated-broadcast from its cache, and (for the excision) the
+    // contaminated docs' span lists reach the corpus as a broadcast —
+    // statically the span-list join is an SMJ (its size is unknown until
+    // the merge runs), so the pin is on the AQE-FINAL plan after
+    // execution, where the measured-small list side must have converted
+    val p197 = plan("q197_decontaminate_spans")
+    assert(p197.contains("BroadcastHashJoin"), p197)
+    assert(p197.contains("InMemoryTableScan"), s"bench gram set recomputed:\n$p197")
+    val df201 = SparkEntry.queries("q201_excise_contamination")(spark, sf)
+    df201.collect()
+    // the executed-plan string carries BOTH sections; pin the final one
+    val fin = df201.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(fin.contains("isFinalPlan=true"), fin)
+    assert(fin.contains("BroadcastHashJoin"), fin)
+    assert(!fin.contains("SortMergeJoin"), fin)
+  }
+
   test("q67 running sum is distributed — no single-partition exchange or window") {
     // the two-pass prefix sum must never plan `Exchange SinglePartition`
     // (the whole-table-to-one-task shape a global Window.orderBy produces)
