@@ -1582,6 +1582,76 @@ object TextQueries {
       },
       Some(packOracle96)),
 
+    // Contamination-aware packing: excise benchmark spans FIRST (q201's
+    // applied path — the cleaned token counts come out of the real
+    // excision operator), then greedily pack the cleaned stream with
+    // q184's rule. The oracle derives each doc's kept count as
+    // n_tokens − tokens_removed from the span stats (proven equal to the
+    // excision output by the stats-telescoping spec) and replays the
+    // same recursive greedy walk.
+    QDef("q208_clean_pack_spine",
+      (s, d) => {
+        val cleaned = DedupOps.exciseContamination(docs(s, d), "doc_id",
+          "text", 4, col("doc_id") % 97 === 0)
+        val h = md5(col("doc_id").cast("string"))
+        val tok = cleaned.select(
+          (conv(substring(h, 1, 4), 16, 10).cast("int") % 8)
+            .cast("long").as("shard"),
+          h.as("ord"), col("doc_id").cast("long").as("id"),
+          col("n_tokens_kept").as("nTok"))
+        DataSelection.packStats(DataSelection.packScan(tok, 96L), 96L)
+          .orderBy(col("shard"))
+      },
+      Some("""WITH RECURSIVE toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+             |pg AS (SELECT doc_id, i AS pos, array_to_string(list_slice(t, i, i + 3), ' ') AS g
+             |       FROM toks, UNNEST(range(1, len(t) - 2)) AS u(i)),
+             |bench AS (SELECT DISTINCT g FROM pg WHERE doc_id % 97 = 0),
+             |mk AS (SELECT pg.doc_id, pg.pos FROM pg JOIN bench USING (g) WHERE pg.doc_id % 97 <> 0),
+             |isl AS (SELECT doc_id, pos, CASE WHEN pe IS NULL OR pos >= pe THEN 1 ELSE 0 END AS ni
+             |        FROM (SELECT doc_id, pos, max(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
+             |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe FROM mk)),
+             |g2 AS (SELECT doc_id, pos, sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM isl),
+             |sp AS (SELECT doc_id, island, max(pos) + 4 - min(pos) AS len FROM g2 GROUP BY 1, 2),
+             |ag AS (SELECT doc_id, CAST(sum(len) AS BIGINT) AS removed FROM sp GROUP BY 1),
+             |t2 AS (SELECT d.doc_id, md5(CAST(d.doc_id AS VARCHAR)) AS h,
+             |         CAST(len(d.t) - coalesce(a.removed, 0) AS BIGINT) AS n_tok
+             |       FROM toks d LEFT JOIN ag a USING (doc_id)
+             |       WHERE d.doc_id % 97 <> 0),
+             |s AS (SELECT doc_id, n_tok,
+             |    CAST(CAST(('0x' || substr(h, 1, 4)) AS INTEGER) % 8 AS BIGINT) AS shard,
+             |    CAST(row_number() OVER (
+             |      PARTITION BY CAST(('0x' || substr(h, 1, 4)) AS INTEGER) % 8
+             |      ORDER BY h, doc_id) AS BIGINT) AS rn
+             |  FROM t2),
+             |walk(shard, rn, bin, fill, n_tok, over) AS (
+             |  SELECT DISTINCT shard, CAST(0 AS BIGINT), CAST(-1 AS BIGINT),
+             |      CAST(0 AS BIGINT), CAST(0 AS BIGINT), FALSE
+             |    FROM s
+             |  UNION ALL
+             |  SELECT s.shard, s.rn,
+             |    CASE WHEN s.n_tok > 96 THEN w.bin
+             |         WHEN w.bin < 0 OR w.fill + s.n_tok > 96 THEN w.bin + 1
+             |         ELSE w.bin END,
+             |    CASE WHEN s.n_tok > 96 THEN w.fill
+             |         WHEN w.bin < 0 OR w.fill + s.n_tok > 96 THEN s.n_tok
+             |         ELSE w.fill + s.n_tok END,
+             |    s.n_tok, s.n_tok > 96
+             |  FROM walk w JOIN s ON s.shard = w.shard AND s.rn = w.rn + 1)
+             |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(count(*) FILTER (WHERE over) AS BIGINT) AS n_oversize,
+             |  CAST(greatest(max(bin), -1) + 1 AS BIGINT) AS n_bins,
+             |  CAST(COALESCE(sum(n_tok) FILTER (WHERE NOT over), 0) AS BIGINT)
+             |    AS packed_tokens,
+             |  CAST((greatest(max(bin), -1) + 1) * 96
+             |    - COALESCE(sum(n_tok) FILTER (WHERE NOT over), 0) AS BIGINT)
+             |    AS padding_tokens,
+             |  CASE WHEN max(bin) >= 0 THEN CAST(floor(
+             |      COALESCE(sum(n_tok) FILTER (WHERE NOT over), 0) * 10000.0
+             |      / ((max(bin) + 1) * 96) + 0.5) AS BIGINT)
+             |    ELSE 0 END AS fill_x1e4
+             |FROM walk WHERE rn >= 1
+             |GROUP BY shard ORDER BY shard""".stripMargin)),
+
     // Filter-threshold operating curve: q154's classifier swept across 9
     // keep thresholds against the q165 proxy label — confusion counts +
     // precision/recall (fixed-point ×10⁴), the third standard view next
