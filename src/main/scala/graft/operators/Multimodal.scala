@@ -254,6 +254,88 @@ object Multimodal {
       .filter(col("n_dups") > 1)
   }
 
+  /** Amplitude-envelope audio fingerprint: decode WAV PCM (16-bit signed
+    * little-endian, mono or stereo downmixed — pure JDK javax.sound, no
+    * native codecs), split the sample stream into 16 equal segments,
+    * take each segment's mean |amplitude|, and quantize every segment to
+    * 4 bits RELATIVE to the loudest segment — 64 bits total. All math is
+    * integer (Long sums, `floor(m·15/M)`), so the fingerprint is
+    * deterministic AND exactly invariant under integer volume scaling
+    * (the ratio m/M is preserved: floor(c·m·15/(c·M)) = floor(m·15/M)) —
+    * re-leveled copies of the same clip collide, different content does
+    * not. None for undecodable/non-16-bit payloads and silent clips
+    * carry fingerprint 0.
+    */
+  def audioEnvelopeHash(payload: Array[Byte], segments: Int = 16): Option[Long] = {
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian ||
+          fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+          return None
+        val bytes = in.readAllBytes()
+        val ch = fmt.getChannels
+        val nFrames = bytes.length / 2 / ch
+        if (nFrames < segments) return None
+        val sums = new Array[Long](segments)
+        val counts = new Array[Long](segments)
+        var i = 0
+        while (i < nFrames) {
+          val seg = (i.toLong * segments / nFrames).toInt
+          var c = 0
+          while (c < ch) {
+            val off = (i * ch + c) * 2
+            val s = ((bytes(off + 1) << 8) | (bytes(off) & 0xff)).toShort
+            sums(seg) += math.abs(s.toLong)
+            c += 1
+          }
+          counts(seg) += ch
+          i += 1
+        }
+        // loudest segment by RATIONAL mean (cross-multiplied — no integer
+        // division anywhere, so integer volume scaling cancels exactly)
+        var mi = 0
+        var s = 1
+        while (s < segments) {
+          if (BigInt(sums(s)) * counts(mi) > BigInt(sums(mi)) * counts(s)) mi = s
+          s += 1
+        }
+        var fp = 0L
+        s = 0
+        while (s < segments) {
+          val q = if (sums(mi) == 0) 0L
+            else (BigInt(sums(s)) * 15 * counts(mi)
+              / (BigInt(sums(mi)) * counts(s))).toLong
+          fp = (fp << 4) | q
+          s += 1
+        }
+        Some(fp)
+      } finally in.close()
+    } catch { case _: Exception => None }
+  }
+
+  /** Audio dedup groups by [[audioEnvelopeHash]] — the audio counterpart
+    * of [[imageDupGroups]]: one narrow decode pass, only (id, 8-byte
+    * fingerprint) rows shuffle (payload bytes never leave their scan
+    * partition), hash-groupBy keyed on the fingerprint, groups of ≥2
+    * reported with the minimum id as keeper. Volume-rescaled copies
+    * group together by the envelope's scale invariance.
+    */
+  def audioDupGroups(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val fp = udf { payload: Array[Byte] =>
+      if (payload == null) None else audioEnvelopeHash(payload)
+    }
+    df.select(col(idCol), fp(col(payloadCol)).as("fingerprint"))
+      .filter(col("fingerprint").isNotNull)
+      .groupBy(col("fingerprint"))
+      .agg(min(col(idCol)).as("keeper"),
+        count(lit(1)).cast("long").as("n_dups"),
+        sort_array(collect_list(col(idCol))).as("members"))
+      .filter(col("n_dups") > 1)
+  }
+
   /** Perceptual NEAR-dup image pairs: average-hash signatures joined by
     * the banded Hamming path ([[DedupOps.hammingPairs]], ≤ `maxDist` bit
     * flips — tolerant of lossy re-encodes that flip hash bits, which the

@@ -133,6 +133,48 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeAudio("noise".getBytes("UTF-8")).isEmpty)
   }
 
+  test("audio envelope dedup: volume-scaled copies group, content differs") {
+    import spark.implicits._
+    def wav(gen: Int => Int): Array[Byte] = {
+      val n = 4000
+      val pcm = new Array[Byte](n * 2)
+      (0 until n).foreach { i =>
+        val v = gen(i)
+        pcm(2 * i) = (v & 0xFF).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    // a clip with a loud first half, its exactly-doubled-volume copy
+    // (no clipping), and a different shape (loud SECOND half)
+    def frontLoaded(scale: Int)(i: Int): Int =
+      if (i < 2000) (math.sin(i * 0.05) * 4000).toInt * scale else 0
+    def backLoaded(i: Int): Int =
+      if (i >= 2000) (math.sin(i * 0.05) * 8000).toInt else 0
+    val base = wav(frontLoaded(1))
+    val loud = wav(frontLoaded(2))
+    val other = wav(backLoaded)
+    // exact invariance under integer volume scaling
+    assert(Multimodal.audioEnvelopeHash(base) ===
+      Multimodal.audioEnvelopeHash(loud))
+    assert(Multimodal.audioEnvelopeHash(base) !==
+      Multimodal.audioEnvelopeHash(other))
+    assert(Multimodal.audioEnvelopeHash("noise".getBytes("UTF-8")).isEmpty)
+    val groups = Multimodal.audioDupGroups(
+      Seq((1L, base), (2L, loud), (3L, other), (4L, "x".getBytes("UTF-8")))
+        .toDF("media_id", "payload"),
+      "media_id", "payload").collect()
+    assert(groups.length == 1)
+    assert(groups(0).getAs[Long]("keeper") == 1L)
+    assert(groups(0).getSeq[Long](3).toSeq == Seq(1L, 2L))
+  }
+
   test("real image resize clamps the longer edge") {
     val img = new java.awt.image.BufferedImage(400, 100,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
