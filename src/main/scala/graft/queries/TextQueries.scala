@@ -977,6 +977,58 @@ object TextQueries {
              |FROM pairs p JOIN bc ON p.w1 = bc.w1 AND p.w2 = bc.w2 JOIN cc ON p.w1 = cc.w1 CROSS JOIN v
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995, absolute
+    // discount D=0.75): P(w|v) = (max(c(vw)−D,0) + D·N1+(v·)·Pcont(w))/c(v)
+    // with Pcont(w) = N1+(·w)/|bigram types| — the KenLM-style fluency
+    // filter upgrade over q100's add-k (continuation probability separates
+    // versatile words from frequent-but-rigid ones). Scoring corpus docs
+    // with the corpus-trained model keeps every term > 0. Same scale
+    // shape as q100: one pair materialization, vocabulary-sized count
+    // tables joined back onto it.
+    QDef("q209_kneser_ney",
+      (s, d) => {
+        val tok = docs(s, d).select(col("doc_id"),
+            regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+              .as("ts"))
+          .where(size(col("ts")) >= 2)
+        val pairs = tok.select(col("doc_id"),
+            slice(col("ts"), lit(1), size(col("ts")) - 1).as("a"),
+            slice(col("ts"), lit(2), size(col("ts")) - 1).as("b"))
+          .select(col("doc_id"), explode(arrays_zip(col("a"), col("b"))).as("p"))
+          .select(col("doc_id"), col("p.a").as("w1"), col("p.b").as("w2"))
+          .persist()
+        val bc = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+          .persist()
+        val cc = pairs.groupBy("w1").agg(count(lit(1)).as("cu"))
+        val n1r = bc.groupBy("w1").agg(count(lit(1)).as("n1r"))
+        val n1l = bc.groupBy("w2").agg(count(lit(1)).as("n1l"))
+        val tt = bc.agg(count(lit(1)).as("tt"))
+        pairs.join(bc, Seq("w1", "w2")).join(cc, Seq("w1"))
+          .join(n1r, Seq("w1")).join(n1l, Seq("w2"))
+          .crossJoin(broadcast(tt))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast("long").as("n_bigrams"),
+            floor(avg(log((greatest(col("cb") - lit(0.75), lit(0.0))
+                + lit(0.75) * col("n1r") * col("n1l") / col("tt"))
+              / col("cu"))) * 10000 + 0.5).cast("long").as("kn_logprob_x1e4"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents),
+             |t AS (SELECT doc_id, unnest(ts) AS w, generate_subscripts(ts, 1) AS i FROM tok WHERE len(ts) >= 2),
+             |pairs AS (SELECT a.doc_id, a.w AS w1, b.w AS w2 FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+             |bc AS (SELECT w1, w2, count(*) AS cb FROM pairs GROUP BY 1, 2),
+             |cc AS (SELECT w1, count(*) AS cu FROM pairs GROUP BY 1),
+             |n1r AS (SELECT w1, count(*) AS n1r FROM bc GROUP BY 1),
+             |n1l AS (SELECT w2, count(*) AS n1l FROM bc GROUP BY 1),
+             |v AS (SELECT count(*) AS tt FROM bc)
+             |SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             |CAST(floor(avg(ln((greatest(bc.cb - 0.75, 0.0) + 0.75 * n1r.n1r * n1l.n1l / v.tt)
+             |  / cc.cu)) * 10000 + 0.5) AS BIGINT) AS kn_logprob_x1e4
+             |FROM pairs p JOIN bc ON p.w1 = bc.w1 AND p.w2 = bc.w2
+             |JOIN cc ON p.w1 = cc.w1 JOIN n1r ON p.w1 = n1r.w1
+             |JOIN n1l ON p.w2 = n1l.w2 CROSS JOIN v
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Distributed BPE tokenizer training: learned merge rules in training
     // order. Iterative argmax isn't SQL-expressible, so the oracle is a
     // golden fixture from an INDEPENDENT single-process BPE implementation

@@ -75,6 +75,35 @@ class QualitySignalsSpec extends SparkSpec {
       out(1).getAs[Long]("logprob_x1e4"))
   }
 
+  test("q209 Kneser-Ney matches the closed-form on a hand corpus") {
+    val dir = Files.createTempDirectory("kn").toString
+    // corpus "a b a b": cb(a,b)=2 cb(b,a)=1 cu(a)=2 cu(b)=1,
+    // n1r(a)=n1r(b)=1, n1l(a)=n1l(b)=1, T=2
+    Seq((1L, "a b a b", "en", "s", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = run("q209_kneser_ney", dir).collect()(0)
+    val pAB = (math.max(2 - 0.75, 0.0) + 0.75 * 1 * 1.0 / 2) / 2 // 0.8125
+    val pBA = (math.max(1 - 0.75, 0.0) + 0.75 * 1 * 1.0 / 2) / 1 // 0.625
+    val want = math.floor(
+      (2 * math.log(pAB) + math.log(pBA)) / 3 * 10000 + 0.5).toLong
+    assert(r.getAs[Long]("n_bigrams") == 3L)
+    assert(r.getAs[Long]("kn_logprob_x1e4") == want)
+  }
+
+  test("q209 ranks fluent text above unique-bigram gibberish") {
+    val dir = Files.createTempDirectory("kn2").toString
+    val fluent = Array.fill(30)("the cat sat on the mat").mkString(" ")
+    val gibberish = (0 until 180).map(i => s"zq$i xv$i").mkString(" ")
+    Seq((0L, fluent, "en", "a", fluent.length.toLong),
+      (1L, gibberish, "en", "a", gibberish.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = run("q209_kneser_ney", dir).orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("kn_logprob_x1e4") >
+      out(1).getAs[Long]("kn_logprob_x1e4"))
+  }
+
   test("hashed linear classifier: integer features match the token hash") {
     import graft.operators.{DedupOps, QualityClassifier}
     val df = Seq((1L, "Alpha beta ALPHA"), (2L, ""), (3L, null.asInstanceOf[String]))
