@@ -977,6 +977,86 @@ object TextQueries {
              |FROM pairs p JOIN bc ON p.w1 = bc.w1 AND p.w2 = bc.w2 JOIN cc ON p.w1 = cc.w1 CROSS JOIN v
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Encoding-health audit (the ftfy-class diagnostic): deterministic
+    // mojibake / zero-width / replacement-char / control-char markers are
+    // spliced into a doc slice (q75's PII-seeding precedent), then the
+    // DETECTORS — explicit-codepoint regex classes, identical in Java
+    // regex and RE2 — report per-source counts. One narrow scan.
+    QDef("q210_encoding_health",
+      (s, d) => {
+        val seeded = docs(s, d).withColumn("t2", concat(col("text"),
+          when(col("doc_id") % 6 === 0, lit(" caf\u00c3\u00a9"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 7 === 0, lit(" zero\u200bwidth"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 11 === 0, lit(" bad\ufffdchar"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 13 === 0, lit(" ctl\u0007"))
+            .otherwise(lit(""))))
+        seeded.groupBy(col("source"))
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            count(when(col("t2")
+              .rlike("[\\x{00C2}\\x{00C3}][\\x{0080}-\\x{00FF}]"), 1))
+              .cast("long").as("n_mojibake"),
+            count(when(col("t2")
+              .rlike("[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]"), 1))
+              .cast("long").as("n_zero_width"),
+            count(when(col("t2").contains("\ufffd"), 1))
+              .cast("long").as("n_replacement"),
+            count(when(col("t2")
+              .rlike("[\\x{0000}-\\x{0008}\\x{000B}\\x{000C}\\x{000E}-\\x{001F}]"), 1))
+              .cast("long").as("n_control"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH s2 AS (SELECT source, text
+             |  || CASE WHEN doc_id % 6 = 0 THEN ' caf' || chr(195) || chr(169) ELSE '' END
+             |  || CASE WHEN doc_id % 7 = 0 THEN ' zero' || chr(8203) || 'width' ELSE '' END
+             |  || CASE WHEN doc_id % 11 = 0 THEN ' bad' || chr(65533) || 'char' ELSE '' END
+             |  || CASE WHEN doc_id % 13 = 0 THEN ' ctl' || chr(7) ELSE '' END AS t2
+             |  FROM documents)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(count(*) FILTER (WHERE regexp_matches(t2,
+             |    '[\x{00C2}\x{00C3}][\x{0080}-\x{00FF}]')) AS BIGINT) AS n_mojibake,
+             |  CAST(count(*) FILTER (WHERE regexp_matches(t2,
+             |    '[\x{200B}\x{200C}\x{200D}\x{FEFF}]')) AS BIGINT) AS n_zero_width,
+             |  CAST(count(*) FILTER (WHERE contains(t2, chr(65533))) AS BIGINT)
+             |    AS n_replacement,
+             |  CAST(count(*) FILTER (WHERE regexp_matches(t2,
+             |    '[\x{0000}-\x{0008}\x{000B}\x{000C}\x{000E}-\x{001F}]')) AS BIGINT)
+             |    AS n_control
+             |FROM s2 GROUP BY 1 ORDER BY source""".stripMargin)),
+
+    // Zipf-law fit audit: ln(freq) ~ ln(rank) regression slope over the
+    // top-1000 vocabulary — natural text sits near −1; generated/spam
+    // corpora bend away. The rank window runs over the VOCABULARY-sized
+    // count table (never the corpus); regr_slope parity is q123's.
+    QDef("q211_zipf_fit",
+      (s, d) => {
+        val counts = docs(s, d)
+          .select(explode(regexp_extract_all(lower(col("text")),
+            lit("[a-z0-9]+"), lit(0))).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("n"))
+        counts
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("n").desc, col("w"))))
+          .filter(col("rank") <= 1000)
+          .select(log(col("rank").cast("double")).as("x"),
+            log(col("n").cast("double")).as("y"))
+          .agg(count(lit(1)).cast("long").as("n_terms"),
+            round(expr("regr_slope(y, x)"), 6).as("slope"),
+            round(expr("regr_intercept(y, x)"), 6).as("intercept"))
+      },
+      Some("""WITH c AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+             |          FROM documents),
+             |n AS (SELECT w, count(*) AS n FROM c GROUP BY 1),
+             |r AS (SELECT n, row_number() OVER (ORDER BY n DESC, w) AS rank FROM n),
+             |xy AS (SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(n AS DOUBLE)) AS y
+             |       FROM r WHERE rank <= 1000)
+             |SELECT CAST(count(*) AS BIGINT) AS n_terms,
+             |  round(regr_slope(y, x), 6) AS slope,
+             |  round(regr_intercept(y, x), 6) AS intercept
+             |FROM xy""".stripMargin)),
+
     // Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995, absolute
     // discount D=0.75): P(w|v) = (max(c(vw)−D,0) + D·N1+(v·)·Pcont(w))/c(v)
     // with Pcont(w) = N1+(·w)/|bigram types| — the KenLM-style fluency

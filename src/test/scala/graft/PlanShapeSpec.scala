@@ -26,6 +26,8 @@ class PlanShapeSpec extends SparkSpec {
       "q118_hard_negatives", "q35_disparity", "q38_top_decile",
       "q53_union_drift", "q58_correlated_avg", "q62_anomaly_profile",
       "q79_decontaminate", "q100_lm_score", "q81_mix_weights",
+      // one-row bigram-type-total scalar cross join (q100's shape)
+      "q209_kneser_ney",
       "q136_skew_audit_binned", // one-row max(cnt) scalar cross join
       "q158_vocab_growth", // one-row max(doc_id) scalar broadcast onto vocab
       // tiny-vocab dense regime: deliberate broadcast nested loop through
