@@ -3,6 +3,7 @@ package graft.queries
 import graft.{QDef, Tables}
 import graft.operators.{DedupOps, IvfIndex, KMeansOps, PqIndex, Similarity, SqIndex}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity-search + content-dedup surface: cosine top-k / k-NN join /
@@ -657,6 +658,44 @@ object SimilarityQueries {
              |             round(avg(s), 6) AS ms FROM sil GROUP BY 1) st
              |ON sp.c = st.cl
              |ORDER BY cluster""".stripMargin)),
+
+    // Dimension-prefix variance energy: cumulative per-dim variance at
+    // prefix widths 8/16/32/64 over the total — the PCA-energy evidence
+    // behind choosing Matryoshka truncation widths (q182 audits the
+    // BEHAVIOR of a truncation; this reports the variance it keeps).
+    // One scan + windows over the 64-row dim spine only; the total is
+    // max(cum) (order-insensitive — cum is monotone), so both engines
+    // fold the running sum in the same ascending-dim order.
+    QDef("q212_prefix_energy",
+      (s, d) => {
+        val st = embs(s, d)
+          .select(posexplode(col("embedding").cast("array<double>"))
+            .as(Seq("i", "x")))
+          .groupBy(col("i"))
+          .agg(avg(col("x")).as("m"), avg(col("x") * col("x")).as("m2"))
+          .withColumn("v", col("m2") - col("m") * col("m"))
+        val run = Window.orderBy(col("i"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        st.withColumn("cum", sum(col("v")).over(run))
+          .withColumn("tot", max(col("cum")).over(
+            Window.partitionBy().rowsBetween(
+              Window.unboundedPreceding, Window.unboundedFollowing)))
+          .filter(col("i").isin(7, 15, 31, 63))
+          .select((col("i") + 1).cast("long").as("prefix_dims"),
+            round(col("cum"), 6).as("cum_var"),
+            floor(col("cum") * lit(1000000.0) / col("tot") + lit(0.5))
+              .cast("long").as("energy_x1e6"))
+          .orderBy(col("prefix_dims"))
+      },
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+             |dims AS (SELECT unnest(range(1, 65)) AS i),
+             |ex AS (SELECT vec_id, dims.i, e[dims.i] AS x FROM v, dims),
+             |st AS (SELECT i, avg(x) AS m, avg(x*x) AS m2 FROM ex GROUP BY 1),
+             |c AS (SELECT i, sum(m2 - m*m) OVER (ORDER BY i ROWS UNBOUNDED PRECEDING) AS cum FROM st),
+             |t AS (SELECT i, cum, max(cum) OVER () AS tot FROM c)
+             |SELECT CAST(i AS BIGINT) AS prefix_dims, round(cum, 6) AS cum_var,
+             |  CAST(floor(cum * 1000000.0 / tot + 0.5) AS BIGINT) AS energy_x1e6
+             |FROM t WHERE i IN (8, 16, 32, 64) ORDER BY 1""".stripMargin)),
 
     // Embedding covariance spectrum: top eigenvalue via 3 power
     // iterations, C·v unrolled as (1/n)·Σ x·(x·v − μ·v) so the d×d
