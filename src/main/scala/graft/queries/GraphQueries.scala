@@ -467,6 +467,36 @@ object GraphQueries {
              |    - CAST(sum(CASE WHEN id <> component THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors
              |FROM comps""".stripMargin)),
 
+    // Degree assortativity (Newman 2002): Pearson correlation of endpoint
+    // degrees over the symmetrized edge list — do high-degree customers
+    // trade with high-degree suppliers or the opposite (disassortative,
+    // the typical bipartite trade shape). Two keyed aggregates + one
+    // corr; edges shuffle once for degrees, once for the endpoint join.
+    QDef("q213_assortativity",
+      (s, d) => {
+        val e = t(s, d, "orders")
+          .join(t(s, d, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("a"),
+            (col("l_suppkey") + 10000000L).as("b"))
+          .distinct()
+        val und = e.union(e.select(col("b").as("a"), col("a").as("b")))
+        val deg = und.groupBy(col("a"))
+          .agg(count(lit(1)).cast("double").as("deg"))
+        und
+          .join(deg.select(col("a"), col("deg").as("da")), Seq("a"))
+          .join(deg.select(col("a").as("b"), col("deg").as("db")), Seq("b"))
+          .agg((count(lit(1)) / 2).cast("long").as("n_edges"),
+            round(corr(col("da"), col("db")), 6).as("assortativity"))
+      },
+      Some("""WITH e AS (SELECT DISTINCT o_custkey AS a, l_suppkey + 10000000 AS b
+             |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+             |u AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+             |d AS (SELECT a, CAST(count(*) AS DOUBLE) AS deg FROM u GROUP BY 1)
+             |SELECT CAST(count(*) // 2 AS BIGINT) AS n_edges,
+             |  round(corr(da.deg, db.deg), 6) AS assortativity
+             |FROM u JOIN d da ON u.a = da.a JOIN d db ON u.b = db.a""".stripMargin)),
+
     // Dup-cluster SIZE histogram — the dedup-policy evidence q77's single
     // summary row hides: how many clusters of each size exist and how many
     // docs they hold (size 1 = the untouched singleton mass). Same exact

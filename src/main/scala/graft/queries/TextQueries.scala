@@ -977,6 +977,56 @@ object TextQueries {
              |FROM pairs p JOIN bc ON p.w1 = bc.w1 AND p.w2 = bc.w2 JOIN cc ON p.w1 = cc.w1 CROSS JOIN v
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Pairwise Jensen-Shannon divergence between source token
+    // distributions — the symmetric, bounded ([0, ln 2]) mixing
+    // diagnostic next to q99's per-source entropy and q155's set
+    // overlap: which sources say the same words at DIFFERENT rates.
+    // Decomposed so only the SHARED vocabulary joins (q155's S²-per-word
+    // bound): JS = ½·Σ_shared[p·ln(2p/(p+q)) + q·ln(2q/(p+q))]
+    // + ½·ln2·(exclusive mass a + exclusive mass b), with the exclusive
+    // masses derived as 1 − shared mass — no outer join anywhere.
+    QDef("q214_js_divergence",
+      (s, d) => {
+        val tok = docs(s, d).select(col("source"),
+          explode(regexp_extract_all(lower(col("text")),
+            lit("[a-z0-9]+"), lit(0))).as("w"))
+        val c = tok.groupBy(col("source"), col("w"))
+          .agg(count(lit(1)).as("c"))
+        val t = c.withColumn("tot",
+          sum("c").over(Window.partitionBy(col("source"))))
+        val ta = t.select(col("source").as("source_a"), col("w"),
+          (col("c") * lit(1.0) / col("tot")).as("pa"))
+        val tb = t.select(col("source").as("source_b"), col("w"),
+          (col("c") * lit(1.0) / col("tot")).as("pb"))
+        ta.join(tb, Seq("w"))
+          .filter(col("source_a") < col("source_b"))
+          .groupBy(col("source_a"), col("source_b"))
+          .agg(count(lit(1)).cast("long").as("n_shared_words"),
+            sum(col("pa")).as("sh_a"), sum(col("pb")).as("sh_b"),
+            sum(col("pa") * log(lit(2.0) * col("pa") / (col("pa") + col("pb")))
+              + col("pb") * log(lit(2.0) * col("pb") / (col("pa") + col("pb"))))
+              .as("core"))
+          .select(col("source_a"), col("source_b"), col("n_shared_words"),
+            floor((lit(0.5) * col("core") + lit(0.5) * log(lit(2.0))
+              * ((lit(1.0) - col("sh_a")) + (lit(1.0) - col("sh_b"))))
+              * 10000 + 0.5).cast("long").as("js_x1e4"))
+          .orderBy(col("source_a"), col("source_b"))
+      },
+      Some("""WITH tok AS (SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM documents),
+             |c AS (SELECT source, w, count(*) AS c FROM tok GROUP BY 1, 2),
+             |t AS (SELECT source, w, c, sum(c) OVER (PARTITION BY source) AS tot FROM c),
+             |j AS (SELECT a.source AS source_a, b.source AS source_b,
+             |        a.c * 1.0 / a.tot AS pa, b.c * 1.0 / b.tot AS pb
+             |      FROM t a JOIN t b ON a.w = b.w AND a.source < b.source),
+             |g AS (SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_shared_words,
+             |        sum(pa) AS sh_a, sum(pb) AS sh_b,
+             |        sum(pa * ln(2.0 * pa / (pa + pb)) + pb * ln(2.0 * pb / (pa + pb))) AS core
+             |      FROM j GROUP BY 1, 2)
+             |SELECT source_a, source_b, n_shared_words,
+             |  CAST(floor((0.5 * core + 0.5 * ln(2.0) * ((1.0 - sh_a) + (1.0 - sh_b)))
+             |    * 10000 + 0.5) AS BIGINT) AS js_x1e4
+             |FROM g ORDER BY source_a, source_b""".stripMargin)),
+
     // Encoding-health audit (the ftfy-class diagnostic): deterministic
     // mojibake / zero-width / replacement-char / control-char markers are
     // spliced into a doc slice (q75's PII-seeding precedent), then the

@@ -104,6 +104,44 @@ class QualitySignalsSpec extends SparkSpec {
       out(1).getAs[Long]("kn_logprob_x1e4"))
   }
 
+  test("q214 JS divergence: identical sources 0, disjoint sources ln 2") {
+    val dir = Files.createTempDirectory("js").toString
+    Seq(
+      (1L, "x y z", "en", "A", 5L), (2L, "x y z", "en", "B", 5L),
+      (3L, "q r s t", "en", "C", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = run("q214_js_divergence", dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    assert(out(("A", "B")) == 0L)                 // same distribution
+    // (A,C)/(B,C) share no words → inner join drops them: full JS = ln 2
+    // is carried entirely by the exclusive-mass term, and with NO shared
+    // row the pair has no output row at all — absence IS the ln2 signal
+    assert(!out.contains(("A", "C")) && !out.contains(("B", "C")))
+    // a partially-overlapping pair lands strictly inside (0, ln 2)
+    val dir2 = Files.createTempDirectory("js2").toString
+    Seq((1L, "x y", "en", "A", 3L), (2L, "x q", "en", "B", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val js = run("q214_js_divergence", dir2).collect()(0).getLong(3)
+    assert(js > 0L && js < 6931L)
+  }
+
+  test("q213 assortativity: a bipartite star is exactly -1") {
+    val dir = Files.createTempDirectory("assort").toString
+    Seq((1L, 11L), (2L, 12L), (3L, 13L), (4L, 14L))
+      .toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, 7L), (2L, 7L), (3L, 7L), (4L, 7L))
+      .toDF("l_orderkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = run("q213_assortativity", dir).collect()(0)
+    // hub degree 4 vs leaf degree 1: endpoint degrees are perfectly
+    // anti-correlated on the symmetrized edge list
+    assert(r.getAs[Long]("n_edges") == 4L)
+    assert(r.getAs[Double]("assortativity") == -1.0)
+  }
+
   test("hashed linear classifier: integer features match the token hash") {
     import graft.operators.{DedupOps, QualityClassifier}
     val df = Seq((1L, "Alpha beta ALPHA"), (2L, ""), (3L, null.asInstanceOf[String]))
