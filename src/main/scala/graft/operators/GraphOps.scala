@@ -324,4 +324,41 @@ object GraphOps {
     }
     labels
   }
+
+  /** Synchronous label propagation (Raghavan et al. 2007, deterministic
+    * variant): every node starts as its own label; each round every node
+    * adopts the most frequent label among its neighbors, ties broken to
+    * the SMALLEST label — fully deterministic, so a fixed `rounds` count
+    * admits an exactly-unrolled SQL oracle (the q85 PageRank pattern).
+    * Communities are density-driven (unlike [[connectedComponents]],
+    * which only needs reachability). Returns (id, label).
+    *
+    * Scale shape: per round, ONE shuffle of (edge-endpoint, label) rows
+    * for the neighbor-label count plus a node-keyed rank window over the
+    * (node, distinct-neighbor-label) aggregate — bounded by each node's
+    * label diversity, not its degree; `localCheckpoint` per round cuts
+    * the loop lineage (the GraphOps convention).
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       rounds: Int): DataFrame = {
+    val und = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      .distinct().localCheckpoint()
+    var labels = und.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("label")).localCheckpoint()
+    val byNode = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("a")).orderBy(col("n").desc, col("label"))
+    var r = 0
+    while (r < rounds) {
+      labels = und
+        .join(labels.withColumnRenamed("id", "b"), Seq("b"))
+        .groupBy(col("a"), col("label")).agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(byNode))
+        .filter(col("rn") === 1)
+        .select(col("a").as("id"), col("label"))
+        .localCheckpoint()
+      r += 1
+    }
+    labels
+  }
 }

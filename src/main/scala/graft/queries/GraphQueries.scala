@@ -467,6 +467,45 @@ object GraphQueries {
              |    - CAST(sum(CASE WHEN id <> component THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors
              |FROM comps""".stripMargin)),
 
+    // Synchronous label propagation (3 deterministic rounds, ties to the
+    // smallest label): density-driven communities on the trade graph —
+    // the source/community clustering step connectedComponents (pure
+    // reachability) cannot express. Oracle unrolls the same 3 rounds
+    // (the q85 pattern); per round one neighbor-label shuffle + a
+    // node-keyed rank window over the label-diversity-bounded aggregate.
+    QDef("q215_label_propagation",
+      (s, d) => {
+        val edges = t(s, d, "orders")
+          .join(t(s, d, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("src"),
+            (col("l_suppkey") + 10000000L).as("dst"))
+          .distinct()
+        GraphOps.labelPropagation(edges, "src", "dst", rounds = 3)
+          .orderBy(col("id"))
+      },
+      Some("""WITH e AS (SELECT DISTINCT o_custkey AS src, l_suppkey + 10000000 AS dst
+             |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+             |u AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e),
+             |l0 AS (SELECT DISTINCT a AS id FROM u),
+             |r1 AS (SELECT id, label FROM (
+             |    SELECT id, label, row_number() OVER (PARTITION BY id ORDER BY n DESC, label) AS rn
+             |    FROM (SELECT u.a AS id, l.label, count(*) AS n
+             |          FROM u JOIN (SELECT id, id AS label FROM l0) l ON u.b = l.id
+             |          GROUP BY 1, 2))
+             |  WHERE rn = 1),
+             |r2 AS (SELECT id, label FROM (
+             |    SELECT id, label, row_number() OVER (PARTITION BY id ORDER BY n DESC, label) AS rn
+             |    FROM (SELECT u.a AS id, l.label, count(*) AS n
+             |          FROM u JOIN r1 l ON u.b = l.id GROUP BY 1, 2))
+             |  WHERE rn = 1),
+             |r3 AS (SELECT id, label FROM (
+             |    SELECT id, label, row_number() OVER (PARTITION BY id ORDER BY n DESC, label) AS rn
+             |    FROM (SELECT u.a AS id, l.label, count(*) AS n
+             |          FROM u JOIN r2 l ON u.b = l.id GROUP BY 1, 2))
+             |  WHERE rn = 1)
+             |SELECT id, label FROM r3 ORDER BY id""".stripMargin)),
+
     // Degree assortativity (Newman 2002): Pearson correlation of endpoint
     // degrees over the symmetrized edge list — do high-degree customers
     // trade with high-degree suppliers or the opposite (disassortative,

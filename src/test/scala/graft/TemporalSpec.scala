@@ -125,4 +125,16 @@ class TemporalSpec extends SparkSpec {
     assert(comps("a") == "a" && comps("b") == "a" && comps("c") == "a")
     assert(comps("x") == "x" && comps("y") == "x")
   }
+
+  test("label propagation: disjoint triangles converge to their min labels") {
+    import spark.implicits._
+    // in a triangle, round 1 sends the two higher nodes to the minimum
+    // (tie to smallest), and rounds 2-3 pull the minimum node in too
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L)).toDF("a", "b")
+    val labels = GraphOps.labelPropagation(edges, "a", "b", rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L).forall(labels(_) == 1L))
+    assert(Seq(4L, 5L, 6L).forall(labels(_) == 4L))
+  }
 }
