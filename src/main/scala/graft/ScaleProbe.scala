@@ -200,10 +200,23 @@ object ScaleProbe {
       val (kcT, kcRows) = time(
         graft.operators.GraphOps.kCore(parts, "x", "y", k = 80).count())
       spark.catalog.clearCache()
+      // round-5c iterative additions: 3-round LPA (node-offset replicas —
+      // community structure per copy unchanged, work grows c×) and the
+      // power-iteration spectrum over the rotated embedding replicas
+      // (model-sized driver state, one scan per iteration)
+      val (lpT, lpRows) = time(
+        graft.operators.GraphOps.labelPropagation(trade, "src", "dst",
+          rounds = 3).count())
+      spark.catalog.clearCache()
+      val (spT, spRows) = time(
+        graft.operators.Similarity.spectrumAudit(embCorpus, "vec_id",
+          "embedding", iters = 3).count())
+      spark.catalog.clearCache()
       println(f"[scale] c=$c%2d edges=${trade.count()}%8d/${parts.count()}%8d" +
         f" cc=$ccT%.2fs ($ccRows nodes) pagerank=$prT%.2fs ($prRows nodes)" +
         f" triangles=${triN._1}%.2fs (${triN._2} tris)" +
-        f" kcore=$kcT%.2fs ($kcRows vertices)")
+        f" kcore=$kcT%.2fs ($kcRows vertices)" +
+        f" lpa=$lpT%.2fs ($lpRows nodes) spectrum=$spT%.2fs ($spRows row)")
     }
     spark.stop()
   }
