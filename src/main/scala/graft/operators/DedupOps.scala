@@ -873,9 +873,8 @@ object DedupOps {
       .agg(collect_list(struct(col("start"), col("end"))).as("__spans"))
     probe
       .select(col(idCol),
-        expr("coalesce(" +
-          s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0), " +
-          "cast(array() as array<string>))").as("__ts"))
+        coalesce(tokens(col(textCol)),
+          array().cast("array<string>")).as("__ts"))
       .join(spanLists, Seq(idCol), "left")
       .select(col(idCol),
         when(col("__spans").isNull, col("__ts")).otherwise(expr(

@@ -1,0 +1,200 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Fixed-point (integer) twins of the approximate ANN paths, built so the
+  * WHOLE pipeline — Lloyd's k-means training included — is exactly
+  * restatable in DuckDB SQL. This is what turns the approximate paths'
+  * recall into a driver-visible, hash-checked metric (the round-5 gate's
+  * only `no_oracle` rows): float k-means can't be oracled because
+  * aggregation order perturbs low bits and can flip an argmin, but after
+  * quantizing every embedding to integers (`floor(x·1024 + 0.5)` — one
+  * IEEE multiply+add, bit-identical in any engine) every distance,
+  * centroid mean (truncating integer division, the same toward-zero rule
+  * as DuckDB's `//`), argmin tie-break, and rank is exact integer math
+  * whose result is independent of execution order.
+  *
+  * Same algorithm family and plan shapes as [[IvfIndex]] / [[PqIndex]] /
+  * [[Similarity.semanticDedup]] (first-k init, argmin-struct assignment,
+  * posexplode centroid update, broadcast probe join, rank window) — the
+  * configs under audit (q46 / q88 / q138) are mirrored by the recall
+  * queries q217/q218/q219.
+  *
+  * Overflow headroom: quantized values are ≤ scale·max|x|; the sharpest
+  * product used is 25·dot² ≤ 25·(d·q²)² — safe in a signed 64-bit long up
+  * to |x| ≈ 10 at scale 1024, d = 64 (the embeddings tables are
+  * unit-normalized, |x| < 1).
+  */
+object PortableAnn {
+
+  /** Per-element quantization: floor(x·1024 + 0.5) as long. */
+  def quant(emb: Column): Column =
+    transform(emb, x => floor(x.cast("double") * lit(1024.0) + lit(0.5)))
+
+  /** Integer squared-L2 distance between two array<long> columns. */
+  def dist2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Integer dot product between two array<long> columns. */
+  def dotL(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  final case class QModel(centroids: Array[Array[Long]]) {
+    def k: Int = centroids.length
+  }
+
+  /** Argmin centroid index by integer L2², ties → lowest index (the
+    * struct ordering (dist, cell) makes the tie-break explicit).
+    */
+  def bestCell(qv: Column, model: QModel): Column = {
+    val scored = model.centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
+      struct(dist2(qv, typedLit(c.toSeq)).as("dist"), lit(i).as("cell"))
+    }
+    array_min(array(scored: _*)).getField("cell")
+  }
+
+  /** Integer Lloyd's: init = quantized vectors of the k lowest ids;
+    * update = per-dimension truncating integer mean (empty cells keep
+    * their centroid). Long sums are order-independent, so the result is
+    * identical however Spark partitions the corpus — and identical to the
+    * unrolled SQL restatement.
+    */
+  def train(df: DataFrame, idCol: String, qvCol: String,
+            k: Int, iters: Int): QModel = {
+    var cents = df.orderBy(col(idCol)).limit(k)
+      .select(col(qvCol)).collect()
+      .map(_.getSeq[Long](0).toArray)
+    (0 until iters).foreach { _ =>
+      val assigned = df.select(col(qvCol),
+        bestCell(col(qvCol), QModel(cents)).as("cell"))
+      val sums = assigned
+        .select(col("cell"), posexplode(col(qvCol)).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        val dims = sums.filter(_.getInt(0) == c)
+        if (dims.isEmpty) old
+        else {
+          val arr = old.clone()
+          dims.foreach(r => arr(r.getInt(1)) = r.getLong(2) / r.getLong(3))
+          arr
+        }
+      }
+    }
+    QModel(cents)
+  }
+
+  /** The nprobe nearest cells per query (integer distances, ties →
+    * lowest cell).
+    */
+  private def probeCells(qq: Column, model: QModel, nprobe: Int): Column = {
+    val scored = model.centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
+      struct(dist2(qq, typedLit(c.toSeq)).as("dist"), lit(i).as("cell"))
+    }
+    slice(transform(array_sort(array(scored: _*)), s => s.getField("cell")),
+      1, nprobe)
+  }
+
+  /** IVF search over quantized vectors: same plan shape as
+    * [[IvfIndex.search]] (broadcast probe join + rank window), ranked by
+    * integer L2² ascending, ties → lowest id.
+    */
+  def ivfSearch(queries: DataFrame, corpus: DataFrame, idCol: String,
+                qvCol: String, model: QModel, nprobe: Int,
+                topK: Int): DataFrame = {
+    val assigned = corpus.withColumn("cell", bestCell(col(qvCol), model))
+    val q = queries
+      .select(col(idCol).as("query_id"), col(qvCol).as("__qq"))
+      .withColumn("cell", explode(probeCells(col("__qq"), model, nprobe)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("d"), col(idCol))
+    assigned.join(broadcast(q), Seq("cell"))
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol),
+        dist2(col(qvCol), col("__qq")).as("d"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+  }
+
+  /** Exhaustive integer-L2 top-k per query (the recall denominator):
+    * broadcast the (bounded) query set over the corpus, rank window.
+    */
+  def exactTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                qvCol: String, topK: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(qvCol).as("__qq"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("d"), col(idCol))
+    corpus.crossJoin(broadcast(q))
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol),
+        dist2(col(qvCol), col("__qq")).as("d"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+  }
+
+  /** Per-subspace integer codebooks (PQ): subspace s is the 1-based slice
+    * [s·w+1, s·w+w] of the quantized vector; each subspace trains its own
+    * [[train]] k-means over the sliced corpus. m model collects of a
+    * k×(d/m) table each — audit-scale work, mirroring [[PqIndex.train]]'s
+    * first-k init and Lloyd's updates in integer arithmetic.
+    */
+  def pqTrain(df: DataFrame, idCol: String, qvCol: String,
+              m: Int, subDim: Int, k: Int, iters: Int): Array[QModel] =
+    Array.tabulate(m) { s =>
+      train(df.select(col(idCol),
+          slice(col(qvCol), s * subDim + 1, subDim).as(qvCol)),
+        idCol, qvCol, k, iters)
+    }
+
+  /** PQ code array: per-subspace argmin codebook entry. */
+  def pqCodes(qv: Column, books: Array[QModel], subDim: Int): Column =
+    array(books.zipWithIndex.map { case (b, s) =>
+      bestCell(slice(qv, s * subDim + 1, subDim), b)
+    }.toIndexedSeq: _*)
+
+  /** ADC + exact-rerank search over quantized vectors for ONE query
+    * (mirrors [[PqIndex.searchWithRerank]]): the per-subspace lookup
+    * table is integer L2² of the query's subvector to each code centroid;
+    * the ADC shortlist (ties → lowest id) is reranked by full integer
+    * L2². In SQL the lut becomes a relational join against the codebook
+    * CTE — same numbers.
+    */
+  def pqSearchWithRerank(corpus: DataFrame, idCol: String, qvCol: String,
+                         books: Array[QModel], query: Array[Long],
+                         subDim: Int, shortlist: Int, topK: Int): DataFrame = {
+    val lut: Array[Array[Long]] = books.zipWithIndex.map { case (b, s) =>
+      val qs = query.slice(s * subDim, (s + 1) * subDim)
+      b.centroids.map { c =>
+        var d = 0L
+        var i = 0
+        while (i < subDim) { val x = qs(i) - c(i); d += x * x; i += 1 }
+        d
+      }
+    }
+    val adc = books.indices.map { s =>
+      element_at(typedLit(lut(s).toSeq), col("__code")(s) + 1)
+    }.reduce(_ + _)
+    val cand = corpus
+      .withColumn("__code", pqCodes(col(qvCol), books, subDim))
+      .select(col(idCol), adc.as("adc"))
+      .orderBy(col("adc"), col(idCol))
+      .limit(shortlist)
+    corpus.join(cand.select(idCol), Seq(idCol), "left_semi")
+      .select(col(idCol),
+        dist2(col(qvCol), typedLit(query.toSeq)).as("d"))
+      .orderBy(col("d"), col(idCol))
+      .limit(topK)
+  }
+
+  /** Integer cosine-threshold predicate cos(a,b) ≥ num/den, exact:
+    * dot > 0 AND den²·dot² ≥ num²·‖a‖²·‖b‖². (cos ≥ τ > 0 requires
+    * dot > 0, after which squaring is monotone.)
+    */
+  def cosGe(dot: Column, na2: Column, nb2: Column,
+            num: Long, den: Long): Column =
+    dot > 0 && lit(den * den) * dot * dot >= lit(num * num) * na2 * nb2
+}

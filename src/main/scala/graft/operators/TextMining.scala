@@ -231,7 +231,9 @@ object TextMining {
     */
   def blocklistHits(df: DataFrame, textCol: String,
                     terms: Seq[String]): DataFrame = {
-    val ac = AhoCorasick.build(terms)
+    // the scan lowercases the text, so the patterns must be lowercased too
+    // — an uppercase term would otherwise silently never match
+    val ac = AhoCorasick.build(terms.map(_.toLowerCase(java.util.Locale.ROOT)))
     val counts = udf { text: String =>
       if (text == null) new Array[Long](terms.size)
       else ac.countAll(text.toLowerCase(java.util.Locale.ROOT))

@@ -301,6 +301,33 @@ object PipelineQueries {
              |FROM read_parquet('${graft.Fixtures.golden("media.parquet")}')
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Audio dedup over the committed golden audio table
+    // (tools/make_audio_fixture.py: stdlib-wave clips with PLANTED
+    // duplicate groups — integer volume rescales, a silent pair, a
+    // mono/stereo twin — plus undecodable rows the operator must drop).
+    // The REAL decoder runs (javax.sound); the oracle groups by the
+    // tool's independently-computed expected fingerprint. The envelope
+    // hash is integer-exact by design, so the two implementations must
+    // agree bit-for-bit. Scale-independent input, green at any sfDir.
+    QDef("q216_audio_dedup",
+      (s, _) => {
+        val audio = s.read.parquet(graft.Fixtures.golden("audio.parquet"))
+          .select(col("media_id"), col("payload"))
+        Multimodal.audioDupGroups(audio, "media_id", "payload")
+          .select(col("fingerprint"), col("keeper"),
+            col("n_dups"),
+            array_join(transform(col("members"), _.cast("string")), ",")
+              .as("members"))
+          .orderBy(col("fingerprint"))
+      },
+      Some(s"""SELECT exp_fingerprint AS fingerprint,
+             |  CAST(min(media_id) AS BIGINT) AS keeper,
+             |  count(*) AS n_dups,
+             |  array_to_string(list_sort(list(media_id)), ',') AS members
+             |FROM read_parquet('${graft.Fixtures.golden("audio.parquet")}')
+             |WHERE exp_fingerprint IS NOT NULL
+             |GROUP BY 1 HAVING count(*) > 1 ORDER BY fingerprint""".stripMargin)),
+
     // §7.3 flagship slice: clean → quality gate (F5: ≥200 chars) → chunk →
     // denormalize source (J6) → per-source chunk stats. Oracle: the clean
     // step is q13's (SQL-verified) rules and the chunk step is the

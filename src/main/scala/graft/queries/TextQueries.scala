@@ -958,12 +958,15 @@ object TextQueries {
         val cc = pairs.groupBy("w1").agg(count(lit(1)).as("cu"))
         val vs = tok.select(explode(col("ts")).as("w"))
           .agg(countDistinct(col("w")).as("vs"))
-        pairs.join(bc, Seq("w1", "w2")).join(cc, Seq("w1"))
+        val scored = pairs.join(bc, Seq("w1", "w2")).join(cc, Seq("w1"))
           .crossJoin(broadcast(vs))
           .groupBy("doc_id")
           .agg(count(lit(1)).cast("long").as("n_bigrams"),
             floor(avg(log((col("cb") + 0.5) / (col("cu") + col("vs") * 0.5)))
               * 10000 + 0.5).cast("long").as("logprob_x1e4"))
+        // release the corpus-sized cached pair table once the doc-sized
+        // aggregate is materialized (same leak shape as q209)
+        graft.operators.DedupOps.materializeAndRelease(scored, pairs)
           .orderBy("doc_id")
       },
       Some("""WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents),
@@ -984,7 +987,10 @@ object TextQueries {
     // Decomposed so only the SHARED vocabulary joins (q155's S²-per-word
     // bound): JS = ½·Σ_shared[p·ln(2p/(p+q)) + q·ln(2q/(p+q))]
     // + ½·ln2·(exclusive mass a + exclusive mass b), with the exclusive
-    // masses derived as 1 − shared mass — no outer join anywhere.
+    // masses derived as 1 − shared mass — no vocabulary-scale outer join;
+    // zero-overlap pairs (JS = ln 2 exactly) are restored from an
+    // aggregate-sized source-pair spine so consumers never misread
+    // absence as "not computed".
     QDef("q214_js_divergence",
       (s, d) => {
         val tok = docs(s, d).select(col("source"),
@@ -998,7 +1004,7 @@ object TextQueries {
           (col("c") * lit(1.0) / col("tot")).as("pa"))
         val tb = t.select(col("source").as("source_b"), col("w"),
           (col("c") * lit(1.0) / col("tot")).as("pb"))
-        ta.join(tb, Seq("w"))
+        val shared = ta.join(tb, Seq("w"))
           .filter(col("source_a") < col("source_b"))
           .groupBy(col("source_a"), col("source_b"))
           .agg(count(lit(1)).cast("long").as("n_shared_words"),
@@ -1006,10 +1012,22 @@ object TextQueries {
             sum(col("pa") * log(lit(2.0) * col("pa") / (col("pa") + col("pb")))
               + col("pb") * log(lit(2.0) * col("pb") / (col("pa") + col("pb"))))
               .as("core"))
-          .select(col("source_a"), col("source_b"), col("n_shared_words"),
-            floor((lit(0.5) * col("core") + lit(0.5) * log(lit(2.0))
-              * ((lit(1.0) - col("sh_a")) + (lit(1.0) - col("sh_b"))))
-              * 10000 + 0.5).cast("long").as("js_x1e4"))
+        // source-pair spine: a pair with ZERO shared vocabulary is the
+        // maximally-divergent case (JS = ln 2), and absence would read as
+        // "not computed" — emit it explicitly. The spine is
+        // |sources|²-sized (aggregate-bounded, broadcast).
+        val srcs = docs(s, d).select(col("source")).distinct()
+        val spine = srcs.select(col("source").as("source_a"))
+          .crossJoin(srcs.select(col("source").as("source_b")))
+          .filter(col("source_a") < col("source_b"))
+        spine.join(shared, Seq("source_a", "source_b"), "left")
+          .select(col("source_a"), col("source_b"),
+            coalesce(col("n_shared_words"), lit(0L)).as("n_shared_words"),
+            coalesce(
+              floor((lit(0.5) * col("core") + lit(0.5) * log(lit(2.0))
+                * ((lit(1.0) - col("sh_a")) + (lit(1.0) - col("sh_b"))))
+                * 10000 + 0.5).cast("long"),
+              lit(6931L)).as("js_x1e4"))
           .orderBy(col("source_a"), col("source_b"))
       },
       Some("""WITH tok AS (SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM documents),
@@ -1021,11 +1039,16 @@ object TextQueries {
              |g AS (SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_shared_words,
              |        sum(pa) AS sh_a, sum(pb) AS sh_b,
              |        sum(pa * ln(2.0 * pa / (pa + pb)) + pb * ln(2.0 * pb / (pa + pb))) AS core
-             |      FROM j GROUP BY 1, 2)
-             |SELECT source_a, source_b, n_shared_words,
-             |  CAST(floor((0.5 * core + 0.5 * ln(2.0) * ((1.0 - sh_a) + (1.0 - sh_b)))
-             |    * 10000 + 0.5) AS BIGINT) AS js_x1e4
-             |FROM g ORDER BY source_a, source_b""".stripMargin)),
+             |      FROM j GROUP BY 1, 2),
+             |srcs AS (SELECT DISTINCT source FROM documents),
+             |spine AS (SELECT a.source AS source_a, b.source AS source_b
+             |          FROM srcs a JOIN srcs b ON a.source < b.source)
+             |SELECT s.source_a, s.source_b,
+             |  COALESCE(n_shared_words, 0) AS n_shared_words,
+             |  COALESCE(CAST(floor((0.5 * core + 0.5 * ln(2.0) * ((1.0 - sh_a) + (1.0 - sh_b)))
+             |    * 10000 + 0.5) AS BIGINT), 6931) AS js_x1e4
+             |FROM spine s LEFT JOIN g ON s.source_a = g.source_a AND s.source_b = g.source_b
+             |ORDER BY s.source_a, s.source_b""".stripMargin)),
 
     // Encoding-health audit (the ftfy-class diagnostic): deterministic
     // mojibake / zero-width / replacement-char / control-char markers are
@@ -1133,7 +1156,7 @@ object TextQueries {
         val n1r = bc.groupBy("w1").agg(count(lit(1)).as("n1r"))
         val n1l = bc.groupBy("w2").agg(count(lit(1)).as("n1l"))
         val tt = bc.agg(count(lit(1)).as("tt"))
-        pairs.join(bc, Seq("w1", "w2")).join(cc, Seq("w1"))
+        val scored = pairs.join(bc, Seq("w1", "w2")).join(cc, Seq("w1"))
           .join(n1r, Seq("w1")).join(n1l, Seq("w2"))
           .crossJoin(broadcast(tt))
           .groupBy("doc_id")
@@ -1141,6 +1164,10 @@ object TextQueries {
             floor(avg(log((greatest(col("cb") - lit(0.75), lit(0.0))
                 + lit(0.75) * col("n1r") * col("n1l") / col("tt"))
               / col("cu"))) * 10000 + 0.5).cast("long").as("kn_logprob_x1e4"))
+        // the cached pair/bigram tables are corpus-sized — release them once
+        // the doc-sized aggregate is materialized (session-lifetime leak
+        // otherwise in a long bench/REPL run)
+        graft.operators.DedupOps.materializeAndRelease(scored, pairs, bc)
           .orderBy("doc_id")
       },
       Some("""WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents),

@@ -100,4 +100,13 @@ class TextMiningSpec extends SparkSpec {
       "spam" -> ((1L, 2L)),   // one doc, two occurrences
       "absent" -> ((0L, 0L)))) // zero-hit term still reported
   }
+
+  test("blocklistHits: uppercase TERMS match the lowercased scan") {
+    // the scan lowercases text, so patterns must be lowercased on build —
+    // an uppercase term silently reporting 0 hits was an ADVICE.md find
+    val df = Seq((1L, "spam and SPAM again")).toDF("doc_id", "text")
+    val got = TextMining.blocklistHits(df, "text", Seq("SPAM"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map("SPAM" -> ((1L, 2L))))
+  }
 }
