@@ -1,8 +1,8 @@
 package graft.queries
 
 import graft.{QDef, Tables}
-import graft.operators.{DedupOps, IvfIndex, KMeansOps, PqIndex, Similarity, SqIndex}
-import org.apache.spark.sql.SparkSession
+import graft.operators.{DedupOps, IvfIndex, KMeansOps, PortableAnn, PqIndex, Similarity, SqIndex}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -943,6 +943,222 @@ object SimilarityQueries {
              |  round(sum(CASE WHEN rf.vid IS NOT NULL AND rt.vid IS NOT NULL
              |            THEN 1 ELSE 0 END)::DOUBLE / 10.0, 6) AS overlap_frac
              |FROM rf FULL JOIN rt ON rf.qid = rt.qid AND rf.vid = rt.vid
-             |GROUP BY 1 ORDER BY query_id""".stripMargin))
+             |GROUP BY 1 ORDER BY query_id""".stripMargin)),
+
+    // ── Quantified-recall family (q217/q218/q219): the three approximate
+    // paths (q46 IVF, q88 PQ, q138 clustered SemDeDup) are genuinely
+    // inexact, so THEY can't be oracled — but their recall/containment
+    // CAN be, by running the same algorithm (same configs, same first-k
+    // Lloyd's init, same plan shapes) in fixed-point integer arithmetic
+    // (PortableAnn: quantize floor(x·1024+0.5), integer L2², truncating
+    // centroid means). Every step is then order-independent and exactly
+    // restatable in DuckDB SQL — the k-means iterations appear UNROLLED
+    // in the oracle below, so the driver gate hash-checks the recall
+    // number itself, not just a row count. ──
+
+    // IVF recall@5 vs exhaustive, q46's config (k=8, iters=2, nprobe=3,
+    // queries vec_id<5) in portable arithmetic. recall_x1e6 = hits·200000.
+    QDef("q217_ivf_recall",
+      (s, d) => {
+        val corpus = embs(s, d).select(col("vec_id"),
+          PortableAnn.quant(col("embedding")).as("qv"))
+        val model = PortableAnn.train(corpus, "vec_id", "qv", k = 8, iters = 2)
+        val queries = corpus.filter(col("vec_id") < 5)
+        val approx = PortableAnn.ivfSearch(queries, corpus, "vec_id", "qv",
+            model, nprobe = 3, topK = 5)
+          .select(col("query_id"), col("vec_id"), lit(1).as("hit"))
+        PortableAnn.exactTopK(queries, corpus, "vec_id", "qv", topK = 5)
+          .select(col("query_id"), col("vec_id"))
+          .join(approx, Seq("query_id", "vec_id"), "left")
+          .groupBy(col("query_id"))
+          .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
+          .select(col("query_id"), col("n_hits"),
+            (col("n_hits") * lit(200000L)).as("recall_x1e6"))
+          .orderBy(col("query_id"))
+      },
+      Some(ivfRecallSql)),
+
+    // PQ recall@10 vs exhaustive, q88's config (m=8, k=16, iters=2,
+    // query = vec 0, shortlist 50) in portable arithmetic. The ADC lookup
+    // table is a driver-side lut in Spark and a relational join against
+    // the codebook CTE in SQL — same integers. recall_x1e6 = hits·100000.
+    QDef("q218_pq_recall",
+      (s, d) => {
+        val corpus = embs(s, d).select(col("vec_id"),
+          PortableAnn.quant(col("embedding")).as("qv"))
+        val books = PortableAnn.pqTrain(corpus, "vec_id", "qv",
+          m = 8, subDim = 8, k = 16, iters = 2)
+        val qvec = corpus.orderBy(col("vec_id")).limit(1)
+          .select(col("qv")).head().getSeq[Long](0).toArray
+        val rest = corpus.filter(col("vec_id") =!= 0L)
+        val approx = PortableAnn.pqSearchWithRerank(rest, "vec_id", "qv",
+            books, qvec, subDim = 8, shortlist = 50, topK = 10)
+          .select(col("vec_id"), lit(1).as("hit"))
+        PortableAnn.exactTopK(
+            corpus.filter(col("vec_id") === 0L), rest, "vec_id", "qv",
+            topK = 10)
+          .select(col("vec_id"))
+          .join(approx, Seq("vec_id"), "left")
+          .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
+          .select(col("n_hits"),
+            (col("n_hits") * lit(100000L)).as("recall_x1e6"))
+      },
+      Some(pqRecallSql)),
+
+    // Clustered-SemDeDup containment vs exhaustive over the q137 slice
+    // (vec_id < 2000), q138's algorithm (k-means cells, per-cell pairs,
+    // cos ≥ 0.4 with a lower id drops the higher id) in portable
+    // arithmetic:
+    // cos ≥ 2/5 becomes the exact integer predicate dot > 0 ∧
+    // 25·dot² ≥ 4·‖a‖²·‖b‖². n_violations = clustered drops that the
+    // exhaustive pass does NOT drop — 0 by theorem (a within-cell
+    // neighbor is a global neighbor); containment_x1e6 quantifies the
+    // cross-cluster misses the scale path trades away.
+    QDef("q219_semdedup_containment",
+      (s, d) => {
+        val base = embs(s, d).filter(col("vec_id") < 2000)
+          .select(col("vec_id"), PortableAnn.quant(col("embedding")).as("qv"))
+        val model = PortableAnn.train(base, "vec_id", "qv", k = 8, iters = 2)
+        val a = base
+          .withColumn("cell", PortableAnn.bestCell(col("qv"), model))
+          .withColumn("n2", PortableAnn.dotL(col("qv"), col("qv")))
+        val lo = a.select(col("vec_id").as("ia"), col("qv").as("qa"),
+          col("n2").as("na2"), col("cell").as("ca"))
+        val hi = a.select(col("vec_id").as("ib"), col("qv").as("qb"),
+          col("n2").as("nb2"), col("cell").as("cb"))
+        def drops(joined: DataFrame): DataFrame = joined
+          .filter(col("ia") < col("ib"))
+          .select(col("ib"), PortableAnn.dotL(col("qa"), col("qb")).as("dp"),
+            col("na2"), col("nb2"))
+          .filter(PortableAnn.cosGe(col("dp"), col("na2"), col("nb2"), 2, 5))
+          .select(col("ib")).distinct()
+        val cdrop = drops(lo.join(hi, col("ca") === col("cb")))
+        val edrop = drops(lo.crossJoin(hi))
+        val nv = base.agg(count(lit(1)).cast("long").as("n_vectors"))
+        val nc = cdrop.agg(count(lit(1)).cast("long").as("n_drops_clustered"))
+        val ne = edrop.agg(count(lit(1)).cast("long").as("n_drops_exhaustive"))
+        val viol = cdrop.join(edrop, Seq("ib"), "left_anti")
+          .agg(count(lit(1)).cast("long").as("n_violations"))
+        nv.crossJoin(nc).crossJoin(ne).crossJoin(viol)
+          .select(col("n_vectors"), col("n_drops_clustered"),
+            col("n_drops_exhaustive"), col("n_violations"),
+            when(col("n_drops_exhaustive") === 0L, lit(1000000L))
+              .otherwise(expr(
+                "CAST(n_drops_clustered * 1000000 DIV n_drops_exhaustive AS BIGINT)"))
+              .as("containment_x1e6"))
+      },
+      Some(semdedupContainSql))
   )
+
+  // ── Portable-arithmetic oracle SQL (q217/q218/q219). The k-means
+  // chains are UNROLLED (iters=2): assignment = argmin integer L2² with
+  // (dist, cid) tie-break, update = per-dimension truncating integer
+  // mean (`//` and JVM long division both truncate toward zero), empty
+  // cells keep their centroid via the LEFT JOIN COALESCE. ──
+
+  /** Quantized-vector CTE: floor(x·1024 + 0.5) per element as BIGINT. */
+  private def qvSql(where: String): String =
+    "v AS (SELECT vec_id, [CAST(floor(x*1024.0 + 0.5) AS BIGINT) " +
+      s"for x in CAST(embedding AS DOUBLE[])] AS q FROM embeddings$where)"
+
+  /** Integer squared-L2 over two spliced list expressions. */
+  private def d2Sql(a: String, b: String): String =
+    s"list_sum([($a[i]-$b[i])*($a[i]-$b[i]) for i in range(1, len($a)+1)])"
+
+  /** Integer dot product over two spliced list expressions. */
+  private def dotSqlL(a: String, b: String): String =
+    s"list_sum([$a[i]*$b[i] for i in range(1, len($a)+1)])"
+
+  /** One assignment CTE a$i: argmin cell over centroid CTE `cents`. */
+  private def assignSql(i: Int, cents: String): String =
+    s"a$i AS (SELECT vec_id, q, cid FROM (SELECT v.vec_id, v.q, c.cid, " +
+      s"row_number() OVER (PARTITION BY v.vec_id ORDER BY ${d2Sql("v.q", "c.c")}, c.cid) AS rn " +
+      s"FROM v CROSS JOIN $cents c) WHERE rn = 1)"
+
+  /** One update pair m$i/c$i: truncating integer means over a$i, empty
+    * cells keep `prev`'s centroid.
+    */
+  private def updateSql(i: Int, prev: String): String =
+    s"m$i AS (SELECT cid, pos, CAST(sum(x) AS BIGINT) // CAST(count(*) AS BIGINT) AS mi " +
+      s"FROM (SELECT cid, generate_subscripts(q, 1) AS pos, unnest(q) AS x FROM a$i) GROUP BY 1, 2), " +
+      s"c$i AS (SELECT $prev.cid, COALESCE(m.c, $prev.c) AS c FROM $prev " +
+      s"LEFT JOIN (SELECT cid, list(mi ORDER BY pos) AS c FROM m$i GROUP BY 1) m ON $prev.cid = m.cid)"
+
+  /** Unrolled 2-iteration Lloyd's over CTE `v`, final centroids in c2. */
+  private def kmeansSql(k: Int): String =
+    s"c0 AS (SELECT vec_id AS cid, q AS c FROM v WHERE vec_id < $k), " +
+      assignSql(1, "c0") + ", " + updateSql(1, "c0") + ", " +
+      assignSql(2, "c1") + ", " + updateSql(2, "c1")
+
+  private lazy val ivfRecallSql: String =
+    s"WITH ${qvSql("")}, ${kmeansSql(8)}, ${assignSql(3, "c2")}, " +
+      "p AS (SELECT vec_id AS query_id, q AS qq FROM v WHERE vec_id < 5), " +
+      "pc AS (SELECT query_id, cid FROM (SELECT p.query_id, c.cid, " +
+      s"row_number() OVER (PARTITION BY p.query_id ORDER BY ${d2Sql("p.qq", "c.c")}, c.cid) AS rn " +
+      "FROM p CROSS JOIN c2 c) WHERE rn <= 3), " +
+      "apx AS (SELECT query_id, vec_id FROM (SELECT pc.query_id, a3.vec_id, " +
+      s"row_number() OVER (PARTITION BY pc.query_id ORDER BY ${d2Sql("a3.q", "p.qq")}, a3.vec_id) AS rn " +
+      "FROM pc JOIN a3 ON pc.cid = a3.cid JOIN p ON p.query_id = pc.query_id " +
+      "WHERE a3.vec_id <> pc.query_id) WHERE rn <= 5), " +
+      "ext AS (SELECT query_id, vec_id FROM (SELECT p.query_id, v.vec_id, " +
+      s"row_number() OVER (PARTITION BY p.query_id ORDER BY ${d2Sql("v.q", "p.qq")}, v.vec_id) AS rn " +
+      "FROM p CROSS JOIN v WHERE v.vec_id <> p.query_id) WHERE rn <= 5) " +
+      "SELECT e.query_id, CAST(count(a.vec_id) AS BIGINT) AS n_hits, " +
+      "CAST(count(a.vec_id) * 200000 AS BIGINT) AS recall_x1e6 " +
+      "FROM ext e LEFT JOIN apx a ON e.query_id = a.query_id AND e.vec_id = a.vec_id " +
+      "GROUP BY 1 ORDER BY 1"
+
+  /** Per-subspace assignment CTE pa$i over `sub`, codebook CTE `books`. */
+  private def pqAssignSql(i: Int, books: String): String =
+    s"pa$i AS (SELECT vec_id, s, sq, cid FROM (SELECT t.vec_id, t.s, t.sq, b.cid, " +
+      s"row_number() OVER (PARTITION BY t.vec_id, t.s ORDER BY ${d2Sql("t.sq", "b.c")}, b.cid) AS rn " +
+      s"FROM sub t JOIN $books b ON t.s = b.s) WHERE rn = 1)"
+
+  private def pqUpdateSql(i: Int, prev: String): String =
+    s"pm$i AS (SELECT s, cid, pos, CAST(sum(x) AS BIGINT) // CAST(count(*) AS BIGINT) AS mi " +
+      s"FROM (SELECT s, cid, generate_subscripts(sq, 1) AS pos, unnest(sq) AS x FROM pa$i) GROUP BY 1, 2, 3), " +
+      s"b$i AS (SELECT $prev.s, $prev.cid, COALESCE(m.c, $prev.c) AS c FROM $prev " +
+      s"LEFT JOIN (SELECT s, cid, list(mi ORDER BY pos) AS c FROM pm$i GROUP BY 1, 2) m " +
+      s"ON $prev.s = m.s AND $prev.cid = m.cid)"
+
+  private lazy val pqRecallSql: String =
+    s"WITH ${qvSql("")}, " +
+      "sub AS (SELECT vec_id, CAST(r.s AS INT) AS s, " +
+      "q[CAST(r.s*8+1 AS INT):CAST(r.s*8+8 AS INT)] AS sq FROM v CROSS JOIN range(8) r(s)), " +
+      "b0 AS (SELECT s, vec_id AS cid, sq AS c FROM sub WHERE vec_id < 16), " +
+      pqAssignSql(1, "b0") + ", " + pqUpdateSql(1, "b0") + ", " +
+      pqAssignSql(2, "b1") + ", " + pqUpdateSql(2, "b1") + ", " +
+      "enc AS (SELECT vec_id, s, cid FROM (SELECT t.vec_id, t.s, b.cid, " +
+      s"row_number() OVER (PARTITION BY t.vec_id, t.s ORDER BY ${d2Sql("t.sq", "b.c")}, b.cid) AS rn " +
+      "FROM sub t JOIN b2 b ON t.s = b.s) WHERE rn = 1), " +
+      s"qs AS (SELECT s, sq FROM sub WHERE vec_id = 0), " +
+      s"lut AS (SELECT b.s, b.cid, ${d2Sql("q.sq", "b.c")} AS ld FROM b2 b JOIN qs q ON b.s = q.s), " +
+      "adc AS (SELECT e.vec_id, CAST(sum(l.ld) AS BIGINT) AS adc FROM enc e " +
+      "JOIN lut l ON e.s = l.s AND e.cid = l.cid WHERE e.vec_id <> 0 GROUP BY 1), " +
+      "short AS (SELECT vec_id FROM adc ORDER BY adc, vec_id LIMIT 50), " +
+      "qq AS (SELECT q FROM v WHERE vec_id = 0), " +
+      s"apx AS (SELECT vec_id FROM (SELECT v.vec_id, ${d2Sql("v.q", "qq.q")} AS d " +
+      "FROM v JOIN short USING (vec_id) CROSS JOIN qq) ORDER BY d, vec_id LIMIT 10), " +
+      s"ext AS (SELECT vec_id FROM (SELECT v.vec_id, ${d2Sql("v.q", "qq.q")} AS d " +
+      "FROM v CROSS JOIN qq WHERE v.vec_id <> 0) ORDER BY d, vec_id LIMIT 10) " +
+      "SELECT CAST(count(a.vec_id) AS BIGINT) AS n_hits, " +
+      "CAST(count(a.vec_id) * 100000 AS BIGINT) AS recall_x1e6 " +
+      "FROM ext e LEFT JOIN apx a ON e.vec_id = a.vec_id"
+
+  private lazy val semdedupContainSql: String =
+    s"WITH ${qvSql(" WHERE vec_id < 2000")}, ${kmeansSql(8)}, ${assignSql(3, "c2")}, " +
+      s"nrm AS (SELECT vec_id, cid, q, ${dotSqlL("q", "q")} AS n2 FROM a3), " +
+      s"cd AS (SELECT a.vec_id AS ia, b.vec_id AS ib, ${dotSqlL("a.q", "b.q")} AS dp, " +
+      "a.n2 AS na2, b.n2 AS nb2 FROM nrm a JOIN nrm b ON a.cid = b.cid AND a.vec_id < b.vec_id), " +
+      "cdrop AS (SELECT DISTINCT ib FROM cd WHERE dp > 0 AND 25*dp*dp >= 4*na2*nb2), " +
+      s"ed AS (SELECT a.vec_id AS ia, b.vec_id AS ib, ${dotSqlL("a.q", "b.q")} AS dp, " +
+      "a.n2 AS na2, b.n2 AS nb2 FROM nrm a JOIN nrm b ON a.vec_id < b.vec_id), " +
+      "edrop AS (SELECT DISTINCT ib FROM ed WHERE dp > 0 AND 25*dp*dp >= 4*na2*nb2) " +
+      "SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_vectors, " +
+      "(SELECT CAST(count(*) AS BIGINT) FROM cdrop) AS n_drops_clustered, " +
+      "(SELECT CAST(count(*) AS BIGINT) FROM edrop) AS n_drops_exhaustive, " +
+      "(SELECT CAST(count(*) AS BIGINT) FROM cdrop WHERE ib NOT IN (SELECT ib FROM edrop)) AS n_violations, " +
+      "CASE WHEN (SELECT count(*) FROM edrop) = 0 THEN CAST(1000000 AS BIGINT) " +
+      "ELSE CAST((SELECT count(*) FROM cdrop) * 1000000 // (SELECT count(*) FROM edrop) AS BIGINT) END " +
+      "AS containment_x1e6"
 }
