@@ -441,23 +441,78 @@ object DedupOps {
     * it is bounded by 2×|candidate pairs|, which the prefix/DF-cap
     * filters keep far below corpus size.
     */
+  /** Candidate-doc shingle volume (rows) below which verification runs
+    * in the broadcast regime. ~100 MB of driver strings at the cap; the
+    * join regime takes over beyond it. System-property override exists so
+    * the regime-equality spec can force the join path on a small corpus.
+    */
+  private[graft] def VerifyLocalMaxShingles: Long =
+    sys.props.get("graft.verify.localMaxShingles").map(_.toLong)
+      .getOrElse(4000000L)
+
+  /** Exact-Jaccard verification of candidate pairs. Two regimes, same
+    * result (regime equality pinned in SimilaritySpec):
+    *
+    * - **Broadcast** (candidate docs' shingle volume ≤
+    *   [[VerifyLocalMaxShingles]]): collect the doc → sorted-shingle-set
+    *   map once, broadcast it, and verify each pair with a narrow
+    *   merge-intersect UDF. The dense-candidate join regime ships BOTH
+    *   ~|set|-element string arrays once per PAIR (measured ~600 MB of
+    *   shuffle for 125k candidates on the adversarial corpus — the
+    *   dominant verification cost); broadcasting ships each set once per
+    *   EXECUTOR. Candidate docs are dup-bounded, not corpus-bounded, so
+    *   the cap holds far past this SF — and the join regime remains the
+    *   unconditional fallback.
+    * - **Join**: group sets per doc, join them onto the pairs, exact
+    *   `array_intersect`.
+    */
   private def verifyCandidates(sh: DataFrame, cands: DataFrame,
                                idCol: String, threshold: Double): DataFrame = {
     val candDocs = cands.select(col("id_a").as(idCol))
       .union(cands.select(col("id_b").as(idCol))).distinct()
-    val docSets = sh.join(broadcast(candDocs), Seq(idCol), "left_semi")
-      .groupBy(col(idCol))
-      .agg(collect_list(col("shingle")).as("set"))
-    cands
-      .join(docSets.select(col(idCol).as("id_a"), col("set").as("set_a")), Seq("id_a"))
-      .join(docSets.select(col(idCol).as("id_b"), col("set").as("set_b")), Seq("id_b"))
-      .withColumn("inter",
-        size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
-      .withColumn("jaccard",
-        col("inter").cast("double") /
-          (size(col("set_a")).cast("long") + size(col("set_b")) - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    val candSh = sh.join(broadcast(candDocs), Seq(idCol), "left_semi")
+    val nShingles = candSh.count()
+    if (nShingles <= VerifyLocalMaxShingles) {
+      val local = candSh
+        .groupBy(col(idCol))
+        .agg(sort_array(collect_list(col("shingle"))).as("set"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1).toArray)
+        .toMap
+      val bc = sh.sparkSession.sparkContext.broadcast(local)
+      val stats = udf { (a: Long, b: Long) =>
+        val x = bc.value(a)
+        val y = bc.value(b)
+        var i = 0; var j = 0; var c = 0L
+        while (i < x.length && j < y.length) {
+          val cmp = x(i).compareTo(y(j))
+          if (cmp == 0) { c += 1; i += 1; j += 1 }
+          else if (cmp < 0) i += 1
+          else j += 1
+        }
+        (c, x.length.toLong, y.length.toLong)
+      }
+      cands
+        .withColumn("__st", stats(col("id_a"), col("id_b")))
+        .withColumn("jaccard", col("__st._1").cast("double") /
+          (col("__st._2") + col("__st._3") - col("__st._1")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    } else {
+      val docSets = candSh
+        .groupBy(col(idCol))
+        .agg(collect_list(col("shingle")).as("set"))
+      cands
+        .join(docSets.select(col(idCol).as("id_a"), col("set").as("set_a")), Seq("id_a"))
+        .join(docSets.select(col(idCol).as("id_b"), col("set").as("set_b")), Seq("id_b"))
+        .withColumn("inter",
+          size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
+        .withColumn("jaccard",
+          col("inter").cast("double") /
+            (size(col("set_a")).cast("long") + size(col("set_b")) - col("inter")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    }
   }
 
   /** Exact Jaccard pairs with prefix filtering (PPJoin-family): shingles
@@ -530,6 +585,14 @@ object DedupOps {
       col("rk").as("rk_b"), col("sz").as("sz_b"))
     val minOverlap = ceil(lit(threshold / (1.0 + threshold)) *
       (col("sz_a") + col("sz_b")) - 1e-9)
+    // NOTE on the "aggregated overlap" PPJoin variant (count shared
+    // prefix entries per pair, bound with the last entry's positional
+    // remainder): because the per-row positional bound is monotonically
+    // decreasing in rank, the surviving matches are always a rank-prefix
+    // of a true pair's shared entries — which makes the aggregated test
+    // at the last survivor exactly (α−1) WEAKER than the first entry's
+    // per-row test. Measured on the adversarial 40-word corpus it prunes
+    // 0 of 125k candidates; not worth the extra pair-keyed shuffle.
     a.hint("shuffle_hash").join(b,
         col("h_a") === col("h_b") &&
           col("id_a") < col("id_b") &&

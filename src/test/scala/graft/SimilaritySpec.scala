@@ -159,6 +159,20 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("verification regimes agree: broadcast merge-intersect == join path") {
+    // same corpus, both verification regimes (the sys-prop forces the
+    // array_intersect join path that big candidate volumes would take)
+    val bcast = DedupOps.prefixJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    System.setProperty("graft.verify.localMaxShingles", "0")
+    try {
+      val joined = DedupOps.prefixJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(bcast === joined)
+      assert(bcast.nonEmpty)
+    } finally System.clearProperty("graft.verify.localMaxShingles")
+  }
+
   test("one-pass simhash matches the explode+aggregate formulation") {
     // the aggregate (shuffle) formulation the one-pass UDF replaced: explode
     // tokens, xxhash64 each, 64 per-bit majority-vote sums
