@@ -36,6 +36,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // WindowExec's "No Partition Defined" warning fires for every
+    // deliberate global-share/cumulative window (hundreds of lines per
+    // sweep — enough to bury a real warning). Those sites are
+    // STRUCTURALLY guarded instead: PlanShapeSpec walks every registered
+    // query's plan and fails if an empty-partition window sits over
+    // anything but an aggregate-bounded input, so the log line carries
+    // no information here and is dropped to ERROR for the bench run.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     // untimed warm-up: JIT + codegen + parquet footer reads would otherwise
     // be billed to whichever queries happen to run first
     Seq("lineitem", "orders", "documents", "embeddings", "events")

@@ -339,6 +339,23 @@ object GraphOps {
     * label diversity, not its degree; `localCheckpoint` per round cuts
     * the loop lineage (the GraphOps convention).
     */
+  /** One synchronous LPA round as a DataFrame (pre-checkpoint): join the
+    * labels onto edge destinations, count neighbor labels per node, keep
+    * the most frequent (ties → smallest label). Exposed so PlanShapeSpec
+    * can pin the per-round shuffle shape — edge-keyed exchanges plus the
+    * node-keyed rank window, never a single-partition stage.
+    */
+  private[graft] def lpaRound(und: DataFrame, labels: DataFrame): DataFrame = {
+    val byNode = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("a")).orderBy(col("n").desc, col("label"))
+    und
+      .join(labels.withColumnRenamed("id", "b"), Seq("b"))
+      .groupBy(col("a"), col("label")).agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(byNode))
+      .filter(col("rn") === 1)
+      .select(col("a").as("id"), col("label"))
+  }
+
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
                        rounds: Int): DataFrame = {
     val und = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
@@ -346,17 +363,9 @@ object GraphOps {
       .distinct().localCheckpoint()
     var labels = und.select(col("a").as("id")).distinct()
       .select(col("id"), col("id").as("label")).localCheckpoint()
-    val byNode = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("a")).orderBy(col("n").desc, col("label"))
     var r = 0
     while (r < rounds) {
-      labels = und
-        .join(labels.withColumnRenamed("id", "b"), Seq("b"))
-        .groupBy(col("a"), col("label")).agg(count(lit(1)).as("n"))
-        .withColumn("rn", row_number().over(byNode))
-        .filter(col("rn") === 1)
-        .select(col("a").as("id"), col("label"))
-        .localCheckpoint()
+      labels = lpaRound(und, labels).localCheckpoint()
       r += 1
     }
     labels

@@ -443,6 +443,19 @@ object Similarity {
     * same order as the oracle's `list_dot_product`/ordered lists, so the
     * 6dp-rounded outputs agree across engines.
     */
+  /** One power-iteration step of [[spectrumAudit]] as a DataFrame:
+    * per-row scalar s = x·v − μ·v, then Σ x_i·s per dimension — ONE scan,
+    * one d-row shuffle keyed on the dimension index. Exposed so
+    * PlanShapeSpec can pin that the d×d covariance never materializes
+    * (no join, no corpus-scale exchange) without running the full audit.
+    */
+  private[graft] def spectrumStep(vecs: DataFrame, v: Array[Double],
+                                  c: Double): DataFrame = vecs
+    .select((VectorFns.dot(col("e"), lit(v)) - lit(c)).as("s"), col("e"))
+    .select(col("s"), posexplode(col("e")).as(Seq("i", "x")))
+    .groupBy(col("i")).agg(sum(col("x") * col("s")).as("xs"))
+    .orderBy(col("i"))
+
   def spectrumAudit(df: DataFrame, idCol: String, embCol: String,
                     iters: Int): DataFrame = {
     val spark = df.sparkSession
@@ -464,11 +477,7 @@ object Similarity {
       var c = 0.0
       var j = 0
       while (j < d) { c += mu(j) * v(j); j += 1 }
-      val xs = vecs
-        .select((VectorFns.dot(col("e"), lit(v)) - lit(c)).as("s"), col("e"))
-        .select(col("s"), posexplode(col("e")).as(Seq("i", "x")))
-        .groupBy(col("i")).agg(sum(col("x") * col("s")).as("xs"))
-        .orderBy(col("i")).collect()
+      val xs = spectrumStep(vecs, v, c).collect()
       val w = Array.tabulate(d)(k => xs(k).getDouble(1) / n)
       var nsq = 0.0
       j = 0

@@ -58,7 +58,15 @@ class PlanShapeSpec extends SparkSpec {
       // two one-row corpus-total scalars broadcast onto vocab-sized rows
       "q175_pmi_collocations",
       // 5-row broadcast query side × corpus scan, twice (full + truncated)
-      "q182_matryoshka")
+      "q182_matryoshka",
+      // source-pair spine: |sources|² tiny cross restoring zero-overlap
+      // pairs (JS = ln 2) that the shared-vocab join cannot emit
+      "q214_js_divergence",
+      // portable-recall family: ≤5-row broadcast query side × corpus for
+      // the exhaustive denominator (q21's shape); q219 additionally runs
+      // the deliberate O(n²) exhaustive SemDeDup baseline on the bounded
+      // q137 slice — the thing its containment metric is measured AGAINST
+      "q217_ivf_recall", "q218_pq_recall", "q219_semdedup_containment")
     val cartesianAllowed = Set("q22_embed_neardup")
     val offenders = QueryRegistry.all.flatMap { q =>
       try {
@@ -306,6 +314,109 @@ class PlanShapeSpec extends SparkSpec {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
     }
+  }
+
+  test("round-5c additions: q206/q213/q214/q215 shuffle shapes") {
+    // q206 spectrum power step: one corpus scan → dimension-keyed d-row
+    // aggregate; the d×d covariance must never materialize (no join at
+    // all) and no corpus-scale single-partition stage may appear (the
+    // final d-row orderBy's range partition is dimension-sized)
+    val vecs = Tables(spark, sf, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("e"))
+    val step = graft.operators.Similarity
+      .spectrumStep(vecs, Array.fill(64)(0.125), 0.0)
+      .queryExecution.executedPlan.toString
+    assert(!step.contains("Join"), s"spectrum step must be join-free:\n$step")
+    assert(step.contains("hashpartitioning(i"), step)
+    assert(!step.contains("SinglePartition"), s"single-partition stage:\n$step")
+
+    // q213 assortativity: both keyed aggregates (per-endpoint degree,
+    // endpoint join) shuffle on graph keys; the only single-partition
+    // exchange is the final one-row corr aggregate
+    val p213 = plan("q213_assortativity")
+    assert(p213.contains("hashpartitioning(a"), p213)
+    assert(p213.contains("hashpartitioning(b"), p213)
+    assert(p213.linesIterator.count(_.contains("Exchange SinglePartition")) == 1,
+      s"expected exactly the one-row corr exchange:\n$p213")
+
+    // q214 JS divergence: the vocabulary join is keyed on the shared
+    // word — never a corpus-scale cross — and the only nested-loop join
+    // is the |sources|²-row spine restore
+    val p214 = plan("q214_js_divergence")
+    // the vocab join is keyed on the shared word — a w-keyed hash join
+    // (broadcast at small SF) or a w-keyed shuffle, never a cross
+    assert(p214.contains("hashpartitioning(w") ||
+      "Join \\[w#".r.findFirstIn(p214).isDefined, p214)
+    assert(!p214.contains("CartesianProduct"), p214)
+
+    // q215 LPA round: edge-keyed join + node-keyed count + rank window,
+    // no single-partition stage (the full query's plan is checkpoint-fed,
+    // so the pin runs on the exposed round builder)
+    import spark.implicits._
+    val und = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("a", "b")
+    val labels = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("id", "label")
+    val pRound = graft.operators.GraphOps.lpaRound(und, labels)
+      .queryExecution.executedPlan.toString
+    assert(pRound.contains("hashpartitioning(a"), pRound)
+    assert(!pRound.contains("SinglePartition"), s"single-partition stage:\n$pRound")
+  }
+
+  test("every empty-partition window runs over an aggregate-bounded input") {
+    // The registry has ~12 deliberate Window.partitionBy() sites (global
+    // share-of-total, cumulative bin curves, top-revenue marks) — all
+    // over AGGREGATE-sized tables, where a single-partition window is
+    // the right plan. What must never happen is a global window over a
+    // corpus-scale child: this walks EVERY registered query's physical
+    // plan, finds WindowExec nodes with an empty partitionSpec
+    // (unwrapping AQE — plain collect() does not descend into
+    // AdaptiveSparkPlanExec), and requires every path from the window
+    // down to a file/cache scan to pass through an aggregate, limit, or
+    // (pair-bounded) pre-verified join output. This is the structural
+    // invariant behind silencing WindowExec's "No Partition Defined"
+    // warning in Bench.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    // true iff every leaf-ward path hits an aggregate/limit before any
+    // corpus-scale source node
+    def bounded(p: SparkPlan): Boolean = {
+      val name = p.getClass.getSimpleName
+      if (name.contains("Aggregate") || name.contains("Limit") ||
+        name.contains("TakeOrdered")) true
+      else if (name.contains("FileSourceScan") || name.contains("BatchScan") ||
+        name.contains("InMemoryTableScan") || name.contains("RowDataSourceScan"))
+        false
+      else if (p.children.isEmpty) true // LocalTableScan / Range spines
+      else p.children.forall(c => bounded(unwrap(c)))
+    }
+
+    // positive control: a global window straight over the corpus scan
+    // must be flagged, or this test tests nothing
+    val bad = Tables(spark, sf, "documents")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))))
+    val badWs = unwrap(bad.queryExecution.executedPlan).collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(badWs.nonEmpty && badWs.exists(w => !bounded(unwrap(w.child))),
+      "positive control not flagged — checker is vacuous")
+
+    val offenders = QueryRegistry.all.flatMap { q =>
+      val plan =
+        try unwrap(q.run(spark, sf).queryExecution.executedPlan)
+        catch { case e: Throwable => fail(s"${q.name} failed to plan: $e") }
+      plan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty && !bounded(unwrap(w.child)) =>
+          s"${q.name}: unbounded global window:\n$w"
+      }
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n\n"))
+    spark.catalog.clearCache()
   }
 
   test("typed Aggregator computes a one-pass text profile") {
