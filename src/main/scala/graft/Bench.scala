@@ -115,6 +115,31 @@ object Bench {
       val w = new java.io.PrintWriter(detailPath, "UTF-8")
       try w.println(detail) finally w.close()
     } catch { case _: Throwable => () } // summary line still goes out
+    // Self-maintaining CLEANEST-KNOWN detail: noisy ambient-load runs
+    // (the round-5 driver file read noise 0.985 — barely interpretable)
+    // kept overwriting the one clean record. The clean copy only updates
+    // when this run is at least as quiet as the recorded one AND covers
+    // at least as many queries, so diffs against it compare signal.
+    try {
+      val cleanPath = detailPath.replaceAll("\\.json$", "") + "_clean.json"
+      val keep = {
+        val f = new java.io.File(cleanPath)
+        if (!f.exists() || noise.isNaN) !f.exists() && !noise.isNaN
+        else {
+          val old = scala.io.Source.fromFile(f, "UTF-8").mkString
+          def field(name: String): Option[Double] =
+            ("\"" + name + "\":(-?[0-9.]+)").r.findFirstMatchIn(old)
+              .map(_.group(1).toDouble)
+          val oldNoise = field("noise_ratio").getOrElse(Double.MaxValue)
+          val oldN = field("n_queries").getOrElse(0.0)
+          noise <= oldNoise && ok.size >= oldN
+        }
+      }
+      if (keep) {
+        val w = new java.io.PrintWriter(cleanPath, "UTF-8")
+        try w.println(detail) finally w.close()
+      }
+    } catch { case _: Throwable => () }
 
     val summary = s"""{"metric":"total_min_of_$reps","value":${r4(total)},"unit":"sec","n_queries":${ok.size},"n_failed":${failed.size},"failed":$failedJson,"reps":$reps,"mean_sec":${r4(mean)},"noise_ratio":${if (noise.isNaN) "null" else r4(noise)},"queries":${jmap(slowest)},"detail_file":"$detailPath","sf":"$sfDir"}"""
     // the ONLY stdout line after shutdown — the driver parses the last line

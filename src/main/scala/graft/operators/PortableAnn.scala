@@ -190,6 +190,57 @@ object PortableAnn {
       .limit(topK)
   }
 
+  /** Portable SQ8 model over quantized vectors: per-dimension integer
+    * min and range (max − min). min/max of longs are order-independent,
+    * so training is exactly restatable — one d-row aggregate.
+    */
+  def sqTrain(df: DataFrame, qvCol: String): (Array[Long], Array[Long]) = {
+    val stats = df
+      .select(posexplode(col(qvCol)).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    (stats.map(_._2), stats.map(s => s._3 - s._2))
+  }
+
+  /** SQ8 search for one query in pure integer arithmetic (mirrors
+    * [[SqIndex.searchWithRerank]]): code c = round((v−mn)·255/Δ)
+    * computed as (510·(v−mn) + Δ) / (2Δ) — truncating division equals
+    * floor here because both operands are non-negative, so the rounding
+    * is exact and engine-portable (no clamp needed: v ∈ [mn, mn+Δ] puts
+    * c in [0, 255] by construction). The byte-scan distance is kept in
+    * ×255-scaled integers (Σ(255·mn + c·Δ − 255·q)² — same ordering as
+    * the dequantized float distance, zero rounding); the shortlist is
+    * then exactly reranked on the quantized vectors.
+    */
+  def sqSearchWithRerank(corpus: DataFrame, idCol: String, qvCol: String,
+                         mins: Array[Long], deltas: Array[Long],
+                         query: Array[Long], shortlist: Int,
+                         topK: Int): DataFrame = {
+    val adc = udf { v: Seq[Long] =>
+      var d = 0L
+      var i = 0
+      while (i < v.length) {
+        val delta = deltas(i)
+        val c = if (delta == 0L) 0L
+          else (510L * (v(i) - mins(i)) + delta) / (2L * delta)
+        val t = 255L * mins(i) + c * delta - 255L * query(i)
+        d += t * t
+        i += 1
+      }
+      d
+    }
+    val cand = corpus
+      .select(col(idCol), adc(col(qvCol)).as("adc"))
+      .orderBy(col("adc"), col(idCol))
+      .limit(shortlist)
+    corpus.join(cand.select(idCol), Seq(idCol), "left_semi")
+      .select(col(idCol), dist2(col(qvCol), typedLit(query.toSeq)).as("d"))
+      .orderBy(col("d"), col(idCol))
+      .limit(topK)
+  }
+
   /** Integer cosine-threshold predicate cos(a,b) ≥ num/den, exact:
     * dot > 0 AND den²·dot² ≥ num²·‖a‖²·‖b‖². (cos ≥ τ > 0 requires
     * dot > 0, after which squaring is monotone.)

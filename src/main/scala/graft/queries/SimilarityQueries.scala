@@ -1047,7 +1047,35 @@ object SimilarityQueries {
                 "CAST(n_drops_clustered * 1000000 DIV n_drops_exhaustive AS BIGINT)"))
               .as("containment_x1e6"))
       },
-      Some(semdedupContainSql))
+      Some(semdedupContainSql)),
+
+    // SQ8 recall@10 at the APPROXIMATE operating point (shortlist 50 —
+    // q135 is the shortlist=corpus exact twin), completing the
+    // driver-visible recall family across the whole ANN ladder
+    // (IVF q217 / PQ q218 / SQ q220). Portable arithmetic: codes via
+    // exact integer rounding, byte-scan distances in ×255-scaled
+    // integers, so training + search restate in SQL bit-for-bit.
+    QDef("q220_sq_recall",
+      (s, d) => {
+        val corpus = embs(s, d).select(col("vec_id"),
+          PortableAnn.quant(col("embedding")).as("qv"))
+        val (mins, deltas) = PortableAnn.sqTrain(corpus, "qv")
+        val qvec = corpus.orderBy(col("vec_id")).limit(1)
+          .select(col("qv")).head().getSeq[Long](0).toArray
+        val rest = corpus.filter(col("vec_id") =!= 0L)
+        val approx = PortableAnn.sqSearchWithRerank(rest, "vec_id", "qv",
+            mins, deltas, qvec, shortlist = 50, topK = 10)
+          .select(col("vec_id"), lit(1).as("hit"))
+        PortableAnn.exactTopK(
+            corpus.filter(col("vec_id") === 0L), rest, "vec_id", "qv",
+            topK = 10)
+          .select(col("vec_id"))
+          .join(approx, Seq("vec_id"), "left")
+          .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
+          .select(col("n_hits"),
+            (col("n_hits") * lit(100000L)).as("recall_x1e6"))
+      },
+      Some(sqRecallSql))
   )
 
   // ── Portable-arithmetic oracle SQL (q217/q218/q219). The k-means
@@ -1135,6 +1163,26 @@ object SimilarityQueries {
       s"lut AS (SELECT b.s, b.cid, ${d2Sql("q.sq", "b.c")} AS ld FROM b2 b JOIN qs q ON b.s = q.s), " +
       "adc AS (SELECT e.vec_id, CAST(sum(l.ld) AS BIGINT) AS adc FROM enc e " +
       "JOIN lut l ON e.s = l.s AND e.cid = l.cid WHERE e.vec_id <> 0 GROUP BY 1), " +
+      "short AS (SELECT vec_id FROM adc ORDER BY adc, vec_id LIMIT 50), " +
+      "qq AS (SELECT q FROM v WHERE vec_id = 0), " +
+      s"apx AS (SELECT vec_id FROM (SELECT v.vec_id, ${d2Sql("v.q", "qq.q")} AS d " +
+      "FROM v JOIN short USING (vec_id) CROSS JOIN qq) ORDER BY d, vec_id LIMIT 10), " +
+      s"ext AS (SELECT vec_id FROM (SELECT v.vec_id, ${d2Sql("v.q", "qq.q")} AS d " +
+      "FROM v CROSS JOIN qq WHERE v.vec_id <> 0) ORDER BY d, vec_id LIMIT 10) " +
+      "SELECT CAST(count(a.vec_id) AS BIGINT) AS n_hits, " +
+      "CAST(count(a.vec_id) * 100000 AS BIGINT) AS recall_x1e6 " +
+      "FROM ext e LEFT JOIN apx a ON e.vec_id = a.vec_id"
+
+  private lazy val sqRecallSql: String =
+    s"WITH ${qvSql("")}, " +
+      "st AS (SELECT pos, min(x) AS mn, max(x) - min(x) AS dd " +
+      "FROM (SELECT generate_subscripts(q, 1) AS pos, unnest(q) AS x FROM v) GROUP BY 1), " +
+      "ex AS (SELECT vec_id, generate_subscripts(q, 1) AS pos, unnest(q) AS x FROM v WHERE vec_id <> 0), " +
+      "qd AS (SELECT generate_subscripts(q, 1) AS pos, unnest(q) AS qx FROM v WHERE vec_id = 0), " +
+      "terms AS (SELECT e.vec_id, (255*s.mn + (CASE WHEN s.dd = 0 THEN 0 " +
+      "ELSE (510*(e.x - s.mn) + s.dd) // (2*s.dd) END)*s.dd - 255*q.qx) AS p " +
+      "FROM ex e JOIN st s USING (pos) JOIN qd q USING (pos)), " +
+      "adc AS (SELECT vec_id, CAST(sum(p*p) AS BIGINT) AS adc FROM terms GROUP BY 1), " +
       "short AS (SELECT vec_id FROM adc ORDER BY adc, vec_id LIMIT 50), " +
       "qq AS (SELECT q FROM v WHERE vec_id = 0), " +
       s"apx AS (SELECT vec_id FROM (SELECT v.vec_id, ${d2Sql("v.q", "qq.q")} AS d " +

@@ -50,6 +50,21 @@ class PortableAnnSpec extends SparkSpec {
     assert(full === exact)
   }
 
+  test("sq rerank at shortlist = corpus equals exhaustive top-k") {
+    val (mins, deltas) = PortableAnn.sqTrain(corpus, "qv")
+    val qvec = corpus.orderBy(col("vec_id")).limit(1)
+      .select(col("qv")).head().getSeq[Long](0).toArray
+    val rest = corpus.filter(col("vec_id") =!= 0L)
+    val n = rest.count().toInt
+    val full = PortableAnn.sqSearchWithRerank(rest, "vec_id", "qv",
+        mins, deltas, qvec, shortlist = n, topK = 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val exact = PortableAnn.exactTopK(
+        corpus.filter(col("vec_id") === 0L), rest, "vec_id", "qv", 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(full === exact)
+  }
+
   test("semdedup containment theorem: clustered drops ⊆ exhaustive drops") {
     // any within-cell cos≥τ lower-id neighbor is also a global one, so
     // the violation count is structurally zero — the q219 gate row's
