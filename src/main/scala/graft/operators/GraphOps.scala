@@ -341,20 +341,21 @@ object GraphOps {
     */
   /** One synchronous LPA round as a DataFrame (pre-checkpoint): join the
     * labels onto edge destinations, count neighbor labels per node, keep
-    * the most frequent (ties → smallest label). Exposed so PlanShapeSpec
-    * can pin the per-round shuffle shape — edge-keyed exchanges plus the
-    * node-keyed rank window, never a single-partition stage.
+    * the most frequent (ties → smallest label). The winner is a struct
+    * ARGMIN over (−n, label) — lexicographic min ≡ max count then min
+    * label — instead of a rank window: same result, but the second
+    * aggregate partial-combines map-side and needs no per-partition
+    * sort (measured q215 5.0 → 3.5 s warm at sf0.1). Exposed so
+    * PlanShapeSpec can pin the per-round shuffle shape — edge-keyed
+    * exchanges only, never a single-partition stage.
     */
-  private[graft] def lpaRound(und: DataFrame, labels: DataFrame): DataFrame = {
-    val byNode = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("a")).orderBy(col("n").desc, col("label"))
+  private[graft] def lpaRound(und: DataFrame, labels: DataFrame): DataFrame =
     und
       .join(labels.withColumnRenamed("id", "b"), Seq("b"))
       .groupBy(col("a"), col("label")).agg(count(lit(1)).as("n"))
-      .withColumn("rn", row_number().over(byNode))
-      .filter(col("rn") === 1)
-      .select(col("a").as("id"), col("label"))
-  }
+      .groupBy(col("a"))
+      .agg(min(struct((-col("n")).as("negn"), col("label"))).as("best"))
+      .select(col("a").as("id"), col("best.label").as("label"))
 
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
                        rounds: Int): DataFrame = {

@@ -66,7 +66,8 @@ class PlanShapeSpec extends SparkSpec {
       // the exhaustive denominator (q21's shape); q219 additionally runs
       // the deliberate O(n²) exhaustive SemDeDup baseline on the bounded
       // q137 slice — the thing its containment metric is measured AGAINST
-      "q217_ivf_recall", "q218_pq_recall", "q219_semdedup_containment")
+      "q217_ivf_recall", "q218_pq_recall", "q219_semdedup_containment",
+      "q220_sq_recall")
     val cartesianAllowed = Set("q22_embed_neardup")
     val offenders = QueryRegistry.all.flatMap { q =>
       try {

@@ -114,10 +114,12 @@ class QualitySignalsSpec extends SparkSpec {
     val out = run("q214_js_divergence", dir).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
     assert(out(("A", "B")) == 0L)                 // same distribution
-    // (A,C)/(B,C) share no words → inner join drops them: full JS = ln 2
-    // is carried entirely by the exclusive-mass term, and with NO shared
-    // row the pair has no output row at all — absence IS the ln2 signal
-    assert(!out.contains(("A", "C")) && !out.contains(("B", "C")))
+    // (A,C)/(B,C) share no words: JS = ln 2 carried entirely by the
+    // exclusive-mass term. The source-pair spine restores these rows
+    // explicitly (n_shared_words = 0, js = ⌊ln 2·10⁴⌉) — an ADVICE.md
+    // round-5 fix: absence used to BE the signal, which consumers
+    // misread as "not computed"
+    assert(out(("A", "C")) == 6931L && out(("B", "C")) == 6931L)
     // a partially-overlapping pair lands strictly inside (0, ln 2)
     val dir2 = Files.createTempDirectory("js2").toString
     Seq((1L, "x y", "en", "A", 3L), (2L, "x q", "en", "B", 3L))
