@@ -14,6 +14,18 @@ class PortableAnnSpec extends SparkSpec {
   private lazy val corpus = spark.read.parquet(s"$sf/embeddings.parquet")
     .select(col("vec_id"), PortableAnn.quant(col("embedding")).as("qv"))
 
+  test("codegen long dot/dist2 match the HOF forms exactly") {
+    val pairs = corpus.limit(40).select(col("qv").as("a"))
+      .crossJoin(corpus.limit(40).select(col("qv").as("b")))
+    val diff = pairs.select(
+        (PortableAnn.dotL(col("a"), col("b")) -
+          PortableAnn.dotLHof(col("a"), col("b"))).as("dd"),
+        (PortableAnn.dist2(col("a"), col("b")) -
+          PortableAnn.dist2Hof(col("a"), col("b"))).as("dl"))
+      .agg(sum(abs(col("dd"))), sum(abs(col("dl")))).head()
+    assert(diff.getLong(0) == 0L && diff.getLong(1) == 0L)
+  }
+
   test("portable k-means is partition-order invariant") {
     val a = PortableAnn.train(corpus, "vec_id", "qv", k = 8, iters = 2)
     val b = PortableAnn.train(corpus.repartition(7), "vec_id", "qv",
