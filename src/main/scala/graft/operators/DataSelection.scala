@@ -510,4 +510,122 @@ object DataSelection {
           .otherwise("test"))
       .select(col(idCol), col("group_key"), col("split"))
   }
+
+  /** Greedy k-center coreset — Gonzalez (1985) farthest-first traversal
+    * over a quantized-integer embedding column (see
+    * [[PortableAnn.quant]]): seed with the lowest id, then k−1 times add
+    * the point whose min squared-L2 distance to the chosen set is
+    * largest (ties → lowest id). The classic 2-approximation for
+    * diversity-maximizing subset selection — in training-data land, the
+    * coreset/prototype picker that covers the embedding space with k
+    * exemplars (each point is within `coverage_after` of a center).
+    *
+    * Determinism: distances are exact integer L2² over the quantized
+    * vectors ([[graft.functions.LongDist2Expr]], codegen'd) and every
+    * argmax is fully tie-broken, so the selection restates in SQL — the
+    * q221 oracle unrolls these k rounds as DuckDB CTEs.
+    *
+    * Scale shape: k scans of the corpus, each ONE whole-stage-codegen'd
+    * aggregate (`max(struct(dmin, -id, qv))` — no sort, no shuffle wider
+    * than the 32-partition partial-max combine); driver state is the
+    * selected k×d integer matrix (model-sized). The min-distance chain is
+    * a collapsed projection against the ≤k broadcast center literals —
+    * per-row cost O(k·d) multiply-adds, negligible against scan I/O; no
+    * corpus-scale state is cached or checkpointed.
+    *
+    * Returns k driver-built rows: (sel_rank 1-based, idCol, d2_sel = the
+    * point's min-distance² to the prior centers when chosen — 0 for the
+    * seed — and coverage_after = max over ALL points of min-distance² to
+    * centers 1..sel_rank, the covering-radius² curve).
+    */
+  def kcenterCoreset(df: DataFrame, idCol: String, qvCol: String,
+                     k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol).cast("long").as("id"), col(qvCol).as("qv"))
+    def d2To(center: Array[Long]): Column =
+      graft.functions.LongVectorExprs.dist2(col("qv"),
+        array(center.map(lit(_)): _*))
+
+    val seed = base.orderBy(col("id")).limit(1)
+      .select(col("id"), col("qv")).head()
+    val seedId = seed.getLong(0)
+    var cur = base.withColumn("dmin", d2To(seed.getSeq[Long](1).toArray))
+    // (rank, id, d2_sel) in selection order; coverage is stitched after.
+    val picks = scala.collection.mutable.ArrayBuffer((1L, seedId, 0L))
+    var round = 2
+    while (round <= k) {
+      val m = cur
+        .agg(max(struct(col("dmin"), (-col("id")).as("nid"),
+          col("qv").as("cq"))).as("m"))
+        .head().getStruct(0)
+      val (d2, id, cq) =
+        (m.getLong(0), -m.getLong(1), m.getSeq[Long](2).toArray)
+      picks += ((round.toLong, id, d2))
+      cur = cur.withColumn("dmin", least(col("dmin"), d2To(cq)))
+      round += 1
+    }
+    val covK = cur.agg(max(col("dmin"))).head().getLong(0)
+    val rows = picks.toSeq.zipWithIndex.map { case ((r, id, d2), i) =>
+      val cov = if (i + 1 < picks.length) picks(i + 1)._3 else covK
+      (r, id, d2, cov)
+    }
+    rows.toDF("sel_rank", idCol, "d2_sel", "coverage_after")
+  }
+
+  /** Greedy maximum-coverage document selection — the (1−1/e) submodular
+    * greedy (Nemhauser/Wolsey/Fisher 1978): round i picks the document
+    * covering the most word n-grams not yet covered by the picks so far
+    * (ties → lowest id). The coverage-maximizing dual of [[kcenterCoreset]]:
+    * k-center spreads exemplars in embedding space; this spreads them in
+    * n-gram space — the "pick k docs that span the corpus vocabulary"
+    * curation primitive.
+    *
+    * Scale shape: the distinct (doc, shingle) table materializes ONCE
+    * (`localCheckpoint` — it is re-scanned every round), then each round
+    * is one broadcast ANTI join against the covered-shingle set (bounded
+    * by the k picked docs' shingles — model-sized, never corpus-sized)
+    * plus one `max(struct)` argmax aggregate (no sort). Driver state is
+    * the picked id list; the covered SET never leaves the cluster.
+    *
+    * Stops early if every shingle is covered. Returns ≤ k driver-built
+    * rows (sel_rank, idCol, gain = newly covered shingles,
+    * covered_total = running distinct-shingle coverage).
+    */
+  def greedyCoverage(df: DataFrame, idCol: String, textCol: String,
+                     n: Int, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val grams = DedupOps.shingles(df, idCol, textCol, n)
+      .select(col(idCol).cast("long").as("id"), col("shingle"))
+      .localCheckpoint()
+    val picks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    var pickedIds = List.empty[Long]
+    var coveredTotal = 0L
+    var round = 1
+    var saturated = false
+    while (round <= k && !saturated) {
+      val cand =
+        if (pickedIds.isEmpty) grams
+        else {
+          val covered = grams.filter(col("id").isin(pickedIds: _*))
+            .select("shingle").distinct()
+          grams.join(broadcast(covered), Seq("shingle"), "left_anti")
+        }
+      val top = cand.groupBy("id").agg(count(lit(1)).as("gain"))
+        .agg(max(struct(col("gain"), (-col("id")).as("nid"))).as("m"))
+        .head().getStruct(0)
+      if (top == null) saturated = true
+      else {
+        val (gain, id) = (top.getLong(0), -top.getLong(1))
+        coveredTotal += gain
+        picks += ((round.toLong, id, gain, coveredTotal))
+        pickedIds ::= id
+        round += 1
+      }
+    }
+    picks.toSeq.toDF("sel_rank", idCol, "gain", "covered_total")
+  }
 }

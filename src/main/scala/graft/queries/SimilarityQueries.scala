@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QDef, Tables}
-import graft.operators.{DedupOps, IvfIndex, KMeansOps, PortableAnn, PqIndex, Similarity, SqIndex}
+import graft.operators.{DataSelection, DedupOps, IvfIndex, KMeansOps, PortableAnn, PqIndex, Similarity, SqIndex}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1075,7 +1075,32 @@ object SimilarityQueries {
           .select(col("n_hits"),
             (col("n_hits") * lit(100000L)).as("recall_x1e6"))
       },
-      Some(sqRecallSql))
+      Some(sqRecallSql)),
+
+    // Greedy k-center coreset (Gonzalez farthest-first): 8 diversity-
+    // maximizing exemplars over the quantized embedding corpus, with the
+    // covering-radius² curve. Deterministic end-to-end (integer L2²,
+    // fully tie-broken argmax), so the oracle below unrolls the 8 greedy
+    // rounds as CTEs and the gate hash-checks the SELECTION ITSELF —
+    // which ids, in which order, at which radius.
+    QDef("q221_kcenter_coreset",
+      (s, d) => DataSelection.kcenterCoreset(
+          embs(s, d).select(col("vec_id"),
+            PortableAnn.quant(col("embedding")).as("qv")),
+          "vec_id", "qv", k = 8)
+        .orderBy(col("sel_rank")),
+      Some(kcenterSql(8))),
+
+    // Greedy max-coverage selection: 5 documents covering the most word
+    // 3-grams (submodular (1−1/e) greedy), with marginal gains and the
+    // running coverage curve. q221's dual in n-gram space — the oracle
+    // unrolls the 5 greedy rounds (argmax → fold into covered set) so
+    // the gate hash-checks picks, gains, and coverage exactly.
+    QDef("q222_greedy_coverage",
+      (s, d) => DataSelection.greedyCoverage(docs(s, d), "doc_id", "text",
+          n = 3, k = 5)
+        .orderBy(col("sel_rank")),
+      Some(coverageSql(5)))
   )
 
   // ── Portable-arithmetic oracle SQL (q217/q218/q219). The k-means
@@ -1083,6 +1108,71 @@ object SimilarityQueries {
   // (dist, cid) tie-break, update = per-dimension truncating integer
   // mean (`//` and JVM long division both truncate toward zero), empty
   // cells keep their centroid via the LEFT JOIN COALESCE. ──
+
+  /** Unrolled greedy k-center (q221): c1 = lowest id; round i picks the
+    * max-dmin point from g_{i-1} (ties → lowest id), g_i folds the new
+    * center into the running min-distance². Result rows stitch d2_sel
+    * (the pick's dmin when chosen) and coverage_after (next pick's dmin;
+    * for the last round, max over g_k).
+    */
+  private def kcenterSql(k: Int): String = {
+    val sb = new StringBuilder(s"WITH ${qvSql("")}, ")
+    sb ++= "c1 AS (SELECT vec_id, q FROM v ORDER BY vec_id LIMIT 1), "
+    sb ++= s"g1 AS (SELECT v.vec_id, v.q, ${d2Sql("v.q", "c.q")} AS dmin " +
+      "FROM v CROSS JOIN c1 c)"
+    for (i <- 2 to k) {
+      sb ++= s", c$i AS (SELECT vec_id, q, dmin FROM g${i - 1} " +
+        "ORDER BY dmin DESC, vec_id LIMIT 1)"
+      sb ++= s", g$i AS (SELECT g.vec_id, g.q, " +
+        s"LEAST(g.dmin, ${d2Sql("g.q", "c.q")}) AS dmin " +
+        s"FROM g${i - 1} g CROSS JOIN c$i c)"
+    }
+    val rows = (1 to k).map { i =>
+      val d2sel =
+        if (i == 1) "CAST(0 AS BIGINT)"
+        else s"(SELECT CAST(dmin AS BIGINT) FROM c$i)"
+      val cov =
+        if (i < k) s"(SELECT CAST(dmin AS BIGINT) FROM c${i + 1})"
+        else s"(SELECT CAST(max(dmin) AS BIGINT) FROM g$k)"
+      s"SELECT CAST($i AS BIGINT) AS sel_rank, " +
+        s"(SELECT vec_id FROM c$i) AS vec_id, $d2sel AS d2_sel, " +
+        s"$cov AS coverage_after"
+    }
+    sb ++= " " + rows.mkString(" UNION ALL ") + " ORDER BY sel_rank"
+    sb.toString
+  }
+
+  /** Unrolled greedy max-coverage (q222): distinct doc 3-gram table `g`
+    * (q24's tokenizer), then k rounds of argmax-by-uncovered-count (r$i,
+    * ties → lowest doc_id) folding each pick's shingles into the covered
+    * set c$i. Row i stitches the pick, its marginal gain, and the
+    * coverage total after it.
+    */
+  private def coverageSql(k: Int): String = {
+    val sb = new StringBuilder(
+      "WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents), " +
+        "g AS (SELECT doc_id, unnest(list_distinct(" +
+        "[toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] " +
+        "for i in range(1, greatest(len(toks) - 1, 1))])) AS s FROM t), " +
+        "r1 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS gain FROM g " +
+        "GROUP BY 1 ORDER BY gain DESC, doc_id LIMIT 1), " +
+        "c1 AS (SELECT DISTINCT g.s FROM g JOIN r1 USING (doc_id))")
+    for (i <- 2 to k) {
+      sb ++= s", r$i AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS gain " +
+        s"FROM g LEFT JOIN c${i - 1} c ON g.s = c.s WHERE c.s IS NULL " +
+        "GROUP BY 1 ORDER BY gain DESC, doc_id LIMIT 1)"
+      sb ++= s", c$i AS (SELECT s FROM c${i - 1} UNION " +
+        s"SELECT g.s FROM g JOIN r$i USING (doc_id))"
+    }
+    val rows = (1 to k).map { i =>
+      s"SELECT CAST($i AS BIGINT) AS sel_rank, " +
+        s"(SELECT doc_id FROM r$i) AS doc_id, " +
+        s"(SELECT gain FROM r$i) AS gain, " +
+        s"(SELECT CAST(count(*) AS BIGINT) FROM c$i) AS covered_total"
+    }
+    sb ++= " " + rows.mkString(" UNION ALL ") + " ORDER BY sel_rank"
+    sb.toString
+  }
 
   /** Quantized-vector CTE: floor(x·1024 + 0.5) per element as BIGINT. */
   private def qvSql(where: String): String =

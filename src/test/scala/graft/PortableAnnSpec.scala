@@ -88,4 +88,48 @@ class PortableAnnSpec extends SparkSpec {
     assert(row.getAs[Long]("n_drops_clustered")
       <= row.getAs[Long]("n_drops_exhaustive"))
   }
+
+  test("k-center coreset matches the hand-traced farthest-first walk") {
+    import spark.implicits._
+    // 1-D quantized points 0, 1, 10, 11, 30: seed id0, then 30 (d²=900),
+    // then 11 (d²=121); after 3 centers the worst point is 10 (d²=1).
+    val pts = Seq((0L, Array(0L)), (1L, Array(1L)), (2L, Array(10L)),
+      (3L, Array(11L)), (4L, Array(30L))).toDF("vec_id", "qv")
+    val got = graft.operators.DataSelection
+      .kcenterCoreset(pts, "vec_id", "qv", k = 3)
+      .orderBy("sel_rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.toSeq === Seq((1L, 0L, 0L, 900L), (2L, 4L, 900L, 121L),
+      (3L, 3L, 121L, 1L)))
+  }
+
+  test("k-center argmax ties break to the lowest id") {
+    import spark.implicits._
+    val pts = Seq((0L, Array(0L)), (1L, Array(10L)), (2L, Array(-10L)))
+      .toDF("vec_id", "qv")
+    val got = graft.operators.DataSelection
+      .kcenterCoreset(pts, "vec_id", "qv", k = 2)
+      .orderBy("sel_rank").collect()
+    assert(got(1).getLong(1) === 1L) // both at d²=100; id 1 < id 2
+  }
+
+  test("k-center coverage radius is exact and monotone on the corpus") {
+    val corpus = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), PortableAnn.quant(col("embedding")).as("qv"))
+    val sel = graft.operators.DataSelection
+      .kcenterCoreset(corpus, "vec_id", "qv", k = 6)
+      .orderBy("sel_rank").collect()
+    val cov = sel.map(_.getAs[Long]("coverage_after"))
+    assert(cov.sliding(2).forall(p => p(1) <= p(0)), "radius must shrink")
+    // brute-force check of the final covering radius
+    val centers = sel.map(_.getAs[Long]("vec_id")).toSet
+    val rows = corpus.collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val cvecs = rows.filter(r => centers.contains(r._1)).map(_._2)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val brute = rows.map(r => cvecs.map(c => d2(r._2, c)).min).max
+    assert(cov.last === brute)
+  }
 }

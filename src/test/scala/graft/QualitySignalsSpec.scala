@@ -273,4 +273,31 @@ class QualitySignalsSpec extends SparkSpec {
     assert(expected.size == out.size)
     expected.foreach { case (key, id) => assert(out(key) == id, key) }
   }
+
+  test("greedy coverage follows the hand-traced submodular walk and " +
+    "stops when saturated") {
+    import spark.implicits._
+    // unigram cover sets: d1 {a b c d}, d2 {c d e}, d3 {e f}
+    val docs = Seq((1L, "a b c d"), (2L, "c d e"), (3L, "e f"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.DataSelection
+      .greedyCoverage(docs, "doc_id", "text", n = 1, k = 3)
+      .orderBy("sel_rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // d1 gains 4; then d3 gains {e f}=2 beats d2's {e}=1; then d2 gains
+    // 0 uncovered grams -> saturated, only 2 rows despite k=3
+    assert(got.toSeq === Seq((1L, 1L, 4L, 4L), (2L, 3L, 2L, 6L)))
+  }
+
+  test("greedy coverage gain ties break to the lowest doc id") {
+    import spark.implicits._
+    val docs = Seq((5L, "x y"), (2L, "p q"), (9L, "p q x y"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.DataSelection
+      .greedyCoverage(docs, "doc_id", "text", n = 1, k = 2)
+      .orderBy("sel_rank").collect()
+    assert(got(0).getLong(1) === 9L) // covers all 4
+    // 2 and 5 both gain 0 -> saturated after one pick
+    assert(got.length === 1)
+  }
 }
