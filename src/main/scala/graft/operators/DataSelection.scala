@@ -556,10 +556,7 @@ object DataSelection {
     val picks = scala.collection.mutable.ArrayBuffer((1L, seedId, 0L))
     var round = 2
     while (round <= k) {
-      val m = cur
-        .agg(max(struct(col("dmin"), (-col("id")).as("nid"),
-          col("qv").as("cq"))).as("m"))
-        .head().getStruct(0)
+      val m = kcenterArgmax(cur).head().getStruct(0)
       val (d2, id, cq) =
         (m.getLong(0), -m.getLong(1), m.getSeq[Long](2).toArray)
       picks += ((round.toLong, id, d2))
@@ -572,6 +569,31 @@ object DataSelection {
       (r, id, d2, cov)
     }
     rows.toDF("sel_rank", idCol, "d2_sel", "coverage_after")
+  }
+
+  /** One k-center round's argmax: `max(struct(dmin, -id, qv))` — a plain
+    * partial-max aggregate (no sort, no window); exposed for the
+    * PlanShapeSpec pin.
+    */
+  private[graft] def kcenterArgmax(cur: DataFrame): DataFrame =
+    cur.agg(max(struct(col("dmin"), (-col("id")).as("nid"),
+      col("qv").as("cq"))).as("m"))
+
+  /** One coverage round's candidate table + argmax: broadcast ANTI join
+    * against the picks-bounded covered set, then the same sortless
+    * argmax; exposed for the PlanShapeSpec pin.
+    */
+  private[graft] def coverageRound(grams: DataFrame,
+                                   pickedIds: Seq[Long]): DataFrame = {
+    val cand =
+      if (pickedIds.isEmpty) grams
+      else {
+        val covered = grams.filter(col("id").isin(pickedIds: _*))
+          .select("shingle").distinct()
+        grams.join(broadcast(covered), Seq("shingle"), "left_anti")
+      }
+    cand.groupBy("id").agg(count(lit(1)).as("gain"))
+      .agg(max(struct(col("gain"), (-col("id")).as("nid"))).as("m"))
   }
 
   /** Greedy maximum-coverage document selection — the (1−1/e) submodular
@@ -607,16 +629,7 @@ object DataSelection {
     var round = 1
     var saturated = false
     while (round <= k && !saturated) {
-      val cand =
-        if (pickedIds.isEmpty) grams
-        else {
-          val covered = grams.filter(col("id").isin(pickedIds: _*))
-            .select("shingle").distinct()
-          grams.join(broadcast(covered), Seq("shingle"), "left_anti")
-        }
-      val top = cand.groupBy("id").agg(count(lit(1)).as("gain"))
-        .agg(max(struct(col("gain"), (-col("id")).as("nid"))).as("m"))
-        .head().getStruct(0)
+      val top = coverageRound(grams, pickedIds).head().getStruct(0)
       if (top == null) saturated = true
       else {
         val (gain, id) = (top.getLong(0), -top.getLong(1))

@@ -362,6 +362,36 @@ class PlanShapeSpec extends SparkSpec {
     assert(!pRound.contains("SinglePartition"), s"single-partition stage:\n$pRound")
   }
 
+  test("selection family: q221/q222 rounds are sortless argmax aggregates") {
+    import graft.operators.{DataSelection, DedupOps, PortableAnn}
+    // q221 round: ONE partial-max aggregate over the scan — no sort, no
+    // window, and the only single-partition exchange is the 32-row
+    // partial-max combine
+    val cur = Tables(spark, sf, "embeddings")
+      .select(col("vec_id").cast("long").as("id"),
+        PortableAnn.quant(col("embedding")).as("qv"))
+      .withColumn("dmin", graft.functions.LongVectorExprs.dist2(
+        col("qv"), array((0 until 64).map(_ => lit(0L)): _*)))
+    val p221 = DataSelection.kcenterArgmax(cur)
+      .queryExecution.executedPlan.toString
+    assert(!p221.contains("SortExec") && !p221.contains("WindowExec"), p221)
+    assert(!p221.contains("Join"), s"k-center round must be join-free:\n$p221")
+    assert(p221.linesIterator.count(_.contains("Exchange SinglePartition")) == 1,
+      s"expected only the partial-max combine:\n$p221")
+
+    // q222 round: the covered set rides a BROADCAST anti join (never a
+    // shuffle join — it is picks-bounded), then the same sortless argmax
+    val grams = DedupOps.shingles(Tables(spark, sf, "documents"),
+        "doc_id", "text", 3)
+      .select(col("doc_id").cast("long").as("id"), col("shingle"))
+    val p222 = DataSelection.coverageRound(grams, Seq(1L, 2L))
+      .queryExecution.executedPlan.toString
+    assert(p222.contains("BroadcastHashJoin") && p222.contains("LeftAnti"),
+      s"covered set must broadcast:\n$p222")
+    assert(!p222.contains("SortMergeJoin"), p222)
+    assert(!p222.contains("SortExec") && !p222.contains("WindowExec"), p222)
+  }
+
   test("every empty-partition window runs over an aggregate-bounded input") {
     // The registry has ~12 deliberate Window.partitionBy() sites (global
     // share-of-total, cumulative bin curves, top-revenue marks) — all
