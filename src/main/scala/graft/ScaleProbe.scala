@@ -351,3 +351,68 @@ object SpanCleanScaleProbe {
     spark.stop()
   }
 }
+
+/** Dev tool: growth curves for the selection family (q221 k-center /
+  * q222 greedy coverage) — `runMain graft.SelectionScaleProbe 1,2,5,10`.
+  *
+  * k-center runs on OFFSET replicas of `embeddings` (copy i shifts every
+  * coordinate by i — replicas occupy disjoint regions, so the greedy
+  * walk stays informative as the space grows); coverage runs on the
+  * letter-salted document replicas (disjoint per-copy vocabularies, no
+  * saturation). Both are fixed-k driver loops of full-corpus scans, so
+  * the expected curves are scan-shaped linear in c — a superlinear bend
+  * would flag a round that shuffles corpus-scale state.
+  */
+object SelectionScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val factors = (if (args.nonEmpty) args(0) else "1,2,5,10")
+      .split(",").map(_.trim.toInt).toSeq
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.operators.{DataSelection, PortableAnn}
+    val embBase = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val docBase = Tables(spark, sfDir, "documents").select("doc_id", "text")
+    val nE = embBase.count()
+    val nD = docBase.count()
+    factors.foreach { c =>
+      val vecs = (0 until c).map { i =>
+        embBase.select(
+          (col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+          transform(col("embedding"), x => x + lit(i.toDouble))
+            .as("embedding"))
+      }.reduce(_ unionAll _)
+        .select(col("vec_id"), PortableAnn.quant(col("embedding")).as("qv"))
+        .localCheckpoint()
+      val corpus = (0 until c).map { i =>
+        val s = ('a' + (i % 26)).toChar.toString * 2
+        docBase.select(
+          (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+          regexp_replace(col("text"), "([a-z0-9]+)", s"$s$$1").as("text"))
+      }.reduce(_ unionAll _).localCheckpoint()
+      def time(f: => Long): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val rows = f
+        ((System.nanoTime() - t0) / 1e9, rows)
+      }
+      val (kcT, kcRows) = time(
+        DataSelection.kcenterCoreset(vecs, "vec_id", "qv", k = 8).count())
+      spark.catalog.clearCache()
+      val (gcT, gcRows) = time(
+        DataSelection.greedyCoverage(corpus, "doc_id", "text",
+          n = 3, k = 5).count())
+      spark.catalog.clearCache()
+      println(f"[scale] c=$c%2d vecs=${nE * c}%7d docs=${nD * c}%7d" +
+        f" kcenter=$kcT%.2fs ($kcRows rows) coverage=$gcT%.2fs ($gcRows rows)")
+    }
+    spark.stop()
+  }
+}
