@@ -533,10 +533,11 @@ object DataSelection {
     * per-row cost O(k·d) multiply-adds, negligible against scan I/O; no
     * corpus-scale state is cached or checkpointed.
     *
-    * Returns k driver-built rows: (sel_rank 1-based, idCol, d2_sel = the
-    * point's min-distance² to the prior centers when chosen — 0 for the
-    * seed — and coverage_after = max over ALL points of min-distance² to
-    * centers 1..sel_rank, the covering-radius² curve).
+    * Returns ≤ k driver-built rows (early-stop once every point
+    * coincides with a chosen center): (sel_rank 1-based, idCol, d2_sel =
+    * the point's min-distance² to the prior centers when chosen — 0 for
+    * the seed — and coverage_after = max over ALL points of
+    * min-distance² to centers 1..sel_rank, the covering-radius² curve).
     */
   def kcenterCoreset(df: DataFrame, idCol: String, qvCol: String,
                      k: Int): DataFrame = {
@@ -548,20 +549,32 @@ object DataSelection {
       graft.functions.LongVectorExprs.dist2(col("qv"),
         array(center.map(lit(_)): _*))
 
-    val seed = base.orderBy(col("id")).limit(1)
-      .select(col("id"), col("qv")).head()
+    val seedOpt = base.orderBy(col("id")).limit(1)
+      .select(col("id"), col("qv")).collect().headOption
+    if (seedOpt.isEmpty)
+      return Seq.empty[(Long, Long, Long, Long)]
+        .toDF("sel_rank", idCol, "d2_sel", "coverage_after")
+    val seed = seedOpt.get
     val seedId = seed.getLong(0)
     var cur = base.withColumn("dmin", d2To(seed.getSeq[Long](1).toArray))
     // (rank, id, d2_sel) in selection order; coverage is stitched after.
     val picks = scala.collection.mutable.ArrayBuffer((1L, seedId, 0L))
     var round = 2
-    while (round <= k) {
+    var saturated = false
+    while (round <= k && !saturated) {
       val m = kcenterArgmax(cur).head().getStruct(0)
       val (d2, id, cq) =
         (m.getLong(0), -m.getLong(1), m.getSeq[Long](2).toArray)
-      picks += ((round.toLong, id, d2))
-      cur = cur.withColumn("dmin", least(col("dmin"), d2To(cq)))
-      round += 1
+      // max dmin = 0 ⇒ every point coincides with a chosen center — a
+      // further "farthest" pick is meaningless; stop like q222 does at
+      // full coverage (unreachable on distinct-vector corpora, so the
+      // unrolled oracle never sees the corner)
+      if (d2 == 0L) saturated = true
+      else {
+        picks += ((round.toLong, id, d2))
+        cur = cur.withColumn("dmin", least(col("dmin"), d2To(cq)))
+        round += 1
+      }
     }
     val covK = cur.agg(max(col("dmin"))).head().getLong(0)
     val rows = picks.toSeq.zipWithIndex.map { case ((r, id, d2), i) =>

@@ -297,4 +297,22 @@ class EdgeCaseSpec extends SparkSpec {
       .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getLong(2)))
     assert(out.toSeq == Seq((0L, 1L), (1L, 0L), (2L, 1L)))
   }
+
+  test("selection ops on empty and single-element inputs") {
+    import graft.operators.DataSelection
+    val emptyVecs = Seq.empty[(Long, Array[Long])].toDF("vec_id", "qv")
+    assert(DataSelection.kcenterCoreset(emptyVecs, "vec_id", "qv", 3)
+      .count() === 0L)
+    val one = Seq((7L, Array(5L, 5L))).toDF("vec_id", "qv")
+    val kc = DataSelection.kcenterCoreset(one, "vec_id", "qv", 3).collect()
+    // a single point: only the seed can ever be picked, radius 0
+    assert(kc.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))).toSeq === Seq((1L, 7L, 0L, 0L)))
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(DataSelection.greedyCoverage(emptyDocs, "doc_id", "text", 1, 3)
+      .count() === 0L)
+    val nullDoc = Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    assert(DataSelection.greedyCoverage(nullDoc, "doc_id", "text", 1, 3)
+      .count() === 0L)
+  }
 }
