@@ -116,10 +116,15 @@ object Bench {
       try w.println(detail) finally w.close()
     } catch { case _: Throwable => () } // summary line still goes out
     // Self-maintaining CLEANEST-KNOWN detail: noisy ambient-load runs
-    // (the round-5 driver file read noise 0.985 — barely interpretable)
-    // kept overwriting the one clean record. The clean copy only updates
-    // when this run is at least as quiet as the recorded one AND covers
-    // at least as many queries, so diffs against it compare signal.
+    // (the round-5 driver file read noise 0.985 under the old max/min
+    // form — barely interpretable) kept overwriting the one clean
+    // record. Under the DIRECTIONAL sentinel only the excess ABOVE 1 is
+    // contamination (post slower than pre); ratios below 1 are residual
+    // JIT warm-up on a quiet box, not quietness to maximize. The clean
+    // copy therefore updates when this run's contamination penalty
+    // max(ratio−1, 0) is no worse than the recorded one's (within the
+    // 0.05 quiet band), it covers at least as many queries, and it
+    // strictly improves some axis (coverage, penalty, or total).
     try {
       val cleanPath = detailPath.replaceAll("\\.json$", "") + "_clean.json"
       val keep = {
@@ -132,7 +137,17 @@ object Bench {
               .map(_.group(1).toDouble)
           val oldNoise = field("noise_ratio").getOrElse(Double.MaxValue)
           val oldN = field("n_queries").getOrElse(0.0)
-          noise <= oldNoise && ok.size >= oldN
+          val oldTotal = field("value").getOrElse(Double.MaxValue)
+          // totals are only comparable at the same scale factor — an
+          // sf0.001 dev run must never replace the sf0.1 record
+          val sameSf = ("\"sf\":\"([^\"]+)\"").r.findFirstMatchIn(old)
+            .forall(_.group(1) == sfDir)
+          val newPen = math.max(noise - 1.0, 0.0)
+          val oldPen =
+            if (oldNoise == Double.MaxValue) Double.MaxValue
+            else math.max(oldNoise - 1.0, 0.0)
+          sameSf && newPen <= math.max(oldPen, 0.05) && ok.size >= oldN &&
+            (ok.size > oldN || newPen < oldPen || total <= oldTotal)
         }
       }
       if (keep) {
