@@ -110,7 +110,7 @@ object Bench {
     val slowest = ok.sortBy(-_._2).take(10)
     val failedJson = failed.map("\"" + _._1 + "\"").mkString("[", ",", "]")
 
-    val detail = s"""{"metric":"total_min_of_$reps","value":${r4(total)},"unit":"sec","n_queries":${ok.size},"n_failed":${failed.size},"failed":$failedJson,"reps":$reps,"mean_sec":${r4(mean)},"noise_pre_sec":${r4(noisePre)},"noise_post_sec":${r4(noisePost)},"noise_ratio":${if (noise.isNaN) "null" else r4(noise)},"queries":${jmap(results.map { case (k, v) => k -> (if (v.isNaN) -1.0 else v) })},"sf":"$sfDir"}"""
+    val detail = s"""{"metric":"total_min_of_$reps","value":${r4(total)},"unit":"sec","n_queries":${ok.size},"n_failed":${failed.size},"failed":$failedJson,"reps":$reps,"cpus":$cpus,"mean_sec":${r4(mean)},"noise_pre_sec":${r4(noisePre)},"noise_post_sec":${r4(noisePost)},"noise_ratio":${if (noise.isNaN) "null" else r4(noise)},"queries":${jmap(results.map { case (k, v) => k -> (if (v.isNaN) -1.0 else v) })},"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter(detailPath, "UTF-8")
       try w.println(detail) finally w.close()
@@ -138,6 +138,10 @@ object Bench {
           val oldNoise = field("noise_ratio").getOrElse(Double.MaxValue)
           val oldN = field("n_queries").getOrElse(0.0)
           val oldTotal = field("value").getOrElse(Double.MaxValue)
+          // wall times are only comparable at equal-or-higher parallelism —
+          // an 8-core verify smoke must never replace the 32-core record
+          // (records predating the cpus field are assumed canonical 32)
+          val sameCpus = cpus.toInt >= field("cpus").getOrElse(32.0)
           // totals are only comparable at the same scale factor — an
           // sf0.001 dev run must never replace the sf0.1 record
           val sameSf = ("\"sf\":\"([^\"]+)\"").r.findFirstMatchIn(old)
@@ -146,7 +150,7 @@ object Bench {
           val oldPen =
             if (oldNoise == Double.MaxValue) Double.MaxValue
             else math.max(oldNoise - 1.0, 0.0)
-          sameSf && newPen <= math.max(oldPen, 0.05) && ok.size >= oldN &&
+          sameSf && sameCpus && newPen <= math.max(oldPen, 0.05) && ok.size >= oldN &&
             (ok.size > oldN || newPen < oldPen || total <= oldTotal)
         }
       }

@@ -47,15 +47,18 @@ object GraphOps {
         .select(col("b").as("id"), col("component"))
       val next = labels.union(viaNeighbor)
         .groupBy("id").agg(min("component").as("component"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       // fixed point when no label changed — an exact join-count against the
       // previous (checkpointed, in-memory) labeling; works for any id type,
       // unlike a label-sum check (string ids don't sum; hash-range longs
-      // overflow under ANSI)
+      // overflow under ANSI). The count is the ONE action of the round:
+      // it reads every partition of the lazily-checkpointed next (the
+      // vertex-keyed join has no short-circuit), so it materializes the
+      // checkpoint as a side effect — one job per round, not two.
       val changed = next.withColumnRenamed("component", "__new")
         .join(labels, Seq("id"))
         .filter(col("__new") =!= col("component"))
-        .limit(1).count()
+        .count()
       labels = next
       converged = changed == 0
       i += 1
@@ -145,6 +148,12 @@ object GraphOps {
     * checkpointed keep, one endpoint-count shuffle), and only the
     * vertex-sized degree table is checkpointed. Convergence is read off
     * that degree table for free: no vertex below k ⇒ fixed point.
+    *
+    * ONE driver job per round: the degree table is LAZILY checkpointed
+    * and the convergence aggregate (nV, nKeep in one pass) is the action
+    * that materializes it — the iteration cost is rounds × one job, not
+    * rounds × (materialize + two counts). Measured: the per-round job
+    * overhead, not the data, dominated q121 at sf0.1.
     */
   private def kCoreBroadcastPeel(edges0: DataFrame, nEdges0: Long, k: Int,
                                  maxIters: Int): DataFrame = {
@@ -160,10 +169,12 @@ object GraphOps {
           .join(broadcast(keep.withColumnRenamed("v", "b")), Seq("b"), "left_semi")
       val deg = cur.select(col("a").as("v")).union(cur.select(col("b").as("v")))
         .groupBy("v").agg(count(lit(1)).as("deg"))
-        .localCheckpoint()
-      val nV = deg.count()
+        .localCheckpoint(eager = false)
+      val st = deg.agg(count(lit(1)).as("nv"),
+        sum(when(col("deg") >= k, 1L).otherwise(0L)).as("nk")).head()
+      val nV = st.getLong(0)
+      val nKeep = if (st.isNullAt(1)) 0L else st.getLong(1)
       keep = deg.filter(col("deg") >= k).select("v")
-      val nKeep = keep.count() // cheap: filter over the checkpointed deg
       converged = nKeep == nV || nKeep == 0L
       lastDeg = deg
       iter += 1
@@ -199,10 +210,11 @@ object GraphOps {
       val deg = cur.select(col("a").as("v")).union(cur.select(col("b").as("v")))
         .groupBy("v").agg(count(lit(1)).as("deg"))
       val keep = deg.filter(col("deg") >= k).select("v")
+      // lazy checkpoint: the convergence count is the materializing action
       val next = cur
         .join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val n = next.count()
       done = n == nEdges || n == 0L
       cur = next

@@ -283,4 +283,39 @@ object PortableAnn {
   def cosGe(dot: Column, na2: Column, nb2: Column,
             num: Long, den: Long): Column =
     dot > 0 && lit(den * den) * dot * dot >= lit(num * num) * na2 * nb2
+
+  /** Deterministic ±1 Johnson–Lindenstrauss sign matrix: sign(j, i) =
+    * +1 iff the low bit of md5_low64("rp:j:i") is set (the engine-
+    * portable hash convention q25 pins) — so the matrix restates in
+    * DuckDB as `md5_number_lower('rp:'||j||':'||i) % 2`. Achlioptas
+    * (2001) showed ±1 entries satisfy the JL lemma like Gaussians:
+    * E[‖Sx‖²] = outDims·‖x‖², concentration O(1/√outDims).
+    */
+  def rpSigns(outDims: Int, d: Int): Array[Array[Int]] =
+    Array.tabulate(outDims, d)((j, i) =>
+      if ((DedupOps.md5Low64Token(s"rp:$j:$i") & 1L) == 1L) 1 else -1)
+
+  /** Project quantized vectors through a ±1 sign matrix:
+    * y(j) = Σ_i sign(j,i)·x(i), exact Long arithmetic. A map-only scan —
+    * the matrix ships once in the closure (outDims×d ints), nothing
+    * shuffles; the loop form keeps codegen trees small (the PQ lesson).
+    */
+  def rpProject(qv: Column, signs: Array[Array[Int]]): Column = {
+    val f = udf { x: Seq[Long] =>
+      if (x == null) null
+      else {
+        val d = math.min(x.length, signs(0).length)
+        val out = new Array[Long](signs.length)
+        var j = 0
+        while (j < signs.length) {
+          val row = signs(j)
+          var s = 0L; var i = 0
+          while (i < d) { s += row(i) * x(i); i += 1 }
+          out(j) = s; j += 1
+        }
+        out
+      }
+    }
+    f(qv)
+  }
 }

@@ -1100,7 +1100,37 @@ object SimilarityQueries {
       (s, d) => DataSelection.greedyCoverage(docs(s, d), "doc_id", "text",
           n = 3, k = 5)
         .orderBy(col("sel_rank")),
-      Some(coverageSql(5)))
+      Some(coverageSql(5))),
+
+    // Johnson–Lindenstrauss distortion audit: 64→16-dim ±1 random
+    // projection (Achlioptas signs from the md5-portable hash, so the
+    // matrix itself restates in SQL) over the first 20 vectors, with the
+    // exact integer distance ratio per pair. distortion_x1e6 ≈ 1e6 means
+    // the projected space preserves the pair's distance — the evidence
+    // behind projecting BEFORE the ANN ladder at 100 TB (4× fewer bytes
+    // per distance everywhere downstream). Map-only projection: the sign
+    // matrix ships in the closure; nothing new shuffles.
+    QDef("q223_jl_distortion",
+      (s, d) => {
+        val signs = PortableAnn.rpSigns(16, 64)
+        val base = embs(s, d).filter(col("vec_id") < 20)
+          .select(col("vec_id"), PortableAnn.quant(col("embedding")).as("qv"))
+          .withColumn("py", PortableAnn.rpProject(col("qv"), signs))
+        val a = base.select(col("vec_id").as("id_a"), col("qv").as("qa"),
+          col("py").as("pa"))
+        val b = base.select(col("vec_id").as("id_b"), col("qv").as("qb"),
+          col("py").as("pb"))
+        a.join(b, col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            PortableAnn.dist2(col("qa"), col("qb")).as("d2_orig"),
+            PortableAnn.dist2(col("pa"), col("pb")).as("d2_proj"))
+          .withColumn("distortion_x1e6",
+            when(col("d2_orig") === 0L, lit(1000000L))
+              .otherwise(expr(
+                "CAST(d2_proj * 1000000 DIV (16 * d2_orig) AS BIGINT)")))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(jlSql))
   )
 
   // ── Portable-arithmetic oracle SQL (q217/q218/q219). The k-means
@@ -1173,6 +1203,28 @@ object SimilarityQueries {
     sb ++= " " + rows.mkString(" UNION ALL ") + " ORDER BY sel_rank"
     sb.toString
   }
+
+  /** q223: the ±1 JL sign matrix from `md5_number_lower` (the q25-pinned
+    * hash convention), per-pair integer distances in both spaces, and
+    * the exact fixed-point distortion ratio.
+    */
+  private lazy val jlSql: String =
+    s"WITH ${qvSql(" WHERE vec_id < 20")}, " +
+      "sm AS (SELECT a.j, b.i, CASE WHEN md5_number_lower('rp:' || a.j || ':' || b.i) % 2 = 1 " +
+      "THEN 1 ELSE -1 END AS sgn FROM range(16) a(j) CROSS JOIN range(64) b(i)), " +
+      "px AS (SELECT vec_id, generate_subscripts(q, 1) - 1 AS i, unnest(q) AS x FROM v), " +
+      "p AS (SELECT vec_id, j, CAST(sum(sgn * x) AS BIGINT) AS y " +
+      "FROM px JOIN sm USING (i) GROUP BY 1, 2), " +
+      "pv AS (SELECT vec_id, list(y ORDER BY j) AS py FROM p GROUP BY 1) " +
+      "SELECT id_a, id_b, d2_orig, d2_proj, " +
+      "CASE WHEN d2_orig = 0 THEN 1000000 " +
+      "ELSE CAST(d2_proj * 1000000 // (16 * d2_orig) AS BIGINT) END AS distortion_x1e6 " +
+      s"FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+      s"CAST(${d2Sql("a.q", "b.q")} AS BIGINT) AS d2_orig, " +
+      s"CAST(${d2Sql("pa.py", "pb.py")} AS BIGINT) AS d2_proj " +
+      "FROM v a JOIN v b ON a.vec_id < b.vec_id " +
+      "JOIN pv pa ON pa.vec_id = a.vec_id JOIN pv pb ON pb.vec_id = b.vec_id) " +
+      "ORDER BY id_a, id_b"
 
   /** Quantized-vector CTE: floor(x·1024 + 0.5) per element as BIGINT. */
   private def qvSql(where: String): String =

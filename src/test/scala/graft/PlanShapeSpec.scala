@@ -33,6 +33,8 @@ class PlanShapeSpec extends SparkSpec {
       // tiny-vocab dense regime: deliberate broadcast nested loop through
       // the codegen dot product (see Similarity.sparseCosinePairs scaladoc)
       "q160_sparse_cosine_pairs",
+      // 20-vector audit slice: broadcast id_a < id_b self-pairing
+      "q223_jl_distortion",
       // one-row aggregate × one-row aggregate (report assembly)
       "q74_anomaly_gates", "q77_dedup_purge", "q116_triangle_count",
       "q36_underrepresentation", "q120_assoc_rules",

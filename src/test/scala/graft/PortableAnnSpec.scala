@@ -89,6 +89,33 @@ class PortableAnnSpec extends SparkSpec {
       <= row.getAs[Long]("n_drops_exhaustive"))
   }
 
+  test("JL projection of basis vectors reads the sign matrix back") {
+    import spark.implicits._
+    val signs = PortableAnn.rpSigns(16, 64)
+    // e_i scaled by 7 projects to 7 × (column i of the sign matrix)
+    val basis = (0 until 64).map { i =>
+      (i.toLong, Array.tabulate(64)(j => if (j == i) 7L else 0L))
+    }.toDF("vec_id", "qv")
+    val out = PortableAnn.rpProject(col("qv"), signs)
+    basis.select(col("vec_id"), out.as("py")).collect().foreach { r =>
+      val i = r.getLong(0).toInt
+      val py = r.getSeq[Long](1)
+      (0 until 16).foreach(j => assert(py(j) === 7L * signs(j)(i), s"($j,$i)"))
+    }
+  }
+
+  test("JL distortion concentrates around 1 on the corpus pairs") {
+    val rows = graft.queries.SimilarityQueries.defs
+      .find(_.name == "q223_jl_distortion").get.run(spark, sf).collect()
+    assert(rows.length === 190)
+    val ds = rows.map(_.getAs[Long]("distortion_x1e6").toDouble / 1e6)
+    val mean = ds.sum / ds.length
+    // E[ratio] = 1; at 16 output dims the empirical mean should sit well
+    // inside [0.7, 1.3] and no pair should collapse to 0 or blow past 4x
+    assert(mean > 0.7 && mean < 1.3, s"mean distortion $mean")
+    assert(ds.forall(d => d > 0.05 && d < 4.0), s"outlier in ${ds.min}..${ds.max}")
+  }
+
   test("k-center coreset matches the hand-traced farthest-first walk") {
     import spark.implicits._
     // 1-D quantized points 0, 1, 10, 11, 30: seed id0, then 30 (d²=900),
