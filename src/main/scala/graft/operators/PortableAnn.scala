@@ -318,4 +318,40 @@ object PortableAnn {
     }
     f(qv)
   }
+
+  /** Hard-example mining for contrastive training data: per anchor, the
+    * `negK` NEAREST vectors with a DIFFERENT label (hard negatives — the
+    * most confusable wrong-label examples, the ones a triplet/InfoNCE
+    * batch should contain) and the single FARTHEST vector with the SAME
+    * label (hardest positive). Exact integer L2² over quantized vectors,
+    * ties → lowest id, so the whole selection restates in SQL.
+    *
+    * Plan: the bounded anchor set broadcasts over ONE corpus scan; the
+    * rank windows partition on query_id (anchors × corpus rows split
+    * across ≤|anchors| partitions). At 100 TB the exhaustive scan is the
+    * recall baseline — the production path swaps it for [[ivfSearch]]'s
+    * probe join (label logic and ranking unchanged), which this mirrors.
+    */
+  def hardExamples(anchors: DataFrame, corpus: DataFrame, idCol: String,
+                   qvCol: String, labelCol: String, negK: Int): DataFrame = {
+    val q = anchors.select(col(idCol).as("query_id"),
+      col(qvCol).as("__qq"), col(labelCol).as("anchor_label"))
+    val scored = corpus.crossJoin(broadcast(q))
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col("anchor_label"), col(idCol),
+        col(labelCol), dist2(col(qvCol), col("__qq")).as("d2"))
+    val wNeg = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2"), col(idCol))
+    val wPos = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2").desc, col(idCol))
+    val negs = scored.filter(col(labelCol) =!= col("anchor_label"))
+      .withColumn("rank", row_number().over(wNeg).cast("long"))
+      .filter(col("rank") <= negK)
+      .withColumn("kind", lit("neg"))
+    val pos = scored.filter(col(labelCol) === col("anchor_label"))
+      .withColumn("rank", row_number().over(wPos).cast("long"))
+      .filter(col("rank") <= 1)
+      .withColumn("kind", lit("pos"))
+    negs.union(pos)
+  }
 }

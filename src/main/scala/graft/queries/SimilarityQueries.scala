@@ -1130,7 +1130,26 @@ object SimilarityQueries {
                 "CAST(d2_proj * 1000000 DIV (16 * d2_orig) AS BIGINT)")))
           .orderBy(col("id_a"), col("id_b"))
       },
-      Some(jlSql))
+      Some(jlSql)),
+
+    // Hard-example mining for contrastive training data: per anchor
+    // (vec_id < 8), the 5 NEAREST wrong-label vectors (hard negatives —
+    // what a triplet/InfoNCE batch should contain) and the single
+    // FARTHEST same-label vector (hardest positive). Exact integer L2²
+    // over quantized vectors so the gate hash-checks the selection; the
+    // 8-anchor set broadcasts over one corpus scan, rank windows
+    // partition on query_id. 100 TB path: swap the exhaustive scan for
+    // the IVF probe join (PortableAnn.ivfSearch) — label logic and
+    // ranking identical.
+    QDef("q224_hard_negatives",
+      (s, d) => {
+        val base = embs(s, d).select(col("vec_id"),
+          PortableAnn.quant(col("embedding")).as("qv"), col("label"))
+        PortableAnn.hardExamples(base.filter(col("vec_id") < 8), base,
+            "vec_id", "qv", "label", negK = 5)
+          .orderBy(col("query_id"), col("kind"), col("rank"))
+      },
+      Some(hardNegSql))
   )
 
   // ── Portable-arithmetic oracle SQL (q217/q218/q219). The k-means
@@ -1225,6 +1244,24 @@ object SimilarityQueries {
       "FROM v a JOIN v b ON a.vec_id < b.vec_id " +
       "JOIN pv pa ON pa.vec_id = a.vec_id JOIN pv pb ON pb.vec_id = b.vec_id) " +
       "ORDER BY id_a, id_b"
+
+  /** q224: quantized corpus with labels, per-anchor wrong-label top-5 by
+    * ascending integer L2² (hard negatives) plus the same-label argmax
+    * (hardest positive), ties → lowest id — the Spark side verbatim.
+    */
+  private lazy val hardNegSql: String =
+    "WITH v AS (SELECT vec_id, label, [CAST(floor(x*1024.0 + 0.5) AS BIGINT) " +
+      "for x in CAST(embedding AS DOUBLE[])] AS q FROM embeddings), " +
+      "s AS (SELECT a.vec_id AS query_id, a.label AS anchor_label, " +
+      s"b.vec_id, b.label, CAST(${d2Sql("a.q", "b.q")} AS BIGINT) AS d2 " +
+      "FROM v a JOIN v b ON b.vec_id <> a.vec_id WHERE a.vec_id < 8), " +
+      "n AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY d2, vec_id) AS rank " +
+      "FROM s WHERE label <> anchor_label), " +
+      "p AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY d2 DESC, vec_id) AS rank " +
+      "FROM s WHERE label = anchor_label) " +
+      "SELECT query_id, anchor_label, vec_id, label, d2, rank, 'neg' AS kind FROM n WHERE rank <= 5 " +
+      "UNION ALL SELECT query_id, anchor_label, vec_id, label, d2, rank, 'pos' AS kind FROM p WHERE rank = 1 " +
+      "ORDER BY query_id, kind, rank"
 
   /** Quantized-vector CTE: floor(x·1024 + 0.5) per element as BIGINT. */
   private def qvSql(where: String): String =

@@ -35,6 +35,8 @@ class PlanShapeSpec extends SparkSpec {
       "q160_sparse_cosine_pairs",
       // 20-vector audit slice: broadcast id_a < id_b self-pairing
       "q223_jl_distortion",
+      // 8-anchor broadcast over one corpus scan (exhaustive baseline)
+      "q224_hard_negatives",
       // one-row aggregate × one-row aggregate (report assembly)
       "q74_anomaly_gates", "q77_dedup_purge", "q116_triangle_count",
       "q36_underrepresentation", "q120_assoc_rules",

@@ -116,6 +116,44 @@ class PortableAnnSpec extends SparkSpec {
     assert(ds.forall(d => d > 0.05 && d < 4.0), s"outlier in ${ds.min}..${ds.max}")
   }
 
+  test("hard-example mining matches the hand-traced selection") {
+    import spark.implicits._
+    // 1-D quantized points with labels; anchor id0 (label 0, at 0):
+    //   id1 label 0 at 100   id2 label 1 at 1   id3 label 1 at 50
+    //   id4 label 0 at 2     id5 label 2 at 1  (tie with id2 → lower id)
+    val base = Seq(
+      (0L, Array(0L), 0), (1L, Array(100L), 0), (2L, Array(1L), 1),
+      (3L, Array(50L), 1), (4L, Array(2L), 0), (5L, Array(1L), 2)
+    ).toDF("vec_id", "qv", "label")
+    val out = PortableAnn.hardExamples(base.filter(col("vec_id") === 0L),
+        base, "vec_id", "qv", "label", negK = 2)
+      .orderBy(col("kind"), col("rank"))
+      .select("vec_id", "d2", "rank", "kind").as[(Long, Long, Long, String)]
+      .collect()
+    // negatives: id2 d2=1 (tie → beats id5), id5 d2=1; positive: id1
+    // (d2=10000, farthest same-label — NOT the nearer id4)
+    assert(out === Array((2L, 1L, 1L, "neg"), (5L, 1L, 2L, "neg"),
+      (1L, 10000L, 1L, "pos")))
+  }
+
+  test("hard negatives are label-disjoint and distance-monotone on the corpus") {
+    val rows = graft.queries.SimilarityQueries.defs
+      .find(_.name == "q224_hard_negatives").get.run(spark, sf).collect()
+    val anchors = rows.map(_.getAs[Long]("query_id")).distinct
+    assert(anchors.length === 8)
+    rows.foreach { r =>
+      val neg = r.getAs[String]("kind") == "neg"
+      assert((r.getAs[Int]("label") != r.getAs[Int]("anchor_label")) == neg)
+    }
+    anchors.foreach { a =>
+      val negs = rows.filter(r => r.getAs[Long]("query_id") == a &&
+        r.getAs[String]("kind") == "neg").sortBy(_.getAs[Long]("rank"))
+      assert(negs.length === 5)
+      val ds = negs.map(_.getAs[Long]("d2"))
+      assert(ds.zip(ds.tail).forall { case (x, y) => x <= y })
+    }
+  }
+
   test("k-center coreset matches the hand-traced farthest-first walk") {
     import spark.implicits._
     // 1-D quantized points 0, 1, 10, 11, 30: seed id0, then 30 (d²=900),
