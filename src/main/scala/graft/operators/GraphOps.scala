@@ -104,7 +104,12 @@ object GraphOps {
         .select(col("id"),
           (lit(1.0 - damping) + lit(damping) * coalesce(col("s"), lit(0.0)))
             .as("rank"))
-        .localCheckpoint()
+        // LAZY checkpoint: the plan is truncated immediately (round N's
+        // optimizer never sees rounds 1..N-1) but no per-round job is
+        // submitted — the caller's one action materializes the cascade,
+        // each round cached as it computes. Fixed-iteration loops with no
+        // convergence check pay zero driver round-trips this way.
+        .localCheckpoint(eager = false)
     }
     ranks
   }
@@ -329,8 +334,12 @@ object GraphOps {
         .withColumn("hop", lit(h))
       val folded = labels.union(next)
         .groupBy("id").agg(min("hop").as("hop"))
-        .localCheckpoint()
-      exhausted = folded.filter(col("hop") === h).limit(1).count() == 0
+        .localCheckpoint(eager = false)
+      // full count, no limit: the exhaustion check is the ONE action of
+      // the hop and reads every partition, materializing the lazy
+      // checkpoint as a side effect (the CC pattern) — one driver job
+      // per hop instead of materialize + probe
+      exhausted = folded.filter(col("hop") === h).count() == 0
       labels = folded
       h += 1L
     }
@@ -378,7 +387,9 @@ object GraphOps {
       .select(col("id"), col("id").as("label")).localCheckpoint()
     var r = 0
     while (r < rounds) {
-      labels = lpaRound(und, labels).localCheckpoint()
+      // lazy: fixed rounds, no convergence probe — the caller's action
+      // materializes all rounds in one cascade (see pageRank)
+      labels = lpaRound(und, labels).localCheckpoint(eager = false)
       r += 1
     }
     labels
