@@ -196,9 +196,13 @@ object Bpe {
     val toSyms = udf { word: String =>
       word.map(_.toString) :+ Model.EndOfWord
     }
+    // lazy checkpoints throughout the merge loop: the per-round argmax
+    // collect is a full groupBy read of every partition, so it
+    // materializes the round's table as a side effect — one driver job
+    // per merge round instead of two (the GraphOps pattern)
     var words = wordFreq
       .select(toSyms(col("word")).as("syms"), col("freq"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val pairs = udf { syms: Seq[String] =>
       if (syms.length < 2) Array.empty[String]
       else (0 until syms.length - 1)
@@ -232,7 +236,7 @@ object Bpe {
           out.toSeq
         }
         words = words.select(applyMerge(col("syms")).as("syms"), col("freq"))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
       }
       round += 1
     }

@@ -635,7 +635,9 @@ object DataSelection {
     import spark.implicits._
     val grams = DedupOps.shingles(df, idCol, textCol, n)
       .select(col(idCol).cast("long").as("id"), col("shingle"))
-      .localCheckpoint()
+      // lazy: round 1's argmax reads every partition and materializes
+      // the gram table; rounds 2..k hit the cache
+      .localCheckpoint(eager = false)
     val picks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
     var pickedIds = List.empty[Long]
     var coveredTotal = 0L
