@@ -332,6 +332,31 @@ object PortableAnn {
     * recall baseline — the production path swaps it for [[ivfSearch]]'s
     * probe join (label logic and ranking unchanged), which this mirrors.
     */
+  /** The 100 TB path for [[hardExamples]]'s negatives: candidates come
+    * from the anchor's `nprobe` nearest IVF cells instead of the whole
+    * corpus (the q46/q217 probe-join shape), then the same wrong-label
+    * filter and (d², id) ranking. Recall vs the exhaustive selection is
+    * what q225 hash-checks.
+    */
+  def ivfHardNegatives(anchors: DataFrame, corpus: DataFrame, idCol: String,
+                       qvCol: String, labelCol: String, model: QModel,
+                       nprobe: Int, negK: Int): DataFrame = {
+    val assigned = corpus.withColumn("cell", bestCell(col(qvCol), model))
+    val q = anchors
+      .select(col(idCol).as("query_id"), col(qvCol).as("__qq"),
+        col(labelCol).as("anchor_label"))
+      .withColumn("cell", explode(probeCells(col("__qq"), model, nprobe)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("d"), col(idCol))
+    assigned.join(broadcast(q), Seq("cell"))
+      .filter(col(idCol) =!= col("query_id") &&
+        col(labelCol) =!= col("anchor_label"))
+      .select(col("query_id"), col(idCol),
+        dist2(col(qvCol), col("__qq")).as("d"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= negK)
+  }
+
   def hardExamples(anchors: DataFrame, corpus: DataFrame, idCol: String,
                    qvCol: String, labelCol: String, negK: Int): DataFrame = {
     val q = anchors.select(col(idCol).as("query_id"),

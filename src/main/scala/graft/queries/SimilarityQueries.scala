@@ -1149,7 +1149,35 @@ object SimilarityQueries {
             "vec_id", "qv", "label", negK = 5)
           .orderBy(col("query_id"), col("kind"), col("rank"))
       },
-      Some(hardNegSql))
+      Some(hardNegSql)),
+
+    // Recall of the IVF-probed hard-negative path vs q224's exhaustive
+    // selection (the q217 pattern applied to q224's documented scale
+    // path): candidates come from the anchor's 3 nearest k-means cells
+    // only, then the same wrong-label filter and (d², id) ranking.
+    // Portable arithmetic end-to-end — training unrolled in the oracle —
+    // so the gate hash-checks the recall number per anchor.
+    QDef("q225_hard_negative_recall",
+      (s, d) => {
+        val base = embs(s, d).select(col("vec_id"),
+          PortableAnn.quant(col("embedding")).as("qv"), col("label"))
+        val model = PortableAnn.train(base, "vec_id", "qv", k = 8, iters = 2)
+        val anchors = base.filter(col("vec_id") < 8)
+        val approx = PortableAnn.ivfHardNegatives(anchors, base, "vec_id",
+            "qv", "label", model, nprobe = 3, negK = 5)
+          .select(col("query_id"), col("vec_id"), lit(1).as("hit"))
+        PortableAnn.hardExamples(anchors, base, "vec_id", "qv", "label",
+            negK = 5)
+          .filter(col("kind") === "neg")
+          .select(col("query_id"), col("vec_id"))
+          .join(approx, Seq("query_id", "vec_id"), "left")
+          .groupBy(col("query_id"))
+          .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
+          .select(col("query_id"), col("n_hits"),
+            (col("n_hits") * lit(200000L)).as("recall_x1e6"))
+          .orderBy(col("query_id"))
+      },
+      Some(hardNegRecallSql))
   )
 
   // ── Portable-arithmetic oracle SQL (q217/q218/q219). The k-means
@@ -1262,6 +1290,32 @@ object SimilarityQueries {
       "SELECT query_id, anchor_label, vec_id, label, d2, rank, 'neg' AS kind FROM n WHERE rank <= 5 " +
       "UNION ALL SELECT query_id, anchor_label, vec_id, label, d2, rank, 'pos' AS kind FROM p WHERE rank = 1 " +
       "ORDER BY query_id, kind, rank"
+
+  /** q225: unrolled portable k-means (c2), full assignment (a3), anchor
+    * probe lists (3 nearest cells), then wrong-label top-5 from probed
+    * cells vs the exhaustive wrong-label top-5 — per-anchor hits ×2e5.
+    */
+  private lazy val hardNegRecallSql: String =
+    s"WITH ${qvSql("")}, ${kmeansSql(8)}, ${assignSql(3, "c2")}, " +
+      "lbl AS (SELECT vec_id, label FROM embeddings), " +
+      "p AS (SELECT v.vec_id AS query_id, v.q AS qq, l.label AS al " +
+      "FROM v JOIN lbl l ON l.vec_id = v.vec_id WHERE v.vec_id < 8), " +
+      "pc AS (SELECT query_id, cid FROM (SELECT p.query_id, c.cid, " +
+      s"row_number() OVER (PARTITION BY p.query_id ORDER BY ${d2Sql("p.qq", "c.c")}, c.cid) AS rn " +
+      "FROM p CROSS JOIN c2 c) WHERE rn <= 3), " +
+      "apx AS (SELECT query_id, vec_id FROM (SELECT pc.query_id, a3.vec_id, " +
+      s"row_number() OVER (PARTITION BY pc.query_id ORDER BY ${d2Sql("a3.q", "p.qq")}, a3.vec_id) AS rn " +
+      "FROM pc JOIN a3 ON pc.cid = a3.cid JOIN p ON p.query_id = pc.query_id " +
+      "JOIN lbl b ON b.vec_id = a3.vec_id " +
+      "WHERE a3.vec_id <> pc.query_id AND b.label <> p.al) WHERE rn <= 5), " +
+      "ext AS (SELECT query_id, vec_id FROM (SELECT p.query_id, v.vec_id, " +
+      s"row_number() OVER (PARTITION BY p.query_id ORDER BY ${d2Sql("v.q", "p.qq")}, v.vec_id) AS rn " +
+      "FROM p CROSS JOIN v JOIN lbl b ON b.vec_id = v.vec_id " +
+      "WHERE v.vec_id <> p.query_id AND b.label <> p.al) WHERE rn <= 5) " +
+      "SELECT e.query_id, CAST(count(a.vec_id) AS BIGINT) AS n_hits, " +
+      "CAST(count(a.vec_id) * 200000 AS BIGINT) AS recall_x1e6 " +
+      "FROM ext e LEFT JOIN apx a ON e.query_id = a.query_id AND e.vec_id = a.vec_id " +
+      "GROUP BY 1 ORDER BY 1"
 
   /** Quantized-vector CTE: floor(x·1024 + 0.5) per element as BIGINT. */
   private def qvSql(where: String): String =

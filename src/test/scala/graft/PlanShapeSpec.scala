@@ -37,6 +37,8 @@ class PlanShapeSpec extends SparkSpec {
       "q223_jl_distortion",
       // 8-anchor broadcast over one corpus scan (exhaustive baseline)
       "q224_hard_negatives",
+      // recall metric: exhaustive side reuses the q224 broadcast shape
+      "q225_hard_negative_recall",
       // one-row aggregate × one-row aggregate (report assembly)
       "q74_anomaly_gates", "q77_dedup_purge", "q116_triangle_count",
       "q36_underrepresentation", "q120_assoc_rules",

@@ -154,6 +154,32 @@ class PortableAnnSpec extends SparkSpec {
     }
   }
 
+  test("IVF hard negatives are wrong-label and q225 recall is their hit rate") {
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), PortableAnn.quant(col("embedding")).as("qv"),
+        col("label"))
+    val model = PortableAnn.train(base, "vec_id", "qv", k = 8, iters = 2)
+    val anchors = base.filter(col("vec_id") < 8)
+    val approx = PortableAnn.ivfHardNegatives(anchors, base, "vec_id", "qv",
+      "label", model, nprobe = 3, negK = 5)
+    val anchorLabels = anchors.collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val labels = base.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    approx.collect().foreach { r =>
+      assert(labels(r.getLong(1)) != anchorLabels(r.getLong(0)))
+      assert(r.getLong(3) >= 1L && r.getLong(3) <= 5L)
+    }
+    val recall = graft.queries.SimilarityQueries.defs
+      .find(_.name == "q225_hard_negative_recall").get.run(spark, sf).collect()
+    assert(recall.length === 8)
+    recall.foreach { r =>
+      val hits = r.getAs[Long]("n_hits")
+      assert(hits >= 0L && hits <= 5L)
+      assert(r.getAs[Long]("recall_x1e6") === hits * 200000L)
+    }
+  }
+
   test("k-center coreset matches the hand-traced farthest-first walk") {
     import spark.implicits._
     // 1-D quantized points 0, 1, 10, 11, 30: seed id0, then 30 (d²=900),
