@@ -319,11 +319,13 @@ object PortableAnn {
     f(qv)
   }
 
-  /** Hard-example mining for contrastive training data: per anchor, the
+  /** Triplet mining for contrastive training data: per anchor, the
     * `negK` NEAREST vectors with a DIFFERENT label (hard negatives — the
     * most confusable wrong-label examples, the ones a triplet/InfoNCE
     * batch should contain) and the single FARTHEST vector with the SAME
-    * label (hardest positive). Exact integer L2² over quantized vectors,
+    * label (hardest positive). Completes [[Similarity.hardNegatives]]
+    * (q118, negative-only, rounded float cosine) into full triplet
+    * construction in exact integer L2² over quantized vectors,
     * ties → lowest id, so the whole selection restates in SQL.
     *
     * Plan: the bounded anchor set broadcasts over ONE corpus scan; the

@@ -1132,10 +1132,11 @@ object SimilarityQueries {
       },
       Some(jlSql)),
 
-    // Hard-example mining for contrastive training data: per anchor
-    // (vec_id < 8), the 5 NEAREST wrong-label vectors (hard negatives —
-    // what a triplet/InfoNCE batch should contain) and the single
-    // FARTHEST same-label vector (hardest positive). Exact integer L2²
+    // Triplet mining: per anchor (vec_id < 8), the 5 NEAREST wrong-label
+    // vectors (hard negatives — what a triplet/InfoNCE batch should
+    // contain) and the single FARTHEST same-label vector (hardest
+    // positive) — q118's negative-only mining completed into triplet
+    // construction, and in exact integer L2² (not rounded float cosine)
     // over quantized vectors so the gate hash-checks the selection; the
     // 8-anchor set broadcasts over one corpus scan, rank windows
     // partition on query_id. 100 TB path: swap the exhaustive scan for

@@ -201,6 +201,23 @@ class EdgeCaseSpec extends SparkSpec {
       "label", 3).count() == 0)
   }
 
+  test("triplet mining on degenerate label layouts") {
+    import graft.operators.PortableAnn
+    // all labels agree: no negatives, positives still mined
+    val same = Seq((0L, Array(0L), 1), (1L, Array(5L), 1), (2L, Array(9L), 1))
+      .toDF("vec_id", "qv", "label")
+    val a = PortableAnn.hardExamples(same.filter(col("vec_id") === 0L),
+      same, "vec_id", "qv", "label", negK = 3).collect()
+    assert(a.forall(_.getAs[String]("kind") == "pos") && a.length == 1)
+    assert(a.head.getAs[Long]("vec_id") == 2L) // farthest same-label
+    // anchor's label unique in the corpus: negatives only, no positive
+    val uniq = Seq((0L, Array(0L), 7), (1L, Array(5L), 1), (2L, Array(9L), 2))
+      .toDF("vec_id", "qv", "label")
+    val b = PortableAnn.hardExamples(uniq.filter(col("vec_id") === 0L),
+      uniq, "vec_id", "qv", "label", negK = 3).collect()
+    assert(b.forall(_.getAs[String]("kind") == "neg") && b.length == 2)
+  }
+
   test("triangle count of an empty edge set is (0, 0)") {
     import graft.operators.GraphOps
     val edges = Seq.empty[(Long, Long)].toDF("a", "b")
