@@ -99,6 +99,18 @@ class PlanShapeSpec extends SparkSpec {
     // refactor can't silently fall back to sorting whole partitions.
     val p = plan("q70_tfidf_topterms")
     assert(p.contains("WindowGroupLimit"), p)
+    // the triplet-mining family rides the same pushdown: the exchange
+    // after the anchors×corpus broadcast join carries at most
+    // partitions×anchors×k rows (per-partition heap), never the scored
+    // corpus — the property that keeps q224/q225 shuffle-safe at scale.
+    // Catalyst also extracts the positive side's label equality into a
+    // BroadcastHashJoin key; pin both.
+    val p224 = plan("q224_hard_negatives")
+    assert(p224.sliding("WindowGroupLimit".length).count(
+      _ == "WindowGroupLimit") >= 4, p224) // partial+final × neg/pos arms
+    assert(p224.contains("BroadcastHashJoin [label"), p224)
+    val p225 = plan("q225_hard_negative_recall")
+    assert(p225.contains("WindowGroupLimit"), p225)
   }
 
   test("q01 scan is column-pruned to the referenced columns") {
