@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** IVF-PQ composite index — the FAISS production shape (Jégou et al.
+  * 2011, "Product quantization for nearest neighbor search"): a coarse
+  * k-means quantizer partitions the LAYOUT (one parquet directory per
+  * cell, so probing prunes I/O — [[IvfIndex.writeIndex]]'s property) and
+  * PQ codes compress what the probed cells' scan has to touch (ADC over
+  * code bytes, exact rerank only on the shortlist — [[PqIndex]]'s
+  * property). The two compose without new machinery: cells bound WHICH
+  * files are read, codes bound HOW MUCH of each row the distance pass
+  * needs, and the stored full-precision vectors serve the final rerank.
+  *
+  * Query cost at scale: read nprobe cells' partitions (not the corpus),
+  * ADC-fold m byte-lookups per read row (not a d-dim float dot), exact
+  * distance on `shortlist` rows only.
+  */
+object IvfPq {
+
+  final case class Model(coarse: IvfIndex.Model, pq: PqIndex.Model)
+
+  /** Train both quantizers on the corpus (deterministic first-k inits,
+    * like both parents).
+    */
+  def train(corpus: DataFrame, idCol: String, embCol: String, nlist: Int,
+            coarseIters: Int, m: Int, k: Int, pqIters: Int): Model =
+    Model(
+      IvfIndex.train(corpus, idCol, embCol, k = nlist, iters = coarseIters),
+      PqIndex.train(corpus, idCol, embCol, m = m, k = k, iters = pqIters))
+
+  /** Persist cell-partitioned (cell, id, code, full vector): the probed
+    * search reads only its cells' directories; the full vector rides
+    * along for the rerank so no second source is consulted.
+    */
+  def writeIndex(corpus: DataFrame, idCol: String, embCol: String,
+                 model: Model, path: String): Unit =
+    PqIndex.encode(IvfIndex.assign(corpus, embCol, model.coarse),
+        embCol, model.pq)
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Probe → prune → ADC-shortlist → exact rerank, all inside the probed
+    * cells' partitions. With nprobe = nlist and shortlist ≥ corpus this
+    * degrades gracefully to exact brute-force top-k (spec-pinned), the
+    * same property both parents carry.
+    */
+  def searchPruned(spark: SparkSession, indexPath: String,
+                   query: Array[Double], idCol: String, embCol: String,
+                   model: Model, nprobe: Int, shortlist: Int,
+                   topK: Int): DataFrame = {
+    val cells = IvfIndex.probeCellsLocal(query, model.coarse, nprobe)
+    val idx = spark.read.parquet(indexPath)
+      .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
+    val cand = PqIndex.adcTopK(idx, idCol, model.pq, query, shortlist)
+    val exact = udf { v: Seq[Float] =>
+      var d = 0.0
+      var i = 0
+      while (i < v.length) { val x = v(i) - query(i); d += x * x; i += 1 }
+      d
+    }
+    idx.join(cand.select(idCol), Seq(idCol), "left_semi")
+      .select(col(idCol), exact(col(embCol)).as("dist"))
+      .orderBy(col("dist"), col(idCol))
+      .limit(topK)
+  }
+}

@@ -59,4 +59,33 @@ class PqIndexSpec extends SparkSpec {
     val mean = recalls.sum / recalls.length
     assert(mean >= 0.6, s"mean reranked recall@10 = $mean (${recalls.mkString(",")})")
   }
+
+  test("IVF-PQ composite: full probe + corpus shortlist degrades to exact; probed search prunes") {
+    import graft.operators.{IvfIndex, IvfPq}
+    val n = emb.count().toInt
+    val composite = IvfPq.Model(
+      IvfIndex.train(emb, "vec_id", "embedding", k = 4, iters = 2), model)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    IvfPq.writeIndex(emb, "vec_id", "embedding", composite, dir)
+    val q = emb.orderBy(col("vec_id")).limit(1)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
+    // graceful degradation: nprobe = nlist, shortlist = corpus ⇒ row-equal
+    // to PQ's exact-rerank brute force (same arithmetic, same tie-break)
+    val full = IvfPq.searchPruned(spark, dir, q, "vec_id", "embedding",
+        composite, nprobe = 4, shortlist = n, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val brute = PqIndex.searchWithRerank(emb, "vec_id", "embedding",
+        model, q, shortlist = n, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full === brute)
+    // probed: partition filter reaches the scan; recall stays useful
+    val probed = IvfPq.searchPruned(spark, dir, q, "vec_id", "embedding",
+      composite, nprobe = 2, shortlist = 50, topK = 10)
+    val plan = probed.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[cell#\\d+ IN \\(".r.findFirstIn(plan).isDefined,
+      plan.take(3000))
+    val got = probed.collect().map(_.getLong(0)).toSet
+    val hits = (got intersect brute.map(_._1).toSet).size
+    assert(hits >= 5, s"probed IVF-PQ recall@10 = ${hits / 10.0}")
+  }
 }
