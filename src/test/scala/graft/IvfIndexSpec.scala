@@ -58,6 +58,24 @@ class IvfIndexSpec extends SparkSpec {
     assert(sparkProbed.count() > 0)
   }
 
+  test("closure-UDF assignment regime (nlist > 32) matches a driver-side recompute") {
+    val big = IvfIndex.train(embs, "vec_id", "embedding", k = 40, iters = 2)
+    assert(big.k == 40)
+    val assigned = IvfIndex.assign(embs, "embedding", big)
+      .select("vec_id", "embedding", "cell").collect()
+    val c2 = big.centroids.map(_.map(x => x * x).sum)
+    assigned.foreach { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble)
+      val want = big.centroids.indices.minBy { j =>
+        val c = big.centroids(j)
+        var s = 0.0; var i = 0
+        while (i < math.min(v.length, c.length)) { s += v(i) * c(i); i += 1 }
+        (c2(j) - 2.0 * s, j)
+      }
+      assert(r.getInt(2) === want, s"vec ${r.getLong(0)}")
+    }
+  }
+
   test("small nprobe keeps useful recall at a fraction of the scan") {
     val queries = embs.filter(col("vec_id") < 20)
     val exact = Similarity.knnJoin(queries, embs, "vec_id", "embedding", 10)
