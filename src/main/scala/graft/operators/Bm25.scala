@@ -66,7 +66,17 @@ object Bm25 {
       .groupBy(col(idCol), col("doc_len"), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"))
 
-    // df per matching term is at most |query terms| rows — broadcast back.
+    scoreAndRank(postings, idCol, terms, nDocs, avgdl, k, k1, b)
+  }
+
+  /** Score + rank query-term-restricted postings (shared by [[topK]] and
+    * [[topKIndexed]] — identical arithmetic, so the indexed path is
+    * row-identical by construction). df per matching term is at most
+    * |query terms| rows — broadcast back.
+    */
+  private def scoreAndRank(postings: DataFrame, idCol: String,
+                           terms: DataFrame, nDocs: Double, avgdl: Double,
+                           k: Int, k1: Double, b: Double): DataFrame = {
     val dfByTerm = postings.groupBy(col("term"))
       .agg(countDistinct(col(idCol)).cast("double").as("df"))
 
@@ -87,6 +97,63 @@ object Bm25 {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col(idCol), col("score"))
+  }
+
+  /** The shard a term's postings live in: plain `String.hashCode` mod
+    * nShards — the same JVM function computes it at build time (column)
+    * and at query time (driver), so pruning and layout cannot diverge.
+    */
+  private def shardOf(term: String, nShards: Int): Int =
+    math.floorMod(term.hashCode, nShards)
+
+  /** Persist the FULL inverted index, TERM-SHARDED (the Lucene layout
+    * idea on parquet): postings (id, doc_len, term, tf) partitioned by
+    * `shard = hash(term) mod nShards`, plus a one-row stats table
+    * (n_docs, avgdl). A query then reads only its terms' shards —
+    * partition pruning bounds retrieval I/O by the query vocabulary, not
+    * the corpus (the same layout property `IvfIndex.writeIndex` gives
+    * vector search).
+    */
+  def writeIndex(docs: DataFrame, idCol: String, textCol: String,
+                 path: String, nShards: Int = 64): Unit = {
+    val shardU = udf((t: String) => shardOf(t, nShards))
+    docs
+      .select(col(idCol), TextFns.words(col(textCol)).as("__toks"))
+      .select(col(idCol), size(col("__toks")).cast("long").as("doc_len"),
+        explode(col("__toks")).as("term"))
+      .groupBy(col(idCol), col("doc_len"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .withColumn("shard", shardU(col("term")))
+      .write.mode("overwrite").partitionBy("shard").parquet(s"$path/postings")
+    docs.agg(count(lit(1)).cast("double").as("n"),
+        avg(size(TextFns.words(col(textCol)))).as("avgdl"))
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** [[topK]] over a [[writeIndex]] layout: the query terms' shards are
+    * computed driver-side and pushed as a partition filter, so the scan
+    * reads ~|query terms|/nShards of the index (pinned in Bm25Spec);
+    * within the read shards the term filter restricts to exactly the
+    * query terms, and scoring proceeds identically to [[topK]] (df for a
+    * query term is complete by construction — ALL its postings live in
+    * its shard). Row-identical to the scan path.
+    */
+  def topKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                  idCol: String, queries: Seq[(String, String)], k: Int,
+                  k1: Double = 1.2, b: Double = 0.75,
+                  nShards: Int = 64): DataFrame = {
+    import spark.implicits._
+    val terms = queries.flatMap { case (qid, q) => queryTerms(q).map(qid -> _) }
+      .toDF("query_id", "term")
+    val termSet = queries.flatMap { case (_, q) => queryTerms(q) }.distinct
+    val shards = termSet.map(shardOf(_, nShards)).distinct
+    val st = spark.read.parquet(s"$path/stats").head()
+    val postings = spark.read.parquet(s"$path/postings")
+      .filter(col("shard").isin(shards.map(Integer.valueOf): _*))
+      .filter(col("term").isInCollection(termSet))
+      .drop("shard")
+    scoreAndRank(postings, idCol, terms, st.getDouble(0), st.getDouble(1),
+      k, k1, b)
   }
 
   /** Exact retrieval-evaluation metrics for [[topK]]: per query, MRR,

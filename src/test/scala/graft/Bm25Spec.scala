@@ -53,6 +53,23 @@ class Bm25Spec extends SparkSpec {
     }
   }
 
+  test("term-sharded index: topKIndexed is row-identical to topK and prunes shards") {
+    val docs = Tables(spark, sf, "documents")
+    val queries = Seq("s1" -> "fast hash join", "s2" -> "stream filter vector")
+    val dir = java.nio.file.Files.createTempDirectory("bm25_index").toString
+    Bm25.writeIndex(docs, "doc_id", "text", dir, nShards = 64)
+    val indexed = Bm25.topKIndexed(spark, dir, "doc_id", queries, k = 10)
+    val direct = Bm25.topK(docs, "doc_id", "text", queries, k = 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(indexed) === rows(direct))
+    // the shard filter reaches the scan as a partition filter: at most
+    // 6 distinct query terms -> at most 6 of the 64 shard directories read
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[shard#\\d+ IN \\(".r.findFirstIn(plan).isDefined,
+      plan.take(3000))
+  }
+
   test("bm25 query tokenizer mirrors the corpus tokenizer") {
     assert(Bm25.queryTerms("Fast HASH-join, a an of") == Seq("fast", "hash", "join"))
     assert(Bm25.queryTerms("dup dup dup") == Seq("dup"))
