@@ -427,6 +427,91 @@ object DedupOps {
     materializeAndRelease(out, shNew, shOld)
   }
 
+  /** The shard a shingle's postings live in — same JVM function at build
+    * (column) and query (driver), so layout and pruning cannot diverge
+    * (the `Bm25.writeIndex` convention).
+    */
+  private def shingleShard(s: String, nShards: Int): Int =
+    math.floorMod(s.hashCode, nShards)
+
+  /** Persist a corpus's dedup index, SHINGLE-SHARDED: postings
+    * (id, shingle, sz) partitioned by `hash(shingle) mod nShards`, with
+    * each doc's TOTAL shingle count denormalized onto every posting row
+    * so pruned reads are self-sufficient (a doc's shingles scatter across
+    * shards — its size could not be recomputed from one), plus the
+    * exact-dup fingerprint table. The incremental-dedup twin of
+    * `Bm25.writeIndex` / `IvfIndex.writeIndex`: a new-batch check reads
+    * only the batch's shingles' shards, not the corpus.
+    */
+  def writeDedupIndex(corpusDf: DataFrame, idCol: String, textCol: String,
+                      n: Int, path: String, nShards: Int = 256): Unit = {
+    val sh = shingles(corpusDf, idCol, textCol, n)
+    val shardU = udf((s: String) => shingleShard(s, nShards))
+    sh.join(sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz")), Seq(idCol))
+      .withColumn("shard", shardU(col("shingle")))
+      .write.mode("overwrite").partitionBy("shard").parquet(s"$path/shingles")
+    corpusDf
+      .select(graft.functions.TextFns.fingerprint(col(textCol)).as("__fp"))
+      .distinct()
+      .write.mode("overwrite").parquet(s"$path/fingerprints")
+  }
+
+  /** The pruned index read inside [[dedupAgainstIndex]], exposed so the
+    * spec can pin its `PartitionFilters` shape (the operator's output is
+    * checkpointed by `materializeAndRelease`, which hides the scan).
+    */
+  private[graft] def prunedShingleIndex(spark: org.apache.spark.sql.SparkSession,
+                                        path: String, shNew: DataFrame,
+                                        nShards: Int): DataFrame = {
+    val shardU = udf((s: String) => shingleShard(s, nShards))
+    val shards = shNew.select(shardU(col("shingle")).as("shard"))
+      .distinct().collect().map(_.getInt(0))
+    spark.read.parquet(s"$path/shingles")
+      .filter(col("shard").isin(shards.map(Integer.valueOf): _*))
+  }
+
+  /** [[dedupAgainst]] over a [[writeDedupIndex]] layout: the batch's
+    * distinct shingle SHARDS (≤ nShards values — the collect is bounded
+    * by the shard count, never the batch) are pushed as a partition
+    * filter, so the scan reads only directories the batch can intersect;
+    * every shared shingle lives in a read shard by construction, so
+    * `inter`, `max_jaccard`, and the output are row-identical to the
+    * two-sided scan (pinned in DedupOps' spec). A batch approaching
+    * corpus vocabulary degrades gracefully to reading all shards.
+    */
+  def dedupAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                        path: String, newDf: DataFrame, idCol: String,
+                        textCol: String, n: Int, threshold: Double,
+                        nShards: Int = 256): DataFrame = {
+    val exact = newDf
+      .select(col(idCol), graft.functions.TextFns.fingerprint(col(textCol)).as("__fp"))
+      .join(spark.read.parquet(s"$path/fingerprints"), Seq("__fp"), "left_semi")
+      .select(col(idCol)).withColumn("__exact", lit(1L))
+    val shNew = shingles(newDf, idCol, textCol, n).cache()
+    val idx = prunedShingleIndex(spark, path, shNew, nShards)
+    val sizesNew = shNew.groupBy(col(idCol)).agg(count(lit(1)).as("sz_a"))
+    val near = shNew.select(col(idCol).as("id_a"), col("shingle"))
+      .hint("shuffle_hash")
+      .join(idx.select(col(idCol).as("id_b"), col("shingle"), col("sz")),
+        Seq("shingle"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"), max(col("sz")).as("sz_b"))
+      .join(sizesNew.withColumnRenamed(idCol, "id_a"), Seq("id_a"))
+      .withColumn("j",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .groupBy(col("id_a").as(idCol))
+      .agg(max(col("j")).as("__mj"))
+    val out = newDf.select(col(idCol))
+      .join(exact, Seq(idCol), "left")
+      .join(near, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__exact"), lit(0L)).as("exact_dup"),
+        when(coalesce(col("__mj"), lit(0.0)) >= threshold, 1L).otherwise(0L)
+          .as("near_dup"),
+        round(coalesce(col("__mj"), lit(0.0)), 6).as("max_jaccard"))
+    materializeAndRelease(out, shNew)
+  }
+
   /** Verify candidate pairs with exact Jaccard over the FULL shingle sets,
     * restricted to candidate docs — O(candidate docs), not O(corpus).
     * Shared by the prefix-filter, DF-cap and (structurally) LSH paths.
