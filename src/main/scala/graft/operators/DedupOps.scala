@@ -456,6 +456,25 @@ object DedupOps {
       .write.mode("overwrite").parquet(s"$path/fingerprints")
   }
 
+  /** Fold an accepted batch INTO the dedup index (the CDC lifecycle:
+    * check a batch with [[dedupAgainstIndex]], keep the non-dups, append
+    * them so the NEXT batch is checked against them too). Same sharding
+    * function, parquet append — no rewrite of existing shards; readers
+    * see the union.
+    */
+  def appendToDedupIndex(batch: DataFrame, idCol: String, textCol: String,
+                         n: Int, path: String, nShards: Int = 256): Unit = {
+    val sh = shingles(batch, idCol, textCol, n)
+    val shardU = udf((s: String) => shingleShard(s, nShards))
+    sh.join(sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz")), Seq(idCol))
+      .withColumn("shard", shardU(col("shingle")))
+      .write.mode("append").partitionBy("shard").parquet(s"$path/shingles")
+    batch
+      .select(graft.functions.TextFns.fingerprint(col(textCol)).as("__fp"))
+      .distinct()
+      .write.mode("append").parquet(s"$path/fingerprints")
+  }
+
   /** The pruned index read inside [[dedupAgainstIndex]], exposed so the
     * spec can pin its `PartitionFilters` shape (the operator's output is
     * checkpointed by `materializeAndRelease`, which hides the scan).

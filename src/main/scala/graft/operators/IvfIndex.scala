@@ -180,6 +180,16 @@ object IvfIndex {
     assign(corpus, embCol, model)
       .write.mode("overwrite").partitionBy("cell").parquet(path)
 
+  /** Append new vectors to a [[writeIndex]] layout: assigned to the
+    * EXISTING centroids (the standard IVF maintenance move — cells drift
+    * only at the next retrain), written into their cells' partitions
+    * without rewriting existing files.
+    */
+  def appendToIndex(batch: DataFrame, idCol: String, embCol: String,
+                    model: Model, path: String): Unit =
+    assign(batch, embCol, model)
+      .write.mode("append").partitionBy("cell").parquet(path)
+
   /** Driver-side twin of [[probeCells]] — the model is driver state, so a
     * bounded query set's probe lists need no Spark job.
     */

@@ -58,6 +58,22 @@ class IvfIndexSpec extends SparkSpec {
     assert(sparkProbed.count() > 0)
   }
 
+  test("appending vectors to the IVF index equals indexing the union") {
+    val half1 = embs.filter(col("vec_id") % 2 === 0)
+    val half2 = embs.filter(col("vec_id") % 2 === 1)
+    val queries = embs.filter(col("vec_id") < 5)
+    val dirInc = java.nio.file.Files.createTempDirectory("ivf_inc").toString
+    IvfIndex.writeIndex(half1, "vec_id", "embedding", model, dirInc)
+    IvfIndex.appendToIndex(half2, "vec_id", "embedding", model, dirInc)
+    val dirAll = java.nio.file.Files.createTempDirectory("ivf_all").toString
+    IvfIndex.writeIndex(embs, "vec_id", "embedding", model, dirAll)
+    def res(dir: String) = IvfIndex.searchPruned(spark, dir, queries,
+        "vec_id", "embedding", model, nprobe = 3, topK = 5)
+      .select(col("query_id"), col("vec_id"), round(col("sim"), 9), col("rank"))
+      .collect().map(_.toSeq).toSet
+    assert(res(dirInc) === res(dirAll))
+  }
+
   test("closure-UDF assignment regime (nlist > 32) matches a driver-side recompute") {
     val big = IvfIndex.train(embs, "vec_id", "embedding", k = 40, iters = 2)
     assert(big.k == 40)

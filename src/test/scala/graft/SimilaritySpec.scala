@@ -120,6 +120,22 @@ class SimilaritySpec extends SparkSpec {
     assert(pruned.select("shard").distinct().count() <= nMicroShards)
   }
 
+  test("appending a batch to the dedup index equals indexing the union") {
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val half2 = docs.filter(col("doc_id") % 2 === 1)
+    val probe = docs.filter(col("doc_id") < 20)
+      .select(col("doc_id") + 200000L as "doc_id", col("text"))
+    val dirInc = java.nio.file.Files.createTempDirectory("dedup_inc").toString
+    DedupOps.writeDedupIndex(half1, "doc_id", "text", 3, dirInc)
+    DedupOps.appendToDedupIndex(half2, "doc_id", "text", 3, dirInc)
+    val dirAll = java.nio.file.Files.createTempDirectory("dedup_all").toString
+    DedupOps.writeDedupIndex(docs, "doc_id", "text", 3, dirAll)
+    def check(dir: String) = DedupOps.dedupAgainstIndex(spark, dir, probe,
+        "doc_id", "text", 3, 0.5)
+      .collect().map(_.toSeq).toSet
+    assert(check(dirInc) === check(dirAll))
+  }
+
   test("minhash LSH recovers all exact-jaccard pairs on this corpus") {
     val exact = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
