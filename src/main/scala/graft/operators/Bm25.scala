@@ -50,7 +50,9 @@ object Bm25 {
       count(lit(1)).cast("double").as("n"),
       avg(size(TextFns.words(col(textCol)))).as("avgdl")).head()
     val nDocs = stats.getDouble(0)
-    val avgdl = stats.getDouble(1)
+    // empty corpus: avg aggregates to null; 1.0 keeps tfNorm finite (the
+    // posting table is empty anyway, so the value never scores a row)
+    val avgdl = if (stats.isNullAt(1)) 1.0 else stats.getDouble(1)
 
     // Postings restricted to query terms: doc_len in the grouping key
     // (per-doc constant) so no second corpus pass or join is needed. The
@@ -117,14 +119,19 @@ object Bm25 {
   def writeIndex(docs: DataFrame, idCol: String, textCol: String,
                  path: String, nShards: Int = 64): Unit = {
     val shardU = udf((t: String) => shardOf(t, nShards))
-    docs
+    val postings = docs
       .select(col(idCol), TextFns.words(col(textCol)).as("__toks"))
       .select(col(idCol), size(col("__toks")).cast("long").as("doc_len"),
         explode(col("__toks")).as("term"))
       .groupBy(col(idCol), col("doc_len"), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"))
       .withColumn("shard", shardU(col("term")))
-      .write.mode("overwrite").partitionBy("shard").parquet(s"$path/postings")
+    val w = postings.write.mode("overwrite")
+    // a zero-row partitioned write leaves no schema-bearing files and the
+    // index would be unreadable — an empty corpus writes unpartitioned
+    // (shard stays as a data column; the query-side filter still applies)
+    if (postings.isEmpty) w.parquet(s"$path/postings")
+    else w.partitionBy("shard").parquet(s"$path/postings")
     docs.agg(count(lit(1)).cast("double").as("n"),
         avg(size(TextFns.words(col(textCol)))).as("avgdl"))
       .write.mode("overwrite").parquet(s"$path/stats")
@@ -152,8 +159,8 @@ object Bm25 {
       .filter(col("shard").isin(shards.map(Integer.valueOf): _*))
       .filter(col("term").isInCollection(termSet))
       .drop("shard")
-    scoreAndRank(postings, idCol, terms, st.getDouble(0), st.getDouble(1),
-      k, k1, b)
+    scoreAndRank(postings, idCol, terms, st.getDouble(0),
+      if (st.isNullAt(1)) 1.0 else st.getDouble(1), k, k1, b)
   }
 
   /** Exact retrieval-evaluation metrics for [[topK]]: per query, MRR,

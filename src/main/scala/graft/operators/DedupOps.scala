@@ -447,9 +447,14 @@ object DedupOps {
                       n: Int, path: String, nShards: Int = 256): Unit = {
     val sh = shingles(corpusDf, idCol, textCol, n)
     val shardU = udf((s: String) => shingleShard(s, nShards))
-    sh.join(sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz")), Seq(idCol))
+    val postings = sh
+      .join(sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz")), Seq(idCol))
       .withColumn("shard", shardU(col("shingle")))
-      .write.mode("overwrite").partitionBy("shard").parquet(s"$path/shingles")
+    val w = postings.write.mode("overwrite")
+    // empty corpus: a zero-row partitioned write leaves no schema-bearing
+    // files (unreadable index) — write unpartitioned, shard as data column
+    if (postings.isEmpty) w.parquet(s"$path/shingles")
+    else w.partitionBy("shard").parquet(s"$path/shingles")
     corpusDf
       .select(graft.functions.TextFns.fingerprint(col(textCol)).as("__fp"))
       .distinct()

@@ -225,6 +225,25 @@ class EdgeCaseSpec extends SparkSpec {
     assert(r.getAs[Long]("n_edges") == 0 && r.getAs[Long]("n_triangles") == 0)
   }
 
+  test("bm25 on an empty corpus returns no rows (scan and indexed paths)") {
+    import graft.operators.Bm25
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Bm25.topK(empty, "doc_id", "text",
+      Seq("q" -> "anything here"), k = 5).count() == 0)
+    val dir = java.nio.file.Files.createTempDirectory("bm25_empty").toString
+    Bm25.writeIndex(empty, "doc_id", "text", dir)
+    assert(Bm25.topKIndexed(spark, dir, "doc_id",
+      Seq("q" -> "anything here"), k = 5).count() == 0)
+    // the sharded dedup index mirrors dedupAgainst's empty-corpus row:
+    // nothing flagged, one row per new doc
+    val dDir = java.nio.file.Files.createTempDirectory("dedup_empty").toString
+    graft.operators.DedupOps.writeDedupIndex(empty, "doc_id", "text", 3, dDir)
+    val newDf = Seq((1L, "some new document text here")).toDF("doc_id", "text")
+    val r = graft.operators.DedupOps.dedupAgainstIndex(spark, dDir, newDf,
+      "doc_id", "text", 3, 0.5).collect()
+    assert(r.length == 1 && r.head.getLong(1) == 0L && r.head.getLong(2) == 0L)
+  }
+
   test("bm25 handles null docs and a query with no corpus hits") {
     import graft.operators.Bm25
     val docs = Seq((1L, "alpha beta"), (2L, null.asInstanceOf[String]))
