@@ -400,33 +400,28 @@ object SimilarityQueries {
             "doc_id", "text", n = 3, threshold = 0.5)
           .orderBy(col("doc_id"))
       },
-      Some("""WITH newd AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
-             |old AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
-             |fpo AS (SELECT DISTINCT md5(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS fp FROM old),
-             |ex AS (SELECT doc_id, 1 AS e FROM newd
-             |       WHERE md5(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) IN (SELECT fp FROM fpo)),
-             |tn AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM newd),
-             |toq AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM old),
-             |gn AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS sh
-             |       FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i FROM tn)),
-             |go AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS sh
-             |       FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i FROM toq)),
-             |szn AS (SELECT doc_id, count(*) AS sz FROM gn GROUP BY 1),
-             |szo AS (SELECT doc_id, count(*) AS sz FROM go GROUP BY 1),
-             |inter AS (SELECT gn.doc_id AS id_a, go.doc_id AS id_b, count(*) AS i
-             |          FROM gn JOIN go ON gn.sh = go.sh GROUP BY 1, 2),
-             |mj AS (SELECT id_a AS doc_id,
-             |    max(i / CAST(szn.sz + szo.sz - i AS DOUBLE)) AS mj
-             |  FROM inter
-             |    JOIN szn ON szn.doc_id = inter.id_a
-             |    JOIN szo ON szo.doc_id = inter.id_b
-             |  GROUP BY 1)
-             |SELECT n.doc_id,
-             |  CAST(COALESCE(ex.e, 0) AS BIGINT) AS exact_dup,
-             |  CAST(CASE WHEN COALESCE(mj.mj, 0) >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS near_dup,
-             |  round(COALESCE(mj.mj, 0), 6) AS max_jaccard
-             |FROM newd n LEFT JOIN ex USING (doc_id) LEFT JOIN mj USING (doc_id)
-             |ORDER BY n.doc_id""".stripMargin)),
+      Some(dedupAgainstSql)),
+
+    // q142 through the PERSISTED index path: the accumulated corpus is
+    // written as a shingle-sharded index (per-doc sizes denormalized,
+    // fingerprint table alongside), then the increment is checked with
+    // partition-pruned reads — the same semantics, so the SAME oracle
+    // hash-checks that the layout path loses nothing. The timed cost
+    // includes the index build; the query half alone reads only the
+    // increment's shards.
+    QDef("q226_dedup_against_indexed",
+      (s, d) => {
+        val all = docs(s, d)
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_q226_index").toString
+        DedupOps.writeDedupIndex(all.filter(col("doc_id") % 10 =!= 0),
+          "doc_id", "text", n = 3, dir)
+        DedupOps.dedupAgainstIndex(s, dir,
+            all.filter(col("doc_id") % 10 === 0),
+            "doc_id", "text", n = 3, threshold = 0.5)
+          .orderBy(col("doc_id"))
+      },
+      Some(dedupAgainstSql)),
 
     // Hard-negative mining for contrastive training: top-3 most-similar
     // vectors with a DIFFERENT label, for each of the first 5 vectors.
@@ -1273,6 +1268,39 @@ object SimilarityQueries {
       "FROM v a JOIN v b ON a.vec_id < b.vec_id " +
       "JOIN pv pa ON pa.vec_id = a.vec_id JOIN pv pb ON pb.vec_id = b.vec_id) " +
       "ORDER BY id_a, id_b"
+
+  /** q142/q226 shared oracle: exact fingerprint + exact 3-gram Jaccard of
+    * the increment against the corpus. The indexed path (q226) is
+    * lossless by construction, so ONE SQL restatement hash-checks both.
+    */
+  private lazy val dedupAgainstSql: String =
+    """WITH newd AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+      |old AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+      |fpo AS (SELECT DISTINCT md5(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS fp FROM old),
+      |ex AS (SELECT doc_id, 1 AS e FROM newd
+      |       WHERE md5(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) IN (SELECT fp FROM fpo)),
+      |tn AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM newd),
+      |toq AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM old),
+      |gn AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS sh
+      |       FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i FROM tn)),
+      |go AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS sh
+      |       FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i FROM toq)),
+      |szn AS (SELECT doc_id, count(*) AS sz FROM gn GROUP BY 1),
+      |szo AS (SELECT doc_id, count(*) AS sz FROM go GROUP BY 1),
+      |inter AS (SELECT gn.doc_id AS id_a, go.doc_id AS id_b, count(*) AS i
+      |          FROM gn JOIN go ON gn.sh = go.sh GROUP BY 1, 2),
+      |mj AS (SELECT id_a AS doc_id,
+      |    max(i / CAST(szn.sz + szo.sz - i AS DOUBLE)) AS mj
+      |  FROM inter
+      |    JOIN szn ON szn.doc_id = inter.id_a
+      |    JOIN szo ON szo.doc_id = inter.id_b
+      |  GROUP BY 1)
+      |SELECT n.doc_id,
+      |  CAST(COALESCE(ex.e, 0) AS BIGINT) AS exact_dup,
+      |  CAST(CASE WHEN COALESCE(mj.mj, 0) >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS near_dup,
+      |  round(COALESCE(mj.mj, 0), 6) AS max_jaccard
+      |FROM newd n LEFT JOIN ex USING (doc_id) LEFT JOIN mj USING (doc_id)
+      |ORDER BY n.doc_id""".stripMargin
 
   /** q224: quantized corpus with labels, per-anchor wrong-label top-5 by
     * ascending integer L2² (hard negatives) plus the same-label argmax

@@ -30,6 +30,33 @@ object TextQueries {
     .flatMap { case (qid, q) => Bm25.queryTerms(q).map(t => s"('$qid', '$t')") }
     .mkString(", ")
 
+  /** q139/q227 shared oracle: Okapi BM25 with 6dp-rounded scores before
+    * ranking (the term-sharded indexed path is lossless, so one SQL
+    * restatement hash-checks both).
+    */
+  private lazy val bm25TopkSql: String =
+    s"""WITH q(query_id, term) AS (VALUES $bm25TermValues),
+       |tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]{3,}')) AS term
+       |        FROM documents),
+       |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+       |    avg(len(regexp_extract_all(lower(text), '[a-z]{3,}'))) AS avgdl
+       |  FROM documents),
+       |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS doc_len FROM tok GROUP BY 1),
+       |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok
+       |       WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1, 2),
+       |idf AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY 1),
+       |scored AS (SELECT q.query_id, tf.doc_id,
+       |    round(sum(ln(1.0 + (stats.n - idf.df + 0.5) / (idf.df + 0.5))
+       |      * (tf.tf * (1.2 + 1.0)
+       |         / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.doc_len / stats.avgdl)))), 6) AS score
+       |  FROM tf JOIN idf USING (term) JOIN q USING (term)
+       |    JOIN dl USING (doc_id), stats
+       |  GROUP BY 1, 2)
+       |SELECT query_id, rank, doc_id, score FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, doc_id) AS rank FROM scored)
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
   /** q198's blocklist: multi-word substrings over the corpus vocabulary,
     * each border-free (no non-empty proper prefix that is also a suffix),
     * so occurrences cannot self-overlap and the oracle's replace-based
@@ -292,27 +319,24 @@ object TextQueries {
     QDef("q139_bm25_topk",
       (s, d) => Bm25.topK(docs(s, d), "doc_id", "text", bm25Queries, k = 10)
         .orderBy(col("query_id"), col("rank")),
-      Some(s"""WITH q(query_id, term) AS (VALUES $bm25TermValues),
-             |tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]{3,}')) AS term
-             |        FROM documents),
-             |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
-             |    avg(len(regexp_extract_all(lower(text), '[a-z]{3,}'))) AS avgdl
-             |  FROM documents),
-             |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS doc_len FROM tok GROUP BY 1),
-             |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok
-             |       WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1, 2),
-             |idf AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY 1),
-             |scored AS (SELECT q.query_id, tf.doc_id,
-             |    round(sum(ln(1.0 + (stats.n - idf.df + 0.5) / (idf.df + 0.5))
-             |      * (tf.tf * (1.2 + 1.0)
-             |         / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.doc_len / stats.avgdl)))), 6) AS score
-             |  FROM tf JOIN idf USING (term) JOIN q USING (term)
-             |    JOIN dl USING (doc_id), stats
-             |  GROUP BY 1, 2)
-             |SELECT query_id, rank, doc_id, score FROM (
-             |  SELECT *, row_number() OVER (PARTITION BY query_id
-             |    ORDER BY score DESC, doc_id) AS rank FROM scored)
-             |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+      Some(bm25TopkSql)),
+
+    // q139 through the PERSISTED term-sharded index: write the full
+    // inverted index (postings partitioned by term hash + stats table),
+    // then retrieve with the query terms' shards pushed as a partition
+    // filter. Scoring shares topK's code path and the indexed read is
+    // lossless (a term's postings all live in its shard), so the SAME
+    // oracle hash-checks the layout path. Timed cost includes the index
+    // build; the query half reads only the query terms' shards.
+    QDef("q227_bm25_indexed",
+      (s, d) => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_q227_index").toString
+        Bm25.writeIndex(docs(s, d), "doc_id", "text", dir)
+        Bm25.topKIndexed(s, dir, "doc_id", bm25Queries, k = 10)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(bm25TopkSql)),
 
     // Retrieval evaluation: exact MRR / recall@10 / nDCG@10 for the BM25
     // ranker against boolean-AND pseudo-qrels (relevant iff the doc holds
