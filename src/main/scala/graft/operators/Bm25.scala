@@ -126,15 +126,101 @@ object Bm25 {
       .groupBy(col(idCol), col("doc_len"), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"))
       .withColumn("shard", shardU(col("term")))
+      // cluster by shard so the partitioned write below emits O(nShards)
+      // files instead of tasks × nShards
+      .repartition(col("shard"))
     val w = postings.write.mode("overwrite")
     // a zero-row partitioned write leaves no schema-bearing files and the
     // index would be unreadable — an empty corpus writes unpartitioned
-    // (shard stays as a data column; the query-side filter still applies)
-    if (postings.isEmpty) w.parquet(s"$path/postings")
+    // (shard stays as a data column; the query-side filter still applies).
+    // Emptiness is probed on the map-only exploded-token scan (postings
+    // are its aggregate — empty iff it is), not on `postings` itself,
+    // which would execute the whole agg pipeline twice.
+    val noTokens = docs
+      .select(explode(TextFns.words(col(textCol))).as("__t")).isEmpty
+    if (noTokens) w.parquet(s"$path/postings")
     else w.partitionBy("shard").parquet(s"$path/postings")
+    // stats carry the EXACT token total alongside avgdl: token counts are
+    // integral, so sum_len is exact in a double (≤ 2^53) and
+    // [[appendToIndex]] can merge stats bit-identically to a from-scratch
+    // avg (avgdl alone is already-rounded — n·avgdl would NOT recover the
+    // sum). Readers take (n, avgdl) positionally; sum_len rides third.
     docs.agg(count(lit(1)).cast("double").as("n"),
-        avg(size(TextFns.words(col(textCol)))).as("avgdl"))
+        avg(size(TextFns.words(col(textCol)))).as("avgdl"),
+        coalesce(sum(size(TextFns.words(col(textCol)))).cast("double"),
+          lit(0.0)).as("sum_len"))
       .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Fold a new document batch INTO a [[writeIndex]] layout — the
+    * incremental lifecycle the IVF and dedup indexes already have
+    * (`IvfIndex.appendToIndex` / `DedupOps.appendToDedupIndex`): postings
+    * append under the SAME term-sharding, stats merge exactly. df/idf
+    * need no maintenance — they are derived from the postings at query
+    * time, so retrieval after an append is row-identical to an index
+    * rebuilt from scratch over the union (pinned in Bm25Spec). Caller
+    * contract (as for the sibling appends): batch ids are new.
+    *
+    * The stats merge is EXACT, not approximate: n adds, sum_len adds
+    * (both integral-valued doubles, exact ≤ 2^53), and the merged
+    * avgdl = sum_len/n divides the same two exact operands a full-corpus
+    * `avg` would — bit-identical scores, so q228 shares q139's oracle.
+    *
+    * An index built on an EMPTY corpus has an unpartitioned zero-row
+    * postings file (the readable-empty layout); appending shard=…
+    * directories next to it would be a mixed layout Spark can't read, so
+    * that case overwrites the empty file with a fresh partitioned build.
+    */
+  def appendToIndex(docs: DataFrame, idCol: String, textCol: String,
+                    path: String, nShards: Int = 64): Unit = {
+    val spark = docs.sparkSession
+    val shardU = udf((t: String) => shardOf(t, nShards))
+    val postings = docs
+      .select(col(idCol), TextFns.words(col(textCol)).as("__toks"))
+      .select(col(idCol), size(col("__toks")).cast("long").as("doc_len"),
+        explode(col("__toks")).as("term"))
+      .groupBy(col(idCol), col("doc_len"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .withColumn("shard", shardU(col("term")))
+      .repartition(col("shard"))
+    val noTokens = docs
+      .select(explode(TextFns.words(col(textCol))).as("__t")).isEmpty
+    if (!noTokens) {
+      val mode = if (shardedLayout(spark, s"$path/postings")) "append"
+                 else "overwrite" // empty base: replace, don't mix layouts
+      postings.write.mode(mode).partitionBy("shard")
+        .parquet(s"$path/postings")
+    }
+    // merge stats: old row is collected BEFORE the overwrite, so the
+    // rewrite of the same path is safe (no lazy reference remains)
+    val old = spark.read.parquet(s"$path/stats").head()
+    val oldN = old.getDouble(0)
+    val oldSum = if (old.length > 2 && !old.isNullAt(2)) old.getDouble(2)
+                 else 0.0
+    val b = docs.agg(count(lit(1)).cast("double").as("n"),
+      coalesce(sum(size(TextFns.words(col(textCol)))).cast("double"),
+        lit(0.0)).as("s")).head()
+    val n2 = oldN + b.getDouble(0)
+    val s2 = oldSum + b.getDouble(1)
+    import spark.implicits._
+    Seq((n2, s2)).toDF("n", "sum_len")
+      .select(col("n"),
+        when(col("n") === 0.0, lit(null).cast("double"))
+          .otherwise(col("sum_len") / col("n")).as("avgdl"),
+        col("sum_len"))
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Whether `dir` holds a shard-partitioned parquet layout (any
+    * `shard=…` subdirectory) — false for the readable-empty unpartitioned
+    * form the index writers emit on an empty corpus.
+    */
+  private[operators] def shardedLayout(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists(st =>
+      st.isDirectory && st.getPath.getName.startsWith("shard="))
   }
 
   /** [[topK]] over a [[writeIndex]] layout: the query terms' shards are

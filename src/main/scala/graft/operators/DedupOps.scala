@@ -39,7 +39,16 @@ object DedupOps {
     * (measured 16.8 s vs <1 s at sf0.1). Same semantics as the oracle's
     * `regexp_extract_all(lower(text),'[a-z0-9]+')` + n-gram comprehension.
     */
-  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    shingleArrays(df, idCol, textCol, n)
+      .select(col(idCol), explode(col("__shingles")).as("shingle"))
+
+  /** Per-document distinct shingle ARRAYS: (id, __shingles) rows. The
+    * array form lets writers take each doc's shingle-set size as
+    * `size(__shingles)` BEFORE exploding — one scan, no size self-join.
+    */
+  def shingleArrays(df: DataFrame, idCol: String, textCol: String,
+                    n: Int): DataFrame = {
     val gen = udf { text: String =>
       if (text == null) Array.empty[String]
       else {
@@ -50,7 +59,7 @@ object DedupOps {
         else toks.sliding(n).map(_.mkString(" ")).toArray.distinct
       }
     }
-    df.select(col(idCol), explode(gen(col(textCol))).as("shingle"))
+    df.select(col(idCol), gen(col(textCol)).as("__shingles"))
   }
 
   /** CCNet-style boilerplate scrub over fixed token windows (the corpus
@@ -445,20 +454,40 @@ object DedupOps {
     */
   def writeDedupIndex(corpusDf: DataFrame, idCol: String, textCol: String,
                       n: Int, path: String, nShards: Int = 256): Unit = {
-    val sh = shingles(corpusDf, idCol, textCol, n)
-    val shardU = udf((s: String) => shingleShard(s, nShards))
-    val postings = sh
-      .join(sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz")), Seq(idCol))
-      .withColumn("shard", shardU(col("shingle")))
+    val postings = dedupIndexPostings(corpusDf, idCol, textCol, n, nShards)
     val w = postings.write.mode("overwrite")
     // empty corpus: a zero-row partitioned write leaves no schema-bearing
-    // files (unreadable index) — write unpartitioned, shard as data column
-    if (postings.isEmpty) w.parquet(s"$path/shingles")
+    // files (unreadable index) — write unpartitioned, shard as data column.
+    // The probe is the map-only shingle scan's first row (postings are a
+    // per-row reshape of it), NOT postings.isEmpty, which would run the
+    // whole pipeline a second time just to answer the question.
+    if (shingles(corpusDf, idCol, textCol, n).isEmpty) w.parquet(s"$path/shingles")
+    // cluster rows by shard before the partitioned write: without it every
+    // write task fans out to up to nShards directories (tasks × shards tiny
+    // files); clustered, each task owns a few whole shards and the file
+    // count is O(nShards). shuffle.partitions scales the write width on a
+    // real cluster.
     else w.partitionBy("shard").parquet(s"$path/shingles")
     corpusDf
       .select(graft.functions.TextFns.fingerprint(col(textCol)).as("__fp"))
       .distinct()
       .write.mode("overwrite").parquet(s"$path/fingerprints")
+  }
+
+  /** The (id, shingle, sz, shard) posting rows of the dedup index, built
+    * in ONE corpus scan: per-doc sizes come from `size(__shingles)` before
+    * the explode (no size self-join), and rows are clustered by shard so
+    * the partitioned write doesn't fan out tasks × shards small files.
+    */
+  private def dedupIndexPostings(df: DataFrame, idCol: String,
+                                 textCol: String, n: Int,
+                                 nShards: Int): DataFrame = {
+    val shardU = udf((s: String) => shingleShard(s, nShards))
+    shingleArrays(df, idCol, textCol, n)
+      .select(col(idCol), size(col("__shingles")).cast("long").as("sz"),
+        explode(col("__shingles")).as("shingle"))
+      .withColumn("shard", shardU(col("shingle")))
+      .repartition(col("shard"))
   }
 
   /** Fold an accepted batch INTO the dedup index (the CDC lifecycle:
@@ -469,11 +498,19 @@ object DedupOps {
     */
   def appendToDedupIndex(batch: DataFrame, idCol: String, textCol: String,
                          n: Int, path: String, nShards: Int = 256): Unit = {
-    val sh = shingles(batch, idCol, textCol, n)
-    val shardU = udf((s: String) => shingleShard(s, nShards))
-    sh.join(sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz")), Seq(idCol))
-      .withColumn("shard", shardU(col("shingle")))
-      .write.mode("append").partitionBy("shard").parquet(s"$path/shingles")
+    // a no-shingle batch appends nothing (a zero-row partitioned write
+    // onto the unpartitioned empty-base layout would erase its schema
+    // files); a real batch onto an empty unpartitioned base OVERWRITES —
+    // appending shard=… dirs next to a bare parquet file would be a
+    // mixed layout Spark can't read
+    if (!shingles(batch, idCol, textCol, n).isEmpty) {
+      val mode =
+        if (Bm25.shardedLayout(batch.sparkSession, s"$path/shingles"))
+          "append"
+        else "overwrite"
+      dedupIndexPostings(batch, idCol, textCol, n, nShards)
+        .write.mode(mode).partitionBy("shard").parquet(s"$path/shingles")
+    }
     batch
       .select(graft.functions.TextFns.fingerprint(col(textCol)).as("__fp"))
       .distinct()

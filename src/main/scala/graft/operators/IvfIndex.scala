@@ -178,6 +178,9 @@ object IvfIndex {
   def writeIndex(corpus: DataFrame, idCol: String, embCol: String,
                  model: Model, path: String): Unit =
     assign(corpus, embCol, model)
+      // cluster by cell: each write task owns whole cells, so the layout
+      // is O(nlist) files instead of tasks x nlist
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
 
   /** Append new vectors to a [[writeIndex]] layout: assigned to the
@@ -188,6 +191,7 @@ object IvfIndex {
   def appendToIndex(batch: DataFrame, idCol: String, embCol: String,
                     model: Model, path: String): Unit =
     assign(batch, embCol, model)
+      .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(path)
 
   /** Driver-side twin of [[probeCells]] — the model is driver state, so a

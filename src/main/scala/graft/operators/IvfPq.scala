@@ -38,6 +38,8 @@ object IvfPq {
                  model: Model, path: String): Unit =
     PqIndex.encode(IvfIndex.assign(corpus, embCol, model.coarse),
         embCol, model.pq)
+      // same clustering as IvfIndex.writeIndex: O(nlist) files
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
 
   /** Probe → prune → ADC-shortlist → exact rerank, all inside the probed

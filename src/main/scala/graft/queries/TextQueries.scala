@@ -338,6 +338,27 @@ object TextQueries {
       },
       Some(bm25TopkSql)),
 
+    // The INCREMENTAL index lifecycle for BM25 (the third of the three
+    // persisted indexes to get it, after IVF and dedup): build on 90% of
+    // the corpus, fold the doc_id%10==0 batch in with appendToIndex, then
+    // retrieve. df/idf derive from postings at query time and the stats
+    // merge is exact (integral token sums), so the appended index is
+    // row-identical to a from-scratch build over the union — the SAME
+    // full-corpus oracle hash-checks the whole lifecycle.
+    QDef("q228_bm25_incremental",
+      (s, d) => {
+        val all = docs(s, d)
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_q228_index").toString
+        Bm25.writeIndex(all.filter(col("doc_id") % 10 =!= 0),
+          "doc_id", "text", dir)
+        Bm25.appendToIndex(all.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", dir)
+        Bm25.topKIndexed(s, dir, "doc_id", bm25Queries, k = 10)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(bm25TopkSql)),
+
     // Retrieval evaluation: exact MRR / recall@10 / nDCG@10 for the BM25
     // ranker against boolean-AND pseudo-qrels (relevant iff the doc holds
     // every query term — independent of the scoring formula). DCG terms

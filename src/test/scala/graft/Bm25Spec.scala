@@ -70,6 +70,54 @@ class Bm25Spec extends SparkSpec {
       plan.take(3000))
   }
 
+  test("appendToIndex is row-identical to a from-scratch rebuild") {
+    val docs = Tables(spark, sf, "documents")
+    val queries = Seq("s1" -> "fast hash join", "s2" -> "stream filter vector")
+    val base = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val incDir = java.nio.file.Files.createTempDirectory("bm25_inc").toString
+    val fullDir = java.nio.file.Files.createTempDirectory("bm25_full").toString
+    Bm25.writeIndex(base, "doc_id", "text", incDir, nShards = 64)
+    Bm25.appendToIndex(batch, "doc_id", "text", incDir, nShards = 64)
+    Bm25.writeIndex(docs, "doc_id", "text", fullDir, nShards = 64)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(Bm25.topKIndexed(spark, incDir, "doc_id", queries, k = 10))
+      === rows(Bm25.topKIndexed(spark, fullDir, "doc_id", queries, k = 10)))
+    // the stats merge is EXACT — bit-identical n/avgdl/sum_len, not
+    // approximately equal (integral token sums stay exact in doubles)
+    assert(spark.read.parquet(s"$incDir/stats").collect().map(_.toSeq).toSeq
+      === spark.read.parquet(s"$fullDir/stats").collect().map(_.toSeq).toSeq)
+  }
+
+  test("appendToIndex onto an empty-corpus base replaces the readable-empty layout") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25_empty_base").toString
+    Bm25.writeIndex(embDocs.filter(lit(false)), "doc_id", "text", dir)
+    Bm25.appendToIndex(embDocs, "doc_id", "text", dir)
+    val out = Bm25.topKIndexed(spark, dir, "doc_id", Seq("q" -> "apple"), k = 3)
+    val direct = Bm25.topK(embDocs, "doc_id", "text", Seq("q" -> "apple"), k = 3)
+    assert(out.collect().map(_.toSeq).toSet === direct.collect().map(_.toSeq).toSet)
+  }
+
+  test("appendToIndex with a tokenless batch updates stats only") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25_tokless").toString
+    Bm25.writeIndex(embDocs, "doc_id", "text", dir)
+    val before = Bm25.topKIndexed(spark, dir, "doc_id", Seq("q" -> "apple"), k = 3)
+      .collect().map(_.toSeq).toSet
+    // "xy z" has no [a-z]{3,} run: no postings, but the doc still counts
+    // toward N and avgdl (its length is 0)
+    Bm25.appendToIndex(Seq((99L, "xy z")).toDF("doc_id", "text"),
+      "doc_id", "text", dir)
+    val st = spark.read.parquet(s"$dir/stats").head()
+    assert(st.getDouble(0) == 4.0)      // n: 3 + 1
+    assert(st.getDouble(2) == 9.0)      // sum_len unchanged (3 + 2 + 4)
+    // postings untouched: scoring changes only through N/avgdl, and the
+    // ranked doc set is the same
+    val after = Bm25.topKIndexed(spark, dir, "doc_id", Seq("q" -> "apple"), k = 3)
+      .collect().map(_.toSeq)
+    assert(after.map(_.take(3)).toSet === before.map(_.take(3)))
+  }
+
   test("bm25 query tokenizer mirrors the corpus tokenizer") {
     assert(Bm25.queryTerms("Fast HASH-join, a an of") == Seq("fast", "hash", "join"))
     assert(Bm25.queryTerms("dup dup dup") == Seq("dup"))

@@ -244,6 +244,27 @@ class EdgeCaseSpec extends SparkSpec {
     assert(r.length == 1 && r.head.getLong(1) == 0L && r.head.getLong(2) == 0L)
   }
 
+  test("appending onto an empty-base dedup index replaces the readable-empty layout") {
+    import graft.operators.DedupOps
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("dedup_empty_base").toString
+    DedupOps.writeDedupIndex(empty, "doc_id", "text", 3, dir)
+    // the empty base wrote UNPARTITIONED (readable-empty); the append must
+    // not leave shard=… dirs next to that bare file (unreadable mix) —
+    // it replaces the layout with a fresh partitioned build
+    val batch = Seq((1L, "some new document text here now")).toDF("doc_id", "text")
+    DedupOps.appendToDedupIndex(batch, "doc_id", "text", 3, dir)
+    val dup = Seq((2L, "some new document text here now")).toDF("doc_id", "text")
+    val r = DedupOps.dedupAgainstIndex(spark, dir, dup,
+      "doc_id", "text", 3, 0.5).collect()
+    assert(r.length == 1 && r.head.getLong(2) == 1L) // flagged vs appended doc
+    // a tokenless follow-up batch appends nothing and keeps the index readable
+    DedupOps.appendToDedupIndex(
+      Seq((3L, "xy")).toDF("doc_id", "text"), "doc_id", "text", 3, dir)
+    assert(DedupOps.dedupAgainstIndex(spark, dir, dup,
+      "doc_id", "text", 3, 0.5).count() == 1)
+  }
+
   test("bm25 handles null docs and a query with no corpus hits") {
     import graft.operators.Bm25
     val docs = Seq((1L, "alpha beta"), (2L, null.asInstanceOf[String]))
