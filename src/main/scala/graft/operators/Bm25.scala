@@ -118,6 +118,9 @@ object Bm25 {
     */
   def writeIndex(docs: DataFrame, idCol: String, textCol: String,
                  path: String, nShards: Int = 64): Unit = {
+    // a fresh build replaces everything — a stale tombstone sidecar from
+    // a previous index at this path must not filter the new one
+    IndexLayout.clearTombstones(docs.sparkSession, s"$path/tombstones")
     val shardU = udf((t: String) => shardOf(t, nShards))
     val postings = docs
       .select(col(idCol), TextFns.words(col(textCol)).as("__toks"))
@@ -140,17 +143,35 @@ object Bm25 {
       .select(explode(TextFns.words(col(textCol))).as("__t")).isEmpty
     if (noTokens) w.parquet(s"$path/postings")
     else w.partitionBy("shard").parquet(s"$path/postings")
-    // stats carry the EXACT token total alongside avgdl: token counts are
-    // integral, so sum_len is exact in a double (≤ 2^53) and
-    // [[appendToIndex]] can merge stats bit-identically to a from-scratch
-    // avg (avgdl alone is already-rounded — n·avgdl would NOT recover the
-    // sum). Readers take (n, avgdl) positionally; sum_len rides third.
+    writeStats(docs, textCol, path)
+    // doc-level sidecar (id, doc_len): doc-count-sized, the lookup table
+    // [[removeFromIndex]] needs to shrink the stats EXACTLY without a
+    // full postings scan (a doc's postings touch ~every shard — deletes
+    // must never pay that read). doc_len is null for null text, mirroring
+    // the avg's skip-nulls semantics.
+    docs.select(col(idCol),
+        size(TextFns.words(col(textCol))).cast("long").as("doc_len"))
+      .write.mode("overwrite").parquet(s"$path/docs")
+  }
+
+  /** Stats row: (n, avgdl, sum_len, n_len). Readers take (n, avgdl)
+    * positionally; the EXACT token total and non-null-doc count ride
+    * behind so [[appendToIndex]]/[[removeFromIndex]] can merge stats
+    * bit-identically to a from-scratch avg — token counts are integral,
+    * so the sums stay exact in doubles (≤ 2^53), and avgdl recomputes as
+    * sum_len/n_len, the same two exact operands `avg` divides (avgdl
+    * alone is already-rounded — n·avgdl would NOT recover the sum; and
+    * the divisor must be the NON-NULL doc count, because `avg` skips
+    * null-text docs while n counts them).
+    */
+  private def writeStats(docs: DataFrame, textCol: String,
+                         path: String): Unit =
     docs.agg(count(lit(1)).cast("double").as("n"),
         avg(size(TextFns.words(col(textCol)))).as("avgdl"),
         coalesce(sum(size(TextFns.words(col(textCol)))).cast("double"),
-          lit(0.0)).as("sum_len"))
+          lit(0.0)).as("sum_len"),
+        count(size(TextFns.words(col(textCol)))).cast("double").as("n_len"))
       .write.mode("overwrite").parquet(s"$path/stats")
-  }
 
   /** Fold a new document batch INTO a [[writeIndex]] layout — the
     * incremental lifecycle the IVF and dedup indexes already have
@@ -186,41 +207,93 @@ object Bm25 {
     val noTokens = docs
       .select(explode(TextFns.words(col(textCol))).as("__t")).isEmpty
     if (!noTokens) {
-      val mode = if (shardedLayout(spark, s"$path/postings")) "append"
-                 else "overwrite" // empty base: replace, don't mix layouts
+      val mode =
+        if (IndexLayout.partitionedLayout(spark, s"$path/postings", "shard"))
+          "append"
+        else "overwrite" // empty base: replace, don't mix layouts
       postings.write.mode(mode).partitionBy("shard")
         .parquet(s"$path/postings")
     }
-    // merge stats: old row is collected BEFORE the overwrite, so the
-    // rewrite of the same path is safe (no lazy reference remains)
+    docs.select(col(idCol),
+        size(TextFns.words(col(textCol))).cast("long").as("doc_len"))
+      .write.mode("append").parquet(s"$path/docs")
+    writeMergedStats(spark, path,
+      docs.agg(count(lit(1)).cast("double"),
+        coalesce(sum(size(TextFns.words(col(textCol)))).cast("double"),
+          lit(0.0)),
+        count(size(TextFns.words(col(textCol)))).cast("double")).head(),
+      sign = 1.0)
+  }
+
+  /** Shift the persisted stats by a (n, sum_len, n_len) delta row —
+    * +1 for appends, −1 for removals. The old row is collected BEFORE
+    * the overwrite, so rewriting the same path is safe. All three
+    * components are integral-valued doubles: the shifted values are
+    * exact, and avgdl = sum_len/n_len matches a from-scratch avg bit
+    * for bit.
+    */
+  private def writeMergedStats(spark: org.apache.spark.sql.SparkSession,
+                               path: String, delta: org.apache.spark.sql.Row,
+                               sign: Double): Unit = {
     val old = spark.read.parquet(s"$path/stats").head()
-    val oldN = old.getDouble(0)
-    val oldSum = if (old.length > 2 && !old.isNullAt(2)) old.getDouble(2)
-                 else 0.0
-    val b = docs.agg(count(lit(1)).cast("double").as("n"),
-      coalesce(sum(size(TextFns.words(col(textCol)))).cast("double"),
-        lit(0.0)).as("s")).head()
-    val n2 = oldN + b.getDouble(0)
-    val s2 = oldSum + b.getDouble(1)
+    val oldSum = if (old.length > 2 && !old.isNullAt(2)) old.getDouble(2) else 0.0
+    val oldNLen = if (old.length > 3 && !old.isNullAt(3)) old.getDouble(3)
+                  else old.getDouble(0)
+    val n2 = old.getDouble(0) + sign * delta.getDouble(0)
+    val s2 = oldSum + sign * delta.getDouble(1)
+    val nLen2 = oldNLen + sign * delta.getDouble(2)
     import spark.implicits._
-    Seq((n2, s2)).toDF("n", "sum_len")
+    Seq((n2, s2, nLen2)).toDF("n", "sum_len", "n_len")
       .select(col("n"),
-        when(col("n") === 0.0, lit(null).cast("double"))
-          .otherwise(col("sum_len") / col("n")).as("avgdl"),
-        col("sum_len"))
+        when(col("n_len") === 0.0, lit(null).cast("double"))
+          .otherwise(col("sum_len") / col("n_len")).as("avgdl"),
+        col("sum_len"), col("n_len"))
       .write.mode("overwrite").parquet(s"$path/stats")
   }
 
-  /** Whether `dir` holds a shard-partitioned parquet layout (any
-    * `shard=…` subdirectory) — false for the readable-empty unpartitioned
-    * form the index writers emit on an empty corpus.
+  /** Tombstone documents OUT of a [[writeIndex]] layout — O(batch)
+    * appended tombstone rows plus an exact stats shift; NO shard is
+    * rewritten (a doc's terms hash across ~every shard, so a physical
+    * delete would rewrite the whole index). [[topKIndexed]] anti-joins
+    * the tombstones before scoring, which also re-derives df correctly
+    * (df is computed from the filtered postings at query time);
+    * [[compactIndex]] materializes the removals. The stats shift reads
+    * the removed docs' lengths from the doc sidecar — never the
+    * postings. Ids not in the index (or already removed) are ignored.
     */
-  private[operators] def shardedLayout(
-      spark: org.apache.spark.sql.SparkSession, dir: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p).exists(st =>
-      st.isDirectory && st.getPath.getName.startsWith("shard="))
+  def removeFromIndex(ids: DataFrame, idCol: String, path: String): Unit = {
+    val spark = ids.sparkSession
+    // restrict to ids actually live in the index: sidecar ∩ batch minus
+    // existing tombstones — double-removal must not double-shift stats
+    val removed = IndexLayout.dropTombstoned(
+      spark.read.parquet(s"$path/docs"), idCol, s"$path/tombstones")
+      .join(ids.select(col(idCol)).distinct(), Seq(idCol), "left_semi")
+      .cache()
+    val delta = removed.agg(count(lit(1)).cast("double"),
+      coalesce(sum(col("doc_len")).cast("double"), lit(0.0)),
+      count(col("doc_len")).cast("double")).head()
+    IndexLayout.appendTombstones(removed.select(col(idCol)), idCol,
+      s"$path/tombstones")
+    removed.unpersist()
+    writeMergedStats(spark, path, delta, sign = -1.0)
+  }
+
+  /** Segment-merge for the BM25 layout: rewrite postings clustered by
+    * shard with tombstoned docs dropped (appends' small files merged,
+    * removals made physical), rewrite the doc sidecar likewise, clear
+    * the tombstones. Stats are already exact and unchanged. Query
+    * results are identical before and after (pinned in Bm25Spec).
+    */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+                   path: String, idCol: String = "doc_id"): Unit = {
+    val sharded =
+      IndexLayout.partitionedLayout(spark, s"$path/postings", "shard")
+    IndexLayout.rewriteInPlace(spark, s"$path/postings",
+      if (sharded) Some("shard") else None,
+      IndexLayout.dropTombstoned(_, idCol, s"$path/tombstones"))
+    IndexLayout.rewriteInPlace(spark, s"$path/docs", None,
+      IndexLayout.dropTombstoned(_, idCol, s"$path/tombstones"))
+    IndexLayout.clearTombstones(spark, s"$path/tombstones")
   }
 
   /** [[topK]] over a [[writeIndex]] layout: the query terms' shards are
@@ -241,10 +314,14 @@ object Bm25 {
     val termSet = queries.flatMap { case (_, q) => queryTerms(q) }.distinct
     val shards = termSet.map(shardOf(_, nShards)).distinct
     val st = spark.read.parquet(s"$path/stats").head()
-    val postings = spark.read.parquet(s"$path/postings")
-      .filter(col("shard").isin(shards.map(Integer.valueOf): _*))
-      .filter(col("term").isInCollection(termSet))
-      .drop("shard")
+    // tombstoned docs (see [[removeFromIndex]]) drop BEFORE scoring, so
+    // df re-derives over live docs only; no-op when nothing was removed
+    val postings = IndexLayout.dropTombstoned(
+      spark.read.parquet(s"$path/postings")
+        .filter(col("shard").isin(shards.map(Integer.valueOf): _*))
+        .filter(col("term").isInCollection(termSet))
+        .drop("shard"),
+      idCol, s"$path/tombstones")
     scoreAndRank(postings, idCol, terms, st.getDouble(0),
       if (st.isNullAt(1)) 1.0 else st.getDouble(1), k, k1, b)
   }

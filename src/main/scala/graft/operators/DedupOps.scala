@@ -454,6 +454,9 @@ object DedupOps {
     */
   def writeDedupIndex(corpusDf: DataFrame, idCol: String, textCol: String,
                       n: Int, path: String, nShards: Int = 256): Unit = {
+    // a fresh build replaces everything — a stale tombstone sidecar from
+    // a previous index at this path must not filter the new one
+    IndexLayout.clearTombstones(corpusDf.sparkSession, s"$path/tombstones")
     val postings = dedupIndexPostings(corpusDf, idCol, textCol, n, nShards)
     val w = postings.write.mode("overwrite")
     // empty corpus: a zero-row partitioned write leaves no schema-bearing
@@ -468,8 +471,13 @@ object DedupOps {
     // count is O(nShards). shuffle.partitions scales the write width on a
     // real cluster.
     else w.partitionBy("shard").parquet(s"$path/shingles")
+    // fingerprints carry the doc id alongside the hash so
+    // [[removeFromDedupIndex]] can tombstone a doc's exact-dup row (two
+    // live docs sharing a fingerprint keep their own rows — removing one
+    // leaves the other's exact-match hit intact)
     corpusDf
-      .select(graft.functions.TextFns.fingerprint(col(textCol)).as("__fp"))
+      .select(col(idCol),
+        graft.functions.TextFns.fingerprint(col(textCol)).as("__fp"))
       .distinct()
       .write.mode("overwrite").parquet(s"$path/fingerprints")
   }
@@ -505,16 +513,47 @@ object DedupOps {
     // mixed layout Spark can't read
     if (!shingles(batch, idCol, textCol, n).isEmpty) {
       val mode =
-        if (Bm25.shardedLayout(batch.sparkSession, s"$path/shingles"))
+        if (IndexLayout.partitionedLayout(batch.sparkSession,
+            s"$path/shingles", "shard"))
           "append"
         else "overwrite"
       dedupIndexPostings(batch, idCol, textCol, n, nShards)
         .write.mode(mode).partitionBy("shard").parquet(s"$path/shingles")
     }
     batch
-      .select(graft.functions.TextFns.fingerprint(col(textCol)).as("__fp"))
+      .select(col(idCol),
+        graft.functions.TextFns.fingerprint(col(textCol)).as("__fp"))
       .distinct()
       .write.mode("append").parquet(s"$path/fingerprints")
+  }
+
+  /** Tombstone documents OUT of the dedup index — O(batch) appended
+    * tombstone rows; NO shard is rewritten (a doc's shingles hash across
+    * ~every shard, so a physical delete would rewrite the whole index —
+    * the same argument as `Bm25.removeFromIndex`). [[dedupAgainstIndex]]
+    * anti-joins the tombstones on both the shingle and fingerprint
+    * sides; [[compactDedupIndex]] materializes the removals.
+    */
+  def removeFromDedupIndex(ids: DataFrame, idCol: String,
+                           path: String): Unit =
+    IndexLayout.appendTombstones(ids, idCol, s"$path/tombstones")
+
+  /** Segment-merge for the dedup index: rewrite the shingle postings
+    * clustered by shard with tombstoned docs dropped (append small files
+    * merged, removals made physical), rewrite the fingerprints likewise,
+    * clear the tombstones. Query results are identical before and after
+    * (pinned in SimilaritySpec).
+    */
+  def compactDedupIndex(spark: org.apache.spark.sql.SparkSession,
+                        path: String, idCol: String = "doc_id"): Unit = {
+    val sharded =
+      IndexLayout.partitionedLayout(spark, s"$path/shingles", "shard")
+    IndexLayout.rewriteInPlace(spark, s"$path/shingles",
+      if (sharded) Some("shard") else None,
+      IndexLayout.dropTombstoned(_, idCol, s"$path/tombstones"))
+    IndexLayout.rewriteInPlace(spark, s"$path/fingerprints", None,
+      IndexLayout.dropTombstoned(_, idCol, s"$path/tombstones"))
+    IndexLayout.clearTombstones(spark, s"$path/tombstones")
   }
 
   /** The pruned index read inside [[dedupAgainstIndex]], exposed so the
@@ -544,12 +583,19 @@ object DedupOps {
                         path: String, newDf: DataFrame, idCol: String,
                         textCol: String, n: Int, threshold: Double,
                         nShards: Int = 256): DataFrame = {
+    // tombstoned docs (see [[removeFromDedupIndex]]) drop from BOTH index
+    // sides before any comparison; no-op when nothing was removed
     val exact = newDf
       .select(col(idCol), graft.functions.TextFns.fingerprint(col(textCol)).as("__fp"))
-      .join(spark.read.parquet(s"$path/fingerprints"), Seq("__fp"), "left_semi")
+      .join(IndexLayout.dropTombstoned(
+          spark.read.parquet(s"$path/fingerprints"), idCol,
+          s"$path/tombstones"),
+        Seq("__fp"), "left_semi")
       .select(col(idCol)).withColumn("__exact", lit(1L))
     val shNew = shingles(newDf, idCol, textCol, n).cache()
-    val idx = prunedShingleIndex(spark, path, shNew, nShards)
+    val idx = IndexLayout.dropTombstoned(
+      prunedShingleIndex(spark, path, shNew, nShards), idCol,
+      s"$path/tombstones")
     val sizesNew = shNew.groupBy(col(idCol)).agg(count(lit(1)).as("sz_a"))
     val near = shNew.select(col(idCol).as("id_a"), col("shingle"))
       .hint("shuffle_hash")

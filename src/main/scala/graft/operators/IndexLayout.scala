@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared maintenance plumbing for the persisted index layouts (BM25
+  * term-sharded postings, dedup shingle-sharded postings, IVF/IVF-PQ
+  * cell-partitioned vectors). The lifecycle is Lucene's segment model
+  * re-expressed on parquet partitions:
+  *
+  *   - WRITE:   one clustered partitioned layout, O(shards) files;
+  *   - APPEND:  new files into the same partition dirs (no rewrite) —
+  *              each append adds ≥1 file per touched shard;
+  *   - REMOVE:  O(batch) tombstone rows appended to a sidecar — no shard
+  *              is rewritten; reads anti-join the tombstones;
+  *   - COMPACT: rewrite each partition clustered (small files from
+  *              appends merged) with tombstoned rows dropped, then clear
+  *              the tombstones — the segment merge that reclaims space.
+  *
+  * At 100 TB this is the only viable shape: deletes cannot rewrite a
+  * shingle-sharded corpus (a doc's postings touch ~every shard), and
+  * appends must not pay a read-modify-write of the accumulated index.
+  * Compaction is the offline operation that bounds read amplification.
+  */
+object IndexLayout {
+
+  /** Whether `dir` holds a partitioned parquet layout on `partCol` (any
+    * `partCol=…` subdirectory) — false for the readable-empty
+    * unpartitioned form the index writers emit on an empty corpus.
+    */
+  def partitionedLayout(spark: SparkSession, dir: String,
+                        partCol: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists(st =>
+      st.isDirectory && st.getPath.getName.startsWith(partCol + "="))
+  }
+
+  /** Append a distinct id batch to the layout's tombstone sidecar.
+    * `tombDir` is the sidecar directory itself: `$path/tombstones` for
+    * the multi-table layouts (BM25, dedup), the SIBLING
+    * `$path.tombstones` for IVF/IVF-PQ whose index path is itself the
+    * cell-partitioned directory (a subdir there would break partition
+    * discovery).
+    */
+  def appendTombstones(ids: DataFrame, idCol: String,
+                       tombDir: String): Unit =
+    ids.select(col(idCol)).distinct()
+      .write.mode("append").parquet(tombDir)
+
+  /** The tombstoned ids, or None when nothing was ever removed (the
+    * common case — readers skip the anti-join entirely, so an index
+    * with no deletes pays zero overhead for supporting them).
+    */
+  def readTombstones(spark: SparkSession,
+                     tombDir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(tombDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** Drop tombstoned rows from `df` (no-op when no tombstones exist). */
+  def dropTombstoned(df: DataFrame, idCol: String,
+                     tombDir: String): DataFrame =
+    readTombstones(df.sparkSession, tombDir) match {
+      case Some(t) =>
+        df.join(t.withColumnRenamed(t.columns.head, idCol), Seq(idCol),
+          "left_anti")
+      case None => df
+    }
+
+  /** Rewrite a parquet directory in place: read, `transform`, cluster by
+    * `partCol` (when given) and write partitioned, then atomically swap
+    * the rewritten layout for the old one. A transform that empties the
+    * table falls back to the readable-empty unpartitioned form (a
+    * zero-row partitioned write would leave no schema-bearing files).
+    * No-op when the directory does not exist.
+    */
+  def rewriteInPlace(spark: SparkSession, dir: String,
+                     partCol: Option[String],
+                     transform: DataFrame => DataFrame = identity): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    val df = transform(spark.read.parquet(dir))
+    val tmp = new org.apache.hadoop.fs.Path(dir + ".compact.tmp")
+    fs.delete(tmp, true)
+    partCol match {
+      case Some(c) if !df.isEmpty =>
+        df.repartition(col(c)).write.mode("overwrite")
+          .partitionBy(c).parquet(tmp.toString)
+      case _ =>
+        df.write.mode("overwrite").parquet(tmp.toString)
+    }
+    // the rewrite is fully materialized in tmp before the old layout is
+    // touched — a crash before the swap leaves the index intact, a crash
+    // between delete and rename is recoverable from tmp
+    fs.delete(p, true)
+    fs.rename(tmp, p)
+  }
+
+  /** Remove the tombstone sidecar (after compaction materialized it). */
+  def clearTombstones(spark: SparkSession, tombDir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(tombDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+  }
+
+  /** Parquet data-file count under `dir` (recursive) — what compaction
+    * bounds; asserted in the layout specs.
+    */
+  def dataFileCount(spark: SparkSession, dir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return 0
+    val it = fs.listFiles(p, true)
+    var n = 0
+    while (it.hasNext) {
+      if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+    }
+    n
+  }
+}

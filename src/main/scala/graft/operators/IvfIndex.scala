@@ -176,12 +176,16 @@ object IvfIndex {
     * the layout, not just the join.
     */
   def writeIndex(corpus: DataFrame, idCol: String, embCol: String,
-                 model: Model, path: String): Unit =
+                 model: Model, path: String): Unit = {
+    // fresh build: drop any stale tombstone sidecar (sibling dir — the
+    // index path itself is the cell-partitioned layout)
+    IndexLayout.clearTombstones(corpus.sparkSession, s"$path.tombstones")
     assign(corpus, embCol, model)
       // cluster by cell: each write task owns whole cells, so the layout
       // is O(nlist) files instead of tasks x nlist
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
+  }
 
   /** Append new vectors to a [[writeIndex]] layout: assigned to the
     * EXISTING centroids (the standard IVF maintenance move — cells drift
@@ -193,6 +197,30 @@ object IvfIndex {
     assign(batch, embCol, model)
       .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(path)
+
+  /** Tombstone vectors OUT of a [[writeIndex]] layout — O(batch)
+    * appended rows in the SIBLING `$path.tombstones` sidecar (the index
+    * path is itself the cell-partitioned directory; a subdir inside it
+    * would break partition discovery). [[searchPruned]] anti-joins them;
+    * [[compactIndex]] materializes. The standard IVF delete move: cells
+    * are never rewritten inline, centroids drift only at retrain.
+    */
+  def removeFromIndex(ids: DataFrame, idCol: String, path: String): Unit =
+    IndexLayout.appendTombstones(ids, idCol, s"$path.tombstones")
+
+  /** Segment-merge for the IVF layout: rewrite each cell clustered
+    * (append small files merged) with tombstoned vectors dropped, then
+    * clear the sidecar. Search results identical before and after
+    * (pinned in IvfIndexSpec).
+    */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                   idCol: String = "vec_id"): Unit = {
+    IndexLayout.rewriteInPlace(spark, path,
+      if (IndexLayout.partitionedLayout(spark, path, "cell")) Some("cell")
+      else None,
+      IndexLayout.dropTombstoned(_, idCol, s"$path.tombstones"))
+    IndexLayout.clearTombstones(spark, s"$path.tombstones")
+  }
 
   /** Driver-side twin of [[probeCells]] — the model is driver state, so a
     * bounded query set's probe lists need no Spark job.
@@ -227,8 +255,10 @@ object IvfIndex {
         }.toArray
         probeCellsLocal(v, model, nprobe)
       }.distinct.sorted
-    val indexed = spark.read.parquet(indexPath)
-      .filter(col("cell").isin(probed.map(Integer.valueOf): _*))
+    val indexed = IndexLayout.dropTombstoned(
+      spark.read.parquet(indexPath)
+        .filter(col("cell").isin(probed.map(Integer.valueOf): _*)),
+      idCol, s"$indexPath.tombstones")
     searchIndexed(queries, indexed, idCol, embCol, model, nprobe, topK)
   }
 }

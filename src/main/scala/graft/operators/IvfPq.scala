@@ -35,12 +35,29 @@ object IvfPq {
     * along for the rerank so no second source is consulted.
     */
   def writeIndex(corpus: DataFrame, idCol: String, embCol: String,
-                 model: Model, path: String): Unit =
+                 model: Model, path: String): Unit = {
+    IndexLayout.clearTombstones(corpus.sparkSession, s"$path.tombstones")
     PqIndex.encode(IvfIndex.assign(corpus, embCol, model.coarse),
         embCol, model.pq)
       // same clustering as IvfIndex.writeIndex: O(nlist) files
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
+  }
+
+  /** Append new vectors to a [[writeIndex]] layout: assigned to the
+    * EXISTING coarse centroids and encoded with the EXISTING codebooks
+    * (the standard IVF-PQ maintenance move — quantizers drift only at
+    * retrain), clustered so each touched cell gains one file, appended
+    * without rewriting any cell. Completes the incremental lifecycle the
+    * IVF / dedup / BM25 layouts already have; [[IvfIndex.compactIndex]]
+    * works unchanged on this layout (same (cell, id, …) shape).
+    */
+  def appendToIndex(batch: DataFrame, idCol: String, embCol: String,
+                    model: Model, path: String): Unit =
+    PqIndex.encode(IvfIndex.assign(batch, embCol, model.coarse),
+        embCol, model.pq)
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(path)
 
   /** Probe → prune → ADC-shortlist → exact rerank, all inside the probed
     * cells' partitions. With nprobe = nlist and shortlist ≥ corpus this
@@ -52,8 +69,10 @@ object IvfPq {
                    model: Model, nprobe: Int, shortlist: Int,
                    topK: Int): DataFrame = {
     val cells = IvfIndex.probeCellsLocal(query, model.coarse, nprobe)
-    val idx = spark.read.parquet(indexPath)
-      .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
+    val idx = IndexLayout.dropTombstoned(
+      spark.read.parquet(indexPath)
+        .filter(col("cell").isin(cells.map(Integer.valueOf): _*)),
+      idCol, s"$indexPath.tombstones")
     val cand = PqIndex.adcTopK(idx, idCol, model.pq, query, shortlist)
     val exact = udf { v: Seq[Float] =>
       var d = 0.0

@@ -423,6 +423,31 @@ object SimilarityQueries {
       },
       Some(dedupAgainstSql)),
 
+    // q226's DELETE half: index the %10!=0 corpus, tombstone the
+    // doc_id%5==1 subset OUT (O(batch) sidecar rows — shingles hash
+    // across ~every shard, so no shard is rewritten), then check the
+    // %10==0 increment against the shrunken index. Tombstones anti-join
+    // on BOTH the shingle and fingerprint sides, so the result equals a
+    // live-only rebuild — the parameterized oracle restates `old` as the
+    // post-delete set. Compaction equivalence is pinned in SimilaritySpec.
+    QDef("q230_dedup_index_delete",
+      (s, d) => {
+        val all = docs(s, d)
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_q230_index").toString
+        DedupOps.writeDedupIndex(all.filter(col("doc_id") % 10 =!= 0),
+          "doc_id", "text", n = 3, dir)
+        DedupOps.removeFromDedupIndex(
+          all.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 5 === 1)
+            .select("doc_id"), "doc_id", dir)
+        DedupOps.dedupAgainstIndex(s, dir,
+            all.filter(col("doc_id") % 10 === 0),
+            "doc_id", "text", n = 3, threshold = 0.5)
+          .orderBy(col("doc_id"))
+      },
+      Some(dedupAgainstSqlOver(
+        "SELECT * FROM documents WHERE doc_id % 10 <> 0 AND doc_id % 5 <> 1"))),
+
     // Hard-negative mining for contrastive training: top-3 most-similar
     // vectors with a DIFFERENT label, for each of the first 5 vectors.
     QDef("q118_hard_negatives",
@@ -1269,13 +1294,15 @@ object SimilarityQueries {
       "JOIN pv pa ON pa.vec_id = a.vec_id JOIN pv pb ON pb.vec_id = b.vec_id) " +
       "ORDER BY id_a, id_b"
 
-  /** q142/q226 shared oracle: exact fingerprint + exact 3-gram Jaccard of
-    * the increment against the corpus. The indexed path (q226) is
-    * lossless by construction, so ONE SQL restatement hash-checks both.
+  /** q142/q226/q230 shared oracle: exact fingerprint + exact 3-gram
+    * Jaccard of the increment against the corpus (`old` = the live
+    * indexed set). The indexed path (q226) is lossless by construction
+    * and the delete path (q230) anti-joins tombstones on both index
+    * sides, so ONE SQL restatement hash-checks all three.
     */
-  private lazy val dedupAgainstSql: String =
-    """WITH newd AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
-      |old AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+  private def dedupAgainstSqlOver(oldRel: String): String =
+    s"""WITH newd AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+      |old AS ($oldRel),
       |fpo AS (SELECT DISTINCT md5(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS fp FROM old),
       |ex AS (SELECT doc_id, 1 AS e FROM newd
       |       WHERE md5(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) IN (SELECT fp FROM fpo)),
@@ -1301,6 +1328,9 @@ object SimilarityQueries {
       |  round(COALESCE(mj.mj, 0), 6) AS max_jaccard
       |FROM newd n LEFT JOIN ex USING (doc_id) LEFT JOIN mj USING (doc_id)
       |ORDER BY n.doc_id""".stripMargin
+
+  private lazy val dedupAgainstSql: String =
+    dedupAgainstSqlOver("SELECT * FROM documents WHERE doc_id % 10 <> 0")
 
   /** q224: quantized corpus with labels, per-anchor wrong-label top-5 by
     * ascending integer L2² (hard negatives) plus the same-label argmax

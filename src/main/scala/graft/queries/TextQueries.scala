@@ -30,17 +30,20 @@ object TextQueries {
     .flatMap { case (qid, q) => Bm25.queryTerms(q).map(t => s"('$qid', '$t')") }
     .mkString(", ")
 
-  /** q139/q227 shared oracle: Okapi BM25 with 6dp-rounded scores before
-    * ranking (the term-sharded indexed path is lossless, so one SQL
-    * restatement hash-checks both).
+  /** q139/q227/q228/q229 shared oracle: Okapi BM25 with 6dp-rounded
+    * scores before ranking (the term-sharded indexed path is lossless
+    * and the delete path reads tombstone-filtered postings with an
+    * exactly-shifted stats row, so one SQL restatement — over `corpus`,
+    * the live document set — hash-checks all four).
     */
-  private lazy val bm25TopkSql: String =
-    s"""WITH q(query_id, term) AS (VALUES $bm25TermValues),
+  private def bm25TopkSqlOver(corpus: String): String =
+    s"""WITH corpus AS ($corpus),
+       |q(query_id, term) AS (VALUES $bm25TermValues),
        |tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]{3,}')) AS term
-       |        FROM documents),
+       |        FROM corpus),
        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
        |    avg(len(regexp_extract_all(lower(text), '[a-z]{3,}'))) AS avgdl
-       |  FROM documents),
+       |  FROM corpus),
        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS doc_len FROM tok GROUP BY 1),
        |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok
        |       WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1, 2),
@@ -56,6 +59,9 @@ object TextQueries {
        |  SELECT *, row_number() OVER (PARTITION BY query_id
        |    ORDER BY score DESC, doc_id) AS rank FROM scored)
        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  private lazy val bm25TopkSql: String =
+    bm25TopkSqlOver("SELECT * FROM documents")
 
   /** q198's blocklist: multi-word substrings over the corpus vocabulary,
     * each border-free (no non-empty proper prefix that is also a suffix),
@@ -358,6 +364,27 @@ object TextQueries {
           .orderBy(col("query_id"), col("rank"))
       },
       Some(bm25TopkSql)),
+
+    // The DELETE half of the index lifecycle: build over the full corpus,
+    // tombstone the doc_id%10==0 batch OUT (O(batch) sidecar rows — no
+    // shard is rewritten, a doc's terms hash across ~every shard), then
+    // retrieve. The read anti-joins the tombstones so df/idf re-derive
+    // over live docs only, and the stats shift is exact (integral token
+    // sums from the doc-length sidecar), so the result hash-matches a
+    // live-only oracle. Compaction equivalence is pinned in Bm25Spec.
+    QDef("q229_bm25_delete",
+      (s, d) => {
+        val all = docs(s, d)
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_q229_index").toString
+        Bm25.writeIndex(all, "doc_id", "text", dir)
+        Bm25.removeFromIndex(all.filter(col("doc_id") % 10 === 0)
+          .select("doc_id"), "doc_id", dir)
+        Bm25.topKIndexed(s, dir, "doc_id", bm25Queries, k = 10)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(bm25TopkSqlOver(
+        "SELECT * FROM documents WHERE doc_id % 10 <> 0"))),
 
     // Retrieval evaluation: exact MRR / recall@10 / nDCG@10 for the BM25
     // ranker against boolean-AND pseudo-qrels (relevant iff the doc holds

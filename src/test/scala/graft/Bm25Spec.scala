@@ -118,6 +118,74 @@ class Bm25Spec extends SparkSpec {
     assert(after.map(_.take(3)).toSet === before.map(_.take(3)))
   }
 
+  test("appendToIndex stats merge handles null-text docs exactly") {
+    // avg skips null-text docs while n counts them — the merged divisor
+    // must be the non-null count, and the result bit-equal to a rebuild
+    val base = Seq((1L, "apple banana apple"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val batch = Seq((3L, "banana cherry"), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val incDir = java.nio.file.Files.createTempDirectory("bm25_null_inc").toString
+    val fullDir = java.nio.file.Files.createTempDirectory("bm25_null_full").toString
+    Bm25.writeIndex(base, "doc_id", "text", incDir)
+    Bm25.appendToIndex(batch, "doc_id", "text", incDir)
+    Bm25.writeIndex(base.unionAll(batch), "doc_id", "text", fullDir)
+    assert(spark.read.parquet(s"$incDir/stats").collect().map(_.toSeq).toSeq
+      === spark.read.parquet(s"$fullDir/stats").collect().map(_.toSeq).toSeq)
+  }
+
+  test("removeFromIndex: tombstoned retrieval equals a live-only rebuild, compaction materializes") {
+    val docs = Tables(spark, sf, "documents")
+    val queries = Seq("s1" -> "fast hash join", "s2" -> "stream filter vector")
+    val live = docs.filter(col("doc_id") % 10 =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("bm25_del").toString
+    val liveDir = java.nio.file.Files.createTempDirectory("bm25_live").toString
+    Bm25.writeIndex(docs, "doc_id", "text", dir, nShards = 64)
+    Bm25.removeFromIndex(docs.filter(col("doc_id") % 10 === 0)
+      .select("doc_id"), "doc_id", dir)
+    Bm25.writeIndex(live, "doc_id", "text", liveDir, nShards = 64)
+    def rows(d: String) =
+      Bm25.topKIndexed(spark, d, "doc_id", queries, k = 10)
+        .collect().map(_.toSeq).toSet
+    val tombstoned = rows(dir)
+    assert(tombstoned === rows(liveDir))
+    // the stats shift is EXACT: bit-equal to the live-only build's stats
+    assert(spark.read.parquet(s"$dir/stats").collect().map(_.toSeq).toSeq
+      === spark.read.parquet(s"$liveDir/stats").collect().map(_.toSeq).toSeq)
+    // double-removal of the same ids must not double-shift
+    Bm25.removeFromIndex(docs.filter(col("doc_id") % 10 === 0)
+      .select("doc_id"), "doc_id", dir)
+    assert(spark.read.parquet(s"$dir/stats").collect().map(_.toSeq).toSeq
+      === spark.read.parquet(s"$liveDir/stats").collect().map(_.toSeq).toSeq)
+    // compaction makes the removals physical: same rows, sidecar gone,
+    // and the tombstoned ids are no longer anywhere in the postings
+    Bm25.compactIndex(spark, dir)
+    assert(rows(dir) === tombstoned)
+    assert(!new java.io.File(s"$dir/tombstones").exists())
+    assert(spark.read.parquet(s"$dir/postings")
+      .filter(col("doc_id") % 10 === 0).count() == 0)
+  }
+
+  test("compactIndex merges append small-files; results identical") {
+    import graft.operators.IndexLayout
+    val docs = Tables(spark, sf, "documents")
+    val queries = Seq("s1" -> "fast hash join")
+    val dir = java.nio.file.Files.createTempDirectory("bm25_compact").toString
+    Bm25.writeIndex(docs.filter(col("doc_id") % 4 === 0), "doc_id", "text", dir)
+    (1 to 3).foreach { r =>
+      Bm25.appendToIndex(docs.filter(col("doc_id") % 4 === r),
+        "doc_id", "text", dir)
+    }
+    val before = Bm25.topKIndexed(spark, dir, "doc_id", queries, k = 10)
+      .collect().map(_.toSeq).toSet
+    val filesBefore = IndexLayout.dataFileCount(spark, s"$dir/postings")
+    Bm25.compactIndex(spark, dir)
+    val filesAfter = IndexLayout.dataFileCount(spark, s"$dir/postings")
+    assert(filesAfter < filesBefore, s"$filesBefore -> $filesAfter")
+    assert(Bm25.topKIndexed(spark, dir, "doc_id", queries, k = 10)
+      .collect().map(_.toSeq).toSet === before)
+  }
+
   test("bm25 query tokenizer mirrors the corpus tokenizer") {
     assert(Bm25.queryTerms("Fast HASH-join, a an of") == Seq("fast", "hash", "join"))
     assert(Bm25.queryTerms("dup dup dup") == Seq("dup"))

@@ -74,6 +74,34 @@ class IvfIndexSpec extends SparkSpec {
     assert(res(dirInc) === res(dirAll))
   }
 
+  test("IVF delete lifecycle: tombstoned search equals a live-only index; compaction materializes") {
+    import graft.operators.IndexLayout
+    val live = embs.filter(col("vec_id") % 5 =!= 0)
+    val queries = embs.filter(col("vec_id") < 5)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_del").toString
+    val liveDir = java.nio.file.Files.createTempDirectory("ivf_live").toString
+    IvfIndex.writeIndex(embs, "vec_id", "embedding", model, dir)
+    IvfIndex.removeFromIndex(embs.filter(col("vec_id") % 5 === 0)
+      .select("vec_id"), "vec_id", dir)
+    IvfIndex.writeIndex(live, "vec_id", "embedding", model, liveDir)
+    def res(d: String) = IvfIndex.searchPruned(spark, d, queries, "vec_id",
+        "embedding", model, nprobe = 3, topK = 5)
+      .select(col("query_id"), col("vec_id"), round(col("sim"), 9), col("rank"))
+      .collect().map(_.toSeq).toSet
+    val tombstoned = res(dir)
+    assert(tombstoned === res(liveDir))
+    IvfIndex.compactIndex(spark, dir, "vec_id")
+    assert(res(dir) === tombstoned)
+    assert(!new java.io.File(s"$dir.tombstones").exists())
+    assert(spark.read.parquet(dir).filter(col("vec_id") % 5 === 0).count() == 0)
+    // a fresh writeIndex at a tombstoned path must not inherit the sidecar
+    IvfIndex.removeFromIndex(embs.filter(col("vec_id") % 5 === 1)
+      .select("vec_id"), "vec_id", dir)
+    IvfIndex.writeIndex(embs, "vec_id", "embedding", model, dir)
+    assert(spark.read.parquet(dir).count() == embs.count())
+    assert(IndexLayout.readTombstones(spark, s"$dir.tombstones").isEmpty)
+  }
+
   test("closure-UDF assignment regime (nlist > 32) matches a driver-side recompute") {
     val big = IvfIndex.train(embs, "vec_id", "embedding", k = 40, iters = 2)
     assert(big.k == 40)

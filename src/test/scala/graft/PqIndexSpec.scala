@@ -88,4 +88,41 @@ class PqIndexSpec extends SparkSpec {
     val hits = (got intersect brute.map(_._1).toSet).size
     assert(hits >= 5, s"probed IVF-PQ recall@10 = ${hits / 10.0}")
   }
+
+  test("IVF-PQ append + delete lifecycle equals a live-only rebuild; compaction is invisible") {
+    import graft.operators.{IndexLayout, IvfIndex, IvfPq}
+    val n = emb.count().toInt
+    val composite = IvfPq.Model(
+      IvfIndex.train(emb, "vec_id", "embedding", k = 4, iters = 2), model)
+    val q = emb.orderBy(col("vec_id")).limit(1)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
+    def search(dir: String) =
+      IvfPq.searchPruned(spark, dir, q, "vec_id", "embedding",
+          composite, nprobe = 4, shortlist = n, topK = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+    // APPEND: base on %3!=0, fold in %3==0 — same quantizers, so the
+    // incremental index is row-equal to a from-scratch build of the union
+    val incDir = java.nio.file.Files.createTempDirectory("ivfpq_inc").toString
+    IvfPq.writeIndex(emb.filter(col("vec_id") % 3 =!= 0),
+      "vec_id", "embedding", composite, incDir)
+    IvfPq.appendToIndex(emb.filter(col("vec_id") % 3 === 0),
+      "vec_id", "embedding", composite, incDir)
+    val fullDir = java.nio.file.Files.createTempDirectory("ivfpq_full").toString
+    IvfPq.writeIndex(emb, "vec_id", "embedding", composite, fullDir)
+    assert(search(incDir) === search(fullDir))
+
+    // DELETE: tombstone %5==0 out — search equals a rebuild on the live
+    // set; compaction materializes, clears the sidecar, results unchanged
+    IvfIndex.removeFromIndex(emb.filter(col("vec_id") % 5 === 0)
+      .select("vec_id"), "vec_id", incDir)
+    val liveDir = java.nio.file.Files.createTempDirectory("ivfpq_live").toString
+    IvfPq.writeIndex(emb.filter(col("vec_id") % 5 =!= 0),
+      "vec_id", "embedding", composite, liveDir)
+    val tombstoned = search(incDir)
+    assert(tombstoned === search(liveDir))
+    IvfIndex.compactIndex(spark, incDir, "vec_id")
+    assert(search(incDir) === tombstoned)
+    assert(IndexLayout.readTombstones(spark, s"$incDir.tombstones").isEmpty)
+  }
 }

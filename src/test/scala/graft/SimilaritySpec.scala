@@ -136,6 +136,45 @@ class SimilaritySpec extends SparkSpec {
     assert(check(dirInc) === check(dirAll))
   }
 
+  test("dedup index delete lifecycle: tombstoned reads equal a live-only rebuild") {
+    import graft.operators.IndexLayout
+    val live = docs.filter(col("doc_id") % 7 =!= 3)
+    val probe = docs.filter(col("doc_id") < 20)
+      .select(col("doc_id") + 300000L as "doc_id", col("text"))
+    val dir = java.nio.file.Files.createTempDirectory("dedup_del").toString
+    val liveDir = java.nio.file.Files.createTempDirectory("dedup_live").toString
+    DedupOps.writeDedupIndex(docs, "doc_id", "text", 3, dir)
+    DedupOps.removeFromDedupIndex(
+      docs.filter(col("doc_id") % 7 === 3).select("doc_id"), "doc_id", dir)
+    DedupOps.writeDedupIndex(live, "doc_id", "text", 3, liveDir)
+    def check(d: String) = DedupOps.dedupAgainstIndex(spark, d, probe,
+        "doc_id", "text", 3, 0.5)
+      .collect().map(_.toSeq).toSet
+    val tombstoned = check(dir)
+    assert(tombstoned === check(liveDir))
+    // compaction: same rows, sidecar gone, removed ids physically absent,
+    // append small-files merged
+    DedupOps.appendToDedupIndex(probe, "doc_id", "text", 3, dir)
+    val filesBefore = IndexLayout.dataFileCount(spark, s"$dir/shingles")
+    DedupOps.compactDedupIndex(spark, dir)
+    assert(IndexLayout.dataFileCount(spark, s"$dir/shingles") < filesBefore)
+    assert(!new java.io.File(s"$dir/tombstones").exists())
+    // (restrict to original ids: the appended probe batch's shifted ids
+    // can also hit %7==3 and are legitimately present)
+    assert(spark.read.parquet(s"$dir/shingles")
+      .filter(col("doc_id") % 7 === 3 && col("doc_id") < 300000L)
+      .count() == 0)
+    // post-compaction reads still match the live-only rebuild PLUS the
+    // appended probe batch (now part of the accumulated corpus)
+    val liveAll = live.select(col("doc_id"), col("text")).unionAll(probe)
+    val probe2 = docs.filter(col("doc_id") >= 20 && col("doc_id") < 40)
+      .select(col("doc_id") + 400000L as "doc_id", col("text"))
+    assert(DedupOps.dedupAgainstIndex(spark, dir, probe2,
+        "doc_id", "text", 3, 0.5).collect().map(_.toSeq).toSet
+      === DedupOps.dedupAgainst(probe2, liveAll, "doc_id", "text", 3, 0.5)
+        .collect().map(_.toSeq).toSet)
+  }
+
   test("minhash LSH recovers all exact-jaccard pairs on this corpus") {
     val exact = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
