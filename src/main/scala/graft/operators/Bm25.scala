@@ -263,11 +263,20 @@ object Bm25 {
     */
   def removeFromIndex(ids: DataFrame, idCol: String, path: String): Unit = {
     val spark = ids.sparkSession
-    // restrict to ids actually live in the index: sidecar ∩ batch minus
-    // existing tombstones — double-removal must not double-shift stats
+    // restrict to ids actually live in the index: sidecars ∩ batch minus
+    // existing tombstones — double-removal must not double-shift stats.
+    // The sidecar union spans base + streaming segments, so a doc that
+    // only ever arrived through the stream still shifts the stats; the
+    // shift itself lands on the BASE stats row (readers SUM the per-layout
+    // rows, so the total stays exact even when the base row goes negative
+    // component-wise).
+    val sidecars = existingParts(spark, path, "docs")
+    require(sidecars.nonEmpty, s"no index doc sidecar under $path")
     val removed = IndexLayout.dropTombstoned(
-      spark.read.parquet(s"$path/docs"), idCol, s"$path/tombstones")
+      sidecars.map(spark.read.parquet(_)).reduce(_.unionByName(_)),
+      idCol, s"$path/tombstones")
       .join(ids.select(col(idCol)).distinct(), Seq(idCol), "left_semi")
+      .distinct() // a crashed compaction can duplicate sidecar rows
       .cache()
     val delta = removed.agg(count(lit(1)).cast("double"),
       coalesce(sum(col("doc_len")).cast("double"), lit(0.0)),
@@ -275,26 +284,106 @@ object Bm25 {
     IndexLayout.appendTombstones(removed.select(col(idCol)), idCol,
       s"$path/tombstones")
     removed.unpersist()
+    ensureStats(spark, path)
     writeMergedStats(spark, path, delta, sign = -1.0)
   }
 
+  /** A zero base stats row, for indexes that only ever saw streaming
+    * segments (no [[writeIndex]] ran at the base path) — gives
+    * [[writeMergedStats]] a row to shift.
+    */
+  private def ensureStats(spark: org.apache.spark.sql.SparkSession,
+                          path: String): Unit =
+    if (readStatsRow(spark, s"$path/stats").isEmpty) {
+      import spark.implicits._
+      Seq((0.0, 0.0, 0.0)).toDF("n", "sum_len", "n_len")
+        .select(col("n"), lit(null).cast("double").as("avgdl"),
+          col("sum_len"), col("n_len"))
+        .write.mode("overwrite").parquet(s"$path/stats")
+    }
+
   /** Segment-merge for the BM25 layout: rewrite postings clustered by
     * shard with tombstoned docs dropped (appends' small files merged,
-    * removals made physical), rewrite the doc sidecar likewise, clear
-    * the tombstones. Stats are already exact and unchanged. Query
-    * results are identical before and after (pinned in Bm25Spec).
+    * removals made physical, streaming segments folded into the base),
+    * rewrite the doc sidecar likewise, clear the segments and the
+    * tombstones. Query results are identical before and after (pinned in
+    * Bm25Spec).
+    *
+    * Crash semantics with segments: the fold is a DISTINCT union and the
+    * stats recompute from the folded sidecar, so re-running a crashed
+    * compaction converges (already-folded segments collapse into the
+    * identical rows they duplicated). In the window between the base swap
+    * and the segment cleanup, reads stay rank-correct for postings
+    * ([[topKIndexed]] distincts its query-restricted multi-layout union)
+    * but can over-count the summed stats — re-run `compactIndex` to
+    * repair; run compaction with the maintenance stream paused.
     */
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
                    path: String, idCol: String = "doc_id"): Unit = {
-    val sharded =
-      IndexLayout.partitionedLayout(spark, s"$path/postings", "shard")
-    IndexLayout.rewriteInPlace(spark, s"$path/postings",
-      if (sharded) Some("shard") else None,
-      IndexLayout.dropTombstoned(_, idCol, s"$path/tombstones"))
-    IndexLayout.rewriteInPlace(spark, s"$path/docs", None,
-      IndexLayout.dropTombstoned(_, idCol, s"$path/tombstones"))
-    IndexLayout.clearTombstones(spark, s"$path/tombstones")
+    val segs = IndexLayout.segmentDirs(spark, path)
+    if (segs.isEmpty) {
+      val sharded =
+        IndexLayout.partitionedLayout(spark, s"$path/postings", "shard")
+      IndexLayout.rewriteInPlace(spark, s"$path/postings",
+        if (sharded) Some("shard") else None,
+        IndexLayout.dropTombstoned(_, idCol, s"$path/tombstones"))
+      IndexLayout.rewriteInPlace(spark, s"$path/docs", None,
+        IndexLayout.dropTombstoned(_, idCol, s"$path/tombstones"))
+      IndexLayout.clearTombstones(spark, s"$path/tombstones")
+    } else {
+      val tomb = s"$path/tombstones"
+      val postingsAll = existingParts(spark, path, "postings")
+        .map(spark.read.parquet(_)).reduce(_.unionByName(_)).distinct()
+      IndexLayout.writeSwap(spark, s"$path/postings",
+        IndexLayout.dropTombstoned(postingsAll, idCol, tomb), Some("shard"))
+      val docsAll = existingParts(spark, path, "docs")
+        .map(spark.read.parquet(_)).reduce(_.unionByName(_)).distinct()
+      IndexLayout.writeSwap(spark, s"$path/docs",
+        IndexLayout.dropTombstoned(docsAll, idCol, tomb), None)
+      // recompute from the folded sidecar: the same exact integral
+      // operands a from-scratch build aggregates, and derived-from-folded
+      // state is what makes a crashed re-run converge
+      spark.read.parquet(s"$path/docs")
+        .agg(count(lit(1)).cast("double").as("n"),
+          avg(col("doc_len")).as("avgdl"),
+          coalesce(sum(col("doc_len")).cast("double"), lit(0.0)).as("sum_len"),
+          count(col("doc_len")).cast("double").as("n_len"))
+        .write.mode("overwrite").parquet(s"$path/stats")
+      IndexLayout.clearSegments(spark, path)
+      IndexLayout.clearTombstones(spark, tomb)
+    }
   }
+
+  private def existingParts(spark: org.apache.spark.sql.SparkSession,
+                            path: String, sub: String): Seq[String] =
+    IndexLayout.existingParts(spark, path, sub)
+
+  private def readStatsRow(spark: org.apache.spark.sql.SparkSession,
+                           dir: String): Option[org.apache.spark.sql.Row] =
+    try Some(spark.read.parquet(dir).head())
+    catch { case _: Throwable => None }
+
+  /** Exact (n, avgdl) across per-layout stats rows: the integral n /
+    * sum_len / n_len components ADD exactly in doubles, and the summed
+    * avgdl divides the same two exact operands a from-scratch avg over
+    * the union would — bit-identical to a rebuild, which is what lets
+    * the streamed index share the batch oracle. A legacy 2-field row
+    * (single-layout only) falls back to its persisted avgdl.
+    */
+  private def summedStats(rows: Seq[org.apache.spark.sql.Row]): (Double, Double) =
+    if (rows.isEmpty) (0.0, 1.0)
+    else if (rows.length == 1 && rows.head.length < 3) {
+      val r = rows.head
+      (r.getDouble(0), if (r.isNullAt(1)) 1.0 else r.getDouble(1))
+    } else {
+      val n = rows.map(_.getDouble(0)).sum
+      val sumLen = rows.map(r =>
+        if (r.length > 2 && !r.isNullAt(2)) r.getDouble(2) else 0.0).sum
+      val nLen = rows.map(r =>
+        if (r.length > 3 && !r.isNullAt(3)) r.getDouble(3)
+        else r.getDouble(0)).sum
+      (n, if (nLen == 0.0) 1.0 else sumLen / nLen)
+    }
 
   /** [[topK]] over a [[writeIndex]] layout: the query terms' shards are
     * computed driver-side and pushed as a partition filter, so the scan
@@ -303,6 +392,13 @@ object Bm25 {
     * query terms, and scoring proceeds identically to [[topK]] (df for a
     * query term is complete by construction — ALL its postings live in
     * its shard). Row-identical to the scan path.
+    *
+    * Spans the base layout plus any streaming segments
+    * ([[graft.streaming.StreamingOps.streamBm25Index]]): each layout is
+    * read with its own partition filter (pruning applies per segment),
+    * stats sum exactly across the per-layout rows, and df/idf derive from
+    * the unioned postings at query time — so a streamed index retrieves
+    * row-identically to one rebuilt from scratch over everything.
     */
   def topKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
                   idCol: String, queries: Seq[(String, String)], k: Int,
@@ -313,17 +409,28 @@ object Bm25 {
       .toDF("query_id", "term")
     val termSet = queries.flatMap { case (_, q) => queryTerms(q) }.distinct
     val shards = termSet.map(shardOf(_, nShards)).distinct
-    val st = spark.read.parquet(s"$path/stats").head()
-    // tombstoned docs (see [[removeFromIndex]]) drop BEFORE scoring, so
-    // df re-derives over live docs only; no-op when nothing was removed
-    val postings = IndexLayout.dropTombstoned(
-      spark.read.parquet(s"$path/postings")
+    val (nDocs, avgdl) = summedStats(
+      existingParts(spark, path, "stats").flatMap(readStatsRow(spark, _)))
+    val layouts = existingParts(spark, path, "postings") match {
+      case Seq() => Seq(s"$path/postings") // raise the standard read error
+      case ls    => ls
+    }
+    val unioned = layouts.map { p =>
+      spark.read.parquet(p)
         .filter(col("shard").isin(shards.map(Integer.valueOf): _*))
         .filter(col("term").isInCollection(termSet))
-        .drop("shard"),
-      idCol, s"$path/tombstones")
-    scoreAndRank(postings, idCol, terms, st.getDouble(0),
-      if (st.isNullAt(1)) 1.0 else st.getDouble(1), k, k1, b)
+        .drop("shard")
+    }.reduce(_.unionByName(_))
+    // a crashed compaction can leave a segment both folded and present;
+    // distinct over the query-restricted (matching docs × terms, never
+    // corpus-sized) union keeps scores exact in that window and is a
+    // no-op cost otherwise. Single-layout reads skip it entirely.
+    val deduped = if (layouts.length > 1) unioned.distinct() else unioned
+    // tombstoned docs (see [[removeFromIndex]]) drop BEFORE scoring, so
+    // df re-derives over live docs only; no-op when nothing was removed
+    val postings =
+      IndexLayout.dropTombstoned(deduped, idCol, s"$path/tombstones")
+    scoreAndRank(postings, idCol, terms, nDocs, avgdl, k, k1, b)
   }
 
   /** Exact retrieval-evaluation metrics for [[topK]]: per query, MRR,

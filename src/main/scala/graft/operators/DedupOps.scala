@@ -540,25 +540,47 @@ object DedupOps {
 
   /** Segment-merge for the dedup index: rewrite the shingle postings
     * clustered by shard with tombstoned docs dropped (append small files
-    * merged, removals made physical), rewrite the fingerprints likewise,
-    * clear the tombstones. Query results are identical before and after
-    * (pinned in SimilaritySpec).
+    * merged, removals made physical, streaming segments folded into the
+    * base), rewrite the fingerprints likewise, clear the segments and
+    * the tombstones. Query results are identical before and after
+    * (pinned in SimilaritySpec). With segments the fold is a DISTINCT
+    * union, so re-running a crashed compaction converges — the same
+    * crash semantics as `Bm25.compactIndex`.
     */
   def compactDedupIndex(spark: org.apache.spark.sql.SparkSession,
                         path: String, idCol: String = "doc_id"): Unit = {
-    val sharded =
-      IndexLayout.partitionedLayout(spark, s"$path/shingles", "shard")
-    IndexLayout.rewriteInPlace(spark, s"$path/shingles",
-      if (sharded) Some("shard") else None,
-      IndexLayout.dropTombstoned(_, idCol, s"$path/tombstones"))
-    IndexLayout.rewriteInPlace(spark, s"$path/fingerprints", None,
-      IndexLayout.dropTombstoned(_, idCol, s"$path/tombstones"))
-    IndexLayout.clearTombstones(spark, s"$path/tombstones")
+    val segs = IndexLayout.segmentDirs(spark, path)
+    if (segs.isEmpty) {
+      val sharded =
+        IndexLayout.partitionedLayout(spark, s"$path/shingles", "shard")
+      IndexLayout.rewriteInPlace(spark, s"$path/shingles",
+        if (sharded) Some("shard") else None,
+        IndexLayout.dropTombstoned(_, idCol, s"$path/tombstones"))
+      IndexLayout.rewriteInPlace(spark, s"$path/fingerprints", None,
+        IndexLayout.dropTombstoned(_, idCol, s"$path/tombstones"))
+      IndexLayout.clearTombstones(spark, s"$path/tombstones")
+    } else {
+      val tomb = s"$path/tombstones"
+      val shAll = IndexLayout.existingParts(spark, path, "shingles")
+        .map(spark.read.parquet(_)).reduce(_.unionByName(_)).distinct()
+      IndexLayout.writeSwap(spark, s"$path/shingles",
+        IndexLayout.dropTombstoned(shAll, idCol, tomb), Some("shard"))
+      val fpAll = IndexLayout.existingParts(spark, path, "fingerprints")
+        .map(spark.read.parquet(_)).reduce(_.unionByName(_)).distinct()
+      IndexLayout.writeSwap(spark, s"$path/fingerprints",
+        IndexLayout.dropTombstoned(fpAll, idCol, tomb), None)
+      IndexLayout.clearSegments(spark, path)
+      IndexLayout.clearTombstones(spark, tomb)
+    }
   }
 
   /** The pruned index read inside [[dedupAgainstIndex]], exposed so the
     * spec can pin its `PartitionFilters` shape (the operator's output is
     * checkpointed by `materializeAndRelease`, which hides the scan).
+    * Spans the base layout plus any streaming segments
+    * ([[graft.streaming.StreamingOps.streamDedupIndex]]), each read with
+    * its own partition filter; the multi-layout union is DISTINCT so a
+    * crashed compaction's duplicated segment cannot inflate `inter`.
     */
   private[graft] def prunedShingleIndex(spark: org.apache.spark.sql.SparkSession,
                                         path: String, shNew: DataFrame,
@@ -566,8 +588,15 @@ object DedupOps {
     val shardU = udf((s: String) => shingleShard(s, nShards))
     val shards = shNew.select(shardU(col("shingle")).as("shard"))
       .distinct().collect().map(_.getInt(0))
-    spark.read.parquet(s"$path/shingles")
-      .filter(col("shard").isin(shards.map(Integer.valueOf): _*))
+    val layouts = IndexLayout.existingParts(spark, path, "shingles") match {
+      case Seq() => Seq(s"$path/shingles") // raise the standard read error
+      case ls    => ls
+    }
+    val unioned = layouts.map { p =>
+      spark.read.parquet(p)
+        .filter(col("shard").isin(shards.map(Integer.valueOf): _*))
+    }.reduce(_.unionByName(_))
+    if (layouts.length > 1) unioned.distinct() else unioned
   }
 
   /** [[dedupAgainst]] over a [[writeDedupIndex]] layout: the batch's
@@ -584,11 +613,17 @@ object DedupOps {
                         textCol: String, n: Int, threshold: Double,
                         nShards: Int = 256): DataFrame = {
     // tombstoned docs (see [[removeFromDedupIndex]]) drop from BOTH index
-    // sides before any comparison; no-op when nothing was removed
+    // sides before any comparison; no-op when nothing was removed. The
+    // fingerprint side spans base + streaming segments (duplicate rows
+    // are harmless under the left_semi).
+    val fps = IndexLayout.existingParts(spark, path, "fingerprints") match {
+      case Seq() => Seq(s"$path/fingerprints")
+      case ls    => ls
+    }
     val exact = newDf
       .select(col(idCol), graft.functions.TextFns.fingerprint(col(textCol)).as("__fp"))
       .join(IndexLayout.dropTombstoned(
-          spark.read.parquet(s"$path/fingerprints"), idCol,
+          fps.map(spark.read.parquet(_)).reduce(_.unionByName(_)), idCol,
           s"$path/tombstones"),
         Seq("__fp"), "left_semi")
       .select(col(idCol)).withColumn("__exact", lit(1L))

@@ -82,7 +82,23 @@ object IndexLayout {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return
-    val df = transform(spark.read.parquet(dir))
+    writeSwap(spark, dir, transform(spark.read.parquet(dir)), partCol)
+  }
+
+  /** Materialize `df` fully into `dir + ".compact.tmp"`, then swap it in
+    * for `dir`. Safe when `df` READS from `dir` (the segment-merge case:
+    * the union of base + segments replaces the base) — the rewrite is
+    * complete before the old layout is touched, so a crash before the
+    * swap leaves the index intact and a crash between delete and rename
+    * is recoverable from tmp. Clusters by `partCol` when given and the
+    * frame is non-empty (a zero-row partitioned write would leave no
+    * schema-bearing files — the readable-empty fallback is
+    * unpartitioned, matching the index writers).
+    */
+  def writeSwap(spark: SparkSession, dir: String, df: DataFrame,
+                partCol: Option[String]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(dir + ".compact.tmp")
     fs.delete(tmp, true)
     partCol match {
@@ -92,11 +108,47 @@ object IndexLayout {
       case _ =>
         df.write.mode("overwrite").parquet(tmp.toString)
     }
-    // the rewrite is fully materialized in tmp before the old layout is
-    // touched — a crash before the swap leaves the index intact, a crash
-    // between delete and rename is recoverable from tmp
     fs.delete(p, true)
     fs.rename(tmp, p)
+  }
+
+  /** The streaming-segment directories of a layout, sorted by batch id:
+    * `$path/segments/batch=<id>`, each an immutable mini-index written by
+    * a `foreachBatch` fold with per-batch overwrite (a retried batch
+    * replaces its OWN segment — exactly-once for replayable sources,
+    * the same convergence argument as the incremental-dedup sinks).
+    */
+  def segmentDirs(spark: SparkSession, path: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/segments")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .sortBy(st => st.getPath.getName.stripPrefix("batch=").toLong)
+      .map(_.getPath.toString)
+  }
+
+  /** Delete a layout's segment directories (after compaction folded them
+    * into the base).
+    */
+  def clearSegments(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/segments")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+  }
+
+  /** The existing per-layout `<sub>` directories a multi-layout read
+    * spans: the base `$path/<sub>` (when present) plus each streaming
+    * segment's `$path/segments/batch=<id>/<sub>`.
+    */
+  def existingParts(spark: SparkSession, path: String,
+                    sub: String): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    (path +: segmentDirs(spark, path)).map(p => s"$p/$sub")
+      .filter { d =>
+        val hp = new org.apache.hadoop.fs.Path(d)
+        hp.getFileSystem(conf).exists(hp)
+      }
   }
 
   /** Remove the tombstone sidecar (after compaction materialized it). */

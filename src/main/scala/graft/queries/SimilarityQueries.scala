@@ -448,6 +448,40 @@ object SimilarityQueries {
       Some(dedupAgainstSqlOver(
         "SELECT * FROM documents WHERE doc_id % 10 <> 0 AND doc_id % 5 <> 1"))),
 
+    // q226's STREAMING half: base index on a third of the %10!=0 corpus,
+    // Structured Streaming folds the rest in as immutable per-batch
+    // segments (file-source, maxFilesPerTrigger=1 — real micro-batches;
+    // per-batch overwrite ⇒ exactly-once on replay), then the %10==0
+    // increment is checked against the streamed index. Reads span base +
+    // segments with per-segment partition pruning and the comparison is
+    // exact, so the SAME oracle as q142/q226 hash-checks continuous
+    // index ingestion end to end.
+    QDef("q232_dedup_streamed",
+      (s, d) => {
+        val all = docs(s, d)
+        val old = all.filter(col("doc_id") % 10 =!= 0)
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_q232").toString
+        val dir = s"$base/index"
+        DedupOps.writeDedupIndex(old.filter(col("doc_id") % 3 === 0),
+          "doc_id", "text", n = 3, dir)
+        val incDir = s"$base/increment"
+        old.filter(col("doc_id") % 3 =!= 0).select("doc_id", "text")
+          .repartition(3).write.parquet(incDir)
+        val stream = s.readStream
+          .schema(s.read.parquet(incDir).schema)
+          .option("maxFilesPerTrigger", "1").parquet(incDir)
+        val q = graft.streaming.StreamingOps.streamDedupIndex(
+          stream, "doc_id", "text", n = 3, dir, s"$base/ckpt")
+        q.processAllAvailable()
+        q.stop()
+        DedupOps.dedupAgainstIndex(s, dir,
+            all.filter(col("doc_id") % 10 === 0),
+            "doc_id", "text", n = 3, threshold = 0.5)
+          .orderBy(col("doc_id"))
+      },
+      Some(dedupAgainstSql)),
+
     // Hard-negative mining for contrastive training: top-3 most-similar
     // vectors with a DIFFERENT label, for each of the first 5 vectors.
     QDef("q118_hard_negatives",
@@ -1294,11 +1328,12 @@ object SimilarityQueries {
       "JOIN pv pa ON pa.vec_id = a.vec_id JOIN pv pb ON pb.vec_id = b.vec_id) " +
       "ORDER BY id_a, id_b"
 
-  /** q142/q226/q230 shared oracle: exact fingerprint + exact 3-gram
+  /** q142/q226/q230/q232 shared oracle: exact fingerprint + exact 3-gram
     * Jaccard of the increment against the corpus (`old` = the live
-    * indexed set). The indexed path (q226) is lossless by construction
-    * and the delete path (q230) anti-joins tombstones on both index
-    * sides, so ONE SQL restatement hash-checks all three.
+    * indexed set). The indexed path (q226) is lossless by construction,
+    * the delete path (q230) anti-joins tombstones on both index sides,
+    * and the streamed path (q232) unions per-segment reads exactly, so
+    * ONE SQL restatement hash-checks all four.
     */
   private def dedupAgainstSqlOver(oldRel: String): String =
     s"""WITH newd AS (SELECT * FROM documents WHERE doc_id % 10 = 0),

@@ -30,11 +30,12 @@ object TextQueries {
     .flatMap { case (qid, q) => Bm25.queryTerms(q).map(t => s"('$qid', '$t')") }
     .mkString(", ")
 
-  /** q139/q227/q228/q229 shared oracle: Okapi BM25 with 6dp-rounded
-    * scores before ranking (the term-sharded indexed path is lossless
-    * and the delete path reads tombstone-filtered postings with an
-    * exactly-shifted stats row, so one SQL restatement — over `corpus`,
-    * the live document set — hash-checks all four).
+  /** q139/q227/q228/q229/q231 shared oracle: Okapi BM25 with 6dp-rounded
+    * scores before ranking (the term-sharded indexed path is lossless,
+    * the delete path reads tombstone-filtered postings with an
+    * exactly-shifted stats row, and the streamed path sums exact
+    * per-segment stats rows, so one SQL restatement — over `corpus`,
+    * the live document set — hash-checks all five).
     */
   private def bm25TopkSqlOver(corpus: String): String =
     s"""WITH corpus AS ($corpus),
@@ -385,6 +386,37 @@ object TextQueries {
       },
       Some(bm25TopkSqlOver(
         "SELECT * FROM documents WHERE doc_id % 10 <> 0"))),
+
+    // The STREAMING half of the index lifecycle: base index on a third of
+    // the corpus, then Structured Streaming folds the rest in — each
+    // micro-batch an immutable segment (per-batch overwrite = exactly-once
+    // on replay), file-source with maxFilesPerTrigger=1 so the increment
+    // genuinely arrives over multiple micro-batches. topKIndexed reads
+    // base + segments with exact summed stats, so the streamed index
+    // retrieves row-identically to a from-scratch build — the SAME
+    // full-corpus oracle hash-checks continuous ingestion end to end.
+    QDef("q231_bm25_streamed",
+      (s, d) => {
+        val all = docs(s, d)
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_q231").toString
+        val dir = s"$base/index"
+        Bm25.writeIndex(all.filter(col("doc_id") % 3 === 0),
+          "doc_id", "text", dir)
+        val incDir = s"$base/increment"
+        all.filter(col("doc_id") % 3 =!= 0).select("doc_id", "text")
+          .repartition(3).write.parquet(incDir)
+        val stream = s.readStream
+          .schema(s.read.parquet(incDir).schema)
+          .option("maxFilesPerTrigger", "1").parquet(incDir)
+        val q = graft.streaming.StreamingOps.streamBm25Index(
+          stream, "doc_id", "text", dir, s"$base/ckpt")
+        q.processAllAvailable()
+        q.stop()
+        Bm25.topKIndexed(s, dir, "doc_id", bm25Queries, k = 10)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(bm25TopkSql)),
 
     // Retrieval evaluation: exact MRR / recall@10 / nDCG@10 for the BM25
     // ranker against boolean-AND pseudo-qrels (relevant iff the doc holds

@@ -810,6 +810,54 @@ object StreamingOps {
       }
       .start()
 
+  /** Continuous maintenance of a persisted BM25 index
+    * (`graft.operators.Bm25.writeIndex` layout): each micro-batch becomes
+    * an immutable SEGMENT — its own mini-index under
+    * `indexDir/segments/batch=<id>`, written with per-batch OVERWRITE, so
+    * a replayed batch replaces its own prior (possibly partial) segment
+    * and the index converges — exactly-once for replayable sources, the
+    * same argument as [[incrementalDedup]]. `Bm25.topKIndexed` reads
+    * base + segments (summing the exact per-layout stats rows, so
+    * retrieval is row-identical to a from-scratch rebuild over
+    * everything); `Bm25.compactIndex` folds segments into the base
+    * offline. No history is ever read or rewritten on the hot path: a
+    * batch's cost is O(batch), independent of accumulated index size —
+    * the Lucene ingestion model on parquet partitions.
+    */
+  def streamBm25Index(docs: DataFrame, idCol: String, textCol: String,
+                      indexDir: String, checkpointDir: String,
+                      nShards: Int = 64): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Bm25.writeIndex(batch, idCol, textCol,
+          s"$indexDir/segments/batch=$batchId", nShards)
+        ()
+      }
+      .start()
+
+  /** Continuous maintenance of a persisted dedup index
+    * (`graft.operators.DedupOps.writeDedupIndex` layout): the same
+    * segment model as [[streamBm25Index]] — each micro-batch becomes an
+    * immutable mini-index under `indexDir/segments/batch=<id>`
+    * (per-batch overwrite ⇒ exactly-once on replay), and
+    * `DedupOps.dedupAgainstIndex` spans base + segments with per-segment
+    * partition pruning, so an increment checked against the streamed
+    * index gets the identical exact answer a from-scratch build gives.
+    * `DedupOps.compactDedupIndex` folds segments into the base offline.
+    */
+  def streamDedupIndex(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int, indexDir: String, checkpointDir: String,
+                       nShards: Int = 256): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.DedupOps.writeDedupIndex(batch, idCol, textCol,
+          n, s"$indexDir/segments/batch=$batchId", nShards)
+        ()
+      }
+      .start()
+
   def runToMemory(df: DataFrame, name: String, outputMode: String): DataFrame = {
     val q = df.writeStream
       .format("memory")

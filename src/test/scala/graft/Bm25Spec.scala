@@ -186,6 +186,63 @@ class Bm25Spec extends SparkSpec {
       .collect().map(_.toSeq).toSet === before)
   }
 
+  test("streaming segments: retrieval over base+segments equals a full rebuild; compaction folds") {
+    import graft.operators.IndexLayout
+    import graft.streaming.StreamingOps
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val queries = Seq("s1" -> "fast hash join", "s2" -> "stream filter vector")
+    val base = java.nio.file.Files.createTempDirectory("bm25_stream").toString
+    val (dir, ckpt) = (s"$base/index", s"$base/ckpt")
+    // base layout from the first third; two micro-batches stream the rest
+    val parts = docs.groupBy { case (id, _) => (id % 3).toInt }
+    Bm25.writeIndex(parts(0).toSeq.toDF("doc_id", "text"),
+      "doc_id", "text", dir, nShards = 64)
+    val src = MemoryStream[(Long, String)]
+    val q = StreamingOps.streamBm25Index(
+      src.toDF().toDF("doc_id", "text"), "doc_id", "text", dir, ckpt)
+    src.addData(parts(1).toSeq: _*)
+    q.processAllAvailable()
+    src.addData(parts(2).toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    def rows(d: String) =
+      Bm25.topKIndexed(spark, d, "doc_id", queries, k = 10)
+        .collect().map(_.toSeq).toSet
+    val fullDir = java.nio.file.Files.createTempDirectory("bm25_stream_full").toString
+    Bm25.writeIndex(docs.toSeq.toDF("doc_id", "text"),
+      "doc_id", "text", fullDir, nShards = 64)
+    val streamed = rows(dir)
+    assert(streamed === rows(fullDir))
+    // a replayed batch overwrites its own segment — results converge
+    Bm25.writeIndex(parts(1).toSeq.toDF("doc_id", "text"),
+      "doc_id", "text", s"$dir/segments/batch=0", nShards = 64)
+    assert(rows(dir) === streamed)
+    // deleting a doc that only ever arrived through the stream works:
+    // tombstones span layouts and the stats shift reads all sidecars
+    val victim = parts(1).map(_._1).min
+    Bm25.removeFromIndex(Seq(victim).toDF("doc_id"), "doc_id", dir)
+    val liveDir = java.nio.file.Files.createTempDirectory("bm25_stream_live").toString
+    Bm25.writeIndex(docs.filter(_._1 != victim).toSeq.toDF("doc_id", "text"),
+      "doc_id", "text", liveDir, nShards = 64)
+    val afterDelete = rows(dir)
+    assert(afterDelete === rows(liveDir))
+    // compaction folds segments into the base: segments gone, tombstones
+    // gone, results identical, stats bit-equal to the live-only rebuild
+    Bm25.compactIndex(spark, dir)
+    assert(IndexLayout.segmentDirs(spark, dir).isEmpty)
+    assert(!new java.io.File(s"$dir/tombstones").exists())
+    assert(rows(dir) === afterDelete)
+    assert(spark.read.parquet(s"$dir/stats").collect().map(_.toSeq).toSeq
+      === spark.read.parquet(s"$liveDir/stats").collect().map(_.toSeq).toSeq)
+    // re-running a compaction (the crash-recovery path) is a no-op
+    Bm25.compactIndex(spark, dir)
+    assert(rows(dir) === afterDelete)
+  }
+
   test("bm25 query tokenizer mirrors the corpus tokenizer") {
     assert(Bm25.queryTerms("Fast HASH-join, a an of") == Seq("fast", "hash", "join"))
     assert(Bm25.queryTerms("dup dup dup") == Seq("dup"))

@@ -175,6 +175,58 @@ class SimilaritySpec extends SparkSpec {
         .collect().map(_.toSeq).toSet)
   }
 
+  test("streamed dedup index: segment reads equal a full rebuild; compaction folds") {
+    import graft.operators.IndexLayout
+    import graft.streaming.StreamingOps
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val probe = docs.filter(col("doc_id") < 30)
+      .select(col("doc_id") + 500000L as "doc_id", col("text"))
+    val base = java.nio.file.Files.createTempDirectory("dedup_stream").toString
+    val (dir, ckpt) = (s"$base/index", s"$base/ckpt")
+    val parts = rows.groupBy { case (id, _) => (id % 3).toInt }
+    DedupOps.writeDedupIndex(parts(0).toSeq.toDF("doc_id", "text"),
+      "doc_id", "text", 3, dir)
+    val src = MemoryStream[(Long, String)]
+    val q = StreamingOps.streamDedupIndex(
+      src.toDF().toDF("doc_id", "text"), "doc_id", "text", 3, dir, ckpt)
+    src.addData(parts(1).toSeq: _*)
+    q.processAllAvailable()
+    src.addData(parts(2).toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    def check(d: String, p: org.apache.spark.sql.DataFrame) =
+      DedupOps.dedupAgainstIndex(spark, d, p, "doc_id", "text", 3, 0.5)
+        .collect().map(_.toSeq).toSet
+    val fullDir = java.nio.file.Files.createTempDirectory("dedup_stream_full").toString
+    DedupOps.writeDedupIndex(docs, "doc_id", "text", 3, fullDir)
+    val streamed = check(dir, probe)
+    assert(streamed === check(fullDir, probe))
+    // a replayed batch overwrites its own segment — results converge
+    DedupOps.writeDedupIndex(parts(1).toSeq.toDF("doc_id", "text"),
+      "doc_id", "text", 3, s"$dir/segments/batch=0")
+    assert(check(dir, probe) === streamed)
+    // delete a doc that only ever arrived through the stream
+    val victim = parts(1).map(_._1).min
+    DedupOps.removeFromDedupIndex(Seq(victim).toDF("doc_id"), "doc_id", dir)
+    val liveDir = java.nio.file.Files.createTempDirectory("dedup_stream_live").toString
+    DedupOps.writeDedupIndex(docs.filter(col("doc_id") =!= victim),
+      "doc_id", "text", 3, liveDir)
+    val afterDelete = check(dir, probe)
+    assert(afterDelete === check(liveDir, probe))
+    // compaction folds segments into the base; re-running it (the
+    // crash-recovery path) is a no-op
+    DedupOps.compactDedupIndex(spark, dir)
+    assert(IndexLayout.segmentDirs(spark, dir).isEmpty)
+    assert(!new java.io.File(s"$dir/tombstones").exists())
+    assert(check(dir, probe) === afterDelete)
+    DedupOps.compactDedupIndex(spark, dir)
+    assert(check(dir, probe) === afterDelete)
+  }
+
   test("minhash LSH recovers all exact-jaccard pairs on this corpus") {
     val exact = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
