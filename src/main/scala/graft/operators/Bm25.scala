@@ -117,31 +117,40 @@ object Bm25 {
     * vector search).
     */
   def writeIndex(docs: DataFrame, idCol: String, textCol: String,
-                 path: String, nShards: Int = 64): Unit = {
+                 path: String, nShards: Int = 64,
+                 sharded: Boolean = true): Unit = {
     // a fresh build replaces everything — a stale tombstone sidecar from
     // a previous index at this path must not filter the new one
     IndexLayout.clearTombstones(docs.sparkSession, s"$path/tombstones")
     val shardU = udf((t: String) => shardOf(t, nShards))
-    val postings = docs
+    val unclustered = docs
       .select(col(idCol), TextFns.words(col(textCol)).as("__toks"))
       .select(col(idCol), size(col("__toks")).cast("long").as("doc_len"),
         explode(col("__toks")).as("term"))
       .groupBy(col(idCol), col("doc_len"), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"))
       .withColumn("shard", shardU(col("term")))
-      // cluster by shard so the partitioned write below emits O(nShards)
-      // files instead of tasks × nShards
-      .repartition(col("shard"))
+    // cluster by shard so the partitioned write below emits O(nShards)
+    // files instead of tasks × nShards (skipped for unpartitioned small
+    // segments, which need no clustering)
+    val postings =
+      if (sharded) unclustered.repartition(col("shard")) else unclustered
     val w = postings.write.mode("overwrite")
     // a zero-row partitioned write leaves no schema-bearing files and the
     // index would be unreadable — an empty corpus writes unpartitioned
     // (shard stays as a data column; the query-side filter still applies).
+    // `sharded = false` (streaming SEGMENTS) also writes unpartitioned —
+    // Lucene's small-segment shape: a micro-batch's postings are cheap to
+    // scan in full, while a nShards-directory partitioned write is ~all
+    // fixed cost at micro-batch size; compaction folds segments into the
+    // base's pruned partitioned form.
     // Emptiness is probed on the map-only exploded-token scan (postings
     // are its aggregate — empty iff it is), not on `postings` itself,
-    // which would execute the whole agg pipeline twice.
-    val noTokens = docs
+    // which would execute the whole agg pipeline twice; lazy so the
+    // unpartitioned segment path never pays the probe job.
+    lazy val noTokens = docs
       .select(explode(TextFns.words(col(textCol))).as("__t")).isEmpty
-    if (noTokens) w.parquet(s"$path/postings")
+    if (!sharded || noTokens) w.parquet(s"$path/postings")
     else w.partitionBy("shard").parquet(s"$path/postings")
     writeStats(docs, textCol, path)
     // doc-level sidecar (id, doc_len): doc-count-sized, the lookup table

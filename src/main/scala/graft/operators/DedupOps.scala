@@ -453,18 +453,28 @@ object DedupOps {
     * only the batch's shingles' shards, not the corpus.
     */
   def writeDedupIndex(corpusDf: DataFrame, idCol: String, textCol: String,
-                      n: Int, path: String, nShards: Int = 256): Unit = {
+                      n: Int, path: String, nShards: Int = 256,
+                      sharded: Boolean = true): Unit = {
     // a fresh build replaces everything — a stale tombstone sidecar from
     // a previous index at this path must not filter the new one
     IndexLayout.clearTombstones(corpusDf.sparkSession, s"$path/tombstones")
-    val postings = dedupIndexPostings(corpusDf, idCol, textCol, n, nShards)
+    val postings =
+      dedupIndexPostings(corpusDf, idCol, textCol, n, nShards, sharded)
     val w = postings.write.mode("overwrite")
     // empty corpus: a zero-row partitioned write leaves no schema-bearing
     // files (unreadable index) — write unpartitioned, shard as data column.
     // The probe is the map-only shingle scan's first row (postings are a
     // per-row reshape of it), NOT postings.isEmpty, which would run the
     // whole pipeline a second time just to answer the question.
-    if (shingles(corpusDf, idCol, textCol, n).isEmpty) w.parquet(s"$path/shingles")
+    // `sharded = false` (streaming SEGMENTS) also writes unpartitioned —
+    // Lucene's small-segment shape: a micro-batch's postings are cheap to
+    // scan in full, while a nShards-directory partitioned write is ~all
+    // fixed cost at micro-batch size (measured ~4 s per 1.7k-doc segment
+    // vs ~1 s unpartitioned); the shard column still rides along as data,
+    // so multi-layout reads filter it identically, and compaction folds
+    // segments into the base's PRUNED partitioned form.
+    if (!sharded || shingles(corpusDf, idCol, textCol, n).isEmpty)
+      w.parquet(s"$path/shingles")
     // cluster rows by shard before the partitioned write: without it every
     // write task fans out to up to nShards directories (tasks × shards tiny
     // files); clustered, each task owns a few whole shards and the file
@@ -488,14 +498,16 @@ object DedupOps {
     * the partitioned write doesn't fan out tasks × shards small files.
     */
   private def dedupIndexPostings(df: DataFrame, idCol: String,
-                                 textCol: String, n: Int,
-                                 nShards: Int): DataFrame = {
+                                 textCol: String, n: Int, nShards: Int,
+                                 clustered: Boolean = true): DataFrame = {
     val shardU = udf((s: String) => shingleShard(s, nShards))
-    shingleArrays(df, idCol, textCol, n)
+    val rows = shingleArrays(df, idCol, textCol, n)
       .select(col(idCol), size(col("__shingles")).cast("long").as("sz"),
         explode(col("__shingles")).as("shingle"))
       .withColumn("shard", shardU(col("shingle")))
-      .repartition(col("shard"))
+    // the shard-clustering exchange only pays off for the partitioned
+    // write; unpartitioned small segments skip it
+    if (clustered) rows.repartition(col("shard")) else rows
   }
 
   /** Fold an accepted batch INTO the dedup index (the CDC lifecycle:
@@ -544,8 +556,12 @@ object DedupOps {
     * base), rewrite the fingerprints likewise, clear the segments and
     * the tombstones. Query results are identical before and after
     * (pinned in SimilaritySpec). With segments the fold is a DISTINCT
-    * union, so re-running a crashed compaction converges — the same
-    * crash semantics as `Bm25.compactIndex`.
+    * union, so re-running a crashed compaction converges. Unlike the
+    * BM25 read path (whose query-term-restricted union is cheap to
+    * dedupe inline), dedup reads between a mid-compaction crash and the
+    * repairing re-run can over-count duplicated postings — run
+    * compaction with the maintenance stream paused and re-run it after
+    * a crash before serving reads.
     */
   def compactDedupIndex(spark: org.apache.spark.sql.SparkSession,
                         path: String, idCol: String = "doc_id"): Unit = {
@@ -579,8 +595,15 @@ object DedupOps {
     * checkpointed by `materializeAndRelease`, which hides the scan).
     * Spans the base layout plus any streaming segments
     * ([[graft.streaming.StreamingOps.streamDedupIndex]]), each read with
-    * its own partition filter; the multi-layout union is DISTINCT so a
-    * crashed compaction's duplicated segment cannot inflate `inter`.
+    * its own partition filter. The union is NOT distinct-ed: segments
+    * are disjoint by the maintenance contract (new ids per batch,
+    * replays overwrite their own segment), and a probe batch's shard
+    * filter does not restrict CONTENT — a corpus-wide distinct here
+    * would put a full-width shuffle on every read (measured 22 s vs
+    * 5 s on q232's profile). The one state that could duplicate rows —
+    * a compaction crashed between its base swap and its segment
+    * cleanup — is repaired by re-running `compactDedupIndex` (the fold
+    * is distinct), which is where that cost belongs.
     */
   private[graft] def prunedShingleIndex(spark: org.apache.spark.sql.SparkSession,
                                         path: String, shNew: DataFrame,
@@ -592,11 +615,10 @@ object DedupOps {
       case Seq() => Seq(s"$path/shingles") // raise the standard read error
       case ls    => ls
     }
-    val unioned = layouts.map { p =>
+    layouts.map { p =>
       spark.read.parquet(p)
         .filter(col("shard").isin(shards.map(Integer.valueOf): _*))
     }.reduce(_.unionByName(_))
-    if (layouts.length > 1) unioned.distinct() else unioned
   }
 
   /** [[dedupAgainst]] over a [[writeDedupIndex]] layout: the batch's

@@ -830,8 +830,16 @@ object StreamingOps {
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.operators.Bm25.writeIndex(batch, idCol, textCol,
-          s"$indexDir/segments/batch=$batchId", nShards)
+        // spread the (often single-file) micro-batch so the tokenize/
+        // explode pipeline runs at full parallelism — batch-bounded cost.
+        // sharded=false: segments write UNPARTITIONED (Lucene's small
+        // segments — scanned, not pruned; an nShards-directory write per
+        // micro-batch is ~all fixed cost). Compaction folds them into the
+        // base's pruned partitioned layout.
+        graft.operators.Bm25.writeIndex(
+          batch.repartition(batch.sparkSession.sparkContext.defaultParallelism),
+          idCol, textCol, s"$indexDir/segments/batch=$batchId", nShards,
+          sharded = false)
         ()
       }
       .start()
@@ -852,8 +860,13 @@ object StreamingOps {
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.operators.DedupOps.writeDedupIndex(batch, idCol, textCol,
-          n, s"$indexDir/segments/batch=$batchId", nShards)
+        // spread the (often single-file) micro-batch before the heavy
+        // shingle pipeline, and write the segment UNPARTITIONED — same
+        // rationale as [[streamBm25Index]]
+        graft.operators.DedupOps.writeDedupIndex(
+          batch.repartition(batch.sparkSession.sparkContext.defaultParallelism),
+          idCol, textCol, n, s"$indexDir/segments/batch=$batchId", nShards,
+          sharded = false)
         ()
       }
       .start()
