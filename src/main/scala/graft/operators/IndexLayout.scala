@@ -118,8 +118,16 @@ object IndexLayout {
     * replaces its OWN segment — exactly-once for replayable sources,
     * the same convergence argument as the incremental-dedup sinks).
     */
-  def segmentDirs(spark: SparkSession, path: String): Seq[String] = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/segments")
+  def segmentDirs(spark: SparkSession, path: String): Seq[String] =
+    segmentDirsAt(spark, s"$path/segments")
+
+  /** [[segmentDirs]] for an explicit segment root — the IVF family keeps
+    * segments in the SIBLING `$path.segments` (the index path is itself
+    * the cell-partitioned directory; a subdir inside it would break
+    * partition discovery — the `$path.tombstones` convention).
+    */
+  def segmentDirsAt(spark: SparkSession, segRoot: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(segRoot)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq
@@ -131,8 +139,12 @@ object IndexLayout {
   /** Delete a layout's segment directories (after compaction folded them
     * into the base).
     */
-  def clearSegments(spark: SparkSession, path: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/segments")
+  def clearSegments(spark: SparkSession, path: String): Unit =
+    clearSegmentsAt(spark, s"$path/segments")
+
+  /** [[clearSegments]] for an explicit segment root. */
+  def clearSegmentsAt(spark: SparkSession, segRoot: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(segRoot)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(p, true)
   }

@@ -208,17 +208,44 @@ object IvfIndex {
   def removeFromIndex(ids: DataFrame, idCol: String, path: String): Unit =
     IndexLayout.appendTombstones(ids, idCol, s"$path.tombstones")
 
+  /** Write a micro-batch as an immutable streaming SEGMENT of a
+    * [[writeIndex]] layout: assigned to the EXISTING centroids, written
+    * UNPARTITIONED (Lucene's small-segment shape — cell rides as a data
+    * column; a per-cell partitioned write at micro-batch size is ~all
+    * fixed cost and a tiny segment is cheap to scan) with per-batch
+    * OVERWRITE into `$path.segments/batch=<id>`, so a replayed batch
+    * replaces its own prior partial segment. [[searchPruned]] spans
+    * base + segments; [[compactIndex]] folds segments into the base's
+    * cell-pruned partitioned form.
+    */
+  def writeSegment(batch: DataFrame, idCol: String, embCol: String,
+                   model: Model, path: String, batchId: Long): Unit =
+    assign(batch, embCol, model)
+      .write.mode("overwrite").parquet(s"$path.segments/batch=$batchId")
+
   /** Segment-merge for the IVF layout: rewrite each cell clustered
-    * (append small files merged) with tombstoned vectors dropped, then
-    * clear the sidecar. Search results identical before and after
-    * (pinned in IvfIndexSpec).
+    * (append small files merged, streaming segments folded in) with
+    * tombstoned vectors dropped, then clear the segments and the
+    * sidecar. Search results identical before and after (pinned in
+    * IvfIndexSpec). With segments the fold is a DISTINCT union, so
+    * re-running a crashed compaction converges.
     */
   def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                    idCol: String = "vec_id"): Unit = {
-    IndexLayout.rewriteInPlace(spark, path,
-      if (IndexLayout.partitionedLayout(spark, path, "cell")) Some("cell")
-      else None,
-      IndexLayout.dropTombstoned(_, idCol, s"$path.tombstones"))
+    val segs = IndexLayout.segmentDirsAt(spark, s"$path.segments")
+    if (segs.isEmpty) {
+      IndexLayout.rewriteInPlace(spark, path,
+        if (IndexLayout.partitionedLayout(spark, path, "cell")) Some("cell")
+        else None,
+        IndexLayout.dropTombstoned(_, idCol, s"$path.tombstones"))
+    } else {
+      val all = (path +: segs).map(spark.read.parquet(_))
+        .reduce(_.unionByName(_)).distinct()
+      IndexLayout.writeSwap(spark, path,
+        IndexLayout.dropTombstoned(all, idCol, s"$path.tombstones"),
+        Some("cell"))
+      IndexLayout.clearSegmentsAt(spark, s"$path.segments")
+    }
     IndexLayout.clearTombstones(spark, s"$path.tombstones")
   }
 
@@ -256,9 +283,24 @@ object IvfIndex {
         probeCellsLocal(v, model, nprobe)
       }.distinct.sorted
     val indexed = IndexLayout.dropTombstoned(
-      spark.read.parquet(indexPath)
-        .filter(col("cell").isin(probed.map(Integer.valueOf): _*)),
-      idCol, s"$indexPath.tombstones")
+      readCells(spark, indexPath, probed, idCol), idCol,
+      s"$indexPath.tombstones")
     searchIndexed(queries, indexed, idCol, embCol, model, nprobe, topK)
+  }
+
+  /** The probed-cell read across the base layout (partition-pruned) plus
+    * any streaming segments ([[writeSegment]] — `cell` is a data column
+    * there, so the same filter applies without pruning; segments are
+    * micro-batch-sized, so scanning them is the cheap case by design).
+    * Shared by [[searchPruned]] and `IvfPq.searchPruned`.
+    */
+  private[operators] def readCells(spark: org.apache.spark.sql.SparkSession,
+                                   indexPath: String, cells: Seq[Int],
+                                   idCol: String): DataFrame = {
+    val cellList = cells.map(Integer.valueOf)
+    val segs = IndexLayout.segmentDirsAt(spark, s"$indexPath.segments")
+    (indexPath +: segs)
+      .map(p => spark.read.parquet(p).filter(col("cell").isin(cellList: _*)))
+      .reduce(_.unionByName(_))
   }
 }

@@ -871,6 +871,30 @@ object StreamingOps {
       }
       .start()
 
+  /** Continuous maintenance of a persisted IVF index
+    * (`graft.operators.IvfIndex.writeIndex` layout, which must exist —
+    * the centroid model is trained offline): each micro-batch is
+    * assigned to the EXISTING centroids and written as an immutable
+    * segment via `IvfIndex.writeSegment` (per-batch overwrite ⇒
+    * exactly-once on replay — the standard IVF maintenance move,
+    * centroids drift only at retrain). `IvfIndex.searchPruned` spans
+    * base + segments; `IvfIndex.compactIndex` folds segments into the
+    * cell-pruned base offline. Completes the streaming lifecycle across
+    * the persisted layouts (BM25, dedup, IVF).
+    */
+  def streamIvfIndex(rows: DataFrame, idCol: String, embCol: String,
+                     model: graft.operators.IvfIndex.Model,
+                     indexDir: String, checkpointDir: String): StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.IvfIndex.writeSegment(
+          batch.repartition(batch.sparkSession.sparkContext.defaultParallelism),
+          idCol, embCol, model, indexDir, batchId)
+        ()
+      }
+      .start()
+
   def runToMemory(df: DataFrame, name: String, outputMode: String): DataFrame = {
     val q = df.writeStream
       .format("memory")

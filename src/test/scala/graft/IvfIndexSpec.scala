@@ -102,6 +102,61 @@ class IvfIndexSpec extends SparkSpec {
     assert(IndexLayout.readTombstones(spark, s"$dir.tombstones").isEmpty)
   }
 
+  test("streamed IVF segments: search equals a full rebuild; compaction folds") {
+    import graft.operators.IndexLayout
+    import graft.streaming.StreamingOps
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val queries = embs.filter(col("vec_id") < 5)
+    val rows = embs.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val parts = rows.groupBy { case (id, _) => (id % 3).toInt }
+    val base = java.nio.file.Files.createTempDirectory("ivf_stream").toString
+    val (dir, ckpt) = (s"$base/index", s"$base/ckpt")
+    IvfIndex.writeIndex(parts(0).toSeq.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding")),
+      "vec_id", "embedding", model, dir)
+    val src = MemoryStream[(Long, Array[Float])]
+    val q = StreamingOps.streamIvfIndex(
+      src.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      model, dir, ckpt)
+    src.addData(parts(1).toSeq: _*)
+    q.processAllAvailable()
+    src.addData(parts(2).toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    def res(d: String) = IvfIndex.searchPruned(spark, d, queries, "vec_id",
+        "embedding", model, nprobe = 3, topK = 5)
+      .select(col("query_id"), col("vec_id"), round(col("sim"), 9), col("rank"))
+      .collect().map(_.toSeq).toSet
+    val fullDir = java.nio.file.Files.createTempDirectory("ivf_stream_full").toString
+    IvfIndex.writeIndex(embs, "vec_id", "embedding", model, fullDir)
+    val streamed = res(dir)
+    assert(streamed === res(fullDir))
+    // a replayed batch overwrites its own segment — results converge
+    IvfIndex.writeSegment(parts(1).toSeq.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding")),
+      "vec_id", "embedding", model, dir, batchId = 0L)
+    assert(res(dir) === streamed)
+    // delete a vector that only ever arrived through the stream
+    val victim = parts(1).map(_._1).min
+    IvfIndex.removeFromIndex(Seq(victim).toDF("vec_id"), "vec_id", dir)
+    val liveDir = java.nio.file.Files.createTempDirectory("ivf_stream_live").toString
+    IvfIndex.writeIndex(embs.filter(col("vec_id") =!= victim),
+      "vec_id", "embedding", model, liveDir)
+    val afterDelete = res(dir)
+    assert(afterDelete === res(liveDir))
+    // compaction folds segments into the cell-pruned base; re-running it
+    // (the crash-recovery path) is a no-op
+    IvfIndex.compactIndex(spark, dir, "vec_id")
+    assert(IndexLayout.segmentDirsAt(spark, s"$dir.segments").isEmpty)
+    assert(!new java.io.File(s"$dir.tombstones").exists())
+    assert(res(dir) === afterDelete)
+    IvfIndex.compactIndex(spark, dir, "vec_id")
+    assert(res(dir) === afterDelete)
+  }
+
   test("closure-UDF assignment regime (nlist > 32) matches a driver-side recompute") {
     val big = IvfIndex.train(embs, "vec_id", "embedding", k = 40, iters = 2)
     assert(big.k == 40)
