@@ -217,6 +217,15 @@ class Bm25Spec extends SparkSpec {
       "doc_id", "text", fullDir, nShards = 64)
     val streamed = rows(dir)
     assert(streamed === rows(fullDir))
+    // plan pin: the multi-layout read keeps the BASE scan partition-pruned
+    // (shard IN (...) as a PartitionFilter) while the unpartitioned
+    // segments contribute plain pushed-filter scans — one scan per layout
+    val plan = Bm25.topKIndexed(spark, dir, "doc_id", queries, k = 10)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[shard#\\d+ IN \\(".r.findFirstIn(plan).isDefined,
+      plan.take(3000))
+    assert("Location: InMemoryFileIndex".r.findAllIn(plan).size >= 3,
+      s"expected base + segment scans in:\n${plan.take(3000)}")
     // a replayed batch overwrites its own segment — results converge
     Bm25.writeIndex(parts(1).toSeq.toDF("doc_id", "text"),
       "doc_id", "text", s"$dir/segments/batch=0", nShards = 64)
