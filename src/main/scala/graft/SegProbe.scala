@@ -64,6 +64,37 @@ object SegProbe {
       graft.operators.DedupOps.dedupAgainstIndex(spark, s"$base/warm",
         probeBatch, "doc_id", "text", 3, 0.5).count()
     }
+    // read-amplification sweep: the LSM trade — reads degrade linearly
+    // with accumulated segments, compaction restores the base cost
+    val sweep = s"$base/sweep"
+    graft.operators.DedupOps.writeDedupIndex(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", 3, sweep)
+    val segDocs = docs.filter(col("doc_id") % 2 === 1).cache()
+    segDocs.count()
+    var done = 0
+    def checkMin(label: String): Unit = {
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        graft.operators.DedupOps.dedupAgainstIndex(spark, sweep,
+          probeBatch, "doc_id", "text", 3, 0.5).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[segprobe] sweep $label: min=${ts.min}%.2f s")
+    }
+    checkMin("0 segments")
+    Seq(4, 16, 32).foreach { target =>
+      (done until target).foreach { i =>
+        graft.operators.DedupOps.writeDedupIndex(
+          segDocs.filter(pmod(col("doc_id"), lit(32)) === i), "doc_id",
+          "text", 3, s"$sweep/segments/batch=$i", sharded = false)
+      }
+      done = target
+      checkMin(s"$target segments")
+    }
+    t("compaction of 32 segments") {
+      graft.operators.DedupOps.compactDedupIndex(spark, sweep)
+    }
+    checkMin("post-compaction")
     spark.stop()
   }
 }
