@@ -59,10 +59,27 @@ object IvfPq {
       .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(path)
 
+  /** Write a micro-batch as an immutable streaming SEGMENT of a
+    * [[writeIndex]] layout: assigned to the existing coarse centroids,
+    * encoded with the existing codebooks, written UNPARTITIONED with
+    * per-batch overwrite into `$path.segments/batch=<id>` — the same
+    * segment model as `IvfIndex.writeSegment` (replays converge;
+    * [[searchPruned]] spans base + segments; `IvfIndex.compactIndex`
+    * folds them into the cell-pruned base, the layouts being
+    * shape-identical).
+    */
+  def writeSegment(batch: DataFrame, idCol: String, embCol: String,
+                   model: Model, path: String, batchId: Long): Unit =
+    PqIndex.encode(IvfIndex.assign(batch, embCol, model.coarse),
+        embCol, model.pq)
+      .write.mode("overwrite").parquet(s"$path.segments/batch=$batchId")
+
   /** Probe → prune → ADC-shortlist → exact rerank, all inside the probed
-    * cells' partitions. With nprobe = nlist and shortlist ≥ corpus this
-    * degrades gracefully to exact brute-force top-k (spec-pinned), the
-    * same property both parents carry.
+    * cells' partitions (base scan partition-pruned; streaming segments,
+    * when present, contribute cheap full scans with the same cell
+    * filter). With nprobe = nlist and shortlist ≥ corpus this degrades
+    * gracefully to exact brute-force top-k (spec-pinned), the same
+    * property both parents carry.
     */
   def searchPruned(spark: SparkSession, indexPath: String,
                    query: Array[Double], idCol: String, embCol: String,
@@ -70,8 +87,7 @@ object IvfPq {
                    topK: Int): DataFrame = {
     val cells = IvfIndex.probeCellsLocal(query, model.coarse, nprobe)
     val idx = IndexLayout.dropTombstoned(
-      spark.read.parquet(indexPath)
-        .filter(col("cell").isin(cells.map(Integer.valueOf): _*)),
+      IvfIndex.readCells(spark, indexPath, cells, idCol),
       idCol, s"$indexPath.tombstones")
     val cand = PqIndex.adcTopK(idx, idCol, model.pq, query, shortlist)
     val exact = udf { v: Seq[Float] =>

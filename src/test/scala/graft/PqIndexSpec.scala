@@ -124,5 +124,24 @@ class PqIndexSpec extends SparkSpec {
     IvfIndex.compactIndex(spark, incDir, "vec_id")
     assert(search(incDir) === tombstoned)
     assert(IndexLayout.readTombstones(spark, s"$incDir.tombstones").isEmpty)
+
+    // STREAMING SEGMENTS: fold %3==0 back in as two segments — search
+    // equals the live-set-plus-batch rebuild; compaction folds, replays
+    // converge (same fixed quantizers, so the layouts are row-equal)
+    val backIn = emb.filter(col("vec_id") % 5 =!= 0 && col("vec_id") % 3 === 0)
+    IvfPq.writeIndex(emb.filter(col("vec_id") % 5 =!= 0 && col("vec_id") % 3 =!= 0),
+      "vec_id", "embedding", composite, incDir)
+    IvfPq.writeSegment(backIn.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", composite, incDir, batchId = 0L)
+    IvfPq.writeSegment(backIn.filter(col("vec_id") % 2 === 1),
+      "vec_id", "embedding", composite, incDir, batchId = 1L)
+    val segmented = search(incDir)
+    assert(segmented === search(liveDir))
+    IvfPq.writeSegment(backIn.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", composite, incDir, batchId = 0L) // replay
+    assert(search(incDir) === segmented)
+    IvfIndex.compactIndex(spark, incDir, "vec_id")
+    assert(IndexLayout.segmentDirsAt(spark, s"$incDir.segments").isEmpty)
+    assert(search(incDir) === segmented)
   }
 }
