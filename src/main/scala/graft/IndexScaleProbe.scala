@@ -1,0 +1,90 @@
+package graft
+
+import graft.operators.{Bm25, DedupOps}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev tool: how does the persisted-index lifecycle scale with corpus
+  * size? Copy-salted c× corpora (the ScaleProbe convention — token
+  * prefixes keep replicas shingle-disjoint, so dup density is constant
+  * while size grows c×), then at each factor:
+  *
+  *   - BUILD the BM25 and dedup indexes (expect ~linear in c: one scan +
+  *     one clustered shuffle + O(nShards) files);
+  *   - QUERY through them (expect ~flat for BM25 — retrieval reads the
+  *     query terms' shards only; increment-bounded for dedup);
+  *   - DELETE a fixed-size batch (expect ~flat: O(batch) tombstones +
+  *     a sidecar-bounded stats shift, never a shard rewrite).
+  *
+  * `runMain graft.IndexScaleProbe [factors]`, e.g. 1,2,5,10.
+  */
+object IndexScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val factors = (if (args.nonEmpty) args(0) else "1,2,5,10")
+      .split(",").map(_.trim.toInt).toSeq
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val base = Tables(spark, sfDir, "documents").select("doc_id", "text")
+    base.count() // warm-up
+    val queries = Seq("s1" -> "fast hash join", "s2" -> "stream filter vector")
+    factors.foreach { c =>
+      val corpus = (0 until c).map { i =>
+        base.select((col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+          regexp_replace(col("text"), "([a-z0-9]+)", s"c$i$$1").as("text"))
+      }.reduce(_ unionAll _).localCheckpoint()
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft_idxscale_c$c").toString
+      def time(f: => Unit): Double = {
+        val t0 = System.nanoTime()
+        f
+        (System.nanoTime() - t0) / 1e9
+      }
+      // the salted tokens differ per copy, so BM25 queries only match
+      // copy-0 text at c=1 prefixes — query the c0-prefixed terms to keep
+      // matching-doc cardinality CONSTANT across factors
+      val saltedQueries = queries.map { case (qid, q) =>
+        qid -> q.split(" ").map("c0" + _).mkString(" ")
+      }
+      val bmDir = s"$root/bm25"
+      val bmBuild = time(Bm25.writeIndex(corpus, "doc_id", "text", bmDir))
+      val bmQuery = time {
+        Bm25.topKIndexed(spark, bmDir, "doc_id", saltedQueries, k = 10).count()
+      }
+      val bmDelete = time {
+        Bm25.removeFromIndex(
+          corpus.filter(col("doc_id") % 1000 === 0).select("doc_id"),
+          "doc_id", bmDir)
+      }
+      val bmQueryPostDel = time {
+        Bm25.topKIndexed(spark, bmDir, "doc_id", saltedQueries, k = 10).count()
+      }
+      val ddDir = s"$root/dedup"
+      val ddBuild = time(
+        DedupOps.writeDedupIndex(corpus, "doc_id", "text", 3, ddDir))
+      // fixed-size increment: copy-0 docs re-salted as new ids — constant
+      // batch while the index grows c×
+      val increment = base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 900000000L).as("doc_id"),
+          regexp_replace(col("text"), "([a-z0-9]+)", "c0$1").as("text"))
+        .localCheckpoint()
+      val ddQuery = time {
+        DedupOps.dedupAgainstIndex(spark, ddDir, increment, "doc_id",
+          "text", 3, 0.5).count()
+      }
+      println(f"[idxscale] c=$c docs=${corpus.count()} " +
+        f"bm25: build=$bmBuild%.2fs query=$bmQuery%.2fs " +
+        f"delete=$bmDelete%.2fs queryPostDel=$bmQueryPostDel%.2fs | " +
+        f"dedup: build=$ddBuild%.2fs checkIncrement=$ddQuery%.2fs")
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}
