@@ -24,13 +24,19 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // parsed to Int ONCE with a validated default: the value is
+    // interpolated unquoted into the detail JSON, so a non-numeric env
+    // string would emit malformed JSON (and the cleanest-known keeper's
+    // field parse would silently fall back to defaults)
+    val cpus = sys.env.get("SPARK_GRAFT_CPUS")
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+      .filter(_ > 0).getOrElse(4)
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       "/root/repo/BENCH_DETAIL.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
@@ -141,7 +147,7 @@ object Bench {
           // wall times are only comparable at equal-or-higher parallelism —
           // an 8-core verify smoke must never replace the 32-core record
           // (records predating the cpus field are assumed canonical 32)
-          val sameCpus = cpus.toInt >= field("cpus").getOrElse(32.0)
+          val sameCpus = cpus >= field("cpus").getOrElse(32.0)
           // totals are only comparable at the same scale factor — an
           // sf0.001 dev run must never replace the sf0.1 record
           val sameSf = ("\"sf\":\"([^\"]+)\"").r.findFirstMatchIn(old)

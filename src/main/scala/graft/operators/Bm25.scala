@@ -119,9 +119,19 @@ object Bm25 {
   def writeIndex(docs: DataFrame, idCol: String, textCol: String,
                  path: String, nShards: Int = 64,
                  sharded: Boolean = true): Unit = {
-    // a fresh build replaces everything — a stale tombstone sidecar from
-    // a previous index at this path must not filter the new one
+    // a fresh build replaces everything — a stale tombstone sidecar OR
+    // stale streaming segments from a previous index at this path must
+    // not filter into / union into the new one (readers unconditionally
+    // span $path/segments/batch=*). For a segment write (sharded = false
+    // at a $path/segments/batch=<id> target) both calls are no-ops.
     IndexLayout.clearTombstones(docs.sparkSession, s"$path/tombstones")
+    IndexLayout.clearSegments(docs.sparkSession, path)
+    // …and any version manifests from a previous index's compactions:
+    // the rebuild writes the plain layout, which a stale manifest would
+    // shadow (a crash mid-rebuild is a broken BUILD, acceptable — the
+    // availability-critical swap is compaction, which stays versioned)
+    IndexLayout.clearVersions(docs.sparkSession, s"$path/postings")
+    IndexLayout.clearVersions(docs.sparkSession, s"$path/docs")
     val shardU = udf((t: String) => shardOf(t, nShards))
     val unclustered = docs
       .select(col(idCol), TextFns.words(col(textCol)).as("__toks"))
@@ -219,13 +229,26 @@ object Bm25 {
       val mode =
         if (IndexLayout.partitionedLayout(spark, s"$path/postings", "shard"))
           "append"
-        else "overwrite" // empty base: replace, don't mix layouts
+        else {
+          // readable-empty base: replace, don't mix layouts. A NON-empty
+          // unpartitioned layout is a segment-style (sharded = false)
+          // build — overwriting would silently drop its postings while
+          // the stats below still merge additively; refuse instead.
+          require(!IndexLayout.hasRows(spark, s"$path/postings"),
+            s"$path/postings is a non-empty UNPARTITIONED layout (a " +
+              "segment-style build) — not an append target; rebuild with " +
+              "writeIndex(sharded = true) or compact first")
+          "overwrite"
+        }
+      // append into the RESOLVED directory: after a versioned compaction
+      // the live layout is $path/postings.v<n>, not the plain dir
       postings.write.mode(mode).partitionBy("shard")
-        .parquet(s"$path/postings")
+        .parquet(IndexLayout.resolve(spark, s"$path/postings"))
     }
     docs.select(col(idCol),
         size(TextFns.words(col(textCol))).cast("long").as("doc_len"))
-      .write.mode("append").parquet(s"$path/docs")
+      .write.mode("append")
+      .parquet(IndexLayout.resolve(spark, s"$path/docs"))
     writeMergedStats(spark, path,
       docs.agg(count(lit(1)).cast("double"),
         coalesce(sum(size(TextFns.words(col(textCol)))).cast("double"),
@@ -321,15 +344,28 @@ object Bm25 {
     * Crash semantics with segments: the fold is a DISTINCT union and the
     * stats recompute from the folded sidecar, so re-running a crashed
     * compaction converges (already-folded segments collapse into the
-    * identical rows they duplicated). In the window between the base swap
-    * and the segment cleanup, reads stay rank-correct for postings
-    * ([[topKIndexed]] distincts its query-restricted multi-layout union)
-    * but can over-count the summed stats — re-run `compactIndex` to
-    * repair; run compaction with the maintenance stream paused.
+    * identical rows they duplicated). The segment list is SNAPSHOTTED
+    * once — the fold reads exactly that set and the cleanup deletes
+    * exactly that set, so a micro-batch landing a new segment while
+    * compaction runs is neither folded nor deleted: it stays a readable
+    * segment (its own stats row still sums in) and the next compaction
+    * folds it. In the window between the base swap and the segment
+    * cleanup, reads stay rank-correct for postings ([[topKIndexed]]
+    * distincts its query-restricted multi-layout union) but can
+    * over-count the summed stats — re-run `compactIndex` to repair.
     */
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
-                   path: String, idCol: String = "doc_id"): Unit = {
-    val segs = IndexLayout.segmentDirs(spark, path)
+                   path: String, idCol: String = "doc_id"): Unit =
+    compactIndexFolding(spark, path, idCol,
+      IndexLayout.segmentDirs(spark, path))
+
+  /** [[compactIndex]] over an explicit segment snapshot — split out so
+    * the spec can replay the race where a segment arrives between the
+    * snapshot and the cleanup.
+    */
+  private[graft] def compactIndexFolding(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, segs: Seq[String]): Unit = {
     if (segs.isEmpty) {
       val sharded =
         IndexLayout.partitionedLayout(spark, s"$path/postings", "shard")
@@ -341,24 +377,26 @@ object Bm25 {
       IndexLayout.clearTombstones(spark, s"$path/tombstones")
     } else {
       val tomb = s"$path/tombstones"
-      val postingsAll = existingParts(spark, path, "postings")
+      val postingsAll = IndexLayout.existingPartsOf(spark, path, segs, "postings")
         .map(spark.read.parquet(_)).reduce(_.unionByName(_)).distinct()
       IndexLayout.writeSwap(spark, s"$path/postings",
         IndexLayout.dropTombstoned(postingsAll, idCol, tomb), Some("shard"))
-      val docsAll = existingParts(spark, path, "docs")
+      val docsAll = IndexLayout.existingPartsOf(spark, path, segs, "docs")
         .map(spark.read.parquet(_)).reduce(_.unionByName(_)).distinct()
       IndexLayout.writeSwap(spark, s"$path/docs",
         IndexLayout.dropTombstoned(docsAll, idCol, tomb), None)
-      // recompute from the folded sidecar: the same exact integral
-      // operands a from-scratch build aggregates, and derived-from-folded
-      // state is what makes a crashed re-run converge
-      spark.read.parquet(s"$path/docs")
+      // recompute the BASE stats row from the folded sidecar: the same
+      // exact integral operands a from-scratch build aggregates, and
+      // derived-from-folded state is what makes a crashed re-run
+      // converge. An unfolded (post-snapshot) segment keeps its own
+      // stats row, which readers still sum in.
+      spark.read.parquet(IndexLayout.resolve(spark, s"$path/docs"))
         .agg(count(lit(1)).cast("double").as("n"),
           avg(col("doc_len")).as("avgdl"),
           coalesce(sum(col("doc_len")).cast("double"), lit(0.0)).as("sum_len"),
           count(col("doc_len")).cast("double").as("n_len"))
         .write.mode("overwrite").parquet(s"$path/stats")
-      IndexLayout.clearSegments(spark, path)
+      IndexLayout.clearSegmentDirs(spark, segs)
       IndexLayout.clearTombstones(spark, tomb)
     }
   }

@@ -455,9 +455,18 @@ object DedupOps {
   def writeDedupIndex(corpusDf: DataFrame, idCol: String, textCol: String,
                       n: Int, path: String, nShards: Int = 256,
                       sharded: Boolean = true): Unit = {
-    // a fresh build replaces everything — a stale tombstone sidecar from
-    // a previous index at this path must not filter the new one
+    // a fresh build replaces everything — a stale tombstone sidecar OR
+    // stale streaming segments from a previous index at this path must
+    // not filter into / union into the new one (readers unconditionally
+    // span $path/segments/batch=*). For a segment write (sharded = false
+    // at a $path/segments/batch=<id> target) both calls are no-ops.
     IndexLayout.clearTombstones(corpusDf.sparkSession, s"$path/tombstones")
+    IndexLayout.clearSegments(corpusDf.sparkSession, path)
+    // …and any version manifests from a previous index's compactions
+    // (the rebuild writes the plain layout, which a stale manifest would
+    // shadow)
+    IndexLayout.clearVersions(corpusDf.sparkSession, s"$path/shingles")
+    IndexLayout.clearVersions(corpusDf.sparkSession, s"$path/fingerprints")
     val postings =
       dedupIndexPostings(corpusDf, idCol, textCol, n, nShards, sharded)
     val w = postings.write.mode("overwrite")
@@ -528,15 +537,28 @@ object DedupOps {
         if (IndexLayout.partitionedLayout(batch.sparkSession,
             s"$path/shingles", "shard"))
           "append"
-        else "overwrite"
+        else {
+          // readable-empty base only — a NON-empty unpartitioned layout
+          // is a segment-style (sharded = false) build whose postings an
+          // overwrite would silently drop; refuse instead
+          require(!IndexLayout.hasRows(batch.sparkSession, s"$path/shingles"),
+            s"$path/shingles is a non-empty UNPARTITIONED layout (a " +
+              "segment-style build) — not an append target; rebuild with " +
+              "writeDedupIndex(sharded = true) or compact first")
+          "overwrite"
+        }
+      // append into the RESOLVED directory: after a versioned compaction
+      // the live layout is $path/shingles.v<n>, not the plain dir
       dedupIndexPostings(batch, idCol, textCol, n, nShards)
-        .write.mode(mode).partitionBy("shard").parquet(s"$path/shingles")
+        .write.mode(mode).partitionBy("shard")
+        .parquet(IndexLayout.resolve(batch.sparkSession, s"$path/shingles"))
     }
     batch
       .select(col(idCol),
         graft.functions.TextFns.fingerprint(col(textCol)).as("__fp"))
       .distinct()
-      .write.mode("append").parquet(s"$path/fingerprints")
+      .write.mode("append")
+      .parquet(IndexLayout.resolve(batch.sparkSession, s"$path/fingerprints"))
   }
 
   /** Tombstone documents OUT of the dedup index — O(batch) appended
@@ -564,8 +586,18 @@ object DedupOps {
     * a crash before serving reads.
     */
   def compactDedupIndex(spark: org.apache.spark.sql.SparkSession,
-                        path: String, idCol: String = "doc_id"): Unit = {
-    val segs = IndexLayout.segmentDirs(spark, path)
+                        path: String, idCol: String = "doc_id"): Unit =
+    compactDedupIndexFolding(spark, path, idCol,
+      IndexLayout.segmentDirs(spark, path))
+
+  /** [[compactDedupIndex]] over an explicit segment snapshot — the fold
+    * reads exactly this set and the cleanup deletes exactly this set, so
+    * a segment landing mid-compaction survives readable (split out so
+    * the spec can replay that race).
+    */
+  private[graft] def compactDedupIndexFolding(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, segs: Seq[String]): Unit = {
     if (segs.isEmpty) {
       val sharded =
         IndexLayout.partitionedLayout(spark, s"$path/shingles", "shard")
@@ -577,15 +609,15 @@ object DedupOps {
       IndexLayout.clearTombstones(spark, s"$path/tombstones")
     } else {
       val tomb = s"$path/tombstones"
-      val shAll = IndexLayout.existingParts(spark, path, "shingles")
+      val shAll = IndexLayout.existingPartsOf(spark, path, segs, "shingles")
         .map(spark.read.parquet(_)).reduce(_.unionByName(_)).distinct()
       IndexLayout.writeSwap(spark, s"$path/shingles",
         IndexLayout.dropTombstoned(shAll, idCol, tomb), Some("shard"))
-      val fpAll = IndexLayout.existingParts(spark, path, "fingerprints")
+      val fpAll = IndexLayout.existingPartsOf(spark, path, segs, "fingerprints")
         .map(spark.read.parquet(_)).reduce(_.unionByName(_)).distinct()
       IndexLayout.writeSwap(spark, s"$path/fingerprints",
         IndexLayout.dropTombstoned(fpAll, idCol, tomb), None)
-      IndexLayout.clearSegments(spark, path)
+      IndexLayout.clearSegmentDirs(spark, segs)
       IndexLayout.clearTombstones(spark, tomb)
     }
   }
@@ -721,15 +753,30 @@ object DedupOps {
       .union(cands.select(col("id_b").as(idCol))).distinct()
     val candSh = sh.join(broadcast(candDocs), Seq(idCol), "left_semi")
     val nShingles = candSh.count()
-    if (nShingles <= VerifyLocalMaxShingles) {
+    // the broadcast map keys on the id's STRING CAST, computed by Spark's
+    // own cast on both the collect side and the lookup side, so the regime
+    // is id-type-generic (long, int, string, date, …) without a JVM-vs-
+    // engine representation mismatch. Distinct atomic values cast to
+    // distinct strings; BINARY does not (invalid-UTF8 bytes can collide
+    // after replacement), so binary ids take the join regime.
+    val idIsAtomic = {
+      import org.apache.spark.sql.types._
+      sh.schema(idCol).dataType match {
+        case _: NumericType => true
+        case StringType | BooleanType | DateType | TimestampType |
+             TimestampNTZType => true
+        case _ => false
+      }
+    }
+    if (idIsAtomic && nShingles <= VerifyLocalMaxShingles) {
       val local = candSh
-        .groupBy(col(idCol))
+        .groupBy(col(idCol).cast("string").as(idCol))
         .agg(sort_array(collect_list(col("shingle"))).as("set"))
         .collect()
-        .map(r => r.getLong(0) -> r.getSeq[String](1).toArray)
+        .map(r => r.getString(0) -> r.getSeq[String](1).toArray)
         .toMap
       val bc = sh.sparkSession.sparkContext.broadcast(local)
-      val stats = udf { (a: Long, b: Long) =>
+      val stats = udf { (a: String, b: String) =>
         val x = bc.value(a)
         val y = bc.value(b)
         var i = 0; var j = 0; var c = 0L
@@ -742,7 +789,8 @@ object DedupOps {
         (c, x.length.toLong, y.length.toLong)
       }
       cands
-        .withColumn("__st", stats(col("id_a"), col("id_b")))
+        .withColumn("__st",
+          stats(col("id_a").cast("string"), col("id_b").cast("string")))
         .withColumn("jaccard", col("__st._1").cast("double") /
           (col("__st._2") + col("__st._3") - col("__st._1")))
         .filter(col("jaccard") >= threshold)

@@ -24,16 +24,159 @@ import org.apache.spark.sql.functions._
   */
 object IndexLayout {
 
+  private def fsOf(spark: SparkSession,
+                   p: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // ---------------------------------------------------------------------
+  // Version-pointer indirection (object-store-safe swaps).
+  //
+  // A swappable table directory D is EITHER a plain parquet layout at D
+  // (what the index writers emit) OR a versioned one: data at the SIBLING
+  // `D.v<n>` with a tiny manifest FILE `D._CURRENT` holding `n`. All
+  // operator reads and appends go through [[resolve]], so flipping the
+  // manifest retargets every reader atomically. [[writeSwap]] writes the
+  // full new layout to `D.v<n+1>` FIRST and flips the manifest LAST —
+  // on an object store (where directory rename is copy+delete) a reader
+  // never observes a missing or partial table: before the flip it reads
+  // the old version, after it the new one; old versions are deleted only
+  // after the flip, and a crash at any point leaves at worst an orphan
+  // version directory that the next swap garbage-collects. (Siblings,
+  // not `D/v=<n>` subdirs: a version subdir inside D would pollute
+  // Spark's partition discovery for readers of the old layout mid-swap.)
+  // ---------------------------------------------------------------------
+
+  /** The manifest's current version, or None for a plain (unversioned)
+    * layout. A manifest that exists but cannot be parsed is corruption —
+    * loud, never a silent fallback to stale plain data.
+    */
+  def currentVersion(spark: SparkSession, dir: String): Option[Int] = {
+    val m = new org.apache.hadoop.fs.Path(dir + "._CURRENT")
+    val fs = fsOf(spark, m)
+    if (!fs.exists(m)) None
+    else {
+      val in = fs.open(m)
+      val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                finally in.close()
+      val n = raw.trim
+      require(n.nonEmpty && n.forall(_.isDigit), s"corrupt manifest $m: '$raw'")
+      Some(n.toInt)
+    }
+  }
+
+  /** The directory actually holding `dir`'s data: `dir.v<n>` when a
+    * version manifest exists, `dir` itself otherwise. Every operator
+    * read/append of a swappable table goes through this.
+    */
+  def resolve(spark: SparkSession, dir: String): String =
+    currentVersion(spark, dir) match {
+      case Some(n) => s"$dir.v$n"
+      case None    => dir
+    }
+
+  /** Step 1 of a swap, exposed for the kill-the-compactor spec: write
+    * `df` fully into the NEXT version directory `dir.v<n>` (readers are
+    * untouched — they still resolve to the old layout) and return n.
+    */
+  private[graft] def prepareVersion(spark: SparkSession, dir: String,
+                                    df: DataFrame,
+                                    partCol: Option[String]): Int = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = fsOf(spark, p)
+    val existing = versionDirs(spark, dir).map(_._1)
+    val next = (currentVersion(spark, dir).getOrElse(0) +: existing)
+      .foldLeft(0)(math.max) + 1
+    val target = s"$dir.v$next"
+    partCol match {
+      case Some(c) if !df.isEmpty =>
+        df.repartition(col(c)).write.mode("overwrite")
+          .partitionBy(c).parquet(target)
+      case _ =>
+        df.write.mode("overwrite").parquet(target)
+    }
+    next
+  }
+
+  /** Step 2 of a swap: atomically retarget readers to version `n` (tmp
+    * manifest + overwrite-rename — one tiny object, the only mutation a
+    * reader can race), then garbage-collect every other version and the
+    * plain layout. A crash before the flip leaves readers on the old
+    * version with an orphan `dir.v<n>`; after it, on the new one.
+    */
+  private[graft] def flipVersion(spark: SparkSession, dir: String,
+                                 n: Int): Unit = {
+    val old = currentVersion(spark, dir)
+    val m = new org.apache.hadoop.fs.Path(dir + "._CURRENT")
+    val tmp = new org.apache.hadoop.fs.Path(dir + "._CURRENT.next")
+    val fs = fsOf(spark, m)
+    val out = fs.create(tmp, true)
+    try out.write(n.toString.getBytes("UTF-8")) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      tmp.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, m, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // cleanup AFTER the flip: the plain layout (first versioned swap) and
+    // every version but n — failures here are harmless orphans
+    val p = new org.apache.hadoop.fs.Path(dir)
+    if (old.isEmpty && fs.exists(p)) fs.delete(p, true)
+    versionDirs(spark, dir).filter(_._1 != n)
+      .foreach { case (_, vp) => fs.delete(vp, true) }
+  }
+
+  /** The existing `dir.v<n>` sibling version directories. */
+  private def versionDirs(spark: SparkSession,
+                          dir: String): Seq[(Int, org.apache.hadoop.fs.Path)] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val parent = p.getParent
+    val fs = fsOf(spark, p)
+    if (parent == null || !fs.exists(parent)) Seq.empty
+    else {
+      val re = (java.util.regex.Pattern.quote(p.getName) + "\\.v(\\d+)").r
+      fs.listStatus(parent).toSeq.filter(_.isDirectory).flatMap { st =>
+        st.getPath.getName match {
+          case re(n) => Some((n.toInt, st.getPath))
+          case _     => None
+        }
+      }
+    }
+  }
+
+  /** Reset a table to the plain (unversioned) layout: drop the manifest
+    * and every version directory. Fresh index builds call this before
+    * their plain overwrite write — a stale manifest from a previous
+    * index's compaction must not shadow the rebuild.
+    */
+  def clearVersions(spark: SparkSession, dir: String): Unit = {
+    val m = new org.apache.hadoop.fs.Path(dir + "._CURRENT")
+    val fs = fsOf(spark, m)
+    fs.delete(m, false)
+    fs.delete(new org.apache.hadoop.fs.Path(dir + "._CURRENT.next"), false)
+    versionDirs(spark, dir).foreach { case (_, vp) => fs.delete(vp, true) }
+  }
+
   /** Whether `dir` holds a partitioned parquet layout on `partCol` (any
     * `partCol=…` subdirectory) — false for the readable-empty
     * unpartitioned form the index writers emit on an empty corpus.
+    * Probes the RESOLVED directory (version-aware).
     */
   def partitionedLayout(spark: SparkSession, dir: String,
                         partCol: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(resolve(spark, dir))
+    val fs = fsOf(spark, p)
     fs.exists(p) && fs.listStatus(p).exists(st =>
       st.isDirectory && st.getPath.getName.startsWith(partCol + "="))
+  }
+
+  /** Whether `dir` exists and holds at least one row (limit-1 probe) —
+    * distinguishes the readable-empty unpartitioned base the index
+    * writers emit on an empty corpus (replaceable by an append) from a
+    * NON-empty unpartitioned layout (a segment-style `sharded = false`
+    * build), which is NOT a valid append target: overwriting it would
+    * silently drop its rows while the stats still merge additively.
+    */
+  def hasRows(spark: SparkSession, dir: String): Boolean = {
+    val r = resolve(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(r)
+    fsOf(spark, p).exists(p) && !spark.read.parquet(r).isEmpty
   }
 
   /** Append a distinct id batch to the layout's tombstone sidecar.
@@ -79,38 +222,27 @@ object IndexLayout {
   def rewriteInPlace(spark: SparkSession, dir: String,
                      partCol: Option[String],
                      transform: DataFrame => DataFrame = identity): Unit = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return
-    writeSwap(spark, dir, transform(spark.read.parquet(dir)), partCol)
+    val r = resolve(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(r)
+    if (!fsOf(spark, p).exists(p)) return
+    writeSwap(spark, dir, transform(spark.read.parquet(r)), partCol)
   }
 
-  /** Materialize `df` fully into `dir + ".compact.tmp"`, then swap it in
-    * for `dir`. Safe when `df` READS from `dir` (the segment-merge case:
-    * the union of base + segments replaces the base) — the rewrite is
-    * complete before the old layout is touched, so a crash before the
-    * swap leaves the index intact and a crash between delete and rename
-    * is recoverable from tmp. Clusters by `partCol` when given and the
-    * frame is non-empty (a zero-row partitioned write would leave no
-    * schema-bearing files — the readable-empty fallback is
+  /** Materialize `df` fully into the next version directory `dir.v<n>`,
+    * then flip the `dir._CURRENT` manifest to it (see the version-pointer
+    * block above). Safe when `df` READS from the current layout (the
+    * segment-merge case: the union of base + segments replaces the base)
+    * — the rewrite is complete before readers are retargeted, a crash
+    * before the flip leaves the old layout serving (plus an orphan the
+    * next swap collects), and on object stores no directory is ever
+    * renamed or deleted while current. Clusters by `partCol` when given
+    * and the frame is non-empty (a zero-row partitioned write would
+    * leave no schema-bearing files — the readable-empty fallback is
     * unpartitioned, matching the index writers).
     */
   def writeSwap(spark: SparkSession, dir: String, df: DataFrame,
-                partCol: Option[String]): Unit = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(dir + ".compact.tmp")
-    fs.delete(tmp, true)
-    partCol match {
-      case Some(c) if !df.isEmpty =>
-        df.repartition(col(c)).write.mode("overwrite")
-          .partitionBy(c).parquet(tmp.toString)
-      case _ =>
-        df.write.mode("overwrite").parquet(tmp.toString)
-    }
-    fs.delete(p, true)
-    fs.rename(tmp, p)
-  }
+                partCol: Option[String]): Unit =
+    flipVersion(spark, dir, prepareVersion(spark, dir, df, partCol))
 
   /** The streaming-segment directories of a layout, sorted by batch id:
     * `$path/segments/batch=<id>`, each an immutable mini-index written by
@@ -149,14 +281,34 @@ object IndexLayout {
     fs.delete(p, true)
   }
 
+  /** Delete EXACTLY the given segment directories — what a compaction
+    * clears: the snapshot it folded, never the whole segment root. A
+    * micro-batch that lands a new segment while compaction runs is
+    * outside the snapshot, stays on disk, and remains readable (it was
+    * not folded into the base, so reads stay exact).
+    */
+  def clearSegmentDirs(spark: SparkSession, dirs: Seq[String]): Unit =
+    dirs.foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+
   /** The existing per-layout `<sub>` directories a multi-layout read
     * spans: the base `$path/<sub>` (when present) plus each streaming
-    * segment's `$path/segments/batch=<id>/<sub>`.
+    * segment's `$path/segments/batch=<id>/<sub>`, each version-resolved.
     */
   def existingParts(spark: SparkSession, path: String,
-                    sub: String): Seq[String] = {
+                    sub: String): Seq[String] =
+    existingPartsOf(spark, path, segmentDirs(spark, path), sub)
+
+  /** [[existingParts]] over an EXPLICIT segment snapshot — what the
+    * compactors use, so the set they fold is exactly the set they later
+    * clear (a segment arriving mid-compaction is neither).
+    */
+  def existingPartsOf(spark: SparkSession, path: String,
+                      segs: Seq[String], sub: String): Seq[String] = {
     val conf = spark.sparkContext.hadoopConfiguration
-    (path +: segmentDirs(spark, path)).map(p => s"$p/$sub")
+    (path +: segs).map(p => resolve(spark, s"$p/$sub"))
       .filter { d =>
         val hp = new org.apache.hadoop.fs.Path(d)
         hp.getFileSystem(conf).exists(hp)
@@ -170,11 +322,11 @@ object IndexLayout {
     fs.delete(p, true)
   }
 
-  /** Parquet data-file count under `dir` (recursive) — what compaction
-    * bounds; asserted in the layout specs.
+  /** Parquet data-file count under the RESOLVED `dir` (recursive) — what
+    * compaction bounds; asserted in the layout specs.
     */
   def dataFileCount(spark: SparkSession, dir: String): Int = {
-    val p = new org.apache.hadoop.fs.Path(dir)
+    val p = new org.apache.hadoop.fs.Path(resolve(spark, dir))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return 0
     val it = fs.listFiles(p, true)

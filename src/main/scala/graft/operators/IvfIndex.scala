@@ -177,9 +177,14 @@ object IvfIndex {
     */
   def writeIndex(corpus: DataFrame, idCol: String, embCol: String,
                  model: Model, path: String): Unit = {
-    // fresh build: drop any stale tombstone sidecar (sibling dir — the
-    // index path itself is the cell-partitioned layout)
+    // fresh build: drop any stale tombstone sidecar AND stale streaming
+    // segments (sibling dirs — the index path itself is the
+    // cell-partitioned layout); readers unconditionally union
+    // $path.segments, so leftovers from a previous index would silently
+    // mix the old corpus into every search
     IndexLayout.clearTombstones(corpus.sparkSession, s"$path.tombstones")
+    IndexLayout.clearSegmentsAt(corpus.sparkSession, s"$path.segments")
+    IndexLayout.clearVersions(corpus.sparkSession, path)
     assign(corpus, embCol, model)
       // cluster by cell: each write task owns whole cells, so the layout
       // is O(nlist) files instead of tasks x nlist
@@ -196,7 +201,10 @@ object IvfIndex {
                     model: Model, path: String): Unit =
     assign(batch, embCol, model)
       .repartition(col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(path)
+      .write.mode("append").partitionBy("cell")
+      // resolved: after a versioned compaction the live layout is
+      // $path.v<n>, not the plain dir
+      .parquet(IndexLayout.resolve(batch.sparkSession, path))
 
   /** Tombstone vectors OUT of a [[writeIndex]] layout — O(batch)
     * appended rows in the SIBLING `$path.tombstones` sidecar (the index
@@ -231,20 +239,31 @@ object IvfIndex {
     * re-running a crashed compaction converges.
     */
   def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-                   idCol: String = "vec_id"): Unit = {
-    val segs = IndexLayout.segmentDirsAt(spark, s"$path.segments")
+                   idCol: String = "vec_id"): Unit =
+    compactIndexFolding(spark, path, idCol,
+      IndexLayout.segmentDirsAt(spark, s"$path.segments"))
+
+  /** [[compactIndex]] over an explicit segment snapshot — the fold reads
+    * exactly this set and the cleanup deletes exactly this set, so a
+    * segment landing mid-compaction survives readable (split out so the
+    * spec can replay that race).
+    */
+  private[graft] def compactIndexFolding(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, segs: Seq[String]): Unit = {
     if (segs.isEmpty) {
       IndexLayout.rewriteInPlace(spark, path,
         if (IndexLayout.partitionedLayout(spark, path, "cell")) Some("cell")
         else None,
         IndexLayout.dropTombstoned(_, idCol, s"$path.tombstones"))
     } else {
-      val all = (path +: segs).map(spark.read.parquet(_))
+      val all = (IndexLayout.resolve(spark, path) +: segs)
+        .map(spark.read.parquet(_))
         .reduce(_.unionByName(_)).distinct()
       IndexLayout.writeSwap(spark, path,
         IndexLayout.dropTombstoned(all, idCol, s"$path.tombstones"),
         Some("cell"))
-      IndexLayout.clearSegmentsAt(spark, s"$path.segments")
+      IndexLayout.clearSegmentDirs(spark, segs)
     }
     IndexLayout.clearTombstones(spark, s"$path.tombstones")
   }
@@ -299,7 +318,7 @@ object IvfIndex {
                                    idCol: String): DataFrame = {
     val cellList = cells.map(Integer.valueOf)
     val segs = IndexLayout.segmentDirsAt(spark, s"$indexPath.segments")
-    (indexPath +: segs)
+    (IndexLayout.resolve(spark, indexPath) +: segs)
       .map(p => spark.read.parquet(p).filter(col("cell").isin(cellList: _*)))
       .reduce(_.unionByName(_))
   }

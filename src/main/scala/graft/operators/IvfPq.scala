@@ -36,7 +36,11 @@ object IvfPq {
     */
   def writeIndex(corpus: DataFrame, idCol: String, embCol: String,
                  model: Model, path: String): Unit = {
+    // fresh build replaces everything: stale tombstones AND stale
+    // streaming segments (readers unconditionally union $path.segments)
     IndexLayout.clearTombstones(corpus.sparkSession, s"$path.tombstones")
+    IndexLayout.clearSegmentsAt(corpus.sparkSession, s"$path.segments")
+    IndexLayout.clearVersions(corpus.sparkSession, path)
     PqIndex.encode(IvfIndex.assign(corpus, embCol, model.coarse),
         embCol, model.pq)
       // same clustering as IvfIndex.writeIndex: O(nlist) files
@@ -57,7 +61,8 @@ object IvfPq {
     PqIndex.encode(IvfIndex.assign(batch, embCol, model.coarse),
         embCol, model.pq)
       .repartition(col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(path)
+      .write.mode("append").partitionBy("cell")
+      .parquet(IndexLayout.resolve(batch.sparkSession, path))
 
   /** Write a micro-batch as an immutable streaming SEGMENT of a
     * [[writeIndex]] layout: assigned to the existing coarse centroids,

@@ -241,10 +241,16 @@ object PortableAnn {
 
   /** SQ8 search for one query in pure integer arithmetic (mirrors
     * [[SqIndex.searchWithRerank]]): code c = round((v−mn)·255/Δ)
-    * computed as (510·(v−mn) + Δ) / (2Δ) — truncating division equals
-    * floor here because both operands are non-negative, so the rounding
-    * is exact and engine-portable (no clamp needed: v ∈ [mn, mn+Δ] puts
-    * c in [0, 255] by construction). The byte-scan distance is kept in
+    * computed as clamp₀²⁵⁵((510·(v−mn) + Δ) / (2Δ)). For in-range v
+    * (v ∈ [mn, mn+Δ], i.e. train corpus ⊇ search corpus) the operands
+    * are non-negative, truncating division equals floor, the clamp is a
+    * no-op, and the rounding is exact and engine-portable. The clamp
+    * covers vectors OUTSIDE the trained range (rows scored after
+    * [[sqTrain]] ran on an older corpus): a negative numerator truncates
+    * toward zero on the JVM but floors in SQL's `//` — both land ≤ 0 and
+    * clamp to the same 0, and above-range values clamp to 255 on both
+    * engines, so codes stay bit-identical cross-engine (the guarantee
+    * this class exists for). The byte-scan distance is kept in
     * ×255-scaled integers (Σ(255·mn + c·Δ − 255·q)² — same ordering as
     * the dequantized float distance, zero rounding); the shortlist is
     * then exactly reranked on the quantized vectors.
@@ -259,7 +265,8 @@ object PortableAnn {
       while (i < v.length) {
         val delta = deltas(i)
         val c = if (delta == 0L) 0L
-          else (510L * (v(i) - mins(i)) + delta) / (2L * delta)
+          else math.max(0L, math.min(255L,
+            (510L * (v(i) - mins(i)) + delta) / (2L * delta)))
         val t = 255L * mins(i) + c * delta - 255L * query(i)
         d += t * t
         i += 1

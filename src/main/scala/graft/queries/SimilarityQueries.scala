@@ -1507,7 +1507,7 @@ object SimilarityQueries {
       "ex AS (SELECT vec_id, generate_subscripts(q, 1) AS pos, unnest(q) AS x FROM v WHERE vec_id <> 0), " +
       "qd AS (SELECT generate_subscripts(q, 1) AS pos, unnest(q) AS qx FROM v WHERE vec_id = 0), " +
       "terms AS (SELECT e.vec_id, (255*s.mn + (CASE WHEN s.dd = 0 THEN 0 " +
-      "ELSE (510*(e.x - s.mn) + s.dd) // (2*s.dd) END)*s.dd - 255*q.qx) AS p " +
+      "ELSE LEAST(255, GREATEST(0, (510*(e.x - s.mn) + s.dd) // (2*s.dd))) END)*s.dd - 255*q.qx) AS p " +
       "FROM ex e JOIN st s USING (pos) JOIN qd q USING (pos)), " +
       "adc AS (SELECT vec_id, CAST(sum(p*p) AS BIGINT) AS adc FROM terms GROUP BY 1), " +
       "short AS (SELECT vec_id FROM adc ORDER BY adc, vec_id LIMIT 50), " +

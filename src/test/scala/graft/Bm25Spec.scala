@@ -162,7 +162,8 @@ class Bm25Spec extends SparkSpec {
     Bm25.compactIndex(spark, dir)
     assert(rows(dir) === tombstoned)
     assert(!new java.io.File(s"$dir/tombstones").exists())
-    assert(spark.read.parquet(s"$dir/postings")
+    assert(spark.read.parquet(
+        graft.operators.IndexLayout.resolve(spark, s"$dir/postings"))
       .filter(col("doc_id") % 10 === 0).count() == 0)
   }
 
@@ -250,6 +251,101 @@ class Bm25Spec extends SparkSpec {
     // re-running a compaction (the crash-recovery path) is a no-op
     Bm25.compactIndex(spark, dir)
     assert(rows(dir) === afterDelete)
+  }
+
+  test("mid-compaction segment arrival survives; reads stay exact; appends follow the versioned layout") {
+    import graft.operators.IndexLayout
+    val docs = Tables(spark, sf, "documents")
+    val queries = Seq("s1" -> "fast hash join", "s2" -> "stream filter vector")
+    val parts = (0 to 3).map(r => docs.filter(col("doc_id") % 4 === r))
+    val dir = java.nio.file.Files.createTempDirectory("bm25_race").toString
+    Bm25.writeIndex(parts(0), "doc_id", "text", dir, nShards = 64)
+    Bm25.writeIndex(parts(1), "doc_id", "text", s"$dir/segments/batch=0",
+      sharded = false)
+    // compaction snapshots the segment list = [batch=0]; batch=1 lands
+    // AFTER the snapshot (the race the fold must survive)
+    val snapshot = IndexLayout.segmentDirs(spark, dir)
+    Bm25.writeIndex(parts(2), "doc_id", "text", s"$dir/segments/batch=1",
+      sharded = false)
+    Bm25.compactIndexFolding(spark, dir, "doc_id", snapshot)
+    // the late segment was neither folded nor deleted — still readable
+    val left = IndexLayout.segmentDirs(spark, dir)
+    assert(left.size == 1 && left.head.endsWith("batch=1"))
+    def rows(d: String) =
+      Bm25.topKIndexed(spark, d, "doc_id", queries, k = 10)
+        .collect().map(_.toSeq).toSet
+    val fullDir = java.nio.file.Files.createTempDirectory("bm25_race_full").toString
+    Bm25.writeIndex(parts(0).unionAll(parts(1)).unionAll(parts(2)),
+      "doc_id", "text", fullDir, nShards = 64)
+    assert(rows(dir) === rows(fullDir))
+    // the next compaction folds the survivor; stats bit-equal to a rebuild
+    Bm25.compactIndex(spark, dir)
+    assert(IndexLayout.segmentDirs(spark, dir).isEmpty)
+    assert(rows(dir) === rows(fullDir))
+    // the compacted layout is versioned — appends must land in it, and
+    // retrieval over append-after-compaction equals a full rebuild
+    assert(IndexLayout.currentVersion(spark, s"$dir/postings").isDefined)
+    Bm25.appendToIndex(parts(3), "doc_id", "text", dir, nShards = 64)
+    val allDir = java.nio.file.Files.createTempDirectory("bm25_race_all").toString
+    Bm25.writeIndex(docs, "doc_id", "text", allDir, nShards = 64)
+    assert(rows(dir) === rows(allDir))
+    assert(spark.read.parquet(s"$dir/stats").collect().map(_.toSeq).toSeq
+      === spark.read.parquet(s"$allDir/stats").collect().map(_.toSeq).toSeq)
+  }
+
+  test("kill the compactor between new-layout-complete and the flip: reads serve the old version") {
+    import graft.operators.IndexLayout
+    val queries = Seq("qa" -> "apple", "qc" -> "cherry")
+    val dir = java.nio.file.Files.createTempDirectory("bm25_kill").toString
+    Bm25.writeIndex(embDocs, "doc_id", "text", dir)
+    def rows() = Bm25.topKIndexed(spark, dir, "doc_id", queries, k = 3)
+      .collect().map(_.toSeq).toSet
+    val before = rows()
+    // the "compactor" prepares a DISTINGUISHABLE new postings version
+    // (doc 3 dropped) but dies before the manifest flip — readers must
+    // not see it
+    val pruned = spark.read.parquet(
+        IndexLayout.resolve(spark, s"$dir/postings"))
+      .filter(col("doc_id") =!= 3L)
+    val n = IndexLayout.prepareVersion(spark, s"$dir/postings", pruned,
+      Some("shard"))
+    assert(rows() === before, "unflipped version must be invisible")
+    // the flip retargets every reader atomically
+    IndexLayout.flipVersion(spark, s"$dir/postings", n)
+    assert(rows().forall(r => r(2) != 3L), "flipped version must serve")
+  }
+
+  test("a fresh writeIndex clears stale streaming segments and tombstones") {
+    import graft.operators.IndexLayout
+    val dir = java.nio.file.Files.createTempDirectory("bm25_stale_seg").toString
+    // old index + a streamed segment holding the only "cherry" doc + a
+    // tombstone — all state a rebuild must replace
+    Bm25.writeIndex(embDocs.filter(col("doc_id") === 1L), "doc_id", "text", dir)
+    Bm25.writeIndex(embDocs.filter(col("doc_id") === 3L), "doc_id", "text",
+      s"$dir/segments/batch=0", sharded = false)
+    Bm25.removeFromIndex(Seq(1L).toDF("doc_id"), "doc_id", dir)
+    assert(IndexLayout.segmentDirs(spark, dir).nonEmpty)
+    // the rebuild: docs 1 and 2 only — doc 3 must NOT leak back in from
+    // the stale segment, and doc 1 must not stay tombstoned
+    val rebuilt = embDocs.filter(col("doc_id") =!= 3L)
+    Bm25.writeIndex(rebuilt, "doc_id", "text", dir)
+    assert(IndexLayout.segmentDirs(spark, dir).isEmpty)
+    val out = Bm25.topKIndexed(spark, dir, "doc_id",
+      Seq("qa" -> "apple", "qc" -> "cherry"), k = 3)
+    val direct = Bm25.topK(rebuilt, "doc_id", "text",
+      Seq("qa" -> "apple", "qc" -> "cherry"), k = 3)
+    assert(out.collect().map(_.toSeq).toSet === direct.collect().map(_.toSeq).toSet)
+    assert(out.filter(col("doc_id") === 3L).isEmpty)
+  }
+
+  test("appendToIndex refuses a non-empty unpartitioned (segment-style) base") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25_seg_base").toString
+    Bm25.writeIndex(embDocs, "doc_id", "text", dir, sharded = false)
+    val err = intercept[IllegalArgumentException] {
+      Bm25.appendToIndex(Seq((9L, "apple pie")).toDF("doc_id", "text"),
+        "doc_id", "text", dir)
+    }
+    assert(err.getMessage.contains("UNPARTITIONED"))
   }
 
   test("bm25 query tokenizer mirrors the corpus tokenizer") {

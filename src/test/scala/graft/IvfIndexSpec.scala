@@ -93,7 +93,8 @@ class IvfIndexSpec extends SparkSpec {
     IvfIndex.compactIndex(spark, dir, "vec_id")
     assert(res(dir) === tombstoned)
     assert(!new java.io.File(s"$dir.tombstones").exists())
-    assert(spark.read.parquet(dir).filter(col("vec_id") % 5 === 0).count() == 0)
+    assert(spark.read.parquet(IndexLayout.resolve(spark, dir))
+      .filter(col("vec_id") % 5 === 0).count() == 0)
     // a fresh writeIndex at a tombstoned path must not inherit the sidecar
     IvfIndex.removeFromIndex(embs.filter(col("vec_id") % 5 === 1)
       .select("vec_id"), "vec_id", dir)
@@ -155,6 +156,52 @@ class IvfIndexSpec extends SparkSpec {
     assert(res(dir) === afterDelete)
     IvfIndex.compactIndex(spark, dir, "vec_id")
     assert(res(dir) === afterDelete)
+    // a fresh writeIndex at a path that previously received streamed
+    // segments must not union the OLD corpus's segments into reads:
+    // rebuild over a half-corpus after planting a stale segment, and the
+    // search must equal a clean half-corpus index
+    IvfIndex.writeSegment(parts(2).toSeq.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding")),
+      "vec_id", "embedding", model, dir, batchId = 7L)
+    assert(IndexLayout.segmentDirsAt(spark, s"$dir.segments").nonEmpty)
+    val half = embs.filter(col("vec_id") % 2 === 0)
+    IvfIndex.writeIndex(half, "vec_id", "embedding", model, dir)
+    assert(IndexLayout.segmentDirsAt(spark, s"$dir.segments").isEmpty)
+    val halfDir = java.nio.file.Files.createTempDirectory("ivf_half").toString
+    IvfIndex.writeIndex(half, "vec_id", "embedding", model, halfDir)
+    assert(res(dir) === res(halfDir))
+  }
+
+  test("IVF compaction: a segment arriving mid-compaction survives; appends follow the versioned layout") {
+    import graft.operators.IndexLayout
+    val queries = embs.filter(col("vec_id") < 5)
+    val parts = (0 to 3).map(r => embs.filter(col("vec_id") % 4 === r))
+    val dir = java.nio.file.Files.createTempDirectory("ivf_race").toString
+    IvfIndex.writeIndex(parts(0), "vec_id", "embedding", model, dir)
+    IvfIndex.writeSegment(parts(1), "vec_id", "embedding", model, dir, 0L)
+    // snapshot, then a late segment lands
+    val snapshot = IndexLayout.segmentDirsAt(spark, s"$dir.segments")
+    IvfIndex.writeSegment(parts(2), "vec_id", "embedding", model, dir, 1L)
+    IvfIndex.compactIndexFolding(spark, dir, "vec_id", snapshot)
+    val left = IndexLayout.segmentDirsAt(spark, s"$dir.segments")
+    assert(left.size == 1 && left.head.endsWith("batch=1"))
+    def res(d: String) = IvfIndex.searchPruned(spark, d, queries, "vec_id",
+        "embedding", model, nprobe = 3, topK = 5)
+      .select(col("query_id"), col("vec_id"), round(col("sim"), 9), col("rank"))
+      .collect().map(_.toSeq).toSet
+    val fullDir = java.nio.file.Files.createTempDirectory("ivf_race_full").toString
+    IvfIndex.writeIndex(parts(0).unionAll(parts(1)).unionAll(parts(2)),
+      "vec_id", "embedding", model, fullDir)
+    assert(res(dir) === res(fullDir))
+    // next compaction folds the survivor; layout now versioned — appends
+    // must land in it
+    IvfIndex.compactIndex(spark, dir, "vec_id")
+    assert(IndexLayout.segmentDirsAt(spark, s"$dir.segments").isEmpty)
+    assert(IndexLayout.currentVersion(spark, dir).isDefined)
+    IvfIndex.appendToIndex(parts(3), "vec_id", "embedding", model, dir)
+    val allDir = java.nio.file.Files.createTempDirectory("ivf_race_all").toString
+    IvfIndex.writeIndex(embs, "vec_id", "embedding", model, allDir)
+    assert(res(dir) === res(allDir))
   }
 
   test("closure-UDF assignment regime (nlist > 32) matches a driver-side recompute") {

@@ -77,6 +77,32 @@ class PortableAnnSpec extends SparkSpec {
     assert(full === exact)
   }
 
+  test("sq codes clamp to [0,255] for vectors outside the trained range") {
+    import spark.implicits._
+    // train SQ on a SUBSET, then search a corpus holding vectors far
+    // above and below the trained [mn, mn+Δ] — the clamp must keep the
+    // shortlist scan well-defined and full-shortlist search still exact
+    val (mins, deltas) = PortableAnn.sqTrain(corpus.filter(col("vec_id") < 100), "qv")
+    val dim = mins.length
+    val out = Seq(
+      (9001L, Seq.fill(dim)(1000000L)),
+      (9002L, Seq.fill(dim)(-1000000L)))
+      .toDF("vec_id", "qv")
+    val rest = corpus.filter(col("vec_id") =!= 0L && col("vec_id") < 200)
+      .select(col("vec_id"), col("qv").cast("array<bigint>").as("qv"))
+      .unionByName(out.select(col("vec_id"), col("qv").cast("array<bigint>").as("qv")))
+    val qvec = corpus.orderBy(col("vec_id")).limit(1)
+      .select(col("qv")).head().getSeq[Long](0).toArray
+    val n = rest.count().toInt
+    val full = PortableAnn.sqSearchWithRerank(rest, "vec_id", "qv",
+        mins, deltas, qvec, shortlist = n, topK = 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val exact = PortableAnn.exactTopK(
+        corpus.filter(col("vec_id") === 0L), rest, "vec_id", "qv", 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(full === exact)
+  }
+
   test("semdedup containment theorem: clustered drops ⊆ exhaustive drops") {
     // any within-cell cos≥τ lower-id neighbor is also a global one, so
     // the violation count is structurally zero — the q219 gate row's

@@ -161,7 +161,7 @@ class SimilaritySpec extends SparkSpec {
     assert(!new java.io.File(s"$dir/tombstones").exists())
     // (restrict to original ids: the appended probe batch's shifted ids
     // can also hit %7==3 and are legitimately present)
-    assert(spark.read.parquet(s"$dir/shingles")
+    assert(spark.read.parquet(IndexLayout.resolve(spark, s"$dir/shingles"))
       .filter(col("doc_id") % 7 === 3 && col("doc_id") < 300000L)
       .count() == 0)
     // post-compaction reads still match the live-only rebuild PLUS the
@@ -225,6 +225,54 @@ class SimilaritySpec extends SparkSpec {
     assert(check(dir, probe) === afterDelete)
     DedupOps.compactDedupIndex(spark, dir)
     assert(check(dir, probe) === afterDelete)
+    // a fresh writeDedupIndex at a path that previously received streamed
+    // segments must not union the OLD corpus's postings into reads: plant
+    // a stale segment, rebuild over a half-corpus, and the check must
+    // equal a clean half-corpus index
+    DedupOps.writeDedupIndex(parts(2).toSeq.toDF("doc_id", "text"),
+      "doc_id", "text", 3, s"$dir/segments/batch=9", sharded = false)
+    assert(IndexLayout.segmentDirs(spark, dir).nonEmpty)
+    val half = docs.filter(col("doc_id") % 2 === 0)
+    DedupOps.writeDedupIndex(half, "doc_id", "text", 3, dir)
+    assert(IndexLayout.segmentDirs(spark, dir).isEmpty)
+    val halfDir = java.nio.file.Files.createTempDirectory("dedup_half").toString
+    DedupOps.writeDedupIndex(half, "doc_id", "text", 3, halfDir)
+    assert(check(dir, probe) === check(halfDir, probe))
+  }
+
+  test("dedup compaction: a segment arriving mid-compaction survives; appends follow the versioned layout") {
+    import graft.operators.IndexLayout
+    import spark.implicits._
+    val parts = (0 to 3).map(r => docs.filter(col("doc_id") % 4 === r)
+      .select(col("doc_id"), col("text")))
+    val probe = docs.filter(col("doc_id") < 30)
+      .select(col("doc_id") + 500000L as "doc_id", col("text"))
+    val dir = java.nio.file.Files.createTempDirectory("dedup_race").toString
+    DedupOps.writeDedupIndex(parts(0), "doc_id", "text", 3, dir)
+    DedupOps.writeDedupIndex(parts(1), "doc_id", "text", 3,
+      s"$dir/segments/batch=0", sharded = false)
+    // snapshot, then a late segment lands — the race the fold must survive
+    val snapshot = IndexLayout.segmentDirs(spark, dir)
+    DedupOps.writeDedupIndex(parts(2), "doc_id", "text", 3,
+      s"$dir/segments/batch=1", sharded = false)
+    DedupOps.compactDedupIndexFolding(spark, dir, "doc_id", snapshot)
+    val left = IndexLayout.segmentDirs(spark, dir)
+    assert(left.size == 1 && left.head.endsWith("batch=1"))
+    def check(d: String) = DedupOps.dedupAgainstIndex(spark, d, probe,
+        "doc_id", "text", 3, 0.5).collect().map(_.toSeq).toSet
+    val corpus012 = parts(0).unionAll(parts(1)).unionAll(parts(2))
+    assert(check(dir) ===
+      DedupOps.dedupAgainst(probe, corpus012, "doc_id", "text", 3, 0.5)
+        .collect().map(_.toSeq).toSet)
+    // next compaction folds the survivor; the layout is now versioned and
+    // appends must land in it
+    DedupOps.compactDedupIndex(spark, dir)
+    assert(IndexLayout.segmentDirs(spark, dir).isEmpty)
+    assert(IndexLayout.currentVersion(spark, s"$dir/shingles").isDefined)
+    DedupOps.appendToDedupIndex(parts(3), "doc_id", "text", 3, dir)
+    assert(check(dir) ===
+      DedupOps.dedupAgainst(probe, corpus012.unionAll(parts(3)),
+        "doc_id", "text", 3, 0.5).collect().map(_.toSeq).toSet)
   }
 
   test("minhash LSH recovers all exact-jaccard pairs on this corpus") {
@@ -303,6 +351,27 @@ class SimilaritySpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       assert(bcast === joined)
       assert(bcast.nonEmpty)
+    } finally System.clearProperty("graft.verify.localMaxShingles")
+  }
+
+  test("verification is id-type-generic: string ids verify in both regimes") {
+    // the broadcast regime keys its map on the id's string cast — a
+    // non-bigint id column must neither ClassCastException nor change the
+    // result; pairs must mirror the Long-id run under id renaming
+    // pairs compare UNORDERED: string ids sort lexicographically, so the
+    // (id_a, id_b) orientation can legitimately flip vs the Long run
+    val sdocs = docs.withColumn("doc_id", concat(lit("d"), col("doc_id")))
+    val longPairs = DedupOps.prefixJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (Set(s"d${r.getLong(0)}", s"d${r.getLong(1)}"), r.getDouble(2))).toSet
+    val bcast = DedupOps.prefixJaccardPairs(sdocs, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (Set(r.getString(0), r.getString(1)), r.getDouble(2))).toSet
+    assert(bcast === longPairs)
+    assert(bcast.nonEmpty)
+    System.setProperty("graft.verify.localMaxShingles", "0")
+    try {
+      val joined = DedupOps.prefixJaccardPairs(sdocs, "doc_id", "text", 3, 0.5)
+        .collect().map(r => (Set(r.getString(0), r.getString(1)), r.getDouble(2))).toSet
+      assert(joined === longPairs)
     } finally System.clearProperty("graft.verify.localMaxShingles")
   }
 
