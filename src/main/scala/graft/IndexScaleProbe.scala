@@ -79,9 +79,35 @@ object IndexScaleProbe {
         DedupOps.dedupAgainstIndex(spark, ddDir, increment, "doc_id",
           "text", 3, 0.5).count()
       }
+      // re-sharding compaction: re-bucket to 64 shards per unit corpus
+      // (constant per-shard posting volume) and measure the restoration.
+      // At local-SF wall times the per-job fixed cost floors the timing,
+      // so the decisive metric is the pruned SCAN VOLUME a query chews
+      // through: rows in the query terms' shards, which grows ~c× at
+      // fixed nShards and must return to ~the c=1 level after re-shard.
+      def probedShardRows(n: Int): Long = {
+        val terms = saltedQueries.flatMap { case (_, q) => Bm25.queryTerms(q) }
+          .distinct
+        val shards = terms.map(t => math.floorMod(t.hashCode, n)).distinct
+        spark.read.parquet(graft.operators.IndexLayout.resolve(
+            spark, s"$bmDir/postings"))
+          .filter(col("shard").isin(shards.map(Integer.valueOf): _*))
+          .count()
+      }
+      val rowsFixedShards = probedShardRows(64)
+      val reN = 64 * c
+      val bmReshard = time(
+        Bm25.compactIndex(spark, bmDir, "doc_id", reshardTo = Some(reN)))
+      val rowsResharded = probedShardRows(reN)
+      val bmQueryResharded = time {
+        Bm25.topKIndexed(spark, bmDir, "doc_id", saltedQueries, k = 10,
+          nShards = reN).count()
+      }
       println(f"[idxscale] c=$c docs=${corpus.count()} " +
         f"bm25: build=$bmBuild%.2fs query=$bmQuery%.2fs " +
-        f"delete=$bmDelete%.2fs queryPostDel=$bmQueryPostDel%.2fs | " +
+        f"delete=$bmDelete%.2fs queryPostDel=$bmQueryPostDel%.2fs " +
+        f"reshard(n=$reN)=$bmReshard%.2fs queryResharded=$bmQueryResharded%.2fs " +
+        f"probedRows[n=64]=$rowsFixedShards probedRows[n=$reN]=$rowsResharded | " +
         f"dedup: build=$ddBuild%.2fs checkIncrement=$ddQuery%.2fs")
       spark.catalog.clearCache()
     }

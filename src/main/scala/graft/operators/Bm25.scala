@@ -353,11 +353,33 @@ object Bm25 {
     * cleanup, reads stay rank-correct for postings ([[topKIndexed]]
     * distincts its query-restricted multi-layout union) but can
     * over-count the summed stats — re-run `compactIndex` to repair.
+    *
+    * Pass `reshardTo = Some(n)` to RE-BUCKET the postings to a new shard
+    * count during the fold — the lifecycle move for a corpus that
+    * outgrew its build-time nShards (per-shard posting volume, and so
+    * per-query read cost, grows with the corpus at fixed nShards; a
+    * re-shard restores the constant per-shard volume a fresh build at n
+    * would have). Same hash function, new modulus, recomputed from the
+    * term column in the same pass that rewrites every shard anyway — a
+    * re-sharding compaction costs no more I/O than a plain one.
+    * Queries after it must pass the NEW nShards to [[topKIndexed]].
     */
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
-                   path: String, idCol: String = "doc_id"): Unit =
+                   path: String, idCol: String = "doc_id",
+                   reshardTo: Option[Int] = None): Unit =
     compactIndexFolding(spark, path, idCol,
-      IndexLayout.segmentDirs(spark, path))
+      IndexLayout.segmentDirs(spark, path), reshardTo)
+
+  /** Recompute the shard column at a new shard count (identity when
+    * `reshardTo` is empty) — applied inside the compaction rewrite.
+    */
+  private def reshard(df: DataFrame, reshardTo: Option[Int]): DataFrame =
+    reshardTo match {
+      case Some(n) =>
+        val shardU = udf((t: String) => shardOf(t, n))
+        df.withColumn("shard", shardU(col("term")))
+      case None => df
+    }
 
   /** [[compactIndex]] over an explicit segment snapshot — split out so
     * the spec can replay the race where a segment arrives between the
@@ -365,13 +387,16 @@ object Bm25 {
     */
   private[graft] def compactIndexFolding(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      idCol: String, segs: Seq[String]): Unit = {
+      idCol: String, segs: Seq[String],
+      reshardTo: Option[Int] = None): Unit = {
     if (segs.isEmpty) {
       val sharded =
         IndexLayout.partitionedLayout(spark, s"$path/postings", "shard")
       IndexLayout.rewriteInPlace(spark, s"$path/postings",
         if (sharded) Some("shard") else None,
-        IndexLayout.dropTombstoned(_, idCol, s"$path/tombstones"))
+        df => reshard(
+          IndexLayout.dropTombstoned(df, idCol, s"$path/tombstones"),
+          reshardTo))
       IndexLayout.rewriteInPlace(spark, s"$path/docs", None,
         IndexLayout.dropTombstoned(_, idCol, s"$path/tombstones"))
       IndexLayout.clearTombstones(spark, s"$path/tombstones")
@@ -380,7 +405,8 @@ object Bm25 {
       val postingsAll = IndexLayout.existingPartsOf(spark, path, segs, "postings")
         .map(spark.read.parquet(_)).reduce(_.unionByName(_)).distinct()
       IndexLayout.writeSwap(spark, s"$path/postings",
-        IndexLayout.dropTombstoned(postingsAll, idCol, tomb), Some("shard"))
+        reshard(IndexLayout.dropTombstoned(postingsAll, idCol, tomb),
+          reshardTo), Some("shard"))
       val docsAll = IndexLayout.existingPartsOf(spark, path, segs, "docs")
         .map(spark.read.parquet(_)).reduce(_.unionByName(_)).distinct()
       IndexLayout.writeSwap(spark, s"$path/docs",

@@ -586,9 +586,25 @@ object DedupOps {
     * a crash before serving reads.
     */
   def compactDedupIndex(spark: org.apache.spark.sql.SparkSession,
-                        path: String, idCol: String = "doc_id"): Unit =
+                        path: String, idCol: String = "doc_id",
+                        reshardTo: Option[Int] = None): Unit =
     compactDedupIndexFolding(spark, path, idCol,
-      IndexLayout.segmentDirs(spark, path))
+      IndexLayout.segmentDirs(spark, path), reshardTo)
+
+  /** Recompute the shard column at a new shard count (identity when
+    * `reshardTo` is empty) — the re-bucketing move for a corpus that
+    * outgrew its build-time nShards, applied inside the compaction
+    * rewrite (no extra I/O — compaction rewrites every shard anyway).
+    * Queries after it must pass the NEW nShards to [[dedupAgainstIndex]].
+    */
+  private def reshardShingles(df: DataFrame,
+                              reshardTo: Option[Int]): DataFrame =
+    reshardTo match {
+      case Some(n) =>
+        val shardU = udf((s: String) => shingleShard(s, n))
+        df.withColumn("shard", shardU(col("shingle")))
+      case None => df
+    }
 
   /** [[compactDedupIndex]] over an explicit segment snapshot — the fold
     * reads exactly this set and the cleanup deletes exactly this set, so
@@ -597,13 +613,16 @@ object DedupOps {
     */
   private[graft] def compactDedupIndexFolding(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      idCol: String, segs: Seq[String]): Unit = {
+      idCol: String, segs: Seq[String],
+      reshardTo: Option[Int] = None): Unit = {
     if (segs.isEmpty) {
       val sharded =
         IndexLayout.partitionedLayout(spark, s"$path/shingles", "shard")
       IndexLayout.rewriteInPlace(spark, s"$path/shingles",
         if (sharded) Some("shard") else None,
-        IndexLayout.dropTombstoned(_, idCol, s"$path/tombstones"))
+        df => reshardShingles(
+          IndexLayout.dropTombstoned(df, idCol, s"$path/tombstones"),
+          reshardTo))
       IndexLayout.rewriteInPlace(spark, s"$path/fingerprints", None,
         IndexLayout.dropTombstoned(_, idCol, s"$path/tombstones"))
       IndexLayout.clearTombstones(spark, s"$path/tombstones")
@@ -612,7 +631,8 @@ object DedupOps {
       val shAll = IndexLayout.existingPartsOf(spark, path, segs, "shingles")
         .map(spark.read.parquet(_)).reduce(_.unionByName(_)).distinct()
       IndexLayout.writeSwap(spark, s"$path/shingles",
-        IndexLayout.dropTombstoned(shAll, idCol, tomb), Some("shard"))
+        reshardShingles(IndexLayout.dropTombstoned(shAll, idCol, tomb),
+          reshardTo), Some("shard"))
       val fpAll = IndexLayout.existingPartsOf(spark, path, segs, "fingerprints")
         .map(spark.read.parquet(_)).reduce(_.unionByName(_)).distinct()
       IndexLayout.writeSwap(spark, s"$path/fingerprints",

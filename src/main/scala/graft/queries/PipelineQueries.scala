@@ -411,6 +411,56 @@ object PipelineQueries {
     // stable md5 convention) → per-source attrition/selection summary.
     // Every stage is integer/string-exact; each wide op is keyed
     // (fingerprint, source, source) — no global window, no collect.
+    // S10 latest-run selection as a gate row: three ACCUMULATING runs of
+    // the documents table land as run_ts=r0/r1/r2 partitions via the K1
+    // stage writer (reference: timestamped blobs, `schema_validator.py:
+    // 590-623`); the reader lists the runs driver-side, picks max
+    // run_ts, and reads ONLY that partition. The oracle restates the
+    // latest run's content (the %4<3 slice) from the base table with
+    // the selected run stamped — picking r1 instead, or unioning runs,
+    // changes rows and hash.
+    QDef("q233_latest_run",
+      (s, d) => {
+        val all = t(s, d, "documents")
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_q233_stage").toString
+        Seq("r0" -> 1, "r1" -> 2, "r2" -> 3).foreach { case (ts, upTo) =>
+          graft.sinks.Sinks.writeStage(
+            all.filter(col("doc_id") % 4 < upTo)
+              .select(col("doc_id"), col("source")),
+            base, "processed", ts)
+        }
+        graft.sinks.Sinks.readLatestRun(s, s"$base/stage=processed")
+          .select(col("doc_id"), col("source"), col("run_ts"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+             |'r2' AS run_ts
+             |FROM documents WHERE doc_id % 4 < 3 ORDER BY doc_id""".stripMargin)),
+
+    // K4 DB-boundary coercion as a gate row: control-char strip on
+    // strings, 1000-char title truncation, array columns → JSON
+    // strings, and the references_id/has_intro renames
+    // (`upload_papers_to_supabase.py:145-221`) — every rule is pure SQL,
+    // restated verbatim by the oracle (chr(1)/chr(7) plant the control
+    // chars portably; RE2 and Java agree on the [\x00-…] class).
+    QDef("q234_coerce_for_db",
+      (s, d) => {
+        val staged = t(s, d, "documents").select(
+          col("doc_id"),
+          concat(lit("\u0001Ti\u0007tle "), col("text")).as("title"),
+          array(col("source"), col("lang")).as("references_id"),
+          when(col("doc_id") % 2 === 0, 1L).otherwise(0L).as("has_intro"))
+        graft.sinks.Sinks.coerceForDb(staged).orderBy(col("doc_id"))
+      },
+      Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             |substr(regexp_replace(chr(1) || 'Ti' || chr(7) || 'tle ' || text,
+             |  '[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g'), 1, 1000) AS title,
+             |CAST(to_json([source, lang]) AS VARCHAR) AS reference_ids,
+             |CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)
+             |  AS has_introduction
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     QDef("q166_curation_spine",
       (s, d) => {
         val toks = regexp_extract_all(lower(col("text")),

@@ -37,6 +37,39 @@ object Sinks {
     path
   }
 
+  /** S10: the latest run's partition directory of a [[writeStage]]
+    * layout, by max run_ts — the reference's `max(blobs,
+    * key=time_created)` (`schema_validator.py:590-623`) re-expressed on
+    * the partition layout: the listing is O(runs) driver-side names
+    * (never a data scan) and ISO/lexicographic run_ts order IS creation
+    * order. None when no run was ever written.
+    */
+  def latestRunDir(spark: org.apache.spark.sql.SparkSession,
+                   stageDir: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(stageDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("run_ts="))
+      .map(_.getPath.toString)
+      .sortBy(d => d.substring(d.lastIndexOf("run_ts=") + 7))
+      .lastOption
+  }
+
+  /** S10: read ONLY the latest run of a [[writeStage]] stage directory —
+    * a partition-pruned single-run read (the scan never touches older
+    * runs' files), with the selected run_ts attached as a column so
+    * downstream audits can assert WHICH run they profiled.
+    */
+  def readLatestRun(spark: org.apache.spark.sql.SparkSession,
+                    stageDir: String): DataFrame = {
+    val dir = latestRunDir(spark, stageDir).getOrElse(
+      throw new IllegalArgumentException(s"no run_ts=* runs under $stageDir"))
+    spark.read.parquet(dir)
+      .withColumn("run_ts",
+        lit(dir.substring(dir.lastIndexOf("run_ts=") + 7)))
+  }
+
   /** Partition backfill: overwrite ONLY the partitions present in `df`,
     * leaving sibling partitions untouched (dynamic partition overwrite).
     * This is the idempotent reprocessing primitive at scale — re-running
@@ -85,20 +118,34 @@ object Sinks {
     }
   }
 
-  final case class UpsertStats(attempted: Long, succeeded: Long, failed: Long)
+  /** Upsert outcome counts. `inserted` is EXACT even under re-delivery
+    * (a replayed partition's rows conflict and the DB reports 0 for
+    * them); `attempted`/`skipped`/`failed` are at-least-once under
+    * Spark-level task replays (the accumulators drop failed-ATTEMPT
+    * updates, but a partition the framework delivers twice counts
+    * twice — by design: attempted measures delivery traffic, the target
+    * table stays exact through ON CONFLICT).
+    */
+  final case class UpsertStats(attempted: Long, inserted: Long,
+                               skipped: Long, failed: Long)
 
   /** K3: batched idempotent upsert through a caller-supplied JDBC
     * connection factory (`() => Connection` must be serializable — e.g. a
     * driver-class + URL closure, or a test fake). One connection per
     * partition, `batchSize` rows per executeBatch, ON CONFLICT DO NOTHING
-    * for re-run idempotence (reference T4).
+    * for re-run idempotence (reference T4): per JDBC, executeBatch
+    * reports 1 per inserted row and 0 per conflict-skipped row, which is
+    * what keeps `inserted` exact across re-deliveries. A batch that
+    * throws SQLException is counted failed in full and the partition
+    * continues — one poisoned batch must not discard its partition.
     */
   def jdbcUpsert(df: DataFrame, table: String, keyCols: Seq[String],
                  connect: () => java.sql.Connection,
                  batchSize: Int = 100): UpsertStats = {
     val spark = df.sparkSession
     val attempted: LongAccumulator = spark.sparkContext.longAccumulator("upsert_attempted")
-    val succeeded: LongAccumulator = spark.sparkContext.longAccumulator("upsert_succeeded")
+    val inserted: LongAccumulator = spark.sparkContext.longAccumulator("upsert_inserted")
+    val skipped: LongAccumulator = spark.sparkContext.longAccumulator("upsert_skipped")
     val failed: LongAccumulator = spark.sparkContext.longAccumulator("upsert_failed")
     val cols = df.columns.toSeq
     val sql = s"INSERT INTO $table (${cols.mkString(", ")}) VALUES " +
@@ -113,7 +160,8 @@ object Sinks {
           def flush(): Unit = if (inBatch > 0) {
             try {
               val res = stmt.executeBatch()
-              succeeded.add(res.count(r => r >= 0 || r == java.sql.Statement.SUCCESS_NO_INFO))
+              inserted.add(res.count(r => r > 0 || r == java.sql.Statement.SUCCESS_NO_INFO))
+              skipped.add(res.count(_ == 0))
             } catch {
               case _: java.sql.SQLException => failed.add(inBatch)
             }
@@ -130,7 +178,7 @@ object Sinks {
         } finally conn.close()
       }
     }
-    UpsertStats(attempted.value, succeeded.value, failed.value)
+    UpsertStats(attempted.value, inserted.value, skipped.value, failed.value)
   }
 
   /** Bucketed table write: co-locates future joins/aggregations on

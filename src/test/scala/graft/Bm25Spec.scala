@@ -293,6 +293,41 @@ class Bm25Spec extends SparkSpec {
       === spark.read.parquet(s"$allDir/stats").collect().map(_.toSeq).toSeq)
   }
 
+  test("re-sharding compaction: append-and-recompact equals a fresh build at the new nShards") {
+    import graft.operators.IndexLayout
+    val docs = Tables(spark, sf, "documents")
+    val queries = Seq("s1" -> "fast hash join", "s2" -> "stream filter vector")
+    val dir = java.nio.file.Files.createTempDirectory("bm25_reshard").toString
+    // a corpus that outgrew its build-time shard count: built at 4,
+    // appended, some docs removed, then re-bucketed to 64 in one
+    // compaction pass
+    Bm25.writeIndex(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+      dir, nShards = 4)
+    Bm25.appendToIndex(docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+      dir, nShards = 4)
+    Bm25.removeFromIndex(docs.filter(col("doc_id") % 10 === 0)
+      .select("doc_id"), "doc_id", dir)
+    Bm25.compactIndex(spark, dir, "doc_id", reshardTo = Some(64))
+    val freshDir = java.nio.file.Files.createTempDirectory("bm25_reshard_f").toString
+    val live = docs.filter(col("doc_id") % 10 =!= 0)
+    Bm25.writeIndex(live, "doc_id", "text", freshDir, nShards = 64)
+    // postings ROW-IDENTICAL to the fresh 64-shard build (shard included)
+    def postings(d: String) = spark.read.parquet(
+        IndexLayout.resolve(spark, s"$d/postings"))
+      .select("doc_id", "doc_len", "term", "tf", "shard")
+      .collect().map(_.toSeq).toSet
+    assert(postings(dir) === postings(freshDir))
+    // retrieval at the NEW shard count is row-identical and still prunes
+    val out = Bm25.topKIndexed(spark, dir, "doc_id", queries, k = 10,
+      nShards = 64)
+    assert(out.collect().map(_.toSeq).toSet
+      === Bm25.topK(live, "doc_id", "text", queries, k = 10)
+        .collect().map(_.toSeq).toSet)
+    val plan = out.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[shard#\\d+ IN \\(".r.findFirstIn(plan).isDefined,
+      plan.take(3000))
+  }
+
   test("kill the compactor between new-layout-complete and the flip: reads serve the old version") {
     import graft.operators.IndexLayout
     val queries = Seq("qa" -> "apple", "qc" -> "cherry")

@@ -275,6 +275,31 @@ class SimilaritySpec extends SparkSpec {
         "doc_id", "text", 3, 0.5).collect().map(_.toSeq).toSet)
   }
 
+  test("re-sharding dedup compaction equals a fresh build at the new nShards") {
+    import graft.operators.IndexLayout
+    import spark.implicits._
+    val probe = docs.filter(col("doc_id") < 30)
+      .select(col("doc_id") + 500000L as "doc_id", col("text"))
+    val dir = java.nio.file.Files.createTempDirectory("dedup_reshard").toString
+    DedupOps.writeDedupIndex(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", 3, dir, nShards = 8)
+    DedupOps.appendToDedupIndex(docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", 3, dir, nShards = 8)
+    DedupOps.compactDedupIndex(spark, dir, "doc_id", reshardTo = Some(256))
+    val freshDir = java.nio.file.Files.createTempDirectory("dedup_reshard_f").toString
+    DedupOps.writeDedupIndex(docs, "doc_id", "text", 3, freshDir, nShards = 256)
+    def postings(d: String) = spark.read.parquet(
+        IndexLayout.resolve(spark, s"$d/shingles"))
+      .select("doc_id", "shingle", "sz", "shard")
+      .collect().map(_.toSeq).toSet
+    assert(postings(dir) === postings(freshDir))
+    // the incremental check at the NEW shard count matches the scan twin
+    assert(DedupOps.dedupAgainstIndex(spark, dir, probe, "doc_id", "text",
+        3, 0.5, nShards = 256).collect().map(_.toSeq).toSet
+      === DedupOps.dedupAgainst(probe, docs, "doc_id", "text", 3, 0.5)
+        .collect().map(_.toSeq).toSet)
+  }
+
   test("minhash LSH recovers all exact-jaccard pairs on this corpus") {
     val exact = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

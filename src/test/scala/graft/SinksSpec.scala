@@ -14,6 +14,11 @@ object SinksSpec {
   // JVM-static capture (executor threads share the JVM in local mode)
   val capturedSql = new java.util.concurrent.ConcurrentLinkedQueue[String]()
   val batchSizes = new java.util.concurrent.ConcurrentLinkedQueue[Integer]()
+  // JVM-static state for the stateful fake: the connect closure must
+  // reference these through the companion (serialized closures would
+  // otherwise ship each task a private COPY of the "database")
+  val upsertTable = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  val failBatches = new java.util.concurrent.atomic.AtomicInteger(0)
 
   def fakeConnection(): Connection = {
     var pending = 0
@@ -30,6 +35,52 @@ object SinksSpec {
       m.getName match {
         case "prepareStatement" =>
           capturedSql.add(args(0).asInstanceOf[String])
+          Proxy.newProxyInstance(getClass.getClassLoader,
+            Array(classOf[PreparedStatement]), stmtHandler)
+        case "close" | "commit" | "setAutoCommit" => null
+        case "isClosed" => java.lang.Boolean.FALSE
+        case _ => null
+      }
+    Proxy.newProxyInstance(getClass.getClassLoader,
+      Array(classOf[Connection]), connHandler).asInstanceOf[Connection]
+  }
+
+  /** Stateful fake with real ON CONFLICT DO NOTHING semantics: `table`
+    * is the shared target keyed on the statement's FIRST parameter;
+    * executeBatch returns 1 per inserted row and 0 per conflict (what a
+    * PostgreSQL-family driver reports), and throws SQLException for the
+    * whole batch while `failNextBatches` > 0 (the poisoned-batch case).
+    */
+  def statefulConnection(
+      table: java.util.concurrent.ConcurrentHashMap[String, String],
+      failNextBatches: java.util.concurrent.atomic.AtomicInteger)
+      : Connection = {
+    val current = new java.util.concurrent.atomic.AtomicReference[String]()
+    val pending = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    lazy val stmtHandler: InvocationHandler = (_: Any, m: Method, args: Array[AnyRef]) =>
+      m.getName match {
+        case "setObject" =>
+          if (args(0).asInstanceOf[Integer] == 1)
+            current.set(String.valueOf(args(1)))
+          null
+        case "addBatch" => pending.add(current.get()); null
+        case "executeBatch" =>
+          val keys = {
+            val b = Seq.newBuilder[String]
+            var k = pending.poll()
+            while (k != null) { b += k; k = pending.poll() }
+            b.result()
+          }
+          if (failNextBatches.getAndUpdate(n => math.max(0, n - 1)) > 0)
+            throw new java.sql.SQLException("injected batch failure")
+          keys.map(k =>
+            if (table.putIfAbsent(k, k) == null) 1 else 0).toArray
+        case "close" | "clearBatch" => null
+        case _ => null
+      }
+    val connHandler: InvocationHandler = (_: Any, m: Method, args: Array[AnyRef]) =>
+      m.getName match {
+        case "prepareStatement" =>
           Proxy.newProxyInstance(getClass.getClassLoader,
             Array(classOf[PreparedStatement]), stmtHandler)
         case "close" | "commit" | "setAutoCommit" => null
@@ -86,13 +137,58 @@ class SinksSpec extends SparkSpec {
     val stats = Sinks.jdbcUpsert(df, "papers", Seq("paper_id"),
       () => SinksSpec.fakeConnection(), batchSize = 100)
     assert(stats.attempted == 250)
-    assert(stats.succeeded == 250)
+    assert(stats.inserted == 250)
+    assert(stats.skipped == 0)
     assert(stats.failed == 0)
     assert(capturedSql.peek().startsWith("INSERT INTO papers"))
     assert(capturedSql.peek().contains("ON CONFLICT (paper_id) DO NOTHING"))
     val sizes = batchSizes.toArray(Array.empty[Integer]).map(_.toInt)
     assert(sizes.sum == 250)
     assert(sizes.max <= 100)
+  }
+
+  test("re-delivered partition: ON CONFLICT keeps the target exact, inserted does not double-count") {
+    import spark.implicits._
+    upsertTable.clear(); failBatches.set(0)
+    val df = (1 to 120).map(i => (s"p$i", i)).toDF("paper_id", "v")
+      .repartition(3)
+    def run() = Sinks.jdbcUpsert(df, "papers", Seq("paper_id"),
+      () => SinksSpec.statefulConnection(SinksSpec.upsertTable,
+        SinksSpec.failBatches), batchSize = 50)
+    val first = run()
+    assert(first.inserted == 120 && first.skipped == 0 && first.failed == 0)
+    assert(upsertTable.size() == 120)
+    // the framework re-delivers every partition (the worst-case replay):
+    // the target must not grow, and the replay reports all-skipped —
+    // inserted is exact across deliveries, attempted counts traffic
+    val replay = run()
+    assert(upsertTable.size() == 120, "ON CONFLICT must keep the target exact")
+    assert(replay.inserted == 0 && replay.skipped == 120)
+    assert(replay.attempted == 120)
+  }
+
+  test("a poisoned batch is counted failed in full; its partition continues; target holds the rest") {
+    import spark.implicits._
+    upsertTable.clear(); failBatches.set(1)
+    // ONE partition so the injected failure hits a deterministic batch:
+    // rows arrive in order, the first 40-row batch throws, the remaining
+    // two batches insert
+    val df = (1 to 100).map(i => (f"q$i%03d", i)).toDF("paper_id", "v")
+      .coalesce(1)
+    val stats = Sinks.jdbcUpsert(df, "papers", Seq("paper_id"),
+      () => SinksSpec.statefulConnection(SinksSpec.upsertTable,
+        SinksSpec.failBatches), batchSize = 40)
+    assert(stats.attempted == 100)
+    assert(stats.failed == 40)
+    assert(stats.inserted == 60 && stats.skipped == 0)
+    assert(upsertTable.size() == 60)
+    // a re-run repairs exactly the failed batch — nothing double-inserts
+    failBatches.set(0)
+    val repair = Sinks.jdbcUpsert(df, "papers", Seq("paper_id"),
+      () => SinksSpec.statefulConnection(SinksSpec.upsertTable,
+        SinksSpec.failBatches), batchSize = 40)
+    assert(repair.inserted == 40 && repair.skipped == 60 && repair.failed == 0)
+    assert(upsertTable.size() == 100)
   }
 
   test("json report sink writes aggregated rows") {
