@@ -64,6 +64,16 @@ object PaperPipeline {
     report.dashboardDir.foreach { dir =>
       PlotSink.writePng(papers.sparkSession, chart,
         s"${dir.stripSuffix("/")}/anomaly_dashboard_$runTs.png")
+      // the reference's subdomain×domain mean-citation heatmap
+      // (`visualization_generator.py:385-404`) rides along with every
+      // dashboard write — and, like the reference, silently skips when
+      // the columns aren't present on this stage's schema
+      val cols = papers.columns.toSet
+      if (Set("subdomain", "domain", "citation_count").subsetOf(cols))
+        PlotSink.writeHeatmap(papers, "subdomain", "domain",
+          "citation_count",
+          s"${dir.stripSuffix("/")}/subdomain_heatmap_$runTs.png",
+          s"Mean citations: subdomain vs domain $runTs")
     }
     val prof = profile(papers).collect()(0)
     val schema = org.apache.spark.sql.types.StructType(
@@ -83,6 +93,30 @@ object PaperPipeline {
       report.smtp.to.orElse(report.smtp.user).getOrElse("alerts"),
       html, Some(("bias_viz", chart)))
     AlertSink.sendAlert(report.smtp, msg, report.transport())
+  }
+
+  /** K8 trend panel: the run-history quality metrics as one multi-series
+    * line PNG (x = run ordinal in run_ts order — timestamps are strings,
+    * the ordinal is their order). Fewer than 2 recorded runs → no write
+    * (the reference's trend guard, `visualization_generator.py:292-295`).
+    */
+  def reportTrends(spark: SparkSession, historyPath: String,
+                   dashboardDir: String, runTs: String,
+                   metricCols: Seq[String] =
+                     Seq("completeness", "validity", "overall_quality")): Unit = {
+    val runs = spark.read.parquet(historyPath)
+    if (runs.count() < 2) return
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("run_ts"))
+    val indexed = runs
+      .select(col("run_ts") +:
+        metricCols.map(m => col(m).cast("double").as(m)): _*)
+      .withColumn("run_idx", row_number().over(w).cast("double"))
+    val unpivoted = metricCols.map { m =>
+      indexed.select(lit(m).as("metric"), col("run_idx"), col(m).as("value"))
+    }.reduce(_.unionByName(_))
+    PlotSink.writeLineChart(unpivoted, "run_idx", "metric", "value",
+      s"${dashboardDir.stripSuffix("/")}/disparity_trends_$runTs.png",
+      s"Quality metric trends $runTs", xLabel = "run", yLabel = "metric value")
   }
 
   // The failure report must never MASK the gate signal: any reporting
@@ -181,6 +215,15 @@ object PaperPipeline {
                        report: Option[ReportConfig] = None): (DataFrame, DataFrame) = {
     val anomalies = validate(papers, report = report, runTs = runTs)
     graft.quality.RunHistory.record(profile(papers), runTs, historyPath)
+    // the reference's trend panel (`plot_disparity_trends`,
+    // `visualization_generator.py:283-336`): quality metrics per run as
+    // a multi-series line chart — skipped below 2 runs, exactly like
+    // the reference's "need 2+ runs" guard. Reporting must never mask
+    // the gate (same contract as tryReport).
+    report.flatMap(_.dashboardDir).foreach { dir =>
+      try reportTrends(papers.sparkSession, historyPath, dir, runTs)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
     val drops = graft.quality.RunHistory.qualityDrop(papers.sparkSession, historyPath,
         threshold = dropThreshold)
       .filter(col("run_ts") === runTs && col("quality_dropped"))

@@ -107,6 +107,189 @@ object PlotSink {
     if (v == v.floor && math.abs(v) < 1e15) v.toLong.toString
     else f"$v%1.2f"
 
+  /** The YlOrRd-style ramp the heatmap cells use (reference:
+    * `sns.heatmap(..., cmap='YlOrRd')`, `visualization_generator.py:
+    * 391-404`): piecewise-linear pale-yellow → orange → deep red over
+    * t ∈ [0,1]. Exposed for the spec's cell-color-proportionality case.
+    */
+  private[graft] def rampColor(t: Double): java.awt.Color = {
+    val c = math.max(0.0, math.min(1.0, t))
+    def lerp(a: Int, b: Int, f: Double): Int = (a + (b - a) * f).round.toInt
+    // (255,255,204) -> (254,178,76) -> (189,0,38)
+    if (c <= 0.5) {
+      val f = c * 2.0
+      new java.awt.Color(lerp(255, 254, f), lerp(255, 178, f), lerp(204, 76, f))
+    } else {
+      val f = (c - 0.5) * 2.0
+      new java.awt.Color(lerp(254, 189, f), lerp(178, 0, f), lerp(76, 38, f))
+    }
+  }
+
+  private[graft] val HeatLeft = 150
+  private[graft] val HeatTop = 60
+  private[graft] val HeatCellW = 90
+  private[graft] val HeatCellH = 30
+
+  /** Matrix heatmap with per-cell value annotations and a colorbar — the
+    * reference's subdomain×domain citation heatmap
+    * (`visualization_generator.py:385-404`). Cell (r, c) fills with
+    * [[rampColor]](value/max) at a FIXED geometry (left 150, top 60,
+    * 90×30 cells), value text centered-ish, row labels on the left, col
+    * labels above, colorbar + min/max on the right. Deterministic bytes
+    * for a given matrix.
+    */
+  def heatmapPng(rowLabels: Seq[String], colLabels: Seq[String],
+                 values: Seq[Seq[Double]], title: String): Array[Byte] = {
+    val nR = rowLabels.size
+    val nC = colLabels.size
+    require(values.size == nR && values.forall(_.size == nC),
+      s"values must be ${nR}x$nC")
+    val w = HeatLeft + nC * HeatCellW + 110
+    val h = HeatTop + nR * HeatCellH + 30
+    val maxV = math.max(values.flatten.foldLeft(0.0)(math.max), 1e-12)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_TEXT_ANTIALIASING,
+        java.awt.RenderingHints.VALUE_TEXT_ANTIALIAS_OFF)
+      g.setColor(java.awt.Color.WHITE)
+      g.fillRect(0, 0, w, h)
+      g.setColor(java.awt.Color.BLACK)
+      g.setFont(new java.awt.Font(java.awt.Font.SANS_SERIF, java.awt.Font.BOLD, 14))
+      g.drawString(title, 16, 24)
+      g.setFont(new java.awt.Font(java.awt.Font.SANS_SERIF, java.awt.Font.PLAIN, 11))
+      colLabels.zipWithIndex.foreach { case (cl, c) =>
+        g.drawString(cl.take(12), HeatLeft + c * HeatCellW + 4, HeatTop - 8)
+      }
+      for (r <- 0 until nR) {
+        g.setColor(java.awt.Color.BLACK)
+        g.drawString(rowLabels(r).take(20), 12, HeatTop + r * HeatCellH + 19)
+        for (c <- 0 until nC) {
+          val v = values(r)(c)
+          val x = HeatLeft + c * HeatCellW
+          val y = HeatTop + r * HeatCellH
+          g.setColor(rampColor(v / maxV))
+          g.fillRect(x, y, HeatCellW - 2, HeatCellH - 2)
+          // annotation flips to white on the dark (high) end for contrast
+          g.setColor(if (v / maxV > 0.7) java.awt.Color.WHITE
+                     else java.awt.Color.BLACK)
+          g.drawString(fmt(v), x + 6, y + 19)
+        }
+      }
+      // colorbar: 0 at the bottom, max at the top
+      val cbX = HeatLeft + nC * HeatCellW + 20
+      val cbH = math.max(nR * HeatCellH - 2, 40)
+      for (i <- 0 until cbH) {
+        g.setColor(rampColor(1.0 - i.toDouble / (cbH - 1)))
+        g.fillRect(cbX, HeatTop + i, 16, 1)
+      }
+      g.setColor(java.awt.Color.BLACK)
+      g.drawRect(cbX, HeatTop, 16, cbH)
+      g.drawString(fmt(maxV), cbX + 20, HeatTop + 10)
+      g.drawString("0", cbX + 20, HeatTop + cbH)
+    } finally g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private[graft] val LineLeft = 70
+  private[graft] val LineTop = 40
+  private[graft] val LineRight = 24
+  private[graft] val LineBottom = 50
+
+  /** The data→pixel transform [[lineChartPng]] draws with, exposed so
+    * the spec can assert series-point geometry against the same math.
+    */
+  private[graft] def linePoint(x: Double, y: Double,
+                               xMin: Double, xMax: Double,
+                               yMin: Double, yMax: Double,
+                               width: Int, height: Int): (Int, Int) = {
+    val plotW = width - LineLeft - LineRight
+    val plotH = height - LineTop - LineBottom
+    val fx = if (xMax > xMin) (x - xMin) / (xMax - xMin) else 0.5
+    val fy = if (yMax > yMin) (y - yMin) / (yMax - yMin) else 0.5
+    (LineLeft + (fx * plotW).round.toInt,
+      LineTop + plotH - (fy * plotH).round.toInt)
+  }
+
+  /** Multi-series line chart with markers, grid, axis ticks and legend —
+    * the reference's disparity/collection trend panels
+    * (`visualization_generator.py:280-336`: per-series `ax.plot(...,
+    * marker, linewidth=2)` over run timestamps). Series share one y
+    * axis (the twin-axis pair is two normalized series here); markers
+    * are 7×7 squares at [[linePoint]]; deterministic bytes.
+    */
+  def lineChartPng(series: Seq[(String, Seq[(Double, Double)])],
+                   title: String, xLabel: String = "", yLabel: String = "",
+                   width: Int = 800, height: Int = 480): Array[Byte] = {
+    val all = series.flatMap(_._2)
+    require(all.nonEmpty, "lineChartPng needs at least one point")
+    val (xMin, xMax) = (all.map(_._1).min, all.map(_._1).max)
+    val (yMin0, yMax0) = (math.min(all.map(_._2).min, 0.0), all.map(_._2).max)
+    val yMax = if (yMax0 > yMin0) yMax0 else yMin0 + 1.0
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_TEXT_ANTIALIASING,
+        java.awt.RenderingHints.VALUE_TEXT_ANTIALIAS_OFF)
+      g.setColor(java.awt.Color.WHITE)
+      g.fillRect(0, 0, width, height)
+      g.setColor(java.awt.Color.BLACK)
+      g.setFont(new java.awt.Font(java.awt.Font.SANS_SERIF, java.awt.Font.BOLD, 14))
+      g.drawString(title, 16, 24)
+      g.setFont(new java.awt.Font(java.awt.Font.SANS_SERIF, java.awt.Font.PLAIN, 11))
+      val plotW = width - LineLeft - LineRight
+      val plotH = height - LineTop - LineBottom
+      // grid + ticks (5 divisions each axis; matplotlib's alpha-0.3 grid)
+      g.setColor(new java.awt.Color(0xdddddd))
+      for (i <- 0 to 5) {
+        val gx = LineLeft + (plotW * i / 5.0).round.toInt
+        val gy = LineTop + (plotH * i / 5.0).round.toInt
+        g.drawLine(gx, LineTop, gx, LineTop + plotH)
+        g.drawLine(LineLeft, gy, LineLeft + plotW, gy)
+      }
+      g.setColor(java.awt.Color.BLACK)
+      g.drawRect(LineLeft, LineTop, plotW, plotH)
+      for (i <- 0 to 5) {
+        val xv = xMin + (xMax - xMin) * i / 5.0
+        val yv = yMin0 + (yMax - yMin0) * (5 - i) / 5.0
+        g.drawString(fmt(xv), LineLeft + (plotW * i / 5.0).round.toInt - 8,
+          LineTop + plotH + 16)
+        g.drawString(fmt(yv), 10, LineTop + (plotH * i / 5.0).round.toInt + 4)
+      }
+      if (xLabel.nonEmpty)
+        g.drawString(xLabel, LineLeft + plotW / 2 - 20, height - 12)
+      if (yLabel.nonEmpty) g.drawString(yLabel, 10, LineTop - 10)
+      series.zipWithIndex.foreach { case ((name, pts), si) =>
+        val color = palette(si % palette.length)
+        g.setColor(color)
+        g.setStroke(new java.awt.BasicStroke(2f))
+        val sorted = pts.sortBy(_._1)
+        sorted.sliding(2).foreach {
+          case Seq((x1, y1), (x2, y2)) =>
+            val (px1, py1) = linePoint(x1, y1, xMin, xMax, yMin0, yMax, width, height)
+            val (px2, py2) = linePoint(x2, y2, xMin, xMax, yMin0, yMax, width, height)
+            g.drawLine(px1, py1, px2, py2)
+          case _ => ()
+        }
+        sorted.foreach { case (x, y) =>
+          val (px, py) = linePoint(x, y, xMin, xMax, yMin0, yMax, width, height)
+          g.fillRect(px - 3, py - 3, 7, 7)
+        }
+        // legend swatch + name, top-left inside the plot
+        g.fillRect(LineLeft + 10, LineTop + 10 + si * 18, 12, 12)
+        g.setColor(java.awt.Color.BLACK)
+        g.drawString(name.take(28), LineLeft + 28, LineTop + 20 + si * 18)
+      }
+    } finally g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** Top-N value_counts of `labelCol` weighted by `valueCol` → horizontal
     * bar PNG at `path` (any Hadoop FS URI). The aggregate is distributed;
     * only N (label, value) pairs reach the driver.
@@ -128,6 +311,55 @@ object PlotSink {
       .limit(topN)
       .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
     writeBytes(df, pieChartPng(rows, title), path)
+  }
+
+  /** Pivoted matrix heatmap PNG: rows = `rowCol`, columns = `colCol`,
+    * cell = mean of `valueCol`, top-N rows by total value (the
+    * reference's top-15-subdomains restriction,
+    * `visualization_generator.py:393-396`). The pivot is the same
+    * distributed aggregate the q31/q37 gate rows oracle; only the tiny
+    * (topN × |columns|) matrix reaches the driver.
+    */
+  def writeHeatmap(df: DataFrame, rowCol: String, colCol: String,
+                   valueCol: String, path: String, title: String,
+                   topN: Int = 15): Unit = {
+    val top = df.groupBy(col(rowCol))
+      .agg(sum(col(valueCol)).as("__tot"))
+      .orderBy(col("__tot").desc, col(rowCol))
+      .limit(topN)
+    val pivot = df.join(broadcast(top.select(col(rowCol))), Seq(rowCol))
+      .groupBy(col(rowCol)).pivot(colCol)
+      .agg(avg(col(valueCol)))
+      .orderBy(col(rowCol))
+      .collect()
+    val colLabels = df.select(col(colCol).cast("string")).distinct()
+      .orderBy(col(colCol)).collect().map(_.getString(0)).toSeq
+    val rowLabels = pivot.map(_.get(0).toString).toSeq
+    val values = pivot.map(r => colLabels.indices.map { i =>
+      if (r.isNullAt(i + 1)) 0.0
+      else r.get(i + 1) match {
+        case d: Double => d
+        case n: Number => n.doubleValue()
+      }
+    }.toSeq).toSeq
+    writeBytes(df, heatmapPng(rowLabels, colLabels, values, title), path)
+  }
+
+  /** Multi-series trend PNG: one line per `seriesCol` value over
+    * (`xCol`, `valueCol`). Series count and points-per-series are
+    * caller-bounded (run-history-sized); only they reach the driver.
+    */
+  def writeLineChart(df: DataFrame, xCol: String, seriesCol: String,
+                     valueCol: String, path: String, title: String,
+                     xLabel: String = "", yLabel: String = ""): Unit = {
+    val pts = df.select(col(seriesCol).cast("string"),
+        col(xCol).cast("double"), col(valueCol).cast("double"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val series = pts.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (name, ps) =>
+        name -> ps.map(p => (p._2, p._3)).toSeq.sortBy(_._1)
+      }
+    writeBytes(df, lineChartPng(series, title, xLabel, yLabel), path)
   }
 
   /** Write pre-rendered PNG bytes to any Hadoop FS URI (file:, gs:, s3a:)

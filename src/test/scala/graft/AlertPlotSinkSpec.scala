@@ -47,6 +47,74 @@ class AlertPlotSinkSpec extends SparkSpec {
     assert(center != 0xFFFFFF && center != 0x000000)
   }
 
+  test("heatmap cells color proportionally to value and render deterministically") {
+    val rows = Seq("r0", "r1")
+    val cols = Seq("c0", "c1")
+    val values = Seq(Seq(0.0, 50.0), Seq(100.0, 75.0))
+    val png = PlotSink.heatmapPng(rows, cols, values, "heat")
+    assert(png.sameElements(PlotSink.heatmapPng(rows, cols, values, "heat")),
+      "same matrix must render byte-identical PNGs")
+    val img = decode(png)
+    // probe each cell just inside its top-left corner (away from the
+    // annotation text) and compare with the ramp at value/max
+    def cellColor(r: Int, c: Int): Int = img.getRGB(
+      PlotSink.HeatLeft + c * PlotSink.HeatCellW + 2,
+      PlotSink.HeatTop + r * PlotSink.HeatCellH + 2) & 0xFFFFFF
+    def expected(v: Double): Int =
+      PlotSink.rampColor(v / 100.0).getRGB & 0xFFFFFF
+    assert(cellColor(0, 0) == expected(0.0))
+    assert(cellColor(0, 1) == expected(50.0))
+    assert(cellColor(1, 0) == expected(100.0))
+    assert(cellColor(1, 1) == expected(75.0))
+    // ramp is monotone red-ward: high-value cell differs from low-value
+    assert(cellColor(1, 0) != cellColor(0, 0))
+  }
+
+  test("line chart draws series markers at the documented transform and renders deterministically") {
+    val series = Seq(
+      "s0" -> Seq((0.0, 0.0), (1.0, 10.0), (2.0, 5.0)),
+      "s1" -> Seq((0.0, 10.0), (1.0, 0.0), (2.0, 10.0)))
+    val png = PlotSink.lineChartPng(series, "trend", "x", "y")
+    assert(png.sameElements(PlotSink.lineChartPng(series, "trend", "x", "y")))
+    val img = decode(png)
+    // marker geometry: every point of every series must land a non-white
+    // 7x7 marker centered at linePoint(...) — probe the exact center
+    series.foreach { case (_, pts) =>
+      pts.foreach { case (x, y) =>
+        val (px, py) = PlotSink.linePoint(x, y, 0.0, 2.0, 0.0, 10.0,
+          800, 480)
+        val rgb = img.getRGB(px, py) & 0xFFFFFF
+        assert(rgb != 0xFFFFFF, s"no marker at ($x,$y) -> ($px,$py)")
+      }
+    }
+    // the two series use distinct palette colors at their first markers
+    val (p0x, p0y) = PlotSink.linePoint(0.0, 0.0, 0.0, 2.0, 0.0, 10.0, 800, 480)
+    val (p1x, p1y) = PlotSink.linePoint(0.0, 10.0, 0.0, 2.0, 0.0, 10.0, 800, 480)
+    assert((img.getRGB(p0x, p0y) & 0xFFFFFF) != (img.getRGB(p1x, p1y) & 0xFFFFFF))
+  }
+
+  test("writeHeatmap pivots distributed (q31/q37's aggregate) and writes through Hadoop FS") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-heat").toString
+    val df = Tables(spark, sf, "documents")
+      .select(col("source"), col("lang"), col("n_chars"))
+    PlotSink.writeHeatmap(df, "source", "lang", "n_chars",
+      s"file:$dir/subdomain_heatmap.png", "Mean n_chars", topN = 3)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.File(s"$dir/subdomain_heatmap.png"))
+    assert(img != null && img.getHeight > PlotSink.HeatTop)
+  }
+
+  test("writeLineChart renders run-history-shaped series through Hadoop FS") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-line").toString
+    val df = Seq(("validity", 1.0, 98.0), ("validity", 2.0, 97.5),
+      ("completeness", 1.0, 92.0), ("completeness", 2.0, 95.0))
+      .toDF("metric", "run_idx", "value")
+    PlotSink.writeLineChart(df, "run_idx", "metric", "value",
+      s"file:$dir/trends.png", "Quality trends")
+    val img = javax.imageio.ImageIO.read(new java.io.File(s"$dir/trends.png"))
+    assert(img != null && img.getWidth == 800 && img.getHeight == 480)
+  }
+
   test("writeBarChart aggregates distributed and writes through Hadoop FS") {
     val dir = java.nio.file.Files.createTempDirectory("graft-plot").toString
     val counts = Tables(spark, sf, "documents")

@@ -227,6 +227,39 @@ class EndToEndSpec extends SparkSpec {
     assert(data.contains("multipart/related"))
   }
 
+  test("dashboard writes the subdomain heatmap with the anomaly panel and trends after 2 runs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-heatdash").toString
+    val hist = java.nio.file.Files.createTempDirectory("graft-heatdash-h").toString
+    def papers(failing: Boolean) = (1 to 50).map { i =>
+      (s"p$i", !failing || i <= 5, i.toLong % 7, 2000L + i % 20,
+        s"d${i % 3}", s"s${i % 4}", s"t$i")
+    }.toDF("paper_id", "has_intro", "citation_count", "year", "domain",
+      "subdomain", "title")
+    val report = PaperPipeline.ReportConfig(dashboardDir = Some(s"file:$dir"),
+      transport = () => new FakeSmtp)
+    // two CLEAN runs: the trend panel needs 2+ recorded runs (the
+    // reference's guard) — absent after run 1, present after run 2
+    PaperPipeline.validateAndTrack(papers(false), hist, "r1",
+      report = Some(report))
+    assert(!new java.io.File(s"$dir/disparity_trends_r1.png").exists())
+    PaperPipeline.validateAndTrack(papers(false), hist, "r2",
+      report = Some(report))
+    val trends = javax.imageio.ImageIO.read(
+      new java.io.File(s"$dir/disparity_trends_r2.png"))
+    assert(trends != null && trends.getWidth == 800)
+    // a failing run with subdomain+domain+citation columns writes the
+    // subdomain×domain heatmap next to the anomaly panel
+    intercept[CriticalAnomalyException] {
+      PaperPipeline.validateAndTrack(papers(true), hist, "r3",
+        report = Some(report))
+    }
+    val heat = javax.imageio.ImageIO.read(
+      new java.io.File(s"$dir/subdomain_heatmap_r3.png"))
+    assert(heat != null && heat.getHeight > 60)
+    assert(new java.io.File(s"$dir/anomaly_dashboard_r3.png").exists())
+  }
+
   test("quality drop sends the alert before failing; unconfigured SMTP skips") {
     import spark.implicits._
     val hist = java.nio.file.Files.createTempDirectory("graft-report-q").toString
