@@ -194,6 +194,184 @@ object PlotSink {
     bos.toByteArray
   }
 
+  /** Vertical bar / histogram panel — the reference's quality-distribution
+    * columns (`visualization_generator.py:141-150`: `ax2.bar` with
+    * count+pct labels above each bar) and, fed with the q63-style
+    * oracled bin counts, its intro-length histogram (`:179`). Fixed
+    * geometry: plot area starts at x=60, columns are equal-width with a
+    * 20% gap; value labels above each column. Deterministic bytes.
+    */
+  def columnChartPng(rows: Seq[(String, Double)], title: String,
+                     width: Int = 800, height: Int = 420): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_TEXT_ANTIALIASING,
+        java.awt.RenderingHints.VALUE_TEXT_ANTIALIAS_OFF)
+      g.setColor(java.awt.Color.WHITE)
+      g.fillRect(0, 0, width, height)
+      g.setColor(java.awt.Color.BLACK)
+      g.setFont(new java.awt.Font(java.awt.Font.SANS_SERIF, java.awt.Font.BOLD, 14))
+      g.drawString(title, 16, 24)
+      g.setFont(new java.awt.Font(java.awt.Font.SANS_SERIF, java.awt.Font.PLAIN, 11))
+      val left = 60
+      val baseY = height - 50
+      val plotH = baseY - 50
+      val n = math.max(rows.size, 1)
+      val slot = (width - left - 20) / n
+      val barW = math.max(2, slot * 4 / 5)
+      val maxV = math.max(rows.map(_._2).foldLeft(0.0)(math.max), 1e-12)
+      g.drawLine(left, baseY, width - 20, baseY)
+      rows.zipWithIndex.foreach { case ((label, v), i) =>
+        val x = left + i * slot + (slot - barW) / 2
+        val hPix = math.max(1, (v / maxV * plotH).round.toInt)
+        g.setColor(palette(i % palette.length))
+        g.fillRect(x, baseY - hPix, barW, hPix)
+        g.setColor(java.awt.Color.DARK_GRAY)
+        g.drawString(fmt(v), x, baseY - hPix - 4)
+        g.setColor(java.awt.Color.BLACK)
+        g.drawString(label.take(12), x, baseY + 16)
+      }
+    } finally g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Per-group five-number summary box plot — the reference's citation
+    * boxplot (`visualization_generator.py:103-108`). One box per group
+    * from (min, p25, median, p75, max) — exactly q48's oracled
+    * grouped-describe aggregate, so the INPUT is hash-checked and only
+    * the 5 numbers per group reach the driver. Whiskers at min/max, box
+    * p25..p75, a thick median line. Deterministic bytes.
+    */
+  def boxPlotPng(groups: Seq[(String, (Double, Double, Double, Double, Double))],
+                 title: String, width: Int = 800,
+                 height: Int = 420): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_TEXT_ANTIALIASING,
+        java.awt.RenderingHints.VALUE_TEXT_ANTIALIAS_OFF)
+      g.setColor(java.awt.Color.WHITE)
+      g.fillRect(0, 0, width, height)
+      g.setColor(java.awt.Color.BLACK)
+      g.setFont(new java.awt.Font(java.awt.Font.SANS_SERIF, java.awt.Font.BOLD, 14))
+      g.drawString(title, 16, 24)
+      g.setFont(new java.awt.Font(java.awt.Font.SANS_SERIF, java.awt.Font.PLAIN, 11))
+      val left = 60
+      val baseY = height - 50
+      val plotH = baseY - 50
+      val lo = math.min(groups.map(_._2._1).foldLeft(0.0)(math.min), 0.0)
+      val hi = math.max(groups.map(_._2._5).foldLeft(1e-12)(math.max), lo + 1e-12)
+      def toY(v: Double): Int =
+        baseY - ((v - lo) / (hi - lo) * plotH).round.toInt
+      val n = math.max(groups.size, 1)
+      val slot = (width - left - 20) / n
+      val boxW = math.max(6, slot / 2)
+      groups.zipWithIndex.foreach {
+        case ((label, (mn, p25, med, p75, mx)), i) =>
+          val cx = left + i * slot + slot / 2
+          g.setColor(java.awt.Color.DARK_GRAY)
+          g.drawLine(cx, toY(mx), cx, toY(p75)) // upper whisker
+          g.drawLine(cx, toY(p25), cx, toY(mn)) // lower whisker
+          g.drawLine(cx - boxW / 4, toY(mx), cx + boxW / 4, toY(mx))
+          g.drawLine(cx - boxW / 4, toY(mn), cx + boxW / 4, toY(mn))
+          g.setColor(palette(i % palette.length))
+          g.fillRect(cx - boxW / 2, toY(p75), boxW,
+            math.max(1, toY(p25) - toY(p75)))
+          g.setColor(java.awt.Color.BLACK)
+          g.fillRect(cx - boxW / 2, toY(med) - 1, boxW, 3) // median line
+          g.drawString(label.take(12), cx - boxW / 2, baseY + 16)
+      }
+    } finally g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Per-group violin — the reference's citation-density violins
+    * (`visualization_generator.py:111-116`). Spark-first: the silhouette
+    * is the per-group BINNED histogram (the q63-oracled width-bucket
+    * aggregate), mirrored around the group's axis — a fixed-bin density
+    * outline rather than a KDE, so the input stays a tiny distributed
+    * aggregate and the render is deterministic. `groups` = (label,
+    * bottom-to-top bin counts); widths scale per group to its max bin.
+    */
+  def violinPng(groups: Seq[(String, Seq[Double])], title: String,
+                width: Int = 800, height: Int = 420): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_TEXT_ANTIALIASING,
+        java.awt.RenderingHints.VALUE_TEXT_ANTIALIAS_OFF)
+      g.setColor(java.awt.Color.WHITE)
+      g.fillRect(0, 0, width, height)
+      g.setColor(java.awt.Color.BLACK)
+      g.setFont(new java.awt.Font(java.awt.Font.SANS_SERIF, java.awt.Font.BOLD, 14))
+      g.drawString(title, 16, 24)
+      g.setFont(new java.awt.Font(java.awt.Font.SANS_SERIF, java.awt.Font.PLAIN, 11))
+      val left = 60
+      val baseY = height - 50
+      val plotH = baseY - 50
+      val n = math.max(groups.size, 1)
+      val slot = (width - left - 20) / n
+      groups.zipWithIndex.foreach { case ((label, bins), i) =>
+        val cx = left + i * slot + slot / 2
+        val maxBin = math.max(bins.foldLeft(0.0)(math.max), 1e-12)
+        val halfMax = math.max(4, slot * 2 / 5)
+        val binH = math.max(1, plotH / math.max(bins.size, 1))
+        g.setColor(palette(i % palette.length))
+        bins.zipWithIndex.foreach { case (b, j) =>
+          val half = (b / maxBin * halfMax).round.toInt
+          if (half > 0) {
+            val y = baseY - (j + 1) * binH
+            g.fillRect(cx - half, y, half * 2, binH)
+          }
+        }
+        g.setColor(java.awt.Color.BLACK)
+        g.drawString(label.take(12), cx - halfMax, baseY + 16)
+      }
+    } finally g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Monospace text summary panel — the reference's disparity-summary /
+    * mitigation-effectiveness boxes (`visualization_generator.py:
+    * 253-276,358-380`: `ax.text` on a blank axis). Deterministic bytes.
+    */
+  def textPanelPng(lines: Seq[String], title: String,
+                   width: Int = 640): Array[Byte] = {
+    val h = 70 + lines.size * 18 + 20
+    val img = new java.awt.image.BufferedImage(width, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_TEXT_ANTIALIASING,
+        java.awt.RenderingHints.VALUE_TEXT_ANTIALIAS_OFF)
+      g.setColor(java.awt.Color.WHITE)
+      g.fillRect(0, 0, width, h)
+      g.setColor(new java.awt.Color(0xf5deb3)) // the reference's 'wheat' box
+      g.fillRect(12, 36, width - 24, h - 48)
+      g.setColor(java.awt.Color.BLACK)
+      g.drawRect(12, 36, width - 24, h - 48)
+      g.setFont(new java.awt.Font(java.awt.Font.SANS_SERIF, java.awt.Font.BOLD, 14))
+      g.drawString(title, 16, 24)
+      g.setFont(new java.awt.Font(java.awt.Font.MONOSPACED, java.awt.Font.PLAIN, 12))
+      lines.zipWithIndex.foreach { case (ln, i) =>
+        g.drawString(ln.take(90), 24, 58 + i * 18)
+      }
+    } finally g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   private[graft] val LineLeft = 70
   private[graft] val LineTop = 40
   private[graft] val LineRight = 24
@@ -360,6 +538,90 @@ object PlotSink {
         name -> ps.map(p => (p._2, p._3)).toSeq.sortBy(_._1)
       }
     writeBytes(df, lineChartPng(series, title, xLabel, yLabel), path)
+  }
+
+  /** Top-N vertical column PNG (label order preserved by value desc). */
+  def writeColumnChart(df: DataFrame, labelCol: String, valueCol: String,
+                       path: String, title: String, topN: Int = 20): Unit = {
+    val rows = df.select(col(labelCol).cast("string"), col(valueCol).cast("double"))
+      .orderBy(col(valueCol).desc, col(labelCol))
+      .limit(topN)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    writeBytes(df, columnChartPng(rows, title), path)
+  }
+
+  /** Histogram PNG of `valueCol` over `nBins` equal-width bins — the
+    * binning is the q63-oracled distributed aggregate (min/max in one
+    * pass, one groupBy on the bin index); only nBins counts reach the
+    * driver, rendered as columns labeled by bin lower bound.
+    */
+  def writeHistogram(df: DataFrame, valueCol: String, path: String,
+                     title: String, nBins: Int = 20): Unit = {
+    val mm = df.agg(min(col(valueCol)).cast("double"),
+      max(col(valueCol)).cast("double")).head()
+    val (lo, hi) = (mm.getDouble(0), math.max(mm.getDouble(1), mm.getDouble(0) + 1e-12))
+    val binW = (hi - lo) / nBins
+    val counts = df
+      .select(least(greatest(
+          floor((col(valueCol).cast("double") - lit(lo)) / lit(binW)),
+          lit(0)), lit(nBins - 1)).cast("int").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).cast("double").as("n"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val rows = (0 until nBins).map(b =>
+      (fmt(lo + b * binW), counts.getOrElse(b, 0.0)))
+    writeBytes(df, columnChartPng(rows, title), path)
+  }
+
+  /** Per-group box plot PNG from the q48-oracled five-number summary —
+    * quartiles computed distributively, 5 numbers per group collected.
+    */
+  def writeBoxPlot(df: DataFrame, groupCol: String, valueCol: String,
+                   path: String, title: String, topN: Int = 10): Unit = {
+    val groups = df.groupBy(col(groupCol).cast("string").as("g"))
+      .agg(count(lit(1)).as("__n"),
+        min(col(valueCol)).cast("double").as("mn"),
+        expr(s"percentile($valueCol, 0.25)").as("p25"),
+        expr(s"percentile($valueCol, 0.5)").as("p50"),
+        expr(s"percentile($valueCol, 0.75)").as("p75"),
+        max(col(valueCol)).cast("double").as("mx"))
+      .orderBy(col("__n").desc, col("g"))
+      .limit(topN)
+      .collect().map(r => (r.getString(0),
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6)))).toSeq
+    writeBytes(df, boxPlotPng(groups.sortBy(_._1), title), path)
+  }
+
+  /** Per-group violin PNG: the silhouette is the per-group equal-width
+    * binned histogram over the GLOBAL value range (one distributed
+    * groupBy on (group, bin)); topN groups by count, nBins counts per
+    * group collected.
+    */
+  def writeViolin(df: DataFrame, groupCol: String, valueCol: String,
+                  path: String, title: String, topN: Int = 10,
+                  nBins: Int = 24): Unit = {
+    val mm = df.agg(min(col(valueCol)).cast("double"),
+      max(col(valueCol)).cast("double")).head()
+    val (lo, hi) = (mm.getDouble(0), math.max(mm.getDouble(1), mm.getDouble(0) + 1e-12))
+    val binW = (hi - lo) / nBins
+    val top = df.groupBy(col(groupCol).cast("string").as("g"))
+      .agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("g")).limit(topN)
+      .select(col("g"))
+    val binned = df
+      .select(col(groupCol).cast("string").as("g"),
+        least(greatest(
+          floor((col(valueCol).cast("double") - lit(lo)) / lit(binW)),
+          lit(0)), lit(nBins - 1)).cast("int").as("bin"))
+      .join(broadcast(top), Seq("g"))
+      .groupBy(col("g"), col("bin")).agg(count(lit(1)).cast("double").as("n"))
+      .collect().groupBy(_.getString(0))
+    val groups = binned.toSeq.sortBy(_._1).map { case (gName, rs) =>
+      val byBin = rs.map(r => r.getInt(1) -> r.getDouble(2)).toMap
+      gName -> (0 until nBins).map(b => byBin.getOrElse(b, 0.0))
+    }
+    writeBytes(df, violinPng(groups.map { case (n, b) => (n, b: Seq[Double]) },
+      title), path)
   }
 
   /** Write pre-rendered PNG bytes to any Hadoop FS URI (file:, gs:, s3a:)

@@ -115,6 +115,94 @@ class AlertPlotSinkSpec extends SparkSpec {
     assert(img != null && img.getWidth == 800 && img.getHeight == 480)
   }
 
+  test("column chart bars are value-proportional in height; histogram bins the oracled way") {
+    val rows = Seq(("a", 100.0), ("b", 50.0), ("c", 25.0))
+    val png = PlotSink.columnChartPng(rows, "cols")
+    assert(png.sameElements(PlotSink.columnChartPng(rows, "cols")))
+    val img = decode(png)
+    // column i occupies x in [60 + i*slot + (slot-barW)/2, +barW); count
+    // colored pixels down its center column
+    val slot = (800 - 60 - 20) / 3
+    def colH(i: Int): Int = {
+      val x = 60 + i * slot + slot / 2
+      (0 until img.getHeight - 50).count { y =>
+        val rgb = img.getRGB(x, y) & 0xFFFFFF
+        rgb != 0xFFFFFF && rgb != 0x000000 && rgb != 0x404040
+      }
+    }
+    val (a, b, c) = (colH(0), colH(1), colH(2))
+    assert(a > b && b > c, s"$a,$b,$c")
+    assert(math.abs(a.toDouble / b - 2.0) < 0.2, s"a/b = ${a.toDouble / b}")
+    // histogram wrapper writes through FS and decodes
+    val dir = java.nio.file.Files.createTempDirectory("graft-hist").toString
+    PlotSink.writeHistogram(Tables(spark, sf, "documents"), "n_chars",
+      s"file:$dir/hist.png", "n_chars distribution", nBins = 10)
+    assert(javax.imageio.ImageIO.read(new java.io.File(s"$dir/hist.png")) != null)
+  }
+
+  test("box plot draws the five-number geometry; whiskers span beyond the box") {
+    val groups = Seq(
+      ("g1", (0.0, 25.0, 50.0, 75.0, 100.0)),
+      ("g2", (10.0, 20.0, 30.0, 40.0, 50.0)))
+    val png = PlotSink.boxPlotPng(groups, "boxes")
+    assert(png.sameElements(PlotSink.boxPlotPng(groups, "boxes")))
+    val img = decode(png)
+    val (baseY, plotH) = (420 - 50, 420 - 100)
+    def toY(v: Double): Int = baseY - (v / 100.0 * plotH).round.toInt
+    val slot = (800 - 60 - 20) / 2
+    val cx1 = 60 + slot / 2
+    // g1 box spans p25..p75: colored at the box middle, white above max
+    val boxMid = img.getRGB(cx1, toY(50.0)) & 0xFFFFFF
+    assert(boxMid != 0xFFFFFF)
+    assert((img.getRGB(cx1 - 10, toY(100.0) - 12) & 0xFFFFFF) == 0xFFFFFF)
+    // whisker line exists between p75 and max (center x, above the box)
+    val whisker = img.getRGB(cx1, toY(90.0)) & 0xFFFFFF
+    assert(whisker != 0xFFFFFF)
+    // FS wrapper over the q48-shaped distributed aggregate
+    val dir = java.nio.file.Files.createTempDirectory("graft-box").toString
+    PlotSink.writeBoxPlot(Tables(spark, sf, "documents"), "source", "n_chars",
+      s"file:$dir/box.png", "n_chars by source")
+    assert(javax.imageio.ImageIO.read(new java.io.File(s"$dir/box.png")) != null)
+  }
+
+  test("violin silhouettes mirror and scale to the max bin; FS wrapper renders") {
+    val groups = Seq(("g", Seq(1.0, 4.0, 2.0)))
+    val png = PlotSink.violinPng(groups, "violins")
+    assert(png.sameElements(PlotSink.violinPng(groups, "violins")))
+    val img = decode(png)
+    val slot = 800 - 60 - 20
+    val cx = 60 + slot / 2
+    val baseY = 420 - 50
+    val binH = (420 - 100) / 3
+    // middle bin (count 4 = max) is widest; symmetric around cx
+    def widthAt(binIdx: Int): Int = {
+      val y = baseY - binIdx * binH - binH / 2
+      (0 until img.getWidth).count { x =>
+        (img.getRGB(x, y) & 0xFFFFFF) != 0xFFFFFF &&
+          (img.getRGB(x, y) & 0xFFFFFF) != 0x000000
+      }
+    }
+    assert(widthAt(1) > widthAt(0) && widthAt(1) > widthAt(2))
+    val halfMax = math.max(4, slot * 2 / 5)
+    val y1 = baseY - binH - binH / 2
+    assert((img.getRGB(cx - halfMax + 1, y1) & 0xFFFFFF) != 0xFFFFFF)
+    assert((img.getRGB(cx + halfMax - 1, y1) & 0xFFFFFF) != 0xFFFFFF)
+    val dir = java.nio.file.Files.createTempDirectory("graft-violin").toString
+    PlotSink.writeViolin(Tables(spark, sf, "documents"), "source", "n_chars",
+      s"file:$dir/violin.png", "n_chars density by source")
+    assert(javax.imageio.ImageIO.read(new java.io.File(s"$dir/violin.png")) != null)
+  }
+
+  test("text panel renders the summary box deterministically") {
+    val lines = Seq("Papers Collected: 42", "Status: mitigation completed")
+    val png = PlotSink.textPanelPng(lines, "Mitigation Summary")
+    assert(png.sameElements(PlotSink.textPanelPng(lines, "Mitigation Summary")))
+    val img = decode(png)
+    // the wheat box fill is present inside the border (probe a point
+    // clear of the text glyphs: right side, above the first baseline)
+    assert((img.getRGB(600, 40) & 0xFFFFFF) == 0xf5deb3)
+  }
+
   test("writeBarChart aggregates distributed and writes through Hadoop FS") {
     val dir = java.nio.file.Files.createTempDirectory("graft-plot").toString
     val counts = Tables(spark, sf, "documents")
