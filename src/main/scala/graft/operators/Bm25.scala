@@ -389,33 +389,41 @@ object Bm25 {
       spark: org.apache.spark.sql.SparkSession, path: String,
       idCol: String, segs: Seq[String],
       reshardTo: Option[Int] = None): Unit = {
+    // tombstones are snapshotted at FILE granularity, like the segment
+    // list: the fold materializes exactly this snapshot and the cleanup
+    // deletes exactly it, so a removal landing mid-compaction keeps
+    // filtering reads and the next compaction materializes it
+    val tombFiles = IndexLayout.tombstoneFiles(spark, s"$path/tombstones")
     if (segs.isEmpty) {
       val sharded =
         IndexLayout.partitionedLayout(spark, s"$path/postings", "shard")
       IndexLayout.rewriteInPlace(spark, s"$path/postings",
         if (sharded) Some("shard") else None,
         df => reshard(
-          IndexLayout.dropTombstoned(df, idCol, s"$path/tombstones"),
+          IndexLayout.dropTombstonedFiles(df, idCol, tombFiles),
           reshardTo))
       IndexLayout.rewriteInPlace(spark, s"$path/docs", None,
-        IndexLayout.dropTombstoned(_, idCol, s"$path/tombstones"))
-      IndexLayout.clearTombstones(spark, s"$path/tombstones")
+        IndexLayout.dropTombstonedFiles(_, idCol, tombFiles))
+      IndexLayout.clearTombstoneFiles(spark, tombFiles)
     } else {
-      val tomb = s"$path/tombstones"
       val postingsAll = IndexLayout.existingPartsOf(spark, path, segs, "postings")
         .map(spark.read.parquet(_)).reduce(_.unionByName(_)).distinct()
       IndexLayout.writeSwap(spark, s"$path/postings",
-        reshard(IndexLayout.dropTombstoned(postingsAll, idCol, tomb),
+        reshard(IndexLayout.dropTombstonedFiles(postingsAll, idCol, tombFiles),
           reshardTo), Some("shard"))
       val docsAll = IndexLayout.existingPartsOf(spark, path, segs, "docs")
         .map(spark.read.parquet(_)).reduce(_.unionByName(_)).distinct()
       IndexLayout.writeSwap(spark, s"$path/docs",
-        IndexLayout.dropTombstoned(docsAll, idCol, tomb), None)
+        IndexLayout.dropTombstonedFiles(docsAll, idCol, tombFiles), None)
       // recompute the BASE stats row from the folded sidecar: the same
       // exact integral operands a from-scratch build aggregates, and
       // derived-from-folded state is what makes a crashed re-run
       // converge. An unfolded (post-snapshot) segment keeps its own
-      // stats row, which readers still sum in.
+      // stats row, which readers still sum in. A removal landing
+      // mid-compaction keeps filtering READS exactly (its tombstone
+      // file survives the snapshot clear); its stats shift races this
+      // overwrite, so n/avgdl can briefly include the late-removed
+      // docs — the next compaction recomputes and converges.
       spark.read.parquet(IndexLayout.resolve(spark, s"$path/docs"))
         .agg(count(lit(1)).cast("double").as("n"),
           avg(col("doc_len")).as("avgdl"),
@@ -423,7 +431,7 @@ object Bm25 {
           count(col("doc_len")).cast("double").as("n_len"))
         .write.mode("overwrite").parquet(s"$path/stats")
       IndexLayout.clearSegmentDirs(spark, segs)
-      IndexLayout.clearTombstones(spark, tomb)
+      IndexLayout.clearTombstoneFiles(spark, tombFiles)
     }
   }
 

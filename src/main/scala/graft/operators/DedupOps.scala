@@ -615,30 +615,33 @@ object DedupOps {
       spark: org.apache.spark.sql.SparkSession, path: String,
       idCol: String, segs: Seq[String],
       reshardTo: Option[Int] = None): Unit = {
+    // tombstones snapshotted at FILE granularity (like the segment
+    // list): fold and clear exactly this set, so a removal landing
+    // mid-compaction keeps filtering reads and folds next time
+    val tombFiles = IndexLayout.tombstoneFiles(spark, s"$path/tombstones")
     if (segs.isEmpty) {
       val sharded =
         IndexLayout.partitionedLayout(spark, s"$path/shingles", "shard")
       IndexLayout.rewriteInPlace(spark, s"$path/shingles",
         if (sharded) Some("shard") else None,
         df => reshardShingles(
-          IndexLayout.dropTombstoned(df, idCol, s"$path/tombstones"),
+          IndexLayout.dropTombstonedFiles(df, idCol, tombFiles),
           reshardTo))
       IndexLayout.rewriteInPlace(spark, s"$path/fingerprints", None,
-        IndexLayout.dropTombstoned(_, idCol, s"$path/tombstones"))
-      IndexLayout.clearTombstones(spark, s"$path/tombstones")
+        IndexLayout.dropTombstonedFiles(_, idCol, tombFiles))
+      IndexLayout.clearTombstoneFiles(spark, tombFiles)
     } else {
-      val tomb = s"$path/tombstones"
       val shAll = IndexLayout.existingPartsOf(spark, path, segs, "shingles")
         .map(spark.read.parquet(_)).reduce(_.unionByName(_)).distinct()
       IndexLayout.writeSwap(spark, s"$path/shingles",
-        reshardShingles(IndexLayout.dropTombstoned(shAll, idCol, tomb),
+        reshardShingles(IndexLayout.dropTombstonedFiles(shAll, idCol, tombFiles),
           reshardTo), Some("shard"))
       val fpAll = IndexLayout.existingPartsOf(spark, path, segs, "fingerprints")
         .map(spark.read.parquet(_)).reduce(_.unionByName(_)).distinct()
       IndexLayout.writeSwap(spark, s"$path/fingerprints",
-        IndexLayout.dropTombstoned(fpAll, idCol, tomb), None)
+        IndexLayout.dropTombstonedFiles(fpAll, idCol, tombFiles), None)
       IndexLayout.clearSegmentDirs(spark, segs)
-      IndexLayout.clearTombstones(spark, tomb)
+      IndexLayout.clearTombstoneFiles(spark, tombFiles)
     }
   }
 

@@ -191,16 +191,58 @@ object IndexLayout {
     ids.select(col(idCol)).distinct()
       .write.mode("append").parquet(tombDir)
 
+  /** The tombstone sidecar's parquet data files at this moment — the
+    * SNAPSHOT a compaction folds and later clears. Parquet part files
+    * are immutable and appends only add new ones, so file granularity
+    * makes the fold/clear pair exact: a tombstone batch landing DURING
+    * a compaction is a file outside the snapshot — neither folded nor
+    * deleted, it keeps filtering reads and the next compaction
+    * materializes it.
+    */
+  def tombstoneFiles(spark: SparkSession, tombDir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(tombDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString)
+  }
+
   /** The tombstoned ids, or None when nothing was ever removed (the
     * common case — readers skip the anti-join entirely, so an index
-    * with no deletes pays zero overhead for supporting them).
+    * with no deletes pays zero overhead for supporting them). A sidecar
+    * directory holding no data files (all tombstones materialized by a
+    * compaction that cleared exactly its snapshot) reads as None too.
     */
   def readTombstones(spark: SparkSession,
                      tombDir: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(tombDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+    val files = tombstoneFiles(spark, tombDir)
+    if (files.isEmpty) None else Some(spark.read.parquet(files: _*))
   }
+
+  /** Drop the ids held by an EXPLICIT tombstone-file snapshot from `df`
+    * (no-op for an empty snapshot) — what the compactors fold, so a
+    * tombstone file landing after the snapshot is untouched.
+    */
+  def dropTombstonedFiles(df: DataFrame, idCol: String,
+                          files: Seq[String]): DataFrame =
+    if (files.isEmpty) df
+    else {
+      val t = df.sparkSession.read.parquet(files: _*)
+      df.join(t.withColumnRenamed(t.columns.head, idCol), Seq(idCol),
+        "left_anti")
+    }
+
+  /** Delete EXACTLY the given tombstone files — the clear half of the
+    * snapshot pair. The sidecar directory itself is left in place (a
+    * later-arrived file may live there); [[readTombstones]] treats a
+    * data-file-less directory as no tombstones.
+    */
+  def clearTombstoneFiles(spark: SparkSession, files: Seq[String]): Unit =
+    files.foreach { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, false)
+    }
 
   /** Drop tombstoned rows from `df` (no-op when no tombstones exist). */
   def dropTombstoned(df: DataFrame, idCol: String,

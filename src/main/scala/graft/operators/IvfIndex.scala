@@ -251,21 +251,57 @@ object IvfIndex {
   private[graft] def compactIndexFolding(
       spark: org.apache.spark.sql.SparkSession, path: String,
       idCol: String, segs: Seq[String]): Unit = {
+    // tombstones snapshotted at FILE granularity (like the segment
+    // list): fold and clear exactly this set, so a removal landing
+    // mid-compaction keeps filtering reads and folds next time
+    val tombFiles = IndexLayout.tombstoneFiles(spark, s"$path.tombstones")
     if (segs.isEmpty) {
       IndexLayout.rewriteInPlace(spark, path,
         if (IndexLayout.partitionedLayout(spark, path, "cell")) Some("cell")
         else None,
-        IndexLayout.dropTombstoned(_, idCol, s"$path.tombstones"))
+        IndexLayout.dropTombstonedFiles(_, idCol, tombFiles))
     } else {
       val all = (IndexLayout.resolve(spark, path) +: segs)
         .map(spark.read.parquet(_))
         .reduce(_.unionByName(_)).distinct()
       IndexLayout.writeSwap(spark, path,
-        IndexLayout.dropTombstoned(all, idCol, s"$path.tombstones"),
+        IndexLayout.dropTombstonedFiles(all, idCol, tombFiles),
         Some("cell"))
       IndexLayout.clearSegmentDirs(spark, segs)
     }
-    IndexLayout.clearTombstones(spark, s"$path.tombstones")
+    IndexLayout.clearTombstoneFiles(spark, tombFiles)
+  }
+
+  /** Retrain-and-compact — the lifecycle move for CENTROID DRIFT, which
+    * plain [[compactIndex]] cannot fix: appends and streamed segments
+    * assign to the ORIGINAL centroids (the standard IVF maintenance
+    * contract), so after heavy growth the cell structure no longer
+    * reflects the corpus and probe recall decays. This reads the full
+    * live index (base + segments minus tombstones), trains a FRESH
+    * k-means model on it, reassigns every vector, and version-swaps the
+    * re-clustered layout in — readers keep answering from the old
+    * layout until the manifest flip. Returns the new model; the CALLER
+    * must search with it from here on (probe lists are model-derived —
+    * searching a retrained layout with the old model reads the wrong
+    * cells). Segments and tombstones are snapshot-bounded exactly as in
+    * [[compactIndexFolding]]. Completes the IVF lifecycle:
+    * build → append/stream → delete → compact → RETRAIN.
+    */
+  def retrainCompact(spark: org.apache.spark.sql.SparkSession,
+                     path: String, idCol: String, embCol: String,
+                     k: Int, iters: Int): Model = {
+    val segs = IndexLayout.segmentDirsAt(spark, s"$path.segments")
+    val tombFiles = IndexLayout.tombstoneFiles(spark, s"$path.tombstones")
+    val all = (IndexLayout.resolve(spark, path) +: segs)
+      .map(spark.read.parquet(_)).reduce(_.unionByName(_)).distinct()
+    val live = IndexLayout.dropTombstonedFiles(all, idCol, tombFiles)
+      .drop("cell")
+    val model = train(live, idCol, embCol, k, iters)
+    IndexLayout.writeSwap(spark, path,
+      assign(live, embCol, model).repartition(col("cell")), Some("cell"))
+    IndexLayout.clearSegmentDirs(spark, segs)
+    IndexLayout.clearTombstoneFiles(spark, tombFiles)
+    model
   }
 
   /** Driver-side twin of [[probeCells]] — the model is driver state, so a

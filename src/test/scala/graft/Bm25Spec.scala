@@ -161,7 +161,7 @@ class Bm25Spec extends SparkSpec {
     // and the tombstoned ids are no longer anywhere in the postings
     Bm25.compactIndex(spark, dir)
     assert(rows(dir) === tombstoned)
-    assert(!new java.io.File(s"$dir/tombstones").exists())
+    assert(graft.operators.IndexLayout.tombstoneFiles(spark, s"$dir/tombstones").isEmpty)
     assert(spark.read.parquet(
         graft.operators.IndexLayout.resolve(spark, s"$dir/postings"))
       .filter(col("doc_id") % 10 === 0).count() == 0)
@@ -244,7 +244,7 @@ class Bm25Spec extends SparkSpec {
     // gone, results identical, stats bit-equal to the live-only rebuild
     Bm25.compactIndex(spark, dir)
     assert(IndexLayout.segmentDirs(spark, dir).isEmpty)
-    assert(!new java.io.File(s"$dir/tombstones").exists())
+    assert(graft.operators.IndexLayout.tombstoneFiles(spark, s"$dir/tombstones").isEmpty)
     assert(rows(dir) === afterDelete)
     assert(spark.read.parquet(s"$dir/stats").collect().map(_.toSeq).toSeq
       === spark.read.parquet(s"$liveDir/stats").collect().map(_.toSeq).toSeq)

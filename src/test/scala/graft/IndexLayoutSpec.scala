@@ -95,6 +95,35 @@ class IndexLayoutSpec extends SparkSpec {
     intercept[IllegalArgumentException] { IndexLayout.resolve(spark, dir) }
   }
 
+  test("tombstone file snapshot: a removal landing mid-compaction survives and still filters") {
+    val base = java.nio.file.Files.createTempDirectory("ixl_tomb").toString
+    val tomb = s"$base/tombstones"
+    IndexLayout.appendTombstones(Seq(1L).toDF("id"), "id", tomb)
+    // the compactor snapshots the sidecar's files...
+    val snapshot = IndexLayout.tombstoneFiles(spark, tomb)
+    assert(snapshot.nonEmpty)
+    // ...then a removal lands while it folds
+    IndexLayout.appendTombstones(Seq(2L).toDF("id"), "id", tomb)
+    // the fold materializes EXACTLY the snapshot and clears exactly it
+    val data = Seq(1L, 2L, 3L).toDF("id")
+    val folded = IndexLayout.dropTombstonedFiles(data, "id", snapshot)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(folded == Set(2L, 3L), "snapshot fold drops only id 1")
+    IndexLayout.clearTombstoneFiles(spark, snapshot)
+    // the late tombstone survives the clear and still filters reads
+    assert(IndexLayout.tombstoneFiles(spark, tomb).nonEmpty)
+    val after = IndexLayout.dropTombstoned(data, "id", tomb)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(after == Set(1L, 3L), "late tombstone (id 2) must keep filtering")
+    // a sidecar whose files were all cleared reads as no tombstones even
+    // though the directory remains
+    IndexLayout.clearTombstoneFiles(spark,
+      IndexLayout.tombstoneFiles(spark, tomb))
+    assert(IndexLayout.readTombstones(spark, tomb).isEmpty)
+    assert(IndexLayout.dropTombstoned(data, "id", tomb)
+      .count() == 3)
+  }
+
   test("clearSegmentDirs deletes exactly the snapshot, not the segment root") {
     val base = java.nio.file.Files.createTempDirectory("ixl_segs").toString
     Seq(1L).toDF("id").write.parquet(s"$base/segments/batch=0")

@@ -92,7 +92,7 @@ class IvfIndexSpec extends SparkSpec {
     assert(tombstoned === res(liveDir))
     IvfIndex.compactIndex(spark, dir, "vec_id")
     assert(res(dir) === tombstoned)
-    assert(!new java.io.File(s"$dir.tombstones").exists())
+    assert(graft.operators.IndexLayout.tombstoneFiles(spark, s"$dir.tombstones").isEmpty)
     assert(spark.read.parquet(IndexLayout.resolve(spark, dir))
       .filter(col("vec_id") % 5 === 0).count() == 0)
     // a fresh writeIndex at a tombstoned path must not inherit the sidecar
@@ -152,7 +152,7 @@ class IvfIndexSpec extends SparkSpec {
     // (the crash-recovery path) is a no-op
     IvfIndex.compactIndex(spark, dir, "vec_id")
     assert(IndexLayout.segmentDirsAt(spark, s"$dir.segments").isEmpty)
-    assert(!new java.io.File(s"$dir.tombstones").exists())
+    assert(graft.operators.IndexLayout.tombstoneFiles(spark, s"$dir.tombstones").isEmpty)
     assert(res(dir) === afterDelete)
     IvfIndex.compactIndex(spark, dir, "vec_id")
     assert(res(dir) === afterDelete)
@@ -202,6 +202,52 @@ class IvfIndexSpec extends SparkSpec {
     val allDir = java.nio.file.Files.createTempDirectory("ivf_race_all").toString
     IvfIndex.writeIndex(embs, "vec_id", "embedding", model, allDir)
     assert(res(dir) === res(allDir))
+  }
+
+  test("retrainCompact re-clusters the grown corpus: full-probe search stays exact, maintenance state folds") {
+    import graft.operators.IndexLayout
+    import spark.implicits._
+    // heavy drift: the model was trained on an eighth of the corpus,
+    // then 7x more vectors were appended against those stale centroids
+    // and a slice deleted
+    val seed = embs.filter(col("vec_id") % 8 === 0)
+    val staleModel = IvfIndex.train(seed, "vec_id", "embedding", k = 8, iters = 3)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_retrain").toString
+    IvfIndex.writeIndex(seed, "vec_id", "embedding", staleModel, dir)
+    IvfIndex.appendToIndex(embs.filter(col("vec_id") % 8 =!= 0),
+      "vec_id", "embedding", staleModel, dir)
+    IvfIndex.writeSegment(embs.filter(col("vec_id") % 8 === 1),
+      "vec_id", "embedding", staleModel, dir, 0L)
+    IvfIndex.removeFromIndex(embs.filter(col("vec_id") % 10 === 0)
+      .select("vec_id"), "vec_id", dir)
+    val newModel = IvfIndex.retrainCompact(spark, dir, "vec_id", "embedding",
+      k = 8, iters = 3)
+    assert(newModel.k == 8)
+    // maintenance state folded: segments gone, tombstones materialized,
+    // removed ids physically absent, layout cell-partitioned and pruned
+    assert(IndexLayout.segmentDirsAt(spark, s"$dir.segments").isEmpty)
+    assert(IndexLayout.tombstoneFiles(spark, s"$dir.tombstones").isEmpty)
+    assert(spark.read.parquet(IndexLayout.resolve(spark, dir))
+      .filter(col("vec_id") % 10 === 0).count() == 0)
+    // full-probe search over the retrained layout is EXACT brute force
+    // on the live rows (the degradation-free property retraining must
+    // preserve) — note the segment rows appended twice (%8==1 went in
+    // via append AND a segment) collapse via the fold's distinct
+    val live = embs.filter(col("vec_id") % 10 =!= 0)
+    val queries = embs.filter(col("vec_id") < 5)
+    val got = IvfIndex.searchPruned(spark, dir, queries, "vec_id",
+        "embedding", newModel, nprobe = 8, topK = 5)
+      .select("query_id", "vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exact = Similarity.knnJoin(queries, live, "vec_id", "embedding", 5)
+      .select("query_id", "vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === exact)
+    val plan = IvfIndex.searchPruned(spark, dir, queries, "vec_id",
+        "embedding", newModel, nprobe = 3, topK = 5)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[cell#\\d+ IN \\(".r.findFirstIn(plan).isDefined,
+      plan.take(3000))
   }
 
   test("closure-UDF assignment regime (nlist > 32) matches a driver-side recompute") {
