@@ -79,6 +79,35 @@ object IvfPq {
         embCol, model.pq)
       .write.mode("overwrite").parquet(s"$path.segments/batch=$batchId")
 
+  /** Retrain-and-compact for the composite index — the
+    * `IvfIndex.retrainCompact` move with BOTH quantizers refreshed:
+    * appends/segments assign to the original coarse centroids AND
+    * encode with the original codebooks, so drift degrades both cell
+    * recall and ADC fidelity. Reads the live rows (base + segments
+    * minus tombstones; the full vector rides in the layout, so no
+    * second source is consulted), trains a fresh coarse+PQ model,
+    * re-encodes, and version-swaps the re-clustered layout in. Returns
+    * the new model — the caller must search with it from here on.
+    */
+  def retrainCompact(spark: SparkSession, path: String, idCol: String,
+                     embCol: String, nlist: Int, coarseIters: Int,
+                     m: Int, k: Int, pqIters: Int): Model = {
+    val segs = IndexLayout.segmentDirsAt(spark, s"$path.segments")
+    val tombFiles = IndexLayout.tombstoneFiles(spark, s"$path.tombstones")
+    val all = (IndexLayout.resolve(spark, path) +: segs)
+      .map(spark.read.parquet(_)).reduce(_.unionByName(_)).distinct()
+    val live = IndexLayout.dropTombstonedFiles(all, idCol, tombFiles)
+      .select(col(idCol), col(embCol))
+    val model = train(live, idCol, embCol, nlist, coarseIters, m, k, pqIters)
+    IndexLayout.writeSwap(spark, path,
+      PqIndex.encode(IvfIndex.assign(live, embCol, model.coarse),
+          embCol, model.pq)
+        .repartition(col("cell")), Some("cell"))
+    IndexLayout.clearSegmentDirs(spark, segs)
+    IndexLayout.clearTombstoneFiles(spark, tombFiles)
+    model
+  }
+
   /** Probe → prune → ADC-shortlist → exact rerank, all inside the probed
     * cells' partitions (base scan partition-pruned; streaming segments,
     * when present, contribute cheap full scans with the same cell

@@ -144,4 +144,41 @@ class PqIndexSpec extends SparkSpec {
     assert(IndexLayout.segmentDirsAt(spark, s"$incDir.segments").isEmpty)
     assert(search(incDir) === segmented)
   }
+
+  test("IVF-PQ retrainCompact refreshes both quantizers: exact at full width, state folds") {
+    import graft.operators.{IndexLayout, IvfIndex, IvfPq}
+    // drift: both quantizers trained on a quarter of the corpus, the
+    // rest appended/streamed against them, a slice deleted
+    val seed = emb.filter(col("vec_id") % 4 === 0)
+    val stale = IvfPq.train(seed, "vec_id", "embedding",
+      nlist = 4, coarseIters = 2, m = 8, k = 16, pqIters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_retrain").toString
+    IvfPq.writeIndex(seed, "vec_id", "embedding", stale, dir)
+    IvfPq.appendToIndex(emb.filter(col("vec_id") % 4 === 1 || col("vec_id") % 4 === 2),
+      "vec_id", "embedding", stale, dir)
+    IvfPq.writeSegment(emb.filter(col("vec_id") % 4 === 3),
+      "vec_id", "embedding", stale, dir, batchId = 0L)
+    IvfIndex.removeFromIndex(emb.filter(col("vec_id") % 5 === 0)
+      .select("vec_id"), "vec_id", dir)
+    val fresh = IvfPq.retrainCompact(spark, dir, "vec_id", "embedding",
+      nlist = 4, coarseIters = 2, m = 8, k = 16, pqIters = 2)
+    // maintenance state folded; removed ids physically absent
+    assert(IndexLayout.segmentDirsAt(spark, s"$dir.segments").isEmpty)
+    assert(IndexLayout.tombstoneFiles(spark, s"$dir.tombstones").isEmpty)
+    assert(spark.read.parquet(IndexLayout.resolve(spark, dir))
+      .filter(col("vec_id") % 5 === 0).count() == 0)
+    // graceful-degradation exactness with the NEW model: nprobe = nlist,
+    // shortlist = corpus equals PQ exact-rerank brute force on live rows
+    val live = emb.filter(col("vec_id") % 5 =!= 0)
+    val n = live.count().toInt
+    val q = emb.orderBy(col("vec_id")).limit(1)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
+    val got = IvfPq.searchPruned(spark, dir, q, "vec_id", "embedding",
+        fresh, nprobe = 4, shortlist = n, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val brute = PqIndex.searchWithRerank(live, "vec_id", "embedding",
+        fresh.pq, q, shortlist = n, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === brute)
+  }
 }

@@ -117,6 +117,31 @@ class SinksSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") || !plan.contains("term IS NOT NULL"))
   }
 
+  test("readLatestRun scans ONLY the latest run's directory (path-level pruning)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-latest").toString
+    Seq("r0", "r1", "r2").zipWithIndex.foreach { case (ts, i) =>
+      Sinks.writeStage((0 to i).map(v => (v.toLong, ts)).toDF("id", "from"),
+        dir, "proc", ts)
+    }
+    assert(Sinks.latestRunDir(spark, s"$dir/stage=proc").get
+      .endsWith("run_ts=r2"))
+    val latest = Sinks.readLatestRun(spark, s"$dir/stage=proc")
+    assert(latest.select("run_ts").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("r2"))
+    assert(latest.count() == 3)
+    // the scan's file index covers the r2 directory alone — older runs'
+    // files are never listed, let alone read
+    val plan = latest.queryExecution.executedPlan.toString
+    assert(plan.contains("run_ts=r2"), plan.take(2000))
+    assert(!plan.contains("run_ts=r0") && !plan.contains("run_ts=r1"),
+      plan.take(2000))
+    // and an empty stage dir is a loud error, not an empty frame
+    intercept[IllegalArgumentException] {
+      Sinks.readLatestRun(spark, s"$dir/stage=nothing")
+    }
+  }
+
   test("db coercion: control chars, truncation, array->json, renames") {
     import spark.implicits._
     val df = Seq(("t\u0000itle" + "x" * 2000, Seq("r1", "r2"), true))
