@@ -275,6 +275,47 @@ class SimilaritySpec extends SparkSpec {
         "doc_id", "text", 3, 0.5).collect().map(_.toSeq).toSet)
   }
 
+  test("compaction with the maintenance stream LIVE: segments landing after it keep reads exact") {
+    import graft.operators.IndexLayout
+    import graft.streaming.StreamingOps
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val parts = rows.groupBy { case (id, _) => (id % 3).toInt }
+    val probe = docs.filter(col("doc_id") < 30)
+      .select(col("doc_id") + 500000L as "doc_id", col("text"))
+    val base = java.nio.file.Files.createTempDirectory("dedup_live_compact").toString
+    val (dir, ckpt) = (s"$base/index", s"$base/ckpt")
+    DedupOps.writeDedupIndex(parts(0).toSeq.toDF("doc_id", "text"),
+      "doc_id", "text", 3, dir)
+    val src = MemoryStream[(Long, String)]
+    val q = StreamingOps.streamDedupIndex(
+      src.toDF().toDF("doc_id", "text"), "doc_id", "text", 3, dir, ckpt)
+    src.addData(parts(1).toSeq: _*)
+    q.processAllAvailable()
+    // compact WHILE the query is live (between micro-batches): folds the
+    // one landed segment — the snapshot discipline means the stream may
+    // keep writing segments without pausing
+    DedupOps.compactDedupIndex(spark, dir)
+    assert(IndexLayout.segmentDirs(spark, dir).isEmpty)
+    // the next micro-batch lands a NEW segment on the compacted base
+    src.addData(parts(2).toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(IndexLayout.segmentDirs(spark, dir).nonEmpty)
+    val fullDir = java.nio.file.Files.createTempDirectory("dedup_live_full").toString
+    DedupOps.writeDedupIndex(docs, "doc_id", "text", 3, fullDir)
+    def check(d: String) = DedupOps.dedupAgainstIndex(spark, d, probe,
+        "doc_id", "text", 3, 0.5).collect().map(_.toSeq).toSet
+    assert(check(dir) === check(fullDir))
+    // a final compaction folds the post-compaction segment too
+    DedupOps.compactDedupIndex(spark, dir)
+    assert(IndexLayout.segmentDirs(spark, dir).isEmpty)
+    assert(check(dir) === check(fullDir))
+  }
+
   test("re-sharding dedup compaction equals a fresh build at the new nShards") {
     import graft.operators.IndexLayout
     import spark.implicits._
