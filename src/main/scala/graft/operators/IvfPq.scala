@@ -79,6 +79,88 @@ object IvfPq {
         embCol, model.pq)
       .write.mode("overwrite").parquet(s"$path.segments/batch=$batchId")
 
+  /** Batch [[searchPruned]]: N queries cost ONE pruned read of the
+    * union of all probe cells plus two query-bounded shuffles, instead
+    * of N driver-looped jobs. Per-query ADC tables (|queries| × m × k
+    * doubles) and query vectors broadcast once; the shortlist is a
+    * per-query rank window over the probed candidates, and the exact
+    * rerank touches shortlist×|queries| rows. `queries` must be bounded
+    * with a LONG id column (the broadcast-anchor contract all probe
+    * searches carry). Row-identical to looping [[searchPruned]] per
+    * query (spec-pinned) — in particular, like the single-query form it
+    * does NOT exclude a query's own row when the query vector is in the
+    * index (`IvfIndex.searchPruned` does; its queries carry identity,
+    * raw vectors here do not).
+    */
+  def searchPrunedBatch(spark: SparkSession, indexPath: String,
+                        queries: DataFrame, idCol: String, embCol: String,
+                        model: Model, nprobe: Int, shortlist: Int,
+                        topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val qs: Array[(Long, Array[Double])] = queries
+      .select(col(idCol).cast("long"), col(embCol)).collect()
+      .map { r =>
+        val v = r.getSeq[Any](1).map {
+          case f: Float => f.toDouble
+          case d: Double => d
+        }.toArray
+        (r.getLong(0), v)
+      }
+    val cellsPer: Map[Long, Seq[Int]] = qs.map { case (qid, v) =>
+      qid -> IvfIndex.probeCellsLocal(v, model.coarse, nprobe)
+    }.toMap
+    val allCells = cellsPer.values.flatten.toSeq.distinct.sorted
+    val idx = IndexLayout.dropTombstoned(
+      IvfIndex.readCells(spark, indexPath, allCells, idCol), idCol,
+      s"$indexPath.tombstones")
+    val luts: Map[Long, Array[Array[Double]]] = qs.map { case (qid, v) =>
+      qid -> Array.tabulate(model.pq.m) { s =>
+        val sub = v.slice(s * model.pq.subDim, (s + 1) * model.pq.subDim)
+        model.pq.codebooks(s).map { c =>
+          var d = 0.0
+          var i = 0
+          while (i < sub.length) { val x = sub(i) - c(i); d += x * x; i += 1 }
+          d
+        }
+      }
+    }.toMap
+    val bcLuts = spark.sparkContext.broadcast(luts)
+    val bcVecs = spark.sparkContext.broadcast(qs.toMap)
+    val qCells = qs.flatMap { case (qid, _) =>
+      cellsPer(qid).map(c => (qid, c))
+    }.toSeq.toDF("query_id", "cell")
+    val adcU = udf { (qid: Long, code: Seq[Int]) =>
+      val lut = bcLuts.value(qid)
+      var d = 0.0
+      var s = 0
+      while (s < code.length) { d += lut(s)(code(s)); s += 1 }
+      d
+    }
+    val wShort = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc"), col(idCol))
+    val cand = idx.join(broadcast(qCells), Seq("cell"))
+      .select(col("query_id"), col(idCol),
+        adcU(col("query_id"), col("code")).as("adc"))
+      .withColumn("__r", row_number().over(wShort))
+      .filter(col("__r") <= shortlist)
+      .select(col("query_id"), col(idCol))
+    val distU = udf { (qid: Long, v: Seq[Float]) =>
+      val q = bcVecs.value(qid)
+      var d = 0.0
+      var i = 0
+      while (i < v.length) { val x = v(i) - q(i); d += x * x; i += 1 }
+      d
+    }
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist"), col(idCol))
+    cand.join(idx.select(col(idCol), col(embCol)).distinct(), Seq(idCol))
+      .select(col("query_id"), col(idCol),
+        distU(col("query_id"), col(embCol)).as("dist"))
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= topK)
+  }
+
   /** Retrain-and-compact for the composite index — the
     * `IvfIndex.retrainCompact` move with BOTH quantizers refreshed:
     * appends/segments assign to the original coarse centroids AND

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QDef, Tables}
-import graft.operators.{DataSelection, DedupOps, IvfIndex, KMeansOps, PortableAnn, PqIndex, Similarity, SqIndex}
+import graft.operators.{DataSelection, DedupOps, IvfIndex, IvfPq, KMeansOps, PortableAnn, PqIndex, Similarity, SqIndex}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -262,6 +262,39 @@ object SimilarityQueries {
              |       (SELECT CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id = 0) q
              |  WHERE e.vec_id <> 0)
              |ORDER BY d, vec_id LIMIT 10""".stripMargin)),
+
+    // The BATCH IVF-PQ path at full width: nprobe = nlist and
+    // shortlist = corpus degrade searchPrunedBatch to exact per-query
+    // L2 top-k (the query's own row included at rank 1, dist 0) — the
+    // oracle-visible twin that hash-checks the one-scan multi-query
+    // machinery end to end: union-cell partition pruning, broadcast
+    // per-query ADC tables, per-query shortlist windows, exact rerank.
+    // Same q129/q130 trick; the probed approximate path stays q88/q46's
+    // territory with its recall metric rows.
+    QDef("q235_ivfpq_batch_exact",
+      (s, d) => {
+        val corpus = embs(s, d)
+        val n = corpus.count().toInt
+        val model = IvfPq.train(corpus, "vec_id", "embedding",
+          nlist = 4, coarseIters = 2, m = 8, k = 16, pqIters = 2)
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_q235_index").toString
+        IvfPq.writeIndex(corpus, "vec_id", "embedding", model, dir)
+        IvfPq.searchPrunedBatch(s, dir, corpus.filter(col("vec_id") < 5),
+            "vec_id", "embedding", model, nprobe = 4, shortlist = n,
+            topK = 5)
+          .select(col("query_id"), col("vec_id"),
+            round(sqrt(col("dist")), 6).as("l2_dist"), col("rank"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""SELECT query_id, vec_id, round(d, 6) AS l2_dist, rank FROM (
+             |  SELECT q.qid AS query_id, e.vec_id, list_distance(e.v, q.qv) AS d,
+             |    row_number() OVER (PARTITION BY q.qid
+             |      ORDER BY list_distance(e.v, q.qv), e.vec_id) AS rank
+             |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings) e,
+             |       (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) qv
+             |        FROM embeddings WHERE vec_id < 5) q)
+             |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
     // SQ8 scalar quantization at shortlist = corpus size: the byte-code
     // scan shortlists EVERY vector, so the exact rerank is brute-force L2

@@ -145,6 +145,38 @@ class PqIndexSpec extends SparkSpec {
     assert(search(incDir) === segmented)
   }
 
+  test("IVF-PQ batch search is row-identical to the per-query loop") {
+    import graft.operators.{IvfIndex, IvfPq}
+    val composite = IvfPq.Model(
+      IvfIndex.train(emb, "vec_id", "embedding", k = 4, iters = 2), model)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_batch").toString
+    IvfPq.writeIndex(emb, "vec_id", "embedding", composite, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+    val batch = IvfPq.searchPrunedBatch(spark, dir, queries, "vec_id",
+        "embedding", composite, nprobe = 2, shortlist = 50, topK = 10)
+      .select(col("query_id"), col("vec_id"), round(col("dist"), 9), col("rank"))
+      .collect().map(_.toSeq).toSet
+    val looped = queries.select("vec_id", "embedding").collect().flatMap { r =>
+      val qid = r.getLong(0)
+      val qv = r.getSeq[Float](1).map(_.toDouble).toArray
+      IvfPq.searchPruned(spark, dir, qv, "vec_id", "embedding",
+          composite, nprobe = 2, shortlist = 50, topK = 10)
+        .collect().zipWithIndex.map { case (row, i) =>
+          Seq(qid, row.getLong(0),
+            BigDecimal(row.getDouble(1)).setScale(9,
+              BigDecimal.RoundingMode.HALF_UP).toDouble, (i + 1).toLong)
+        }
+    }.toSet
+    assert(batch === looped)
+    assert(batch.nonEmpty)
+    // one scan, partition-pruned to the UNION of the queries' cells
+    val plan = IvfPq.searchPrunedBatch(spark, dir, queries, "vec_id",
+        "embedding", composite, nprobe = 2, shortlist = 50, topK = 10)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[cell#\\d+ IN \\(".r.findFirstIn(plan).isDefined,
+      plan.take(3000))
+  }
+
   test("IVF-PQ retrainCompact refreshes both quantizers: exact at full width, state folds") {
     import graft.operators.{IndexLayout, IvfIndex, IvfPq}
     // drift: both quantizers trained on a quarter of the corpus, the
