@@ -132,14 +132,17 @@ object Bm25 {
     // availability-critical swap is compaction, which stays versioned)
     IndexLayout.clearVersions(docs.sparkSession, s"$path/postings")
     IndexLayout.clearVersions(docs.sparkSession, s"$path/docs")
-    val shardU = udf((t: String) => shardOf(t, nShards))
+    // codegen'd shard assignment (graft.functions.JavaHashModExpr):
+    // same JVM hash as the driver-side shardOf, inlined into the build's
+    // whole-stage-codegen pipeline instead of crossing the UDF bridge
+    val shardCol = graft.functions.ShardExpr.javaHashMod(col("term"), nShards)
     val unclustered = docs
       .select(col(idCol), TextFns.words(col(textCol)).as("__toks"))
       .select(col(idCol), size(col("__toks")).cast("long").as("doc_len"),
         explode(col("__toks")).as("term"))
       .groupBy(col(idCol), col("doc_len"), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"))
-      .withColumn("shard", shardU(col("term")))
+      .withColumn("shard", shardCol)
     // cluster by shard so the partitioned write below emits O(nShards)
     // files instead of tasks × nShards (skipped for unpartitioned small
     // segments, which need no clustering)
@@ -214,14 +217,14 @@ object Bm25 {
   def appendToIndex(docs: DataFrame, idCol: String, textCol: String,
                     path: String, nShards: Int = 64): Unit = {
     val spark = docs.sparkSession
-    val shardU = udf((t: String) => shardOf(t, nShards))
+    val shardCol = graft.functions.ShardExpr.javaHashMod(col("term"), nShards)
     val postings = docs
       .select(col(idCol), TextFns.words(col(textCol)).as("__toks"))
       .select(col(idCol), size(col("__toks")).cast("long").as("doc_len"),
         explode(col("__toks")).as("term"))
       .groupBy(col(idCol), col("doc_len"), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"))
-      .withColumn("shard", shardU(col("term")))
+      .withColumn("shard", shardCol)
       .repartition(col("shard"))
     val noTokens = docs
       .select(explode(TextFns.words(col(textCol))).as("__t")).isEmpty
@@ -376,8 +379,8 @@ object Bm25 {
   private def reshard(df: DataFrame, reshardTo: Option[Int]): DataFrame =
     reshardTo match {
       case Some(n) =>
-        val shardU = udf((t: String) => shardOf(t, n))
-        df.withColumn("shard", shardU(col("term")))
+        df.withColumn("shard",
+          graft.functions.ShardExpr.javaHashMod(col("term"), n))
       case None => df
     }
 

@@ -509,11 +509,14 @@ object DedupOps {
   private def dedupIndexPostings(df: DataFrame, idCol: String,
                                  textCol: String, n: Int, nShards: Int,
                                  clustered: Boolean = true): DataFrame = {
-    val shardU = udf((s: String) => shingleShard(s, nShards))
+    // codegen'd shard assignment — same JVM hash as the driver-side
+    // shingleShard, inlined into the build pipeline (no UDF bridge)
+    val shardCol =
+      graft.functions.ShardExpr.javaHashMod(col("shingle"), nShards)
     val rows = shingleArrays(df, idCol, textCol, n)
       .select(col(idCol), size(col("__shingles")).cast("long").as("sz"),
         explode(col("__shingles")).as("shingle"))
-      .withColumn("shard", shardU(col("shingle")))
+      .withColumn("shard", shardCol)
     // the shard-clustering exchange only pays off for the partitioned
     // write; unpartitioned small segments skip it
     if (clustered) rows.repartition(col("shard")) else rows
@@ -601,8 +604,8 @@ object DedupOps {
                               reshardTo: Option[Int]): DataFrame =
     reshardTo match {
       case Some(n) =>
-        val shardU = udf((s: String) => shingleShard(s, n))
-        df.withColumn("shard", shardU(col("shingle")))
+        df.withColumn("shard",
+          graft.functions.ShardExpr.javaHashMod(col("shingle"), n))
       case None => df
     }
 
@@ -663,8 +666,8 @@ object DedupOps {
   private[graft] def prunedShingleIndex(spark: org.apache.spark.sql.SparkSession,
                                         path: String, shNew: DataFrame,
                                         nShards: Int): DataFrame = {
-    val shardU = udf((s: String) => shingleShard(s, nShards))
-    val shards = shNew.select(shardU(col("shingle")).as("shard"))
+    val shards = shNew.select(graft.functions.ShardExpr
+        .javaHashMod(col("shingle"), nShards).as("shard"))
       .distinct().collect().map(_.getInt(0))
     val layouts = IndexLayout.existingParts(spark, path, "shingles") match {
       case Seq() => Seq(s"$path/shingles") // raise the standard read error

@@ -33,6 +33,33 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaCol.exceptAll(viaSql).count() == 0)
   }
 
+  test("codegen shard expression matches the driver-side hash exactly (incl. non-ASCII)") {
+    import spark.implicits._
+    // layout-vs-pruning parity is THE invariant: the expression buckets
+    // postings at build time, the driver's floorMod(hashCode, n) picks
+    // the shards to read at query time — one divergent string breaks
+    // partition pruning silently
+    val strs = Seq("fast", "hash join", "", "a", "ümläut-ß", "日本語テキスト",
+      "mixed 日本 ascii", "😀 emoji", "negctrl",
+      "x" * 500)
+    for (n <- Seq(7, 64, 256, 1600)) {
+      val got = strs.toDF("s")
+        .select(graft.functions.ShardExpr.javaHashMod(col("s"), n).as("h"))
+        .collect().map(_.getInt(0)).toSeq
+      assert(got == strs.map(s => math.floorMod(s.hashCode, n)), s"n=$n")
+    }
+    // and it stays inside whole-stage codegen (a local literal table
+    // constant-folds away, so probe over a range-backed plan)
+    val plan = spark.range(100)
+      .select(graft.functions.ShardExpr.javaHashMod(
+        concat(lit("t"), col("id").cast("string")), 64).as("h"))
+      .queryExecution.executedPlan.toString
+    // "*(n)" is the WholeStageCodegen marker in the executed-plan string;
+    // a UDF here would plan an uncompiled plain Project instead
+    assert(plan.contains("*(1) Project") && plan.contains("javahashmodexpr"),
+      plan.take(1000))
+  }
+
   test("opt-in rewrite turns exact count(DISTINCT) into HyperLogLog++") {
     GraftExtensions.install(spark)
     def q = Tables(spark, sf, "lineitem")
