@@ -122,16 +122,22 @@ object Bm25 {
     // a fresh build replaces everything — a stale tombstone sidecar OR
     // stale streaming segments from a previous index at this path must
     // not filter into / union into the new one (readers unconditionally
-    // span $path/segments/batch=*). For a segment write (sharded = false
-    // at a $path/segments/batch=<id> target) both calls are no-ops.
-    IndexLayout.clearTombstones(docs.sparkSession, s"$path/tombstones")
-    IndexLayout.clearSegments(docs.sparkSession, path)
-    // …and any version manifests from a previous index's compactions:
-    // the rebuild writes the plain layout, which a stale manifest would
-    // shadow (a crash mid-rebuild is a broken BUILD, acceptable — the
-    // availability-critical swap is compaction, which stays versioned)
-    IndexLayout.clearVersions(docs.sparkSession, s"$path/postings")
-    IndexLayout.clearVersions(docs.sparkSession, s"$path/docs")
+    // span $path/segments/batch=*); likewise any version manifests from
+    // a previous index's compactions (the rebuild writes the plain
+    // layout, which a stale manifest would shadow — a crash mid-rebuild
+    // is a broken BUILD, acceptable; the availability-critical swap is
+    // compaction, which stays versioned). `sharded = false` is the
+    // streaming-SEGMENT write (target $path/segments/batch=<id>): a
+    // segment is an immutable mini-index that carries no lifecycle state
+    // of its own, so the four clears would be guaranteed no-ops — and
+    // on an object store, 4+ wasted API calls per micro-batch — and are
+    // skipped.
+    if (sharded) {
+      IndexLayout.clearTombstones(docs.sparkSession, s"$path/tombstones")
+      IndexLayout.clearSegments(docs.sparkSession, path)
+      IndexLayout.clearVersions(docs.sparkSession, s"$path/postings")
+      IndexLayout.clearVersions(docs.sparkSession, s"$path/docs")
+    }
     // codegen'd shard assignment (graft.functions.JavaHashModExpr):
     // same JVM hash as the driver-side shardOf, inlined into the build's
     // whole-stage-codegen pipeline instead of crossing the UDF bridge
@@ -244,14 +250,20 @@ object Bm25 {
           "overwrite"
         }
       // append into the RESOLVED directory: after a versioned compaction
-      // the live layout is $path/postings.v<n>, not the plain dir
-      postings.write.mode(mode).partitionBy("shard")
-        .parquet(IndexLayout.resolve(spark, s"$path/postings"))
+      // the live layout is $path/postings.v<n>, not the plain dir — and
+      // a compaction FLIP racing this append must fail loudly, not
+      // strand the rows in a retired version (IndexLayout's guard;
+      // segments are the concurrent-safe write path)
+      val target = IndexLayout.resolve(spark, s"$path/postings")
+      postings.write.mode(mode).partitionBy("shard").parquet(target)
+      IndexLayout.assertAppendVisible(spark, s"$path/postings", target)
     }
+    val docsTarget = IndexLayout.resolve(spark, s"$path/docs")
     docs.select(col(idCol),
         size(TextFns.words(col(textCol))).cast("long").as("doc_len"))
       .write.mode("append")
-      .parquet(IndexLayout.resolve(spark, s"$path/docs"))
+      .parquet(docsTarget)
+    IndexLayout.assertAppendVisible(spark, s"$path/docs", docsTarget)
     writeMergedStats(spark, path,
       docs.agg(count(lit(1)).cast("double"),
         coalesce(sum(size(TextFns.words(col(textCol)))).cast("double"),

@@ -458,15 +458,19 @@ object DedupOps {
     // a fresh build replaces everything — a stale tombstone sidecar OR
     // stale streaming segments from a previous index at this path must
     // not filter into / union into the new one (readers unconditionally
-    // span $path/segments/batch=*). For a segment write (sharded = false
-    // at a $path/segments/batch=<id> target) both calls are no-ops.
-    IndexLayout.clearTombstones(corpusDf.sparkSession, s"$path/tombstones")
-    IndexLayout.clearSegments(corpusDf.sparkSession, path)
-    // …and any version manifests from a previous index's compactions
-    // (the rebuild writes the plain layout, which a stale manifest would
-    // shadow)
-    IndexLayout.clearVersions(corpusDf.sparkSession, s"$path/shingles")
-    IndexLayout.clearVersions(corpusDf.sparkSession, s"$path/fingerprints")
+    // span $path/segments/batch=*), and any version manifests from a
+    // previous index's compactions (the rebuild writes the plain layout,
+    // which a stale manifest would shadow). `sharded = false` is the
+    // streaming-SEGMENT write (target $path/segments/batch=<id>): a
+    // segment carries no lifecycle state of its own, so the four clears
+    // would be guaranteed no-ops — on an object store, 4+ wasted API
+    // calls per micro-batch — and are skipped.
+    if (sharded) {
+      IndexLayout.clearTombstones(corpusDf.sparkSession, s"$path/tombstones")
+      IndexLayout.clearSegments(corpusDf.sparkSession, path)
+      IndexLayout.clearVersions(corpusDf.sparkSession, s"$path/shingles")
+      IndexLayout.clearVersions(corpusDf.sparkSession, s"$path/fingerprints")
+    }
     val postings =
       dedupIndexPostings(corpusDf, idCol, textCol, n, nShards, sharded)
     val w = postings.write.mode("overwrite")
@@ -551,17 +555,27 @@ object DedupOps {
           "overwrite"
         }
       // append into the RESOLVED directory: after a versioned compaction
-      // the live layout is $path/shingles.v<n>, not the plain dir
+      // the live layout is $path/shingles.v<n>, not the plain dir — and
+      // a compaction flip racing this append fails loudly instead of
+      // stranding rows in a retired version (segments are the
+      // concurrent-safe write path)
+      val target = IndexLayout.resolve(batch.sparkSession, s"$path/shingles")
       dedupIndexPostings(batch, idCol, textCol, n, nShards)
         .write.mode(mode).partitionBy("shard")
-        .parquet(IndexLayout.resolve(batch.sparkSession, s"$path/shingles"))
+        .parquet(target)
+      IndexLayout.assertAppendVisible(batch.sparkSession,
+        s"$path/shingles", target)
     }
+    val fpTarget =
+      IndexLayout.resolve(batch.sparkSession, s"$path/fingerprints")
     batch
       .select(col(idCol),
         graft.functions.TextFns.fingerprint(col(textCol)).as("__fp"))
       .distinct()
       .write.mode("append")
-      .parquet(IndexLayout.resolve(batch.sparkSession, s"$path/fingerprints"))
+      .parquet(fpTarget)
+    IndexLayout.assertAppendVisible(batch.sparkSession,
+      s"$path/fingerprints", fpTarget)
   }
 
   /** Tombstone documents OUT of the dedup index — O(batch) appended

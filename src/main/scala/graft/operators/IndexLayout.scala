@@ -44,13 +44,46 @@ object IndexLayout {
   // version directory that the next swap garbage-collects. (Siblings,
   // not `D/v=<n>` subdirs: a version subdir inside D would pollute
   // Spark's partition discovery for readers of the old layout mid-swap.)
+  //
+  // Two availability refinements for long scans and object stores:
+  //
+  //  - N-1 RETENTION: a flip deletes only layouts at least TWO swaps old
+  //    — the version (or plain dir) that was current until this flip
+  //    survives one more swap. A reader that resolved the old version and
+  //    is mid-scan when a compaction lands keeps its parquet files until
+  //    the NEXT compaction; at 100 TB, where a scan is minutes long and
+  //    compaction is routine, immediate GC would delete files under every
+  //    scan that straddles a swap. (One compaction-interval of grace is
+  //    the standard snapshot-retention trade — readers slower than a full
+  //    compaction cycle need snapshot pinning, out of scope here.)
+  //
+  //  - FLIP-WINDOW TOLERANCE: the manifest flip is tmp + rename(OVERWRITE)
+  //    — atomic on HDFS/local, but an object-store connector may
+  //    implement rename as copy+delete, leaving a window where NO
+  //    manifest is visible. A one-time marker FILE `D._VERSIONED`
+  //    (created before the first flip, deleted only by [[clearVersions]])
+  //    records that this table HAS a manifest, so [[resolve]] can tell
+  //    "manifest mid-rename / lost" (marker present: re-read once, then
+  //    fall back to the highest version directory — complete data by the
+  //    write-before-flip invariant) from "plain layout" (no marker: the
+  //    plain dir, never a half-written version sibling).
   // ---------------------------------------------------------------------
 
   /** The manifest's current version, or None for a plain (unversioned)
     * layout. A manifest that exists but cannot be parsed is corruption —
     * loud, never a silent fallback to stale plain data.
     */
+  /** Driver-side manifest probes since JVM start — each is ≥1 filesystem
+    * round-trip (an exists + maybe a read), i.e. ≥1 object-store API call
+    * in production. Counted so IndexScaleProbeSpec can assert the
+    * multi-layout read path stays O(1) manifest probes per sub-table as
+    * the segment count grows (segments are never versioned, so resolving
+    * each one was pure chatter).
+    */
+  private[graft] val manifestProbes = new java.util.concurrent.atomic.AtomicLong
+
   def currentVersion(spark: SparkSession, dir: String): Option[Int] = {
+    manifestProbes.incrementAndGet()
     val m = new org.apache.hadoop.fs.Path(dir + "._CURRENT")
     val fs = fsOf(spark, m)
     if (!fs.exists(m)) None
@@ -67,12 +100,56 @@ object IndexLayout {
   /** The directory actually holding `dir`'s data: `dir.v<n>` when a
     * version manifest exists, `dir` itself otherwise. Every operator
     * read/append of a swappable table goes through this.
+    *
+    * Manifest absent but the `_VERSIONED` marker present means the
+    * manifest is mid-rename (an object-store flip window) or lost: the
+    * manifest is re-read once (the rename usually completes within the
+    * round-trip), then the HIGHEST version directory is used — by the
+    * write-before-flip invariant every `dir.v<n>` is a complete layout,
+    * and under N-1 retention the highest is the one being (or just)
+    * flipped to, never a half-written sibling. A plain layout (no
+    * marker) never consults version siblings, so a reader during a
+    * FIRST compaction's prepare phase cannot resolve to the in-progress
+    * `dir.v1`.
     */
   def resolve(spark: SparkSession, dir: String): String =
     currentVersion(spark, dir) match {
       case Some(n) => s"$dir.v$n"
-      case None    => dir
+      case None =>
+        val marker = new org.apache.hadoop.fs.Path(dir + "._VERSIONED")
+        if (!fsOf(spark, marker).exists(marker)) dir
+        else currentVersion(spark, dir) match { // re-read: rename window
+          case Some(n) => s"$dir.v$n"
+          case None =>
+            val vs = versionDirs(spark, dir)
+            require(vs.nonEmpty,
+              s"$dir is marked versioned but has no manifest and no " +
+                "version directories — corrupt layout")
+            s"$dir.v${vs.map(_._1).max}"
+        }
     }
+
+  /** Post-append visibility check: direct appends write into the
+    * RESOLVED directory, but a compaction running concurrently snapshots
+    * the old version, writes the next one, and flips — rows appended
+    * after its snapshot would sit in a retired version, invisible to
+    * readers while the merged stats still count them. Appenders capture
+    * the resolved target BEFORE the write and call this AFTER it: a flip
+    * in between fails LOUDLY (the retired version survives one more swap
+    * under N-1 retention, so re-running the append loses nothing).
+    * Streaming SEGMENTS are the concurrent-safe write path — they land
+    * beside the base and compaction folds only the snapshot it listed;
+    * this guard is for the direct-append path only.
+    */
+  def assertAppendVisible(spark: SparkSession, dir: String,
+                          target: String): Unit = {
+    val now = resolve(spark, dir)
+    require(now == target,
+      s"concurrent compaction flipped $dir during a direct append " +
+        s"(target $target is no longer current: $now) — the appended " +
+        "rows are in a retired version; re-run the append, or use the " +
+        "segment write path for writes concurrent with compaction")
+  }
 
   /** Step 1 of a swap, exposed for the kill-the-compactor spec: write
     * `df` fully into the NEXT version directory `dir.v<n>` (readers are
@@ -99,9 +176,13 @@ object IndexLayout {
 
   /** Step 2 of a swap: atomically retarget readers to version `n` (tmp
     * manifest + overwrite-rename — one tiny object, the only mutation a
-    * reader can race), then garbage-collect every other version and the
-    * plain layout. A crash before the flip leaves readers on the old
-    * version with an orphan `dir.v<n>`; after it, on the new one.
+    * reader can race), then garbage-collect layouts at least two swaps
+    * old. N-1 RETENTION: the layout that was current until THIS flip
+    * (the plain dir on a first swap, `dir.v<old>` afterwards) is kept
+    * one more swap so readers mid-scan on it complete; everything older
+    * — and any crashed-prepare orphan — is deleted. A crash before the
+    * flip leaves readers on the old version with an orphan `dir.v<n>`;
+    * after it, on the new one.
     */
   private[graft] def flipVersion(spark: SparkSession, dir: String,
                                  n: Int): Unit = {
@@ -109,16 +190,23 @@ object IndexLayout {
     val m = new org.apache.hadoop.fs.Path(dir + "._CURRENT")
     val tmp = new org.apache.hadoop.fs.Path(dir + "._CURRENT.next")
     val fs = fsOf(spark, m)
+    // one-time durable marker FIRST (see the resolve scaladoc): once a
+    // manifest can exist, readers must never fall back to the plain dir
+    // in its rename window
+    val marker = new org.apache.hadoop.fs.Path(dir + "._VERSIONED")
+    if (!fs.exists(marker)) fs.create(marker, true).close()
     val out = fs.create(tmp, true)
     try out.write(n.toString.getBytes("UTF-8")) finally out.close()
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       tmp.toUri, spark.sparkContext.hadoopConfiguration)
     fc.rename(tmp, m, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    // cleanup AFTER the flip: the plain layout (first versioned swap) and
-    // every version but n — failures here are harmless orphans
+    // cleanup AFTER the flip, sparing the immediately-previous layout
+    // (N-1 retention for in-flight readers) — failures here are
+    // harmless orphans
     val p = new org.apache.hadoop.fs.Path(dir)
-    if (old.isEmpty && fs.exists(p)) fs.delete(p, true)
-    versionDirs(spark, dir).filter(_._1 != n)
+    if (old.isDefined && fs.exists(p)) fs.delete(p, true)
+    versionDirs(spark, dir)
+      .filter { case (v, _) => v != n && !old.contains(v) }
       .foreach { case (_, vp) => fs.delete(vp, true) }
   }
 
@@ -150,6 +238,7 @@ object IndexLayout {
     val fs = fsOf(spark, m)
     fs.delete(m, false)
     fs.delete(new org.apache.hadoop.fs.Path(dir + "._CURRENT.next"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(dir + "._VERSIONED"), false)
     versionDirs(spark, dir).foreach { case (_, vp) => fs.delete(vp, true) }
   }
 
@@ -172,11 +261,21 @@ object IndexLayout {
     * NON-empty unpartitioned layout (a segment-style `sharded = false`
     * build), which is NOT a valid append target: overwriting it would
     * silently drop its rows while the stats still merge additively.
+    * A directory holding no parquet data files at all (e.g. only a
+    * `_SUCCESS` left by a cleaned write) counts as no rows — probing it
+    * through the reader would throw `unable to infer schema` instead.
     */
   def hasRows(spark: SparkSession, dir: String): Boolean = {
     val r = resolve(spark, dir)
     val p = new org.apache.hadoop.fs.Path(r)
-    fsOf(spark, p).exists(p) && !spark.read.parquet(r).isEmpty
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) return false
+    val it = fs.listFiles(p, true)
+    var anyData = false
+    while (!anyData && it.hasNext) {
+      anyData = it.next().getPath.getName.endsWith(".parquet")
+    }
+    anyData && !spark.read.parquet(r).isEmpty
   }
 
   /** Append a distinct id batch to the layout's tombstone sidecar.
@@ -345,12 +444,17 @@ object IndexLayout {
 
   /** [[existingParts]] over an EXPLICIT segment snapshot — what the
     * compactors use, so the set they fold is exactly the set they later
-    * clear (a segment arriving mid-compaction is neither).
+    * clear (a segment arriving mid-compaction is neither). Only the BASE
+    * sub-table is version-resolved: segments are immutable mini-layouts
+    * written by plain per-batch overwrites and are never the target of a
+    * versioned compaction, so probing a manifest per segment was
+    * O(segments) pure driver FS chatter per read — on an object store,
+    * O(segments) API calls per query (the q231 regression).
     */
   def existingPartsOf(spark: SparkSession, path: String,
                       segs: Seq[String], sub: String): Seq[String] = {
     val conf = spark.sparkContext.hadoopConfiguration
-    (path +: segs).map(p => resolve(spark, s"$p/$sub"))
+    (resolve(spark, s"$path/$sub") +: segs.map(p => s"$p/$sub"))
       .filter { d =>
         val hp = new org.apache.hadoop.fs.Path(d)
         hp.getFileSystem(conf).exists(hp)

@@ -57,12 +57,18 @@ object IvfPq {
     * works unchanged on this layout (same (cell, id, …) shape).
     */
   def appendToIndex(batch: DataFrame, idCol: String, embCol: String,
-                    model: Model, path: String): Unit =
+                    model: Model, path: String): Unit = {
+    // resolved target captured first; a compaction flip racing this
+    // append fails loudly instead of stranding rows in a retired
+    // version (segments are the concurrent-safe write path)
+    val target = IndexLayout.resolve(batch.sparkSession, path)
     PqIndex.encode(IvfIndex.assign(batch, embCol, model.coarse),
         embCol, model.pq)
       .repartition(col("cell"))
       .write.mode("append").partitionBy("cell")
-      .parquet(IndexLayout.resolve(batch.sparkSession, path))
+      .parquet(target)
+    IndexLayout.assertAppendVisible(batch.sparkSession, path, target)
+  }
 
   /** Write a micro-batch as an immutable streaming SEGMENT of a
     * [[writeIndex]] layout: assigned to the existing coarse centroids,
@@ -170,6 +176,8 @@ object IvfPq {
     * second source is consulted), trains a fresh coarse+PQ model,
     * re-encodes, and version-swaps the re-clustered layout in. Returns
     * the new model — the caller must search with it from here on.
+    * WHEN to run it is measured by the q236 drift audit (see
+    * `IvfIndex.retrainCompact`).
     */
   def retrainCompact(spark: SparkSession, path: String, idCol: String,
                      embCol: String, nlist: Int, coarseIters: Int,

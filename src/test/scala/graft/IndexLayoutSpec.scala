@@ -23,7 +23,7 @@ class IndexLayoutSpec extends SparkSpec {
     spark.read.parquet(IndexLayout.resolve(spark, dir))
       .select("id").collect().map(_.getLong(0)).toSet
 
-  test("writeSwap versions the layout: new data after, plain dir gone, resolve follows") {
+  test("writeSwap versions the layout with N-1 retention: the previous layout survives exactly one more swap") {
     val dir = freshDir("ixl_swap")
     Seq(1L, 2L, 3L).toDF("id").write.parquet(dir)
     assert(IndexLayout.currentVersion(spark, dir).isEmpty)
@@ -31,13 +31,81 @@ class IndexLayoutSpec extends SparkSpec {
     IndexLayout.writeSwap(spark, dir, Seq(4L, 5L).toDF("id"), None)
     assert(IndexLayout.currentVersion(spark, dir) == Some(1))
     assert(rows(dir) == Set(4L, 5L))
-    // the plain directory was garbage-collected after the flip
-    assert(!new java.io.File(dir).exists())
-    // second swap: v2 becomes current, v1 collected
+    // N-1 retention: the plain directory (current until this flip) is
+    // kept one more swap for readers mid-scan on it
+    assert(new java.io.File(dir).exists())
+    // second swap: v2 current, the plain dir (two swaps old) collected,
+    // v1 (previous current) retained
     IndexLayout.writeSwap(spark, dir, Seq(6L).toDF("id"), None)
     assert(IndexLayout.currentVersion(spark, dir) == Some(2))
     assert(rows(dir) == Set(6L))
+    assert(!new java.io.File(dir).exists())
+    assert(new java.io.File(s"$dir.v1").exists())
+    // third swap: v1 collected, v2 retained
+    IndexLayout.writeSwap(spark, dir, Seq(7L).toDF("id"), None)
+    assert(rows(dir) == Set(7L))
     assert(!new java.io.File(s"$dir.v1").exists())
+    assert(new java.io.File(s"$dir.v2").exists())
+  }
+
+  test("N-1 retention: a reader mid-scan on the current version completes across a swap") {
+    val dir = freshDir("ixl_inflight")
+    Seq(1L, 2L).toDF("id").write.parquet(dir)
+    IndexLayout.writeSwap(spark, dir, Seq(3L, 4L).toDF("id"), None)
+    // the reader resolves the CURRENT version (v1) and holds its plan —
+    // the minutes-long 100 TB scan in miniature
+    val inFlight = spark.read.parquet(IndexLayout.resolve(spark, dir))
+    // a compaction lands mid-scan
+    IndexLayout.writeSwap(spark, dir, Seq(5L).toDF("id"), None)
+    assert(rows(dir) == Set(5L), "new readers see the new version")
+    // the in-flight read still answers from its resolved v1 files
+    assert(inFlight.select("id").collect().map(_.getLong(0)).toSet
+      == Set(3L, 4L))
+  }
+
+  test("resolve tolerates the manifest flip window: marker present, manifest absent → highest version") {
+    val dir = freshDir("ixl_window")
+    Seq(1L).toDF("id").write.parquet(dir)
+    IndexLayout.writeSwap(spark, dir, Seq(2L).toDF("id"), None)
+    IndexLayout.writeSwap(spark, dir, Seq(3L).toDF("id"), None)
+    // simulate the object-store rename window / a lost manifest: the
+    // _CURRENT file vanishes between a reader's two accesses
+    assert(new java.io.File(s"$dir._CURRENT").delete())
+    assert(rows(dir) == Set(3L),
+      "marker-led fallback must pick the highest (complete) version")
+    // …whereas a PLAIN layout with a half-prepared version sibling (a
+    // first compaction mid-prepare, marker not yet written) must keep
+    // resolving to the plain dir, never the in-progress sibling
+    val plain = freshDir("ixl_plainprep")
+    Seq(7L).toDF("id").write.parquet(plain)
+    IndexLayout.prepareVersion(spark, plain, Seq(8L).toDF("id"), None)
+    assert(rows(plain) == Set(7L))
+  }
+
+  test("assertAppendVisible fails loudly when a compaction flip raced a direct append") {
+    val dir = freshDir("ixl_appendrace")
+    Seq(1L).toDF("id").write.parquet(dir)
+    val target = IndexLayout.resolve(spark, dir)
+    Seq(2L).toDF("id").write.mode("append").parquet(target)
+    // no flip: the append is visible
+    IndexLayout.assertAppendVisible(spark, dir, target)
+    // a compaction flips mid-append: the guard throws instead of
+    // stranding the rows in a retired layout
+    IndexLayout.writeSwap(spark, dir, Seq(9L).toDF("id"), None)
+    val e = intercept[IllegalArgumentException] {
+      IndexLayout.assertAppendVisible(spark, dir, target)
+    }
+    assert(e.getMessage.contains("concurrent compaction"))
+  }
+
+  test("hasRows is false for a directory holding no parquet data files") {
+    val dir = freshDir("ixl_nofooter")
+    assert(new java.io.File(dir).mkdirs())
+    assert(new java.io.File(s"$dir/_SUCCESS").createNewFile())
+    assert(!IndexLayout.hasRows(spark, dir),
+      "a footerless directory is NOT rows — and must not throw")
+    Seq(1L).toDF("id").write.mode("overwrite").parquet(dir)
+    assert(IndexLayout.hasRows(spark, dir))
   }
 
   test("kill before the flip: readers still answer from the old version") {
@@ -81,8 +149,12 @@ class IndexLayoutSpec extends SparkSpec {
     assert(IndexLayout.currentVersion(spark, dir) == Some(1))
     IndexLayout.clearVersions(spark, dir)
     assert(IndexLayout.currentVersion(spark, dir).isEmpty)
-    // the fresh build's plain overwrite is now unshadowed
-    Seq(3L).toDF("id").write.parquet(dir)
+    // the versioned marker is gone too — resolve is back to plain rules
+    assert(!new java.io.File(s"$dir._VERSIONED").exists())
+    // the fresh build's plain overwrite is now unshadowed (overwrite:
+    // under N-1 retention the plain dir may survive a first swap, which
+    // is why every fresh-build caller writes mode("overwrite"))
+    Seq(3L).toDF("id").write.mode("overwrite").parquet(dir)
     assert(rows(dir) == Set(3L))
     assert(!new java.io.File(s"$dir.v1").exists())
   }
@@ -122,6 +194,34 @@ class IndexLayoutSpec extends SparkSpec {
     assert(IndexLayout.readTombstones(spark, tomb).isEmpty)
     assert(IndexLayout.dropTombstoned(data, "id", tomb)
       .count() == 3)
+  }
+
+  test("multi-layout reads probe O(1) version manifests regardless of segment count") {
+    import graft.operators.Bm25
+    // segments are never versioned (plain per-batch overwrites), so a
+    // read that resolves a manifest PER SEGMENT is O(segments) driver FS
+    // round-trips — object-store API calls — per query for nothing (the
+    // round-7 q231 regression). Pin: growing the segment count must not
+    // grow the manifest-probe count of a retrieval.
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "beta delta"),
+      (3L, "gamma epsilon zeta"), (4L, "alpha zeta"))
+      .toDF("doc_id", "text")
+    def probesWithSegments(nSegs: Int): Long = {
+      val dir = s"${java.nio.file.Files.createTempDirectory("ixl_probes")}/ix"
+      Bm25.writeIndex(docs, "doc_id", "text", dir)
+      (0 until nSegs).foreach { b =>
+        Bm25.writeIndex(docs.withColumn("doc_id", col("doc_id") + lit(100L * (b + 1))),
+          "doc_id", "text", s"$dir/segments/batch=$b", sharded = false)
+      }
+      val before = IndexLayout.manifestProbes.get()
+      Bm25.topKIndexed(spark, dir, "doc_id", Seq("q" -> "alpha gamma"), k = 3)
+        .count()
+      IndexLayout.manifestProbes.get() - before
+    }
+    val two = probesWithSegments(2)
+    val six = probesWithSegments(6)
+    assert(six == two,
+      s"manifest probes grew with segment count: $two @2 segs vs $six @6 segs")
   }
 
   test("clearSegmentDirs deletes exactly the snapshot, not the segment root") {

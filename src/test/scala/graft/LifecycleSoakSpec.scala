@@ -1,0 +1,283 @@
+package graft
+
+import graft.operators.{Bm25, DedupOps, IndexLayout, IvfIndex, IvfPq}
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Composed lifecycle SOAK per persisted-layout family. The pairwise
+  * races (segment-arrival-mid-compaction, kill-before-flip, tombstone
+  * snapshots) each have their own spec; what was missing was the
+  * INTERLEAVING: one index driven through stream-folds + direct appends
+  * + deletes + a compaction + a re-shard (+ a retrain for the vector
+  * layouts), with an EXACT-read assertion against a from-scratch oracle
+  * after every single step — the maintenance schedule a production index
+  * actually lives, compressed. Any state leak between lifecycle moves
+  * (a tombstone compaction forgot, a segment folded twice, a version
+  * manifest shadowing a rebuild, stats drifting off the sidecar) shows
+  * up as a wrong read at the step that exposed it.
+  */
+class LifecycleSoakSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString
+
+  private def docs = Tables(spark, sf, "documents").select("doc_id", "text")
+  private def embs = Tables(spark, sf, "embeddings")
+
+  // ────────────────────────────── BM25 ──────────────────────────────
+
+  test("BM25 soak: build → stream → delete → stream → re-shard compact → append → delete → compact, exact at every step") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    val queries = Seq("s1" -> "fast hash join", "s2" -> "stream filter vector")
+    def retrieved(path: String, nShards: Int): Set[Seq[Any]] =
+      Bm25.topKIndexed(spark, path, "doc_id", queries, k = 5,
+          nShards = nShards)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          round(col("score"), 9))
+        .collect().map(_.toSeq).toSet
+    def oracle(live: DataFrame): Set[Seq[Any]] =
+      Bm25.topK(live, "doc_id", "text", queries, k = 5)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          round(col("score"), 9))
+        .collect().map(_.toSeq).toSet
+
+    val a  = docs.filter(col("doc_id") % 4 === 0)
+    val b1 = docs.filter(col("doc_id") % 4 === 1)
+    val b2 = docs.filter(col("doc_id") % 4 === 2)
+    val b3 = docs.filter(col("doc_id") % 4 === 3)
+    val dir = s"${tmp("soak_bm25")}/index"
+
+    // 1. base build
+    Bm25.writeIndex(a, "doc_id", "text", dir)
+    var live = a
+    assert(retrieved(dir, 64) == oracle(live), "after base build")
+
+    // 2. stream-fold a micro-batch into a segment
+    val src = MemoryStream[(Long, String)]
+    val q = StreamingOps.streamBm25Index(src.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", dir, s"${tmp("soak_bm25_ckpt")}/c1")
+    src.addData(b1.as[(Long, String)].collect().toSeq: _*)
+    q.processAllAvailable()
+    live = live.unionByName(b1)
+    assert(retrieved(dir, 64) == oracle(live), "after stream-fold 1")
+
+    // 3. delete a slice that spans base AND segment
+    val del1 = live.filter(col("doc_id") % 8 === 0).select("doc_id")
+    Bm25.removeFromIndex(del1, "doc_id", dir)
+    live = live.filter(col("doc_id") % 8 =!= 0)
+    assert(retrieved(dir, 64) == oracle(live), "after delete 1")
+
+    // 4. second stream-fold onto the tombstoned state
+    src.addData(b2.as[(Long, String)].collect().toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    live = live.unionByName(b2)
+    assert(retrieved(dir, 64) == oracle(live), "after stream-fold 2")
+
+    // 5. RE-SHARD compaction: folds both segments + the tombstones into
+    // a fresh 16-shard base behind a version swap
+    Bm25.compactIndex(spark, dir, "doc_id", reshardTo = Some(16))
+    assert(IndexLayout.segmentDirs(spark, dir).isEmpty, "segments folded")
+    assert(retrieved(dir, 16) == oracle(live), "after re-shard compaction")
+
+    // 6. direct append onto the versioned, re-sharded layout
+    Bm25.appendToIndex(b3, "doc_id", "text", dir, nShards = 16)
+    live = live.unionByName(b3)
+    assert(retrieved(dir, 16) == oracle(live), "after direct append")
+
+    // 7. second delete, then a plain compaction of the appended state
+    val del2 = live.filter(col("doc_id") % 8 === 1).select("doc_id")
+    Bm25.removeFromIndex(del2, "doc_id", dir)
+    live = live.filter(col("doc_id") % 8 =!= 1)
+    assert(retrieved(dir, 16) == oracle(live), "after delete 2")
+    Bm25.compactIndex(spark, dir, "doc_id")
+    assert(retrieved(dir, 16) == oracle(live), "after final compaction")
+    assert(IndexLayout.tombstoneFiles(spark, s"$dir/tombstones").isEmpty,
+      "tombstones materialized")
+  }
+
+  // ────────────────────────────── dedup ──────────────────────────────
+
+  test("dedup soak: build → stream → delete → compact → append → delete → compact, increment-check exact at every step") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    // the increment under check stays fixed; the indexed corpus evolves
+    val probe = docs.filter(col("doc_id") % 10 === 9)
+    def checked(path: String): Set[Seq[Any]] =
+      DedupOps.dedupAgainstIndex(spark, path, probe, "doc_id", "text",
+          n = 3, threshold = 0.5)
+        .select(col("doc_id"), col("exact_dup"), col("near_dup"),
+          round(col("max_jaccard"), 9))
+        .collect().map(_.toSeq).toSet
+    def oracle(corpus: DataFrame): Set[Seq[Any]] =
+      DedupOps.dedupAgainst(probe, corpus, "doc_id", "text",
+          n = 3, threshold = 0.5)
+        .select(col("doc_id"), col("exact_dup"), col("near_dup"),
+          round(col("max_jaccard"), 9))
+        .collect().map(_.toSeq).toSet
+
+    val a  = docs.filter(col("doc_id") % 10 < 3)
+    val b1 = docs.filter(col("doc_id") % 10 === 3)
+    val b2 = docs.filter(col("doc_id") % 10 === 4)
+    val dir = s"${tmp("soak_dedup")}/index"
+
+    DedupOps.writeDedupIndex(a, "doc_id", "text", n = 3, path = dir)
+    var corpus = a
+    assert(checked(dir) == oracle(corpus), "after base build")
+
+    val src = MemoryStream[(Long, String)]
+    val q = StreamingOps.streamDedupIndex(src.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", 3, dir, s"${tmp("soak_dedup_ckpt")}/c1")
+    src.addData(b1.as[(Long, String)].collect().toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    corpus = corpus.unionByName(b1)
+    assert(checked(dir) == oracle(corpus), "after stream-fold")
+
+    val del1 = corpus.filter(col("doc_id") % 10 === 0).select("doc_id")
+    DedupOps.removeFromDedupIndex(del1, "doc_id", dir)
+    corpus = corpus.filter(col("doc_id") % 10 =!= 0)
+    assert(checked(dir) == oracle(corpus), "after delete")
+
+    DedupOps.compactDedupIndex(spark, dir, "doc_id")
+    assert(IndexLayout.segmentDirs(spark, dir).isEmpty, "segments folded")
+    assert(checked(dir) == oracle(corpus), "after compaction")
+
+    DedupOps.appendToDedupIndex(b2, "doc_id", "text", n = 3, path = dir)
+    corpus = corpus.unionByName(b2)
+    assert(checked(dir) == oracle(corpus), "after append onto versioned layout")
+
+    val del2 = corpus.filter(col("doc_id") % 10 === 1).select("doc_id")
+    DedupOps.removeFromDedupIndex(del2, "doc_id", dir)
+    corpus = corpus.filter(col("doc_id") % 10 =!= 1)
+    assert(checked(dir) == oracle(corpus), "after second delete")
+
+    DedupOps.compactDedupIndex(spark, dir, "doc_id")
+    assert(checked(dir) == oracle(corpus), "after final compaction")
+    assert(IndexLayout.tombstoneFiles(spark, s"$dir/tombstones").isEmpty,
+      "tombstones materialized")
+  }
+
+  // ────────────────────────────── IVF ──────────────────────────────
+
+  test("IVF soak: build → stream → delete → compact → append → RETRAIN, pruned search exact at every step") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    val queries = embs.filter(col("vec_id") < 4)
+    def pruned(dir: String, m: IvfIndex.Model): Set[Seq[Any]] =
+      IvfIndex.searchPruned(spark, dir, queries, "vec_id", "embedding",
+          m, nprobe = 3, topK = 5)
+        .select(col("query_id"), col("vec_id"), round(col("sim"), 9),
+          col("rank"))
+        .collect().map(_.toSeq).toSet
+    def oracle(live: DataFrame, m: IvfIndex.Model): Set[Seq[Any]] =
+      IvfIndex.search(queries, live, "vec_id", "embedding", m,
+          nprobe = 3, topK = 5)
+        .select(col("query_id"), col("vec_id"), round(col("sim"), 9),
+          col("rank"))
+        .collect().map(_.toSeq).toSet
+
+    // (vec_id, embedding) only: streamed segments carry exactly these
+    // columns, and the compaction fold unions base + segments by name
+    val vecs = embs.select("vec_id", "embedding")
+    val a  = vecs.filter(col("vec_id") % 3 === 0)
+    val b1 = vecs.filter(col("vec_id") % 3 === 1)
+    val b2 = vecs.filter(col("vec_id") % 3 === 2)
+    val model = IvfIndex.train(a, "vec_id", "embedding", k = 6, iters = 2)
+    val dir = s"${tmp("soak_ivf")}/index"
+
+    IvfIndex.writeIndex(a, "vec_id", "embedding", model, dir)
+    var live = a
+    assert(pruned(dir, model) == oracle(live, model), "after base build")
+
+    val src = MemoryStream[(Long, Array[Float])]
+    val q = StreamingOps.streamIvfIndex(
+      src.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      model, dir, s"${tmp("soak_ivf_ckpt")}/c1")
+    src.addData(b1.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    live = live.unionByName(b1)
+    assert(pruned(dir, model) == oracle(live, model), "after stream-fold")
+
+    val del1 = live.filter(col("vec_id") % 6 === 0).select("vec_id")
+    IvfIndex.removeFromIndex(del1, "vec_id", dir)
+    live = live.filter(col("vec_id") % 6 =!= 0)
+    assert(pruned(dir, model) == oracle(live, model), "after delete")
+
+    IvfIndex.compactIndex(spark, dir, "vec_id")
+    assert(IndexLayout.segmentDirsAt(spark, s"$dir.segments").isEmpty)
+    assert(pruned(dir, model) == oracle(live, model), "after compaction")
+
+    IvfIndex.appendToIndex(b2, "vec_id", "embedding", model, dir)
+    live = live.unionByName(b2)
+    assert(pruned(dir, model) == oracle(live, model),
+      "after append onto versioned layout")
+
+    // RETRAIN: quantizer drift repair — new model, re-clustered layout,
+    // reads must be exact under the returned model
+    val model2 = IvfIndex.retrainCompact(spark, dir, "vec_id", "embedding",
+      k = 6, iters = 2)
+    assert(pruned(dir, model2) == oracle(live, model2), "after retrain")
+  }
+
+  // ────────────────────────────── IVF-PQ ──────────────────────────────
+
+  test("IVF-PQ soak: build → segment → delete → compact → append → RETRAIN, pruned search equals a fresh build at every step") {
+    val qvec: Array[Double] = embs.orderBy(col("vec_id")).limit(1)
+      .select(col("embedding").cast("array<double>")).head()
+      .getSeq[Double](0).toArray
+    def prunedTop(dir: String, m: IvfPq.Model): Seq[(Long, Double)] =
+      IvfPq.searchPruned(spark, dir, qvec, "vec_id", "embedding", m,
+          nprobe = 3, shortlist = 40, topK = 5)
+        .collect().map(r => (r.getLong(0),
+          math.round(r.getDouble(1) * 1e9) / 1e9)).toSeq
+    // the oracle is a FRESH index over the live set, searched with the
+    // same model/config — the lifecycle state (segments, tombstones,
+    // version swaps) must be invisible to the read
+    def oracle(live: DataFrame, m: IvfPq.Model): Seq[(Long, Double)] = {
+      val d = s"${tmp("soak_ivfpq_fresh")}/index"
+      IvfPq.writeIndex(live, "vec_id", "embedding", m, d)
+      prunedTop(d, m)
+    }
+
+    val a  = embs.filter(col("vec_id") % 3 =!= 2 && col("vec_id") > 0)
+    val b1 = embs.filter(col("vec_id") % 3 === 2 && col("vec_id") % 2 === 0)
+    val b2 = embs.filter(col("vec_id") % 3 === 2 && col("vec_id") % 2 === 1)
+    val model = IvfPq.train(a, "vec_id", "embedding", nlist = 6,
+      coarseIters = 2, m = 8, k = 12, pqIters = 2)
+    val dir = s"${tmp("soak_ivfpq")}/index"
+
+    IvfPq.writeIndex(a, "vec_id", "embedding", model, dir)
+    var live = a
+    assert(prunedTop(dir, model) == oracle(live, model), "after base build")
+
+    IvfPq.writeSegment(b1, "vec_id", "embedding", model, dir, batchId = 0L)
+    live = live.unionByName(b1)
+    assert(prunedTop(dir, model) == oracle(live, model), "after segment")
+
+    val del1 = live.filter(col("vec_id") % 6 === 1).select("vec_id")
+    IvfIndex.removeFromIndex(del1, "vec_id", dir) // shared sidecar layout
+    live = live.filter(col("vec_id") % 6 =!= 1)
+    assert(prunedTop(dir, model) == oracle(live, model), "after delete")
+
+    IvfIndex.compactIndex(spark, dir, "vec_id") // shared (cell,id,…) shape
+    assert(prunedTop(dir, model) == oracle(live, model), "after compaction")
+
+    IvfPq.appendToIndex(b2, "vec_id", "embedding", model, dir)
+    live = live.unionByName(b2)
+    assert(prunedTop(dir, model) == oracle(live, model),
+      "after append onto versioned layout")
+
+    val model2 = IvfPq.retrainCompact(spark, dir, "vec_id", "embedding",
+      nlist = 6, coarseIters = 2, m = 8, k = 12, pqIters = 2)
+    assert(prunedTop(dir, model2) == oracle(live, model2), "after retrain")
+  }
+}
