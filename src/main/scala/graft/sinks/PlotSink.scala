@@ -505,13 +505,23 @@ object PlotSink {
       .agg(sum(col(valueCol)).as("__tot"))
       .orderBy(col("__tot").desc, col(rowCol))
       .limit(topN)
-    val pivot = df.join(broadcast(top.select(col(rowCol))), Seq(rowCol))
-      .groupBy(col(rowCol)).pivot(colCol)
+    // the column axis comes from the FULL frame, but the pivot runs on
+    // the top-N-joined subset — so the axis values are passed as the
+    // pivot's EXPLICIT value list: a colCol value that appears only
+    // outside the top-N rows then still yields its (all-null) column,
+    // keeping labels and value indices aligned (with an inferred pivot
+    // they desynchronize and the render reads past the row)
+    val colAxis = df.select(col(colCol).cast("string")).distinct()
+      .orderBy(col(colCol)).collect().map(_.getString(0)).toSeq
+    val pivoted = df.join(broadcast(top.select(col(rowCol))), Seq(rowCol))
+      .groupBy(col(rowCol))
+      .pivot(col(colCol).cast("string"), colAxis)
       .agg(avg(col(valueCol)))
       .orderBy(col(rowCol))
-      .collect()
-    val colLabels = df.select(col(colCol).cast("string")).distinct()
-      .orderBy(col(colCol)).collect().map(_.getString(0)).toSeq
+    // labels re-derived from the pivot's OWN schema (first column is
+    // rowCol): the render can never disagree with the frame it reads
+    val colLabels = pivoted.columns.drop(1).toSeq
+    val pivot = pivoted.collect()
     val rowLabels = pivot.map(_.get(0).toString).toSeq
     val values = pivot.map(r => colLabels.indices.map { i =>
       if (r.isNullAt(i + 1)) 0.0

@@ -119,15 +119,21 @@ object Sinks {
   }
 
   /** Upsert outcome counts. `inserted` is EXACT even under re-delivery
-    * (a replayed partition's rows conflict and the DB reports 0 for
-    * them); `attempted`/`skipped`/`failed` are at-least-once under
-    * Spark-level task replays (the accumulators drop failed-ATTEMPT
-    * updates, but a partition the framework delivers twice counts
-    * twice — by design: attempted measures delivery traffic, the target
-    * table stays exact through ON CONFLICT).
+    * FOR DRIVERS THAT REPORT PER-ROW BATCH COUNTS (PostgreSQL's JDBC
+    * driver does: a replayed partition's rows conflict and executeBatch
+    * reports 0 for them). Drivers that return `SUCCESS_NO_INFO` for
+    * batched statements (MySQL with rewriteBatchedStatements, Oracle)
+    * cannot distinguish inserted from conflict-skipped — those rows are
+    * counted in `unknown`, never inflated into `inserted`.
+    * `attempted`/`skipped`/`failed` are at-least-once under Spark-level
+    * task replays (the accumulators drop failed-ATTEMPT updates, but a
+    * partition the framework delivers twice counts twice — by design:
+    * attempted measures delivery traffic, the target table stays exact
+    * through ON CONFLICT).
     */
   final case class UpsertStats(attempted: Long, inserted: Long,
-                               skipped: Long, failed: Long)
+                               skipped: Long, failed: Long,
+                               unknown: Long = 0L)
 
   /** K3: batched idempotent upsert through a caller-supplied JDBC
     * connection factory (`() => Connection` must be serializable — e.g. a
@@ -147,6 +153,7 @@ object Sinks {
     val inserted: LongAccumulator = spark.sparkContext.longAccumulator("upsert_inserted")
     val skipped: LongAccumulator = spark.sparkContext.longAccumulator("upsert_skipped")
     val failed: LongAccumulator = spark.sparkContext.longAccumulator("upsert_failed")
+    val unknown: LongAccumulator = spark.sparkContext.longAccumulator("upsert_unknown")
     val cols = df.columns.toSeq
     val sql = s"INSERT INTO $table (${cols.mkString(", ")}) VALUES " +
       s"(${cols.map(_ => "?").mkString(", ")}) " +
@@ -160,8 +167,13 @@ object Sinks {
           def flush(): Unit = if (inBatch > 0) {
             try {
               val res = stmt.executeBatch()
-              inserted.add(res.count(r => r > 0 || r == java.sql.Statement.SUCCESS_NO_INFO))
+              // > 0: per-row count — exactly one insert. 0: conflict
+              // skip. SUCCESS_NO_INFO: the driver executed the row but
+              // won't say which way — its own bucket, so `inserted`
+              // stays exact for drivers that do report
+              inserted.add(res.count(_ > 0))
               skipped.add(res.count(_ == 0))
+              unknown.add(res.count(_ == java.sql.Statement.SUCCESS_NO_INFO))
             } catch {
               case _: java.sql.SQLException => failed.add(inBatch)
             }
@@ -178,7 +190,8 @@ object Sinks {
         } finally conn.close()
       }
     }
-    UpsertStats(attempted.value, inserted.value, skipped.value, failed.value)
+    UpsertStats(attempted.value, inserted.value, skipped.value,
+      failed.value, unknown.value)
   }
 
   /** Bucketed table write: co-locates future joins/aggregations on

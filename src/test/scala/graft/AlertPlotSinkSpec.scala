@@ -104,6 +104,27 @@ class AlertPlotSinkSpec extends SparkSpec {
     assert(img != null && img.getHeight > PlotSink.HeatTop)
   }
 
+  test("writeHeatmap survives a column value that appears only outside the top-N rows") {
+    // row 'c' is OUTSIDE topN=2 by total, and column 'z' appears ONLY on
+    // row 'c' — the pivot of the top-N subset therefore has no data for
+    // 'z', while the column axis (derived from the full frame) includes
+    // it. With an inferred pivot this desynchronized labels from value
+    // indices and threw ArrayIndexOutOfBounds inside reportFailure,
+    // silently dropping the alert email (reference
+    // visualization_generator.py:392-401 pivots the full frame).
+    val dir = java.nio.file.Files.createTempDirectory("graft-heatgap").toString
+    val df = Seq(
+      ("a", "x", 10.0), ("a", "y", 20.0),
+      ("b", "x", 30.0), ("b", "y", 40.0),
+      ("c", "z", 1.0))
+      .toDF("row", "col", "v")
+    PlotSink.writeHeatmap(df, "row", "col", "v",
+      s"file:$dir/gap_heatmap.png", "Gap", topN = 2)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.File(s"$dir/gap_heatmap.png"))
+    assert(img != null && img.getHeight > PlotSink.HeatTop)
+  }
+
   test("writeLineChart renders run-history-shaped series through Hadoop FS") {
     val dir = java.nio.file.Files.createTempDirectory("graft-line").toString
     val df = Seq(("validity", 1.0, 98.0), ("validity", 2.0, 97.5),

@@ -90,6 +90,33 @@ object SinksSpec {
     Proxy.newProxyInstance(getClass.getClassLoader,
       Array(classOf[Connection]), connHandler).asInstanceOf[Connection]
   }
+
+  /** Fake whose executeBatch reports SUCCESS_NO_INFO (-2) for every row
+    * — the MySQL-rewriteBatchedStatements / Oracle batch shape.
+    */
+  def noInfoConnection(): Connection = {
+    var pending = 0
+    lazy val stmtHandler: InvocationHandler =
+      (_: Any, m: Method, _: Array[AnyRef]) =>
+        m.getName match {
+          case "addBatch" => pending += 1; null
+          case "executeBatch" =>
+            val r = Array.fill(pending)(java.sql.Statement.SUCCESS_NO_INFO)
+            pending = 0; r
+          case _ => null
+        }
+    val connHandler: InvocationHandler =
+      (_: Any, m: Method, _: Array[AnyRef]) =>
+        m.getName match {
+          case "prepareStatement" =>
+            Proxy.newProxyInstance(getClass.getClassLoader,
+              Array(classOf[PreparedStatement]), stmtHandler)
+          case "isClosed" => java.lang.Boolean.FALSE
+          case _ => null
+        }
+    Proxy.newProxyInstance(getClass.getClassLoader,
+      Array(classOf[Connection]), connHandler).asInstanceOf[Connection]
+  }
 }
 
 class SinksSpec extends SparkSpec {
@@ -214,6 +241,21 @@ class SinksSpec extends SparkSpec {
         SinksSpec.failBatches), batchSize = 40)
     assert(repair.inserted == 40 && repair.skipped == 60 && repair.failed == 0)
     assert(upsertTable.size() == 100)
+  }
+
+  test("a SUCCESS_NO_INFO driver lands rows in `unknown`, never inflating `inserted`") {
+    import spark.implicits._
+    // MySQL-with-rewriteBatchedStatements / Oracle shape: executeBatch
+    // executes every row but reports SUCCESS_NO_INFO (-2) per row —
+    // inserted-vs-conflict is unknowable, and claiming `inserted` would
+    // double-count under re-delivery
+    val df = (1 to 70).map(i => (s"n$i", i)).toDF("paper_id", "v")
+      .coalesce(1)
+    val stats = Sinks.jdbcUpsert(df, "papers", Seq("paper_id"),
+      () => SinksSpec.noInfoConnection(), batchSize = 30)
+    assert(stats.attempted == 70)
+    assert(stats.unknown == 70)
+    assert(stats.inserted == 0 && stats.skipped == 0 && stats.failed == 0)
   }
 
   test("json report sink writes aggregated rows") {
