@@ -2,14 +2,21 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: every registered query at SPARK_GRAFT_SF_DIR,
-  * REPS repetitions each, per-query MIN (single-shot wall times are
-  * load-noise-dominated on a shared box; the min is the reproducible
-  * figure).
+  * REPS repetitions each (min-of-3 by default — two reps cannot
+  * separate a load spike from a slow query), per-query MIN (single-shot
+  * wall times are load-noise-dominated on a shared box; the min is the
+  * reproducible figure).
   *
   * Reporting channel (two outputs, by design):
-  *   1. FULL per-query JSON → `BENCH_DETAIL.json` in the repo root
-  *      (committed per round). The complete map at 130 queries is ~3.4 kB
-  *      — larger than the driver's 2,000-char tail capture, which is why
+  *   1. FULL per-query JSON → `BENCH_DETAIL.json` in the repo root —
+  *      THE single committed bench truth: every run overwrites it, and
+  *      every run stamps reps + the noise sentinel, so the file is
+  *      always self-describing. (An earlier design kept a second
+  *      "cleanest-known" `_clean.json` copy beside it; two committed
+  *      truths diverged by 16% in round 7 and the keeper was removed —
+  *      quietness is judged by the recorded `noise_ratio`, not by which
+  *      file survived.) The complete map at 234 queries is ~6 kB —
+  *      larger than the driver's 2,000-char tail capture, which is why
   *      it goes to a file, never to stdout.
   *   2. ONE short (<1 kB) machine-parseable JSON line on stdout, printed
   *      after `spark.stop()` so no shutdown logging can trail it:
@@ -26,12 +33,11 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // parsed to Int ONCE with a validated default: the value is
     // interpolated unquoted into the detail JSON, so a non-numeric env
-    // string would emit malformed JSON (and the cleanest-known keeper's
-    // field parse would silently fall back to defaults)
+    // string would emit malformed JSON
     val cpus = sys.env.get("SPARK_GRAFT_CPUS")
       .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
       .filter(_ > 0).getOrElse(4)
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       "/root/repo/BENCH_DETAIL.json")
     val spark = SparkSession.builder()
@@ -121,51 +127,6 @@ object Bench {
       val w = new java.io.PrintWriter(detailPath, "UTF-8")
       try w.println(detail) finally w.close()
     } catch { case _: Throwable => () } // summary line still goes out
-    // Self-maintaining CLEANEST-KNOWN detail: noisy ambient-load runs
-    // (the round-5 driver file read noise 0.985 under the old max/min
-    // form — barely interpretable) kept overwriting the one clean
-    // record. Under the DIRECTIONAL sentinel only the excess ABOVE 1 is
-    // contamination (post slower than pre); ratios below 1 are residual
-    // JIT warm-up on a quiet box, not quietness to maximize. The clean
-    // copy therefore updates when this run's contamination penalty
-    // max(ratio−1, 0) is no worse than the recorded one's (within the
-    // 0.05 quiet band), it covers at least as many queries, and it
-    // strictly improves some axis (coverage, penalty, or total).
-    try {
-      val cleanPath = detailPath.replaceAll("\\.json$", "") + "_clean.json"
-      val keep = {
-        val f = new java.io.File(cleanPath)
-        if (!f.exists() || noise.isNaN) !f.exists() && !noise.isNaN
-        else {
-          val old = scala.io.Source.fromFile(f, "UTF-8").mkString
-          def field(name: String): Option[Double] =
-            ("\"" + name + "\":(-?[0-9.]+)").r.findFirstMatchIn(old)
-              .map(_.group(1).toDouble)
-          val oldNoise = field("noise_ratio").getOrElse(Double.MaxValue)
-          val oldN = field("n_queries").getOrElse(0.0)
-          val oldTotal = field("value").getOrElse(Double.MaxValue)
-          // wall times are only comparable at equal-or-higher parallelism —
-          // an 8-core verify smoke must never replace the 32-core record
-          // (records predating the cpus field are assumed canonical 32)
-          val sameCpus = cpus >= field("cpus").getOrElse(32.0)
-          // totals are only comparable at the same scale factor — an
-          // sf0.001 dev run must never replace the sf0.1 record
-          val sameSf = ("\"sf\":\"([^\"]+)\"").r.findFirstMatchIn(old)
-            .forall(_.group(1) == sfDir)
-          val newPen = math.max(noise - 1.0, 0.0)
-          val oldPen =
-            if (oldNoise == Double.MaxValue) Double.MaxValue
-            else math.max(oldNoise - 1.0, 0.0)
-          sameSf && sameCpus && newPen <= math.max(oldPen, 0.05) && ok.size >= oldN &&
-            (ok.size > oldN || newPen < oldPen || total <= oldTotal)
-        }
-      }
-      if (keep) {
-        val w = new java.io.PrintWriter(cleanPath, "UTF-8")
-        try w.println(detail) finally w.close()
-      }
-    } catch { case _: Throwable => () }
-
     val summary = s"""{"metric":"total_min_of_$reps","value":${r4(total)},"unit":"sec","n_queries":${ok.size},"n_failed":${failed.size},"failed":$failedJson,"reps":$reps,"mean_sec":${r4(mean)},"noise_ratio":${if (noise.isNaN) "null" else r4(noise)},"queries":${jmap(slowest)},"detail_file":"$detailPath","sf":"$sfDir"}"""
     // the ONLY stdout line after shutdown — the driver parses the last line
     println(summary)
