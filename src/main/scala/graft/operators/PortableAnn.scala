@@ -67,6 +67,15 @@ object PortableAnn {
     array_min(array(scored: _*)).getField("cell")
   }
 
+  /** Integer L2² to the NEAREST centroid — the quantization error the
+    * drift audit (q236) aggregates: rising distance-to-assigned-centroid
+    * under appends is exactly the signal that the cell structure no
+    * longer reflects the corpus and `retrainCompact` is due.
+    */
+  def bestDist2(qv: Column, model: QModel): Column =
+    least(model.centroids.toIndexedSeq
+      .map(c => dist2(qv, typedLit(c.toSeq))): _*)
+
   /** Integer Lloyd's: init = quantized vectors of the k lowest ids;
     * update = per-dimension truncating integer mean (empty cells keep
     * their centroid). Long sums are order-independent, so the result is

@@ -1265,7 +1265,67 @@ object SimilarityQueries {
             (col("n_hits") * lit(200000L)).as("recall_x1e6"))
           .orderBy(col("query_id"))
       },
-      Some(hardNegRecallSql))
+      Some(hardNegRecallSql)),
+
+    // Quantizer-DRIFT audit — the gate row behind the
+    // `IvfIndex.retrainCompact` / `IvfPq.retrainCompact` decision:
+    // appends assign to the ORIGINAL centroids (the standard IVF
+    // maintenance contract), so after heavy growth the audit quantifies
+    // how stale the quantizer is. The scenario: a model trained on the
+    // first 80% of the corpus (by id — the pre-append state), then the
+    // full corpus assigned to it ("before retrain") vs to a model
+    // retrained on everything ("after"). Three drift signals per phase,
+    // all in PortableAnn fixed-point so the numbers hash-check (q217's
+    // pattern, k-means unrolled in the oracle): mean and p90
+    // distance-to-assigned-centroid (quantization error — what probe
+    // recall decays with) and cell-size skew max·k/n ×1e6 (hot cells =
+    // probe-read imbalance). Retrain when the before/after gap is
+    // material; PERF.md records the measured gap at sf0.1.
+    QDef("q236_ivf_drift_audit",
+      (s, d) => {
+        val k = 8
+        val corpus = embs(s, d).select(col("vec_id"),
+          PortableAnn.quant(col("embedding")).as("qv"))
+        // the pre-append corpus: first 80% of ids (appends arrive as new
+        // ids); one bounded count fixes the cut on both engines
+        val cut = corpus.count() * 4L / 5L
+        val before = PortableAnn.train(corpus.filter(col("vec_id") < cut),
+          "vec_id", "qv", k = k, iters = 2)
+        val after = PortableAnn.train(corpus, "vec_id", "qv", k = k,
+          iters = 2)
+        def audit(m: PortableAnn.QModel, phase: String): DataFrame = {
+          val a = corpus.select(col("vec_id"),
+            PortableAnn.bestCell(col("qv"), m).as("cell"),
+            PortableAnn.bestDist2(col("qv"), m).as("d2"))
+          val nAgg = a.agg(count(lit(1)).cast("long").as("n_vectors"),
+            sum(col("d2")).cast("long").as("sum_d2"))
+          val cells = a.groupBy(col("cell"))
+            .agg(count(lit(1)).cast("long").as("cn"))
+            .agg(max(col("cn")).cast("long").as("max_cell_n"))
+          // exact p90 without a corpus-scale global sort: cumulative
+          // counts over the DISTINCT-d2 histogram (aggregate-bounded
+          // global window — the PlanShapeSpec-sanctioned shape), then
+          // min d2 with cum ≥ ⌈0.9·n⌉
+          val hist = a.groupBy(col("d2"))
+            .agg(count(lit(1)).cast("long").as("cnt"))
+          val cum = hist.withColumn("cum",
+            sum(col("cnt")).over(Window.orderBy(col("d2"))))
+          val p90 = cum
+            .crossJoin(broadcast(nAgg.select(col("n_vectors").as("__n"))))
+            .filter(col("cum") * lit(10L) >= col("__n") * lit(9L))
+            .agg(min(col("d2")).cast("long").as("p90_d2"))
+          nAgg.crossJoin(broadcast(cells)).crossJoin(broadcast(p90))
+            .select(lit(phase).as("phase"), col("n_vectors"),
+              expr("CAST(sum_d2 DIV n_vectors AS BIGINT)").as("mean_d2"),
+              col("p90_d2"), col("max_cell_n"),
+              expr(s"CAST(max_cell_n * $k * 1000000 DIV n_vectors AS BIGINT)")
+                .as("skew_x1e6"))
+        }
+        audit(before, "before_retrain")
+          .unionByName(audit(after, "after_retrain"))
+          .orderBy(col("phase"))
+      },
+      Some(ivfDriftSql))
   )
 
   // ── Portable-arithmetic oracle SQL (q217/q218/q219). The k-means
@@ -1495,6 +1555,66 @@ object SimilarityQueries {
       "CAST(count(a.vec_id) * 200000 AS BIGINT) AS recall_x1e6 " +
       "FROM ext e LEFT JOIN apx a ON e.query_id = a.query_id AND e.vec_id = a.vec_id " +
       "GROUP BY 1 ORDER BY 1"
+
+  /** Tag-parameterized twins of [[assignSql]]/[[updateSql]]/[[kmeansSql]]
+    * — q236 trains TWO models (pre-append corpus vs full) in one
+    * statement, so the CTE names need a prefix and the corpus relation
+    * is a parameter. Init = k lowest ids of the RELATION (ORDER BY +
+    * LIMIT, not `vec_id < k` — the base relation may be a filtered
+    * subset), matching `PortableAnn.train`'s orderBy-limit init.
+    */
+  private def assignSqlT(tag: String, i: Int, vrel: String,
+                         cents: String): String =
+    s"${tag}a$i AS (SELECT vec_id, q, cid FROM (SELECT t.vec_id, t.q, c.cid, " +
+      s"row_number() OVER (PARTITION BY t.vec_id ORDER BY ${d2Sql("t.q", "c.c")}, c.cid) AS rn " +
+      s"FROM $vrel t CROSS JOIN $cents c) WHERE rn = 1)"
+
+  private def updateSqlT(tag: String, i: Int, prev: String): String =
+    s"${tag}m$i AS (SELECT cid, pos, CAST(sum(x) AS BIGINT) // CAST(count(*) AS BIGINT) AS mi " +
+      s"FROM (SELECT cid, generate_subscripts(q, 1) AS pos, unnest(q) AS x FROM ${tag}a$i) GROUP BY 1, 2), " +
+      s"${tag}c$i AS (SELECT $prev.cid, COALESCE(m.c, $prev.c) AS c FROM $prev " +
+      s"LEFT JOIN (SELECT cid, list(mi ORDER BY pos) AS c FROM ${tag}m$i GROUP BY 1) m ON $prev.cid = m.cid)"
+
+  private def kmeansSqlT(tag: String, vrel: String, k: Int): String =
+    s"${tag}c0 AS (SELECT vec_id AS cid, q AS c FROM $vrel ORDER BY vec_id LIMIT $k), " +
+      assignSqlT(tag, 1, vrel, s"${tag}c0") + ", " +
+      updateSqlT(tag, 1, s"${tag}c0") + ", " +
+      assignSqlT(tag, 2, vrel, s"${tag}c1") + ", " +
+      updateSqlT(tag, 2, s"${tag}c1")
+
+  /** q236: two unrolled k-means chains (pre-append 80% corpus `vb` →
+    * bc2; full corpus → ac2), the FULL corpus assigned to each, then
+    * per-phase fixed-point drift stats — the Spark side verbatim.
+    */
+  private lazy val ivfDriftSql: String = {
+    def phase(tag: String, label: String): String = {
+      val g = s"${tag}g"
+      s"SELECT '$label' AS phase, " +
+        s"(SELECT CAST(count(*) AS BIGINT) FROM $g) AS n_vectors, " +
+        s"(SELECT CAST(sum(d2) // count(*) AS BIGINT) FROM $g) AS mean_d2, " +
+        s"(SELECT CAST(min(d2) AS BIGINT) FROM " +
+        s"(SELECT d2, sum(cnt) OVER (ORDER BY d2) AS cum FROM " +
+        s"(SELECT d2, count(*) AS cnt FROM $g GROUP BY 1)) " +
+        s"WHERE cum * 10 >= (SELECT count(*) * 9 FROM $g)) AS p90_d2, " +
+        s"(SELECT CAST(max(cn) AS BIGINT) FROM " +
+        s"(SELECT count(*) AS cn FROM $g GROUP BY cid)) AS max_cell_n, " +
+        s"(SELECT CAST((SELECT max(cn) FROM (SELECT count(*) AS cn FROM $g GROUP BY cid)) " +
+        s"* 8 * 1000000 // count(*) AS BIGINT) FROM $g) AS skew_x1e6"
+    }
+    def assigned(tag: String, cents: String): String =
+      s"${tag}g AS (SELECT vec_id, cid, d2 FROM (SELECT v.vec_id, c.cid, " +
+        s"${d2Sql("v.q", "c.c")} AS d2, " +
+        s"row_number() OVER (PARTITION BY v.vec_id ORDER BY ${d2Sql("v.q", "c.c")}, c.cid) AS rn " +
+        s"FROM v CROSS JOIN $cents c) WHERE rn = 1)"
+    s"WITH ${qvSql("")}, " +
+      "vb AS (SELECT vec_id, q FROM v WHERE vec_id < " +
+      "(SELECT CAST(count(*) * 4 // 5 AS BIGINT) FROM v)), " +
+      kmeansSqlT("b", "vb", 8) + ", " +
+      kmeansSqlT("f", "v", 8) + ", " +
+      assigned("b", "bc2") + ", " + assigned("f", "fc2") + " " +
+      phase("b", "before_retrain") + " UNION ALL " +
+      phase("f", "after_retrain") + " ORDER BY phase"
+  }
 
   /** Per-subspace assignment CTE pa$i over `sub`, codebook CTE `books`. */
   private def pqAssignSql(i: Int, books: String): String =
