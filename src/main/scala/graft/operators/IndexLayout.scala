@@ -55,7 +55,17 @@ object IndexLayout {
   //    compaction is routine, immediate GC would delete files under every
   //    scan that straddles a swap. (One compaction-interval of grace is
   //    the standard snapshot-retention trade — readers slower than a full
-  //    compaction cycle need snapshot pinning, out of scope here.)
+  //    compaction cycle take an explicit PIN, below.)
+  //
+  //  - SNAPSHOT PINS: [[pinCurrent]] drops a tiny `D._PIN.v<n>.<token>`
+  //    file; every flip's GC skips pinned layouts, so a pinned version
+  //    survives ANY number of swaps until [[unpin]] releases it — the
+  //    Iceberg-snapshot idea reduced to one marker object per pin. Pins
+  //    are crash-visible state: a reader that dies without unpinning
+  //    leaks retention (bounded: one layout copy per leaked pin) until
+  //    an operator clears it — the deliberate trade, since auto-expiry
+  //    would reintroduce exactly the delete-under-a-slow-reader race
+  //    pins exist to close.
   //
   //  - FLIP-WINDOW TOLERANCE: the manifest flip is tmp + rename(OVERWRITE)
   //    — atomic on HDFS/local, but an object-store connector may
@@ -151,6 +161,61 @@ object IndexLayout {
         "segment write path for writes concurrent with compaction")
   }
 
+  /** Pin the CURRENTLY-resolved layout of `dir` against compaction GC
+    * and return the pin token. The pinned snapshot (the plain dir for an
+    * unversioned table — version 0 — or the current `dir.v<n>`) survives
+    * every subsequent swap until [[unpin]] releases the token; pair with
+    * [[resolve]] taken at the same moment for a scan that may outlast
+    * several compaction cycles. One tiny marker object per pin; pins do
+    * not block compactions, only the GC of their snapshot.
+    */
+  def pinCurrent(spark: SparkSession, dir: String): String = {
+    val v = currentVersion(spark, dir).getOrElse(0)
+    val token = java.util.UUID.randomUUID().toString
+    val p = new org.apache.hadoop.fs.Path(s"$dir._PIN.v$v.$token")
+    fsOf(spark, p).create(p, true).close()
+    token
+  }
+
+  /** Release a [[pinCurrent]] token: the pinned layout becomes ordinary
+    * retention state and the NEXT swap garbage-collects it (if it is by
+    * then at least two swaps old). Unknown/already-released tokens are
+    * no-ops.
+    */
+  def unpin(spark: SparkSession, dir: String, token: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val parent = p.getParent
+    val fs = fsOf(spark, p)
+    if (parent != null && fs.exists(parent)) {
+      val suffix = "." + token
+      fs.listStatus(parent).toSeq
+        .filter(st => st.isFile &&
+          st.getPath.getName.startsWith(p.getName + "._PIN.v") &&
+          st.getPath.getName.endsWith(suffix))
+        .foreach(st => fs.delete(st.getPath, false))
+    }
+  }
+
+  /** The version numbers currently pinned for `dir` (0 = the plain
+    * layout).
+    */
+  private def pinnedVersions(spark: SparkSession, dir: String): Set[Int] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val parent = p.getParent
+    val fs = fsOf(spark, p)
+    if (parent == null || !fs.exists(parent)) Set.empty
+    else {
+      val re = (java.util.regex.Pattern.quote(p.getName) +
+        "\\._PIN\\.v(\\d+)\\..+").r
+      fs.listStatus(parent).toSeq.filter(_.isFile).flatMap { st =>
+        st.getPath.getName match {
+          case re(n) => Some(n.toInt)
+          case _     => None
+        }
+      }.toSet
+    }
+  }
+
   /** Step 1 of a swap, exposed for the kill-the-compactor spec: write
     * `df` fully into the NEXT version directory `dir.v<n>` (readers are
     * untouched — they still resolve to the old layout) and return n.
@@ -201,12 +266,13 @@ object IndexLayout {
       tmp.toUri, spark.sparkContext.hadoopConfiguration)
     fc.rename(tmp, m, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     // cleanup AFTER the flip, sparing the immediately-previous layout
-    // (N-1 retention for in-flight readers) — failures here are
-    // harmless orphans
+    // (N-1 retention for in-flight readers) and any PINNED snapshot
+    // (explicit long-reader holds) — failures here are harmless orphans
+    val pinned = pinnedVersions(spark, dir)
     val p = new org.apache.hadoop.fs.Path(dir)
-    if (old.isDefined && fs.exists(p)) fs.delete(p, true)
+    if (old.isDefined && fs.exists(p) && !pinned(0)) fs.delete(p, true)
     versionDirs(spark, dir)
-      .filter { case (v, _) => v != n && !old.contains(v) }
+      .filter { case (v, _) => v != n && !old.contains(v) && !pinned(v) }
       .foreach { case (_, vp) => fs.delete(vp, true) }
   }
 
@@ -239,6 +305,17 @@ object IndexLayout {
     fs.delete(m, false)
     fs.delete(new org.apache.hadoop.fs.Path(dir + "._CURRENT.next"), false)
     fs.delete(new org.apache.hadoop.fs.Path(dir + "._VERSIONED"), false)
+    // pins are compaction-lifecycle objects; a fresh REBUILD replaces the
+    // index wholesale, so surviving pins would hold snapshots of an index
+    // that no longer exists — cleared with the versions they pinned
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val parent = p.getParent
+    if (parent != null && fs.exists(parent)) {
+      fs.listStatus(parent).toSeq
+        .filter(st => st.isFile &&
+          st.getPath.getName.startsWith(p.getName + "._PIN.v"))
+        .foreach(st => fs.delete(st.getPath, false))
+    }
     versionDirs(spark, dir).foreach { case (_, vp) => fs.delete(vp, true) }
   }
 

@@ -63,6 +63,40 @@ class IndexLayoutSpec extends SparkSpec {
       == Set(3L, 4L))
   }
 
+  test("snapshot pins: a pinned version survives any number of swaps; unpin releases it to the next GC") {
+    val dir = freshDir("ixl_pin")
+    Seq(1L).toDF("id").write.parquet(dir)
+    IndexLayout.writeSwap(spark, dir, Seq(2L).toDF("id"), None)
+    // a slow reader pins the layout it resolved (v1) before a long scan
+    val token = IndexLayout.pinCurrent(spark, dir)
+    val snapshot = IndexLayout.resolve(spark, dir)
+    val reader = spark.read.parquet(snapshot)
+    // THREE compactions land — far beyond the N-1 retention window
+    IndexLayout.writeSwap(spark, dir, Seq(3L).toDF("id"), None)
+    IndexLayout.writeSwap(spark, dir, Seq(4L).toDF("id"), None)
+    IndexLayout.writeSwap(spark, dir, Seq(5L).toDF("id"), None)
+    assert(rows(dir) == Set(5L), "new readers follow the flips")
+    assert(new java.io.File(snapshot).exists(), "pinned v1 must survive")
+    assert(reader.select("id").collect().map(_.getLong(0)).toSet == Set(2L))
+    // unpin: the snapshot becomes ordinary retention state and the next
+    // swap collects it
+    IndexLayout.unpin(spark, dir, token)
+    IndexLayout.writeSwap(spark, dir, Seq(6L).toDF("id"), None)
+    assert(!new java.io.File(snapshot).exists(), "released pin must GC")
+    assert(rows(dir) == Set(6L))
+    // pinning a PLAIN (unversioned) layout holds the plain dir the same way
+    val plain = freshDir("ixl_pinplain")
+    Seq(7L).toDF("id").write.parquet(plain)
+    val t2 = IndexLayout.pinCurrent(spark, plain)
+    IndexLayout.writeSwap(spark, plain, Seq(8L).toDF("id"), None)
+    IndexLayout.writeSwap(spark, plain, Seq(9L).toDF("id"), None)
+    assert(new java.io.File(plain).exists(), "pinned plain dir survives")
+    IndexLayout.unpin(spark, plain, t2)
+    IndexLayout.writeSwap(spark, plain, Seq(10L).toDF("id"), None)
+    assert(!new java.io.File(plain).exists())
+    assert(rows(plain) == Set(10L))
+  }
+
   test("resolve tolerates the manifest flip window: marker present, manifest absent → highest version") {
     val dir = freshDir("ixl_window")
     Seq(1L).toDF("id").write.parquet(dir)
