@@ -137,6 +137,7 @@ object Bm25 {
       IndexLayout.clearSegments(docs.sparkSession, path)
       IndexLayout.clearVersions(docs.sparkSession, s"$path/postings")
       IndexLayout.clearVersions(docs.sparkSession, s"$path/docs")
+      IndexLayout.clearVersions(docs.sparkSession, s"$path/stats")
     }
     // codegen'd shard assignment (graft.functions.JavaHashModExpr):
     // same JVM hash as the driver-side shardOf, inlined into the build's
@@ -274,15 +275,25 @@ object Bm25 {
 
   /** Shift the persisted stats by a (n, sum_len, n_len) delta row —
     * +1 for appends, −1 for removals. The old row is collected BEFORE
-    * the overwrite, so rewriting the same path is safe. All three
+    * the rewrite, so re-deriving from the same table is safe. All three
     * components are integral-valued doubles: the shifted values are
     * exact, and avgdl = sum_len/n_len matches a from-scratch avg bit
     * for bit.
+    *
+    * The rewrite is a VERSION SWAP, not an in-place overwrite: stats are
+    * a one-row table every retrieval reads, and an in-place overwrite
+    * has a delete-then-write window in which a reader silently loses the
+    * base row (readStatsRow answers None and the layout sum is simply
+    * missing a term — wrong, not loud). Swapping makes every LIVE-index
+    * stats mutation atomic, the same discipline as postings/docs
+    * compaction; fresh builds keep the plain overwrite (a crash there is
+    * a broken build, not a serving index).
     */
   private def writeMergedStats(spark: org.apache.spark.sql.SparkSession,
                                path: String, delta: org.apache.spark.sql.Row,
                                sign: Double): Unit = {
-    val old = spark.read.parquet(s"$path/stats").head()
+    val old = spark.read.parquet(
+      IndexLayout.resolve(spark, s"$path/stats")).head()
     val oldSum = if (old.length > 2 && !old.isNullAt(2)) old.getDouble(2) else 0.0
     val oldNLen = if (old.length > 3 && !old.isNullAt(3)) old.getDouble(3)
                   else old.getDouble(0)
@@ -290,12 +301,13 @@ object Bm25 {
     val s2 = oldSum + sign * delta.getDouble(1)
     val nLen2 = oldNLen + sign * delta.getDouble(2)
     import spark.implicits._
-    Seq((n2, s2, nLen2)).toDF("n", "sum_len", "n_len")
-      .select(col("n"),
-        when(col("n_len") === 0.0, lit(null).cast("double"))
-          .otherwise(col("sum_len") / col("n_len")).as("avgdl"),
-        col("sum_len"), col("n_len"))
-      .write.mode("overwrite").parquet(s"$path/stats")
+    IndexLayout.writeSwap(spark, s"$path/stats",
+      Seq((n2, s2, nLen2)).toDF("n", "sum_len", "n_len")
+        .select(col("n"),
+          when(col("n_len") === 0.0, lit(null).cast("double"))
+            .otherwise(col("sum_len") / col("n_len")).as("avgdl"),
+          col("sum_len"), col("n_len")),
+      None)
   }
 
   /** Tombstone documents OUT of a [[writeIndex]] layout — O(batch)
@@ -341,7 +353,8 @@ object Bm25 {
     */
   private def ensureStats(spark: org.apache.spark.sql.SparkSession,
                           path: String): Unit =
-    if (readStatsRow(spark, s"$path/stats").isEmpty) {
+    if (readStatsRow(spark,
+        IndexLayout.resolve(spark, s"$path/stats")).isEmpty) {
       import spark.implicits._
       Seq((0.0, 0.0, 0.0)).toDF("n", "sum_len", "n_len")
         .select(col("n"), lit(null).cast("double").as("avgdl"),
@@ -439,12 +452,15 @@ object Bm25 {
       // file survives the snapshot clear); its stats shift races this
       // overwrite, so n/avgdl can briefly include the late-removed
       // docs — the next compaction recomputes and converges.
-      spark.read.parquet(IndexLayout.resolve(spark, s"$path/docs"))
-        .agg(count(lit(1)).cast("double").as("n"),
-          avg(col("doc_len")).as("avgdl"),
-          coalesce(sum(col("doc_len")).cast("double"), lit(0.0)).as("sum_len"),
-          count(col("doc_len")).cast("double").as("n_len"))
-        .write.mode("overwrite").parquet(s"$path/stats")
+      // atomic stats swap for the same reader-window reason as
+      // writeMergedStats — compaction runs against a SERVING index
+      IndexLayout.writeSwap(spark, s"$path/stats",
+        spark.read.parquet(IndexLayout.resolve(spark, s"$path/docs"))
+          .agg(count(lit(1)).cast("double").as("n"),
+            avg(col("doc_len")).as("avgdl"),
+            coalesce(sum(col("doc_len")).cast("double"), lit(0.0)).as("sum_len"),
+            count(col("doc_len")).cast("double").as("n_len")),
+        None)
       IndexLayout.clearSegmentDirs(spark, segs)
       IndexLayout.clearTombstoneFiles(spark, tombFiles)
     }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Bm25
+import graft.operators.{Bm25, IndexLayout}
 import org.apache.spark.sql.functions._
 
 class Bm25Spec extends SparkSpec {
@@ -86,8 +86,8 @@ class Bm25Spec extends SparkSpec {
       === rows(Bm25.topKIndexed(spark, fullDir, "doc_id", queries, k = 10)))
     // the stats merge is EXACT — bit-identical n/avgdl/sum_len, not
     // approximately equal (integral token sums stay exact in doubles)
-    assert(spark.read.parquet(s"$incDir/stats").collect().map(_.toSeq).toSeq
-      === spark.read.parquet(s"$fullDir/stats").collect().map(_.toSeq).toSeq)
+    assert(spark.read.parquet(IndexLayout.resolve(spark, s"$incDir/stats")).collect().map(_.toSeq).toSeq
+      === spark.read.parquet(IndexLayout.resolve(spark, s"$fullDir/stats")).collect().map(_.toSeq).toSeq)
   }
 
   test("appendToIndex onto an empty-corpus base replaces the readable-empty layout") {
@@ -108,7 +108,7 @@ class Bm25Spec extends SparkSpec {
     // toward N and avgdl (its length is 0)
     Bm25.appendToIndex(Seq((99L, "xy z")).toDF("doc_id", "text"),
       "doc_id", "text", dir)
-    val st = spark.read.parquet(s"$dir/stats").head()
+    val st = spark.read.parquet(IndexLayout.resolve(spark, s"$dir/stats")).head()
     assert(st.getDouble(0) == 4.0)      // n: 3 + 1
     assert(st.getDouble(2) == 9.0)      // sum_len unchanged (3 + 2 + 4)
     // postings untouched: scoring changes only through N/avgdl, and the
@@ -130,8 +130,8 @@ class Bm25Spec extends SparkSpec {
     Bm25.writeIndex(base, "doc_id", "text", incDir)
     Bm25.appendToIndex(batch, "doc_id", "text", incDir)
     Bm25.writeIndex(base.unionAll(batch), "doc_id", "text", fullDir)
-    assert(spark.read.parquet(s"$incDir/stats").collect().map(_.toSeq).toSeq
-      === spark.read.parquet(s"$fullDir/stats").collect().map(_.toSeq).toSeq)
+    assert(spark.read.parquet(IndexLayout.resolve(spark, s"$incDir/stats")).collect().map(_.toSeq).toSeq
+      === spark.read.parquet(IndexLayout.resolve(spark, s"$fullDir/stats")).collect().map(_.toSeq).toSeq)
   }
 
   test("removeFromIndex: tombstoned retrieval equals a live-only rebuild, compaction materializes") {
@@ -150,13 +150,13 @@ class Bm25Spec extends SparkSpec {
     val tombstoned = rows(dir)
     assert(tombstoned === rows(liveDir))
     // the stats shift is EXACT: bit-equal to the live-only build's stats
-    assert(spark.read.parquet(s"$dir/stats").collect().map(_.toSeq).toSeq
-      === spark.read.parquet(s"$liveDir/stats").collect().map(_.toSeq).toSeq)
+    assert(spark.read.parquet(IndexLayout.resolve(spark, s"$dir/stats")).collect().map(_.toSeq).toSeq
+      === spark.read.parquet(IndexLayout.resolve(spark, s"$liveDir/stats")).collect().map(_.toSeq).toSeq)
     // double-removal of the same ids must not double-shift
     Bm25.removeFromIndex(docs.filter(col("doc_id") % 10 === 0)
       .select("doc_id"), "doc_id", dir)
-    assert(spark.read.parquet(s"$dir/stats").collect().map(_.toSeq).toSeq
-      === spark.read.parquet(s"$liveDir/stats").collect().map(_.toSeq).toSeq)
+    assert(spark.read.parquet(IndexLayout.resolve(spark, s"$dir/stats")).collect().map(_.toSeq).toSeq
+      === spark.read.parquet(IndexLayout.resolve(spark, s"$liveDir/stats")).collect().map(_.toSeq).toSeq)
     // compaction makes the removals physical: same rows, sidecar gone,
     // and the tombstoned ids are no longer anywhere in the postings
     Bm25.compactIndex(spark, dir)
@@ -246,8 +246,8 @@ class Bm25Spec extends SparkSpec {
     assert(IndexLayout.segmentDirs(spark, dir).isEmpty)
     assert(graft.operators.IndexLayout.tombstoneFiles(spark, s"$dir/tombstones").isEmpty)
     assert(rows(dir) === afterDelete)
-    assert(spark.read.parquet(s"$dir/stats").collect().map(_.toSeq).toSeq
-      === spark.read.parquet(s"$liveDir/stats").collect().map(_.toSeq).toSeq)
+    assert(spark.read.parquet(IndexLayout.resolve(spark, s"$dir/stats")).collect().map(_.toSeq).toSeq
+      === spark.read.parquet(IndexLayout.resolve(spark, s"$liveDir/stats")).collect().map(_.toSeq).toSeq)
     // re-running a compaction (the crash-recovery path) is a no-op
     Bm25.compactIndex(spark, dir)
     assert(rows(dir) === afterDelete)
@@ -289,8 +289,8 @@ class Bm25Spec extends SparkSpec {
     val allDir = java.nio.file.Files.createTempDirectory("bm25_race_all").toString
     Bm25.writeIndex(docs, "doc_id", "text", allDir, nShards = 64)
     assert(rows(dir) === rows(allDir))
-    assert(spark.read.parquet(s"$dir/stats").collect().map(_.toSeq).toSeq
-      === spark.read.parquet(s"$allDir/stats").collect().map(_.toSeq).toSeq)
+    assert(spark.read.parquet(IndexLayout.resolve(spark, s"$dir/stats")).collect().map(_.toSeq).toSeq
+      === spark.read.parquet(IndexLayout.resolve(spark, s"$allDir/stats")).collect().map(_.toSeq).toSeq)
   }
 
   test("re-sharding compaction: append-and-recompact equals a fresh build at the new nShards") {
