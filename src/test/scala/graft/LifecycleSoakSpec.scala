@@ -79,7 +79,13 @@ class LifecycleSoakSpec extends SparkSpec {
     assert(retrieved(dir, 64) == oracle(live), "after stream-fold 2")
 
     // 5. RE-SHARD compaction: folds both segments + the tombstones into
-    // a fresh 16-shard base behind a version swap
+    // a fresh 16-shard base behind a version swap. A slow reader PINS
+    // the pre-compaction postings snapshot first — the pin must hold it
+    // through the whole remaining maintenance storm (compaction, direct
+    // append, delete, second compaction = three more swaps of this dir)
+    val pinToken = IndexLayout.pinCurrent(spark, s"$dir/postings")
+    val pinnedSnapshot = IndexLayout.resolve(spark, s"$dir/postings")
+    val pinnedRows = spark.read.parquet(pinnedSnapshot).count()
     Bm25.compactIndex(spark, dir, "doc_id", reshardTo = Some(16))
     assert(IndexLayout.segmentDirs(spark, dir).isEmpty, "segments folded")
     assert(retrieved(dir, 16) == oracle(live), "after re-shard compaction")
@@ -98,6 +104,17 @@ class LifecycleSoakSpec extends SparkSpec {
     assert(retrieved(dir, 16) == oracle(live), "after final compaction")
     assert(IndexLayout.tombstoneFiles(spark, s"$dir/tombstones").isEmpty,
       "tombstones materialized")
+
+    // the snapshot pinned before step 5 survived the storm intact and
+    // still reads its exact pre-compaction contents; releasing it lets
+    // the next swap collect it
+    assert(spark.read.parquet(pinnedSnapshot).count() == pinnedRows,
+      "pinned snapshot must survive the full maintenance storm unchanged")
+    IndexLayout.unpin(spark, s"$dir/postings", pinToken)
+    Bm25.compactIndex(spark, dir, "doc_id")
+    assert(!new java.io.File(pinnedSnapshot).exists(),
+      "released pin must be collected by the next swap")
+    assert(retrieved(dir, 16) == oracle(live), "reads exact after pin GC")
   }
 
   // ────────────────────────────── dedup ──────────────────────────────
