@@ -251,7 +251,17 @@ object IndexLayout {
     */
   private[graft] def flipVersion(spark: SparkSession, dir: String,
                                  n: Int): Unit = {
-    val old = currentVersion(spark, dir)
+    // `old` (the layout N-1 retention spares) uses the SAME fallback as
+    // resolve: if the manifest is lost but the marker says the table is
+    // versioned, readers are resolving the highest version — the GC must
+    // spare exactly what they read, not treat the table as plain and
+    // delete every version but n
+    val marker0 = new org.apache.hadoop.fs.Path(dir + "._VERSIONED")
+    val old = currentVersion(spark, dir).orElse {
+      if (!fsOf(spark, marker0).exists(marker0)) None
+      else versionDirs(spark, dir).map(_._1).filter(_ != n)
+        .sorted.lastOption
+    }
     val m = new org.apache.hadoop.fs.Path(dir + "._CURRENT")
     val tmp = new org.apache.hadoop.fs.Path(dir + "._CURRENT.next")
     val fs = fsOf(spark, m)

@@ -116,6 +116,24 @@ class IndexLayoutSpec extends SparkSpec {
     assert(rows(plain) == Set(7L))
   }
 
+  test("a swap after manifest loss spares the version readers are resolving to") {
+    val dir = freshDir("ixl_lostflip")
+    Seq(1L).toDF("id").write.parquet(dir)
+    IndexLayout.writeSwap(spark, dir, Seq(2L).toDF("id"), None)
+    IndexLayout.writeSwap(spark, dir, Seq(3L).toDF("id"), None)
+    // manifest lost (corruption / object-store mishap): readers fall back
+    // to the highest version (v2) via the marker
+    assert(new java.io.File(s"$dir._CURRENT").delete())
+    val reader = spark.read.parquet(IndexLayout.resolve(spark, dir))
+    // a compaction lands on the degraded table: its GC must treat v2 as
+    // the spared previous layout — exactly what readers resolved — not
+    // see "no manifest" and collect every version but the new one
+    IndexLayout.writeSwap(spark, dir, Seq(4L).toDF("id"), None)
+    assert(rows(dir) == Set(4L))
+    assert(new java.io.File(s"$dir.v2").exists(), "reader-visible v2 spared")
+    assert(reader.select("id").collect().map(_.getLong(0)).toSet == Set(3L))
+  }
+
   test("assertAppendVisible fails loudly when a compaction flip raced a direct append") {
     val dir = freshDir("ixl_appendrace")
     Seq(1L).toDF("id").write.parquet(dir)
