@@ -147,9 +147,16 @@ object IndexLayout {
     * the resolved target BEFORE the write and call this AFTER it: a flip
     * in between fails LOUDLY (the retired version survives one more swap
     * under N-1 retention, so re-running the append loses nothing).
-    * Streaming SEGMENTS are the concurrent-safe write path — they land
-    * beside the base and compaction folds only the snapshot it listed;
-    * this guard is for the direct-append path only.
+    *
+    * The guard is a DETECTOR, not a lock: it catches every flip that
+    * completes before the check runs, but a compactor that snapshotted
+    * the layout before this append's files landed and flips after the
+    * check still strands the rows silently. The contract therefore
+    * stands: direct appends must not run concurrently with compaction —
+    * streaming SEGMENTS are the concurrent-safe write path (they land
+    * beside the base and compaction folds only the snapshot it listed);
+    * this guard exists to make accidental violations loud in the common
+    * case, not to license the combination.
     */
   def assertAppendVisible(spark: SparkSession, dir: String,
                           target: String): Unit = {
@@ -168,6 +175,12 @@ object IndexLayout {
     * [[resolve]] taken at the same moment for a scan that may outlast
     * several compaction cycles. One tiny marker object per pin; pins do
     * not block compactions, only the GC of their snapshot.
+    *
+    * The read-version-then-write-pin race against a concurrent flip is
+    * benign BECAUSE of N-1 retention: a flip landing between the two
+    * steps cannot GC the version being pinned (it was current until
+    * that flip, so retention spares it), and the late-landing pin then
+    * protects it from the flip after that.
     */
   def pinCurrent(spark: SparkSession, dir: String): String = {
     val v = currentVersion(spark, dir).getOrElse(0)
