@@ -121,13 +121,26 @@ object Bench {
       else noisePost / noisePre
     val slowest = ok.sortBy(-_._2).take(10)
     val failedJson = failed.map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    // the PERF.md comparability rule, MACHINE-CHECKED into the record:
+    // a run is quotable iff min-of-3+, the standard sf0.1 corpus, the
+    // standard 32-thread box, and a clean sentinel (penalty =
+    // max(noise_ratio − 1, 0) = 0, i.e. ratio ≤ 1 — the post sample ran
+    // no slower than the pre). Stamping it here means a future PERF
+    // table cannot silently quote a non-conforming run (the r8 table
+    // quoted a mid-round run the committed file disagreed with).
+    val penalty =
+      if (noise.isNaN) Double.NaN else math.max(noise - 1.0, 0.0)
+    val quotable = reps >= 3 && !penalty.isNaN && r4(penalty) == 0.0 &&
+      cpus == 32 && sfDir.stripSuffix("/").endsWith("sf0.1")
+    val quoteJson =
+      s""""penalty":${if (penalty.isNaN) "null" else r4(penalty)},"quotable":$quotable"""
 
-    val detail = s"""{"metric":"total_min_of_$reps","value":${r4(total)},"unit":"sec","n_queries":${ok.size},"n_failed":${failed.size},"failed":$failedJson,"reps":$reps,"cpus":$cpus,"mean_sec":${r4(mean)},"noise_pre_sec":${r4(noisePre)},"noise_post_sec":${r4(noisePost)},"noise_ratio":${if (noise.isNaN) "null" else r4(noise)},"queries":${jmap(results.map { case (k, v) => k -> (if (v.isNaN) -1.0 else v) })},"sf":"$sfDir"}"""
+    val detail = s"""{"metric":"total_min_of_$reps","value":${r4(total)},"unit":"sec","n_queries":${ok.size},"n_failed":${failed.size},"failed":$failedJson,"reps":$reps,"cpus":$cpus,"mean_sec":${r4(mean)},"noise_pre_sec":${r4(noisePre)},"noise_post_sec":${r4(noisePost)},"noise_ratio":${if (noise.isNaN) "null" else r4(noise)},$quoteJson,"queries":${jmap(results.map { case (k, v) => k -> (if (v.isNaN) -1.0 else v) })},"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter(detailPath, "UTF-8")
       try w.println(detail) finally w.close()
     } catch { case _: Throwable => () } // summary line still goes out
-    val summary = s"""{"metric":"total_min_of_$reps","value":${r4(total)},"unit":"sec","n_queries":${ok.size},"n_failed":${failed.size},"failed":$failedJson,"reps":$reps,"mean_sec":${r4(mean)},"noise_ratio":${if (noise.isNaN) "null" else r4(noise)},"queries":${jmap(slowest)},"detail_file":"$detailPath","sf":"$sfDir"}"""
+    val summary = s"""{"metric":"total_min_of_$reps","value":${r4(total)},"unit":"sec","n_queries":${ok.size},"n_failed":${failed.size},"failed":$failedJson,"reps":$reps,"mean_sec":${r4(mean)},"noise_ratio":${if (noise.isNaN) "null" else r4(noise)},$quoteJson,"queries":${jmap(slowest)},"detail_file":"$detailPath","sf":"$sfDir"}"""
     // the ONLY stdout line after shutdown — the driver parses the last line
     println(summary)
     System.out.flush()

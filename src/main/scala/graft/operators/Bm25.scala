@@ -126,13 +126,18 @@ object Bm25 {
     // a previous index's compactions (the rebuild writes the plain
     // layout, which a stale manifest would shadow — a crash mid-rebuild
     // is a broken BUILD, acceptable; the availability-critical swap is
-    // compaction, which stays versioned). `sharded = false` is the
-    // streaming-SEGMENT write (target $path/segments/batch=<id>): a
-    // segment is an immutable mini-index that carries no lifecycle state
-    // of its own, so the four clears would be guaranteed no-ops — and
-    // on an object store, 4+ wasted API calls per micro-batch — and are
-    // skipped.
-    if (sharded) {
+    // compaction, which stays versioned). A streaming-SEGMENT write
+    // (target $path/segments/batch=<id>, always `sharded = false`) skips
+    // the clears: a segment is an immutable mini-index that carries no
+    // lifecycle state of its own, so they would be guaranteed no-ops —
+    // and on an object store, 4+ wasted API calls per micro-batch.
+    // gate the clears on the TARGET being a segment path, not on the
+    // `sharded` flag: a non-segment `sharded = false` rebuild at a base
+    // path (a first-class mode — hasRows treats the resulting non-empty
+    // unpartitioned layout as a real, non-appendable index) must still
+    // replace stale lifecycle state, or a _CURRENT manifest left by a
+    // previous index's compaction silently shadows the fresh plain build
+    if (!isSegmentPath(path)) {
       IndexLayout.clearTombstones(docs.sparkSession, s"$path/tombstones")
       IndexLayout.clearSegments(docs.sparkSession, path)
       IndexLayout.clearVersions(docs.sparkSession, s"$path/postings")
@@ -183,15 +188,27 @@ object Bm25 {
       .write.mode("overwrite").parquet(s"$path/docs")
   }
 
-  /** Stats row: (n, avgdl, sum_len, n_len). Readers take (n, avgdl)
-    * positionally; the EXACT token total and non-null-doc count ride
-    * behind so [[appendToIndex]]/[[removeFromIndex]] can merge stats
-    * bit-identically to a from-scratch avg — token counts are integral,
-    * so the sums stay exact in doubles (≤ 2^53), and avgdl recomputes as
-    * sum_len/n_len, the same two exact operands `avg` divides (avgdl
-    * alone is already-rounded — n·avgdl would NOT recover the sum; and
-    * the divisor must be the NON-NULL doc count, because `avg` skips
-    * null-text docs while n counts them).
+  /** Whether a write target is a streaming-segment mini-index path. */
+  private def isSegmentPath(path: String): Boolean =
+    path.contains("/segments/batch=")
+
+  /** Stats row: (n, avgdl, sum_len, n_len, tomb_dirs). Readers take
+    * (n, avgdl) positionally; the EXACT token total and non-null-doc
+    * count ride behind so [[appendToIndex]]/[[removeFromIndex]] can
+    * merge stats bit-identically to a from-scratch avg — token counts
+    * are integral, so the sums stay exact in doubles (≤ 2^53), and avgdl
+    * recomputes as sum_len/n_len, the same two exact operands `avg`
+    * divides (avgdl alone is already-rounded — n·avgdl would NOT
+    * recover the sum; and the divisor must be the NON-NULL doc count,
+    * because `avg` skips null-text docs while n counts them).
+    *
+    * `tomb_dirs` is the authoritative list of LIVE tombstone batch
+    * directories — the reader's delete set. Keeping the list IN the
+    * versioned stats row is what makes a removal atomic: the shifted
+    * (n, avgdl) and the tombstone batch that explains the shift become
+    * visible in the same manifest flip, so a reader scores either the
+    * fully-pre or the fully-post state, never filtered postings against
+    * unshifted stats (see [[removeFromIndex]]).
     */
   private def writeStats(docs: DataFrame, textCol: String,
                          path: String): Unit =
@@ -200,7 +217,41 @@ object Bm25 {
         coalesce(sum(size(TextFns.words(col(textCol)))).cast("double"),
           lit(0.0)).as("sum_len"),
         count(size(TextFns.words(col(textCol)))).cast("double").as("n_len"))
+      .withColumn("tomb_dirs", typedLit(Seq.empty[String]))
       .write.mode("overwrite").parquet(s"$path/stats")
+
+  /** The tombstone batch directories the CURRENT stats row lists — the
+    * reader-visible delete set (staged-but-uncommitted and
+    * already-folded batches under `$path/tombstones/rm_*` are not in
+    * it). Empty for an index that never saw a removal.
+    */
+  private[graft] def tombstoneDirs(spark: org.apache.spark.sql.SparkSession,
+                                   path: String): Seq[String] =
+    readStatsRow(spark, IndexLayout.resolve(spark, s"$path/stats"))
+      .map(tombDirsOf).getOrElse(Seq.empty)
+
+  /** The `tomb_dirs` list of a stats row (empty for the pre-list legacy
+    * schema and for segment stats rows, which never carry tombstones).
+    */
+  private def tombDirsOf(r: org.apache.spark.sql.Row): Seq[String] =
+    if (r.schema == null) Seq.empty
+    else r.schema.fieldNames.indexOf("tomb_dirs") match {
+      case -1                 => Seq.empty
+      case i if r.isNullAt(i) => Seq.empty
+      case i                  => r.getSeq[String](i)
+    }
+
+  /** The tombstoned ids across a batch-directory list (None = no
+    * removals — readers skip the anti-join entirely).
+    */
+  private def readTombIds(spark: org.apache.spark.sql.SparkSession,
+                          dirs: Seq[String]): Option[DataFrame] =
+    if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
+
+  /** Anti-join `df` against a tombstone id set (no-op for None). */
+  private def dropIds(df: DataFrame, idCol: String,
+                      ids: Option[DataFrame]): DataFrame =
+    ids.fold(df)(t => df.join(t.toDF(idCol), Seq(idCol), "left_anti"))
 
   /** Fold a new document batch INTO a [[writeIndex]] layout — the
     * incremental lifecycle the IVF and dedup indexes already have
@@ -292,75 +343,130 @@ object Bm25 {
   private def writeMergedStats(spark: org.apache.spark.sql.SparkSession,
                                path: String, delta: org.apache.spark.sql.Row,
                                sign: Double): Unit = {
-    val old = spark.read.parquet(
-      IndexLayout.resolve(spark, s"$path/stats")).head()
-    val oldSum = if (old.length > 2 && !old.isNullAt(2)) old.getDouble(2) else 0.0
-    val oldNLen = if (old.length > 3 && !old.isNullAt(3)) old.getDouble(3)
-                  else old.getDouble(0)
-    val n2 = old.getDouble(0) + sign * delta.getDouble(0)
-    val s2 = oldSum + sign * delta.getDouble(1)
-    val nLen2 = oldNLen + sign * delta.getDouble(2)
-    import spark.implicits._
+    val old = readStatsRow(spark, IndexLayout.resolve(spark, s"$path/stats"))
     IndexLayout.writeSwap(spark, s"$path/stats",
-      Seq((n2, s2, nLen2)).toDF("n", "sum_len", "n_len")
-        .select(col("n"),
-          when(col("n_len") === 0.0, lit(null).cast("double"))
-            .otherwise(col("sum_len") / col("n_len")).as("avgdl"),
-          col("sum_len"), col("n_len")),
+      mergedStatsDf(spark, old, delta, sign,
+        old.map(tombDirsOf).getOrElse(Seq.empty)),
       None)
   }
 
-  /** Tombstone documents OUT of a [[writeIndex]] layout — O(batch)
-    * appended tombstone rows plus an exact stats shift; NO shard is
+  /** The one-row stats frame after shifting by a (n, sum_len, n_len)
+    * delta, carrying `tombDirs` as the new live tombstone-batch list.
+    * A missing old row merges against zeros — the base row an index
+    * that only ever saw streaming segments starts from (its first
+    * materialization is this swap, which a stale stats manifest can
+    * never shadow because the swap goes through the manifest).
+    */
+  private def mergedStatsDf(spark: org.apache.spark.sql.SparkSession,
+                            old: Option[org.apache.spark.sql.Row],
+                            delta: org.apache.spark.sql.Row, sign: Double,
+                            tombDirs: Seq[String]): DataFrame = {
+    val (oldN, oldSum, oldNLen) = old match {
+      case Some(r) =>
+        (r.getDouble(0),
+          if (r.length > 2 && !r.isNullAt(2)) r.getDouble(2) else 0.0,
+          if (r.length > 3 && !r.isNullAt(3)) r.getDouble(3)
+          else r.getDouble(0))
+      case None => (0.0, 0.0, 0.0)
+    }
+    val n2 = oldN + sign * delta.getDouble(0)
+    val s2 = oldSum + sign * delta.getDouble(1)
+    val nLen2 = oldNLen + sign * delta.getDouble(2)
+    import spark.implicits._
+    Seq((n2, s2, nLen2)).toDF("n", "sum_len", "n_len")
+      .select(col("n"),
+        when(col("n_len") === 0.0, lit(null).cast("double"))
+          .otherwise(col("sum_len") / col("n_len")).as("avgdl"),
+        col("sum_len"), col("n_len"),
+        typedLit(tombDirs).as("tomb_dirs"))
+  }
+
+  /** Tombstone documents OUT of a [[writeIndex]] layout — an O(batch)
+    * staged tombstone directory plus ONE stats version-swap; NO shard is
     * rewritten (a doc's terms hash across ~every shard, so a physical
     * delete would rewrite the whole index). [[topKIndexed]] anti-joins
-    * the tombstones before scoring, which also re-derives df correctly
-    * (df is computed from the filtered postings at query time);
-    * [[compactIndex]] materializes the removals. The stats shift reads
-    * the removed docs' lengths from the doc sidecar — never the
+    * the LISTED tombstone batches before scoring, which also re-derives
+    * df correctly (df is computed from the filtered postings at query
+    * time); [[compactIndex]] materializes the removals. The stats shift
+    * reads the removed docs' lengths from the doc sidecar — never the
     * postings. Ids not in the index (or already removed) are ignored.
+    *
+    * ATOMIC to readers: the staged batch directory is invisible until
+    * the stats row listing it flips in ([[IndexLayout.writeSwap]] — one
+    * manifest rename), and that same row carries the shifted n/avgdl.
+    * A reader interleaving anywhere inside a removal therefore scores
+    * either the fully-pre state (old stats, batch unlisted) or the
+    * fully-post state (shifted stats, batch filtering) — never filtered
+    * postings against unshifted stats, the torn state the earlier
+    * append-tombstones-then-swap-stats sequence could expose for one
+    * swap's duration (pinned in Bm25Spec "a reader between stage and
+    * commit"). A crash before the commit leaves only an unlisted orphan
+    * directory, swept by the next compaction.
+    *
+    * Removal is SWAP-CLASS maintenance and takes the index's
+    * single-maintainer lease: it reads lifecycle state (the current
+    * tombstone list, the sidecar) that a concurrent compaction snapshots
+    * and rewrites, and its stats swap would race the compactor's
+    * (see [[IndexLayout.acquireLease]]).
     */
   def removeFromIndex(ids: DataFrame, idCol: String, path: String): Unit = {
     val spark = ids.sparkSession
-    // restrict to ids actually live in the index: sidecars ∩ batch minus
-    // existing tombstones — double-removal must not double-shift stats.
-    // The sidecar union spans base + streaming segments, so a doc that
-    // only ever arrived through the stream still shifts the stats; the
-    // shift itself lands on the BASE stats row (readers SUM the per-layout
-    // rows, so the total stays exact even when the base row goes negative
-    // component-wise).
+    IndexLayout.withLease(spark, path, "Bm25.removeFromIndex") {
+      stageRemoval(spark, ids, idCol, path)
+        .foreach(commitRemoval(spark, path, _))
+    }
+  }
+
+  /** Step 1 of a removal (exposed for the atomicity spec): restrict the
+    * batch to ids actually live in the index — sidecars ∩ batch minus
+    * already-listed tombstones, so double-removal cannot double-shift —
+    * write them as a STAGED (unlisted, reader-invisible) batch
+    * directory, and return the one-row stats frame that
+    * [[commitRemoval]] flips in: shifted totals + the list including
+    * the new batch. None for a no-op batch (nothing live to remove).
+    * The sidecar union spans base + streaming segments, so a doc that
+    * only ever arrived through the stream still shifts the stats; the
+    * shift lands on the BASE stats row (readers SUM the per-layout
+    * rows, so the total stays exact even when the base row goes
+    * negative component-wise).
+    */
+  private[graft] def stageRemoval(spark: org.apache.spark.sql.SparkSession,
+                                  ids: DataFrame, idCol: String,
+                                  path: String): Option[DataFrame] = {
     val sidecars = existingParts(spark, path, "docs")
     require(sidecars.nonEmpty, s"no index doc sidecar under $path")
-    val removed = IndexLayout.dropTombstoned(
+    val listed = tombstoneDirs(spark, path)
+    val removed = dropIds(
       sidecars.map(spark.read.parquet(_)).reduce(_.unionByName(_)),
-      idCol, s"$path/tombstones")
+      idCol, readTombIds(spark, listed))
       .join(ids.select(col(idCol)).distinct(), Seq(idCol), "left_semi")
       .distinct() // a crashed compaction can duplicate sidecar rows
       .cache()
-    val delta = removed.agg(count(lit(1)).cast("double"),
-      coalesce(sum(col("doc_len")).cast("double"), lit(0.0)),
-      count(col("doc_len")).cast("double")).head()
-    IndexLayout.appendTombstones(removed.select(col(idCol)), idCol,
-      s"$path/tombstones")
-    removed.unpersist()
-    ensureStats(spark, path)
-    writeMergedStats(spark, path, delta, sign = -1.0)
+    try {
+      val delta = removed.agg(count(lit(1)).cast("double"),
+        coalesce(sum(col("doc_len")).cast("double"), lit(0.0)),
+        count(col("doc_len")).cast("double")).head()
+      if (delta.getDouble(0) == 0.0) None
+      else {
+        val batchDir =
+          s"$path/tombstones/rm_${java.util.UUID.randomUUID()}"
+        removed.select(col(idCol)).write.mode("overwrite").parquet(batchDir)
+        val old =
+          readStatsRow(spark, IndexLayout.resolve(spark, s"$path/stats"))
+        Some(mergedStatsDf(spark, old, delta, sign = -1.0,
+          listed :+ batchDir))
+      }
+    } finally removed.unpersist()
   }
 
-  /** A zero base stats row, for indexes that only ever saw streaming
-    * segments (no [[writeIndex]] ran at the base path) — gives
-    * [[writeMergedStats]] a row to shift.
+  /** Step 2 of a removal: the single reader-visible mutation — flip the
+    * stats row (shifted totals + the batch now listed) in one version
+    * swap.
     */
-  private def ensureStats(spark: org.apache.spark.sql.SparkSession,
-                          path: String): Unit =
-    if (readStatsRow(spark,
-        IndexLayout.resolve(spark, s"$path/stats")).isEmpty) {
-      import spark.implicits._
-      Seq((0.0, 0.0, 0.0)).toDF("n", "sum_len", "n_len")
-        .select(col("n"), lit(null).cast("double").as("avgdl"),
-          col("sum_len"), col("n_len"))
-        .write.mode("overwrite").parquet(s"$path/stats")
-    }
+  private[graft] def commitRemoval(spark: org.apache.spark.sql.SparkSession,
+                                   path: String,
+                                   statsDf: DataFrame): Unit =
+    IndexLayout.writeSwap(spark, s"$path/stats", statsDf, None)
 
   /** Segment-merge for the BM25 layout: rewrite postings clustered by
     * shard with tombstoned docs dropped (appends' small files merged,
@@ -395,8 +501,10 @@ object Bm25 {
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
                    path: String, idCol: String = "doc_id",
                    reshardTo: Option[Int] = None): Unit =
-    compactIndexFolding(spark, path, idCol,
-      IndexLayout.segmentDirs(spark, path), reshardTo)
+    IndexLayout.withLease(spark, path, "Bm25.compactIndex") {
+      compactIndexFolding(spark, path, idCol,
+        IndexLayout.segmentDirs(spark, path), reshardTo)
+    }
 
   /** Recompute the shard column at a new shard count (identity when
     * `reshardTo` is empty) — applied inside the compaction rewrite.
@@ -417,52 +525,95 @@ object Bm25 {
       spark: org.apache.spark.sql.SparkSession, path: String,
       idCol: String, segs: Seq[String],
       reshardTo: Option[Int] = None): Unit = {
-    // tombstones are snapshotted at FILE granularity, like the segment
-    // list: the fold materializes exactly this snapshot and the cleanup
-    // deletes exactly it, so a removal landing mid-compaction keeps
-    // filtering reads and the next compaction materializes it
-    val tombFiles = IndexLayout.tombstoneFiles(spark, s"$path/tombstones")
+    // the tombstone snapshot is the CURRENT stats row's batch list (the
+    // reader-visible delete set); under the maintenance lease no removal
+    // can extend it mid-fold. The fold drops exactly these ids, the
+    // post-fold stats row lists nothing, and batch directories are
+    // physically deleted only once no still-existing stats version lists
+    // them (N-1 retention / pins for the delete set, mirroring the data
+    // dirs) — a reader mid-scan on the just-retired stats row keeps the
+    // batches its anti-join reads.
+    val tombDirs = tombstoneDirs(spark, path)
+    val tombIds = readTombIds(spark, tombDirs)
     if (segs.isEmpty) {
       val sharded =
         IndexLayout.partitionedLayout(spark, s"$path/postings", "shard")
       IndexLayout.rewriteInPlace(spark, s"$path/postings",
         if (sharded) Some("shard") else None,
-        df => reshard(
-          IndexLayout.dropTombstonedFiles(df, idCol, tombFiles),
-          reshardTo))
+        df => reshard(dropIds(df, idCol, tombIds), reshardTo))
       IndexLayout.rewriteInPlace(spark, s"$path/docs", None,
-        IndexLayout.dropTombstonedFiles(_, idCol, tombFiles))
-      IndexLayout.clearTombstoneFiles(spark, tombFiles)
+        dropIds(_, idCol, tombIds))
+      // the shifted totals are already exact — the stats swap here only
+      // retires the materialized batch list (skipped when there is none)
+      if (tombDirs.nonEmpty) swapStatsFromDocs(spark, path)
     } else {
       val postingsAll = IndexLayout.existingPartsOf(spark, path, segs, "postings")
         .map(spark.read.parquet(_)).reduce(_.unionByName(_)).distinct()
       IndexLayout.writeSwap(spark, s"$path/postings",
-        reshard(IndexLayout.dropTombstonedFiles(postingsAll, idCol, tombFiles),
-          reshardTo), Some("shard"))
+        reshard(dropIds(postingsAll, idCol, tombIds), reshardTo),
+        Some("shard"))
       val docsAll = IndexLayout.existingPartsOf(spark, path, segs, "docs")
         .map(spark.read.parquet(_)).reduce(_.unionByName(_)).distinct()
       IndexLayout.writeSwap(spark, s"$path/docs",
-        IndexLayout.dropTombstonedFiles(docsAll, idCol, tombFiles), None)
+        dropIds(docsAll, idCol, tombIds), None)
       // recompute the BASE stats row from the folded sidecar: the same
       // exact integral operands a from-scratch build aggregates, and
       // derived-from-folded state is what makes a crashed re-run
       // converge. An unfolded (post-snapshot) segment keeps its own
-      // stats row, which readers still sum in. A removal landing
-      // mid-compaction keeps filtering READS exactly (its tombstone
-      // file survives the snapshot clear); its stats shift races this
-      // overwrite, so n/avgdl can briefly include the late-removed
-      // docs — the next compaction recomputes and converges.
-      // atomic stats swap for the same reader-window reason as
-      // writeMergedStats — compaction runs against a SERVING index
-      IndexLayout.writeSwap(spark, s"$path/stats",
-        spark.read.parquet(IndexLayout.resolve(spark, s"$path/docs"))
-          .agg(count(lit(1)).cast("double").as("n"),
-            avg(col("doc_len")).as("avgdl"),
-            coalesce(sum(col("doc_len")).cast("double"), lit(0.0)).as("sum_len"),
-            count(col("doc_len")).cast("double").as("n_len")),
-        None)
+      // stats row, which readers still sum in. Atomic stats swap for
+      // the same reader-window reason as removals — compaction runs
+      // against a SERVING index.
+      swapStatsFromDocs(spark, path)
       IndexLayout.clearSegmentDirs(spark, segs)
-      IndexLayout.clearTombstoneFiles(spark, tombFiles)
+    }
+    sweepTombstoneBatches(spark, path)
+  }
+
+  /** Swap in a stats row recomputed from the (folded) doc sidecar, with
+    * an empty tombstone-batch list.
+    */
+  private def swapStatsFromDocs(spark: org.apache.spark.sql.SparkSession,
+                                path: String): Unit =
+    IndexLayout.writeSwap(spark, s"$path/stats",
+      spark.read.parquet(IndexLayout.resolve(spark, s"$path/docs"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          avg(col("doc_len")).as("avgdl"),
+          coalesce(sum(col("doc_len")).cast("double"), lit(0.0)).as("sum_len"),
+          count(col("doc_len")).cast("double").as("n_len"))
+        .withColumn("tomb_dirs", typedLit(Seq.empty[String])),
+      None)
+
+  /** Delete tombstone batch directories no STILL-EXISTING stats layout
+    * (current version, N-1 retained version, pinned snapshots) lists —
+    * folded batches whose referencing stats versions have been GC'd,
+    * plus orphans staged by a crashed removal. Run after every
+    * compaction's stats swap: a batch folded by THIS compaction is
+    * still listed by the just-retired stats version (kept one swap by
+    * N-1 retention for readers mid-anti-join on it) and is swept by the
+    * NEXT compaction — the delete set gets exactly the retention of the
+    * data it filters. Batches are compared by their unique rm_<uuid>
+    * leaf name, so stored-string vs fully-qualified path spellings
+    * cannot desync the sweep.
+    */
+  private def sweepTombstoneBatches(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val parent = new org.apache.hadoop.fs.Path(path)
+    val fs = parent.getFileSystem(conf)
+    if (!fs.exists(parent)) return
+    val statsLayouts = fs.listStatus(parent).toSeq.filter { st =>
+      val n = st.getPath.getName
+      st.isDirectory && (n == "stats" || n.matches("stats\\.v\\d+"))
+    }.map(_.getPath.toString)
+    val keep: Set[String] = statsLayouts
+      .flatMap(readStatsRow(spark, _)).flatMap(tombDirsOf)
+      .map(d => d.substring(d.lastIndexOf('/') + 1)).toSet
+    val root = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    if (fs.exists(root)) {
+      fs.listStatus(root).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("rm_")
+          && !keep(st.getPath.getName))
+        .foreach(st => fs.delete(st.getPath, true))
     }
   }
 
@@ -521,8 +672,9 @@ object Bm25 {
       .toDF("query_id", "term")
     val termSet = queries.flatMap { case (_, q) => queryTerms(q) }.distinct
     val shards = termSet.map(shardOf(_, nShards)).distinct
-    val (nDocs, avgdl) = summedStats(
-      existingParts(spark, path, "stats").flatMap(readStatsRow(spark, _)))
+    val statsRows =
+      existingParts(spark, path, "stats").flatMap(readStatsRow(spark, _))
+    val (nDocs, avgdl) = summedStats(statsRows)
     val layouts = existingParts(spark, path, "postings") match {
       case Seq() => Seq(s"$path/postings") // raise the standard read error
       case ls    => ls
@@ -539,11 +691,47 @@ object Bm25 {
     // no-op cost otherwise. Single-layout reads skip it entirely.
     val deduped = if (layouts.length > 1) unioned.distinct() else unioned
     // tombstoned docs (see [[removeFromIndex]]) drop BEFORE scoring, so
-    // df re-derives over live docs only; no-op when nothing was removed
-    val postings =
-      IndexLayout.dropTombstoned(deduped, idCol, s"$path/tombstones")
+    // df re-derives over live docs only; no-op when nothing was removed.
+    // The delete set comes from the SAME stats rows that supplied
+    // (n, avgdl) above — one resolved snapshot, so the filter and the
+    // stats can never be torn against each other.
+    val postings = dropIds(deduped, idCol,
+      readTombIds(spark, statsRows.flatMap(tombDirsOf).distinct))
     scoreAndRank(postings, idCol, terms, nDocs, avgdl, k, k1, b)
   }
+
+  /** Copy the LIVE postings (base + streaming segments, tombstoned docs
+    * dropped) to `outDir` as one shard-clustered parquet table — the
+    * offline hand-off scan (training-data export, index migration,
+    * cross-cluster copy). At 100 TB this is exactly the minutes-to-hours
+    * full scan that can straddle SEVERAL compaction cycles, and N-1
+    * retention alone only guarantees one — so the base postings are read
+    * under a snapshot PIN ([[IndexLayout.withPin]]): the pinned version,
+    * the scanned directory and the pin marker derive from one resolve,
+    * compactions landing mid-export cannot GC the files being copied,
+    * and the pin is released on every exit including failure. The
+    * delete set is snapshotted ONCE from the stats row before the scan
+    * (segments are immutable and never versioned — no pin needed there).
+    */
+  def exportLivePostings(spark: org.apache.spark.sql.SparkSession,
+                         path: String, idCol: String,
+                         outDir: String): Unit =
+    IndexLayout.withPin(spark, s"$path/postings") { pinnedBase =>
+      val tombIds = readTombIds(spark, tombstoneDirs(spark, path))
+      val segPostings = IndexLayout.segmentDirs(spark, path)
+        .map(d => s"$d/postings")
+        .filter { d =>
+          val hp = new org.apache.hadoop.fs.Path(d)
+          hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+        }
+      val layouts = pinnedBase +: segPostings
+      val unioned = layouts.map(spark.read.parquet(_))
+        .reduce(_.unionByName(_))
+      val deduped = if (layouts.length > 1) unioned.distinct() else unioned
+      dropIds(deduped, idCol, tombIds)
+        .repartition(col("shard"))
+        .write.mode("overwrite").parquet(outDir)
+    }
 
   /** Exact retrieval-evaluation metrics for [[topK]]: per query, MRR,
     * recall@k and nDCG@k (binary gains) against deterministic boolean-AND

@@ -460,12 +460,14 @@ object DedupOps {
     // not filter into / union into the new one (readers unconditionally
     // span $path/segments/batch=*), and any version manifests from a
     // previous index's compactions (the rebuild writes the plain layout,
-    // which a stale manifest would shadow). `sharded = false` is the
-    // streaming-SEGMENT write (target $path/segments/batch=<id>): a
-    // segment carries no lifecycle state of its own, so the four clears
-    // would be guaranteed no-ops — on an object store, 4+ wasted API
-    // calls per micro-batch — and are skipped.
-    if (sharded) {
+    // which a stale manifest would shadow). Gated on the TARGET being a
+    // segment path, not on `sharded`: a non-segment sharded = false
+    // rebuild at a base path must still replace stale lifecycle state
+    // (the Bm25.writeIndex twin). A streaming-SEGMENT write (target
+    // $path/segments/batch=<id>) skips the clears — a segment carries no
+    // lifecycle state of its own, so the four clears would be guaranteed
+    // no-ops, and on an object store 4+ wasted API calls per micro-batch.
+    if (!path.contains("/segments/batch=")) {
       IndexLayout.clearTombstones(corpusDf.sparkSession, s"$path/tombstones")
       IndexLayout.clearSegments(corpusDf.sparkSession, path)
       IndexLayout.clearVersions(corpusDf.sparkSession, s"$path/shingles")
@@ -605,8 +607,13 @@ object DedupOps {
   def compactDedupIndex(spark: org.apache.spark.sql.SparkSession,
                         path: String, idCol: String = "doc_id",
                         reshardTo: Option[Int] = None): Unit =
-    compactDedupIndexFolding(spark, path, idCol,
-      IndexLayout.segmentDirs(spark, path), reshardTo)
+    // swap-class maintenance: two concurrent compactions double-flip
+    // versions and clear each other's segment/tombstone snapshots —
+    // serialized by the single-maintainer lease (loud, not silent)
+    IndexLayout.withLease(spark, path, "DedupOps.compactDedupIndex") {
+      compactDedupIndexFolding(spark, path, idCol,
+        IndexLayout.segmentDirs(spark, path), reshardTo)
+    }
 
   /** Recompute the shard column at a new shard count (identity when
     * `reshardTo` is empty) — the re-bucketing move for a corpus that

@@ -11,8 +11,12 @@ import org.apache.spark.sql.functions._
   *   - WRITE:   one clustered partitioned layout, O(shards) files;
   *   - APPEND:  new files into the same partition dirs (no rewrite) —
   *              each append adds ≥1 file per touched shard;
-  *   - REMOVE:  O(batch) tombstone rows appended to a sidecar — no shard
-  *              is rewritten; reads anti-join the tombstones;
+  *   - REMOVE:  O(batch) tombstone rows — no shard is rewritten; reads
+  *              anti-join them. Dedup/IVF append loose sidecar files
+  *              (single-step, nothing else to keep consistent); BM25
+  *              stages a batch DIRECTORY listed by its versioned stats
+  *              row, so the delete set and the stats shift flip in one
+  *              swap (see Bm25.removeFromIndex);
   *   - COMPACT: rewrite each partition clustered (small files from
   *              appends merged) with tombstoned rows dropped, then clear
   *              the tombstones — the segment merge that reclaims space.
@@ -107,6 +111,36 @@ object IndexLayout {
     }
   }
 
+  /** The version a reader is EFFECTIVELY served (None = the plain
+    * layout): the manifest's version, or — manifest absent but the
+    * `_VERSIONED` marker present (mid-rename flip window, or lost) — one
+    * re-read, then the highest COMMITTED version directory. Committed
+    * only: a compactor killed mid-[[prepareVersion]] leaves a partial
+    * `dir.v<max>` with no completion marker, and serving it would be
+    * silent partial data; every COMPLETED prepare stamps the marker
+    * before the flip, so the highest committed sibling is always a full
+    * layout. This single derivation is shared by [[resolve]] (what
+    * readers scan), [[flipVersion]] (what GC must spare) and
+    * [[pinCurrent]] (what a pin must protect) — the three MUST agree, or
+    * a flip after manifest loss deletes files under the readers/pins
+    * that resolved through the fallback.
+    */
+  private[graft] def effectiveVersion(spark: SparkSession,
+                                      dir: String): Option[Int] =
+    currentVersion(spark, dir).orElse {
+      val marker = new org.apache.hadoop.fs.Path(dir + "._VERSIONED")
+      if (!fsOf(spark, marker).exists(marker)) None
+      else currentVersion(spark, dir) match { // re-read: rename window
+        case s @ Some(_) => s
+        case None =>
+          val vs = committedVersionDirs(spark, dir)
+          require(vs.nonEmpty,
+            s"$dir is marked versioned but has no manifest and no " +
+              "complete version directories — corrupt layout")
+          Some(vs.map(_._1).max)
+      }
+    }
+
   /** The directory actually holding `dir`'s data: `dir.v<n>` when a
     * version manifest exists, `dir` itself otherwise. Every operator
     * read/append of a swappable table goes through this.
@@ -114,29 +148,18 @@ object IndexLayout {
     * Manifest absent but the `_VERSIONED` marker present means the
     * manifest is mid-rename (an object-store flip window) or lost: the
     * manifest is re-read once (the rename usually completes within the
-    * round-trip), then the HIGHEST version directory is used — by the
-    * write-before-flip invariant every `dir.v<n>` is a complete layout,
-    * and under N-1 retention the highest is the one being (or just)
-    * flipped to, never a half-written sibling. A plain layout (no
-    * marker) never consults version siblings, so a reader during a
-    * FIRST compaction's prepare phase cannot resolve to the in-progress
-    * `dir.v1`.
+    * round-trip), then the HIGHEST COMMITTED version directory is used —
+    * complete by its `_GRAFT_COMMITTED` marker (a crashed-prepare
+    * orphan, which has no marker, is never served), and under N-1
+    * retention the highest committed is the one being (or just) flipped
+    * to. A plain layout (no `_VERSIONED` marker) never consults version
+    * siblings, so a reader during a FIRST compaction's prepare phase
+    * cannot resolve to the in-progress `dir.v1`.
     */
   def resolve(spark: SparkSession, dir: String): String =
-    currentVersion(spark, dir) match {
+    effectiveVersion(spark, dir) match {
       case Some(n) => s"$dir.v$n"
-      case None =>
-        val marker = new org.apache.hadoop.fs.Path(dir + "._VERSIONED")
-        if (!fsOf(spark, marker).exists(marker)) dir
-        else currentVersion(spark, dir) match { // re-read: rename window
-          case Some(n) => s"$dir.v$n"
-          case None =>
-            val vs = versionDirs(spark, dir)
-            require(vs.nonEmpty,
-              s"$dir is marked versioned but has no manifest and no " +
-                "version directories — corrupt layout")
-            s"$dir.v${vs.map(_._1).max}"
-        }
+      case None    => dir
     }
 
   /** Post-append visibility check: direct appends write into the
@@ -182,12 +205,41 @@ object IndexLayout {
     * that flip, so retention spares it), and the late-landing pin then
     * protects it from the flip after that.
     */
-  def pinCurrent(spark: SparkSession, dir: String): String = {
-    val v = currentVersion(spark, dir).getOrElse(0)
+  def pinCurrent(spark: SparkSession, dir: String): String =
+    pinVersion(spark, dir, effectiveVersion(spark, dir).getOrElse(0))
+
+  /** Drop the pin marker for an explicit version number. The version is
+    * derived by [[pinCurrent]]/[[withPin]] through [[effectiveVersion]]
+    * — the SAME fallback readers resolve with — so during a manifest
+    * rename window or after manifest loss the pin protects exactly the
+    * snapshot the paired resolve scans, never the plain dir (version 0)
+    * while readers are on `dir.v<n>`.
+    */
+  private def pinVersion(spark: SparkSession, dir: String, v: Int): String = {
     val token = java.util.UUID.randomUUID().toString
     val p = new org.apache.hadoop.fs.Path(s"$dir._PIN.v$v.$token")
     fsOf(spark, p).create(p, true).close()
     token
+  }
+
+  /** Run `body` against a pinned snapshot of `dir`: pins the currently
+    * effective version, hands `body` the pinned layout's CONCRETE data
+    * directory (scan that path, not a fresh `resolve` — later flips
+    * retarget resolve but cannot GC the pin), and releases the pin on
+    * ALL exits, including failure. This is the supported pairing the
+    * raw pin/resolve/unpin triple leaves by convention: the pinned
+    * version and the scanned directory are derived from one
+    * [[effectiveVersion]] read, so they cannot disagree. (A flip landing
+    * between that read and the pin-marker write is benign under N-1
+    * retention — see [[pinCurrent]].) Use for any read that may outlast
+    * a compaction cycle: exports, full-corpus audits, retrain input
+    * scans taken outside the maintenance lease.
+    */
+  def withPin[T](spark: SparkSession, dir: String)(body: String => T): T = {
+    val v = effectiveVersion(spark, dir).getOrElse(0)
+    val token = pinVersion(spark, dir, v)
+    try body(if (v == 0) dir else s"$dir.v$v")
+    finally unpin(spark, dir, token)
   }
 
   /** Release a [[pinCurrent]] token: the pinned layout becomes ordinary
@@ -209,24 +261,130 @@ object IndexLayout {
     }
   }
 
-  /** The version numbers currently pinned for `dir` (0 = the plain
-    * layout).
+  /** The pins currently held on `dir`: (version, token, ageMillis) per
+    * marker, oldest first. Version 0 = the plain layout. The operator
+    * tool for pin hygiene: a reader that crashed without unpinning leaks
+    * retention (one layout copy per leaked pin, bounded) and is
+    * invisible except through this listing — `ageMillis` (marker
+    * mod-time) is the triage signal, and `unpin(dir, token)` is the
+    * clear. Deliberately NOT auto-expired: expiry would reintroduce the
+    * delete-under-a-slow-reader race pins exist to close.
     */
-  private def pinnedVersions(spark: SparkSession, dir: String): Set[Int] = {
+  def listPins(spark: SparkSession,
+               dir: String): Seq[(Int, String, Long)] = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val parent = p.getParent
     val fs = fsOf(spark, p)
-    if (parent == null || !fs.exists(parent)) Set.empty
+    if (parent == null || !fs.exists(parent)) Seq.empty
     else {
       val re = (java.util.regex.Pattern.quote(p.getName) +
-        "\\._PIN\\.v(\\d+)\\..+").r
+        "\\._PIN\\.v(\\d+)\\.(.+)").r
+      val now = System.currentTimeMillis()
       fs.listStatus(parent).toSeq.filter(_.isFile).flatMap { st =>
         st.getPath.getName match {
-          case re(n) => Some(n.toInt)
-          case _     => None
+          case re(n, token) =>
+            Some((n.toInt, token, math.max(0L, now - st.getModificationTime)))
+          case _ => None
         }
-      }.toSet
+      }.sortBy(-_._3)
     }
+  }
+
+  /** The version numbers currently pinned for `dir` (0 = the plain
+    * layout).
+    */
+  private def pinnedVersions(spark: SparkSession, dir: String): Set[Int] =
+    listPins(spark, dir).map(_._1).toSet
+
+  // ---------------------------------------------------------------------
+  // Single-maintainer lease. SWAP-CLASS maintenance (remove / compact /
+  // re-shard / retrain) mutates shared lifecycle state that is
+  // SNAPSHOTTED then CLEARED (segment lists, tombstone batches, version
+  // manifests): two concurrent maintainers both compute `max+1` in
+  // prepareVersion, overwrite the same `dir.v<n+1>`, double-flip, and
+  // each one's snapshot clear can delete state the other never folded —
+  // silent data loss. The contract is therefore ONE maintainer at a time
+  // per index, enforced by a create-exclusive lease marker: the second
+  // maintainer fails LOUDLY at acquisition, naming the holder.
+  //
+  //   - Readers never take the lease — they are isolated by version
+  //     snapshots (+ pins), not locks.
+  //   - Direct appends keep the cheaper assertAppendVisible detector;
+  //     streaming SEGMENT writes are concurrent-safe by design and take
+  //     nothing.
+  //   - A maintainer that CRASHES leaves a stale lease; the next
+  //     maintenance fails loudly until an operator confirms the holder
+  //     is dead and runs [[releaseLease]] (runbook in PERF.md). Loud
+  //     staleness is the deliberate trade — TTL auto-expiry would let a
+  //     paused-but-alive compactor resume into a lease someone else now
+  //     holds, which is exactly the double-maintainer corruption again.
+  //   - `create(overwrite = false)` is atomic on HDFS/local and on object
+  //     stores with conditional create (S3 If-None-Match, GCS
+  //     if-generation-match); on a store without it this degrades to a
+  //     best-effort detector — the same honesty note as
+  //     assertAppendVisible.
+  // ---------------------------------------------------------------------
+
+  /** Acquire the single-maintainer lease for the index rooted at `path`
+    * (marker: sibling `path._LEASE` — works for both directory-of-tables
+    * layouts and partitioned-dir layouts). Throws loudly if held.
+    */
+  def acquireLease(spark: SparkSession, path: String, op: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path + "._LEASE")
+    val fs = fsOf(spark, p)
+    val parent = p.getParent
+    if (parent != null && !fs.exists(parent)) fs.mkdirs(parent)
+    val out =
+      try fs.create(p, false)
+      catch {
+        case e: java.io.IOException =>
+          if (fs.exists(p)) throw new IllegalStateException(
+            s"maintenance lease $p is already held" +
+              leaseHolder(spark, path).fold("")(h => s" by [$h]") +
+              s" — refusing to run '$op' concurrently (two maintainers " +
+              "can double-flip versions and clear each other's " +
+              "snapshots). If the holder crashed, verify it is dead and " +
+              "run IndexLayout.releaseLease to recover.")
+          else throw e
+      }
+    try out.write(
+      (s"$op pid=${ProcessHandle.current().pid()} " +
+        s"acquired=${java.time.Instant.now()}").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Release the maintenance lease (also the operator recovery tool for
+    * a lease leaked by a crashed maintainer). Idempotent.
+    */
+  def releaseLease(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path + "._LEASE")
+    fsOf(spark, p).delete(p, false)
+  }
+
+  /** The current lease marker's contents (op, pid, acquisition time), or
+    * None when unheld — the triage signal for a stuck maintenance.
+    */
+  def leaseHolder(spark: SparkSession, path: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(path + "._LEASE")
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      catch { case _: java.io.IOException => Some("<unreadable>") }
+      finally in.close()
+    }
+  }
+
+  /** Run a swap-class maintenance operation under the lease, releasing
+    * it on ALL exits (a thrown body must not leave the index
+    * unmaintenable — only a process CRASH leaves a stale lease, which is
+    * the loud-by-design case above).
+    */
+  def withLease[T](spark: SparkSession, path: String, op: String)
+                  (body: => T): T = {
+    acquireLease(spark, path, op)
+    try body finally releaseLease(spark, path)
   }
 
   /** Step 1 of a swap, exposed for the kill-the-compactor spec: write
@@ -249,8 +407,35 @@ object IndexLayout {
       case _ =>
         df.write.mode("overwrite").parquet(target)
     }
+    // completion marker LAST: a version sibling is a fallback-resolve /
+    // GC-spare candidate only once its data is fully written — a
+    // compactor killed mid-write leaves a markerless partial dir that
+    // readers never serve and the next swap's GC deletes. (An explicit
+    // marker, not the committer's _SUCCESS, so completeness does not
+    // depend on mapreduce.fileoutputcommitter configuration.) The
+    // underscore prefix keeps it invisible to parquet file listing.
+    val done = new org.apache.hadoop.fs.Path(s"$target/$CommittedMarker")
+    fsOf(spark, done).create(done, true).close()
     next
   }
+
+  /** File name stamped into a version directory by [[prepareVersion]]
+    * once its data is completely written.
+    */
+  private[graft] val CommittedMarker = "_GRAFT_COMMITTED"
+
+  /** The version siblings whose data is COMPLETE (completion marker
+    * present) — the only candidates manifest-loss fallback may serve or
+    * spare; [[versionDirs]] (all siblings, partial orphans included) is
+    * what GC deletes from and next-version numbering maxes over.
+    */
+  private def committedVersionDirs(
+      spark: SparkSession,
+      dir: String): Seq[(Int, org.apache.hadoop.fs.Path)] =
+    versionDirs(spark, dir).filter { case (_, p) =>
+      val done = new org.apache.hadoop.fs.Path(p, CommittedMarker)
+      fsOf(spark, p).exists(done)
+    }
 
   /** Step 2 of a swap: atomically retarget readers to version `n` (tmp
     * manifest + overwrite-rename — one tiny object, the only mutation a
@@ -266,13 +451,16 @@ object IndexLayout {
                                  n: Int): Unit = {
     // `old` (the layout N-1 retention spares) uses the SAME fallback as
     // resolve: if the manifest is lost but the marker says the table is
-    // versioned, readers are resolving the highest version — the GC must
-    // spare exactly what they read, not treat the table as plain and
-    // delete every version but n
+    // versioned, readers are resolving the highest COMMITTED version —
+    // the GC must spare exactly what they read (`n`'s own dir, committed
+    // by prepareVersion just before this call, is excluded so the
+    // previous one is spared), not treat the table as plain and delete
+    // every version but n, and never spare a crashed-prepare partial
+    // while deleting the complete version under readers
     val marker0 = new org.apache.hadoop.fs.Path(dir + "._VERSIONED")
     val old = currentVersion(spark, dir).orElse {
       if (!fsOf(spark, marker0).exists(marker0)) None
-      else versionDirs(spark, dir).map(_._1).filter(_ != n)
+      else committedVersionDirs(spark, dir).map(_._1).filter(_ != n)
         .sorted.lastOption
     }
     val m = new org.apache.hadoop.fs.Path(dir + "._CURRENT")

@@ -245,8 +245,13 @@ object IvfIndex {
     */
   def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                    idCol: String = "vec_id"): Unit =
-    compactIndexFolding(spark, path, idCol,
-      IndexLayout.segmentDirsAt(spark, s"$path.segments"))
+    // swap-class maintenance: serialized by the single-maintainer lease
+    // (two concurrent compactions double-flip versions and clear each
+    // other's segment/tombstone snapshots)
+    IndexLayout.withLease(spark, path, "IvfIndex.compactIndex") {
+      compactIndexFolding(spark, path, idCol,
+        IndexLayout.segmentDirsAt(spark, s"$path.segments"))
+    }
 
   /** [[compactIndex]] over an explicit segment snapshot — the fold reads
     * exactly this set and the cleanup deletes exactly this set, so a
@@ -302,7 +307,15 @@ object IvfIndex {
     */
   def retrainCompact(spark: org.apache.spark.sql.SparkSession,
                      path: String, idCol: String, embCol: String,
-                     k: Int, iters: Int): Model = {
+                     k: Int, iters: Int): Model =
+    IndexLayout.withLease(spark, path, "IvfIndex.retrainCompact") {
+      retrainCompactLeased(spark, path, idCol, embCol, k, iters)
+    }
+
+  private def retrainCompactLeased(spark: org.apache.spark.sql.SparkSession,
+                                   path: String, idCol: String,
+                                   embCol: String,
+                                   k: Int, iters: Int): Model = {
     val segs = IndexLayout.segmentDirsAt(spark, s"$path.segments")
     val tombFiles = IndexLayout.tombstoneFiles(spark, s"$path.tombstones")
     val all = (IndexLayout.resolve(spark, path) +: segs)

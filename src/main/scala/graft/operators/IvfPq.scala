@@ -181,7 +181,17 @@ object IvfPq {
     */
   def retrainCompact(spark: SparkSession, path: String, idCol: String,
                      embCol: String, nlist: Int, coarseIters: Int,
-                     m: Int, k: Int, pqIters: Int): Model = {
+                     m: Int, k: Int, pqIters: Int): Model =
+    // swap-class maintenance — single-maintainer lease, like the parents
+    IndexLayout.withLease(spark, path, "IvfPq.retrainCompact") {
+      retrainCompactLeased(spark, path, idCol, embCol, nlist, coarseIters,
+        m, k, pqIters)
+    }
+
+  private def retrainCompactLeased(spark: SparkSession, path: String,
+                                   idCol: String, embCol: String,
+                                   nlist: Int, coarseIters: Int,
+                                   m: Int, k: Int, pqIters: Int): Model = {
     val segs = IndexLayout.segmentDirsAt(spark, s"$path.segments")
     val tombFiles = IndexLayout.tombstoneFiles(spark, s"$path.tombstones")
     val all = (IndexLayout.resolve(spark, path) +: segs)

@@ -1302,14 +1302,18 @@ object SimilarityQueries {
           val cells = a.groupBy(col("cell"))
             .agg(count(lit(1)).cast("long").as("cn"))
             .agg(max(col("cn")).cast("long").as("max_cell_n"))
-          // exact p90 without a corpus-scale global sort: cumulative
-          // counts over the DISTINCT-d2 histogram (aggregate-bounded
-          // global window — the PlanShapeSpec-sanctioned shape), then
-          // min d2 with cum ≥ ⌈0.9·n⌉
+          // exact p90 without a corpus-scale global sort OR a global
+          // window: cumulative counts over the DISTINCT-d2 histogram via
+          // the two-pass bucketed prefix sum (q187's shape). The
+          // histogram is NOT provably small — quantized 64-dim L2² takes
+          // up to ~min(n, 2.7e8) distinct values, so at 100× scale a
+          // single-partition window over it would carry ~1e8 rows;
+          // PrefixSum keeps work per task O(rows/buckets) with
+          // driver-tiny bucket offsets. Then min d2 with cum ≥ ⌈0.9·n⌉.
           val hist = a.groupBy(col("d2"))
             .agg(count(lit(1)).cast("long").as("cnt"))
-          val cum = hist.withColumn("cum",
-            sum(col("cnt")).over(Window.orderBy(col("d2"))))
+          val cum = graft.operators.PrefixSum.runningSum(
+            hist, "d2", "cnt", "cum")
           val p90 = cum
             .crossJoin(broadcast(nAgg.select(col("n_vectors").as("__n"))))
             .filter(col("cum") * lit(10L) >= col("__n") * lit(9L))

@@ -149,22 +149,53 @@ class Bm25Spec extends SparkSpec {
         .collect().map(_.toSeq).toSet
     val tombstoned = rows(dir)
     assert(tombstoned === rows(liveDir))
-    // the stats shift is EXACT: bit-equal to the live-only build's stats
-    assert(spark.read.parquet(IndexLayout.resolve(spark, s"$dir/stats")).collect().map(_.toSeq).toSeq
-      === spark.read.parquet(IndexLayout.resolve(spark, s"$liveDir/stats")).collect().map(_.toSeq).toSeq)
-    // double-removal of the same ids must not double-shift
+    // the stats shift is EXACT: the numeric row bit-equals the live-only
+    // build's (tomb_dirs legitimately differs — the removal lists its
+    // batch, the fresh build lists nothing)
+    def numStats(d: String) =
+      spark.read.parquet(IndexLayout.resolve(spark, s"$d/stats"))
+        .select("n", "avgdl", "sum_len", "n_len")
+        .collect().map(_.toSeq).toSeq
+    assert(numStats(dir) === numStats(liveDir))
+    // double-removal of the same ids must not double-shift, and must not
+    // grow the listed delete set (a no-op batch commits nothing)
     Bm25.removeFromIndex(docs.filter(col("doc_id") % 10 === 0)
       .select("doc_id"), "doc_id", dir)
-    assert(spark.read.parquet(IndexLayout.resolve(spark, s"$dir/stats")).collect().map(_.toSeq).toSeq
-      === spark.read.parquet(IndexLayout.resolve(spark, s"$liveDir/stats")).collect().map(_.toSeq).toSeq)
-    // compaction makes the removals physical: same rows, sidecar gone,
-    // and the tombstoned ids are no longer anywhere in the postings
+    assert(numStats(dir) === numStats(liveDir))
+    assert(Bm25.tombstoneDirs(spark, dir).size == 1)
+    // compaction makes the removals physical: same rows, the listed
+    // delete set empty, and the tombstoned ids no longer anywhere in the
+    // postings
     Bm25.compactIndex(spark, dir)
     assert(rows(dir) === tombstoned)
-    assert(graft.operators.IndexLayout.tombstoneFiles(spark, s"$dir/tombstones").isEmpty)
+    assert(Bm25.tombstoneDirs(spark, dir).isEmpty)
     assert(spark.read.parquet(
         graft.operators.IndexLayout.resolve(spark, s"$dir/postings"))
       .filter(col("doc_id") % 10 === 0).count() == 0)
+    // the folded batch directory is retained while the just-retired
+    // stats version (N-1 retention) still lists it — a reader mid-scan
+    // on that version keeps its anti-join inputs — and is swept once no
+    // existing stats version references it (here: after the next
+    // removal+compaction cycle retires the listing version)
+    def rmDirs() = {
+      val t = new java.io.File(s"$dir/tombstones")
+      if (!t.exists()) Array.empty[String]
+      else t.listFiles().filter(f => f.isDirectory &&
+        f.getName.startsWith("rm_")).map(_.getName)
+    }
+    val firstBatch = rmDirs()
+    assert(firstBatch.nonEmpty, "retention holds the folded batch one cycle")
+    Bm25.removeFromIndex(docs.filter(col("doc_id") % 10 === 1)
+      .select("doc_id"), "doc_id", dir)
+    Bm25.compactIndex(spark, dir)
+    val after = rmDirs()
+    assert(!after.contains(firstBatch.head),
+      "unreferenced first batch swept once its stats version is GC'd")
+    assert(rows(dir) === Bm25.topKIndexed(spark,
+      { val d2 = java.nio.file.Files.createTempDirectory("bm25_live2").toString
+        Bm25.writeIndex(docs.filter(col("doc_id") % 10 =!= 0
+          && col("doc_id") % 10 =!= 1), "doc_id", "text", d2, nShards = 64)
+        d2 }, "doc_id", queries, k = 10).collect().map(_.toSeq).toSet)
   }
 
   test("compactIndex merges append small-files; results identical") {
@@ -244,7 +275,7 @@ class Bm25Spec extends SparkSpec {
     // gone, results identical, stats bit-equal to the live-only rebuild
     Bm25.compactIndex(spark, dir)
     assert(IndexLayout.segmentDirs(spark, dir).isEmpty)
-    assert(graft.operators.IndexLayout.tombstoneFiles(spark, s"$dir/tombstones").isEmpty)
+    assert(Bm25.tombstoneDirs(spark, dir).isEmpty)
     assert(rows(dir) === afterDelete)
     assert(spark.read.parquet(IndexLayout.resolve(spark, s"$dir/stats")).collect().map(_.toSeq).toSeq
       === spark.read.parquet(IndexLayout.resolve(spark, s"$liveDir/stats")).collect().map(_.toSeq).toSeq)
@@ -381,6 +412,117 @@ class Bm25Spec extends SparkSpec {
         "doc_id", "text", dir)
     }
     assert(err.getMessage.contains("UNPARTITIONED"))
+  }
+
+  test("removal is ATOMIC: a reader between stage and commit sees fully-pre scores, after commit fully-post") {
+    val docs = Tables(spark, sf, "documents")
+    val queries = Seq("s1" -> "fast hash join", "s2" -> "stream filter vector")
+    val dir = java.nio.file.Files.createTempDirectory("bm25_atomic").toString
+    Bm25.writeIndex(docs, "doc_id", "text", dir, nShards = 64)
+    def rows(d: String) =
+      Bm25.topKIndexed(spark, d, "doc_id", queries, k = 10)
+        .collect().map(_.toSeq).toSet
+    val fullyPre = rows(dir)
+    // the removal's two internal steps, interleaved with a reader: the
+    // staged tombstone batch exists on disk but is UNLISTED — scores
+    // must be bit-identical to before the removal started (the old
+    // design's append-then-swap exposed filtered postings against
+    // unshifted stats in exactly this window)
+    val staged = Bm25.stageRemoval(spark,
+      docs.filter(col("doc_id") % 10 === 0).select("doc_id"), "doc_id", dir)
+    assert(staged.isDefined)
+    assert(new java.io.File(s"$dir/tombstones").listFiles()
+      .exists(_.getName.startsWith("rm_")), "batch staged on disk")
+    assert(rows(dir) === fullyPre,
+      "mid-removal reader must score the FULLY-PRE state")
+    // the commit is one manifest flip: afterwards the reader scores the
+    // fully-post state — identical to a live-only rebuild
+    Bm25.commitRemoval(spark, dir, staged.get)
+    val liveDir = java.nio.file.Files.createTempDirectory("bm25_atomic_live").toString
+    Bm25.writeIndex(docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+      liveDir, nShards = 64)
+    assert(rows(dir) === rows(liveDir),
+      "post-commit reader must score the FULLY-POST state")
+    // a crash between stage and commit leaves only an invisible orphan:
+    // stage again, "crash" (never commit), and reads + the next
+    // compaction stay exact
+    val staged2 = Bm25.stageRemoval(spark,
+      docs.filter(col("doc_id") % 10 === 1).select("doc_id"), "doc_id", dir)
+    assert(staged2.isDefined)
+    assert(rows(dir) === rows(liveDir), "uncommitted stage is invisible")
+    Bm25.compactIndex(spark, dir)
+    assert(rows(dir) === rows(liveDir), "compaction sweeps the orphan, reads exact")
+  }
+
+  test("exportLivePostings: pinned export equals the live postings across base+segments; pin released") {
+    import graft.operators.IndexLayout
+    val dir = java.nio.file.Files.createTempDirectory("bm25_export").toString
+    Bm25.writeIndex(embDocs.filter(col("doc_id") =!= 3L), "doc_id", "text", dir)
+    Bm25.writeIndex(embDocs.filter(col("doc_id") === 3L), "doc_id", "text",
+      s"$dir/segments/batch=0", sharded = false)
+    Bm25.removeFromIndex(Seq(2L).toDF("doc_id"), "doc_id", dir)
+    val out = java.nio.file.Files.createTempDirectory("bm25_export_out").toString + "/postings"
+    Bm25.exportLivePostings(spark, dir, "doc_id", out)
+    // live = docs 1 and 3 (2 tombstoned); export carries their postings
+    val exported = spark.read.parquet(out)
+    assert(exported.select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    val fresh = java.nio.file.Files.createTempDirectory("bm25_export_fresh").toString
+    Bm25.writeIndex(embDocs.filter(col("doc_id") =!= 2L), "doc_id", "text", fresh)
+    assert(exported.select("doc_id", "doc_len", "term", "tf")
+      .collect().map(_.toSeq).toSet
+      === spark.read.parquet(IndexLayout.resolve(spark, s"$fresh/postings"))
+        .select("doc_id", "doc_len", "term", "tf")
+        .collect().map(_.toSeq).toSet)
+    assert(IndexLayout.listPins(spark, s"$dir/postings").isEmpty,
+      "export pin released")
+  }
+
+  test("removals on a segment-only index (no base build) shift stats through the swap, twice") {
+    // regression for the shadowed-zero-row bug: the base stats row of a
+    // stream-only index must materialize THROUGH the version swap (a
+    // plain write could be shadowed by a stale stats manifest), and a
+    // second removal must shift the row the first one created
+    val dir = java.nio.file.Files.createTempDirectory("bm25_segonly").toString
+    Bm25.writeIndex(embDocs.filter(col("doc_id") <= 2L), "doc_id", "text",
+      s"$dir/segments/batch=0", sharded = false)
+    Bm25.writeIndex(embDocs.filter(col("doc_id") === 3L), "doc_id", "text",
+      s"$dir/segments/batch=1", sharded = false)
+    def rows(d: String) =
+      Bm25.topKIndexed(spark, d, "doc_id",
+        Seq("qa" -> "apple", "qb" -> "banana"), k = 3)
+        .collect().map(_.toSeq).toSet
+    def fresh(live: org.apache.spark.sql.DataFrame) = {
+      val d = java.nio.file.Files.createTempDirectory("bm25_segonly_f").toString
+      Bm25.writeIndex(live, "doc_id", "text", d)
+      rows(d)
+    }
+    Bm25.removeFromIndex(Seq(1L).toDF("doc_id"), "doc_id", dir)
+    assert(rows(dir) === fresh(embDocs.filter(col("doc_id") =!= 1L)))
+    Bm25.removeFromIndex(Seq(3L).toDF("doc_id"), "doc_id", dir)
+    assert(rows(dir) === fresh(embDocs.filter(col("doc_id") === 2L)))
+  }
+
+  test("a sharded=false rebuild at a BASE path still clears stale version manifests") {
+    import graft.operators.IndexLayout
+    // build + compact => versioned postings with a _CURRENT manifest;
+    // a later sharded=false REBUILD at the same base path must clear it,
+    // or the stale manifest shadows the fresh plain layout
+    val dir = java.nio.file.Files.createTempDirectory("bm25_unsharded_rebuild").toString
+    Bm25.writeIndex(embDocs, "doc_id", "text", dir)
+    Bm25.appendToIndex(Seq((9L, "apple pie")).toDF("doc_id", "text"),
+      "doc_id", "text", dir)
+    Bm25.compactIndex(spark, dir)
+    assert(IndexLayout.currentVersion(spark, s"$dir/postings").isDefined)
+    val rebuilt = embDocs.filter(col("doc_id") =!= 3L)
+    Bm25.writeIndex(rebuilt, "doc_id", "text", dir, sharded = false)
+    assert(IndexLayout.currentVersion(spark, s"$dir/postings").isEmpty,
+      "stale manifest cleared")
+    val out = Bm25.topKIndexed(spark, dir, "doc_id",
+      Seq("qa" -> "apple", "qc" -> "cherry"), k = 4)
+    val direct = Bm25.topK(rebuilt, "doc_id", "text",
+      Seq("qa" -> "apple", "qc" -> "cherry"), k = 4)
+    assert(out.collect().map(_.toSeq).toSet === direct.collect().map(_.toSeq).toSet)
   }
 
   test("bm25 query tokenizer mirrors the corpus tokenizer") {

@@ -276,6 +276,118 @@ class IndexLayoutSpec extends SparkSpec {
       s"manifest probes grew with segment count: $two @2 segs vs $six @6 segs")
   }
 
+  test("manifest-loss fallback never serves a crashed-prepare partial: highest COMMITTED version wins") {
+    val dir = freshDir("ixl_partial")
+    Seq(1L).toDF("id").write.parquet(dir)
+    IndexLayout.writeSwap(spark, dir, Seq(2L).toDF("id"), None)
+    IndexLayout.writeSwap(spark, dir, Seq(3L).toDF("id"), None)
+    // a compactor killed mid-prepare leaves a PARTIAL v3: data files may
+    // exist but the completion marker was never stamped
+    Seq(99L).toDF("id").write.parquet(s"$dir.v3")
+    assert(!new java.io.File(s"$dir.v3/${IndexLayout.CommittedMarker}").exists())
+    // manifest lost: fallback must serve v2 (complete), never the partial
+    assert(new java.io.File(s"$dir._CURRENT").delete())
+    assert(rows(dir) == Set(3L),
+      "fallback must skip the markerless partial and serve v2")
+    val reader = spark.read.parquet(IndexLayout.resolve(spark, dir))
+    // the next swap's GC must spare v2 (what readers resolved) and is
+    // free to collect the partial orphan — never the other way round
+    IndexLayout.writeSwap(spark, dir, Seq(4L).toDF("id"), None)
+    assert(rows(dir) == Set(4L))
+    assert(new java.io.File(s"$dir.v2").exists(),
+      "reader-visible complete version spared")
+    assert(!new java.io.File(s"$dir.v3").exists(), "partial orphan GC'd")
+    assert(reader.select("id").collect().map(_.getLong(0)).toSet == Set(3L))
+  }
+
+  test("pinCurrent during manifest loss pins the version readers resolve, not the plain dir") {
+    val dir = freshDir("ixl_pinloss")
+    Seq(1L).toDF("id").write.parquet(dir)
+    IndexLayout.writeSwap(spark, dir, Seq(2L).toDF("id"), None)
+    IndexLayout.writeSwap(spark, dir, Seq(3L).toDF("id"), None)
+    // manifest lost: readers fall back to v2; the pin taken at the same
+    // moment must protect THAT snapshot (getOrElse(0) would pin the
+    // nonexistent plain dir and GC would delete v2 under the held pin)
+    assert(new java.io.File(s"$dir._CURRENT").delete())
+    val token = IndexLayout.pinCurrent(spark, dir)
+    val snapshot = IndexLayout.resolve(spark, dir)
+    assert(snapshot.endsWith(".v2"))
+    assert(IndexLayout.listPins(spark, dir).map(_._1) == Seq(2))
+    IndexLayout.writeSwap(spark, dir, Seq(4L).toDF("id"), None)
+    IndexLayout.writeSwap(spark, dir, Seq(5L).toDF("id"), None)
+    IndexLayout.writeSwap(spark, dir, Seq(6L).toDF("id"), None)
+    assert(new java.io.File(snapshot).exists(),
+      "pinned fallback version survives the storm")
+    assert(spark.read.parquet(snapshot).select("id")
+      .collect().map(_.getLong(0)).toSet == Set(3L))
+    IndexLayout.unpin(spark, dir, token)
+    IndexLayout.writeSwap(spark, dir, Seq(7L).toDF("id"), None)
+    assert(!new java.io.File(snapshot).exists())
+  }
+
+  test("listPins reports (version, token, age) for leak triage; withPin pairs pin/scan/unpin and releases on failure") {
+    val dir = freshDir("ixl_pinops")
+    Seq(1L).toDF("id").write.parquet(dir)
+    IndexLayout.writeSwap(spark, dir, Seq(2L).toDF("id"), None)
+    assert(IndexLayout.listPins(spark, dir).isEmpty)
+    val t1 = IndexLayout.pinCurrent(spark, dir)
+    val pins = IndexLayout.listPins(spark, dir)
+    assert(pins.map(p => (p._1, p._2)) == Seq((1, t1)))
+    assert(pins.head._3 >= 0L)
+    // the operator recovery for a pin leaked by a crashed reader is
+    // listPins (find it) + unpin (clear it)
+    IndexLayout.unpin(spark, dir, t1)
+    assert(IndexLayout.listPins(spark, dir).isEmpty)
+    // withPin: body gets the CONCRETE pinned data dir, pin released after
+    val got = IndexLayout.withPin(spark, dir) { pinned =>
+      assert(pinned.endsWith(".v1"))
+      assert(IndexLayout.listPins(spark, dir).map(_._1) == Seq(1))
+      spark.read.parquet(pinned).count()
+    }
+    assert(got == 1L)
+    assert(IndexLayout.listPins(spark, dir).isEmpty, "released on success")
+    intercept[RuntimeException] {
+      IndexLayout.withPin(spark, dir)(_ => throw new RuntimeException("scan died"))
+    }
+    assert(IndexLayout.listPins(spark, dir).isEmpty, "released on failure")
+  }
+
+  test("single-maintainer lease: second maintainer fails loudly naming the holder; release recovers; withLease releases on failure") {
+    val base = java.nio.file.Files.createTempDirectory("ixl_lease").toString
+    val path = s"$base/index"
+    IndexLayout.acquireLease(spark, path, "compactor-A")
+    val e = intercept[IllegalStateException] {
+      IndexLayout.acquireLease(spark, path, "compactor-B")
+    }
+    assert(e.getMessage.contains("already held"))
+    assert(e.getMessage.contains("compactor-A"))
+    assert(IndexLayout.leaseHolder(spark, path).exists(_.contains("compactor-A")))
+    // the leased Bm25 maintenance entry points refuse too — the
+    // two-concurrent-compactions interleave lands here, loudly, instead
+    // of double-flipping versions and clearing each other's snapshots
+    import spark.implicits._
+    graft.operators.Bm25.writeIndex(
+      Seq((1L, "alpha beta")).toDF("doc_id", "text"), "doc_id", "text", path)
+    intercept[IllegalStateException] {
+      graft.operators.Bm25.compactIndex(spark, path)
+    }
+    intercept[IllegalStateException] {
+      graft.operators.Bm25.removeFromIndex(Seq(1L).toDF("doc_id"), "doc_id", path)
+    }
+    // crash recovery: operator verifies the holder is dead, releases
+    IndexLayout.releaseLease(spark, path)
+    assert(IndexLayout.leaseHolder(spark, path).isEmpty)
+    graft.operators.Bm25.compactIndex(spark, path) // now succeeds
+    // withLease must release on a thrown body — the index stays
+    // maintainable after a failed (but not crashed) compaction
+    intercept[RuntimeException] {
+      IndexLayout.withLease(spark, path, "bad-op")(
+        throw new RuntimeException("fold died"))
+    }
+    IndexLayout.withLease(spark, path, "ok-op")(())
+    assert(IndexLayout.leaseHolder(spark, path).isEmpty)
+  }
+
   test("clearSegmentDirs deletes exactly the snapshot, not the segment root") {
     val base = java.nio.file.Files.createTempDirectory("ixl_segs").toString
     Seq(1L).toDF("id").write.parquet(s"$base/segments/batch=0")

@@ -102,7 +102,7 @@ class LifecycleSoakSpec extends SparkSpec {
     assert(retrieved(dir, 16) == oracle(live), "after delete 2")
     Bm25.compactIndex(spark, dir, "doc_id")
     assert(retrieved(dir, 16) == oracle(live), "after final compaction")
-    assert(IndexLayout.tombstoneFiles(spark, s"$dir/tombstones").isEmpty,
+    assert(Bm25.tombstoneDirs(spark, dir).isEmpty,
       "tombstones materialized")
 
     // the snapshot pinned before step 5 survived the storm intact and
