@@ -292,6 +292,83 @@ object PortableAnn {
       .limit(topK)
   }
 
+  /** Per-dimension (n, sums) of the quantized corpus — the BINARY
+    * quantization threshold WITHOUT a division: bit j of a vector is
+    * `n·x_j > sum_j` (x_j above the per-dim mean), exact integer math
+    * both engines evaluate identically (a divided mean would need a
+    * truncation-rule match; multiplying through by n > 0 needs none).
+    * One d-row aggregate, order-independent long sums.
+    */
+  def bqTrain(df: DataFrame, qvCol: String): (Long, Array[Long]) = {
+    val rows = df
+      .select(posexplode(col(qvCol)).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    (rows.head._3, rows.map(_._2))
+  }
+
+  /** The 64-dim sign code packed into ONE long (the d = 64 tables make
+    * the packing exact — 8 bytes per vector, a 64× compression of the
+    * quantized form): bit j set iff n·x_j > sum_j. Bit 63's addend is
+    * `1L << 63` = Long.MinValue — adding it NEVER overflows (the other
+    * 63 bits sum to < 2^63, so every partial sum stays in range, which
+    * also keeps ANSI mode happy), and the SQL restatement uses the
+    * literal −2^63 because DuckDB's `<< 63` range-errors. Addition of
+    * disjoint-bit values equals bitwise OR, so the signed long IS the
+    * bit pattern on both engines.
+    */
+  def bqCode(qv: Column, n: Long, sums: Array[Long]): Column =
+    sums.indices.map { j =>
+      when(lit(n) * element_at(qv, j + 1) > lit(sums(j)), lit(1L << j))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Driver-side [[bqCode]] twin for a query vector. */
+  def bqPack(v: Array[Long], n: Long, sums: Array[Long]): Long = {
+    var code = 0L
+    var j = 0
+    while (j < sums.length) {
+      if (n * v(j) > sums(j)) code += (1L << j)
+      j += 1
+    }
+    code
+  }
+
+  /** Hamming distance between two packed codes — `bit_count(xor)`, both
+    * Spark builtins (codegen'd; no UDF in the scan).
+    */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Hamming-shortlist + exact-rerank search for one query (the binary-
+    * quantization rung UNDER SQ8 on the ANN ladder — Lucene/FAISS's BQ
+    * idea): the corpus scan compares 8-byte codes (one xor+popcount per
+    * row — at 100 TB the pre-rank reads 64× fewer bytes than the
+    * quantized vectors and the whole code table is ~8 GB per 10⁹
+    * vectors, cacheable where the vectors are not), the top-`shortlist`
+    * by (hamming, id) — a TakeOrderedAndProject, never a global sort —
+    * is then exactly reranked by integer L2². Shortlist = corpus
+    * degrades to exact brute force, the graceful-degradation property
+    * the PQ/SQ siblings carry. Every step is deterministic (ties →
+    * lowest id) and integer, so unlike PQ/SQ's recall-only gates the
+    * APPROXIMATE OUTPUT itself hash-checks against SQL (q237).
+    */
+  def bqSearchWithRerank(corpus: DataFrame, idCol: String, qvCol: String,
+                         n: Long, sums: Array[Long], query: Array[Long],
+                         shortlist: Int, topK: Int): DataFrame = {
+    val qcode = bqPack(query, n, sums)
+    val cand = corpus
+      .select(col(idCol),
+        hamming(bqCode(col(qvCol), n, sums), lit(qcode)).as("h"))
+      .orderBy(col("h"), col(idCol))
+      .limit(shortlist)
+    corpus.join(cand.select(idCol), Seq(idCol), "left_semi")
+      .select(col(idCol), dist2(col(qvCol), typedLit(query.toSeq)).as("d2"))
+      .orderBy(col("d2"), col(idCol))
+      .limit(topK)
+  }
+
   /** Integer cosine-threshold predicate cos(a,b) ≥ num/den, exact:
     * dot > 0 AND den²·dot² ≥ num²·‖a‖²·‖b‖². (cos ≥ τ > 0 requires
     * dot > 0, after which squaring is monotone.)

@@ -1329,7 +1329,57 @@ object SimilarityQueries {
           .unionByName(audit(after, "after_retrain"))
           .orderBy(col("phase"))
       },
-      Some(ivfDriftSql))
+      Some(ivfDriftSql)),
+
+    // Binary-quantization rerank search — the rung UNDER SQ8 on the ANN
+    // ladder (Lucene/FAISS BQ): per-dim mean sign bits packed into ONE
+    // long (d = 64 → 8 bytes/vector, 64× smaller than the quantized
+    // form — at 100 TB the pre-rank scans a code table ~8 GB per 10⁹
+    // vectors, cacheable where the vectors are not), Hamming pre-rank
+    // via codegen'd bit_count(xor), exact integer-L2² rerank of the
+    // 50-shortlist. The threshold is division-free (bit = n·x > Σx, the
+    // mean test multiplied through by n) and ties break by id, so —
+    // unlike PQ/SQ whose gates check recall — the APPROXIMATE OUTPUT
+    // itself hash-checks: which ids, at which exact distances.
+    QDef("q237_bq_rerank",
+      (s, d) => {
+        val corpus = embs(s, d).select(col("vec_id"),
+          PortableAnn.quant(col("embedding")).as("qv"))
+        val (n, sums) = PortableAnn.bqTrain(corpus, "qv")
+        val qvec = corpus.orderBy(col("vec_id")).limit(1)
+          .select(col("qv")).head().getSeq[Long](0).toArray
+        PortableAnn.bqSearchWithRerank(corpus.filter(col("vec_id") =!= 0L),
+            "vec_id", "qv", n, sums, qvec, shortlist = 50, topK = 10)
+          .orderBy(col("d2"), col("vec_id"))
+      },
+      Some(bqRerankSql)),
+
+    // BQ recall@10 vs exhaustive at the q218/q220 operating point
+    // (query = vec 0, shortlist 50) — completes the driver-visible
+    // recall family across the whole ANN ladder (IVF q217 / PQ q218 /
+    // SQ q220 / BQ q238): what one bit per dimension trades for the 64×
+    // compression, hash-checked. recall_x1e6 = hits·100000.
+    QDef("q238_bq_recall",
+      (s, d) => {
+        val corpus = embs(s, d).select(col("vec_id"),
+          PortableAnn.quant(col("embedding")).as("qv"))
+        val (n, sums) = PortableAnn.bqTrain(corpus, "qv")
+        val qvec = corpus.orderBy(col("vec_id")).limit(1)
+          .select(col("qv")).head().getSeq[Long](0).toArray
+        val rest = corpus.filter(col("vec_id") =!= 0L)
+        val approx = PortableAnn.bqSearchWithRerank(rest, "vec_id", "qv",
+            n, sums, qvec, shortlist = 50, topK = 10)
+          .select(col("vec_id"), lit(1).as("hit"))
+        PortableAnn.exactTopK(
+            corpus.filter(col("vec_id") === 0L), rest, "vec_id", "qv",
+            topK = 10)
+          .select(col("vec_id"))
+          .join(approx, Seq("vec_id"), "left")
+          .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
+          .select(col("n_hits"),
+            (col("n_hits") * lit(100000L)).as("recall_x1e6"))
+      },
+      Some(bqRecallSql))
   )
 
   // ── Portable-arithmetic oracle SQL (q217/q218/q219). The k-means
@@ -1507,6 +1557,44 @@ object SimilarityQueries {
       "CAST(count(a.vec_id) * 200000 AS BIGINT) AS recall_x1e6 " +
       "FROM ext e LEFT JOIN apx a ON e.query_id = a.query_id AND e.vec_id = a.vec_id " +
       "GROUP BY 1 ORDER BY 1"
+
+  /** Shared BQ CTE chain (q237/q238): quantized vectors, per-dim (n, Σx)
+    * — the division-free mean threshold — packed sign codes (bit 63 via
+    * the −2^63 LITERAL: DuckDB's `1 << 63` range-errors, and addition of
+    * disjoint-bit values equals bitwise OR so the signed long is the bit
+    * pattern), the vec-0 query, the Hamming shortlist (bit_count(xor),
+    * ties → lowest id), and the exact integer-L2² rerank.
+    */
+  private def bqCommonSql(shortlist: Int, topK: Int): String =
+    s"WITH ${qvSql("")}, " +
+      "px AS (SELECT vec_id, generate_subscripts(q, 1) - 1 AS i, unnest(q) AS x FROM v), " +
+      "st AS (SELECT i, CAST(sum(x) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n FROM px GROUP BY 1), " +
+      "codes AS (SELECT vec_id, CAST(sum(CASE WHEN st.n * px.x > st.s THEN " +
+      "(CASE WHEN px.i = 63 THEN -9223372036854775808 ELSE (1::BIGINT << CAST(px.i AS INTEGER)) END) " +
+      "ELSE 0 END) AS BIGINT) AS code FROM px JOIN st USING (i) GROUP BY 1), " +
+      "qc AS (SELECT code AS qcode FROM codes WHERE vec_id = 0), " +
+      "qq AS (SELECT q AS qq FROM v WHERE vec_id = 0), " +
+      "sl AS (SELECT vec_id FROM (SELECT c.vec_id, " +
+      "row_number() OVER (ORDER BY bit_count(xor(c.code, qc.qcode)), c.vec_id) AS rn " +
+      s"FROM codes c CROSS JOIN qc WHERE c.vec_id <> 0) WHERE rn <= $shortlist), " +
+      "rr AS (SELECT vec_id, d2 FROM (SELECT v.vec_id, " +
+      s"CAST(${d2Sql("v.q", "qq.qq")} AS BIGINT) AS d2, " +
+      s"row_number() OVER (ORDER BY ${d2Sql("v.q", "qq.qq")}, v.vec_id) AS rn " +
+      s"FROM v JOIN sl USING (vec_id) CROSS JOIN qq) WHERE rn <= $topK)"
+
+  /** q237: the BQ rerank output itself — ids and exact distances. */
+  private lazy val bqRerankSql: String =
+    bqCommonSql(50, 10) + " SELECT vec_id, d2 FROM rr ORDER BY d2, vec_id"
+
+  /** q238: BQ recall@10 vs the exhaustive integer-L2² top-10. */
+  private lazy val bqRecallSql: String =
+    bqCommonSql(50, 10) +
+      ", ext AS (SELECT vec_id FROM (SELECT v.vec_id, " +
+      s"row_number() OVER (ORDER BY ${d2Sql("v.q", "qq.qq")}, v.vec_id) AS rn " +
+      "FROM v CROSS JOIN qq WHERE v.vec_id <> 0) WHERE rn <= 10) " +
+      "SELECT CAST(count(rr.vec_id) AS BIGINT) AS n_hits, " +
+      "CAST(count(rr.vec_id) * 100000 AS BIGINT) AS recall_x1e6 " +
+      "FROM ext LEFT JOIN rr ON ext.vec_id = rr.vec_id"
 
   /** Quantized-vector CTE: floor(x·1024 + 0.5) per element as BIGINT. */
   private def qvSql(where: String): String =

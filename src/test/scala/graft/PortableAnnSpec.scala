@@ -77,6 +77,47 @@ class PortableAnnSpec extends SparkSpec {
     assert(full === exact)
   }
 
+  test("bq rerank at shortlist = corpus equals exhaustive top-k") {
+    val (n0, sums) = PortableAnn.bqTrain(corpus, "qv")
+    val qvec = corpus.orderBy(col("vec_id")).limit(1)
+      .select(col("qv")).head().getSeq[Long](0).toArray
+    val rest = corpus.filter(col("vec_id") =!= 0L)
+    val n = rest.count().toInt
+    val full = PortableAnn.bqSearchWithRerank(rest, "vec_id", "qv",
+        n0, sums, qvec, shortlist = n, topK = 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val exact = PortableAnn.exactTopK(
+        corpus.filter(col("vec_id") === 0L), rest, "vec_id", "qv", 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(full === exact)
+  }
+
+  test("bqCode column matches driver-side bqPack bit for bit, incl. bit 63") {
+    val (n, sums) = PortableAnn.bqTrain(corpus, "qv")
+    val rows = corpus.limit(300)
+      .select(col("vec_id"), col("qv"),
+        PortableAnn.bqCode(col("qv"), n, sums).as("code"))
+      .collect()
+    rows.foreach { r =>
+      val expected = PortableAnn.bqPack(r.getSeq[Long](1).toArray, n, sums)
+      assert(r.getLong(2) === expected,
+        s"vec ${r.getLong(0)}: column code ${r.getLong(2)} != pack $expected")
+    }
+    // bit 63 must actually be exercised (a negative code), or the
+    // MinValue-addend edge the q237 oracle's CASE mirrors is untested
+    assert(rows.exists(_.getLong(2) < 0L), "no vector set bit 63")
+    // Hamming is bit_count(xor): zero on itself, symmetric, and equal
+    // to the driver-side popcount on a sample pair
+    val a = rows(0).getLong(2); val b = rows(1).getLong(2)
+    import spark.implicits._
+    val h = Seq((a, b)).toDF("a", "b")
+      .select(PortableAnn.hamming(col("a"), col("b")).as("h"),
+        PortableAnn.hamming(col("a"), col("a")).as("z"))
+      .head()
+    assert(h.getInt(0) === java.lang.Long.bitCount(a ^ b))
+    assert(h.getInt(1) === 0)
+  }
+
   test("sq codes clamp to [0,255] for vectors outside the trained range") {
     import spark.implicits._
     // train SQ on a SUBSET, then search a corpus holding vectors far
