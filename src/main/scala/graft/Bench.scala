@@ -130,8 +130,12 @@ object Bench {
     // quoted a mid-round run the committed file disagreed with).
     val penalty =
       if (noise.isNaN) Double.NaN else math.max(noise - 1.0, 0.0)
+    // failed.isEmpty: a query that threw is EXCLUDED from the total, so
+    // a run with failures is faster-looking for the wrong reason and its
+    // total is not comparable against full-registry records
     val quotable = reps >= 3 && !penalty.isNaN && r4(penalty) == 0.0 &&
-      cpus == 32 && sfDir.stripSuffix("/").endsWith("sf0.1")
+      cpus == 32 && sfDir.stripSuffix("/").endsWith("sf0.1") &&
+      failed.isEmpty
     val quoteJson =
       s""""penalty":${if (penalty.isNaN) "null" else r4(penalty)},"quotable":$quotable"""
 

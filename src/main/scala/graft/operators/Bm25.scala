@@ -136,14 +136,33 @@ object Bm25 {
     // path (a first-class mode — hasRows treats the resulting non-empty
     // unpartitioned layout as a real, non-appendable index) must still
     // replace stale lifecycle state, or a _CURRENT manifest left by a
-    // previous index's compaction silently shadows the fresh plain build
-    if (!isSegmentPath(path)) {
-      IndexLayout.clearTombstones(docs.sparkSession, s"$path/tombstones")
-      IndexLayout.clearSegments(docs.sparkSession, path)
-      IndexLayout.clearVersions(docs.sparkSession, s"$path/postings")
-      IndexLayout.clearVersions(docs.sparkSession, s"$path/docs")
-      IndexLayout.clearVersions(docs.sparkSession, s"$path/stats")
-    }
+    // previous index's compaction silently shadows the fresh plain build.
+    // The clears are destructive swap-class mutations, so a non-segment
+    // rebuild takes the single-maintainer LEASE: unleased, a rebuild
+    // racing a leased compaction deletes _CURRENT/_VERSIONED out from
+    // under it, and the compactor's flip then re-creates a manifest
+    // pointing at pre-rebuild data — exactly the stale-manifest
+    // shadowing the clears exist to prevent. Segment writes stay
+    // lease-free (the concurrent-safe path).
+    if (!isSegmentPath(path))
+      IndexLayout.withLease(docs.sparkSession, path, "Bm25.writeIndex") {
+        IndexLayout.clearTombstones(docs.sparkSession, s"$path/tombstones")
+        IndexLayout.clearSegments(docs.sparkSession, path)
+        IndexLayout.clearVersions(docs.sparkSession, s"$path/postings")
+        IndexLayout.clearVersions(docs.sparkSession, s"$path/docs")
+        IndexLayout.clearVersions(docs.sparkSession, s"$path/stats")
+        writeIndexBody(docs, idCol, textCol, path, nShards, sharded)
+      }
+    else writeIndexBody(docs, idCol, textCol, path, nShards, sharded)
+  }
+
+  /** The build itself — everything in [[writeIndex]] after the lifecycle
+    * clears; runs under the rebuild lease for base paths, bare for
+    * segment writes.
+    */
+  private def writeIndexBody(docs: DataFrame, idCol: String,
+                             textCol: String, path: String,
+                             nShards: Int, sharded: Boolean): Unit = {
     // codegen'd shard assignment (graft.functions.JavaHashModExpr):
     // same JVM hash as the driver-side shardOf, inlined into the build's
     // whole-stage-codegen pipeline instead of crossing the UDF bridge
@@ -188,9 +207,11 @@ object Bm25 {
       .write.mode("overwrite").parquet(s"$path/docs")
   }
 
-  /** Whether a write target is a streaming-segment mini-index path. */
+  /** Whether a write target is a streaming-segment mini-index path
+    * (shared layout convention — see [[IndexLayout.isSegmentPath]]).
+    */
   private def isSegmentPath(path: String): Boolean =
-    path.contains("/segments/batch=")
+    IndexLayout.isSegmentPath(path)
 
   /** Stats row: (n, avgdl, sum_len, n_len, tomb_dirs). Readers take
     * (n, avgdl) positionally; the EXACT token total and non-null-doc
@@ -248,6 +269,28 @@ object Bm25 {
                           dirs: Seq[String]): Option[DataFrame] =
     if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
 
+  /** Whether a stats row PREDATES the `tomb_dirs` list — the pre-upgrade
+    * format whose removals appended LOOSE files under `$path/tombstones`
+    * instead of staged rm_* batch directories. Detected from the stats
+    * row every read already loads, so current-format indexes pay ZERO
+    * extra filesystem calls for the legacy support.
+    */
+  private def isLegacyStats(r: org.apache.spark.sql.Row): Boolean =
+    r.schema != null && r.schema.fieldNames.indexOf("tomb_dirs") == -1
+
+  /** The pre-list-format loose tombstone FILES directly under the
+    * sidecar root (new-format batches are rm_* DIRECTORIES — their
+    * nested files are not top-level, so the two formats cannot mix).
+    * Consulted only when [[isLegacyStats]] says the index predates the
+    * list (reads, removals) or during compaction (one listing per
+    * compaction — which materializes and deletes them, completing the
+    * migration): without this, a pre-upgrade index's deleted docs would
+    * silently resurrect under the new reader.
+    */
+  private def legacyTombFiles(spark: org.apache.spark.sql.SparkSession,
+                              path: String): Seq[String] =
+    IndexLayout.tombstoneFiles(spark, s"$path/tombstones")
+
   /** Anti-join `df` against a tombstone id set (no-op for None). */
   private def dropIds(df: DataFrame, idCol: String,
                       ids: Option[DataFrame]): DataFrame =
@@ -271,9 +314,29 @@ object Bm25 {
     * postings file (the readable-empty layout); appending shard=…
     * directories next to it would be a mixed layout Spark can't read, so
     * that case overwrites the empty file with a fresh partitioned build.
+    *
+    * Unlike the sibling appends (pure file adds), a BM25 append ends in
+    * a STATS VERSION SWAP — and the merged row carries the current
+    * `tomb_dirs` forward, so an unleased append racing a removal's
+    * commit would read the pre-removal row and swap back a stats version
+    * with the removal's batch UNLISTED: the removed docs silently
+    * resurrect and the orphaned batch dir is swept at the next
+    * compaction, irreversibly. BM25 appends therefore take the
+    * single-maintainer lease (the postings/docs file appends keep the
+    * cheaper `assertAppendVisible` detector as belt-and-braces; the
+    * lease also closes the append-vs-flip strand-window the detector
+    * could only detect). Streaming segments remain the lease-free
+    * concurrent write path.
     */
   def appendToIndex(docs: DataFrame, idCol: String, textCol: String,
-                    path: String, nShards: Int = 64): Unit = {
+                    path: String, nShards: Int = 64): Unit =
+    IndexLayout.withLease(docs.sparkSession, path, "Bm25.appendToIndex") {
+      appendToIndexLeased(docs, idCol, textCol, path, nShards)
+    }
+
+  private def appendToIndexLeased(docs: DataFrame, idCol: String,
+                                  textCol: String, path: String,
+                                  nShards: Int): Unit = {
     val spark = docs.sparkSession
     val shardCol = graft.functions.ShardExpr.javaHashMod(col("term"), nShards)
     val postings = docs
@@ -435,7 +498,20 @@ object Bm25 {
                                   path: String): Option[DataFrame] = {
     val sidecars = existingParts(spark, path, "docs")
     require(sidecars.nonEmpty, s"no index doc sidecar under $path")
-    val listed = tombstoneDirs(spark, path)
+    val old = readStatsRow(spark, IndexLayout.resolve(spark, s"$path/stats"))
+    // a pre-sum_len (2-field) stats row cannot shift exactly — its token
+    // total is unrecoverable (n·avgdl is already-rounded); loud, never a
+    // silently-wrong avgdl
+    require(old.forall(r => r.length > 3),
+      s"$path/stats predates the exact (sum_len, n_len) totals — " +
+        "rebuild or compact the index before removals")
+    // legacy loose files join the listed set here, which MIGRATES them:
+    // the swapped row lists them as ordinary batch entries (readable
+    // paths), the double-removal guard sees their ids, and the next
+    // compaction materializes them
+    val listed = old.map(tombDirsOf).getOrElse(Seq.empty) ++
+      (if (old.exists(isLegacyStats)) legacyTombFiles(spark, path)
+       else Seq.empty)
     val removed = dropIds(
       sidecars.map(spark.read.parquet(_)).reduce(_.unionByName(_)),
       idCol, readTombIds(spark, listed))
@@ -451,8 +527,6 @@ object Bm25 {
         val batchDir =
           s"$path/tombstones/rm_${java.util.UUID.randomUUID()}"
         removed.select(col(idCol)).write.mode("overwrite").parquet(batchDir)
-        val old =
-          readStatsRow(spark, IndexLayout.resolve(spark, s"$path/stats"))
         Some(mergedStatsDf(spark, old, delta, sign = -1.0,
           listed :+ batchDir))
       }
@@ -532,8 +606,18 @@ object Bm25 {
     // physically deleted only once no still-existing stats version lists
     // them (N-1 retention / pins for the delete set, mirroring the data
     // dirs) — a reader mid-scan on the just-retired stats row keeps the
-    // batches its anti-join reads.
-    val tombDirs = tombstoneDirs(spark, path)
+    // batches its anti-join reads. A pre-list-format stats row pulls the
+    // legacy loose tombstone files into the fold (and forces the stats
+    // swap below), which MIGRATES the index: the post-fold row is
+    // list-format, and the sweep retires the loose files once no
+    // still-existing legacy row implies them.
+    val statsRow =
+      readStatsRow(spark, IndexLayout.resolve(spark, s"$path/stats"))
+    val legacyFiles =
+      if (statsRow.exists(isLegacyStats)) legacyTombFiles(spark, path)
+      else Seq.empty
+    val tombDirs = statsRow.map(tombDirsOf).getOrElse(Seq.empty) ++
+      legacyFiles
     val tombIds = readTombIds(spark, tombDirs)
     if (segs.isEmpty) {
       val sharded =
@@ -544,8 +628,11 @@ object Bm25 {
       IndexLayout.rewriteInPlace(spark, s"$path/docs", None,
         dropIds(_, idCol, tombIds))
       // the shifted totals are already exact — the stats swap here only
-      // retires the materialized batch list (skipped when there is none)
-      if (tombDirs.nonEmpty) swapStatsFromDocs(spark, path)
+      // retires the materialized batch list (skipped when there is
+      // none); a legacy row swaps even with an empty list, migrating it
+      // to the list format
+      if (tombDirs.nonEmpty || statsRow.exists(isLegacyStats))
+        swapStatsFromDocs(spark, path)
     } else {
       val postingsAll = IndexLayout.existingPartsOf(spark, path, segs, "postings")
         .map(spark.read.parquet(_)).reduce(_.unionByName(_)).distinct()
@@ -564,8 +651,11 @@ object Bm25 {
       // the same reader-window reason as removals — compaction runs
       // against a SERVING index.
       swapStatsFromDocs(spark, path)
-      IndexLayout.clearSegmentDirs(spark, segs)
     }
+    // retire on BOTH branches: delete what the previous fold marked
+    // (their one cycle of reader grace is up) and mark this fold's
+    // snapshot (empty on the segment-less branch)
+    IndexLayout.retireSegmentDirs(spark, s"$path/segments", segs)
     sweepTombstoneBatches(spark, path)
   }
 
@@ -605,15 +695,29 @@ object Bm25 {
       val n = st.getPath.getName
       st.isDirectory && (n == "stats" || n.matches("stats\\.v\\d+"))
     }.map(_.getPath.toString)
-    val keep: Set[String] = statsLayouts
-      .flatMap(readStatsRow(spark, _)).flatMap(tombDirsOf)
+    val rows = statsLayouts.flatMap(readStatsRow(spark, _))
+    val keep: Set[String] = rows.flatMap(tombDirsOf)
       .map(d => d.substring(d.lastIndexOf('/') + 1)).toSet
+    // a still-existing LEGACY stats layout (pre-list format, retained by
+    // N-1 or a pin) implies EVERY loose file as its delete set — loose
+    // files retire only once no such layout remains, the same retention
+    // the listed batches get. (A legacy plain stats dir that is never
+    // swapped again keeps its loose files on disk indefinitely — an
+    // unlisted, never-read orphan, bounded by the pre-migration delete
+    // volume; any later removal or fold retires it.)
+    val keepAllLoose = rows.exists(isLegacyStats)
     val root = new org.apache.hadoop.fs.Path(s"$path/tombstones")
     if (fs.exists(root)) {
       fs.listStatus(root).toSeq
         .filter(st => st.isDirectory && st.getPath.getName.startsWith("rm_")
           && !keep(st.getPath.getName))
         .foreach(st => fs.delete(st.getPath, true))
+      if (!keepAllLoose) {
+        fs.listStatus(root).toSeq
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet")
+            && !keep(st.getPath.getName))
+          .foreach(st => fs.delete(st.getPath, false))
+      }
     }
   }
 
@@ -694,9 +798,14 @@ object Bm25 {
     // df re-derives over live docs only; no-op when nothing was removed.
     // The delete set comes from the SAME stats rows that supplied
     // (n, avgdl) above — one resolved snapshot, so the filter and the
-    // stats can never be torn against each other.
+    // stats can never be torn against each other. A pre-list-format
+    // stats row additionally pulls the legacy loose tombstone files
+    // (one listing, only for unmigrated indexes).
+    val legacy =
+      if (statsRows.exists(isLegacyStats)) legacyTombFiles(spark, path)
+      else Seq.empty
     val postings = dropIds(deduped, idCol,
-      readTombIds(spark, statsRows.flatMap(tombDirsOf).distinct))
+      readTombIds(spark, statsRows.flatMap(tombDirsOf).distinct ++ legacy))
     scoreAndRank(postings, idCol, terms, nDocs, avgdl, k, k1, b)
   }
 
@@ -705,33 +814,77 @@ object Bm25 {
     * offline hand-off scan (training-data export, index migration,
     * cross-cluster copy). At 100 TB this is exactly the minutes-to-hours
     * full scan that can straddle SEVERAL compaction cycles, and N-1
-    * retention alone only guarantees one — so the base postings are read
-    * under a snapshot PIN ([[IndexLayout.withPin]]): the pinned version,
-    * the scanned directory and the pin marker derive from one resolve,
-    * compactions landing mid-export cannot GC the files being copied,
-    * and the pin is released on every exit including failure. The
-    * delete set is snapshotted ONCE from the stats row before the scan
-    * (segments are immutable and never versioned — no pin needed there).
+    * retention alone only guarantees one.
+    *
+    * The snapshot — base-postings PIN, stats PIN, delete set, segment
+    * list — is acquired as ONE unit under a briefly-held maintenance
+    * lease, then the long scan runs lease-free under the pins. Each
+    * piece closes a distinct race:
+    *   - the base pin keeps the scanned version's files across any
+    *     number of compactions ([[IndexLayout.pinResolved]]);
+    *   - the STATS pin keeps the pinned row's tombstone BATCH DIRS on
+    *     disk ([[sweepTombstoneBatches]] keeps every batch a
+    *     still-existing stats layout lists — and a pinned layout exists
+    *     until unpinned), so the export's anti-join never loses its
+    *     input mid-scan;
+    *   - reading the delete set from the PINNED stats row, under the
+    *     same lease that ordered the two pins, means the postings
+    *     version and the delete set come from the same moment — unleased
+    *     pins taken one-after-another could pair a pre-fold base with a
+    *     post-fold (empty) delete set and emit removed docs;
+    *   - segments listed in the snapshot survive at least one fold
+    *     ([[IndexLayout.retireSegmentDirs]] N-1 retention); an export
+    *     expected to outlast SEVERAL folds should pause the fold
+    *     schedule (segments have no pin mechanism — they are retired by
+    *     the fold after the next).
+    * Pins are released on every exit, including failure.
     */
   def exportLivePostings(spark: org.apache.spark.sql.SparkSession,
                          path: String, idCol: String,
-                         outDir: String): Unit =
-    IndexLayout.withPin(spark, s"$path/postings") { pinnedBase =>
-      val tombIds = readTombIds(spark, tombstoneDirs(spark, path))
-      val segPostings = IndexLayout.segmentDirs(spark, path)
-        .map(d => s"$d/postings")
-        .filter { d =>
-          val hp = new org.apache.hadoop.fs.Path(d)
-          hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+                         outDir: String): Unit = {
+    val (pinnedBase, baseTok, tombSources, segPostings, statsTok) =
+      IndexLayout.withLease(spark, path, "Bm25.exportLivePostings-snapshot") {
+        val (base, baseTok) = IndexLayout.pinResolved(spark, s"$path/postings")
+        try {
+          val (pinnedStats, statsTok) =
+            IndexLayout.pinResolved(spark, s"$path/stats")
+          try {
+            val statsRow = readStatsRow(spark, pinnedStats)
+            val legacy =
+              if (statsRow.exists(isLegacyStats)) legacyTombFiles(spark, path)
+              else Seq.empty
+            val segs = IndexLayout.segmentDirs(spark, path)
+              .map(d => s"$d/postings")
+              .filter { d =>
+                val hp = new org.apache.hadoop.fs.Path(d)
+                hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+                  .exists(hp)
+              }
+            (base, baseTok,
+              statsRow.map(tombDirsOf).getOrElse(Seq.empty) ++ legacy,
+              segs, statsTok)
+          } catch {
+            case e: Throwable =>
+              IndexLayout.unpin(spark, s"$path/stats", statsTok); throw e
+          }
+        } catch {
+          case e: Throwable =>
+            IndexLayout.unpin(spark, s"$path/postings", baseTok); throw e
         }
+      }
+    try {
       val layouts = pinnedBase +: segPostings
       val unioned = layouts.map(spark.read.parquet(_))
         .reduce(_.unionByName(_))
       val deduped = if (layouts.length > 1) unioned.distinct() else unioned
-      dropIds(deduped, idCol, tombIds)
+      dropIds(deduped, idCol, readTombIds(spark, tombSources))
         .repartition(col("shard"))
         .write.mode("overwrite").parquet(outDir)
+    } finally {
+      IndexLayout.unpin(spark, s"$path/stats", statsTok)
+      IndexLayout.unpin(spark, s"$path/postings", baseTok)
     }
+  }
 
   /** Exact retrieval-evaluation metrics for [[topK]]: per query, MRR,
     * recall@k and nDCG@k (binary gains) against deterministic boolean-AND

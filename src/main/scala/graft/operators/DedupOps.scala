@@ -467,12 +467,32 @@ object DedupOps {
     // $path/segments/batch=<id>) skips the clears — a segment carries no
     // lifecycle state of its own, so the four clears would be guaranteed
     // no-ops, and on an object store 4+ wasted API calls per micro-batch.
-    if (!path.contains("/segments/batch=")) {
-      IndexLayout.clearTombstones(corpusDf.sparkSession, s"$path/tombstones")
-      IndexLayout.clearSegments(corpusDf.sparkSession, path)
-      IndexLayout.clearVersions(corpusDf.sparkSession, s"$path/shingles")
-      IndexLayout.clearVersions(corpusDf.sparkSession, s"$path/fingerprints")
-    }
+    // Non-segment rebuilds take the single-maintainer LEASE for the same
+    // reason as Bm25.writeIndex: the clears are destructive swap-class
+    // mutations that would corrupt a leased compaction running
+    // concurrently (its flip re-creates a stale manifest over the fresh
+    // plain build).
+    if (!IndexLayout.isSegmentPath(path))
+      IndexLayout.withLease(corpusDf.sparkSession, path,
+        "DedupOps.writeDedupIndex") {
+        IndexLayout.clearTombstones(corpusDf.sparkSession, s"$path/tombstones")
+        IndexLayout.clearSegments(corpusDf.sparkSession, path)
+        IndexLayout.clearVersions(corpusDf.sparkSession, s"$path/shingles")
+        IndexLayout.clearVersions(corpusDf.sparkSession, s"$path/fingerprints")
+        writeDedupIndexBody(corpusDf, idCol, textCol, n, path, nShards,
+          sharded)
+      }
+    else writeDedupIndexBody(corpusDf, idCol, textCol, n, path, nShards,
+      sharded)
+  }
+
+  /** The build itself — everything in [[writeDedupIndex]] after the
+    * lifecycle clears; runs under the rebuild lease for base paths, bare
+    * for segment writes.
+    */
+  private def writeDedupIndexBody(corpusDf: DataFrame, idCol: String,
+                                  textCol: String, n: Int, path: String,
+                                  nShards: Int, sharded: Boolean): Unit = {
     val postings =
       dedupIndexPostings(corpusDf, idCol, textCol, n, nShards, sharded)
     val w = postings.write.mode("overwrite")
@@ -664,9 +684,11 @@ object DedupOps {
         .map(spark.read.parquet(_)).reduce(_.unionByName(_)).distinct()
       IndexLayout.writeSwap(spark, s"$path/fingerprints",
         IndexLayout.dropTombstonedFiles(fpAll, idCol, tombFiles), None)
-      IndexLayout.clearSegmentDirs(spark, segs)
       IndexLayout.clearTombstoneFiles(spark, tombFiles)
     }
+    // retire on BOTH branches: delete what the previous fold marked,
+    // mark this fold's snapshot (empty on the segment-less branch)
+    IndexLayout.retireSegmentDirs(spark, s"$path/segments", segs)
   }
 
   /** The pruned index read inside [[dedupAgainstIndex]], exposed so the

@@ -236,10 +236,24 @@ object IndexLayout {
     * scans taken outside the maintenance lease.
     */
   def withPin[T](spark: SparkSession, dir: String)(body: String => T): T = {
+    val (data, token) = pinResolved(spark, dir)
+    try body(data)
+    finally unpin(spark, dir, token)
+  }
+
+  /** [[withPin]]'s acquisition half, for callers whose pin lifetime
+    * cannot be a single lexical scope (e.g. several pins taken together
+    * under a short maintenance lease, then held across a long scan):
+    * pins the currently effective version and returns (the pinned
+    * layout's concrete data directory to scan, the token to [[unpin]]).
+    * The version and the directory derive from one [[effectiveVersion]]
+    * read, so they cannot disagree; the caller owns releasing the token
+    * on every exit.
+    */
+  def pinResolved(spark: SparkSession, dir: String): (String, String) = {
     val v = effectiveVersion(spark, dir).getOrElse(0)
     val token = pinVersion(spark, dir, v)
-    try body(if (v == 0) dir else s"$dir.v$v")
-    finally unpin(spark, dir, token)
+    (if (v == 0) dir else s"$dir.v$v", token)
   }
 
   /** Release a [[pinCurrent]] token: the pinned layout becomes ordinary
@@ -347,10 +361,21 @@ object IndexLayout {
               "run IndexLayout.releaseLease to recover.")
           else throw e
       }
-    try out.write(
-      (s"$op pid=${ProcessHandle.current().pid()} " +
-        s"acquired=${java.time.Instant.now()}").getBytes("UTF-8"))
-    finally out.close()
+    // holder metadata is best-effort triage info — a failure writing it
+    // must not leave the just-created marker stuck (the caller never
+    // entered its try/finally, so releaseLease would never run and the
+    // index would need manual recovery for a maintainer that neither
+    // crashed nor is running); drop the marker and rethrow
+    try {
+      try out.write(
+        (s"$op pid=${ProcessHandle.current().pid()} " +
+          s"acquired=${java.time.Instant.now()}").getBytes("UTF-8"))
+      finally out.close()
+    } catch {
+      case e: Throwable =>
+        try fs.delete(p, false) catch { case _: Throwable => () }
+        throw e
+    }
   }
 
   /** Release the maintenance lease (also the operator recovery tool for
@@ -504,6 +529,27 @@ object IndexLayout {
       }
     }
   }
+
+  /** Operator migration tool: stamp the [[CommittedMarker]] onto version
+    * directories that predate it. Version dirs written before the marker
+    * existed are complete (every completed swap was) but indistinguishable
+    * from a crashed-prepare partial, so [[effectiveVersion]]'s
+    * manifest-loss fallback refuses to serve them — correct for new dirs,
+    * overcautious for legacy ones. Running this once per pre-marker index
+    * restores the fallback (and flip-GC sparing) for its existing
+    * versions. ONLY the version the manifest currently points at is
+    * stamped — it is current, therefore complete; siblings stay
+    * unstamped because for THEM completeness genuinely is unknowable
+    * (any of them may be a crashed prepare). No-op when there is no
+    * manifest or the current version already carries the marker.
+    */
+  def adoptLegacyVersion(spark: SparkSession, dir: String): Unit =
+    currentVersion(spark, dir).foreach { n =>
+      val done = new org.apache.hadoop.fs.Path(s"$dir.v$n/$CommittedMarker")
+      val fs = fsOf(spark, done)
+      if (fs.exists(done.getParent) && !fs.exists(done))
+        fs.create(done, true).close()
+    }
 
   /** Reset a table to the plain (unversioned) layout: drop the manifest
     * and every version directory. Fresh index builds call this before
@@ -673,6 +719,16 @@ object IndexLayout {
                 partCol: Option[String]): Unit =
     flipVersion(spark, dir, prepareVersion(spark, dir, df, partCol))
 
+  /** Whether a write target is a streaming-segment mini-index path —
+    * `<root>/segments/batch=<id>` (BM25/dedup) or the IVF family's
+    * sibling `<root>.segments/batch=<id>`. Owned here with the rest of
+    * the layout convention: segment writers skip lifecycle clears (a
+    * segment carries no lifecycle state of its own) and never take the
+    * maintenance lease (they are the concurrent-safe write path).
+    */
+  def isSegmentPath(path: String): Boolean =
+    path.contains("segments/batch=")
+
   /** The streaming-segment directories of a layout, sorted by batch id:
     * `$path/segments/batch=<id>`, each an immutable mini-index written by
     * a `foreachBatch` fold with per-batch overwrite (a retried batch
@@ -682,20 +738,50 @@ object IndexLayout {
   def segmentDirs(spark: SparkSession, path: String): Seq[String] =
     segmentDirsAt(spark, s"$path/segments")
 
+  /** Sibling marker-file suffix stamped next to a segment directory a
+    * compaction has FOLDED into the base: `batch=<id>._FOLDED` under the
+    * segment root. A sibling FILE, not a marker inside the dir, so one
+    * `listStatus` of the root yields both dirs and fold state — the
+    * per-read probe count stays exactly what it was (the q231 lesson).
+    */
+  private val FoldedSuffix = "._FOLDED"
+
+  /** One listing of a segment root: (live segment dirs sorted by batch
+    * id, previously-folded segment dirs). A FOLDED segment's rows live
+    * in the compacted base — readers must skip it or double-read — but
+    * its files are retained until the NEXT fold ([[retireSegmentDirs]]),
+    * the segment analogue of version N-1 retention: a reader that listed
+    * segments just before a fold landed keeps the files its scan needs.
+    */
+  private def segmentListing(spark: SparkSession,
+                             segRoot: String): (Seq[String], Seq[String]) = {
+    val p = new org.apache.hadoop.fs.Path(segRoot)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) (Seq.empty, Seq.empty)
+    else {
+      val st = fs.listStatus(p).toSeq
+      val folded = st.filter(s =>
+          s.isFile && s.getPath.getName.endsWith(FoldedSuffix))
+        .map(_.getPath.getName.stripSuffix(FoldedSuffix)).toSet
+      val dirs = st.filter(s =>
+        s.isDirectory && s.getPath.getName.startsWith("batch="))
+      val (dead, live) = dirs.partition(s => folded(s.getPath.getName))
+      (live.sortBy(_.getPath.getName.stripPrefix("batch=").toLong)
+         .map(_.getPath.toString),
+        dead.map(_.getPath.toString))
+    }
+  }
+
   /** [[segmentDirs]] for an explicit segment root — the IVF family keeps
     * segments in the SIBLING `$path.segments` (the index path is itself
     * the cell-partitioned directory; a subdir inside it would break
-    * partition discovery — the `$path.tombstones` convention).
+    * partition discovery — the `$path.tombstones` convention). Lists the
+    * LIVE segments only: a dir a previous fold marked `_FOLDED` is
+    * already in the base (reading it would double-count its stats row)
+    * and is awaiting retirement by the next fold.
     */
-  def segmentDirsAt(spark: SparkSession, segRoot: String): Seq[String] = {
-    val p = new org.apache.hadoop.fs.Path(segRoot)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
-      .sortBy(st => st.getPath.getName.stripPrefix("batch=").toLong)
-      .map(_.getPath.toString)
-  }
+  def segmentDirsAt(spark: SparkSession, segRoot: String): Seq[String] =
+    segmentListing(spark, segRoot)._1
 
   /** Delete a layout's segment directories (after compaction folded them
     * into the base).
@@ -721,6 +807,49 @@ object IndexLayout {
       val p = new org.apache.hadoop.fs.Path(d)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     }
+
+  /** The retire half of a fold, with N-1 RETENTION for segments: delete
+    * the segment dirs (and markers) a PREVIOUS fold left `_FOLDED`, then
+    * MARK this fold's snapshot as folded instead of deleting it. The
+    * base data dirs already kept one swap of grace for readers mid-scan;
+    * an immediately-deleted segment was the remaining hole — a reader
+    * that listed segments just before the fold and scans minutes later
+    * (routine at 100 TB) would lose files under a running query. With
+    * the marker, that reader's files survive until the NEXT fold, while
+    * new readers skip the marked dirs (their rows — and their stats
+    * rows — are in the swapped base; [[segmentDirsAt]] lists live only).
+    *
+    * Crash semantics: a crash between the delete and the mark leaves
+    * this fold's segments LIVE next to a base that already contains
+    * their rows — the same already-documented window as a crash before
+    * the old immediate clear: reads stay row-exact (the multi-layout
+    * distinct guard), summed stats can over-count until the re-run, and
+    * re-folding converges (distinct union). `segRoot` is listed fresh
+    * for markers rather than trusting the caller's snapshot, so orphan
+    * markers (dir already gone) are also collected.
+    */
+  def retireSegmentDirs(spark: SparkSession, segRoot: String,
+                        folded: Seq[String]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(segRoot)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      fs.listStatus(p).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(FoldedSuffix))
+        .foreach { m =>
+          val dir = new org.apache.hadoop.fs.Path(
+            p, m.getPath.getName.stripSuffix(FoldedSuffix))
+          fs.delete(dir, true)
+          fs.delete(m.getPath, false)
+        }
+    }
+    folded.foreach { d =>
+      val dp = new org.apache.hadoop.fs.Path(d)
+      val marker = new org.apache.hadoop.fs.Path(
+        dp.getParent, dp.getName + FoldedSuffix)
+      marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .create(marker, true).close()
+    }
+  }
 
   /** The existing per-layout `<sub>` directories a multi-layout read
     * spans: the base `$path/<sub>` (when present) plus each streaming

@@ -181,15 +181,19 @@ object IvfIndex {
     // segments (sibling dirs — the index path itself is the
     // cell-partitioned layout); readers unconditionally union
     // $path.segments, so leftovers from a previous index would silently
-    // mix the old corpus into every search
-    IndexLayout.clearTombstones(corpus.sparkSession, s"$path.tombstones")
-    IndexLayout.clearSegmentsAt(corpus.sparkSession, s"$path.segments")
-    IndexLayout.clearVersions(corpus.sparkSession, path)
-    assign(corpus, embCol, model)
-      // cluster by cell: each write task owns whole cells, so the layout
-      // is O(nlist) files instead of tasks x nlist
-      .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    // mix the old corpus into every search. Leased: the clears are
+    // destructive swap-class mutations that would corrupt a concurrent
+    // compaction (see Bm25.writeIndex)
+    IndexLayout.withLease(corpus.sparkSession, path, "IvfIndex.writeIndex") {
+      IndexLayout.clearTombstones(corpus.sparkSession, s"$path.tombstones")
+      IndexLayout.clearSegmentsAt(corpus.sparkSession, s"$path.segments")
+      IndexLayout.clearVersions(corpus.sparkSession, path)
+      assign(corpus, embCol, model)
+        // cluster by cell: each write task owns whole cells, so the layout
+        // is O(nlist) files instead of tasks x nlist
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(path)
+    }
   }
 
   /** Append new vectors to a [[writeIndex]] layout: assigned to the
@@ -277,8 +281,10 @@ object IvfIndex {
       IndexLayout.writeSwap(spark, path,
         IndexLayout.dropTombstonedFiles(all, idCol, tombFiles),
         Some("cell"))
-      IndexLayout.clearSegmentDirs(spark, segs)
     }
+    // retire on BOTH branches: delete what the previous fold marked,
+    // mark this fold's snapshot (empty on the segment-less branch)
+    IndexLayout.retireSegmentDirs(spark, s"$path.segments", segs)
     IndexLayout.clearTombstoneFiles(spark, tombFiles)
   }
 
@@ -325,7 +331,7 @@ object IvfIndex {
     val model = train(live, idCol, embCol, k, iters)
     IndexLayout.writeSwap(spark, path,
       assign(live, embCol, model).repartition(col("cell")), Some("cell"))
-    IndexLayout.clearSegmentDirs(spark, segs)
+    IndexLayout.retireSegmentDirs(spark, s"$path.segments", segs)
     IndexLayout.clearTombstoneFiles(spark, tombFiles)
     model
   }

@@ -37,15 +37,19 @@ object IvfPq {
   def writeIndex(corpus: DataFrame, idCol: String, embCol: String,
                  model: Model, path: String): Unit = {
     // fresh build replaces everything: stale tombstones AND stale
-    // streaming segments (readers unconditionally union $path.segments)
-    IndexLayout.clearTombstones(corpus.sparkSession, s"$path.tombstones")
-    IndexLayout.clearSegmentsAt(corpus.sparkSession, s"$path.segments")
-    IndexLayout.clearVersions(corpus.sparkSession, path)
-    PqIndex.encode(IvfIndex.assign(corpus, embCol, model.coarse),
-        embCol, model.pq)
-      // same clustering as IvfIndex.writeIndex: O(nlist) files
-      .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    // streaming segments (readers unconditionally union $path.segments).
+    // Leased: the clears are destructive swap-class mutations that would
+    // corrupt a concurrent compaction (see Bm25.writeIndex)
+    IndexLayout.withLease(corpus.sparkSession, path, "IvfPq.writeIndex") {
+      IndexLayout.clearTombstones(corpus.sparkSession, s"$path.tombstones")
+      IndexLayout.clearSegmentsAt(corpus.sparkSession, s"$path.segments")
+      IndexLayout.clearVersions(corpus.sparkSession, path)
+      PqIndex.encode(IvfIndex.assign(corpus, embCol, model.coarse),
+          embCol, model.pq)
+        // same clustering as IvfIndex.writeIndex: O(nlist) files
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(path)
+    }
   }
 
   /** Append new vectors to a [[writeIndex]] layout: assigned to the
@@ -203,7 +207,7 @@ object IvfPq {
       PqIndex.encode(IvfIndex.assign(live, embCol, model.coarse),
           embCol, model.pq)
         .repartition(col("cell")), Some("cell"))
-    IndexLayout.clearSegmentDirs(spark, segs)
+    IndexLayout.retireSegmentDirs(spark, s"$path.segments", segs)
     IndexLayout.clearTombstoneFiles(spark, tombFiles)
     model
   }

@@ -525,6 +525,130 @@ class Bm25Spec extends SparkSpec {
     assert(out.collect().map(_.toSeq).toSet === direct.collect().map(_.toSeq).toSet)
   }
 
+  test("legacy loose tombstone files are honored, adopted by removal, materialized by compaction") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha delta"),
+      (3L, "beta gamma delta"),
+      (4L, "alpha beta")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bm25_legacy").toString
+    Bm25.writeIndex(docs, "doc_id", "text", dir, nShards = 8)
+    // simulate an index written by the PRE-list code after it removed
+    // doc 1: a loose tombstone file (not an rm_* batch dir) and a stats
+    // row with no tomb_dirs column, totals already shifted (the old
+    // in-place merge did shift them)
+    IndexLayout.appendTombstones(Seq(1L).toDF("doc_id"), "doc_id",
+      s"$dir/tombstones")
+    val legacyStats = spark.read
+      .parquet(IndexLayout.resolve(spark, s"$dir/stats"))
+      .drop("tomb_dirs").collect()
+    val live3 = docs.filter(col("doc_id") =!= 1L)
+    val shifted = live3.agg(count(lit(1)).cast("double").as("n"),
+      avg(size(graft.functions.TextFns.words(col("text")))).as("avgdl"),
+      sum(size(graft.functions.TextFns.words(col("text"))))
+        .cast("double").as("sum_len"),
+      count(lit(1)).cast("double").as("n_len"))
+    assert(legacyStats.nonEmpty) // the build wrote list-format stats
+    shifted.write.mode("overwrite")
+      .parquet(IndexLayout.resolve(spark, s"$dir/stats"))
+    val queries = Seq("q" -> "alpha beta gamma delta")
+    def rows(d: String) =
+      Bm25.topKIndexed(spark, d, "doc_id", queries, k = 10, nShards = 8)
+        .collect().map(_.toSeq).toSet
+    def rebuild(ds: org.apache.spark.sql.DataFrame) = {
+      val d = java.nio.file.Files.createTempDirectory("bm25_lref").toString
+      Bm25.writeIndex(ds, "doc_id", "text", d, nShards = 8)
+      d
+    }
+    // the new reader honors the legacy delete set (doc 1 stays dead)
+    assert(rows(dir) === rows(rebuild(live3)))
+    // a removal ADOPTS the loose file into the listed set: removing
+    // doc 1 again is a no-op (no double-shift), removing doc 2 shifts
+    // exactly doc 2
+    Bm25.removeFromIndex(Seq(1L).toDF("doc_id"), "doc_id", dir)
+    Bm25.removeFromIndex(Seq(2L).toDF("doc_id"), "doc_id", dir)
+    val live2 = docs.filter(col("doc_id") > 2L)
+    assert(rows(dir) === rows(rebuild(live2)))
+    // compaction materializes BOTH formats' removals...
+    Bm25.compactIndex(spark, dir)
+    assert(rows(dir) === rows(rebuild(live2)))
+    assert(spark.read
+      .parquet(IndexLayout.resolve(spark, s"$dir/postings"))
+      .filter(col("doc_id") <= 2L).count() == 0)
+    // ...and the loose file retires once no still-existing stats layout
+    // implies it (same N-1 retention as listed batches: the next cycle)
+    Bm25.removeFromIndex(Seq(3L).toDF("doc_id"), "doc_id", dir)
+    Bm25.compactIndex(spark, dir)
+    val loose = new java.io.File(s"$dir/tombstones")
+    assert(!loose.exists() ||
+      loose.listFiles().forall(f => !f.getName.endsWith(".parquet")))
+  }
+
+  test("appendToIndex carries a prior removal's delete set through its stats swap") {
+    val docs = Seq(
+      (1L, "alpha beta"),
+      (2L, "alpha gamma"),
+      (3L, "beta gamma")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bm25_apprm").toString
+    Bm25.writeIndex(docs, "doc_id", "text", dir, nShards = 8)
+    Bm25.removeFromIndex(Seq(2L).toDF("doc_id"), "doc_id", dir)
+    assert(Bm25.tombstoneDirs(spark, dir).size == 1)
+    // the append's merged stats row must keep listing the removal's
+    // batch — losing it would resurrect doc 2 and orphan the batch dir
+    // (the lost-update an unleased append racing a removal could cause;
+    // sequenced here, the lease serializes the racing case)
+    Bm25.appendToIndex(Seq((4L, "alpha delta")).toDF("doc_id", "text"),
+      "doc_id", "text", dir, nShards = 8)
+    assert(Bm25.tombstoneDirs(spark, dir).size == 1)
+    val queries = Seq("q" -> "alpha beta gamma delta")
+    val refDir = java.nio.file.Files.createTempDirectory("bm25_apprmR").toString
+    Bm25.writeIndex(
+      docs.filter(col("doc_id") =!= 2L)
+        .unionByName(Seq((4L, "alpha delta")).toDF("doc_id", "text")),
+      "doc_id", "text", refDir, nShards = 8)
+    def rows(d: String) =
+      Bm25.topKIndexed(spark, d, "doc_id", queries, k = 10, nShards = 8)
+        .collect().map(_.toSeq).toSet
+    assert(rows(dir) === rows(refDir))
+  }
+
+  test("a fold retires segments with one cycle of grace: a pre-fold reader's files survive it") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25_segret").toString
+    Bm25.writeIndex(Seq((1L, "alpha beta"), (2L, "beta gamma"))
+      .toDF("doc_id", "text"), "doc_id", "text", dir, nShards = 8)
+    Bm25.writeIndex(Seq((3L, "alpha gamma")).toDF("doc_id", "text"),
+      "doc_id", "text", s"$dir/segments/batch=0", nShards = 8,
+      sharded = false)
+    // a slow reader lists the layout parts just before the fold lands
+    val preFoldParts = IndexLayout.existingParts(spark, dir, "postings")
+    assert(preFoldParts.size == 2)
+    Bm25.compactIndex(spark, dir)
+    // the folded segment's files are STILL readable for that reader
+    // (marked _FOLDED, deleted only by the next fold) ...
+    assert(spark.read.parquet(preFoldParts.last).count() > 0)
+    // ... while new readers span the folded base only — no double-count
+    assert(IndexLayout.segmentDirs(spark, dir).isEmpty)
+    val queries = Seq("q" -> "alpha beta gamma")
+    val refDir = java.nio.file.Files.createTempDirectory("bm25_segretR").toString
+    Bm25.writeIndex(Seq((1L, "alpha beta"), (2L, "beta gamma"),
+        (3L, "alpha gamma")).toDF("doc_id", "text"),
+      "doc_id", "text", refDir, nShards = 8)
+    def rows(d: String) =
+      Bm25.topKIndexed(spark, d, "doc_id", queries, k = 10, nShards = 8)
+        .collect().map(_.toSeq).toSet
+    assert(rows(dir) === rows(refDir))
+    // the next fold (new segment arrives, compaction runs) deletes what
+    // the first fold marked
+    Bm25.writeIndex(Seq((4L, "delta")).toDF("doc_id", "text"),
+      "doc_id", "text", s"$dir/segments/batch=1", nShards = 8,
+      sharded = false)
+    Bm25.compactIndex(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/segments/batch=0")))
+  }
+
   test("bm25 query tokenizer mirrors the corpus tokenizer") {
     assert(Bm25.queryTerms("Fast HASH-join, a an of") == Seq("fast", "hash", "join"))
     assert(Bm25.queryTerms("dup dup dup") == Seq("dup"))

@@ -355,6 +355,10 @@ class IndexLayoutSpec extends SparkSpec {
   test("single-maintainer lease: second maintainer fails loudly naming the holder; release recovers; withLease releases on failure") {
     val base = java.nio.file.Files.createTempDirectory("ixl_lease").toString
     val path = s"$base/index"
+    // build BEFORE taking the lease: rebuilds are themselves leased now
+    import spark.implicits._
+    graft.operators.Bm25.writeIndex(
+      Seq((1L, "alpha beta")).toDF("doc_id", "text"), "doc_id", "text", path)
     IndexLayout.acquireLease(spark, path, "compactor-A")
     val e = intercept[IllegalStateException] {
       IndexLayout.acquireLease(spark, path, "compactor-B")
@@ -362,17 +366,28 @@ class IndexLayoutSpec extends SparkSpec {
     assert(e.getMessage.contains("already held"))
     assert(e.getMessage.contains("compactor-A"))
     assert(IndexLayout.leaseHolder(spark, path).exists(_.contains("compactor-A")))
-    // the leased Bm25 maintenance entry points refuse too — the
-    // two-concurrent-compactions interleave lands here, loudly, instead
-    // of double-flipping versions and clearing each other's snapshots
-    import spark.implicits._
-    graft.operators.Bm25.writeIndex(
-      Seq((1L, "alpha beta")).toDF("doc_id", "text"), "doc_id", "text", path)
+    // EVERY maintenance entry point refuses under the held lease — the
+    // two-concurrent-maintainers interleave lands here, loudly, instead
+    // of double-flipping versions and clearing each other's snapshots:
+    // compaction, removal, APPEND (its stats swap carries tomb_dirs
+    // forward, so an unleased append racing a removal's commit would
+    // swap the removal's batch back OUT of the listed set — the
+    // resurrection lost-update), and REBUILD (its clears would delete
+    // _CURRENT/_VERSIONED out from under a running compactor, whose
+    // flip then shadows the fresh build with a stale manifest)
     intercept[IllegalStateException] {
       graft.operators.Bm25.compactIndex(spark, path)
     }
     intercept[IllegalStateException] {
       graft.operators.Bm25.removeFromIndex(Seq(1L).toDF("doc_id"), "doc_id", path)
+    }
+    intercept[IllegalStateException] {
+      graft.operators.Bm25.appendToIndex(
+        Seq((2L, "gamma")).toDF("doc_id", "text"), "doc_id", "text", path)
+    }
+    intercept[IllegalStateException] {
+      graft.operators.Bm25.writeIndex(
+        Seq((3L, "delta")).toDF("doc_id", "text"), "doc_id", "text", path)
     }
     // crash recovery: operator verifies the holder is dead, releases
     IndexLayout.releaseLease(spark, path)
@@ -399,5 +414,57 @@ class IndexLayoutSpec extends SparkSpec {
     IndexLayout.clearSegmentDirs(spark, snapshot)
     val left = IndexLayout.segmentDirs(spark, base)
     assert(left.size == 1 && left.head.endsWith("batch=2"))
+  }
+
+  test("folded segments get N-1 retention: files survive one fold, the next fold retires them") {
+    val base = java.nio.file.Files.createTempDirectory("ixl_ret").toString
+    val segRoot = s"$base/segments"
+    Seq(1L).toDF("id").write.parquet(s"$segRoot/batch=0")
+    Seq(2L).toDF("id").write.parquet(s"$segRoot/batch=1")
+    val snap1 = IndexLayout.segmentDirsAt(spark, segRoot)
+    assert(snap1.size == 2)
+    // fold 1 RETIRES (marks) its snapshot instead of deleting it: a
+    // reader that listed segments just before the fold keeps its files
+    IndexLayout.retireSegmentDirs(spark, segRoot, snap1)
+    // the pre-fold reader's files are still readable...
+    assert(spark.read.parquet(snap1: _*).count() == 2)
+    // ...but new listings skip them (their rows are in the folded base —
+    // reading them again would double-count)
+    assert(IndexLayout.segmentDirsAt(spark, segRoot).isEmpty)
+    // a new segment lands; only IT is live
+    Seq(3L).toDF("id").write.parquet(s"$segRoot/batch=2")
+    val snap2 = IndexLayout.segmentDirsAt(spark, segRoot)
+    assert(snap2.size == 1 && snap2.head.endsWith("batch=2"))
+    // fold 2 deletes what fold 1 marked and marks its own snapshot
+    IndexLayout.retireSegmentDirs(spark, segRoot, snap2)
+    val fs = new org.apache.hadoop.fs.Path(segRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$segRoot/batch=0")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$segRoot/batch=1")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$segRoot/batch=2")))
+    assert(IndexLayout.segmentDirsAt(spark, segRoot).isEmpty)
+  }
+
+  test("adoptLegacyVersion restores manifest-loss fallback for pre-marker version dirs") {
+    val base = java.nio.file.Files.createTempDirectory("ixl_adopt").toString
+    val dir = s"$base/t"
+    Seq(1L).toDF("v").write.parquet(dir)
+    IndexLayout.writeSwap(spark, dir, Seq(2L).toDF("v"), None) // v1
+    IndexLayout.writeSwap(spark, dir, Seq(3L).toDF("v"), None) // v2 current
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a version dir written before the completion marker
+    // existed: strip v2's marker
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$dir.v2/${IndexLayout.CommittedMarker}"), false)
+    // adoption stamps ONLY the manifest-current version (known complete)
+    IndexLayout.adoptLegacyVersion(spark, dir)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir.v2/${IndexLayout.CommittedMarker}")))
+    // manifest loss after adoption: fallback serves v2, not the stale v1
+    fs.delete(new org.apache.hadoop.fs.Path(dir + "._CURRENT"), false)
+    assert(IndexLayout.resolve(spark, dir) == s"$dir.v2")
+    assert(spark.read.parquet(IndexLayout.resolve(spark, dir))
+      .head().getLong(0) == 3L)
   }
 }

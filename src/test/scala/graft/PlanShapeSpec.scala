@@ -73,7 +73,7 @@ class PlanShapeSpec extends SparkSpec {
       // the deliberate O(n²) exhaustive SemDeDup baseline on the bounded
       // q137 slice — the thing its containment metric is measured AGAINST
       "q217_ivf_recall", "q218_pq_recall", "q219_semdedup_containment",
-      "q220_sq_recall",
+      "q220_sq_recall", "q238_bq_recall",
       // drift-audit report assembly: one-row aggregates (n/sum, max-cell,
       // p90) broadcast-crossed per phase, plus the one-row corpus count
       // broadcast onto the distinct-d2 histogram for the p90 cutoff
