@@ -153,7 +153,13 @@ object Bm25 {
         IndexLayout.clearVersions(docs.sparkSession, s"$path/stats")
         writeIndexBody(docs, idCol, textCol, path, nShards, sharded)
       }
-    else writeIndexBody(docs, idCol, textCol, path, nShards, sharded)
+    else {
+      // a replayed micro-batch may be rewriting a dir an offline fold
+      // already marked _FOLDED — the rewrite must come back LIVE or its
+      // rows beyond the fold's partial capture are silently lost
+      IndexLayout.clearFoldedMarker(docs.sparkSession, path)
+      writeIndexBody(docs, idCol, textCol, path, nShards, sharded)
+    }
   }
 
   /** The build itself — everything in [[writeIndex]] after the lifecycle
@@ -407,9 +413,21 @@ object Bm25 {
                                path: String, delta: org.apache.spark.sql.Row,
                                sign: Double): Unit = {
     val old = readStatsRow(spark, IndexLayout.resolve(spark, s"$path/stats"))
+    // a pre-sum_len (2-field) row cannot merge exactly — its token total
+    // is unrecoverable; loud here too, not just in stageRemoval (an
+    // append merging against oldSum=0 would serve garbage avgdl)
+    require(old.forall(r => r.length > 3),
+      s"$path/stats predates the exact (sum_len, n_len) totals — " +
+        "rebuild or compact the index before appends/removals")
+    // the merged row is ALWAYS list-format, so merging on a legacy index
+    // must ADOPT the loose tombstone files into the list — otherwise one
+    // append flips isLegacyStats off and the loose delete set silently
+    // stops being consulted (resurrection, then sweep deletes the files)
+    val tombDirs = old.map(tombDirsOf).getOrElse(Seq.empty) ++
+      (if (old.exists(isLegacyStats)) legacyTombFiles(spark, path)
+       else Seq.empty)
     IndexLayout.writeSwap(spark, s"$path/stats",
-      mergedStatsDf(spark, old, delta, sign,
-        old.map(tombDirsOf).getOrElse(Seq.empty)),
+      mergedStatsDf(spark, old, delta, sign, tombDirs),
       None)
   }
 
@@ -708,12 +726,13 @@ object Bm25 {
     val keepAllLoose = rows.exists(isLegacyStats)
     val root = new org.apache.hadoop.fs.Path(s"$path/tombstones")
     if (fs.exists(root)) {
-      fs.listStatus(root).toSeq
+      val entries = fs.listStatus(root).toSeq // one listing serves both
+      entries
         .filter(st => st.isDirectory && st.getPath.getName.startsWith("rm_")
           && !keep(st.getPath.getName))
         .foreach(st => fs.delete(st.getPath, true))
       if (!keepAllLoose) {
-        fs.listStatus(root).toSeq
+        entries
           .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet")
             && !keep(st.getPath.getName))
           .foreach(st => fs.delete(st.getPath, false))
@@ -817,9 +836,11 @@ object Bm25 {
     * retention alone only guarantees one.
     *
     * The snapshot — base-postings PIN, stats PIN, delete set, segment
-    * list — is acquired as ONE unit under a briefly-held maintenance
-    * lease, then the long scan runs lease-free under the pins. Each
-    * piece closes a distinct race:
+    * list — is acquired as ONE consistent unit OPTIMISTICALLY (an
+    * export is a read: it must neither fail because an hours-long
+    * maintenance window holds the lease, nor make maintenance fail),
+    * then the long scan runs under the pins. Each piece closes a
+    * distinct race:
     *   - the base pin keeps the scanned version's files across any
     *     number of compactions ([[IndexLayout.pinResolved]]);
     *   - the STATS pin keeps the pinned row's tombstone BATCH DIRS on
@@ -827,11 +848,17 @@ object Bm25 {
     *     still-existing stats layout lists — and a pinned layout exists
     *     until unpinned), so the export's anti-join never loses its
     *     input mid-scan;
-    *   - reading the delete set from the PINNED stats row, under the
-    *     same lease that ordered the two pins, means the postings
-    *     version and the delete set come from the same moment — unleased
-    *     pins taken one-after-another could pair a pre-fold base with a
-    *     post-fold (empty) delete set and emit removed docs;
+    *   - CONSISTENCY between the two pins is validated, not locked: the
+    *     base's effective version is re-read after everything else is
+    *     pinned/listed — any fold/re-shard/retrain landing mid-snapshot
+    *     flips the postings manifest, the re-check sees a different
+    *     version (versions only grow — no ABA), both pins release and
+    *     the snapshot retries. A removal landing mid-snapshot needs no
+    *     retry: it swaps only stats, and its delete set paired with the
+    *     unchanged physical base is exactly the removal's semantics.
+    *     Without the check, pins taken one-after-another could pair a
+    *     pre-fold base with a post-fold (empty) delete set and emit
+    *     removed docs;
     *   - segments listed in the snapshot survive at least one fold
     *     ([[IndexLayout.retireSegmentDirs]] N-1 retention); an export
     *     expected to outlast SEVERAL folds should pause the fold
@@ -842,36 +869,47 @@ object Bm25 {
   def exportLivePostings(spark: org.apache.spark.sql.SparkSession,
                          path: String, idCol: String,
                          outDir: String): Unit = {
-    val (pinnedBase, baseTok, tombSources, segPostings, statsTok) =
-      IndexLayout.withLease(spark, path, "Bm25.exportLivePostings-snapshot") {
-        val (base, baseTok) = IndexLayout.pinResolved(spark, s"$path/postings")
+    def acquire(attempt: Int): (String, String, Seq[String], Seq[String], String) = {
+      val (base, baseTok) = IndexLayout.pinResolved(spark, s"$path/postings")
+      try {
+        val (pinnedStats, statsTok) =
+          IndexLayout.pinResolved(spark, s"$path/stats")
         try {
-          val (pinnedStats, statsTok) =
-            IndexLayout.pinResolved(spark, s"$path/stats")
-          try {
-            val statsRow = readStatsRow(spark, pinnedStats)
-            val legacy =
-              if (statsRow.exists(isLegacyStats)) legacyTombFiles(spark, path)
-              else Seq.empty
-            val segs = IndexLayout.segmentDirs(spark, path)
-              .map(d => s"$d/postings")
-              .filter { d =>
-                val hp = new org.apache.hadoop.fs.Path(d)
-                hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-                  .exists(hp)
-              }
+          val statsRow = readStatsRow(spark, pinnedStats)
+          val legacy =
+            if (statsRow.exists(isLegacyStats)) legacyTombFiles(spark, path)
+            else Seq.empty
+          val segs = IndexLayout.segmentDirs(spark, path)
+            .map(d => s"$d/postings")
+            .filter { d =>
+              val hp = new org.apache.hadoop.fs.Path(d)
+              hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+                .exists(hp)
+            }
+          if (IndexLayout.resolve(spark, s"$path/postings") != base) {
+            // a swap landed mid-snapshot: release and retry on the new
+            // version (bounded — swaps are rare offline events)
+            IndexLayout.unpin(spark, s"$path/stats", statsTok)
+            IndexLayout.unpin(spark, s"$path/postings", baseTok)
+            require(attempt < 5,
+              s"$path/postings version keeps flipping mid-snapshot — " +
+                "pause the compaction schedule and re-run the export")
+            acquire(attempt + 1)
+          } else
             (base, baseTok,
               statsRow.map(tombDirsOf).getOrElse(Seq.empty) ++ legacy,
               segs, statsTok)
-          } catch {
-            case e: Throwable =>
-              IndexLayout.unpin(spark, s"$path/stats", statsTok); throw e
-          }
         } catch {
           case e: Throwable =>
-            IndexLayout.unpin(spark, s"$path/postings", baseTok); throw e
+            IndexLayout.unpin(spark, s"$path/stats", statsTok); throw e
         }
+      } catch {
+        case e: Throwable =>
+          IndexLayout.unpin(spark, s"$path/postings", baseTok); throw e
       }
+    }
+    val (pinnedBase, baseTok, tombSources, segPostings, statsTok) =
+      acquire(0)
     try {
       val layouts = pinnedBase +: segPostings
       val unioned = layouts.map(spark.read.parquet(_))

@@ -482,8 +482,13 @@ object DedupOps {
         writeDedupIndexBody(corpusDf, idCol, textCol, n, path, nShards,
           sharded)
       }
-    else writeDedupIndexBody(corpusDf, idCol, textCol, n, path, nShards,
-      sharded)
+    else {
+      // replay over a dir an offline fold marked _FOLDED must come back
+      // LIVE (see Bm25.writeIndex / IndexLayout.clearFoldedMarker)
+      IndexLayout.clearFoldedMarker(corpusDf.sparkSession, path)
+      writeDedupIndexBody(corpusDf, idCol, textCol, n, path, nShards,
+        sharded)
+    }
   }
 
   /** The build itself — everything in [[writeDedupIndex]] after the
@@ -662,7 +667,7 @@ object DedupOps {
     // tombstones snapshotted at FILE granularity (like the segment
     // list): fold and clear exactly this set, so a removal landing
     // mid-compaction keeps filtering reads and folds next time
-    val tombFiles = IndexLayout.tombstoneFiles(spark, s"$path/tombstones")
+    val tombFiles = IndexLayout.liveTombstoneFiles(spark, s"$path/tombstones")
     if (segs.isEmpty) {
       val sharded =
         IndexLayout.partitionedLayout(spark, s"$path/shingles", "shard")
@@ -673,7 +678,7 @@ object DedupOps {
           reshardTo))
       IndexLayout.rewriteInPlace(spark, s"$path/fingerprints", None,
         IndexLayout.dropTombstonedFiles(_, idCol, tombFiles))
-      IndexLayout.clearTombstoneFiles(spark, tombFiles)
+      IndexLayout.retireTombstoneFiles(spark, s"$path/tombstones", tombFiles)
     } else {
       val shAll = IndexLayout.existingPartsOf(spark, path, segs, "shingles")
         .map(spark.read.parquet(_)).reduce(_.unionByName(_)).distinct()
@@ -684,7 +689,7 @@ object DedupOps {
         .map(spark.read.parquet(_)).reduce(_.unionByName(_)).distinct()
       IndexLayout.writeSwap(spark, s"$path/fingerprints",
         IndexLayout.dropTombstonedFiles(fpAll, idCol, tombFiles), None)
-      IndexLayout.clearTombstoneFiles(spark, tombFiles)
+      IndexLayout.retireTombstoneFiles(spark, s"$path/tombstones", tombFiles)
     }
     // retire on BOTH branches: delete what the previous fold marked,
     // mark this fold's snapshot (empty on the segment-less branch)

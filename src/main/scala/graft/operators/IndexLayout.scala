@@ -725,9 +725,13 @@ object IndexLayout {
     * the layout convention: segment writers skip lifecycle clears (a
     * segment carries no lifecycle state of its own) and never take the
     * maintenance lease (they are the concurrent-safe write path).
+    * ANCHORED to the path tail: a segment target ends in its batch
+    * directory, so a BASE index that merely lives under some other
+    * dataset's `segments/batch=N/` directory is not misclassified into
+    * skipping its clears and lease.
     */
   def isSegmentPath(path: String): Boolean =
-    path.contains("segments/batch=")
+    path.stripSuffix("/").matches(".*[/.]segments/batch=[^/]+")
 
   /** The streaming-segment directories of a layout, sorted by batch id:
     * `$path/segments/batch=<id>`, each an immutable mini-index written by
@@ -846,6 +850,79 @@ object IndexLayout {
       val dp = new org.apache.hadoop.fs.Path(d)
       val marker = new org.apache.hadoop.fs.Path(
         dp.getParent, dp.getName + FoldedSuffix)
+      marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .create(marker, true).close()
+    }
+  }
+
+  /** Drop a stale `_FOLDED` marker for one segment dir — called by every
+    * segment WRITER before its per-batch overwrite. Without it, a
+    * replayed micro-batch that rewrites a segment dir an offline fold
+    * already marked (the fold captured the crashed write's PARTIAL rows)
+    * would stay invisible and be deleted by the next fold — the rows
+    * beyond the partial capture silently lost. Clearing the marker makes
+    * the rewritten segment live again: reads double-scan vs the folded
+    * base (row-exact under the multi-layout distinct guard; stats
+    * over-count transiently, the documented crash window) and the next
+    * fold re-folds it — the same convergence the immediate-delete scheme
+    * had. One blind idempotent delete per micro-batch.
+    */
+  def clearFoldedMarker(spark: SparkSession, segDir: String): Unit = {
+    val dp = new org.apache.hadoop.fs.Path(segDir.stripSuffix("/"))
+    val marker = new org.apache.hadoop.fs.Path(
+      dp.getParent, dp.getName + FoldedSuffix)
+    marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(marker, false)
+  }
+
+  /** The tombstone sidecar's LIVE data files — [[tombstoneFiles]] minus
+    * those a previous fold marked `_FOLDED` (their ids are already
+    * physically dropped from the base). What folds SNAPSHOT; readers
+    * keep using [[tombstoneFiles]] unchanged — anti-joining a folded
+    * file's ids is a no-op against a base that no longer holds them, so
+    * the read path needs no marker awareness (and pays no extra calls).
+    */
+  def liveTombstoneFiles(spark: SparkSession,
+                         tombDir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(tombDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val st = fs.listStatus(p).toSeq.filter(_.isFile)
+      val marked = st.filter(_.getPath.getName.endsWith(FoldedSuffix))
+        .map(_.getPath.getName.stripSuffix(FoldedSuffix)).toSet
+      st.filter(s => s.getPath.getName.endsWith(".parquet") &&
+          !marked(s.getPath.getName))
+        .map(_.getPath.toString)
+    }
+  }
+
+  /** The retire half of a tombstone-file fold — the same N-1 grace
+    * [[retireSegmentDirs]] gives segments: delete the files (and
+    * markers) a PREVIOUS fold marked, then mark this fold's snapshot
+    * instead of deleting it. Immediate deletion raced readers: a query
+    * that snapshotted the sidecar's file list just before a fold landed
+    * would lose its anti-join inputs mid-scan. A marked file keeps
+    * filtering reads harmlessly (its ids are gone from the base) until
+    * the NEXT fold deletes it.
+    */
+  def retireTombstoneFiles(spark: SparkSession, tombDir: String,
+                           folded: Seq[String]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(tombDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      fs.listStatus(p).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(FoldedSuffix))
+        .foreach { m =>
+          fs.delete(new org.apache.hadoop.fs.Path(
+            p, m.getPath.getName.stripSuffix(FoldedSuffix)), false)
+          fs.delete(m.getPath, false)
+        }
+    }
+    folded.foreach { f =>
+      val fp = new org.apache.hadoop.fs.Path(f)
+      val marker = new org.apache.hadoop.fs.Path(
+        fp.getParent, fp.getName + FoldedSuffix)
       marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .create(marker, true).close()
     }

@@ -236,9 +236,14 @@ object IvfIndex {
     * cell-pruned partitioned form.
     */
   def writeSegment(batch: DataFrame, idCol: String, embCol: String,
-                   model: Model, path: String, batchId: Long): Unit =
+                   model: Model, path: String, batchId: Long): Unit = {
+    val seg = s"$path.segments/batch=$batchId"
+    // replay over a dir an offline fold marked _FOLDED must come back
+    // LIVE (see IndexLayout.clearFoldedMarker)
+    IndexLayout.clearFoldedMarker(batch.sparkSession, seg)
     assign(batch, embCol, model)
-      .write.mode("overwrite").parquet(s"$path.segments/batch=$batchId")
+      .write.mode("overwrite").parquet(seg)
+  }
 
   /** Segment-merge for the IVF layout: rewrite each cell clustered
     * (append small files merged, streaming segments folded in) with
@@ -268,7 +273,7 @@ object IvfIndex {
     // tombstones snapshotted at FILE granularity (like the segment
     // list): fold and clear exactly this set, so a removal landing
     // mid-compaction keeps filtering reads and folds next time
-    val tombFiles = IndexLayout.tombstoneFiles(spark, s"$path.tombstones")
+    val tombFiles = IndexLayout.liveTombstoneFiles(spark, s"$path.tombstones")
     if (segs.isEmpty) {
       IndexLayout.rewriteInPlace(spark, path,
         if (IndexLayout.partitionedLayout(spark, path, "cell")) Some("cell")
@@ -285,7 +290,7 @@ object IvfIndex {
     // retire on BOTH branches: delete what the previous fold marked,
     // mark this fold's snapshot (empty on the segment-less branch)
     IndexLayout.retireSegmentDirs(spark, s"$path.segments", segs)
-    IndexLayout.clearTombstoneFiles(spark, tombFiles)
+    IndexLayout.retireTombstoneFiles(spark, s"$path.tombstones", tombFiles)
   }
 
   /** Retrain-and-compact — the lifecycle move for CENTROID DRIFT, which
@@ -323,7 +328,7 @@ object IvfIndex {
                                    embCol: String,
                                    k: Int, iters: Int): Model = {
     val segs = IndexLayout.segmentDirsAt(spark, s"$path.segments")
-    val tombFiles = IndexLayout.tombstoneFiles(spark, s"$path.tombstones")
+    val tombFiles = IndexLayout.liveTombstoneFiles(spark, s"$path.tombstones")
     val all = (IndexLayout.resolve(spark, path) +: segs)
       .map(spark.read.parquet(_)).reduce(_.unionByName(_)).distinct()
     val live = IndexLayout.dropTombstonedFiles(all, idCol, tombFiles)
@@ -332,7 +337,7 @@ object IvfIndex {
     IndexLayout.writeSwap(spark, path,
       assign(live, embCol, model).repartition(col("cell")), Some("cell"))
     IndexLayout.retireSegmentDirs(spark, s"$path.segments", segs)
-    IndexLayout.clearTombstoneFiles(spark, tombFiles)
+    IndexLayout.retireTombstoneFiles(spark, s"$path.tombstones", tombFiles)
     model
   }
 

@@ -84,10 +84,15 @@ object IvfPq {
     * shape-identical).
     */
   def writeSegment(batch: DataFrame, idCol: String, embCol: String,
-                   model: Model, path: String, batchId: Long): Unit =
+                   model: Model, path: String, batchId: Long): Unit = {
+    val seg = s"$path.segments/batch=$batchId"
+    // replay over a dir an offline fold marked _FOLDED must come back
+    // LIVE (see IndexLayout.clearFoldedMarker)
+    IndexLayout.clearFoldedMarker(batch.sparkSession, seg)
     PqIndex.encode(IvfIndex.assign(batch, embCol, model.coarse),
         embCol, model.pq)
-      .write.mode("overwrite").parquet(s"$path.segments/batch=$batchId")
+      .write.mode("overwrite").parquet(seg)
+  }
 
   /** Batch [[searchPruned]]: N queries cost ONE pruned read of the
     * union of all probe cells plus two query-bounded shuffles, instead
@@ -197,7 +202,7 @@ object IvfPq {
                                    nlist: Int, coarseIters: Int,
                                    m: Int, k: Int, pqIters: Int): Model = {
     val segs = IndexLayout.segmentDirsAt(spark, s"$path.segments")
-    val tombFiles = IndexLayout.tombstoneFiles(spark, s"$path.tombstones")
+    val tombFiles = IndexLayout.liveTombstoneFiles(spark, s"$path.tombstones")
     val all = (IndexLayout.resolve(spark, path) +: segs)
       .map(spark.read.parquet(_)).reduce(_.unionByName(_)).distinct()
     val live = IndexLayout.dropTombstonedFiles(all, idCol, tombFiles)
@@ -208,7 +213,7 @@ object IvfPq {
           embCol, model.pq)
         .repartition(col("cell")), Some("cell"))
     IndexLayout.retireSegmentDirs(spark, s"$path.segments", segs)
-    IndexLayout.clearTombstoneFiles(spark, tombFiles)
+    IndexLayout.retireTombstoneFiles(spark, s"$path.tombstones", tombFiles)
     model
   }
 

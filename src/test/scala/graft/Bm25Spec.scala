@@ -562,12 +562,23 @@ class Bm25Spec extends SparkSpec {
     }
     // the new reader honors the legacy delete set (doc 1 stays dead)
     assert(rows(dir) === rows(rebuild(live3)))
+    // an APPEND must adopt too: its merged stats row is always
+    // list-format, so without adoption one append would flip
+    // isLegacyStats off and the loose delete set would silently stop
+    // being consulted (doc 1 resurrects; the sweep later deletes the
+    // files — irreversible)
+    Bm25.appendToIndex(Seq((5L, "epsilon alpha")).toDF("doc_id", "text"),
+      "doc_id", "text", dir, nShards = 8)
+    val live4 = live3.unionByName(
+      Seq((5L, "epsilon alpha")).toDF("doc_id", "text"))
+    assert(rows(dir) === rows(rebuild(live4)))
     // a removal ADOPTS the loose file into the listed set: removing
     // doc 1 again is a no-op (no double-shift), removing doc 2 shifts
     // exactly doc 2
     Bm25.removeFromIndex(Seq(1L).toDF("doc_id"), "doc_id", dir)
     Bm25.removeFromIndex(Seq(2L).toDF("doc_id"), "doc_id", dir)
-    val live2 = docs.filter(col("doc_id") > 2L)
+    val live2 = docs.filter(col("doc_id") > 2L).unionByName(
+      Seq((5L, "epsilon alpha")).toDF("doc_id", "text"))
     assert(rows(dir) === rows(rebuild(live2)))
     // compaction materializes BOTH formats' removals...
     Bm25.compactIndex(spark, dir)
@@ -647,6 +658,83 @@ class Bm25Spec extends SparkSpec {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(
       s"$dir/segments/batch=0")))
+  }
+
+  test("a replayed segment rewrite over a _FOLDED marker comes back live; re-fold converges") {
+    // the crash shape: a micro-batch dies mid-write, an offline fold
+    // captures the PARTIAL segment and marks it _FOLDED, then the
+    // restarted stream replays the batch IN FULL over the same dir. The
+    // rewrite must clear the stale marker — hidden, the rows beyond the
+    // partial capture would be invisible and deleted by the next fold.
+    val dir = java.nio.file.Files.createTempDirectory("bm25_replay").toString
+    Bm25.writeIndex(Seq((1L, "alpha beta"), (2L, "beta gamma"))
+      .toDF("doc_id", "text"), "doc_id", "text", dir, nShards = 8)
+    // the partial write the crash left
+    Bm25.writeIndex(Seq((3L, "alpha gamma")).toDF("doc_id", "text"),
+      "doc_id", "text", s"$dir/segments/batch=0", nShards = 8,
+      sharded = false)
+    Bm25.compactIndex(spark, dir) // folds the partial, marks batch=0
+    assert(IndexLayout.segmentDirs(spark, dir).isEmpty)
+    // full replay of batch 0: doc 3 AND the doc the partial missed
+    Bm25.writeIndex(Seq((3L, "alpha gamma"), (4L, "delta alpha"))
+      .toDF("doc_id", "text"), "doc_id", "text",
+      s"$dir/segments/batch=0", nShards = 8, sharded = false)
+    // live again — and doc 4 is retrievable
+    assert(IndexLayout.segmentDirs(spark, dir).size == 1)
+    val queries = Seq("q" -> "delta")
+    def ids(d: String) =
+      Bm25.topKIndexed(spark, d, "doc_id", queries, k = 10, nShards = 8)
+        .collect().map(_.getLong(2)).toSet
+    assert(ids(dir) === Set(4L))
+    // re-folding converges to the clean rebuild (duplicated doc-3 rows
+    // collapse in the distinct fold; stats recompute from the sidecar)
+    Bm25.compactIndex(spark, dir)
+    val refDir = java.nio.file.Files.createTempDirectory("bm25_replayR").toString
+    Bm25.writeIndex(Seq((1L, "alpha beta"), (2L, "beta gamma"),
+        (3L, "alpha gamma"), (4L, "delta alpha")).toDF("doc_id", "text"),
+      "doc_id", "text", refDir, nShards = 8)
+    val q2 = Seq("q" -> "alpha beta gamma delta")
+    def rows2(d: String) =
+      Bm25.topKIndexed(spark, d, "doc_id", q2, k = 10, nShards = 8)
+        .collect().map(_.toSeq).toSet
+    assert(rows2(dir) === rows2(refDir))
+  }
+
+  test("appendToIndex refuses a pre-sum_len (2-field) stats row loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25_2f").toString
+    Bm25.writeIndex(Seq((1L, "alpha beta")).toDF("doc_id", "text"),
+      "doc_id", "text", dir, nShards = 8)
+    // simulate the oldest stats format: (n, avgdl) only — its token
+    // total is unrecoverable, so an exact merge is impossible
+    spark.read.parquet(IndexLayout.resolve(spark, s"$dir/stats"))
+      .select("n", "avgdl").collect() // materialize before overwrite
+    Seq((1.0, 2.0)).toDF("n", "avgdl").write.mode("overwrite")
+      .parquet(IndexLayout.resolve(spark, s"$dir/stats"))
+    val e = intercept[IllegalArgumentException] {
+      Bm25.appendToIndex(Seq((2L, "gamma")).toDF("doc_id", "text"),
+        "doc_id", "text", dir, nShards = 8)
+    }
+    assert(e.getMessage.contains("sum_len"))
+  }
+
+  test("exportLivePostings is lease-free: it runs while maintenance holds the lease") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25_exlease").toString
+    Bm25.writeIndex(Seq((1L, "alpha beta"), (2L, "beta gamma"))
+      .toDF("doc_id", "text"), "doc_id", "text", dir, nShards = 8)
+    // an hours-long compaction holds the lease; the read-only export
+    // must neither fail nor steal it (its snapshot is optimistic:
+    // pin, validate the base version, retry on a mid-snapshot flip)
+    IndexLayout.acquireLease(spark, dir, "long-compaction")
+    try {
+      val out = java.nio.file.Files.createTempDirectory("bm25_exout").toString
+      Bm25.exportLivePostings(spark, dir, "doc_id", s"$out/postings")
+      assert(spark.read.parquet(s"$out/postings").count() > 0)
+      assert(IndexLayout.leaseHolder(spark, dir)
+        .exists(_.contains("long-compaction")))
+      // and its pins were released on exit
+      assert(IndexLayout.listPins(spark, s"$dir/postings").isEmpty)
+      assert(IndexLayout.listPins(spark, s"$dir/stats").isEmpty)
+    } finally IndexLayout.releaseLease(spark, dir)
   }
 
   test("bm25 query tokenizer mirrors the corpus tokenizer") {

@@ -445,6 +445,17 @@ class IndexLayoutSpec extends SparkSpec {
     assert(IndexLayout.segmentDirsAt(spark, segRoot).isEmpty)
   }
 
+  test("isSegmentPath anchors to the batch-dir tail") {
+    assert(IndexLayout.isSegmentPath("/idx/segments/batch=3"))
+    assert(IndexLayout.isSegmentPath("/idx/segments/batch=3/"))
+    assert(IndexLayout.isSegmentPath("/lake/vec.segments/batch=12"))
+    // a BASE index that merely lives under some other dataset's segment
+    // tree must NOT be misclassified (it would skip clears and lease)
+    assert(!IndexLayout.isSegmentPath("/lake/segments/batch=42/bm25"))
+    assert(!IndexLayout.isSegmentPath("/idx/mysegments/batch=3"))
+    assert(!IndexLayout.isSegmentPath("/idx/segments"))
+  }
+
   test("adoptLegacyVersion restores manifest-loss fallback for pre-marker version dirs") {
     val base = java.nio.file.Files.createTempDirectory("ixl_adopt").toString
     val dir = s"$base/t"

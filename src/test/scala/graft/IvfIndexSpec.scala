@@ -90,11 +90,23 @@ class IvfIndexSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     val tombstoned = res(dir)
     assert(tombstoned === res(liveDir))
+    // fold 1: removals are physical; the folded tombstone FILES are
+    // RETAINED one fold (marked _FOLDED — a reader that snapshotted the
+    // sidecar's file list just before the fold keeps its anti-join
+    // inputs; re-filtering them is a no-op against the folded base)
+    val foldedFiles = IndexLayout.tombstoneFiles(spark, s"$dir.tombstones")
     IvfIndex.compactIndex(spark, dir, "vec_id")
     assert(res(dir) === tombstoned)
-    assert(graft.operators.IndexLayout.tombstoneFiles(spark, s"$dir.tombstones").isEmpty)
     assert(spark.read.parquet(IndexLayout.resolve(spark, dir))
       .filter(col("vec_id") % 5 === 0).count() == 0)
+    assert(spark.read.parquet(foldedFiles: _*).count() > 0,
+      "pre-fold reader keeps its tombstone files one fold")
+    assert(IndexLayout.liveTombstoneFiles(spark, s"$dir.tombstones").isEmpty,
+      "the next fold snapshots nothing already materialized")
+    // fold 2 retires what fold 1 marked
+    IvfIndex.compactIndex(spark, dir, "vec_id")
+    assert(IndexLayout.tombstoneFiles(spark, s"$dir.tombstones").isEmpty)
+    assert(res(dir) === tombstoned)
     // a fresh writeIndex at a tombstoned path must not inherit the sidecar
     IvfIndex.removeFromIndex(embs.filter(col("vec_id") % 5 === 1)
       .select("vec_id"), "vec_id", dir)
@@ -152,9 +164,13 @@ class IvfIndexSpec extends SparkSpec {
     // (the crash-recovery path) is a no-op
     IvfIndex.compactIndex(spark, dir, "vec_id")
     assert(IndexLayout.segmentDirsAt(spark, s"$dir.segments").isEmpty)
-    assert(graft.operators.IndexLayout.tombstoneFiles(spark, s"$dir.tombstones").isEmpty)
+    // folded tombstone files are RETAINED one fold for in-flight readers
+    // (re-filtering them is a no-op against the materialized base); the
+    // re-run below retires them
+    assert(IndexLayout.liveTombstoneFiles(spark, s"$dir.tombstones").isEmpty)
     assert(res(dir) === afterDelete)
     IvfIndex.compactIndex(spark, dir, "vec_id")
+    assert(IndexLayout.tombstoneFiles(spark, s"$dir.tombstones").isEmpty)
     assert(res(dir) === afterDelete)
     // a fresh writeIndex at a path that previously received streamed
     // segments must not union the OLD corpus's segments into reads:
@@ -223,10 +239,12 @@ class IvfIndexSpec extends SparkSpec {
     val newModel = IvfIndex.retrainCompact(spark, dir, "vec_id", "embedding",
       k = 8, iters = 3)
     assert(newModel.k == 8)
-    // maintenance state folded: segments gone, tombstones materialized,
-    // removed ids physically absent, layout cell-partitioned and pruned
+    // maintenance state folded: segments gone, tombstones materialized
+    // (their files retained one fold for in-flight readers — live
+    // snapshot empty), removed ids physically absent, layout
+    // cell-partitioned and pruned
     assert(IndexLayout.segmentDirsAt(spark, s"$dir.segments").isEmpty)
-    assert(IndexLayout.tombstoneFiles(spark, s"$dir.tombstones").isEmpty)
+    assert(IndexLayout.liveTombstoneFiles(spark, s"$dir.tombstones").isEmpty)
     assert(spark.read.parquet(IndexLayout.resolve(spark, dir))
       .filter(col("vec_id") % 10 === 0).count() == 0)
     // full-probe search over the retrained layout is EXACT brute force

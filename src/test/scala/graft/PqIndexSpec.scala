@@ -123,7 +123,8 @@ class PqIndexSpec extends SparkSpec {
     assert(tombstoned === search(liveDir))
     IvfIndex.compactIndex(spark, incDir, "vec_id")
     assert(search(incDir) === tombstoned)
-    assert(IndexLayout.readTombstones(spark, s"$incDir.tombstones").isEmpty)
+    // folded tombstone files are retained one fold for in-flight readers
+    assert(IndexLayout.liveTombstoneFiles(spark, s"$incDir.tombstones").isEmpty)
 
     // STREAMING SEGMENTS: fold %3==0 back in as two segments — search
     // equals the live-set-plus-batch rebuild; compaction folds, replays
@@ -196,7 +197,8 @@ class PqIndexSpec extends SparkSpec {
       nlist = 4, coarseIters = 2, m = 8, k = 16, pqIters = 2)
     // maintenance state folded; removed ids physically absent
     assert(IndexLayout.segmentDirsAt(spark, s"$dir.segments").isEmpty)
-    assert(IndexLayout.tombstoneFiles(spark, s"$dir.tombstones").isEmpty)
+    // folded tombstone files are retained one fold for in-flight readers
+    assert(IndexLayout.liveTombstoneFiles(spark, s"$dir.tombstones").isEmpty)
     assert(spark.read.parquet(IndexLayout.resolve(spark, dir))
       .filter(col("vec_id") % 5 === 0).count() == 0)
     // graceful-degradation exactness with the NEW model: nprobe = nlist,

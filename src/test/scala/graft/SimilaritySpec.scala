@@ -158,7 +158,8 @@ class SimilaritySpec extends SparkSpec {
     val filesBefore = IndexLayout.dataFileCount(spark, s"$dir/shingles")
     DedupOps.compactDedupIndex(spark, dir)
     assert(IndexLayout.dataFileCount(spark, s"$dir/shingles") < filesBefore)
-    assert(graft.operators.IndexLayout.tombstoneFiles(spark, s"$dir/tombstones").isEmpty)
+    // folded tombstone files are retained one fold for in-flight readers
+    assert(graft.operators.IndexLayout.liveTombstoneFiles(spark, s"$dir/tombstones").isEmpty)
     // (restrict to original ids: the appended probe batch's shifted ids
     // can also hit %7==3 and are legitimately present)
     assert(spark.read.parquet(IndexLayout.resolve(spark, s"$dir/shingles"))
@@ -221,7 +222,8 @@ class SimilaritySpec extends SparkSpec {
     // crash-recovery path) is a no-op
     DedupOps.compactDedupIndex(spark, dir)
     assert(IndexLayout.segmentDirs(spark, dir).isEmpty)
-    assert(graft.operators.IndexLayout.tombstoneFiles(spark, s"$dir/tombstones").isEmpty)
+    // folded tombstone files are retained one fold for in-flight readers
+    assert(graft.operators.IndexLayout.liveTombstoneFiles(spark, s"$dir/tombstones").isEmpty)
     assert(check(dir, probe) === afterDelete)
     DedupOps.compactDedupIndex(spark, dir)
     assert(check(dir, probe) === afterDelete)
