@@ -665,8 +665,9 @@ object DedupOps {
       idCol: String, segs: Seq[String],
       reshardTo: Option[Int] = None): Unit = {
     // tombstones snapshotted at FILE granularity (like the segment
-    // list): fold and clear exactly this set, so a removal landing
-    // mid-compaction keeps filtering reads and folds next time
+    // list): fold exactly this LIVE set (previously-folded marked files
+    // are already materialized) and retire it below, so a removal
+    // landing mid-compaction keeps filtering reads and folds next time
     val tombFiles = IndexLayout.liveTombstoneFiles(spark, s"$path/tombstones")
     if (segs.isEmpty) {
       val sharded =
@@ -678,7 +679,6 @@ object DedupOps {
           reshardTo))
       IndexLayout.rewriteInPlace(spark, s"$path/fingerprints", None,
         IndexLayout.dropTombstonedFiles(_, idCol, tombFiles))
-      IndexLayout.retireTombstoneFiles(spark, s"$path/tombstones", tombFiles)
     } else {
       val shAll = IndexLayout.existingPartsOf(spark, path, segs, "shingles")
         .map(spark.read.parquet(_)).reduce(_.unionByName(_)).distinct()
@@ -689,10 +689,11 @@ object DedupOps {
         .map(spark.read.parquet(_)).reduce(_.unionByName(_)).distinct()
       IndexLayout.writeSwap(spark, s"$path/fingerprints",
         IndexLayout.dropTombstonedFiles(fpAll, idCol, tombFiles), None)
-      IndexLayout.retireTombstoneFiles(spark, s"$path/tombstones", tombFiles)
     }
     // retire on BOTH branches: delete what the previous fold marked,
-    // mark this fold's snapshot (empty on the segment-less branch)
+    // mark this fold's snapshot (empty on the segment-less branch when
+    // nothing was removed)
+    IndexLayout.retireTombstoneFiles(spark, s"$path/tombstones", tombFiles)
     IndexLayout.retireSegmentDirs(spark, s"$path/segments", segs)
   }
 
