@@ -100,6 +100,26 @@ class LifecycleSoakSpec extends SparkSpec {
     Bm25.removeFromIndex(del2, "doc_id", dir)
     live = live.filter(col("doc_id") % 8 =!= 1)
     assert(retrieved(dir, 16) == oracle(live), "after delete 2")
+
+    // 7b. EXPORT mid-storm: versioned layouts + a live tombstone batch +
+    // a pinned snapshot all coexist — the exported live postings must
+    // row-equal a fresh build over the live set (lock-free snapshot:
+    // pins + version validation, no lease taken)
+    val exDir = s"${tmp("soak_bm25_export")}/postings"
+    Bm25.exportLivePostings(spark, dir, "doc_id", exDir)
+    val refIdx = s"${tmp("soak_bm25_exref")}/index"
+    Bm25.writeIndex(live, "doc_id", "text", refIdx, nShards = 16)
+    def postingRows(p: String): Set[Seq[Any]] =
+      spark.read.parquet(p)
+        .select("doc_id", "doc_len", "term", "tf", "shard")
+        .collect().map(_.toSeq).toSet
+    assert(postingRows(exDir) ==
+      postingRows(IndexLayout.resolve(spark, s"$refIdx/postings")),
+      "mid-storm export equals a fresh live-only build's postings")
+    assert(IndexLayout.listPins(spark, s"$dir/postings").size == 1 &&
+      IndexLayout.listPins(spark, s"$dir/stats").isEmpty,
+      "export released its pins (only the step-5 reader pin remains)")
+
     Bm25.compactIndex(spark, dir, "doc_id")
     assert(retrieved(dir, 16) == oracle(live), "after final compaction")
     assert(Bm25.tombstoneDirs(spark, dir).isEmpty,
