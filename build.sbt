@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` inherits sbt's raw stdout instead of being re-logged with
+// an `[info] ` prefix: Bench's contract is ONE machine-parseable JSON
+// line on stdout, and the prefix is exactly what kept the driver's
+// `parsed` field null (it looks for a line-initial `{`). Logs from the
+// forked JVM go to stderr either way.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -869,7 +869,15 @@ object Bm25 {
   def exportLivePostings(spark: org.apache.spark.sql.SparkSession,
                          path: String, idCol: String,
                          outDir: String): Unit = {
-    def acquire(attempt: Int): (String, String, Seq[String], Seq[String], String) = {
+    // ONE acquisition attempt. Pins taken by this attempt are released on
+    // every failure path INSIDE it, and the flip-detected retry releases
+    // both and returns None through plain control flow — the retry itself
+    // happens in the loop BELOW, outside these handlers, so a stale
+    // (already-released) token can never reach an outer catch. (The old
+    // recursive form retried inside the try nests: a later exception
+    // re-ran the outer unpins on tokens the retry had already released —
+    // harmless only because unpin is a token-scoped idempotent delete.)
+    def attemptOnce(): Option[(String, String, Seq[String], Seq[String], String)] = {
       val (base, baseTok) = IndexLayout.pinResolved(spark, s"$path/postings")
       try {
         val (pinnedStats, statsTok) =
@@ -887,18 +895,16 @@ object Bm25 {
                 .exists(hp)
             }
           if (IndexLayout.resolve(spark, s"$path/postings") != base) {
-            // a swap landed mid-snapshot: release and retry on the new
-            // version (bounded — swaps are rare offline events)
+            // a swap landed mid-snapshot: release both pins and signal
+            // the loop to retry on the new version (bounded — swaps are
+            // rare offline events)
             IndexLayout.unpin(spark, s"$path/stats", statsTok)
             IndexLayout.unpin(spark, s"$path/postings", baseTok)
-            require(attempt < 5,
-              s"$path/postings version keeps flipping mid-snapshot — " +
-                "pause the compaction schedule and re-run the export")
-            acquire(attempt + 1)
+            None
           } else
-            (base, baseTok,
+            Some((base, baseTok,
               statsRow.map(tombDirsOf).getOrElse(Seq.empty) ++ legacy,
-              segs, statsTok)
+              segs, statsTok))
         } catch {
           case e: Throwable =>
             IndexLayout.unpin(spark, s"$path/stats", statsTok); throw e
@@ -908,8 +914,16 @@ object Bm25 {
           IndexLayout.unpin(spark, s"$path/postings", baseTok); throw e
       }
     }
-    val (pinnedBase, baseTok, tombSources, segPostings, statsTok) =
-      acquire(0)
+    var snap: Option[(String, String, Seq[String], Seq[String], String)] = None
+    var attempt = 0
+    while (snap.isEmpty) {
+      require(attempt < 5,
+        s"$path/postings version keeps flipping mid-snapshot — " +
+          "pause the compaction schedule and re-run the export")
+      snap = attemptOnce()
+      attempt += 1
+    }
+    val (pinnedBase, baseTok, tombSources, segPostings, statsTok) = snap.get
     try {
       val layouts = pinnedBase +: segPostings
       val unioned = layouts.map(spark.read.parquet(_))
@@ -918,6 +932,22 @@ object Bm25 {
       dropIds(deduped, idCol, readTombIds(spark, tombSources))
         .repartition(col("shard"))
         .write.mode("overwrite").parquet(outDir)
+    } catch {
+      case e: Throwable =>
+        // snapshotted segments survive exactly ONE fold (N-1 retention);
+        // an export that straddled two folds loses its segment dirs
+        // mid-scan — name the cause instead of surfacing a bare
+        // FileNotFound from deep in the scan
+        val conf = spark.sparkContext.hadoopConfiguration
+        val gone = segPostings.filterNot { d =>
+          val hp = new org.apache.hadoop.fs.Path(d)
+          hp.getFileSystem(conf).exists(hp)
+        }
+        if (gone.nonEmpty) throw new IllegalStateException(
+          s"export snapshot lost ${gone.size} segment dir(s) mid-scan " +
+            s"(e.g. ${gone.head}) — the export outlived two folds; pause " +
+            "the fold schedule and re-run the export", e)
+        else throw e
     } finally {
       IndexLayout.unpin(spark, s"$path/stats", statsTok)
       IndexLayout.unpin(spark, s"$path/postings", baseTok)

@@ -840,10 +840,22 @@ object IndexLayout {
       fs.listStatus(p).toSeq
         .filter(s => s.isFile && s.getPath.getName.endsWith(FoldedSuffix))
         .foreach { m =>
+          // marker FIRST, dir only if the marker delete won: a lease-free
+          // streaming REPLAY of a previously-folded batch clears the
+          // marker ([[clearFoldedMarker]]) and rewrites the dir as live —
+          // deleting the dir on the strength of a listing taken before
+          // that clear would permanently drop the replayed rows once the
+          // stream checkpoint advances. delete(marker) returning false
+          // means the replay's clear beat us: the dir is (becoming) live
+          // again, leave it. The residual window — replay's entire
+          // clear + rewrite landing between our two consecutive FS calls
+          // — stays excluded by the documented contract that folds do not
+          // run concurrently with replays of batches THIS fold retires
+          // (an interrupted rewrite fails its micro-batch and the retry
+          // converges; only a COMPLETED rewrite inside the ~ms gap loses).
           val dir = new org.apache.hadoop.fs.Path(
             p, m.getPath.getName.stripSuffix(FoldedSuffix))
-          fs.delete(dir, true)
-          fs.delete(m.getPath, false)
+          if (fs.delete(m.getPath, false)) fs.delete(dir, true)
         }
     }
     folded.foreach { d =>

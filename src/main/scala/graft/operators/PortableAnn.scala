@@ -306,7 +306,19 @@ object PortableAnn {
       .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
       .sortBy(_._1)
-    (rows.head._3, rows.map(_._2))
+    require(rows.nonEmpty,
+      s"bqTrain: empty corpus (no non-null '$qvCol' vectors) — no " +
+        "threshold model can be trained")
+    // every dimension must have seen every vector: null or ragged vectors
+    // give per-dim counts that differ, and threading ONE n through the
+    // `n·x > Σx` test would silently diverge from the per-dim-count SQL
+    // restatement (the bqCommonSql `st` CTE)
+    val n = rows.head._3
+    require(rows.forall(_._3 == n),
+      "bqTrain: ragged or partially-null vectors — per-dimension counts " +
+        s"differ (${rows.map(_._3).distinct.mkString(",")}); codes would " +
+        "diverge from the SQL restatement")
+    (n, rows.map(_._2))
   }
 
   /** The 64-dim sign code packed into ONE long (the d = 64 tables make

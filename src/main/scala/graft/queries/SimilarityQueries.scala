@@ -178,20 +178,26 @@ object SimilarityQueries {
              |WHERE bit_count(xor(a.s, b.s)) <= 3
              |ORDER BY id_a, id_b""".stripMargin)),
 
-    // IVF ANN: k-means coarse quantizer + probe-limited search (the scale
-    // path past brute force; approximate → rows-only check, recall vs
-    // brute force asserted in IvfIndexSpec).
+    // IVF ANN at the APPROXIMATE operating point (nprobe = 3 of 8 cells),
+    // in PortableAnn fixed-point arithmetic so the probe-limited OUTPUT
+    // ITSELF hash-checks — which ids, at which exact integer distances,
+    // in which rank order (the q237 move applied to the IVF rung; the
+    // k-means chain is unrolled in the oracle). The float production
+    // machinery stays exercised by q129 (nprobe = nlist exact twin, same
+    // train/assign/probe/rank plan) and IvfIndexSpec; q217 hash-checks
+    // this exact config's recall.
     QDef("q46_ivf_ann",
       (s, d) => {
-        val corpus = embs(s, d)
-        val model = IvfIndex.train(corpus, "vec_id", "embedding", k = 8, iters = 2)
-        IvfIndex.search(corpus.filter(col("vec_id") < 5), corpus,
-          "vec_id", "embedding", model, nprobe = 3, topK = 5)
-          .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"),
+        val corpus = embs(s, d).select(col("vec_id"),
+          PortableAnn.quant(col("embedding")).as("qv"))
+        val model = PortableAnn.train(corpus, "vec_id", "qv", k = 8, iters = 2)
+        PortableAnn.ivfSearch(corpus.filter(col("vec_id") < 5), corpus,
+            "vec_id", "qv", model, nprobe = 3, topK = 5)
+          .select(col("query_id"), col("vec_id"), col("d").as("d2"),
             col("rank"))
           .orderBy(col("query_id"), col("rank"))
       },
-      None),
+      Some(ivfAnnSql)),
 
     // IVF at nprobe = nlist: every cell probed, so the result is EXACTLY
     // brute-force top-k (independent of where k-means put the centroids)
@@ -220,22 +226,29 @@ object SimilarityQueries {
              |  WHERE e.vec_id <> q.qid)
              |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
-    // PQ-compressed ANN: per-subspace codebooks → byte codes → ADC
-    // shortlist → exact rerank (recall and compression pinned in
-    // PqIndexSpec; no SQL oracle — rows-only driver check).
+    // PQ-compressed ANN at the APPROXIMATE operating point (ADC shortlist
+    // 50 → exact rerank), in PortableAnn fixed-point arithmetic so the
+    // shortlisted OUTPUT ITSELF hash-checks — per-subspace codebook
+    // training unrolled in the oracle, the ADC lookup table a relational
+    // join there (the q237 move applied to the PQ rung). The float
+    // production machinery stays exercised by q130 (shortlist = corpus
+    // exact twin) and PqIndexSpec; q218 hash-checks this exact config's
+    // recall.
     QDef("q88_pq_ann",
       (s, d) => {
-        val corpus = embs(s, d)
-        val model = PqIndex.train(corpus, "vec_id", "embedding",
-          m = 8, k = 16, iters = 2)
-        val q = corpus.orderBy(col("vec_id")).limit(1)
-          .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
-        PqIndex.searchWithRerank(corpus.filter(col("vec_id") =!= 0L),
-            "vec_id", "embedding", model, q, shortlist = 50, topK = 10)
-          .select(col("vec_id"), round(col("dist"), 6).as("dist"))
-          .orderBy(col("dist"), col("vec_id"))
+        val corpus = embs(s, d).select(col("vec_id"),
+          PortableAnn.quant(col("embedding")).as("qv"))
+        val books = PortableAnn.pqTrain(corpus, "vec_id", "qv",
+          m = 8, subDim = 8, k = 16, iters = 2)
+        val qvec = corpus.filter(col("vec_id") === 0L)
+          .select(col("qv")).head().getSeq[Long](0).toArray
+        PortableAnn.pqSearchWithRerank(corpus.filter(col("vec_id") =!= 0L),
+            "vec_id", "qv", books, qvec, subDim = 8, shortlist = 50,
+            topK = 10)
+          .select(col("vec_id"), col("d").as("d2"))
+          .orderBy(col("d2"), col("vec_id"))
       },
-      None),
+      Some(pqAnnSql)),
 
     // PQ at shortlist = corpus size: the ADC pass shortlists EVERY vector,
     // so the exact rerank is brute-force L2 top-k regardless of where the
@@ -249,7 +262,7 @@ object SimilarityQueries {
         val n = corpus.count().toInt
         val model = PqIndex.train(corpus, "vec_id", "embedding",
           m = 8, k = 16, iters = 2)
-        val q = corpus.orderBy(col("vec_id")).limit(1)
+        val q = corpus.filter(col("vec_id") === 0L)
           .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
         PqIndex.searchWithRerank(corpus.filter(col("vec_id") =!= 0L),
             "vec_id", "embedding", model, q, shortlist = n, topK = 10)
@@ -306,7 +319,7 @@ object SimilarityQueries {
         val corpus = embs(s, d)
         val n = corpus.count().toInt
         val model = SqIndex.train(corpus, "embedding")
-        val q = corpus.orderBy(col("vec_id")).limit(1)
+        val q = corpus.filter(col("vec_id") === 0L)
           .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
         SqIndex.searchWithRerank(corpus.filter(col("vec_id") =!= 0L),
             "vec_id", "embedding", model, q, shortlist = n, topK = 10)
@@ -347,21 +360,42 @@ object SimilarityQueries {
              |FROM v e LEFT JOIN d ON e.vec_id = d.id
              |ORDER BY e.vec_id""".stripMargin)),
 
-    // SemDeDup clustered scale path (8 cells): per-cluster pairs only —
-    // the O(Σ|c|²) form that survives corpus scale. Approximate (misses
-    // cross-cluster pairs) → rows-only check; SimilaritySpec pins
-    // drops(clustered) ⊆ drops(exhaustive).
+    // SemDeDup clustered scale path: per-cluster pairs only — the
+    // O(Σ|c|²) form that survives corpus scale — in PortableAnn
+    // fixed-point arithmetic (integer k-means unrolled in the oracle,
+    // cos ≥ 2/5 as the exact predicate dot > 0 ∧ 25·dot² ≥ 4·‖a‖²·‖b‖²),
+    // so the clustered drop decisions THEMSELVES hash-check per vector.
+    // k is pinned at 8 for the static oracle; the production entry point
+    // (Similarity.semanticDedup, float, corpus-scaled k ≈ n/250 so
+    // per-cell pair cost stays constant) remains exercised by q137's
+    // exhaustive twin and SimilaritySpec's containment pin, and q219
+    // hash-checks this clustered config's containment vs exhaustive.
     QDef("q138_semdedup_clustered",
       (s, d) => {
-        val e = embs(s, d)
-        // cells scale with the corpus (≈250 vectors/cell) so per-cell pair
-        // cost stays constant — the SemDeDup paper's operating point
-        val k = math.max(8, (e.count() / 250L).toInt)
-        Similarity.semanticDedup(e, "vec_id", "embedding",
-            nClusters = k, iters = 2, threshold = 0.4)
+        val base = embs(s, d).select(col("vec_id"),
+          PortableAnn.quant(col("embedding")).as("qv"))
+        val model = PortableAnn.train(base, "vec_id", "qv", k = 8, iters = 2)
+        val a = base
+          .withColumn("cell", PortableAnn.bestCell(col("qv"), model))
+          .withColumn("n2", PortableAnn.dotL(col("qv"), col("qv")))
+        val lo = a.select(col("vec_id").as("ia"), col("qv").as("qa"),
+          col("n2").as("na2"), col("cell").as("ca"))
+        val hi = a.select(col("vec_id").as("ib"), col("qv").as("qb"),
+          col("n2").as("nb2"), col("cell").as("cb"))
+        val close = lo
+          .join(hi, col("ca") === col("cb") && col("ia") < col("ib"))
+          .select(col("ib"), PortableAnn.dotL(col("qa"), col("qb")).as("dp"),
+            col("na2"), col("nb2"))
+          .filter(PortableAnn.cosGe(col("dp"), col("na2"), col("nb2"), 2, 5))
+          .groupBy(col("ib"))
+          .agg(count(lit(1)).cast("long").as("n_close_lower"))
+        base.join(close, base("vec_id") === close("ib"), "left")
+          .select(col("vec_id"),
+            coalesce(col("n_close_lower"), lit(0L)).as("n_close_lower"),
+            when(col("ib").isNull, lit(1L)).otherwise(lit(0L)).as("kept"))
           .orderBy(col("vec_id"))
       },
-      None),
+      Some(semdedupClusteredSql)),
 
     // Embedding-health audit: the gate an embedding pipeline runs before
     // indexing — norm spectrum, dimension consistency, zero/non-finite
@@ -1075,7 +1109,7 @@ object SimilarityQueries {
           PortableAnn.quant(col("embedding")).as("qv"))
         val books = PortableAnn.pqTrain(corpus, "vec_id", "qv",
           m = 8, subDim = 8, k = 16, iters = 2)
-        val qvec = corpus.orderBy(col("vec_id")).limit(1)
+        val qvec = corpus.filter(col("vec_id") === 0L)
           .select(col("qv")).head().getSeq[Long](0).toArray
         val rest = corpus.filter(col("vec_id") =!= 0L)
         val approx = PortableAnn.pqSearchWithRerank(rest, "vec_id", "qv",
@@ -1147,7 +1181,7 @@ object SimilarityQueries {
         val corpus = embs(s, d).select(col("vec_id"),
           PortableAnn.quant(col("embedding")).as("qv"))
         val (mins, deltas) = PortableAnn.sqTrain(corpus, "qv")
-        val qvec = corpus.orderBy(col("vec_id")).limit(1)
+        val qvec = corpus.filter(col("vec_id") === 0L)
           .select(col("qv")).head().getSeq[Long](0).toArray
         val rest = corpus.filter(col("vec_id") =!= 0L)
         val approx = PortableAnn.sqSearchWithRerank(rest, "vec_id", "qv",
@@ -1346,7 +1380,7 @@ object SimilarityQueries {
         val corpus = embs(s, d).select(col("vec_id"),
           PortableAnn.quant(col("embedding")).as("qv"))
         val (n, sums) = PortableAnn.bqTrain(corpus, "qv")
-        val qvec = corpus.orderBy(col("vec_id")).limit(1)
+        val qvec = corpus.filter(col("vec_id") === 0L)
           .select(col("qv")).head().getSeq[Long](0).toArray
         PortableAnn.bqSearchWithRerank(corpus.filter(col("vec_id") =!= 0L),
             "vec_id", "qv", n, sums, qvec, shortlist = 50, topK = 10)
@@ -1364,7 +1398,7 @@ object SimilarityQueries {
         val corpus = embs(s, d).select(col("vec_id"),
           PortableAnn.quant(col("embedding")).as("qv"))
         val (n, sums) = PortableAnn.bqTrain(corpus, "qv")
-        val qvec = corpus.orderBy(col("vec_id")).limit(1)
+        val qvec = corpus.filter(col("vec_id") === 0L)
           .select(col("qv")).head().getSeq[Long](0).toArray
         val rest = corpus.filter(col("vec_id") =!= 0L)
         val approx = PortableAnn.bqSearchWithRerank(rest, "vec_id", "qv",
@@ -1721,7 +1755,12 @@ object SimilarityQueries {
       s"LEFT JOIN (SELECT s, cid, list(mi ORDER BY pos) AS c FROM pm$i GROUP BY 1, 2) m " +
       s"ON $prev.s = m.s AND $prev.cid = m.cid)"
 
-  private lazy val pqRecallSql: String =
+  /** Shared PQ CTE chain (q88/q218): quantized subvectors, 2-iteration
+    * jointly-unrolled codebook training, corpus encoding, the vec-0
+    * query's ADC lookup table as a relational join, and the ADC
+    * shortlist (ties → lowest id).
+    */
+  private lazy val pqCommonSql: String =
     s"WITH ${qvSql("")}, " +
       "sub AS (SELECT vec_id, CAST(r.s AS INT) AS s, " +
       "q[CAST(r.s*8+1 AS INT):CAST(r.s*8+8 AS INT)] AS sq FROM v CROSS JOIN range(8) r(s)), " +
@@ -1736,7 +1775,18 @@ object SimilarityQueries {
       "adc AS (SELECT e.vec_id, CAST(sum(l.ld) AS BIGINT) AS adc FROM enc e " +
       "JOIN lut l ON e.s = l.s AND e.cid = l.cid WHERE e.vec_id <> 0 GROUP BY 1), " +
       "short AS (SELECT vec_id FROM adc ORDER BY adc, vec_id LIMIT 50), " +
-      "qq AS (SELECT q FROM v WHERE vec_id = 0), " +
+      "qq AS (SELECT q FROM v WHERE vec_id = 0)"
+
+  /** q88: the ADC-shortlisted, exactly-reranked PQ output itself — ids
+    * and exact integer L2² distances.
+    */
+  private lazy val pqAnnSql: String =
+    pqCommonSql +
+      s" SELECT vec_id, CAST(d AS BIGINT) AS d2 FROM (SELECT v.vec_id, ${d2Sql("v.q", "qq.q")} AS d " +
+      "FROM v JOIN short USING (vec_id) CROSS JOIN qq) ORDER BY d, vec_id LIMIT 10"
+
+  private lazy val pqRecallSql: String =
+    pqCommonSql + ", " +
       s"apx AS (SELECT vec_id FROM (SELECT v.vec_id, ${d2Sql("v.q", "qq.q")} AS d " +
       "FROM v JOIN short USING (vec_id) CROSS JOIN qq) ORDER BY d, vec_id LIMIT 10), " +
       s"ext AS (SELECT vec_id FROM (SELECT v.vec_id, ${d2Sql("v.q", "qq.q")} AS d " +
@@ -1744,6 +1794,37 @@ object SimilarityQueries {
       "SELECT CAST(count(a.vec_id) AS BIGINT) AS n_hits, " +
       "CAST(count(a.vec_id) * 100000 AS BIGINT) AS recall_x1e6 " +
       "FROM ext e LEFT JOIN apx a ON e.vec_id = a.vec_id"
+
+  /** q46: the probe-limited IVF output itself — unrolled integer
+    * k-means, per-query 3-of-8 probe lists, (d², id)-ranked top-5 with
+    * exact integer distances.
+    */
+  private lazy val ivfAnnSql: String =
+    s"WITH ${qvSql("")}, ${kmeansSql(8)}, ${assignSql(3, "c2")}, " +
+      "p AS (SELECT vec_id AS query_id, q AS qq FROM v WHERE vec_id < 5), " +
+      "pc AS (SELECT query_id, cid FROM (SELECT p.query_id, c.cid, " +
+      s"row_number() OVER (PARTITION BY p.query_id ORDER BY ${d2Sql("p.qq", "c.c")}, c.cid) AS rn " +
+      "FROM p CROSS JOIN c2 c) WHERE rn <= 3) " +
+      "SELECT query_id, vec_id, d2, rank FROM (SELECT pc.query_id, a3.vec_id, " +
+      s"CAST(${d2Sql("a3.q", "p.qq")} AS BIGINT) AS d2, " +
+      s"row_number() OVER (PARTITION BY pc.query_id ORDER BY ${d2Sql("a3.q", "p.qq")}, a3.vec_id) AS rank " +
+      "FROM pc JOIN a3 ON pc.cid = a3.cid JOIN p ON p.query_id = pc.query_id " +
+      "WHERE a3.vec_id <> pc.query_id) WHERE rank <= 5 ORDER BY query_id, rank"
+
+  /** q138: the clustered SemDeDup decisions themselves — same-cell
+    * lower-id close-neighbor counts and the per-vector keep bit, over the
+    * unrolled integer k-means cells.
+    */
+  private lazy val semdedupClusteredSql: String =
+    s"WITH ${qvSql("")}, ${kmeansSql(8)}, ${assignSql(3, "c2")}, " +
+      s"nrm AS (SELECT vec_id, cid, q, ${dotSqlL("q", "q")} AS n2 FROM a3), " +
+      s"cd AS (SELECT a.vec_id AS ia, b.vec_id AS ib, ${dotSqlL("a.q", "b.q")} AS dp, " +
+      "a.n2 AS na2, b.n2 AS nb2 FROM nrm a JOIN nrm b ON a.cid = b.cid AND a.vec_id < b.vec_id), " +
+      "dr AS (SELECT ib AS vid, CAST(count(*) AS BIGINT) AS n_close_lower " +
+      "FROM cd WHERE dp > 0 AND 25*dp*dp >= 4*na2*nb2 GROUP BY 1) " +
+      "SELECT v.vec_id, CAST(COALESCE(dr.n_close_lower, 0) AS BIGINT) AS n_close_lower, " +
+      "CAST(CASE WHEN dr.vid IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept " +
+      "FROM v LEFT JOIN dr ON v.vec_id = dr.vid ORDER BY v.vec_id"
 
   private lazy val sqRecallSql: String =
     s"WITH ${qvSql("")}, " +
