@@ -103,12 +103,52 @@ object IndexScaleProbe {
         Bm25.topKIndexed(spark, bmDir, "doc_id", saltedQueries, k = 10,
           nShards = reN).count()
       }
+      // BQ code-table index: the pre-rank must keep reading ~8 B/vector
+      // while the vector table it replaces grows at 8·d B/vector — the
+      // 64× compression claim, measured per factor against the ACTUAL
+      // parquet byte sizes (vectors written beside the index, the table
+      // the rerank joins against in production).
+      val embs0 = Tables(spark, sfDir, "embeddings").select(col("vec_id"),
+        graft.operators.PortableAnn.quant(col("embedding")).as("qv"))
+      val embCorpus = (0 until c).map { i =>
+        embs0.select((col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+          col("qv"))
+      }.reduce(_ unionAll _).localCheckpoint()
+      val bqDir = s"$root/bq"
+      val vecDir = s"$root/bq_vectors"
+      embCorpus.write.mode("overwrite").parquet(vecDir)
+      val bqBuild = time(
+        graft.operators.BqIndex.writeIndex(embCorpus, "vec_id", "qv", bqDir))
+      val qvec = embs0.filter(col("vec_id") === 0L)
+        .select("qv").head().getSeq[Long](0).toArray
+      val vectors = spark.read.parquet(vecDir)
+      val bqQuery = time {
+        graft.operators.BqIndex.searchWithRerank(spark, bqDir, vectors,
+          "vec_id", "qv", qvec, shortlist = 50, topK = 10,
+          excludeId = Some(0L)).count()
+      }
+      def dirBytes(d: String): Long = {
+        val p = new org.apache.hadoop.fs.Path(d)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val it = fs.listFiles(p, true)
+        var n = 0L
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.getPath.getName.endsWith(".parquet")) n += f.getLen
+        }
+        n
+      }
+      val codeBytes = graft.operators.BqIndex.codeTableBytes(spark, bqDir)
+      val vecBytes = dirBytes(vecDir)
       println(f"[idxscale] c=$c docs=${corpus.count()} " +
         f"bm25: build=$bmBuild%.2fs query=$bmQuery%.2fs " +
         f"delete=$bmDelete%.2fs queryPostDel=$bmQueryPostDel%.2fs " +
         f"reshard(n=$reN)=$bmReshard%.2fs queryResharded=$bmQueryResharded%.2fs " +
         f"probedRows[n=64]=$rowsFixedShards probedRows[n=$reN]=$rowsResharded | " +
-        f"dedup: build=$ddBuild%.2fs checkIncrement=$ddQuery%.2fs")
+        f"dedup: build=$ddBuild%.2fs checkIncrement=$ddQuery%.2fs | " +
+        f"bq: vecs=${embCorpus.count()} build=$bqBuild%.2fs query=$bqQuery%.2fs " +
+        f"codeBytes=$codeBytes vecBytes=$vecBytes " +
+        f"bytesRatio=${vecBytes.toDouble / math.max(codeBytes, 1L)}%.1f")
       spark.catalog.clearCache()
     }
     spark.stop()

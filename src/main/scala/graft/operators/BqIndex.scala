@@ -1,0 +1,228 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted binary-quantization index — the FIFTH index layout beside
+  * BM25 term shards, dedup shingle shards, IVF/IVF-PQ cell partitions
+  * and the SQ/PQ code paths: the write-once/query-many form of
+  * [[PortableAnn.bqSearchWithRerank]], which recomputes every 8-byte
+  * code from the full 64-long quantized vectors per query and therefore
+  * reads 64× more bytes than the code table it conceptually scans.
+  *
+  * Layout (directory of sub-tables, the BM25 shape):
+  *
+  *   - `$path/codes`  — (id, code): ONE long per vector. At 10⁹ vectors
+  *     this is ~8 GB (cacheable where the 64-long vectors — ~512 GB —
+  *     are not); the Hamming pre-rank scans ONLY this table.
+  *   - `$path/model`  — d rows (pos, s, n): the division-free threshold
+  *     model (bit j of a vector is `n·x_j > s_j`, [[PortableAnn.bqTrain]]).
+  *     Written at build, read at append/segment/search time — appends
+  *     encode against the PERSISTED model (codes stay comparable; the
+  *     model drifts only at a rebuild, the IVF centroid contract).
+  *   - `$path/tombstones`, `$path/segments/batch=<id>/codes` — the
+  *     shared [[IndexLayout]] lifecycle: O(batch) deletes, immutable
+  *     per-micro-batch streaming segments, versioned compaction with
+  *     N-1 retention and pins.
+  *
+  * Search reads the code table (base + live segments, tombstones
+  * anti-joined), takes the Hamming-ordered shortlist — a
+  * TakeOrderedAndProject, never a global sort — and joins back to the
+  * caller's VECTOR table only for the `shortlist` exact-rerank rows, so
+  * full vectors are touched for shortlist rows per query. Every step is
+  * deterministic fixed-point (ties → lowest id), so the persisted path
+  * is row-identical to the in-memory form and hash-checks against the
+  * same SQL oracle (q90 vs q237 — the q226/q227 pattern).
+  *
+  * Reference parity: the embeddings side of the reference pipeline
+  * (src/DataPipeline/embeddings/embedding_generator.py:1) stores vectors
+  * wholesale; the compression ladder and this layout are the 100 TB
+  * scale path the brief adds on top.
+  */
+object BqIndex {
+
+  /** Threshold model: shared vector count + per-dimension sums. */
+  final case class Model(n: Long, sums: Array[Long]) {
+    def dim: Int = sums.length
+  }
+
+  private def fsExists(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** (id, code) for every non-null vector: the packed sign code under
+    * `model` ([[PortableAnn.bqCode]] — codegen'd, no UDF in the scan).
+    */
+  def encode(df: DataFrame, idCol: String, qvCol: String,
+             model: Model): DataFrame =
+    df.filter(col(qvCol).isNotNull)
+      .select(col(idCol),
+        PortableAnn.bqCode(col(qvCol), model.n, model.sums).as("code"))
+
+  /** Fresh build: train the threshold model on `corpus`, write the code
+    * table and the model rows, clear any stale lifecycle state from a
+    * previous index at this path (the IvfIndex.writeIndex contract —
+    * readers unconditionally union segments, so leftovers would mix an
+    * old corpus into every search). Leased: the clears are destructive
+    * swap-class mutations.
+    */
+  def writeIndex(corpus: DataFrame, idCol: String, qvCol: String,
+                 path: String): Model = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    IndexLayout.withLease(spark, path, "BqIndex.writeIndex") {
+      val (n, sums) = PortableAnn.bqTrain(corpus, qvCol)
+      val model = Model(n, sums)
+      IndexLayout.clearTombstones(spark, s"$path/tombstones")
+      IndexLayout.clearSegments(spark, path)
+      IndexLayout.clearVersions(spark, s"$path/codes")
+      IndexLayout.clearVersions(spark, s"$path/model")
+      encode(corpus, idCol, qvCol, model)
+        .write.mode("overwrite").parquet(s"$path/codes")
+      sums.indices.map(j => (j, sums(j), n))
+        .toDF("pos", "s", "n")
+        .coalesce(1) // d rows — one tiny file
+        .write.mode("overwrite").parquet(s"$path/model")
+      model
+    }
+  }
+
+  /** The persisted threshold model (version-resolved). */
+  def readModel(spark: SparkSession, path: String): Model = {
+    val rows = spark.read.parquet(IndexLayout.resolve(spark, s"$path/model"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    require(rows.nonEmpty, s"$path/model holds no rows — corrupt index")
+    val n = rows.head._3
+    require(rows.forall(_._3 == n),
+      s"$path/model rows disagree on n — corrupt index")
+    Model(n, rows.map(_._2))
+  }
+
+  /** Append new vectors: encoded against the PERSISTED model, written
+    * into the code table without rewriting existing files. A compaction
+    * flip racing this append fails loudly instead of stranding rows in a
+    * retired version (segments are the concurrent-safe write path).
+    */
+  def appendToIndex(batch: DataFrame, idCol: String, qvCol: String,
+                    path: String): Unit = {
+    val spark = batch.sparkSession
+    val model = readModel(spark, path)
+    val target = IndexLayout.resolve(spark, s"$path/codes")
+    encode(batch, idCol, qvCol, model)
+      .write.mode("append").parquet(target)
+    IndexLayout.assertAppendVisible(spark, s"$path/codes", target)
+  }
+
+  /** Tombstone vectors out of the index — O(batch) appended rows;
+    * [[searchWithRerank]] anti-joins them, [[compactIndex]] materializes.
+    */
+  def removeFromIndex(ids: DataFrame, idCol: String, path: String): Unit =
+    IndexLayout.appendTombstones(ids, idCol, s"$path/tombstones")
+
+  /** Write a micro-batch as an immutable streaming segment
+    * (`$path/segments/batch=<id>/codes`), encoded against the persisted
+    * model, with per-batch overwrite so a replayed batch replaces its
+    * own prior partial segment (exactly-once for replayable sources).
+    */
+  def writeSegment(batch: DataFrame, idCol: String, qvCol: String,
+                   path: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val model = readModel(spark, path)
+    val seg = s"$path/segments/batch=$batchId"
+    IndexLayout.clearFoldedMarker(spark, seg)
+    encode(batch, idCol, qvCol, model)
+      .write.mode("overwrite").parquet(s"$seg/codes")
+  }
+
+  /** Segment-merge: fold streaming segments into the base code table
+    * (distinct union — a crashed fold re-run converges), drop tombstoned
+    * ids, version-swap the merged table in, then retire exactly the
+    * snapshotted segments/tombstone files with N-1 grace. Leased.
+    */
+  def compactIndex(spark: SparkSession, path: String,
+                   idCol: String = "vec_id"): Unit =
+    IndexLayout.withLease(spark, path, "BqIndex.compactIndex") {
+      val segs = IndexLayout.segmentDirs(spark, path)
+      val tombFiles =
+        IndexLayout.liveTombstoneFiles(spark, s"$path/tombstones")
+      val parts = IndexLayout.existingPartsOf(spark, path, segs, "codes")
+      val unioned = parts.map(spark.read.parquet(_))
+        .reduce(_.unionByName(_))
+      val merged = if (parts.length > 1) unioned.distinct() else unioned
+      IndexLayout.writeSwap(spark, s"$path/codes",
+        IndexLayout.dropTombstonedFiles(merged, idCol, tombFiles), None)
+      IndexLayout.retireSegmentDirs(spark, s"$path/segments", segs)
+      IndexLayout.retireTombstoneFiles(spark, s"$path/tombstones", tombFiles)
+    }
+
+  /** The live code table: version-resolved base + live streaming
+    * segments (distinct-guarded when spanning several layouts — a
+    * crashed fold can leave a segment both folded and present),
+    * tombstoned ids dropped.
+    */
+  def readCodes(spark: SparkSession, path: String,
+                idCol: String): DataFrame = {
+    val parts = IndexLayout.existingParts(spark, path, "codes") match {
+      case Seq() => Seq(s"$path/codes") // raise the standard read error
+      case ps    => ps
+    }
+    val unioned = parts.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+    val deduped = if (parts.length > 1) unioned.distinct() else unioned
+    IndexLayout.dropTombstoned(deduped, idCol, s"$path/tombstones")
+  }
+
+  /** Hamming-shortlist + exact-rerank over the PERSISTED code table:
+    * the pre-rank scans (id, code) rows only — one xor+popcount per
+    * vector over the 64× smaller table — and the full vectors in
+    * `corpus` are read for the `shortlist` rerank rows alone (a
+    * left-semi join on the shortlist ids, then integer L2², ties →
+    * lowest id). `excludeId` drops the query's own row from the
+    * shortlist scan (self-match exclusion — q237's `vec_id <> 0`).
+    * Row-identical to [[PortableAnn.bqSearchWithRerank]] over the same
+    * live rows (pinned in BqIndexSpec).
+    */
+  def searchWithRerank(spark: SparkSession, path: String, corpus: DataFrame,
+                       idCol: String, qvCol: String, query: Array[Long],
+                       shortlist: Int, topK: Int,
+                       excludeId: Option[Long] = None): DataFrame = {
+    val model = readModel(spark, path)
+    require(model.dim == query.length,
+      s"query dimension ${query.length} != indexed dimension ${model.dim}")
+    val qcode = PortableAnn.bqPack(query, model.n, model.sums)
+    val codes0 = readCodes(spark, path, idCol)
+    val codes = excludeId.fold(codes0)(x => codes0.filter(col(idCol) =!= x))
+    val cand = codes
+      .select(col(idCol),
+        PortableAnn.hamming(col("code"), lit(qcode)).as("h"))
+      .orderBy(col("h"), col(idCol))
+      .limit(shortlist)
+    corpus.join(cand.select(idCol), Seq(idCol), "left_semi")
+      .select(col(idCol),
+        PortableAnn.dist2(col(qvCol), typedLit(query.toSeq)).as("d2"))
+      .orderBy(col("d2"), col(idCol))
+      .limit(topK)
+  }
+
+  /** Byte sizes (code table, one segment-inclusive sweep) — the scale
+    * probe's evidence that the pre-rank reads ≪ vector bytes.
+    */
+  def codeTableBytes(spark: SparkSession, path: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    IndexLayout.existingParts(spark, path, "codes").map { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) 0L
+      else {
+        val it = fs.listFiles(p, true)
+        var total = 0L
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.getPath.getName.endsWith(".parquet")) total += f.getLen
+        }
+        total
+      }
+    }.sum
+  }
+}

@@ -355,16 +355,20 @@ object PortableAnn {
 
   /** Hamming-shortlist + exact-rerank search for one query (the binary-
     * quantization rung UNDER SQ8 on the ANN ladder — Lucene/FAISS's BQ
-    * idea): the corpus scan compares 8-byte codes (one xor+popcount per
-    * row — at 100 TB the pre-rank reads 64× fewer bytes than the
-    * quantized vectors and the whole code table is ~8 GB per 10⁹
-    * vectors, cacheable where the vectors are not), the top-`shortlist`
-    * by (hamming, id) — a TakeOrderedAndProject, never a global sort —
-    * is then exactly reranked by integer L2². Shortlist = corpus
-    * degrades to exact brute force, the graceful-degradation property
-    * the PQ/SQ siblings carry. Every step is deterministic (ties →
-    * lowest id) and integer, so unlike PQ/SQ's recall-only gates the
-    * APPROXIMATE OUTPUT itself hash-checks against SQL (q237).
+    * idea), the IN-MEMORY one-shot form: codes are recomputed from the
+    * quantized vectors inside the scan, so this reads the full vector
+    * table — right for a single ad-hoc query, wrong for query-many. The
+    * write-once/query-many path is [[BqIndex]], which persists the
+    * (id, code) table — 8 bytes per vector, 64× fewer pre-rank bytes,
+    * ~8 GB per 10⁹ vectors (cacheable where the vectors are not) — and
+    * is row-identical to this (pinned in BqIndexSpec; q90 vs q237 share
+    * one oracle). The top-`shortlist` by (hamming, id) — a
+    * TakeOrderedAndProject, never a global sort — is exactly reranked by
+    * integer L2². Shortlist = corpus degrades to exact brute force, the
+    * graceful-degradation property the PQ/SQ siblings carry. Every step
+    * is deterministic (ties → lowest id) and integer, so unlike PQ/SQ's
+    * recall-only gates the APPROXIMATE OUTPUT itself hash-checks against
+    * SQL (q237).
     */
   def bqSearchWithRerank(corpus: DataFrame, idCol: String, qvCol: String,
                          n: Long, sums: Array[Long], query: Array[Long],

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QDef, Tables}
-import graft.operators.{DataSelection, DedupOps, IvfIndex, IvfPq, KMeansOps, PortableAnn, PqIndex, Similarity, SqIndex}
+import graft.operators.{BqIndex, DataSelection, DedupOps, IvfIndex, IvfPq, KMeansOps, PortableAnn, PqIndex, Similarity, SqIndex}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1413,7 +1413,73 @@ object SimilarityQueries {
           .select(col("n_hits"),
             (col("n_hits") * lit(100000L)).as("recall_x1e6"))
       },
-      Some(bqRecallSql))
+      Some(bqRecallSql)),
+
+    // BQ through the PERSISTED code-table index ([[BqIndex]], the fifth
+    // index layout): build writes (id, code) + the (n, Σx) model rows,
+    // search Hamming-preranks the 8-byte-per-vector code table and joins
+    // back to the vectors only for the 50-row exact rerank. Same config
+    // as q237 — the in-memory rung — and the SAME oracle: the persisted
+    // path must be row-identical (the q226/q227 pattern applied to BQ).
+    // Lifecycle (append / delete / segments / compaction) is pinned in
+    // BqIndexSpec; code-table-bytes ≪ vector-bytes in IndexScaleProbe.
+    QDef("q90_bq_indexed",
+      (s, d) => {
+        val corpus = embs(s, d).select(col("vec_id"),
+          PortableAnn.quant(col("embedding")).as("qv"))
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_q90_bq_index").toString
+        BqIndex.writeIndex(corpus, "vec_id", "qv", dir)
+        val qvec = corpus.filter(col("vec_id") === 0L)
+          .select(col("qv")).head().getSeq[Long](0).toArray
+        BqIndex.searchWithRerank(s, dir, corpus, "vec_id", "qv", qvec,
+            shortlist = 50, topK = 10, excludeId = Some(0L))
+          .orderBy(col("d2"), col("vec_id"))
+      },
+      Some(bqRerankSql)),
+
+    // The composed ladder rung: Johnson–Lindenstrauss ±1 projection
+    // (64→16 dims, q223's matrix) UNDER binary quantization — 16-bit
+    // codes, a 256× pre-rank compression of the quantized vectors for
+    // one xor+popcount per row — with the exact integer-L2² rerank in
+    // the ORIGINAL 64-dim space. recall@10 vs the exhaustive
+    // original-space top-10, hash-checked end to end (projection matrix,
+    // thresholds, codes, shortlist, rerank all restate in SQL).
+    QDef("q239_rp_bq_recall",
+      (s, d) => {
+        val signs = PortableAnn.rpSigns(16, 64)
+        val corpus = embs(s, d).select(col("vec_id"),
+            PortableAnn.quant(col("embedding")).as("qv"))
+          .withColumn("py", PortableAnn.rpProject(col("qv"), signs))
+        val (n, sums) = PortableAnn.bqTrain(corpus, "py")
+        val qrow = corpus.filter(col("vec_id") === 0L)
+          .select(col("qv"), col("py")).head()
+        val qv = qrow.getSeq[Long](0).toArray
+        val qcode = PortableAnn.bqPack(qrow.getSeq[Long](1).toArray, n, sums)
+        val rest = corpus.filter(col("vec_id") =!= 0L)
+        val cand = rest
+          .select(col("vec_id"),
+            PortableAnn.hamming(PortableAnn.bqCode(col("py"), n, sums),
+              lit(qcode)).as("h"))
+          .orderBy(col("h"), col("vec_id"))
+          .limit(50)
+        val approx = rest
+          .join(cand.select("vec_id"), Seq("vec_id"), "left_semi")
+          .select(col("vec_id"),
+            PortableAnn.dist2(col("qv"), typedLit(qv.toSeq)).as("d2"))
+          .orderBy(col("d2"), col("vec_id"))
+          .limit(10)
+          .select(col("vec_id"), lit(1).as("hit"))
+        PortableAnn.exactTopK(
+            corpus.filter(col("vec_id") === 0L), rest, "vec_id", "qv",
+            topK = 10)
+          .select(col("vec_id"))
+          .join(approx, Seq("vec_id"), "left")
+          .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
+          .select(col("n_hits"),
+            (col("n_hits") * lit(100000L)).as("recall_x1e6"))
+      },
+      Some(rpBqRecallSql))
   )
 
   // ── Portable-arithmetic oracle SQL (q217/q218/q219). The k-means
@@ -1619,6 +1685,36 @@ object SimilarityQueries {
   /** q237: the BQ rerank output itself — ids and exact distances. */
   private lazy val bqRerankSql: String =
     bqCommonSql(50, 10) + " SELECT vec_id, d2 FROM rr ORDER BY d2, vec_id"
+
+  /** q239: JL ±1 projection (64→16, the q223 matrix) → 16-bit BQ codes →
+    * Hamming shortlist → exact rerank in the ORIGINAL space, recall@10
+    * vs the exhaustive original-space top-10. Thresholds use per-dim
+    * (n, Σy) over the PROJECTED values — the same division-free mean
+    * test as bqCommonSql, one CTE chain down.
+    */
+  private lazy val rpBqRecallSql: String =
+    s"WITH ${qvSql("")}, " +
+      "sm AS (SELECT a.j, b.i, CASE WHEN md5_number_lower('rp:' || a.j || ':' || b.i) % 2 = 1 " +
+      "THEN 1 ELSE -1 END AS sgn FROM range(16) a(j) CROSS JOIN range(64) b(i)), " +
+      "px AS (SELECT vec_id, generate_subscripts(q, 1) - 1 AS i, unnest(q) AS x FROM v), " +
+      "p AS (SELECT vec_id, j, CAST(sum(sgn * x) AS BIGINT) AS y " +
+      "FROM px JOIN sm USING (i) GROUP BY 1, 2), " +
+      "st AS (SELECT j, CAST(sum(y) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1), " +
+      "codes AS (SELECT vec_id, CAST(sum(CASE WHEN st.n * p.y > st.s " +
+      "THEN (1::BIGINT << CAST(p.j AS INTEGER)) ELSE 0 END) AS BIGINT) AS code " +
+      "FROM p JOIN st USING (j) GROUP BY 1), " +
+      "qc AS (SELECT code AS qcode FROM codes WHERE vec_id = 0), " +
+      "qq AS (SELECT q AS qq FROM v WHERE vec_id = 0), " +
+      "sl AS (SELECT vec_id FROM (SELECT c.vec_id, " +
+      "row_number() OVER (ORDER BY bit_count(xor(c.code, qc.qcode)), c.vec_id) AS rn " +
+      "FROM codes c CROSS JOIN qc WHERE c.vec_id <> 0) WHERE rn <= 50), " +
+      s"rr AS (SELECT vec_id FROM (SELECT v.vec_id, ${d2Sql("v.q", "qq.qq")} AS d " +
+      "FROM v JOIN sl USING (vec_id) CROSS JOIN qq) ORDER BY d, vec_id LIMIT 10), " +
+      s"ext AS (SELECT vec_id FROM (SELECT v.vec_id, ${d2Sql("v.q", "qq.qq")} AS d " +
+      "FROM v CROSS JOIN qq WHERE v.vec_id <> 0) ORDER BY d, vec_id LIMIT 10) " +
+      "SELECT CAST(count(rr.vec_id) AS BIGINT) AS n_hits, " +
+      "CAST(count(rr.vec_id) * 100000 AS BIGINT) AS recall_x1e6 " +
+      "FROM ext LEFT JOIN rr ON ext.vec_id = rr.vec_id"
 
   /** q238: BQ recall@10 vs the exhaustive integer-L2² top-10. */
   private lazy val bqRecallSql: String =

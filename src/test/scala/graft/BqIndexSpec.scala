@@ -1,0 +1,191 @@
+package graft
+
+import graft.operators.{BqIndex, IndexLayout, PortableAnn}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The persisted binary-quantization code-table index (fifth layout):
+  * build / search parity with the in-memory rung, append, delete,
+  * streaming segments, compaction, and the code-table-bytes compression
+  * claim.
+  */
+class BqIndexSpec extends SparkSpec {
+
+  private def corpus: DataFrame =
+    Tables(spark, sf, "embeddings").select(col("vec_id"),
+      PortableAnn.quant(col("embedding")).as("qv"))
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"bq_index_$tag").toString
+
+  private def qvecOf(df: DataFrame, id: Long): Array[Long] =
+    df.filter(col("vec_id") === id).select(col("qv"))
+      .head().getSeq[Long](0).toArray
+
+  private def rows(df: DataFrame): Seq[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+  test("persisted search is row-identical to the in-memory rung") {
+    val dir = tmp("parity")
+    val c = corpus
+    BqIndex.writeIndex(c, "vec_id", "qv", dir)
+    val q = qvecOf(c, 0L)
+    val (n, sums) = PortableAnn.bqTrain(c, "qv")
+    val mem = PortableAnn.bqSearchWithRerank(c.filter(col("vec_id") =!= 0L),
+      "vec_id", "qv", n, sums, q, shortlist = 50, topK = 10)
+    val idx = BqIndex.searchWithRerank(spark, dir, c, "vec_id", "qv", q,
+      shortlist = 50, topK = 10, excludeId = Some(0L))
+    assert(rows(idx) == rows(mem))
+  }
+
+  test("model round-trips and rejects dimension mismatch") {
+    val dir = tmp("model")
+    val c = corpus
+    val written = BqIndex.writeIndex(c, "vec_id", "qv", dir)
+    val read = BqIndex.readModel(spark, dir)
+    assert(read.n == written.n)
+    assert(read.sums.toSeq == written.sums.toSeq)
+    val e = intercept[IllegalArgumentException] {
+      BqIndex.searchWithRerank(spark, dir, c, "vec_id", "qv",
+        Array(1L, 2L), shortlist = 5, topK = 5)
+    }
+    assert(e.getMessage.contains("dimension"))
+  }
+
+  test("append lands new vectors in the shortlist scan; codes use the persisted model") {
+    val dir = tmp("append")
+    val c = corpus
+    val base = c.filter(col("vec_id") >= 10)
+    val batch = c.filter(col("vec_id") < 10)
+    BqIndex.writeIndex(base, "vec_id", "qv", dir)
+    BqIndex.appendToIndex(batch, "vec_id", "qv", dir)
+    val live = BqIndex.readCodes(spark, dir, "vec_id")
+    assert(live.count() == c.count())
+    // appended codes must be encoded against the PERSISTED (base-trained)
+    // model, not a batch-trained one
+    val model = BqIndex.readModel(spark, dir)
+    val expected = BqIndex.encode(batch, "vec_id", "qv", model)
+    val got = live.filter(col("vec_id") < 10)
+    assert(rows(got.orderBy("vec_id")) == rows(expected.orderBy("vec_id")))
+    // search over the combined table sees appended ids
+    val q = qvecOf(c, 0L)
+    val res = BqIndex.searchWithRerank(spark, dir, c, "vec_id", "qv", q,
+      shortlist = c.count().toInt, topK = 1, excludeId = None)
+    assert(rows(res) == Seq((0L, 0L))) // the query's own row, distance 0
+  }
+
+  test("delete tombstones drop ids from search without rewriting shards") {
+    val dir = tmp("delete")
+    val c = corpus
+    BqIndex.writeIndex(c, "vec_id", "qv", dir)
+    val filesBefore = IndexLayout.dataFileCount(spark, s"$dir/codes")
+    val q = qvecOf(c, 0L)
+    val full = BqIndex.searchWithRerank(spark, dir, c, "vec_id", "qv", q,
+      shortlist = 50, topK = 10, excludeId = Some(0L))
+    val victim = rows(full).head._1
+    import spark.implicits._
+    BqIndex.removeFromIndex(Seq(victim).toDF("vec_id"), "vec_id", dir)
+    assert(IndexLayout.dataFileCount(spark, s"$dir/codes") == filesBefore,
+      "delete must not rewrite the code table")
+    val after = BqIndex.searchWithRerank(spark, dir, c, "vec_id", "qv", q,
+      shortlist = 50, topK = 10, excludeId = Some(0L))
+    assert(!rows(after).exists(_._1 == victim))
+    // and equals the in-memory rung over the live rows
+    val liveCorpus = c.filter(col("vec_id") =!= victim)
+    val (n, sums) = BqIndex.readModel(spark, dir) match {
+      case m => (m.n, m.sums)
+    }
+    val mem = PortableAnn.bqSearchWithRerank(
+      liveCorpus.filter(col("vec_id") =!= 0L), "vec_id", "qv", n, sums, q,
+      shortlist = 50, topK = 10)
+    assert(rows(after) == rows(mem))
+  }
+
+  test("streaming segments fold into the base; search identical before and after compaction") {
+    val dir = tmp("segments")
+    val c = corpus
+    val base = c.filter(col("vec_id") % 3 === 0)
+    val seg1 = c.filter(col("vec_id") % 3 === 1)
+    val seg2 = c.filter(col("vec_id") % 3 === 2)
+    BqIndex.writeIndex(base, "vec_id", "qv", dir)
+    BqIndex.writeSegment(seg1, "vec_id", "qv", dir, batchId = 0L)
+    BqIndex.writeSegment(seg2, "vec_id", "qv", dir, batchId = 1L)
+    assert(IndexLayout.segmentDirs(spark, dir).size == 2)
+    val q = qvecOf(c, 0L)
+    def run() = rows(BqIndex.searchWithRerank(spark, dir, c, "vec_id", "qv",
+      q, shortlist = 50, topK = 10, excludeId = Some(0L)))
+    val before = run()
+    BqIndex.compactIndex(spark, dir)
+    // folded segments retired with N-1 grace: marked, gone after the
+    // NEXT fold
+    assert(IndexLayout.segmentDirs(spark, dir).isEmpty)
+    assert(run() == before)
+    BqIndex.compactIndex(spark, dir)
+    val segRoot = new org.apache.hadoop.fs.Path(s"$dir/segments")
+    val fs = segRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(segRoot) || fs.listStatus(segRoot)
+      .forall(s => !s.getPath.getName.startsWith("batch=")))
+    // a replayed batch replaces its own segment (overwrite), staying live
+    BqIndex.writeSegment(seg1, "vec_id", "qv", dir, batchId = 0L)
+    assert(IndexLayout.segmentDirs(spark, dir).size == 1)
+    // double-listed rows (segment + folded base) stay row-exact under
+    // the distinct guard
+    assert(run() == before)
+  }
+
+  test("compaction materializes tombstones and bounds file count") {
+    val dir = tmp("compact")
+    val c = corpus
+    BqIndex.writeIndex(c, "vec_id", "qv", dir)
+    import spark.implicits._
+    BqIndex.removeFromIndex(Seq(1L, 2L, 3L).toDF("vec_id"), "vec_id", dir)
+    (0 until 3).foreach { i =>
+      BqIndex.appendToIndex(c.filter(col("vec_id") === (500L + i)), "vec_id",
+        "qv", dir)
+    }
+    val before = IndexLayout.dataFileCount(spark, s"$dir/codes")
+    BqIndex.compactIndex(spark, dir)
+    val after = IndexLayout.dataFileCount(spark, s"$dir/codes")
+    assert(after < before, s"compaction must merge small files ($before -> $after)")
+    val live = BqIndex.readCodes(spark, dir, "vec_id")
+    assert(live.filter(col("vec_id").isin(1L, 2L, 3L)).count() == 0)
+    // tombstone sidecar snapshot retired (marked; cleared next fold)
+    assert(IndexLayout.liveTombstoneFiles(spark, s"$dir/tombstones").isEmpty)
+  }
+
+  test("maintenance is serialized by the lease; search needs no lease") {
+    val dir = tmp("lease")
+    val c = corpus
+    BqIndex.writeIndex(c, "vec_id", "qv", dir)
+    IndexLayout.acquireLease(spark, dir, "test-holder")
+    try {
+      val e = intercept[IllegalStateException] {
+        BqIndex.compactIndex(spark, dir)
+      }
+      assert(e.getMessage.contains("lease"))
+      // reads are isolated by snapshots, not locks
+      val q = qvecOf(c, 0L)
+      assert(rows(BqIndex.searchWithRerank(spark, dir, c, "vec_id", "qv",
+        q, shortlist = 50, topK = 10, excludeId = Some(0L))).size == 10)
+    } finally IndexLayout.releaseLease(spark, dir)
+  }
+
+  test("code table is an order of magnitude smaller than the vector table") {
+    val dir = tmp("bytes")
+    val c = corpus
+    BqIndex.writeIndex(c, "vec_id", "qv", dir)
+    val codeBytes = BqIndex.codeTableBytes(spark, dir)
+    val vecDir = java.nio.file.Files.createTempDirectory("bq_vectors").toString
+    c.write.mode("overwrite").parquet(vecDir)
+    val p = new org.apache.hadoop.fs.Path(vecDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    var vecBytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) vecBytes += f.getLen
+    }
+    assert(codeBytes > 0 && codeBytes * 5 < vecBytes,
+      s"code table $codeBytes B should be far below vectors $vecBytes B")
+  }
+}
