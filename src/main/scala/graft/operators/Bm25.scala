@@ -247,6 +247,20 @@ object Bm25 {
       .withColumn("tomb_dirs", typedLit(Seq.empty[String]))
       .write.mode("overwrite").parquet(s"$path/stats")
 
+  /** Threshold-gated maintenance recommendations for a [[writeIndex]]
+    * layout ([[IndexLayout.maintenancePlan]]) — pure read, no lease.
+    * BM25's delete batches are stats-listed DIRECTORIES (the atomic
+    * removal design), so the batch count comes from the current stats
+    * row, not a sidecar file listing.
+    */
+  def maintenancePlan(spark: org.apache.spark.sql.SparkSession, path: String,
+                      t: IndexLayout.MaintenanceThresholds =
+                        IndexLayout.MaintenanceThresholds())
+      : IndexLayout.MaintenancePlan =
+    IndexLayout.maintenancePlan(spark, s"$path/postings", s"$path/segments",
+      s"$path/tombstones", path, t,
+      tombstoneBatches = Some(tombstoneDirs(spark, path).size))
+
   /** The tombstone batch directories the CURRENT stats row lists — the
     * reader-visible delete set (staged-but-uncommitted and
     * already-folded batches under `$path/tombstones/rm_*` are not in

@@ -205,6 +205,16 @@ object BqIndex {
       .limit(topK)
   }
 
+  /** Threshold-gated maintenance recommendations for this layout
+    * ([[IndexLayout.maintenancePlan]]) — pure read, no lease.
+    */
+  def maintenancePlan(spark: SparkSession, path: String,
+                      t: IndexLayout.MaintenanceThresholds =
+                        IndexLayout.MaintenanceThresholds())
+      : IndexLayout.MaintenancePlan =
+    IndexLayout.maintenancePlan(spark, s"$path/codes", s"$path/segments",
+      s"$path/tombstones", path, t)
+
   /** Byte sizes (code table, one segment-inclusive sweep) — the scale
     * probe's evidence that the pre-rank reads ≪ vector bytes.
     */

@@ -616,6 +616,17 @@ object DedupOps {
                            path: String): Unit =
     IndexLayout.appendTombstones(ids, idCol, s"$path/tombstones")
 
+  /** Threshold-gated maintenance recommendations for a
+    * [[writeDedupIndex]] layout ([[IndexLayout.maintenancePlan]]) —
+    * pure read, no lease.
+    */
+  def maintenancePlan(spark: org.apache.spark.sql.SparkSession, path: String,
+                      t: IndexLayout.MaintenanceThresholds =
+                        IndexLayout.MaintenanceThresholds())
+      : IndexLayout.MaintenancePlan =
+    IndexLayout.maintenancePlan(spark, s"$path/shingles", s"$path/segments",
+      s"$path/tombstones", path, t)
+
   /** Segment-merge for the dedup index: rewrite the shingle postings
     * clustered by shard with tombstoned docs dropped (append small files
     * merged, removals made physical, streaming segments folded into the

@@ -401,6 +401,34 @@ object IndexLayout {
     }
   }
 
+  /** The lease marker parsed for TRIAGE — the operability twin of
+    * [[listPins]]: (op, holder metadata, ageMillis), or None when
+    * unheld. A crashed maintainer leaves a stale `_LEASE` that blocks
+    * all further maintenance loudly; this surfaces who took it
+    * (`op`), the pid/acquisition-time metadata it stamped, and how old
+    * the marker is (file mod-time — the staleness signal), so the
+    * operator can verify the holder is dead and run [[releaseLease]]
+    * (runbook in PERF.md). Deliberately NOT auto-expired: TTL expiry
+    * would re-admit the double-maintainer race the lease closes.
+    */
+  def listLease(spark: SparkSession,
+                path: String): Option[(String, String, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(path + "._LEASE")
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) None
+    else {
+      val age =
+        try math.max(0L, System.currentTimeMillis() -
+          fs.getFileStatus(p).getModificationTime)
+        catch { case _: java.io.IOException => 0L }
+      val raw = leaseHolder(spark, path).getOrElse("<unreadable>")
+      raw.split(" ", 2) match {
+        case Array(op, holder) => Some((op, holder, age))
+        case _                 => Some((raw, "", age))
+      }
+    }
+  }
+
   /** Run a swap-class maintenance operation under the lease, releasing
     * it on ALL exits (a thrown body must not leave the index
     * unmaintenable — only a process CRASH leaves a stale lease, which is
@@ -972,6 +1000,110 @@ object IndexLayout {
     val p = new org.apache.hadoop.fs.Path(tombDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(p, true)
+  }
+
+  // ---------------------------------------------------------------------
+  // Maintenance POLICY. The mechanisms above (folds, compactions,
+  // retrains) are all manually invoked; at 100 TB someone must decide
+  // WHEN — by measurement, not guesswork (the q236 drift audit's model:
+  // measure, then act). [[maintenancePlan]] reads the listings a read
+  // path already takes — live/folded segments, live tombstone batches,
+  // data-file count, lease, pins — and turns them into threshold-gated
+  // recommendations. It is a pure READ (no lease taken, nothing
+  // mutated): the scheduler that acts on it takes the lease per action,
+  // exactly as a human operator would.
+  // ---------------------------------------------------------------------
+
+  /** Thresholds for [[maintenancePlan]]. Defaults express the standard
+    * trade-offs: each live segment is one more layout every read unions
+    * (read amplification grows linearly — fold before it is felt); each
+    * live tombstone batch is one more anti-join input (and deleted rows
+    * still occupy the base — compact to reclaim); small files from
+    * appends push scan task count up (compact to re-cluster); retrain
+    * when the measured quantizer drift (q236's mean distance-to-assigned-
+    * centroid, current model vs a retrained one) exceeds the gap in
+    * basis points. `maxDataFiles` must be sized RELATIVE to the layout's
+    * clustered baseline — a freshly-compacted N-shard table is already
+    * O(N) files (that is the target state, not pressure), so pass
+    * ≈ 3–4× the shard count for sharded layouts; the default suits the
+    * unsharded code/posting tables.
+    */
+  final case class MaintenanceThresholds(
+      maxLiveSegments: Int = 8,
+      maxTombstoneBatches: Int = 8,
+      maxDataFiles: Int = 64,
+      maxDriftBps: Long = 1000L)
+
+  /** What [[maintenancePlan]] measured and what it recommends.
+    * `actions` is (action, reason) pairs — action ∈ {"fold", "compact",
+    * "retrain"}; fold and compact both map to the family's
+    * `compactIndex` (one pass folds segments AND materializes
+    * tombstones), listed separately so the reason names the pressure.
+    * `lease`/`pins` are operability context: a scheduler must not queue
+    * an action while a (live) maintainer holds the lease, and pins
+    * explain retained snapshot bytes.
+    */
+  final case class MaintenancePlan(
+      liveSegments: Int,
+      foldedAwaitingRetire: Int,
+      tombstoneBatches: Int,
+      dataFiles: Int,
+      lease: Option[(String, String, Long)],
+      pins: Int,
+      actions: Seq[(String, String)]) {
+    def recommends(action: String): Boolean = actions.exists(_._1 == action)
+  }
+
+  /** Threshold-gated maintenance recommendations for one index layout —
+    * generic over the four path conventions via explicit directories
+    * (each family wraps it: `Bm25.maintenancePlan`, `BqIndex.…`, etc.):
+    *
+    *   - `dataDir`   — the swappable data table (version-resolved for
+    *                   the file count);
+    *   - `segRoot`   — the streaming-segment root (live vs `_FOLDED`);
+    *   - `tombDir`   — the tombstone sidecar (live data files), OR pass
+    *                   `tombstoneBatches` for the BM25 convention whose
+    *                   delete batches are stats-listed directories;
+    *   - `leaseRoot` — where the family's `_LEASE` marker sits.
+    *
+    * `drift` is the q236 audit's (currentMeanD2, retrainedMeanD2) for
+    * the vector layouts — the planner cannot (and should not) run the
+    * audit itself from FS metadata, so retrain is recommended only when
+    * the caller supplies a measurement.
+    */
+  def maintenancePlan(spark: SparkSession, dataDir: String, segRoot: String,
+                      tombDir: String, leaseRoot: String,
+                      t: MaintenanceThresholds = MaintenanceThresholds(),
+                      tombstoneBatches: Option[Int] = None,
+                      drift: Option[(Long, Long)] = None): MaintenancePlan = {
+    val (liveSegs, folded) = segmentListing(spark, segRoot)
+    val tombs = tombstoneBatches
+      .getOrElse(liveTombstoneFiles(spark, tombDir).size)
+    val files = dataFileCount(spark, dataDir)
+    val actions = Seq.newBuilder[(String, String)]
+    if (liveSegs.size >= t.maxLiveSegments)
+      actions += (("fold",
+        s"${liveSegs.size} live segments >= ${t.maxLiveSegments}: every " +
+          "read unions one layout per segment — fold them into the base"))
+    if (tombs >= t.maxTombstoneBatches)
+      actions += (("compact",
+        s"$tombs live tombstone batches >= ${t.maxTombstoneBatches}: " +
+          "reads anti-join each batch and deleted rows still occupy " +
+          "the base — compact to materialize"))
+    if (files >= t.maxDataFiles)
+      actions += (("compact",
+        s"$files data files >= ${t.maxDataFiles}: append-accumulated " +
+          "small files inflate scan task count — compact to re-cluster"))
+    drift.foreach { case (cur, retrained) =>
+      if (retrained > 0 && (cur - retrained) * 10000L > retrained * t.maxDriftBps)
+        actions += (("retrain",
+          s"mean quantization error $cur vs $retrained after retrain " +
+            s"(> ${t.maxDriftBps} bps gap): the cell structure no longer " +
+            "reflects the corpus — retrainCompact"))
+    }
+    MaintenancePlan(liveSegs.size, folded.size, tombs, files,
+      listLease(spark, leaseRoot), listPins(spark, dataDir).size,
+      actions.result())
   }
 
   /** Parquet data-file count under the RESOLVED `dir` (recursive) — what

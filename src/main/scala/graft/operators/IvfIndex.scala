@@ -341,6 +341,20 @@ object IvfIndex {
     model
   }
 
+  /** Threshold-gated maintenance recommendations for a [[writeIndex]]
+    * layout ([[IndexLayout.maintenancePlan]]; also serves IvfPq — same
+    * sibling-path conventions). `drift` is the q236 audit's
+    * (currentMeanD2, retrainedMeanD2): supply it and the plan gates
+    * `retrain` on the measured gap. Pure read, no lease.
+    */
+  def maintenancePlan(spark: org.apache.spark.sql.SparkSession, path: String,
+                      t: IndexLayout.MaintenanceThresholds =
+                        IndexLayout.MaintenanceThresholds(),
+                      drift: Option[(Long, Long)] = None)
+      : IndexLayout.MaintenancePlan =
+    IndexLayout.maintenancePlan(spark, path, s"$path.segments",
+      s"$path.tombstones", path, t, drift = drift)
+
   /** Driver-side twin of [[probeCells]] — the model is driver state, so a
     * bounded query set's probe lists need no Spark job.
     */

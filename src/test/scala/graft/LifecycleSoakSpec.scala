@@ -201,6 +201,92 @@ class LifecycleSoakSpec extends SparkSpec {
       "tombstones materialized")
   }
 
+  // ──────────────────── planner-driven dedup storm ────────────────────
+
+  test("dedup soak with maintenance decided by the PLANNER: measure → act, increment-check exact at every step") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    // the round-9 mechanisms were correct under a SCRIPTED schedule; this
+    // storm closes the loop to "policy + mechanisms": every fold/compact
+    // below runs only when maintenancePlan recommends it under tight
+    // thresholds, and reads must stay exact no matter when the planner
+    // fires
+    val probe = docs.filter(col("doc_id") % 10 === 9)
+    def checked(path: String): Set[Seq[Any]] =
+      DedupOps.dedupAgainstIndex(spark, path, probe, "doc_id", "text",
+          n = 3, threshold = 0.5)
+        .select(col("doc_id"), col("exact_dup"), col("near_dup"),
+          round(col("max_jaccard"), 9))
+        .collect().map(_.toSeq).toSet
+    def oracle(corpus: DataFrame): Set[Seq[Any]] =
+      DedupOps.dedupAgainst(probe, corpus, "doc_id", "text",
+          n = 3, threshold = 0.5)
+        .select(col("doc_id"), col("exact_dup"), col("near_dup"),
+          round(col("max_jaccard"), 9))
+        .collect().map(_.toSeq).toSet
+
+    val dir = s"${tmp("soak_planner")}/index"
+    // maxDataFiles is sized RELATIVE to the layout's clustered baseline
+    // (a fresh 64-shard build is already O(shards) files — that is the
+    // target state, not pressure); this storm gates on segment and
+    // tombstone pressure, so the file threshold is parked out of reach
+    val t = graft.operators.IndexLayout.MaintenanceThresholds(
+      maxLiveSegments = 2, maxTombstoneBatches = 2,
+      maxDataFiles = Int.MaxValue)
+    var maintenanceRuns = 0
+    def maintainIfDue(step: String): Unit = {
+      val plan = DedupOps.maintenancePlan(spark, dir, t)
+      assert(plan.lease.isEmpty, s"$step: no maintainer should hold the lease")
+      if (plan.recommends("fold") || plan.recommends("compact")) {
+        DedupOps.compactDedupIndex(spark, dir, "doc_id")
+        maintenanceRuns += 1
+        val after = DedupOps.maintenancePlan(spark, dir, t)
+        assert(!after.recommends("fold") && !after.recommends("compact"),
+          s"$step: one compaction must clear the planner's pressure ($after)")
+      }
+    }
+
+    DedupOps.writeDedupIndex(docs.filter(col("doc_id") % 10 < 2),
+      "doc_id", "text", n = 3, path = dir)
+    var corpus = docs.filter(col("doc_id") % 10 < 2)
+    assert(checked(dir) == oracle(corpus), "after base build")
+    assert(DedupOps.maintenancePlan(spark, dir, t).actions.isEmpty,
+      "fresh index: nothing due")
+
+    // three streamed micro-batches — the planner must fire at the 2nd
+    val src = MemoryStream[(Long, String)]
+    val q = StreamingOps.streamDedupIndex(src.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", 3, dir, s"${tmp("soak_planner_ckpt")}/c1")
+    (2L to 4L).foreach { m =>
+      val batch = docs.filter(col("doc_id") % 10 === m)
+      src.addData(batch.as[(Long, String)].collect().toSeq: _*)
+      q.processAllAvailable()
+      corpus = corpus.unionByName(batch)
+      assert(checked(dir) == oracle(corpus), s"after stream-fold $m")
+      maintainIfDue(s"stream-fold $m")
+      assert(checked(dir) == oracle(corpus), s"after maintenance at fold $m")
+    }
+    q.stop()
+    assert(maintenanceRuns >= 1, "segment pressure must have fired the planner")
+
+    // three delete batches — tombstone pressure fires the planner
+    (0L to 2L).foreach { m =>
+      val del = corpus.filter(col("doc_id") % 20 === m).select("doc_id")
+      DedupOps.removeFromDedupIndex(del, "doc_id", dir)
+      corpus = corpus.filter(col("doc_id") % 20 =!= m)
+      assert(checked(dir) == oracle(corpus), s"after delete $m")
+      maintainIfDue(s"delete $m")
+      assert(checked(dir) == oracle(corpus), s"after maintenance at delete $m")
+    }
+    assert(maintenanceRuns >= 2, "tombstone pressure must have fired the planner")
+
+    // quiet tail: a final planner read finds nothing due and the index
+    // reads exact
+    assert(DedupOps.maintenancePlan(spark, dir, t).actions.isEmpty)
+    assert(checked(dir) == oracle(corpus), "final read")
+  }
+
   // ────────────────────────────── IVF ──────────────────────────────
 
   test("IVF soak: build → stream → delete → compact → append → RETRAIN, pruned search exact at every step") {

@@ -1,0 +1,169 @@
+package graft
+
+import graft.operators.{Bm25, BqIndex, DedupOps, IndexLayout, IvfIndex, PortableAnn}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The maintenance POLICY layer: [[IndexLayout.listLease]] (lease triage)
+  * and [[IndexLayout.maintenancePlan]] (threshold-gated fold / compact /
+  * retrain recommendations) against synthetic layouts driven to each
+  * pressure point, plus the per-family wrappers' path conventions.
+  */
+class MaintenancePlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString
+
+  private def docs = Tables(spark, sf, "documents").select("doc_id", "text")
+  private def qvecs: DataFrame =
+    Tables(spark, sf, "embeddings").select(col("vec_id"),
+      PortableAnn.quant(col("embedding")).as("qv"))
+
+  // ───────────────────────── listLease ─────────────────────────
+
+  test("listLease surfaces op, holder metadata and age; empty when unheld") {
+    val root = s"${tmp("lease_triage")}/index"
+    new java.io.File(root).mkdirs()
+    assert(IndexLayout.listLease(spark, root).isEmpty)
+    IndexLayout.acquireLease(spark, root, "BqIndex.compactIndex")
+    try {
+      val Some((op, holder, age)) = IndexLayout.listLease(spark, root)
+      assert(op == "BqIndex.compactIndex")
+      assert(holder.contains("pid=") && holder.contains("acquired="))
+      assert(age >= 0L)
+    } finally IndexLayout.releaseLease(spark, root)
+    assert(IndexLayout.listLease(spark, root).isEmpty,
+      "released lease must disappear from triage")
+  }
+
+  test("a crashed maintainer's stale lease is visible, blocks maintenance, and releaseLease recovers") {
+    val dir = s"${tmp("lease_crash")}/index"
+    val c = qvecs
+    BqIndex.writeIndex(c, "vec_id", "qv", dir)
+    // simulate the crash: acquire and never release
+    IndexLayout.acquireLease(spark, dir, "BqIndex.compactIndex")
+    val plan = BqIndex.maintenancePlan(spark, dir)
+    assert(plan.lease.exists(_._1 == "BqIndex.compactIndex"),
+      "the plan must surface the held lease for triage")
+    intercept[IllegalStateException](BqIndex.compactIndex(spark, dir))
+    // the runbook move: verify the holder is dead, then release
+    IndexLayout.releaseLease(spark, dir)
+    BqIndex.compactIndex(spark, dir) // succeeds now
+    assert(BqIndex.maintenancePlan(spark, dir).lease.isEmpty)
+  }
+
+  // ───────────────────────── maintenancePlan ─────────────────────────
+
+  test("a fresh index recommends nothing") {
+    val dir = s"${tmp("plan_fresh")}/index"
+    BqIndex.writeIndex(qvecs, "vec_id", "qv", dir)
+    val plan = BqIndex.maintenancePlan(spark, dir)
+    assert(plan.actions.isEmpty, plan.actions.toString)
+    assert(plan.liveSegments == 0 && plan.tombstoneBatches == 0)
+  }
+
+  test("segment accumulation recommends fold; folding clears the pressure") {
+    val dir = s"${tmp("plan_segs")}/index"
+    val c = qvecs
+    BqIndex.writeIndex(c.filter(col("vec_id") % 5 === 0), "vec_id", "qv", dir)
+    (1L to 3L).foreach { b =>
+      BqIndex.writeSegment(c.filter(col("vec_id") % 5 === b), "vec_id",
+        "qv", dir, batchId = b)
+    }
+    val t = IndexLayout.MaintenanceThresholds(maxLiveSegments = 3)
+    val plan = BqIndex.maintenancePlan(spark, dir, t)
+    assert(plan.liveSegments == 3)
+    assert(plan.recommends("fold"))
+    assert(!plan.recommends("retrain"))
+    BqIndex.compactIndex(spark, dir)
+    val after = BqIndex.maintenancePlan(spark, dir, t)
+    assert(after.liveSegments == 0 && !after.recommends("fold"))
+    // retired-with-grace segments are visible as awaiting-retire context
+    assert(after.foldedAwaitingRetire == 3)
+  }
+
+  test("tombstone accumulation recommends compact; compaction clears it") {
+    val dir = s"${tmp("plan_tombs")}/index"
+    val c = qvecs
+    BqIndex.writeIndex(c, "vec_id", "qv", dir)
+    (1L to 4L).foreach { i =>
+      BqIndex.removeFromIndex(Seq(i).toDF("vec_id"), "vec_id", dir)
+    }
+    val t = IndexLayout.MaintenanceThresholds(maxTombstoneBatches = 4)
+    val plan = BqIndex.maintenancePlan(spark, dir, t)
+    assert(plan.tombstoneBatches == 4)
+    assert(plan.recommends("compact"))
+    BqIndex.compactIndex(spark, dir)
+    assert(!BqIndex.maintenancePlan(spark, dir, t).recommends("compact"))
+  }
+
+  test("append-accumulated small files recommend compact") {
+    val dir = s"${tmp("plan_files")}/index"
+    val c = qvecs
+    BqIndex.writeIndex(c.filter(col("vec_id") >= 100), "vec_id", "qv", dir)
+    (0L until 4L).foreach { i =>
+      BqIndex.appendToIndex(c.filter(col("vec_id") === i), "vec_id", "qv",
+        dir)
+    }
+    val base = IndexLayout.dataFileCount(spark, s"$dir/codes")
+    val t = IndexLayout.MaintenanceThresholds(maxDataFiles = base)
+    val plan = BqIndex.maintenancePlan(spark, dir, t)
+    assert(plan.dataFiles == base)
+    assert(plan.recommends("compact"))
+    BqIndex.compactIndex(spark, dir)
+    assert(IndexLayout.dataFileCount(spark, s"$dir/codes") < base)
+  }
+
+  test("retrain is gated on the measured drift, never on FS metadata") {
+    val dir = s"${tmp("plan_drift")}/index"
+    val vecs = Tables(spark, sf, "embeddings").select("vec_id", "embedding")
+    val model = IvfIndex.train(vecs, "vec_id", "embedding", k = 4, iters = 1)
+    IvfIndex.writeIndex(vecs, "vec_id", "embedding", model, dir)
+    // no drift measurement supplied -> never recommends retrain
+    assert(!IvfIndex.maintenancePlan(spark, dir).recommends("retrain"))
+    // gap below the 1000-bps default -> no retrain
+    assert(!IvfIndex.maintenancePlan(spark, dir,
+      drift = Some((1050L, 1000L))).recommends("retrain"))
+    // material measured gap (the q236 audit's mean_d2 pair) -> retrain
+    val p = IvfIndex.maintenancePlan(spark, dir, drift = Some((1200L, 1000L)))
+    assert(p.recommends("retrain"))
+    // degenerate measurement never divides by zero
+    assert(!IvfIndex.maintenancePlan(spark, dir,
+      drift = Some((1200L, 0L))).recommends("retrain"))
+  }
+
+  test("BM25 wrapper counts stats-listed delete batches, not sidecar files") {
+    val dir = s"${tmp("plan_bm25")}/index"
+    val d = docs
+    Bm25.writeIndex(d, "doc_id", "text", dir)
+    assert(Bm25.maintenancePlan(spark, dir).tombstoneBatches == 0)
+    Bm25.removeFromIndex(d.filter(col("doc_id") % 7 === 0).select("doc_id"),
+      "doc_id", dir)
+    val t = IndexLayout.MaintenanceThresholds(maxTombstoneBatches = 1)
+    val plan = Bm25.maintenancePlan(spark, dir, t)
+    assert(plan.tombstoneBatches == 1)
+    assert(plan.recommends("compact"))
+    Bm25.compactIndex(spark, dir, "doc_id")
+    assert(Bm25.maintenancePlan(spark, dir, t).tombstoneBatches == 0)
+  }
+
+  test("dedup and IVF wrappers resolve their path conventions") {
+    val dd = s"${tmp("plan_dedup")}/index"
+    DedupOps.writeDedupIndex(docs, "doc_id", "text", n = 3, path = dd)
+    DedupOps.removeFromDedupIndex(Seq(1L).toDF("doc_id"), "doc_id", dd)
+    val ddPlan = DedupOps.maintenancePlan(spark, dd,
+      IndexLayout.MaintenanceThresholds(maxTombstoneBatches = 1))
+    assert(ddPlan.tombstoneBatches == 1 && ddPlan.recommends("compact"))
+
+    val iv = s"${tmp("plan_ivf")}/index"
+    val vecs = Tables(spark, sf, "embeddings").select("vec_id", "embedding")
+    val model = IvfIndex.train(vecs, "vec_id", "embedding", k = 4, iters = 1)
+    IvfIndex.writeIndex(vecs, "vec_id", "embedding", model, iv)
+    IvfIndex.writeSegment(vecs.filter(col("vec_id") < 5), "vec_id",
+      "embedding", model, iv, batchId = 0L)
+    val ivPlan = IvfIndex.maintenancePlan(spark, iv,
+      IndexLayout.MaintenanceThresholds(maxLiveSegments = 1))
+    assert(ivPlan.liveSegments == 1 && ivPlan.recommends("fold"))
+  }
+}
