@@ -205,6 +205,43 @@ object BqIndex {
       .limit(topK)
   }
 
+  /** Multi-query search over the persisted code table in ONE scan (the
+    * q235 batch shape applied to BQ): the BOUNDED query set's packed
+    * codes broadcast over the code table; per-query Hamming shortlists
+    * come from a rank window partitioned on query_id — one xor+popcount
+    * per (row, query), still only code-table bytes — and the union of
+    * shortlists reranks against the vectors in one join. Row-identical
+    * to per-query [[searchWithRerank]] calls (pinned in BqIndexSpec);
+    * at shortlist = corpus it degrades to exact per-query brute force —
+    * the oracle-visible twin (q240).
+    */
+  def searchBatch(spark: SparkSession, path: String, corpus: DataFrame,
+                  queries: DataFrame, idCol: String, qvCol: String,
+                  shortlist: Int, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val model = readModel(spark, path)
+    val q = queries.select(col(idCol).as("query_id"),
+      PortableAnn.bqCode(col(qvCol), model.n, model.sums).as("__qcode"),
+      col(qvCol).as("__qq"))
+    val wH = Window.partitionBy(col("query_id"))
+      .orderBy(col("h"), col(idCol))
+    val cand = readCodes(spark, path, idCol)
+      .crossJoin(broadcast(q))
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol), col("__qq"),
+        PortableAnn.hamming(col("code"), col("__qcode")).as("h"))
+      .withColumn("__hrank", row_number().over(wH))
+      .filter(col("__hrank") <= shortlist)
+      .select(col("query_id"), col(idCol), col("__qq"))
+    val wD = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2"), col(idCol))
+    cand.join(corpus.select(col(idCol), col(qvCol)), Seq(idCol))
+      .select(col("query_id"), col(idCol),
+        PortableAnn.dist2(col(qvCol), col("__qq")).as("d2"))
+      .withColumn("rank", row_number().over(wD).cast("long"))
+      .filter(col("rank") <= topK)
+  }
+
   /** Threshold-gated maintenance recommendations for this layout
     * ([[IndexLayout.maintenancePlan]]) — pure read, no lease.
     */

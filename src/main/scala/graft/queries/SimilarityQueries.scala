@@ -1479,7 +1479,28 @@ object SimilarityQueries {
           .select(col("n_hits"),
             (col("n_hits") * lit(100000L)).as("recall_x1e6"))
       },
-      Some(rpBqRecallSql))
+      Some(rpBqRecallSql)),
+
+    // The BATCH BQ path at full width: shortlist = corpus degrades
+    // searchBatch to exact per-query integer-L2² top-k — the
+    // oracle-visible twin that hash-checks the one-scan multi-query
+    // machinery end to end (broadcast packed query codes, per-query
+    // Hamming rank windows over ONE code-table read, union-shortlist
+    // rerank join). Same q235 trick; the shortlisted approximate path
+    // stays q90/q237's territory.
+    QDef("q240_bq_batch_exact",
+      (s, d) => {
+        val corpus = embs(s, d).select(col("vec_id"),
+          PortableAnn.quant(col("embedding")).as("qv"))
+        val n = corpus.count().toInt
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_q240_bq_index").toString
+        BqIndex.writeIndex(corpus, "vec_id", "qv", dir)
+        BqIndex.searchBatch(s, dir, corpus, corpus.filter(col("vec_id") < 5),
+            "vec_id", "qv", shortlist = n, topK = 5)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(bqBatchSql))
   )
 
   // ── Portable-arithmetic oracle SQL (q217/q218/q219). The k-means
@@ -1715,6 +1736,18 @@ object SimilarityQueries {
       "SELECT CAST(count(rr.vec_id) AS BIGINT) AS n_hits, " +
       "CAST(count(rr.vec_id) * 100000 AS BIGINT) AS recall_x1e6 " +
       "FROM ext LEFT JOIN rr ON ext.vec_id = rr.vec_id"
+
+  /** q240: exact per-query integer-L2² top-5 for the vec_id < 5 query
+    * set — what the batch BQ search degrades to at shortlist = corpus.
+    */
+  private lazy val bqBatchSql: String =
+    s"WITH ${qvSql("")} " +
+      "SELECT query_id, vec_id, d2, rank FROM (" +
+      "SELECT q.qid AS query_id, e.vec_id, " +
+      s"CAST(${d2Sql("e.q", "q.qv")} AS BIGINT) AS d2, " +
+      s"row_number() OVER (PARTITION BY q.qid ORDER BY ${d2Sql("e.q", "q.qv")}, e.vec_id) AS rank " +
+      "FROM v e, (SELECT vec_id AS qid, q AS qv FROM v WHERE vec_id < 5) q " +
+      "WHERE e.vec_id <> q.qid) WHERE rank <= 5 ORDER BY query_id, rank"
 
   /** q238: BQ recall@10 vs the exhaustive integer-L2² top-10. */
   private lazy val bqRecallSql: String =

@@ -895,6 +895,28 @@ object StreamingOps {
       }
       .start()
 
+  /** Continuous maintenance of a persisted binary-quantization index
+    * (`graft.operators.BqIndex.writeIndex` layout, which must exist —
+    * the threshold model is trained at build time): each micro-batch is
+    * encoded against the PERSISTED model and written as an immutable
+    * code segment via `BqIndex.writeSegment` (per-batch overwrite ⇒
+    * exactly-once on replay; thresholds drift only at rebuild — the IVF
+    * centroid contract). `BqIndex.searchWithRerank` spans base +
+    * segments; `BqIndex.compactIndex` folds. Completes the streaming
+    * lifecycle across all five persisted layouts.
+    */
+  def streamBqIndex(rows: DataFrame, idCol: String, qvCol: String,
+                    indexDir: String, checkpointDir: String): StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.BqIndex.writeSegment(
+          batch.repartition(batch.sparkSession.sparkContext.defaultParallelism),
+          idCol, qvCol, indexDir, batchId)
+        ()
+      }
+      .start()
+
   def runToMemory(df: DataFrame, name: String, outputMode: String): DataFrame = {
     val q = df.writeStream
       .format("memory")

@@ -170,6 +170,63 @@ class BqIndexSpec extends SparkSpec {
     } finally IndexLayout.releaseLease(spark, dir)
   }
 
+  test("batch search in one scan is row-identical to per-query searches") {
+    val dir = tmp("batch")
+    val c = corpus
+    BqIndex.writeIndex(c, "vec_id", "qv", dir)
+    val queries = c.filter(col("vec_id") < 4)
+    val batch = BqIndex.searchBatch(spark, dir, c, queries, "vec_id", "qv",
+        shortlist = 30, topK = 5)
+      .select("query_id", "vec_id", "d2", "rank")
+      .collect().map(_.toSeq).toSet
+    val perQuery = queries.select("vec_id").collect().map(_.getLong(0))
+      .flatMap { qid =>
+        val q = qvecOf(c, qid)
+        BqIndex.searchWithRerank(spark, dir, c, "vec_id", "qv", q,
+            shortlist = 30, topK = 5, excludeId = Some(qid))
+          .collect().zipWithIndex
+          .map { case (r, i) =>
+            Seq(qid, r.getLong(0), r.getLong(1), (i + 1).toLong)
+          }
+      }.toSet
+    assert(batch == perQuery)
+  }
+
+  test("streamed micro-batches maintain the index; reads equal a from-scratch build") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val dir = tmp("stream")
+    val c = corpus
+    val base = c.filter(col("vec_id") % 2 === 0)
+    BqIndex.writeIndex(base, "vec_id", "qv", dir)
+    val src = MemoryStream[(Long, Array[Long])]
+    val q = graft.streaming.StreamingOps.streamBqIndex(
+      src.toDF().toDF("vec_id", "qv"), "vec_id", "qv", dir,
+      s"${tmp("stream_ckpt")}/c1")
+    val b1 = c.filter(col("vec_id") % 4 === 1)
+    src.addData(b1.as[(Long, Array[Long])].collect().toSeq: _*)
+    q.processAllAvailable()
+    val b2 = c.filter(col("vec_id") % 4 === 3)
+    src.addData(b2.as[(Long, Array[Long])].collect().toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(IndexLayout.segmentDirs(spark, dir).size == 2)
+    val qv = qvecOf(c, 0L)
+    def run(d: String) = rows(BqIndex.searchWithRerank(spark, d, c,
+      "vec_id", "qv", qv, shortlist = 50, topK = 10, excludeId = Some(0L)))
+    val fresh = tmp("stream_fresh")
+    // the from-scratch oracle shares the streamed index's MODEL (trained
+    // on the base — segments encode against it, the rebuild contract),
+    // so build fresh over base then append the rest in one batch
+    BqIndex.writeIndex(base, "vec_id", "qv", fresh)
+    BqIndex.appendToIndex(c.filter(col("vec_id") % 2 === 1), "vec_id",
+      "qv", fresh)
+    assert(run(dir) == run(fresh), "streamed == from-scratch")
+    BqIndex.compactIndex(spark, dir)
+    assert(run(dir) == run(fresh), "identical after fold")
+  }
+
   test("code table is an order of magnitude smaller than the vector table") {
     val dir = tmp("bytes")
     val c = corpus

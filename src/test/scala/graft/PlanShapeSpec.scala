@@ -73,7 +73,11 @@ class PlanShapeSpec extends SparkSpec {
       // the deliberate O(n²) exhaustive SemDeDup baseline on the bounded
       // q137 slice — the thing its containment metric is measured AGAINST
       "q217_ivf_recall", "q218_pq_recall", "q219_semdedup_containment",
-      "q220_sq_recall", "q238_bq_recall",
+      "q220_sq_recall", "q238_bq_recall", "q239_rp_bq_recall",
+      // batch BQ: the code table has no cells to equi-join — the Hamming
+      // pre-rank IS a scan of 8-byte codes against the ≤5-row broadcast
+      // query side (rank-window bounded before the rerank join)
+      "q240_bq_batch_exact",
       // drift-audit report assembly: one-row aggregates (n/sum, max-cell,
       // p90) broadcast-crossed per phase, plus the one-row corpus count
       // broadcast onto the distinct-d2 histogram for the p90 cutoff
