@@ -917,6 +917,65 @@ object StreamingOps {
       }
       .start()
 
+  /** SELF-MAINTAINING streaming dedup index: each micro-batch lands as a
+    * segment ([[streamDedupIndex]]), then the maintenance PLANNER is
+    * consulted and a fold/compact recommendation is acted on IN the
+    * micro-batch thread. This placement is what makes the composition
+    * safe: foreachBatch serializes batches (replays included), so a fold
+    * here can never run concurrently with a replay of a segment it
+    * retires — the exact exclusion [[graft.operators.IndexLayout
+    * .retireSegmentDirs]] documents. The fold blocks the stream for its
+    * duration (the standard LSM ingestion trade — bounded by the
+    * thresholds: tighter thresholds = smaller, more frequent folds).
+    * Read amplification is therefore BOUNDED BY POLICY, not by an
+    * operator remembering to compact.
+    */
+  def streamDedupIndexMaintained(
+      docs: DataFrame, idCol: String, textCol: String, n: Int,
+      indexDir: String, checkpointDir: String, nShards: Int = 256,
+      thresholds: graft.operators.IndexLayout.MaintenanceThresholds =
+        graft.operators.IndexLayout.MaintenanceThresholds(
+          maxDataFiles = Int.MaxValue)): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        graft.operators.DedupOps.writeDedupIndex(
+          batch.repartition(spark.sparkContext.defaultParallelism),
+          idCol, textCol, n, s"$indexDir/segments/batch=$batchId", nShards,
+          sharded = false)
+        val plan = graft.operators.DedupOps.maintenancePlan(
+          spark, indexDir, thresholds)
+        if (plan.recommends("fold") || plan.recommends("compact"))
+          graft.operators.DedupOps.compactDedupIndex(spark, indexDir, idCol)
+        ()
+      }
+      .start()
+
+  /** [[streamDedupIndexMaintained]]'s BQ twin: segment write encoded
+    * against the persisted threshold model, then planner-gated
+    * compaction in the batch thread.
+    */
+  def streamBqIndexMaintained(
+      rows: DataFrame, idCol: String, qvCol: String,
+      indexDir: String, checkpointDir: String,
+      thresholds: graft.operators.IndexLayout.MaintenanceThresholds =
+        graft.operators.IndexLayout.MaintenanceThresholds()): StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        graft.operators.BqIndex.writeSegment(
+          batch.repartition(spark.sparkContext.defaultParallelism),
+          idCol, qvCol, indexDir, batchId)
+        val plan = graft.operators.BqIndex.maintenancePlan(
+          spark, indexDir, thresholds)
+        if (plan.recommends("fold") || plan.recommends("compact"))
+          graft.operators.BqIndex.compactIndex(spark, indexDir, idCol)
+        ()
+      }
+      .start()
+
   def runToMemory(df: DataFrame, name: String, outputMode: String): DataFrame = {
     val q = df.writeStream
       .format("memory")

@@ -227,6 +227,40 @@ class BqIndexSpec extends SparkSpec {
     assert(run(dir) == run(fresh), "identical after fold")
   }
 
+  test("self-maintaining stream: planner-gated folds bound live segments; reads exact") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val dir = tmp("selfmaint")
+    val c = corpus
+    val base = c.filter(col("vec_id") % 4 === 0)
+    BqIndex.writeIndex(base, "vec_id", "qv", dir)
+    val t = IndexLayout.MaintenanceThresholds(maxLiveSegments = 1)
+    val src = MemoryStream[(Long, Array[Long])]
+    val q = graft.streaming.StreamingOps.streamBqIndexMaintained(
+      src.toDF().toDF("vec_id", "qv"), "vec_id", "qv", dir,
+      s"${tmp("selfmaint_ckpt")}/c1", thresholds = t)
+    (1L to 3L).foreach { m =>
+      val b = c.filter(col("vec_id") % 4 === m)
+      src.addData(b.as[(Long, Array[Long])].collect().toSeq: _*)
+      q.processAllAvailable()
+      assert(IndexLayout.segmentDirs(spark, dir).size <= 1,
+        s"after batch $m: planner must fold at 1 live segment")
+    }
+    q.stop()
+    val qv = qvecOf(c, 0L)
+    val got = rows(BqIndex.searchWithRerank(spark, dir, c, "vec_id", "qv",
+      qv, shortlist = 50, topK = 10, excludeId = Some(0L)))
+    val fresh = tmp("selfmaint_fresh")
+    BqIndex.writeIndex(base, "vec_id", "qv", fresh)
+    BqIndex.appendToIndex(c.filter(col("vec_id") % 4 =!= 0), "vec_id",
+      "qv", fresh)
+    val want = rows(BqIndex.searchWithRerank(spark, fresh, c, "vec_id",
+      "qv", qv, shortlist = 50, topK = 10, excludeId = Some(0L)))
+    assert(got == want)
+    assert(IndexLayout.listLease(spark, dir).isEmpty)
+  }
+
   test("code table is an order of magnitude smaller than the vector table") {
     val dir = tmp("bytes")
     val c = corpus

@@ -287,6 +287,51 @@ class LifecycleSoakSpec extends SparkSpec {
     assert(checked(dir) == oracle(corpus), "final read")
   }
 
+  test("SELF-MAINTAINING dedup stream: planner-gated folds inside the batch loop bound read amplification; reads exact throughout") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    val probe = docs.filter(col("doc_id") % 10 === 9)
+    def checked(path: String): Set[Seq[Any]] =
+      DedupOps.dedupAgainstIndex(spark, path, probe, "doc_id", "text",
+          n = 3, threshold = 0.5)
+        .select(col("doc_id"), col("exact_dup"), col("near_dup"),
+          round(col("max_jaccard"), 9))
+        .collect().map(_.toSeq).toSet
+    def oracle(corpus: DataFrame): Set[Seq[Any]] =
+      DedupOps.dedupAgainst(probe, corpus, "doc_id", "text",
+          n = 3, threshold = 0.5)
+        .select(col("doc_id"), col("exact_dup"), col("near_dup"),
+          round(col("max_jaccard"), 9))
+        .collect().map(_.toSeq).toSet
+
+    val dir = s"${tmp("soak_selfmaint")}/index"
+    val t = graft.operators.IndexLayout.MaintenanceThresholds(
+      maxLiveSegments = 2, maxDataFiles = Int.MaxValue)
+    DedupOps.writeDedupIndex(docs.filter(col("doc_id") % 10 === 0),
+      "doc_id", "text", n = 3, path = dir)
+    var corpus = docs.filter(col("doc_id") % 10 === 0)
+
+    val src = MemoryStream[(Long, String)]
+    val q = StreamingOps.streamDedupIndexMaintained(
+      src.toDF().toDF("doc_id", "text"), "doc_id", "text", 3, dir,
+      s"${tmp("soak_selfmaint_ckpt")}/c1", thresholds = t)
+    (1L to 5L).foreach { m =>
+      val batch = docs.filter(col("doc_id") % 10 === m)
+      src.addData(batch.as[(Long, String)].collect().toSeq: _*)
+      q.processAllAvailable()
+      corpus = corpus.unionByName(batch)
+      // the INVARIANT the policy buys: live segments never exceed the
+      // threshold after a batch completes (the planner folds at 2)
+      val live = graft.operators.IndexLayout.segmentDirs(spark, dir).size
+      assert(live < 2 + 1, s"after batch $m: $live live segments")
+      assert(checked(dir) == oracle(corpus), s"after batch $m")
+    }
+    q.stop()
+    assert(graft.operators.IndexLayout
+      .listLease(spark, dir).isEmpty, "no lease leaked by in-stream folds")
+  }
+
   // ────────────────────────────── IVF ──────────────────────────────
 
   test("IVF soak: build → stream → delete → compact → append → RETRAIN, pruned search exact at every step") {
