@@ -1500,7 +1500,41 @@ object SimilarityQueries {
             "vec_id", "qv", shortlist = n, topK = 5)
           .orderBy(col("query_id"), col("rank"))
       },
-      Some(bqBatchSql))
+      Some(bqBatchSql)),
+
+    // BQ threshold-DRIFT audit — q236's "measure, then act" applied to
+    // the fifth layout: appends/segments encode against the PERSISTED
+    // (n, Σx) model (codes stay comparable; thresholds drift only at
+    // rebuild), so after heavy growth the per-dim mean tests no longer
+    // reflect the corpus. The audit codes every vector under the
+    // pre-append model (first 80% by id) AND a fresh full-corpus model
+    // and reports the exact bit-flip spectrum: total flipped bits, the
+    // per-bit flip rate, and the fraction of vectors whose code changed
+    // at all — rising rates mean Hamming pre-ranks are drifting off the
+    // corpus geometry and a rebuild (BqIndex.writeIndex) is due. All
+    // integer, hash-checked.
+    QDef("q241_bq_drift_audit",
+      (s, d) => {
+        val corpus = embs(s, d).select(col("vec_id"),
+          PortableAnn.quant(col("embedding")).as("qv"))
+        val cut = corpus.count() * 4L / 5L
+        val (nb, sumsB) =
+          PortableAnn.bqTrain(corpus.filter(col("vec_id") < cut), "qv")
+        val (nf, sumsF) = PortableAnn.bqTrain(corpus, "qv")
+        corpus
+          .select(PortableAnn.hamming(
+            PortableAnn.bqCode(col("qv"), nb, sumsB),
+            PortableAnn.bqCode(col("qv"), nf, sumsF)).as("flips"))
+          .agg(count(lit(1)).cast("long").as("n_vectors"),
+            sum(col("flips")).cast("long").as("sum_flipped_bits"),
+            count(when(col("flips") > 0, lit(1))).cast("long").as("__chg"))
+          .select(col("n_vectors"), col("sum_flipped_bits"),
+            expr("CAST(sum_flipped_bits * 1000000 DIV (n_vectors * 64) AS BIGINT)")
+              .as("bit_flip_rate_x1e6"),
+            expr("CAST(__chg * 1000000 DIV n_vectors AS BIGINT)")
+              .as("frac_changed_x1e6"))
+      },
+      Some(bqDriftSql))
   )
 
   // ── Portable-arithmetic oracle SQL (q217/q218/q219). The k-means
@@ -1748,6 +1782,35 @@ object SimilarityQueries {
       s"row_number() OVER (PARTITION BY q.qid ORDER BY ${d2Sql("e.q", "q.qv")}, e.vec_id) AS rank " +
       "FROM v e, (SELECT vec_id AS qid, q AS qv FROM v WHERE vec_id < 5) q " +
       "WHERE e.vec_id <> q.qid) WHERE rank <= 5 ORDER BY query_id, rank"
+
+  /** One BQ code CTE over the shared `px` per-dim table against a stats
+    * CTE `st` (bit-63 via the −2^63 literal, as in [[bqCommonSql]]).
+    */
+  private def bqCodesSqlOver(name: String, st: String,
+                             pxWhere: String = ""): String =
+    s"$name AS (SELECT vec_id, CAST(sum(CASE WHEN $st.n * px.x > $st.s THEN " +
+      "(CASE WHEN px.i = 63 THEN -9223372036854775808 ELSE (1::BIGINT << CAST(px.i AS INTEGER)) END) " +
+      s"ELSE 0 END) AS BIGINT) AS code FROM px JOIN $st USING (i)$pxWhere GROUP BY 1)"
+
+  /** q241: codes under the pre-append (80%) model vs a fresh full-corpus
+    * model — the exact bit-flip drift spectrum.
+    */
+  private lazy val bqDriftSql: String =
+    s"WITH ${qvSql("")}, " +
+      "px AS (SELECT vec_id, generate_subscripts(q, 1) - 1 AS i, unnest(q) AS x FROM v), " +
+      "cutn AS (SELECT CAST(count(*) * 4 // 5 AS BIGINT) AS c FROM v), " +
+      "stf AS (SELECT i, CAST(sum(x) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n FROM px GROUP BY 1), " +
+      "stb AS (SELECT i, CAST(sum(x) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n FROM px " +
+      "WHERE vec_id < (SELECT c FROM cutn) GROUP BY 1), " +
+      bqCodesSqlOver("cf", "stf") + ", " +
+      bqCodesSqlOver("cb", "stb") + ", " +
+      "fl AS (SELECT cf.vec_id, CAST(bit_count(xor(cf.code, cb.code)) AS BIGINT) AS flips " +
+      "FROM cf JOIN cb ON cf.vec_id = cb.vec_id) " +
+      "SELECT CAST(count(*) AS BIGINT) AS n_vectors, " +
+      "CAST(sum(flips) AS BIGINT) AS sum_flipped_bits, " +
+      "CAST(sum(flips) * 1000000 // (count(*) * 64) AS BIGINT) AS bit_flip_rate_x1e6, " +
+      "CAST(count(*) FILTER (WHERE flips > 0) * 1000000 // count(*) AS BIGINT) AS frac_changed_x1e6 " +
+      "FROM fl"
 
   /** q238: BQ recall@10 vs the exhaustive integer-L2² top-10. */
   private lazy val bqRecallSql: String =

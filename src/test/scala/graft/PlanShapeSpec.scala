@@ -211,6 +211,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q90 BQ persisted search: heap-based pre-rank over a code-only scan, vectors only in the rerank") {
+    val p = plan("q90_bq_indexed")
+    // the Hamming shortlist is a TakeOrderedAndProject (per-partition
+    // heap + merge) — a global sort of the code table would be the
+    // 100 TB killer
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the pre-rank scan reads ONLY (id, code) — 8 bytes of payload per
+    // vector; if the vectors' array column appears in the code-table
+    // ReadSchema the 64x byte saving is gone
+    assert("ReadSchema: struct<vec_id:bigint,code:bigint>".r
+      .findFirstIn(p).isDefined, p.take(4000))
+    // the rerank side joins the shortlist by hash, never a loop
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q82 interval join plans as an equi-join on the bin, not a nested loop") {
     val p = plan("q82_interval_join")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
