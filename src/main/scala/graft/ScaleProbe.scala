@@ -514,3 +514,60 @@ object AnnScaleProbe {
     spark.stop()
   }
 }
+
+/** Dev tool: does the BATCH BQ search amortize the code-table scan? At
+  * production the index is queried in batches (embed a shard of new
+  * docs, find each one's neighbors): a per-query loop pays one full
+  * code-table job per query; `BqIndex.searchBatch` answers the whole
+  * bounded set in ONE scan (broadcast packed codes, per-query Hamming
+  * rank windows, union-shortlist rerank). Expected: loop grows ~linear
+  * in |queries|; batch stays ~flat until the windows dominate.
+  * `runMain graft.BqBatchProbe 8,32,128`
+  */
+object BqBatchProbe {
+  def main(args: Array[String]): Unit = {
+    val qCounts = (if (args.nonEmpty) args(0) else "8,32,128")
+      .split(",").map(_.trim.toInt).toSeq
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.operators.{BqIndex, PortableAnn}
+    val corpus = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), PortableAnn.quant(col("embedding")).as("qv"))
+      .localCheckpoint()
+    val dir = "/tmp/graft_bq_batch_probe"
+    BqIndex.writeIndex(corpus, "vec_id", "qv", dir)
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    // absorb codegen/footers once
+    BqIndex.searchBatch(spark, dir, corpus, corpus.filter(col("vec_id") < 2),
+      "vec_id", "qv", shortlist = 50, topK = 10).count()
+    qCounts.foreach { nq =>
+      val queries = corpus.filter(col("vec_id") < nq).localCheckpoint()
+      val tBatch = time {
+        BqIndex.searchBatch(spark, dir, corpus, queries, "vec_id", "qv",
+          shortlist = 50, topK = 10).count()
+      }
+      val qvecs = queries.select(col("vec_id"), col("qv")).collect()
+      val tLoop = time {
+        qvecs.foreach { r =>
+          BqIndex.searchWithRerank(spark, dir, corpus, "vec_id", "qv",
+            r.getSeq[Long](1).toArray, shortlist = 50, topK = 10,
+            excludeId = Some(r.getLong(0))).count()
+        }
+      }
+      println(f"[bqbatch] nq=$nq%4d batch=$tBatch%.2fs loop=$tLoop%.2fs " +
+        f"speedup=${tLoop / tBatch}%.1fx")
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}
