@@ -133,6 +133,46 @@ class MaintenancePlanSpec extends SparkSpec {
       drift = Some((1200L, 0L))).recommends("retrain"))
   }
 
+  test("the full measure-then-act loop: real drift from a shifted corpus recommends retrain; uniform appends do not") {
+    val dir = s"${tmp("plan_loop")}/index"
+    val vecs = Tables(spark, sf, "embeddings").select("vec_id", "embedding")
+    val model = IvfIndex.train(vecs, "vec_id", "embedding", k = 4, iters = 1)
+    IvfIndex.writeIndex(vecs, "vec_id", "embedding", model, dir)
+
+    val all = qvecs
+    val cut = all.count() * 4L / 5L
+    val base = all.filter(col("vec_id") < cut)
+    // q236's measurement, computed here for a given full corpus: mean
+    // integer d2-to-assigned-centroid under the pre-append model vs a
+    // retrained one
+    def meanD2(corpus: DataFrame, m: PortableAnn.QModel): Long = {
+      val r = corpus.agg(
+        sum(PortableAnn.bestDist2(col("qv"), m)).cast("long").as("s"),
+        count(lit(1)).cast("long").as("n")).head()
+      r.getLong(0) / r.getLong(1)
+    }
+    def driftPair(corpus: DataFrame): (Long, Long) = {
+      val before = PortableAnn.train(base, "vec_id", "qv", k = 4, iters = 2)
+      val after = PortableAnn.train(corpus, "vec_id", "qv", k = 4, iters = 2)
+      (meanD2(corpus, before), meanD2(corpus, after))
+    }
+    // distribution-SHIFTED appends: the tail lands far from every
+    // trained centroid (+4 per original unit ≈ +4096 in the quantized
+    // domain on every dim)
+    val shiftedTail = all.filter(col("vec_id") >= cut)
+      .select(col("vec_id"),
+        transform(col("qv"), x => x + lit(4096L)).as("qv"))
+    val shifted = driftPair(base.unionByName(shiftedTail))
+    assert(IvfIndex.maintenancePlan(spark, dir, drift = Some(shifted))
+      .recommends("retrain"),
+      s"shifted-corpus drift $shifted must recommend retrain")
+    // uniform (id-distribution-preserving) appends: same data, no shift
+    val uniform = driftPair(all)
+    assert(!IvfIndex.maintenancePlan(spark, dir, drift = Some(uniform))
+      .recommends("retrain"),
+      s"uniform-append drift $uniform must stay under the gap threshold")
+  }
+
   test("BM25 wrapper counts stats-listed delete batches, not sidecar files") {
     val dir = s"${tmp("plan_bm25")}/index"
     val d = docs
