@@ -194,8 +194,65 @@ object PortableAnn {
     books.map(QModel(_))
   }
 
-  /** PQ code array: per-subspace argmin codebook entry. */
+  /** Past this many total codebook entries (subspaces × cells) the
+    * literal-argmin expression's codegen tree cost dominates the scan —
+    * the same regime split as [[IvfIndex]]'s MaxLiteralCells, measured
+    * there at 19 s vs 1.5 s; the PQ configs in use (8×16 = 128 entries,
+    * each a sliced dist2 tree) sit well past it.
+    */
+  private val MaxLiteralPqEntries = 32
+
+  /** PQ code array: per-subspace argmin codebook entry. Literal
+    * expression below [[MaxLiteralPqEntries]]; above it a closure UDF
+    * with IDENTICAL integer arithmetic and tie rule (argmin by
+    * (dist², cell), lowest cell wins — strict `<` keeps the first
+    * minimum) — exact Long math is order-fixed, so the two regimes are
+    * bit-identical (pinned in PortableAnnSpec) and the SQL oracle is
+    * unaffected.
+    */
   def pqCodes(qv: Column, books: Array[QModel], subDim: Int): Column =
+    if (books.length * books.headOption.map(_.k).getOrElse(0)
+        <= MaxLiteralPqEntries)
+      pqCodesLiteral(qv, books, subDim)
+    else {
+      val cents: Array[Array[Array[Long]]] = books.map(_.centroids)
+      val f = udf { v: Seq[Long] =>
+        val m = cents.length
+        val out = new Array[Int](m)
+        var s = 0
+        while (s < m) {
+          val off = s * subDim
+          val book = cents(s)
+          var best = 0
+          var bestD = Long.MaxValue
+          var c = 0
+          while (c < book.length) {
+            val cent = book(c)
+            val n = math.min(subDim, math.min(cent.length,
+              math.max(v.length - off, 0)))
+            var d = 0L
+            var i = 0
+            while (i < n) {
+              val x = v(off + i) - cent(i)
+              d += x * x
+              i += 1
+            }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          out(s) = best
+          s += 1
+        }
+        out
+      }
+      f(qv)
+    }
+
+  /** The literal-expression twin of [[pqCodes]] — the cross-check oracle
+    * form (bit-equality pinned in PortableAnnSpec).
+    */
+  private[graft] def pqCodesLiteral(qv: Column, books: Array[QModel],
+                                    subDim: Int): Column =
     array(books.zipWithIndex.map { case (b, s) =>
       bestCell(slice(qv, s * subDim + 1, subDim), b)
     }.toIndexedSeq: _*)

@@ -26,6 +26,24 @@ class PortableAnnSpec extends SparkSpec {
     assert(diff.getLong(0) == 0L && diff.getLong(1) == 0L)
   }
 
+  test("pqCodes closure regime is bit-identical to the literal expression form") {
+    val books = PortableAnn.pqTrain(corpus, "vec_id", "qv",
+      m = 8, subDim = 8, k = 16, iters = 2)
+    // 8×16 = 128 entries: pqCodes takes the closure-UDF branch; the
+    // literal form is the oracle twin — every code must agree, including
+    // on a short (ragged) vector where the trailing slices are empty
+    val ragged = corpus.limit(50)
+      .union(corpus.limit(3).select(col("vec_id") + 100000L,
+        slice(col("qv"), 1, 11)))
+    val both = ragged.select(col("vec_id"),
+        PortableAnn.pqCodes(col("qv"), books, 8).as("hot"),
+        PortableAnn.pqCodesLiteral(col("qv"), books, 8).as("lit"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Int](1) == r.getSeq[Int](2), s"vec ${r.getLong(0)}")
+    }
+  }
+
   test("portable k-means is partition-order invariant") {
     val a = PortableAnn.train(corpus, "vec_id", "qv", k = 8, iters = 2)
     val b = PortableAnn.train(corpus.repartition(7), "vec_id", "qv",
