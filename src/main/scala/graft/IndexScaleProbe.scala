@@ -127,19 +127,8 @@ object IndexScaleProbe {
           "vec_id", "qv", qvec, shortlist = 50, topK = 10,
           excludeId = Some(0L)).count()
       }
-      def dirBytes(d: String): Long = {
-        val p = new org.apache.hadoop.fs.Path(d)
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val it = fs.listFiles(p, true)
-        var n = 0L
-        while (it.hasNext) {
-          val f = it.next()
-          if (f.getPath.getName.endsWith(".parquet")) n += f.getLen
-        }
-        n
-      }
       val codeBytes = graft.operators.BqIndex.codeTableBytes(spark, bqDir)
-      val vecBytes = dirBytes(vecDir)
+      val vecBytes = graft.operators.IndexLayout.parquetBytes(spark, vecDir)
       println(f"[idxscale] c=$c docs=${corpus.count()} " +
         f"bm25: build=$bmBuild%.2fs query=$bmQuery%.2fs " +
         f"delete=$bmDelete%.2fs queryPostDel=$bmQueryPostDel%.2fs " +

@@ -549,12 +549,12 @@ object BqBatchProbe {
     }
     // absorb codegen/footers once
     BqIndex.searchBatch(spark, dir, corpus, corpus.filter(col("vec_id") < 2),
-      "vec_id", "qv", shortlist = 50, topK = 10).count()
+      "vec_id", "qv", shortlist = 50, topK = 10, excludeSelf = true).count()
     qCounts.foreach { nq =>
       val queries = corpus.filter(col("vec_id") < nq).localCheckpoint()
       val tBatch = time {
         BqIndex.searchBatch(spark, dir, corpus, queries, "vec_id", "qv",
-          shortlist = 50, topK = 10).count()
+          shortlist = 50, topK = 10, excludeSelf = true).count()
       }
       val qvecs = queries.select(col("vec_id"), col("qv")).collect()
       val tLoop = time {

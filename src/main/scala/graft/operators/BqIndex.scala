@@ -46,11 +46,6 @@ object BqIndex {
     def dim: Int = sums.length
   }
 
-  private def fsExists(spark: SparkSession, dir: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
-
   /** (id, code) for every non-null vector: the packed sign code under
     * `model` ([[PortableAnn.bqCode]] — codegen'd, no UDF in the scan).
     */
@@ -147,7 +142,10 @@ object BqIndex {
       val segs = IndexLayout.segmentDirs(spark, path)
       val tombFiles =
         IndexLayout.liveTombstoneFiles(spark, s"$path/tombstones")
-      val parts = IndexLayout.existingPartsOf(spark, path, segs, "codes")
+      val parts = IndexLayout.existingPartsOf(spark, path, segs, "codes") match {
+        case Seq() => Seq(s"$path/codes") // raise the standard read error
+        case ps    => ps
+      }
       val unioned = parts.map(spark.read.parquet(_))
         .reduce(_.unionByName(_))
       val merged = if (parts.length > 1) unioned.distinct() else unioned
@@ -217,25 +215,40 @@ object BqIndex {
     */
   def searchBatch(spark: SparkSession, path: String, corpus: DataFrame,
                   queries: DataFrame, idCol: String, qvCol: String,
-                  shortlist: Int, topK: Int): DataFrame = {
+                  shortlist: Int, topK: Int,
+                  excludeSelf: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val model = readModel(spark, path)
     val q = queries.select(col(idCol).as("query_id"),
       PortableAnn.bqCode(col(qvCol), model.n, model.sums).as("__qcode"),
       col(qvCol).as("__qq"))
+    // the pre-rank window carries ONLY (query_id, id, h) — the 64-long
+    // query vectors would multiply the N×Q shuffle ~16× for no reason;
+    // they re-join from the tiny broadcast q AFTER the shortlist filter,
+    // when rows are shortlist-bounded
+    val codes0 = readCodes(spark, path, idCol)
+    val scored = codes0
+      .crossJoin(broadcast(q.select(col("query_id"), col("__qcode"))))
+    // excludeSelf: drop the query's own corpus row (the q237/q240
+    // self-match convention) — OPT-IN, matching searchWithRerank's
+    // excludeId default: query ids from a different id space must not
+    // silently shadow legitimate corpus neighbors
+    val filtered =
+      if (excludeSelf) scored.filter(col(idCol) =!= col("query_id"))
+      else scored
     val wH = Window.partitionBy(col("query_id"))
       .orderBy(col("h"), col(idCol))
-    val cand = readCodes(spark, path, idCol)
-      .crossJoin(broadcast(q))
-      .filter(col(idCol) =!= col("query_id"))
-      .select(col("query_id"), col(idCol), col("__qq"),
+    val cand = filtered
+      .select(col("query_id"), col(idCol),
         PortableAnn.hamming(col("code"), col("__qcode")).as("h"))
       .withColumn("__hrank", row_number().over(wH))
       .filter(col("__hrank") <= shortlist)
-      .select(col("query_id"), col(idCol), col("__qq"))
+      .select(col("query_id"), col(idCol))
     val wD = Window.partitionBy(col("query_id"))
       .orderBy(col("d2"), col(idCol))
-    cand.join(corpus.select(col(idCol), col(qvCol)), Seq(idCol))
+    cand
+      .join(broadcast(q.select(col("query_id"), col("__qq"))), Seq("query_id"))
+      .join(corpus.select(col(idCol), col(qvCol)), Seq(idCol))
       .select(col("query_id"), col(idCol),
         PortableAnn.dist2(col(qvCol), col("__qq")).as("d2"))
       .withColumn("rank", row_number().over(wD).cast("long"))
@@ -255,21 +268,7 @@ object BqIndex {
   /** Byte sizes (code table, one segment-inclusive sweep) — the scale
     * probe's evidence that the pre-rank reads ≪ vector bytes.
     */
-  def codeTableBytes(spark: SparkSession, path: String): Long = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    IndexLayout.existingParts(spark, path, "codes").map { d =>
-      val p = new org.apache.hadoop.fs.Path(d)
-      val fs = p.getFileSystem(conf)
-      if (!fs.exists(p)) 0L
-      else {
-        val it = fs.listFiles(p, true)
-        var total = 0L
-        while (it.hasNext) {
-          val f = it.next()
-          if (f.getPath.getName.endsWith(".parquet")) total += f.getLen
-        }
-        total
-      }
-    }.sum
-  }
+  def codeTableBytes(spark: SparkSession, path: String): Long =
+    IndexLayout.existingParts(spark, path, "codes")
+      .map(IndexLayout.parquetBytes(spark, _)).sum
 }

@@ -394,7 +394,12 @@ object IndexLayout {
     val fs = fsOf(spark, p)
     if (!fs.exists(p)) None
     else {
-      val in = fs.open(p)
+      // the marker can be released between the exists probe and the open
+      // (a maintainer finishing) — a vanished lease is None, not a crash
+      // in a read-only triage call
+      val in =
+        try fs.open(p)
+        catch { case _: java.io.FileNotFoundException => return None }
       try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
       catch { case _: java.io.IOException => Some("<unreadable>") }
       finally in.close()
@@ -421,10 +426,13 @@ object IndexLayout {
         try math.max(0L, System.currentTimeMillis() -
           fs.getFileStatus(p).getModificationTime)
         catch { case _: java.io.IOException => 0L }
-      val raw = leaseHolder(spark, path).getOrElse("<unreadable>")
-      raw.split(" ", 2) match {
-        case Array(op, holder) => Some((op, holder, age))
-        case _                 => Some((raw, "", age))
+      // leaseHolder returns None if the marker was released between the
+      // probes — then the lease is simply gone, not "<unreadable>"
+      leaseHolder(spark, path).map { raw =>
+        raw.split(" ", 2) match {
+          case Array(op, holder) => (op, holder, age)
+          case _                 => (raw, "", age)
+        }
       }
     }
   }
@@ -1022,16 +1030,20 @@ object IndexLayout {
     * appends push scan task count up (compact to re-cluster); retrain
     * when the measured quantizer drift (q236's mean distance-to-assigned-
     * centroid, current model vs a retrained one) exceeds the gap in
-    * basis points. `maxDataFiles` must be sized RELATIVE to the layout's
-    * clustered baseline — a freshly-compacted N-shard table is already
-    * O(N) files (that is the target state, not pressure), so pass
-    * ≈ 3–4× the shard count for sharded layouts; the default suits the
-    * unsharded code/posting tables.
+    * basis points. `maxDataFiles` is OPT-IN (default unlimited): the
+    * small-file trigger must be sized RELATIVE to the layout's
+    * clustered baseline — a freshly-compacted table is already
+    * O(shards × writer-parallelism) files, the TARGET state, so a fixed
+    * default would re-trigger compaction on the state compaction itself
+    * produces (an endless rewrite loop for a scheduler acting on the
+    * plan). Pass ≈ 3–4× your layout's post-compaction file count to
+    * enable it; the segment/tombstone triggers carry the common cases
+    * without it (every append lands a segment or a sidecar batch).
     */
   final case class MaintenanceThresholds(
       maxLiveSegments: Int = 8,
       maxTombstoneBatches: Int = 8,
-      maxDataFiles: Int = 64,
+      maxDataFiles: Int = Int.MaxValue,
       maxDriftBps: Long = 1000L)
 
   /** What [[maintenancePlan]] measured and what it recommends.
@@ -1104,6 +1116,22 @@ object IndexLayout {
     MaintenancePlan(liveSegs.size, folded.size, tombs, files,
       listLease(spark, leaseRoot), listPins(spark, dataDir).size,
       actions.result())
+  }
+
+  /** Total parquet data-file bytes under `dir` (recursive; 0 when the
+    * directory does not exist) — the probes' byte-accounting primitive.
+    */
+  def parquetBytes(spark: SparkSession, dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return 0L
+    val it = fs.listFiles(p, true)
+    var total = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) total += f.getLen
+    }
+    total
   }
 
   /** Parquet data-file count under the RESOLVED `dir` (recursive) — what

@@ -217,45 +217,63 @@ object PortableAnn {
     else {
       val cents: Array[Array[Array[Long]]] = books.map(_.centroids)
       val f = udf { v: Seq[Long] =>
-        val m = cents.length
-        val out = new Array[Int](m)
-        var s = 0
-        while (s < m) {
-          val off = s * subDim
-          val book = cents(s)
-          var best = 0
-          var bestD = Long.MaxValue
-          var c = 0
-          while (c < book.length) {
-            val cent = book(c)
-            val n = math.min(subDim, math.min(cent.length,
-              math.max(v.length - off, 0)))
-            var d = 0L
-            var i = 0
-            while (i < n) {
-              val x = v(off + i) - cent(i)
-              d += x * x
-              i += 1
-            }
-            if (d < bestD) { bestD = d; best = c }
-            c += 1
-          }
-          out(s) = best
-          s += 1
-        }
-        out
+        // null vector -> null codes (the rpProject convention; the
+        // literal expression form also nulls out — dist2(null) is null)
+        if (v == null) null
+        else pqCodesLocal(v, cents, subDim)
       }
       f(qv)
     }
 
+  /** Driver-twin of the closure branch (also its body): per-subspace
+    * argmin with strict `<` — first (lowest) cell wins, matching
+    * [[bestCell]]'s (dist, cell) struct-min tie rule; slice semantics
+    * match `slice` + LongDist2Expr's min-length loop.
+    */
+  private def pqCodesLocal(v: Seq[Long], cents: Array[Array[Array[Long]]],
+                           subDim: Int): Array[Int] = {
+    val m = cents.length
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val off = s * subDim
+      val book = cents(s)
+      var best = 0
+      var bestD = Long.MaxValue
+      var c = 0
+      while (c < book.length) {
+        val cent = book(c)
+        val n = math.min(subDim, math.min(cent.length,
+          math.max(v.length - off, 0)))
+        var d = 0L
+        var i = 0
+        while (i < n) {
+          val x = v(off + i) - cent(i)
+          d += x * x
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    out
+  }
+
   /** The literal-expression twin of [[pqCodes]] — the cross-check oracle
-    * form (bit-equality pinned in PortableAnnSpec).
+    * form (bit-equality pinned in PortableAnnSpec, null vectors
+    * included). The isNotNull gate is load-bearing: without it a null
+    * vector's per-subspace array_min compares structs whose dist field
+    * is null (nulls-first struct ordering) and silently yields cell 0
+    * instead of null — the closure branch's null→null is the intended
+    * semantic for both regimes.
     */
   private[graft] def pqCodesLiteral(qv: Column, books: Array[QModel],
                                     subDim: Int): Column =
-    array(books.zipWithIndex.map { case (b, s) =>
+    when(qv.isNotNull, array(books.zipWithIndex.map { case (b, s) =>
       bestCell(slice(qv, s * subDim + 1, subDim), b)
-    }.toIndexedSeq: _*)
+    }.toIndexedSeq: _*))
 
   /** ADC + exact-rerank search over quantized vectors for ONE query
     * (mirrors [[PqIndex.searchWithRerank]]): the per-subspace lookup
@@ -264,9 +282,13 @@ object PortableAnn {
     * L2². In SQL the lut becomes a relational join against the codebook
     * CTE — same numbers.
     */
-  def pqSearchWithRerank(corpus: DataFrame, idCol: String, qvCol: String,
+  def pqSearchWithRerank(corpus0: DataFrame, idCol: String, qvCol: String,
                          books: Array[QModel], query: Array[Long],
                          subDim: Int, shortlist: Int, topK: Int): DataFrame = {
+    // a null vector has no codes (null, both regimes) and no distance —
+    // it is unsearchable, and letting its null ADC/d2 reach an ascending
+    // orderBy would rank it FIRST (Spark sorts nulls first); drop it
+    val corpus = corpus0.filter(col(qvCol).isNotNull)
     val lut: Array[Array[Long]] = books.zipWithIndex.map { case (b, s) =>
       val qs = query.slice(s * subDim, (s + 1) * subDim)
       b.centroids.map { c =>

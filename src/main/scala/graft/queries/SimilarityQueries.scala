@@ -1497,7 +1497,7 @@ object SimilarityQueries {
           .createTempDirectory("graft_q240_bq_index").toString
         BqIndex.writeIndex(corpus, "vec_id", "qv", dir)
         BqIndex.searchBatch(s, dir, corpus, corpus.filter(col("vec_id") < 5),
-            "vec_id", "qv", shortlist = n, topK = 5)
+            "vec_id", "qv", shortlist = n, topK = 5, excludeSelf = true)
           .orderBy(col("query_id"), col("rank"))
       },
       Some(bqBatchSql)),

@@ -934,8 +934,7 @@ object StreamingOps {
       docs: DataFrame, idCol: String, textCol: String, n: Int,
       indexDir: String, checkpointDir: String, nShards: Int = 256,
       thresholds: graft.operators.IndexLayout.MaintenanceThresholds =
-        graft.operators.IndexLayout.MaintenanceThresholds(
-          maxDataFiles = Int.MaxValue)): StreamingQuery =
+        graft.operators.IndexLayout.MaintenanceThresholds()): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

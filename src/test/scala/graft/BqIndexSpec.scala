@@ -176,7 +176,7 @@ class BqIndexSpec extends SparkSpec {
     BqIndex.writeIndex(c, "vec_id", "qv", dir)
     val queries = c.filter(col("vec_id") < 4)
     val batch = BqIndex.searchBatch(spark, dir, c, queries, "vec_id", "qv",
-        shortlist = 30, topK = 5)
+        shortlist = 30, topK = 5, excludeSelf = true)
       .select("query_id", "vec_id", "d2", "rank")
       .collect().map(_.toSeq).toSet
     val perQuery = queries.select("vec_id").collect().map(_.getLong(0))

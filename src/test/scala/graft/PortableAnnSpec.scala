@@ -31,16 +31,22 @@ class PortableAnnSpec extends SparkSpec {
       m = 8, subDim = 8, k = 16, iters = 2)
     // 8×16 = 128 entries: pqCodes takes the closure-UDF branch; the
     // literal form is the oracle twin — every code must agree, including
-    // on a short (ragged) vector where the trailing slices are empty
+    // on a short (ragged) vector where the trailing slices are empty and
+    // on a NULL vector (both regimes: null codes, never cell 0)
     val ragged = corpus.limit(50)
       .union(corpus.limit(3).select(col("vec_id") + 100000L,
         slice(col("qv"), 1, 11)))
+      .union(corpus.limit(1).select(col("vec_id") + 200000L,
+        lit(null).cast("array<bigint>")))
     val both = ragged.select(col("vec_id"),
         PortableAnn.pqCodes(col("qv"), books, 8).as("hot"),
         PortableAnn.pqCodesLiteral(col("qv"), books, 8).as("lit"))
       .collect()
     both.foreach { r =>
-      assert(r.getSeq[Int](1) == r.getSeq[Int](2), s"vec ${r.getLong(0)}")
+      if (r.getLong(0) >= 200000L)
+        assert(r.isNullAt(1) && r.isNullAt(2), s"null vec must yield null codes")
+      else
+        assert(r.getSeq[Int](1) == r.getSeq[Int](2), s"vec ${r.getLong(0)}")
     }
   }
 
