@@ -27,6 +27,14 @@ import org.apache.spark.sql.SparkSession
   *
   * A query whose every rep throws is recorded in `failed` and EXCLUDED
   * from total/mean — a broken query must not make the bench look faster.
+  *
+  * Regression sentinel: `BENCH_BASELINE.json` holds the committed
+  * per-query MIN over all quotable runs. A comparable run (standard
+  * corpus + box) stamps `regressions` — every query > 1.25× its
+  * baseline — into the detail record, and a quotable run advances the
+  * baseline elementwise. The PERF table quotes the flags; nobody argues
+  * medians by hand (q23 oscillated 6.30→5.10→7.00 over rounds 8–10 on
+  * untouched code before this existed).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -139,12 +147,49 @@ object Bench {
     val quoteJson =
       s""""penalty":${if (penalty.isNaN) "null" else r4(penalty)},"quotable":$quotable"""
 
-    val detail = s"""{"metric":"total_min_of_$reps","value":${r4(total)},"unit":"sec","n_queries":${ok.size},"n_failed":${failed.size},"failed":$failedJson,"reps":$reps,"cpus":$cpus,"mean_sec":${r4(mean)},"noise_pre_sec":${r4(noisePre)},"noise_post_sec":${r4(noisePost)},"noise_ratio":${if (noise.isNaN) "null" else r4(noise)},$quoteJson,"queries":${jmap(results.map { case (k, v) => k -> (if (v.isNaN) -1.0 else v) })},"sf":"$sfDir"}"""
+    // ── per-query REGRESSION SENTINEL: ratios vs the committed
+    // min-of-all-quotable-rounds baseline, >1.25x stamped as flags.
+    // Rounds 8-10 adjudicated "q23 6.30→5.10→7.00 on untouched code" by
+    // hand each time; the flags make the record itself say which moves
+    // exceed the ambient window, so the PERF table quotes flags instead
+    // of arguing medians. Comparisons only run under the quotable
+    // preconditions (standard corpus + box — an sf0.01 dev run against
+    // an sf0.1 baseline would flag nothing and prove nothing); the
+    // baseline advances (elementwise min) only from quotable runs, so a
+    // penalized or dev run can never pollute the denominator.
+    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
+      "/root/repo/BENCH_BASELINE.json")
+    val baseline: Map[String, Double] = try {
+      val src = scala.io.Source.fromFile(baselinePath, "UTF-8")
+      val txt = try src.mkString finally src.close()
+      "\"(q[0-9][^\"]*)\":([0-9.]+)".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Throwable => Map.empty }
+    val comparable = cpus == 32 && sfDir.stripSuffix("/").endsWith("sf0.1")
+    val okMap = ok.toMap
+    val regressions =
+      if (comparable) ok.flatMap { case (name, t) =>
+        baseline.get(name).filter(_ > 0).map(b => name -> r4(t / b))
+      }.filter(_._2 > 1.25).sortBy(-_._2)
+      else Seq.empty
+    if (quotable) {
+      val merged = (baseline.keySet ++ okMap.keySet).toSeq.sorted.map { k =>
+        k -> r4((okMap.get(k).toSeq ++ baseline.get(k).toSeq).min)
+      }
+      try {
+        val w = new java.io.PrintWriter(baselinePath, "UTF-8")
+        try w.println(s"""{"note":"per-query min (sec) over all quotable sf0.1 min-of-3 runs - the regression sentinel's denominator; written only by quotable Bench runs","queries":${jmap(merged)}}""")
+        finally w.close()
+      } catch { case _: Throwable => () }
+    }
+    val regJson = s""""n_regressions":${regressions.size},"regressions":${jmap(regressions)},"baseline_queries":${baseline.size}"""
+
+    val detail = s"""{"metric":"total_min_of_$reps","value":${r4(total)},"unit":"sec","n_queries":${ok.size},"n_failed":${failed.size},"failed":$failedJson,"reps":$reps,"cpus":$cpus,"mean_sec":${r4(mean)},"noise_pre_sec":${r4(noisePre)},"noise_post_sec":${r4(noisePost)},"noise_ratio":${if (noise.isNaN) "null" else r4(noise)},$quoteJson,$regJson,"queries":${jmap(results.map { case (k, v) => k -> (if (v.isNaN) -1.0 else v) })},"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter(detailPath, "UTF-8")
       try w.println(detail) finally w.close()
     } catch { case _: Throwable => () } // summary line still goes out
-    val summary = s"""{"metric":"total_min_of_$reps","value":${r4(total)},"unit":"sec","n_queries":${ok.size},"n_failed":${failed.size},"failed":$failedJson,"reps":$reps,"mean_sec":${r4(mean)},"noise_ratio":${if (noise.isNaN) "null" else r4(noise)},$quoteJson,"queries":${jmap(slowest)},"detail_file":"$detailPath","sf":"$sfDir"}"""
+    val summary = s"""{"metric":"total_min_of_$reps","value":${r4(total)},"unit":"sec","n_queries":${ok.size},"n_failed":${failed.size},"failed":$failedJson,"reps":$reps,"mean_sec":${r4(mean)},"noise_ratio":${if (noise.isNaN) "null" else r4(noise)},$quoteJson,"n_regressions":${regressions.size},"queries":${jmap(slowest)},"detail_file":"$detailPath","sf":"$sfDir"}"""
     // the ONLY stdout line after shutdown — the driver parses the last line
     println(summary)
     System.out.flush()

@@ -127,6 +127,29 @@ object IndexScaleProbe {
           "vec_id", "qv", qvec, shortlist = 50, topK = 10,
           excludeId = Some(0L)).count()
       }
+      // SEGMENT-STATE query: a fixed-size live segment (the steady
+      // streaming state) — the broadcast anti-join guard must keep the
+      // pre-rank scan-shaped, so this row stays ~flat beside bqQuery
+      // (the old corpus-wide distinct made it a full shuffle per query)
+      graft.operators.BqIndex.writeSegment(
+        embs0.filter(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 900000000L).as("vec_id"), col("qv")),
+        "vec_id", "qv", bqDir, batchId = 0L)
+      val bqQuerySeg = time {
+        graft.operators.BqIndex.searchWithRerank(spark, bqDir, vectors,
+          "vec_id", "qv", qvec, shortlist = 50, topK = 10,
+          excludeId = Some(0L)).count()
+      }
+      // BATCH search, 128 queries in one scan: the two-phase rank keeps
+      // every window partition input-partition-bounded, so wall time
+      // tracks the ONE code-table scan (~flat per query as c grows),
+      // never a per-query single-reducer sort
+      val batchQueries = embCorpus.filter(col("vec_id") < 128L)
+      val bqBatch = time {
+        graft.operators.BqIndex.searchBatch(spark, bqDir, vectors,
+          batchQueries, "vec_id", "qv", shortlist = 50, topK = 10,
+          excludeSelf = true).count()
+      }
       val codeBytes = graft.operators.BqIndex.codeTableBytes(spark, bqDir)
       val vecBytes = graft.operators.IndexLayout.parquetBytes(spark, vecDir)
       println(f"[idxscale] c=$c docs=${corpus.count()} " +
@@ -136,6 +159,7 @@ object IndexScaleProbe {
         f"probedRows[n=64]=$rowsFixedShards probedRows[n=$reN]=$rowsResharded | " +
         f"dedup: build=$ddBuild%.2fs checkIncrement=$ddQuery%.2fs | " +
         f"bq: vecs=${embCorpus.count()} build=$bqBuild%.2fs query=$bqQuery%.2fs " +
+        f"querySegState=$bqQuerySeg%.2fs batch128=$bqBatch%.2fs " +
         f"codeBytes=$codeBytes vecBytes=$vecBytes " +
         f"bytesRatio=${vecBytes.toDouble / math.max(codeBytes, 1L)}%.1f")
       spark.catalog.clearCache()

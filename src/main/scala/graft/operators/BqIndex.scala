@@ -89,6 +89,12 @@ object BqIndex {
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
       .sortBy(_._1)
     require(rows.nonEmpty, s"$path/model holds no rows — corrupt index")
+    // a duplicated or missing pos row (stray file / partial double-write)
+    // would sort into a misaligned sums array that can still pass the
+    // dim == query.length check downstream — fail here instead
+    require(rows.map(_._1).toSeq == (0 until rows.length),
+      s"$path/model pos values are not distinct and contiguous " +
+        s"0..${rows.length - 1} — corrupt index")
     val n = rows.head._3
     require(rows.forall(_._3 == n),
       s"$path/model rows disagree on n — corrupt index")
@@ -156,9 +162,20 @@ object BqIndex {
     }
 
   /** The live code table: version-resolved base + live streaming
-    * segments (distinct-guarded when spanning several layouts — a
-    * crashed fold can leave a segment both folded and present),
-    * tombstoned ids dropped.
+    * segments, tombstoned ids dropped.
+    *
+    * Crash-duplicate guard: a crashed fold can leave a segment both
+    * folded into the base AND present on disk, so the union must
+    * deduplicate — but duplicates can ONLY be base∩segment overlap
+    * (base rows are distinct at fold time, segment rows are distinct
+    * per micro-batch), so the guard is a broadcast anti-join of the
+    * micro-batch-sized segment id set against the base, never a
+    * corpus-wide `distinct()`. The old full-table distinct silently
+    * turned the Hamming pre-rank from a shuffle-free scan+heap into
+    * scan+exchange+dedup in the steady streaming state (segments almost
+    * always live) — the BM25 read path's "never corpus-sized" rule
+    * (Bm25.topKIndexed). [[compactIndex]] keeps its full distinct: a
+    * compaction is offline and pays it once, not per query.
     */
   def readCodes(spark: SparkSession, path: String,
                 idCol: String): DataFrame = {
@@ -166,9 +183,19 @@ object BqIndex {
       case Seq() => Seq(s"$path/codes") // raise the standard read error
       case ps    => ps
     }
-    val unioned = parts.map(spark.read.parquet(_)).reduce(_.unionByName(_))
-    val deduped = if (parts.length > 1) unioned.distinct() else unioned
-    IndexLayout.dropTombstoned(deduped, idCol, s"$path/tombstones")
+    val basePath = IndexLayout.resolve(spark, s"$path/codes")
+    val (baseParts, segParts) = parts.partition(_ == basePath)
+    val merged = (baseParts, segParts) match {
+      case (_, Seq()) | (Seq(), _) =>
+        // single layout class — no base∩segment overlap possible
+        parts.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+      case (Seq(bp), sps) =>
+        val base = spark.read.parquet(bp)
+        val segments = sps.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+        base.join(broadcast(segments.select(idCol)), Seq(idCol), "left_anti")
+          .unionByName(segments)
+    }
+    IndexLayout.dropTombstoned(merged, idCol, s"$path/tombstones")
   }
 
   /** Hamming-shortlist + exact-rerank over the PERSISTED code table:
@@ -206,9 +233,13 @@ object BqIndex {
   /** Multi-query search over the persisted code table in ONE scan (the
     * q235 batch shape applied to BQ): the BOUNDED query set's packed
     * codes broadcast over the code table; per-query Hamming shortlists
-    * come from a rank window partitioned on query_id — one xor+popcount
-    * per (row, query), still only code-table bytes — and the union of
-    * shortlists reranks against the vectors in one join. Row-identical
+    * come from a rank window partitioned on query_id — planned by Spark
+    * as a PARTIAL per-input-partition top-shortlist below the exchange
+    * plus a final rank over the P×shortlist residue (WindowGroupLimit,
+    * pinned in PlanShapeSpec: no window partition is ever corpus-sized)
+    * — one xor+popcount per (row, query), still only code-table bytes —
+    * and the union of shortlists reranks against the vectors in one
+    * join. Row-identical
     * to per-query [[searchWithRerank]] calls (pinned in BqIndexSpec);
     * at shortlist = corpus it degrades to exact per-query brute force —
     * the oracle-visible twin (q240).
@@ -219,9 +250,14 @@ object BqIndex {
                   excludeSelf: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val model = readModel(spark, path)
-    val q = queries.select(col(idCol).as("query_id"),
-      PortableAnn.bqCode(col(qvCol), model.n, model.sums).as("__qcode"),
-      col(qvCol).as("__qq"))
+    // a null query vector would code to 0 (when/otherwise folds the null
+    // comparison) and its rerank d2 would be null — sorting FIRST in the
+    // ascending rank window and returning arbitrary rows; drop it, the
+    // searchWithRerank/pqSearchWithRerank convention
+    val q = queries.filter(col(qvCol).isNotNull)
+      .select(col(idCol).as("query_id"),
+        PortableAnn.bqCode(col(qvCol), model.n, model.sums).as("__qcode"),
+        col(qvCol).as("__qq"))
     // the pre-rank window carries ONLY (query_id, id, h) — the 64-long
     // query vectors would multiply the N×Q shuffle ~16× for no reason;
     // they re-join from the tiny broadcast q AFTER the shortlist filter,
@@ -236,6 +272,14 @@ object BqIndex {
     val filtered =
       if (excludeSelf) scored.filter(col(idCol) =!= col("query_id"))
       else scored
+    // pre-rank: row_number-over-(query window) + rank<=k filter — KEEP
+    // this exact shape: Spark's InferWindowGroupLimit plans it as a
+    // partial per-input-partition top-shortlist (no exchange) below the
+    // query-keyed exchange, then a final rank over the P×shortlist
+    // residue — so no window partition is ever corpus-sized, and the
+    // partial phase costs no extra shuffle (an explicit two-phase local
+    // window would force a full N×Q exchange for the same bound).
+    // Pinned in PlanShapeSpec/BqIndexSpec.
     val wH = Window.partitionBy(col("query_id"))
       .orderBy(col("h"), col(idCol))
     val cand = filtered
@@ -244,6 +288,9 @@ object BqIndex {
       .withColumn("__hrank", row_number().over(wH))
       .filter(col("__hrank") <= shortlist)
       .select(col("query_id"), col(idCol))
+    // rerank: same WindowGroupLimit-eligible shape — shortlist-bounded
+    // normally, and at the shortlist = corpus degradation (the q240
+    // exact twin) the partial phase bounds it per input partition
     val wD = Window.partitionBy(col("query_id"))
       .orderBy(col("d2"), col(idCol))
     cand
@@ -257,13 +304,46 @@ object BqIndex {
 
   /** Threshold-gated maintenance recommendations for this layout
     * ([[IndexLayout.maintenancePlan]]) — pure read, no lease.
+    * `bitFlipBps` is [[maintenanceAudit]]'s measurement: supply it and
+    * the plan gates `retrain` (= rebuild via [[writeIndex]]) on the
+    * measured flip rate, the q241 "measure, then act" contract.
     */
   def maintenancePlan(spark: SparkSession, path: String,
                       t: IndexLayout.MaintenanceThresholds =
-                        IndexLayout.MaintenanceThresholds())
+                        IndexLayout.MaintenanceThresholds(),
+                      bitFlipBps: Option[Long] = None)
       : IndexLayout.MaintenancePlan =
     IndexLayout.maintenancePlan(spark, s"$path/codes", s"$path/segments",
-      s"$path/tombstones", path, t)
+      s"$path/tombstones", path, t, bitFlipBps = bitFlipBps)
+
+  /** The q241 threshold-drift measurement packaged RUNNABLE: the
+    * fraction of code bits (basis points) that would flip if the
+    * persisted threshold model were retrained on `corpus` today.
+    * Appends and segments encode against the PERSISTED (n, Σx) model —
+    * codes stay comparable, thresholds drift only at rebuild — so a
+    * rising flip rate means Hamming pre-ranks are drifting off the
+    * corpus geometry. `corpus` is the caller's VECTOR table (the one
+    * the rerank joins — the index itself stores only 8-byte codes);
+    * pass the live rows the index covers. Feed the result to
+    * [[maintenancePlan]]'s `bitFlipBps` gate. Offline read: one
+    * bqTrain pass + one coding pass, never on a query path.
+    */
+  def maintenanceAudit(spark: SparkSession, path: String, corpus: DataFrame,
+                       qvCol: String): Long = {
+    val persisted = readModel(spark, path)
+    val vecs = corpus.filter(col(qvCol).isNotNull)
+    val (nf, sumsF) = PortableAnn.bqTrain(vecs, qvCol)
+    require(sumsF.length == persisted.dim,
+      s"corpus dimension ${sumsF.length} != indexed dimension " +
+        s"${persisted.dim}")
+    val r = vecs.select(PortableAnn.hamming(
+        PortableAnn.bqCode(col(qvCol), persisted.n, persisted.sums),
+        PortableAnn.bqCode(col(qvCol), nf, sumsF)).as("flips"))
+      .agg(coalesce(sum(col("flips")), lit(0L)).cast("long").as("fb"),
+        count(lit(1)).cast("long").as("n")).head()
+    val n = r.getLong(1)
+    if (n == 0L) 0L else r.getLong(0) * 10000L / (n * persisted.dim)
+  }
 
   /** Byte sizes (code table, one segment-inclusive sweep) — the scale
     * probe's evidence that the pre-rank reads ≪ vector bytes.

@@ -1044,7 +1044,12 @@ object IndexLayout {
       maxLiveSegments: Int = 8,
       maxTombstoneBatches: Int = 8,
       maxDataFiles: Int = Int.MaxValue,
-      maxDriftBps: Long = 1000L)
+      maxDriftBps: Long = 1000L,
+      // BQ's drift form (q241): fraction of code bits that would flip
+      // under a freshly trained threshold model, in basis points — 500
+      // = 5% of bits, past which Hamming pre-ranks have drifted off the
+      // corpus geometry and a rebuild is due
+      maxBitFlipBps: Long = 500L)
 
   /** What [[maintenancePlan]] measured and what it recommends.
     * `actions` is (action, reason) pairs — action ∈ {"fold", "compact",
@@ -1087,7 +1092,8 @@ object IndexLayout {
                       tombDir: String, leaseRoot: String,
                       t: MaintenanceThresholds = MaintenanceThresholds(),
                       tombstoneBatches: Option[Int] = None,
-                      drift: Option[(Long, Long)] = None): MaintenancePlan = {
+                      drift: Option[(Long, Long)] = None,
+                      bitFlipBps: Option[Long] = None): MaintenancePlan = {
     val (liveSegs, folded) = segmentListing(spark, segRoot)
     val tombs = tombstoneBatches
       .getOrElse(liveTombstoneFiles(spark, tombDir).size)
@@ -1112,6 +1118,13 @@ object IndexLayout {
           s"mean quantization error $cur vs $retrained after retrain " +
             s"(> ${t.maxDriftBps} bps gap): the cell structure no longer " +
             "reflects the corpus — retrainCompact"))
+    }
+    bitFlipBps.foreach { bps =>
+      if (bps > t.maxBitFlipBps)
+        actions += (("retrain",
+          s"$bps bps of code bits flip under a freshly trained threshold " +
+            s"model (> ${t.maxBitFlipBps} bps): Hamming pre-ranks have " +
+            "drifted off the corpus geometry — rebuild (writeIndex)"))
     }
     MaintenancePlan(liveSegs.size, folded.size, tombs, files,
       listLease(spark, leaseRoot), listPins(spark, dataDir).size,

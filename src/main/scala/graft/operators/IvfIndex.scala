@@ -158,6 +158,11 @@ object IvfIndex {
       .select(col(idCol).as("query_id"), col(embCol).as("__qemb"))
       .withColumn("__qnorm", sqrt(VectorFns.dot(col("__qemb"), col("__qemb"))))
       .withColumn("cell", explode(probeCells(col("__qemb"), model, nprobe)))
+    // row_number-over-(query window) + rank<=k filter — KEEP this exact
+    // shape: InferWindowGroupLimit plans it as a partial per-input-
+    // partition top-k (no extra exchange) below the query-keyed
+    // exchange, so no window partition is ever probed-set-sized
+    // (pinned in PlanShapeSpec)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col(idCol))
     corpus.join(broadcast(q), Seq("cell"))
@@ -355,6 +360,64 @@ object IvfIndex {
     IndexLayout.maintenancePlan(spark, path, s"$path.segments",
       s"$path.tombstones", path, t, drift = drift)
 
+  /** The q236 drift measurement packaged RUNNABLE — the planner's
+    * retrain gate correctly demands a measurement instead of guessing
+    * from FS metadata, and this produces it mechanically: mean
+    * quantization error (L2² to the assigned centroid) of the LIVE rows
+    * (base + segments − tombstones, the full vectors riding in the
+    * layout) under the CURRENT `model` vs under a model freshly
+    * retrained on those same rows. Returns the
+    * `(currentMeanD2, retrainedMeanD2)` pair [[maintenancePlan]]'s
+    * `drift` gate consumes, means scaled ×1e6 into longs (the gate is a
+    * ratio, so the scale cancels). Offline read — one scan per mean plus
+    * the retrain's Lloyd passes, never on a query path (which is also
+    * why the corpus-wide distinct and the closure UDF are acceptable
+    * here; the hot search paths use neither). Also serves IvfPq's coarse
+    * quantizer (same layout conventions).
+    */
+  def maintenanceAudit(spark: org.apache.spark.sql.SparkSession,
+                       path: String, idCol: String, embCol: String,
+                       model: Model, iters: Int = 2): (Long, Long) = {
+    val segs = IndexLayout.segmentDirsAt(spark, s"$path.segments")
+    val tombFiles = IndexLayout.liveTombstoneFiles(spark, s"$path.tombstones")
+    val all = (IndexLayout.resolve(spark, path) +: segs)
+      .map(spark.read.parquet(_)).reduce(_.unionByName(_)).distinct()
+    val live = IndexLayout.dropTombstonedFiles(all, idCol, tombFiles)
+      .select(col(idCol), col(embCol))
+    live.cache()
+    try {
+      val fresh = train(live, idCol, embCol,
+        k = model.centroids.length, iters = iters)
+      (meanD2x1e6(live, embCol, model), meanD2x1e6(live, embCol, fresh))
+    } finally live.unpersist()
+  }
+
+  /** Mean L2²-to-nearest-centroid over `df`, ×1e6 as a long (0 for an
+    * empty table). Audit-only — see [[maintenanceAudit]].
+    */
+  private def meanD2x1e6(df: DataFrame, embCol: String, m: Model): Long = {
+    val cents = m.centroids
+    val best = udf { v: Seq[Double] =>
+      var bestD = Double.MaxValue
+      var j = 0
+      while (j < cents.length) {
+        val c = cents(j)
+        val n = math.min(v.length, c.length)
+        var s = 0.0
+        var i = 0
+        while (i < n) { val x = v(i) - c(i); s += x * x; i += 1 }
+        if (s < bestD) bestD = s
+        j += 1
+      }
+      bestD
+    }
+    val r = df.agg(
+      coalesce(sum(best(col(embCol).cast("array<double>"))), lit(0.0)).as("s"),
+      count(lit(1)).cast("long").as("n")).head()
+    val n = r.getLong(1)
+    if (n == 0L) 0L else math.round(r.getDouble(0) * 1e6 / n)
+  }
+
   /** Driver-side twin of [[probeCells]] — the model is driver state, so a
     * bounded query set's probe lists need no Spark job.
     */
@@ -399,14 +462,30 @@ object IvfIndex {
     * there, so the same filter applies without pruning; segments are
     * micro-batch-sized, so scanning them is the cheap case by design).
     * Shared by [[searchPruned]] and `IvfPq.searchPruned`.
+    *
+    * Crash-duplicate guard (the BqIndex.readCodes discipline): a crashed
+    * fold can leave a segment both folded into the base AND present, and
+    * duplicates can ONLY be base∩segment overlap — base rows are
+    * distinct at fold time, segment rows are distinct per micro-batch —
+    * so the base anti-joins the broadcast micro-batch-sized segment id
+    * set. The read is therefore exactly-distinct: no double-listed row
+    * ever occupies two shortlist slots in the ADC/cosine pre-ranks, and
+    * the rerank needs no corpus-sized `distinct()`.
     */
   private[operators] def readCells(spark: org.apache.spark.sql.SparkSession,
                                    indexPath: String, cells: Seq[Int],
                                    idCol: String): DataFrame = {
     val cellList = cells.map(Integer.valueOf)
     val segs = IndexLayout.segmentDirsAt(spark, s"$indexPath.segments")
-    (IndexLayout.resolve(spark, indexPath) +: segs)
-      .map(p => spark.read.parquet(p).filter(col("cell").isin(cellList: _*)))
-      .reduce(_.unionByName(_))
+    val base = spark.read.parquet(IndexLayout.resolve(spark, indexPath))
+      .filter(col("cell").isin(cellList: _*))
+    if (segs.isEmpty) base
+    else {
+      val segDf = segs
+        .map(p => spark.read.parquet(p).filter(col("cell").isin(cellList: _*)))
+        .reduce(_.unionByName(_))
+      base.join(broadcast(segDf.select(idCol)), Seq(idCol), "left_anti")
+        .unionByName(segDf.select(base.columns.map(col).toIndexedSeq: _*))
+    }
   }
 }

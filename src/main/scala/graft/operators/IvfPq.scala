@@ -98,8 +98,11 @@ object IvfPq {
     * union of all probe cells plus two query-bounded shuffles, instead
     * of N driver-looped jobs. Per-query ADC tables (|queries| × m × k
     * doubles) and query vectors broadcast once; the shortlist is a
-    * per-query rank window over the probed candidates, and the exact
-    * rerank touches shortlist×|queries| rows. `queries` must be bounded
+    * per-query rank over the probed candidates, planned by Spark as a
+    * partial per-input-partition top-shortlist plus a final rank
+    * (WindowGroupLimit — no probed-set-sized window partition, pinned
+    * in PlanShapeSpec), and the exact rerank touches
+    * shortlist×|queries| rows. `queries` must be bounded
     * with a LONG id column (the broadcast-anchor contract all probe
     * searches carry). Row-identical to looping [[searchPruned]] per
     * query (spec-pinned) — in particular, like the single-query form it
@@ -152,6 +155,11 @@ object IvfPq {
       while (s < code.length) { d += lut(s)(code(s)); s += 1 }
       d
     }
+    // pre-rank: row_number-over-(query window) + rank<=k filter — KEEP
+    // this exact shape: InferWindowGroupLimit plans it as a partial
+    // per-input-partition top-shortlist (no extra exchange) below the
+    // query-keyed exchange, so no window partition is ever probed-set-
+    // sized (pinned in PlanShapeSpec)
     val wShort = Window.partitionBy(col("query_id"))
       .orderBy(col("adc"), col(idCol))
     val cand = idx.join(broadcast(qCells), Seq("cell"))
@@ -167,9 +175,14 @@ object IvfPq {
       while (i < v.length) { val x = v(i) - q(i); d += x * x; i += 1 }
       d
     }
+    // rerank: same WindowGroupLimit-eligible shape. No distinct on the
+    // vector side: readCells is exactly-distinct by construction (its
+    // broadcast anti-join crash-duplicate guard), so the old
+    // probed-corpus-wide distinct() was a pure Exchange+HashAggregate
+    // tax on every batch search
     val wTop = Window.partitionBy(col("query_id"))
       .orderBy(col("dist"), col(idCol))
-    cand.join(idx.select(col(idCol), col(embCol)).distinct(), Seq(idCol))
+    cand.join(idx.select(col(idCol), col(embCol)), Seq(idCol))
       .select(col("query_id"), col(idCol),
         distU(col("query_id"), col(embCol)).as("dist"))
       .withColumn("rank", row_number().over(wTop).cast("long"))

@@ -422,8 +422,7 @@ object PipelineQueries {
     QDef("q233_latest_run",
       (s, d) => {
         val all = t(s, d, "documents")
-        val base = java.nio.file.Files
-          .createTempDirectory("graft_q233_stage").toString
+        val base = graft.Scratch.dir("q233_stage")
         Seq("r0" -> 1, "r1" -> 2, "r2" -> 3).foreach { case (ts, upTo) =>
           graft.sinks.Sinks.writeStage(
             all.filter(col("doc_id") % 4 < upTo)

@@ -290,8 +290,7 @@ object SimilarityQueries {
         val n = corpus.count().toInt
         val model = IvfPq.train(corpus, "vec_id", "embedding",
           nlist = 4, coarseIters = 2, m = 8, k = 16, pqIters = 2)
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft_q235_index").toString
+        val dir = graft.Scratch.dir("q235_index")
         IvfPq.writeIndex(corpus, "vec_id", "embedding", model, dir)
         IvfPq.searchPrunedBatch(s, dir, corpus.filter(col("vec_id") < 5),
             "vec_id", "embedding", model, nprobe = 4, shortlist = n,
@@ -479,8 +478,7 @@ object SimilarityQueries {
     QDef("q226_dedup_against_indexed",
       (s, d) => {
         val all = docs(s, d)
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft_q226_index").toString
+        val dir = graft.Scratch.dir("q226_index")
         DedupOps.writeDedupIndex(all.filter(col("doc_id") % 10 =!= 0),
           "doc_id", "text", n = 3, dir)
         DedupOps.dedupAgainstIndex(s, dir,
@@ -500,8 +498,7 @@ object SimilarityQueries {
     QDef("q230_dedup_index_delete",
       (s, d) => {
         val all = docs(s, d)
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft_q230_index").toString
+        val dir = graft.Scratch.dir("q230_index")
         DedupOps.writeDedupIndex(all.filter(col("doc_id") % 10 =!= 0),
           "doc_id", "text", n = 3, dir)
         DedupOps.removeFromDedupIndex(
@@ -527,8 +524,7 @@ object SimilarityQueries {
       (s, d) => {
         val all = docs(s, d)
         val old = all.filter(col("doc_id") % 10 =!= 0)
-        val base = java.nio.file.Files
-          .createTempDirectory("graft_q232").toString
+        val base = graft.Scratch.dir("q232")
         val dir = s"$base/index"
         DedupOps.writeDedupIndex(old.filter(col("doc_id") % 3 === 0),
           "doc_id", "text", n = 3, dir)
@@ -1427,8 +1423,7 @@ object SimilarityQueries {
       (s, d) => {
         val corpus = embs(s, d).select(col("vec_id"),
           PortableAnn.quant(col("embedding")).as("qv"))
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft_q90_bq_index").toString
+        val dir = graft.Scratch.dir("q90_bq_index")
         BqIndex.writeIndex(corpus, "vec_id", "qv", dir)
         val qvec = corpus.filter(col("vec_id") === 0L)
           .select(col("qv")).head().getSeq[Long](0).toArray
@@ -1493,8 +1488,7 @@ object SimilarityQueries {
         val corpus = embs(s, d).select(col("vec_id"),
           PortableAnn.quant(col("embedding")).as("qv"))
         val n = corpus.count().toInt
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft_q240_bq_index").toString
+        val dir = graft.Scratch.dir("q240_bq_index")
         BqIndex.writeIndex(corpus, "vec_id", "qv", dir)
         BqIndex.searchBatch(s, dir, corpus, corpus.filter(col("vec_id") < 5),
             "vec_id", "qv", shortlist = n, topK = 5, excludeSelf = true)

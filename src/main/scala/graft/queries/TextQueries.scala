@@ -337,8 +337,7 @@ object TextQueries {
     // build; the query half reads only the query terms' shards.
     QDef("q227_bm25_indexed",
       (s, d) => {
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft_q227_index").toString
+        val dir = graft.Scratch.dir("q227_index")
         Bm25.writeIndex(docs(s, d), "doc_id", "text", dir)
         Bm25.topKIndexed(s, dir, "doc_id", bm25Queries, k = 10)
           .orderBy(col("query_id"), col("rank"))
@@ -355,8 +354,7 @@ object TextQueries {
     QDef("q228_bm25_incremental",
       (s, d) => {
         val all = docs(s, d)
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft_q228_index").toString
+        val dir = graft.Scratch.dir("q228_index")
         Bm25.writeIndex(all.filter(col("doc_id") % 10 =!= 0),
           "doc_id", "text", dir)
         Bm25.appendToIndex(all.filter(col("doc_id") % 10 === 0),
@@ -376,8 +374,7 @@ object TextQueries {
     QDef("q229_bm25_delete",
       (s, d) => {
         val all = docs(s, d)
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft_q229_index").toString
+        val dir = graft.Scratch.dir("q229_index")
         Bm25.writeIndex(all, "doc_id", "text", dir)
         Bm25.removeFromIndex(all.filter(col("doc_id") % 10 === 0)
           .select("doc_id"), "doc_id", dir)
@@ -398,8 +395,7 @@ object TextQueries {
     QDef("q231_bm25_streamed",
       (s, d) => {
         val all = docs(s, d)
-        val base = java.nio.file.Files
-          .createTempDirectory("graft_q231").toString
+        val base = graft.Scratch.dir("q231")
         val dir = s"$base/index"
         Bm25.writeIndex(all.filter(col("doc_id") % 3 === 0),
           "doc_id", "text", dir)

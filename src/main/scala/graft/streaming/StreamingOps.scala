@@ -975,6 +975,66 @@ object StreamingOps {
       }
       .start()
 
+  /** [[streamDedupIndexMaintained]]'s BM25 twin: segment write, then
+    * planner-gated fold in the micro-batch thread. The fold runs through
+    * `Bm25.compactIndex`, which takes the single-maintainer lease and
+    * snapshots the CURRENT stats row's delete-batch list inside it —
+    * BM25's stats-coupled invariant (the summed (n, avgdl) and the
+    * tombstone set come from one resolved snapshot) holds exactly as in
+    * the offline path, and foreachBatch's serialization keeps the fold
+    * from racing a replay of a segment it retires.
+    */
+  def streamBm25IndexMaintained(
+      docs: DataFrame, idCol: String, textCol: String,
+      indexDir: String, checkpointDir: String, nShards: Int = 64,
+      thresholds: graft.operators.IndexLayout.MaintenanceThresholds =
+        graft.operators.IndexLayout.MaintenanceThresholds()): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        graft.operators.Bm25.writeIndex(
+          batch.repartition(spark.sparkContext.defaultParallelism),
+          idCol, textCol, s"$indexDir/segments/batch=$batchId", nShards,
+          sharded = false)
+        val plan = graft.operators.Bm25.maintenancePlan(
+          spark, indexDir, thresholds)
+        if (plan.recommends("fold") || plan.recommends("compact"))
+          graft.operators.Bm25.compactIndex(spark, indexDir, idCol)
+        ()
+      }
+      .start()
+
+  /** [[streamDedupIndexMaintained]]'s IVF twin: micro-batches assign to
+    * the EXISTING centroids and land as segments, then a planner-gated
+    * fold runs in the batch thread (`IvfIndex.compactIndex` — leased,
+    * model-preserving, so the caller's search model stays valid across
+    * folds; RETRAIN stays a measured offline decision via
+    * [[graft.operators.IvfIndex.maintenanceAudit]], never fired blind
+    * from a stream). Completes the `*Maintained` family across dedup,
+    * BQ, BM25 and IVF.
+    */
+  def streamIvfIndexMaintained(
+      rows: DataFrame, idCol: String, embCol: String,
+      model: graft.operators.IvfIndex.Model,
+      indexDir: String, checkpointDir: String,
+      thresholds: graft.operators.IndexLayout.MaintenanceThresholds =
+        graft.operators.IndexLayout.MaintenanceThresholds()): StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        graft.operators.IvfIndex.writeSegment(
+          batch.repartition(spark.sparkContext.defaultParallelism),
+          idCol, embCol, model, indexDir, batchId)
+        val plan = graft.operators.IvfIndex.maintenancePlan(
+          spark, indexDir, thresholds)
+        if (plan.recommends("fold") || plan.recommends("compact"))
+          graft.operators.IvfIndex.compactIndex(spark, indexDir, idCol)
+        ()
+      }
+      .start()
+
   def runToMemory(df: DataFrame, name: String, outputMode: String): DataFrame = {
     val q = df.writeStream
       .format("memory")

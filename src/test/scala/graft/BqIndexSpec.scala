@@ -261,6 +261,67 @@ class BqIndexSpec extends SparkSpec {
     assert(IndexLayout.listLease(spark, dir).isEmpty)
   }
 
+  test("segment-state read: the crash-duplicate guard is a broadcast anti-join, never a corpus-wide shuffle") {
+    val dir = tmp("segread")
+    val c = corpus
+    val base = c.filter(col("vec_id") % 2 === 0)
+    BqIndex.writeIndex(base, "vec_id", "qv", dir)
+    BqIndex.writeSegment(c.filter(col("vec_id") % 2 === 1), "vec_id", "qv",
+      dir, batchId = 0L)
+    // the steady streaming state (a live segment) must NOT pay a
+    // corpus-sized distinct: base∩segment overlap is the only possible
+    // duplicate class, so the guard is base ANTI-JOIN broadcast(segment
+    // ids) ∪ segments — scan-shaped, no exchange, no aggregate
+    val p = BqIndex.readCodes(spark, dir, "vec_id")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"corpus shuffle in the segment-state read:\n$p")
+    assert(!p.contains("HashAggregate"),
+      s"corpus-wide distinct leaked back into the read path:\n$p")
+    // the pre-rank over that read keeps the heap shape (q90's pin, now
+    // asserted in the segment-bearing state the bench never sees)
+    val q = qvecOf(c, 0L)
+    val search = BqIndex.searchWithRerank(spark, dir, c, "vec_id", "qv", q,
+      shortlist = 50, topK = 10, excludeId = Some(0L))
+    assert(search.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"))
+    // and stays row-identical to the same rows in a single-layout index
+    // (same model: fresh build over the base, batch appended)
+    val fresh = tmp("segread_fresh")
+    BqIndex.writeIndex(base, "vec_id", "qv", fresh)
+    BqIndex.appendToIndex(c.filter(col("vec_id") % 2 === 1), "vec_id",
+      "qv", fresh)
+    val want = rows(BqIndex.searchWithRerank(spark, fresh, c, "vec_id",
+      "qv", q, shortlist = 50, topK = 10, excludeId = Some(0L)))
+    assert(rows(search) == want)
+  }
+
+  test("batch pre-rank bounds every scan partition BEFORE the exchange (WindowGroupLimit Partial)") {
+    val dir = tmp("batchpartial")
+    val c = corpus
+    BqIndex.writeIndex(c.repartition(8), "vec_id", "qv", dir)
+    // tiny files coalesce into one split by default (maxPartitionBytes
+    // packing), which would satisfy the window's clustering for free —
+    // force a multi-partition scan so the pushdown's Partial stage is
+    // actually REQUIRED to appear below the query-keyed exchange
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "8192")
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    try {
+      val p = BqIndex.searchBatch(spark, dir, c,
+          c.filter(col("vec_id") < 3), "vec_id", "qv",
+          shortlist = 30, topK = 5, excludeSelf = true)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("WindowGroupLimit"), p.take(4000))
+      assert(p.contains(", Partial"),
+        s"no partial rank below the exchange — each per-query window " +
+          s"partition would sort the whole code table:\n${p.take(4000)}")
+    } finally {
+      spark.conf.unset("spark.sql.files.maxPartitionBytes")
+      spark.conf.unset("spark.sql.files.openCostInBytes")
+    }
+  }
+
   test("code table is an order of magnitude smaller than the vector table") {
     val dir = tmp("bytes")
     val c = corpus

@@ -449,4 +449,166 @@ class LifecycleSoakSpec extends SparkSpec {
       nlist = 6, coarseIters = 2, m = 8, k = 12, pqIters = 2)
     assert(prunedTop(dir, model2) == oracle(live, model2), "after retrain")
   }
+
+  // ──────────────── self-maintaining BM25 / IVF streams ────────────────
+
+  test("SELF-MAINTAINING BM25 stream: planner-gated folds in the batch loop; retrieval exact throughout") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    val queries = Seq("s1" -> "fast hash join", "s2" -> "stream filter vector")
+    def retrieved(path: String): Set[Seq[Any]] =
+      Bm25.topKIndexed(spark, path, "doc_id", queries, k = 5)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          round(col("score"), 9))
+        .collect().map(_.toSeq).toSet
+    def oracle(live: DataFrame): Set[Seq[Any]] =
+      Bm25.topK(live, "doc_id", "text", queries, k = 5)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          round(col("score"), 9))
+        .collect().map(_.toSeq).toSet
+
+    val dir = s"${tmp("soak_bm25_maint")}/index"
+    val t = IndexLayout.MaintenanceThresholds(maxLiveSegments = 2)
+    Bm25.writeIndex(docs.filter(col("doc_id") % 6 === 0), "doc_id", "text",
+      dir)
+    var corpus = docs.filter(col("doc_id") % 6 === 0)
+
+    val src = MemoryStream[(Long, String)]
+    val q = StreamingOps.streamBm25IndexMaintained(
+      src.toDF().toDF("doc_id", "text"), "doc_id", "text", dir,
+      s"${tmp("soak_bm25_maint_ckpt")}/c1", thresholds = t)
+    (1L to 5L).foreach { m =>
+      val batch = docs.filter(col("doc_id") % 6 === m)
+      src.addData(batch.as[(Long, String)].collect().toSeq: _*)
+      q.processAllAvailable()
+      corpus = corpus.unionByName(batch)
+      val live = IndexLayout.segmentDirs(spark, dir).size
+      assert(live <= 2, s"after batch $m: $live live segments")
+      // the stats-coupled invariant: summed (n, avgdl) and retrieval
+      // stay exact no matter when the in-stream fold fired
+      assert(retrieved(dir) == oracle(corpus), s"after batch $m")
+    }
+    q.stop()
+    assert(IndexLayout.listLease(spark, dir).isEmpty,
+      "no lease leaked by in-stream folds")
+  }
+
+  test("SELF-MAINTAINING IVF stream: planner-gated folds in the batch loop; pruned search exact throughout") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    val queries = embs.filter(col("vec_id") < 4)
+    def pruned(dir: String, m: IvfIndex.Model): Set[Seq[Any]] =
+      IvfIndex.searchPruned(spark, dir, queries, "vec_id", "embedding",
+          m, nprobe = 3, topK = 5)
+        .select(col("query_id"), col("vec_id"), round(col("sim"), 9),
+          col("rank"))
+        .collect().map(_.toSeq).toSet
+    def oracle(live: DataFrame, m: IvfIndex.Model): Set[Seq[Any]] =
+      IvfIndex.search(queries, live, "vec_id", "embedding", m,
+          nprobe = 3, topK = 5)
+        .select(col("query_id"), col("vec_id"), round(col("sim"), 9),
+          col("rank"))
+        .collect().map(_.toSeq).toSet
+
+    val vecs = embs.select("vec_id", "embedding")
+    val base = vecs.filter(col("vec_id") % 6 === 0)
+    val model = IvfIndex.train(base, "vec_id", "embedding", k = 6, iters = 2)
+    val dir = s"${tmp("soak_ivf_maint")}/index"
+    IvfIndex.writeIndex(base, "vec_id", "embedding", model, dir)
+    var corpus = base
+
+    val t = IndexLayout.MaintenanceThresholds(maxLiveSegments = 2)
+    val src = MemoryStream[(Long, Array[Float])]
+    val q = StreamingOps.streamIvfIndexMaintained(
+      src.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      model, dir, s"${tmp("soak_ivf_maint_ckpt")}/c1", thresholds = t)
+    (1L to 5L).foreach { m =>
+      val batch = vecs.filter(col("vec_id") % 6 === m)
+      src.addData(batch.as[(Long, Array[Float])].collect().toSeq: _*)
+      q.processAllAvailable()
+      corpus = corpus.unionByName(batch)
+      val live = IndexLayout.segmentDirsAt(spark, s"$dir.segments").size
+      assert(live <= 2, s"after batch $m: $live live segments")
+      assert(pruned(dir, model) == oracle(corpus, model), s"after batch $m")
+    }
+    q.stop()
+    assert(IndexLayout.listLease(spark, dir).isEmpty,
+      "no lease leaked by in-stream folds")
+  }
+
+  // ──────── planner-fired RETRAIN from the packaged drift audits ────────
+
+  test("IVF measure→plan→act loop: a distribution-shifted append fires RETRAIN through maintenanceAudit; a retrain quiets it") {
+    val vecs = embs.select("vec_id", "embedding")
+    val cut = vecs.count() * 4L / 5L
+    val base = vecs.filter(col("vec_id") < cut)
+    val model = IvfIndex.train(base, "vec_id", "embedding", k = 4, iters = 2)
+    val dir = s"${tmp("soak_ivf_audit")}/index"
+    IvfIndex.writeIndex(base, "vec_id", "embedding", model, dir)
+
+    // distribution-SHIFTED append: the tail lands far from every trained
+    // centroid (+4 per unit dim on an ~unit-normalized embedding)
+    val shifted = vecs.filter(col("vec_id") >= cut)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x + lit(4.0f)).as("embedding"))
+    IvfIndex.appendToIndex(shifted, "vec_id", "embedding", model, dir)
+
+    // the packaged audit produces the measurement the planner demands
+    val drift = IvfIndex.maintenanceAudit(spark, dir, "vec_id", "embedding",
+      model, iters = 2)
+    val plan = IvfIndex.maintenancePlan(spark, dir, drift = Some(drift))
+    assert(plan.recommends("retrain"),
+      s"shifted-append drift $drift must fire retrain")
+
+    // act on the recommendation, then re-measure: the gap must close
+    // (audit retrains on the same live rows the retrain used, so the
+    // pair degenerates to equality — deterministic first-k init)
+    val model2 = IvfIndex.retrainCompact(spark, dir, "vec_id", "embedding",
+      k = 4, iters = 2)
+    val drift2 = IvfIndex.maintenanceAudit(spark, dir, "vec_id",
+      "embedding", model2, iters = 2)
+    // same live rows, same deterministic first-k train ⇒ the same model
+    // on both sides; ±1 absorbs double-sum merge-order wobble in the
+    // ×1e6 scaling
+    assert((drift2._1 - drift2._2).abs <= 1L, s"post-retrain audit $drift2")
+    assert(!IvfIndex.maintenancePlan(spark, dir, drift = Some(drift2))
+      .recommends("retrain"))
+    assert(IndexLayout.listLease(spark, dir).isEmpty)
+  }
+
+  test("BQ measure→plan→act loop: a distribution-shifted append fires rebuild through maintenanceAudit; the rebuild quiets it") {
+    val qvecs = embs.select(col("vec_id"),
+      graft.operators.PortableAnn.quant(col("embedding")).as("qv"))
+    val cut = qvecs.count() * 4L / 5L
+    val base = qvecs.filter(col("vec_id") < cut)
+    val dir = s"${tmp("soak_bq_audit")}/index"
+    graft.operators.BqIndex.writeIndex(base, "vec_id", "qv", dir)
+
+    // shifted tail (+4096 per dim in the quantized domain) appended —
+    // encoded against the PERSISTED thresholds, the drift scenario
+    val shifted = qvecs.filter(col("vec_id") >= cut)
+      .select(col("vec_id"),
+        transform(col("qv"), x => x + lit(4096L)).as("qv"))
+    graft.operators.BqIndex.appendToIndex(shifted, "vec_id", "qv", dir)
+    val live = base.unionByName(shifted)
+
+    val bps = graft.operators.BqIndex.maintenanceAudit(spark, dir, live, "qv")
+    val plan = graft.operators.BqIndex.maintenancePlan(spark, dir,
+      bitFlipBps = Some(bps))
+    assert(plan.recommends("retrain"),
+      s"shifted-append flip rate $bps bps must fire rebuild")
+
+    // act: rebuild over the live rows; a fresh audit retrains on exactly
+    // the corpus the rebuild trained on, so the flip rate is 0 — the
+    // quiet state, below any threshold
+    graft.operators.BqIndex.writeIndex(live, "vec_id", "qv", dir)
+    val bps2 = graft.operators.BqIndex.maintenanceAudit(spark, dir, live,
+      "qv")
+    assert(bps2 == 0L, s"post-rebuild flip rate $bps2 bps")
+    assert(!graft.operators.BqIndex.maintenancePlan(spark, dir,
+      bitFlipBps = Some(bps2)).recommends("retrain"))
+    assert(IndexLayout.listLease(spark, dir).isEmpty)
+  }
 }

@@ -133,6 +133,46 @@ class MaintenancePlanSpec extends SparkSpec {
       drift = Some((1200L, 0L))).recommends("retrain"))
   }
 
+  test("BQ bit-flip gate: no measurement never retrains; the 500-bps default separates quiet from drifted") {
+    val dir = s"${tmp("plan_flip")}/index"
+    val c = qvecs
+    BqIndex.writeIndex(c, "vec_id", "qv", dir)
+    // no measurement supplied -> never recommends retrain
+    assert(!BqIndex.maintenancePlan(spark, dir).recommends("retrain"))
+    // at or under the default 500 bps -> quiet
+    assert(!BqIndex.maintenancePlan(spark, dir, bitFlipBps = Some(500L))
+      .recommends("retrain"))
+    // over it -> rebuild recommended
+    val p = BqIndex.maintenancePlan(spark, dir, bitFlipBps = Some(501L))
+    assert(p.recommends("retrain"))
+    assert(p.actions.exists(_._2.contains("bps")))
+    // caller-tuned threshold moves the gate
+    val tight = IndexLayout.MaintenanceThresholds(maxBitFlipBps = 100L)
+    assert(BqIndex.maintenancePlan(spark, dir, tight, Some(101L))
+      .recommends("retrain"))
+  }
+
+  test("packaged audits are zero at the fixed point: a just-built index measures no drift") {
+    // BQ: the persisted model IS a fresh train over the same corpus, so
+    // the flip spectrum is exactly zero (pure integer arithmetic)
+    val bq = s"${tmp("plan_audit_bq")}/index"
+    val c = qvecs
+    BqIndex.writeIndex(c, "vec_id", "qv", bq)
+    assert(BqIndex.maintenanceAudit(spark, bq, c, "qv") == 0L)
+    // IVF: audit retrains on the same live rows the model was trained
+    // on (deterministic first-k init), so current == retrained mean d2
+    // up to double-merge wobble in the x1e6 scaling
+    val iv = s"${tmp("plan_audit_ivf")}/index"
+    val vecs = Tables(spark, sf, "embeddings").select("vec_id", "embedding")
+    val model = IvfIndex.train(vecs, "vec_id", "embedding", k = 4, iters = 2)
+    IvfIndex.writeIndex(vecs, "vec_id", "embedding", model, iv)
+    val drift = IvfIndex.maintenanceAudit(spark, iv, "vec_id", "embedding",
+      model, iters = 2)
+    assert((drift._1 - drift._2).abs <= 1L, s"fixed-point audit $drift")
+    assert(!IvfIndex.maintenancePlan(spark, iv, drift = Some(drift))
+      .recommends("retrain"))
+  }
+
   test("the full measure-then-act loop: real drift from a shifted corpus recommends retrain; uniform appends do not") {
     val dir = s"${tmp("plan_loop")}/index"
     val vecs = Tables(spark, sf, "embeddings").select("vec_id", "embedding")

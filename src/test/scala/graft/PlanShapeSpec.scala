@@ -226,6 +226,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("batch ANN rank windows plan a partial rank stage: no corpus-sized window partition is ever sorted whole") {
+    // q240 (BQ batch at full width) / q235 (IVF-PQ batch) / q46 (IVF
+    // probed search): a rank window partitioned by query_id alone would
+    // naively sort each query's whole candidate set — the code table,
+    // the probed cells — on one reducer (a ~24 GB single-task sort per
+    // query at 10⁹ vectors). The operators keep the
+    // row_number-over-window + rank<=k filter shape EXACTLY so Spark's
+    // InferWindowGroupLimit plans it two-phase: a WindowGroupLimit
+    // bounds every input partition to its local top-k BEFORE the
+    // query-keyed exchange (no extra shuffle — an explicit local window
+    // keyed by (query_id, spark_partition_id()) was tried and rejected:
+    // it forces a full N×Q exchange for the same bound), and the final
+    // rank runs over the P×k residue. A refactor that breaks the
+    // inferable shape (filter on a derived column, a non-rank function,
+    // a frame change) silently loses the pushdown — this pin fails the
+    // moment WindowGroupLimit disappears from any of the three plans.
+    Seq("q240_bq_batch_exact", "q235_ivfpq_batch_exact", "q46_ivf_ann")
+      .foreach { name =>
+        val p = plan(name)
+        assert(p.contains("WindowGroupLimit"),
+          s"$name: rank-limit pushdown lost — the per-query window " +
+            s"sorts its whole partition:\n${p.take(4000)}")
+      }
+  }
+
   test("q82 interval join plans as an equi-join on the bin, not a nested loop") {
     val p = plan("q82_interval_join")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
