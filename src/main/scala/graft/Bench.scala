@@ -30,9 +30,9 @@ import org.apache.spark.sql.SparkSession
   *
   * Regression sentinel: `BENCH_BASELINE.json` holds the committed
   * per-query MIN over all quotable runs. A comparable run (standard
-  * corpus + box) stamps `regressions` — every query > 1.25× its
-  * baseline — into the detail record, and a quotable run advances the
-  * baseline elementwise. The PERF table quotes the flags; nobody argues
+  * corpus + box) stamps `regressions` — every query > 1.25× AND
+  * > 0.25 s over its baseline — into the detail record, and a quotable
+  * run advances the baseline elementwise. The PERF table quotes the flags; nobody argues
   * medians by hand (q23 oscillated 6.30→5.10→7.00 over rounds 8–10 on
   * untouched code before this existed).
   */
@@ -167,10 +167,15 @@ object Bench {
     } catch { case _: Throwable => Map.empty }
     val comparable = cpus == 32 && sfDir.stripSuffix("/").endsWith("sf0.1")
     val okMap = ok.toMap
+    // flag = ratio > 1.25x AND > 0.25 s over baseline: the ratio alone
+    // flags sub-second jitter by the dozen (the first flagged record
+    // had 44 flags, 37 of them under 1 s and 5.9 s of total excess) —
+    // the floor keeps flags meaning "a move worth adjudicating"
     val regressions =
       if (comparable) ok.flatMap { case (name, t) =>
-        baseline.get(name).filter(_ > 0).map(b => name -> r4(t / b))
-      }.filter(_._2 > 1.25).sortBy(-_._2)
+        baseline.get(name).filter(b => b > 0 && t / b > 1.25 && t - b > 0.25)
+          .map(b => name -> r4(t / b))
+      }.sortBy(-_._2)
       else Seq.empty
     if (quotable) {
       val merged = (baseline.keySet ++ okMap.keySet).toSeq.sorted.map { k =>

@@ -40,8 +40,7 @@ object IndexScaleProbe {
         base.select((col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
           regexp_replace(col("text"), "([a-z0-9]+)", s"c$i$$1").as("text"))
       }.reduce(_ unionAll _).localCheckpoint()
-      val root = java.nio.file.Files
-        .createTempDirectory(s"graft_idxscale_c$c").toString
+      val root = Scratch.dir(s"idxscale_c$c")
       def time(f: => Unit): Double = {
         val t0 = System.nanoTime()
         f

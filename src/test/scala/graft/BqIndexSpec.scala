@@ -52,6 +52,22 @@ class BqIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("dimension"))
   }
 
+  test("readModel rejects a misaligned model table (duplicated pos row)") {
+    val dir = tmp("modelguard")
+    val c = corpus
+    BqIndex.writeIndex(c, "vec_id", "qv", dir)
+    val m = BqIndex.readModel(spark, dir)
+    // a stray double-write: one duplicated pos row sorts into a
+    // misaligned sums array that still passes the later dim check —
+    // the contiguity guard must refuse to read it
+    import spark.implicits._
+    Seq((0, m.sums(0), m.n)).toDF("pos", "s", "n")
+      .write.mode("append")
+      .parquet(IndexLayout.resolve(spark, s"$dir/model"))
+    val e = intercept[IllegalArgumentException](BqIndex.readModel(spark, dir))
+    assert(e.getMessage.contains("contiguous"))
+  }
+
   test("append lands new vectors in the shortlist scan; codes use the persisted model") {
     val dir = tmp("append")
     val c = corpus
@@ -190,6 +206,23 @@ class BqIndexSpec extends SparkSpec {
           }
       }.toSet
     assert(batch == perQuery)
+  }
+
+  test("batch search drops null query vectors instead of returning arbitrary rows") {
+    val dir = tmp("nullq")
+    val c = corpus
+    BqIndex.writeIndex(c, "vec_id", "qv", dir)
+    // a null vector used to code to 0 and rerank to null d2 — which
+    // sorts FIRST ascending, silently returning arbitrary rows at
+    // ranks 1..topK for that query
+    val queries = c.filter(col("vec_id") < 2)
+      .unionByName(c.filter(col("vec_id") === 2)
+        .select(col("vec_id"), lit(null).cast("array<bigint>").as("qv")))
+    val got = BqIndex.searchBatch(spark, dir, c, queries, "vec_id", "qv",
+      shortlist = 30, topK = 5, excludeSelf = true)
+    assert(got.filter(col("query_id") === 2L).count() == 0,
+      "null-vector query must contribute no rows")
+    assert(got.select("query_id").distinct().count() == 2)
   }
 
   test("streamed micro-batches maintain the index; reads equal a from-scratch build") {
