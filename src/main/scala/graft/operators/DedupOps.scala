@@ -452,6 +452,32 @@ object DedupOps {
     * `Bm25.writeIndex` / `IvfIndex.writeIndex`: a new-batch check reads
     * only the batch's shingles' shards, not the corpus.
     */
+  /** Fingerprint-table shard count — FIXED, deliberately independent of
+    * the caller's shingle `nShards`: the fp shard is an internal pruning
+    * detail (md5 is uniform, so any bucket count load-balances), and a
+    * fixed modulus means writer, reader and compactor can never disagree
+    * — the silent-miss failure a caller-supplied modulus would invite
+    * (query at n=64 against a table compacted at n=256 prunes WRONG
+    * shards). At 10⁹ docs: 256 dirs × ~100 MB. Legacy fingerprint
+    * layouts (no `fpshard`) read unpruned and migrate at compaction.
+    */
+  private[graft] val FpShards: Int = 256
+
+  private def withFpShard(df: DataFrame): DataFrame =
+    df.withColumn("fpshard",
+      graft.functions.ShardExpr.javaHashMod(col("__fp"), FpShards))
+
+  /** Increment-doc count at or under which [[dedupAgainstIndex]]'s
+    * exact-dup check runs in the broadcast regime (increment
+    * fingerprints broadcast over the pruned corpus scan — no corpus
+    * shuffle); beyond it, the shuffle semi-join fallback. ~50 MB of
+    * broadcast at the cap. System-property override so the
+    * regime-equality spec can force the fallback on a small corpus.
+    */
+  private[graft] def ExactFpBroadcastMaxRows: Long =
+    sys.props.get("graft.dedup.fpBroadcastMaxRows").map(_.toLong)
+      .getOrElse(2000000L)
+
   def writeDedupIndex(corpusDf: DataFrame, idCol: String, textCol: String,
                       n: Int, path: String, nShards: Int = 256,
                       sharded: Boolean = true): Unit = {
@@ -524,12 +550,22 @@ object DedupOps {
     // fingerprints carry the doc id alongside the hash so
     // [[removeFromDedupIndex]] can tombstone a doc's exact-dup row (two
     // live docs sharing a fingerprint keep their own rows — removing one
-    // leaves the other's exact-match hit intact)
-    corpusDf
+    // leaves the other's exact-match hit intact). Sharded by fp hash
+    // ([[FpShards]]) for the same reason the shingles are sharded: the
+    // exact-dup check prunes to the increment's fp shards instead of
+    // scanning the whole table. Segments (sharded = false) carry the
+    // shard as a data column — the Lucene small-segment shape; a
+    // zero-row partitioned write would leave no schema files, so an
+    // empty corpus writes the readable-empty unpartitioned form.
+    val fpRows = withFpShard(corpusDf
       .select(col(idCol),
         graft.functions.TextFns.fingerprint(col(textCol)).as("__fp"))
-      .distinct()
-      .write.mode("overwrite").parquet(s"$path/fingerprints")
+      .distinct())
+    if (!sharded || corpusDf.isEmpty)
+      fpRows.write.mode("overwrite").parquet(s"$path/fingerprints")
+    else
+      fpRows.repartition(col("fpshard")).write.mode("overwrite")
+        .partitionBy("fpshard").parquet(s"$path/fingerprints")
   }
 
   /** The (id, shingle, sz, shard) posting rows of the dedup index, built
@@ -593,16 +629,35 @@ object DedupOps {
       IndexLayout.assertAppendVisible(batch.sparkSession,
         s"$path/shingles", target)
     }
-    val fpTarget =
-      IndexLayout.resolve(batch.sparkSession, s"$path/fingerprints")
-    batch
+    val spark = batch.sparkSession
+    val fpTarget = IndexLayout.resolve(spark, s"$path/fingerprints")
+    val fpBatch = withFpShard(batch
       .select(col(idCol),
         graft.functions.TextFns.fingerprint(col(textCol)).as("__fp"))
-      .distinct()
-      .write.mode("append")
-      .parquet(fpTarget)
-    IndexLayout.assertAppendVisible(batch.sparkSession,
-      s"$path/fingerprints", fpTarget)
+      .distinct())
+    if (IndexLayout.partitionedLayout(spark, s"$path/fingerprints",
+        "fpshard")) {
+      fpBatch.repartition(col("fpshard")).write.mode("append")
+        .partitionBy("fpshard").parquet(fpTarget)
+    } else if (!IndexLayout.hasRows(spark, s"$path/fingerprints")) {
+      // readable-empty base (empty-corpus build): a real append
+      // OVERWRITES into the pruned partitioned form — appending
+      // fpshard=… dirs next to a bare parquet file would be a mixed
+      // layout; a zero-row batch keeps the readable-empty form
+      if (!fpBatch.isEmpty)
+        fpBatch.repartition(col("fpshard")).write.mode("overwrite")
+          .partitionBy("fpshard").parquet(fpTarget)
+    } else {
+      // non-empty UNPARTITIONED layout (a segment-style base build, or
+      // a legacy pre-fpshard table): append schema-consistently — with
+      // the shard data column iff the existing files carry it (a column
+      // present in some files and absent in others reads back null and
+      // would silently drop rows from the pruned scan)
+      val hasCol = spark.read.parquet(fpTarget).columns.contains("fpshard")
+      (if (hasCol) fpBatch else fpBatch.drop("fpshard"))
+        .write.mode("append").parquet(fpTarget)
+    }
+    IndexLayout.assertAppendVisible(spark, s"$path/fingerprints", fpTarget)
   }
 
   /** Tombstone documents OUT of the dedup index — O(batch) appended
@@ -688,18 +743,29 @@ object DedupOps {
         df => reshardShingles(
           IndexLayout.dropTombstonedFiles(df, idCol, tombFiles),
           reshardTo))
-      IndexLayout.rewriteInPlace(spark, s"$path/fingerprints", None,
-        IndexLayout.dropTombstonedFiles(_, idCol, tombFiles))
+      // fpshard recomputed unconditionally (idempotent — md5 hash mod a
+      // FIXED modulus): a legacy pre-fpshard table MIGRATES to the
+      // pruned partitioned layout on its first compaction
+      IndexLayout.rewriteInPlace(spark, s"$path/fingerprints",
+        Some("fpshard"),
+        df => withFpShard(
+          IndexLayout.dropTombstonedFiles(df, idCol, tombFiles)
+            .select(col(idCol), col("__fp"))))
     } else {
       val shAll = IndexLayout.existingPartsOf(spark, path, segs, "shingles")
         .map(spark.read.parquet(_)).reduce(_.unionByName(_)).distinct()
       IndexLayout.writeSwap(spark, s"$path/shingles",
         reshardShingles(IndexLayout.dropTombstonedFiles(shAll, idCol, tombFiles),
           reshardTo), Some("shard"))
+      // per-part projection BEFORE the union: legacy parts lack fpshard
+      // and unionByName would reject the ragged schemas; the shard is
+      // recomputed on the merged rows (same migration as above)
       val fpAll = IndexLayout.existingPartsOf(spark, path, segs, "fingerprints")
-        .map(spark.read.parquet(_)).reduce(_.unionByName(_)).distinct()
+        .map(spark.read.parquet(_).select(col(idCol), col("__fp")))
+        .reduce(_.unionByName(_)).distinct()
       IndexLayout.writeSwap(spark, s"$path/fingerprints",
-        IndexLayout.dropTombstonedFiles(fpAll, idCol, tombFiles), None)
+        withFpShard(IndexLayout.dropTombstonedFiles(fpAll, idCol, tombFiles)),
+        Some("fpshard"))
     }
     // retire on BOTH branches: delete what the previous fold marked,
     // mark this fold's snapshot (empty on the segment-less branch when
@@ -755,18 +821,45 @@ object DedupOps {
     // tombstoned docs (see [[removeFromDedupIndex]]) drop from BOTH index
     // sides before any comparison; no-op when nothing was removed. The
     // fingerprint side spans base + streaming segments (duplicate rows
-    // are harmless under the left_semi).
+    // are harmless — both regimes tolerate them), PRUNED per layout to
+    // the increment's fp shards ([[FpShards]] — the shingle-shard recipe;
+    // a legacy pre-fpshard layout scans unpruned until its first
+    // compaction migrates it). The match itself runs broadcast-side-out
+    // under [[ExactFpBroadcastMaxRows]]: increment fingerprints broadcast
+    // over the pruned corpus scan — no corpus-fingerprint shuffle, which
+    // the old corpus-on-the-build-side semi-join paid on EVERY increment
+    // check; past the cap, the shuffle semi-join fallback (regime
+    // equality spec-pinned).
+    val newFps = newDf.select(col(idCol),
+      graft.functions.TextFns.fingerprint(col(textCol)).as("__fp"))
+    val fpShardList = newFps
+      .select(graft.functions.ShardExpr.javaHashMod(col("__fp"), FpShards)
+        .as("s"))
+      .distinct().collect().map(_.getInt(0))
     val fps = IndexLayout.existingParts(spark, path, "fingerprints") match {
       case Seq() => Seq(s"$path/fingerprints")
       case ls    => ls
     }
-    val exact = newDf
-      .select(col(idCol), graft.functions.TextFns.fingerprint(col(textCol)).as("__fp"))
-      .join(IndexLayout.dropTombstoned(
-          fps.map(spark.read.parquet(_)).reduce(_.unionByName(_)), idCol,
-          s"$path/tombstones"),
-        Seq("__fp"), "left_semi")
-      .select(col(idCol)).withColumn("__exact", lit(1L))
+    val corpusFps = IndexLayout.dropTombstoned(
+      fps.map { p =>
+        val df = spark.read.parquet(p)
+        val pruned =
+          if (df.columns.contains("fpshard"))
+            df.filter(col("fpshard")
+              .isin(fpShardList.map(Integer.valueOf): _*))
+          else df
+        pruned.select(col(idCol), col("__fp"))
+      }.reduce(_.unionByName(_)), idCol, s"$path/tombstones")
+    val exact =
+      if (newDf.count() <= ExactFpBroadcastMaxRows)
+        corpusFps
+          .join(broadcast(newFps.select(col(idCol).as("__nid"), col("__fp"))),
+            Seq("__fp"))
+          .select(col("__nid").as(idCol)).distinct()
+          .withColumn("__exact", lit(1L))
+      else
+        newFps.join(corpusFps, Seq("__fp"), "left_semi")
+          .select(col(idCol)).withColumn("__exact", lit(1L))
     val shNew = shingles(newDf, idCol, textCol, n).cache()
     val idx = IndexLayout.dropTombstoned(
       prunedShingleIndex(spark, path, shNew, nShards), idCol,
