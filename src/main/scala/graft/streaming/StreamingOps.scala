@@ -895,6 +895,31 @@ object StreamingOps {
       }
       .start()
 
+  /** Continuous maintenance of a persisted IVF-PQ index
+    * (`graft.operators.IvfPq.writeIndex` layout, which must exist —
+    * both quantizers are trained offline): each micro-batch is assigned
+    * to the EXISTING coarse centroids, encoded with the EXISTING
+    * codebooks, and written as an immutable segment via
+    * `IvfPq.writeSegment` (per-batch overwrite ⇒ exactly-once on
+    * replay; quantizers drift only at retrain). `IvfPq.searchPruned`
+    * spans base + segments; `IvfIndex.compactIndex` folds them — the
+    * layouts are shape-identical, so the IVF lifecycle machinery serves
+    * the composite unchanged.
+    */
+  def streamIvfPqIndex(rows: DataFrame, idCol: String, embCol: String,
+                       model: graft.operators.IvfPq.Model,
+                       indexDir: String,
+                       checkpointDir: String): StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.IvfPq.writeSegment(
+          batch.repartition(batch.sparkSession.sparkContext.defaultParallelism),
+          idCol, embCol, model, indexDir, batchId)
+        ()
+      }
+      .start()
+
   /** Continuous maintenance of a persisted binary-quantization index
     * (`graft.operators.BqIndex.writeIndex` layout, which must exist —
     * the threshold model is trained at build time): each micro-batch is
@@ -1025,6 +1050,34 @@ object StreamingOps {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         graft.operators.IvfIndex.writeSegment(
+          batch.repartition(spark.sparkContext.defaultParallelism),
+          idCol, embCol, model, indexDir, batchId)
+        val plan = graft.operators.IvfIndex.maintenancePlan(
+          spark, indexDir, thresholds)
+        if (plan.recommends("fold") || plan.recommends("compact"))
+          graft.operators.IvfIndex.compactIndex(spark, indexDir, idCol)
+        ()
+      }
+      .start()
+
+  /** [[streamIvfIndexMaintained]]'s IVF-PQ twin: segments assigned to
+    * the existing coarse centroids and encoded with the existing
+    * codebooks, planner-gated folds in the batch thread (the planner and
+    * the fold are IvfIndex's — the layouts share path conventions and
+    * the (cell, id, …) shape). Completes the `*Maintained` family across
+    * all five streaming-fed layouts.
+    */
+  def streamIvfPqIndexMaintained(
+      rows: DataFrame, idCol: String, embCol: String,
+      model: graft.operators.IvfPq.Model,
+      indexDir: String, checkpointDir: String,
+      thresholds: graft.operators.IndexLayout.MaintenanceThresholds =
+        graft.operators.IndexLayout.MaintenanceThresholds()): StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        graft.operators.IvfPq.writeSegment(
           batch.repartition(spark.sparkContext.defaultParallelism),
           idCol, embCol, model, indexDir, batchId)
         val plan = graft.operators.IvfIndex.maintenancePlan(

@@ -538,6 +538,52 @@ class LifecycleSoakSpec extends SparkSpec {
       "no lease leaked by in-stream folds")
   }
 
+  test("SELF-MAINTAINING IVF-PQ stream: planner-gated folds in the batch loop; pruned search equals a fresh build throughout") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    val qvec: Array[Double] = embs.orderBy(col("vec_id")).limit(1)
+      .select(col("embedding").cast("array<double>")).head()
+      .getSeq[Double](0).toArray
+    def prunedTop(dir: String, m: IvfPq.Model): Seq[(Long, Double)] =
+      IvfPq.searchPruned(spark, dir, qvec, "vec_id", "embedding", m,
+          nprobe = 3, shortlist = 40, topK = 5)
+        .collect().map(r => (r.getLong(0),
+          math.round(r.getDouble(1) * 1e9) / 1e9)).toSeq
+    def oracle(live: DataFrame, m: IvfPq.Model): Seq[(Long, Double)] = {
+      val d = s"${tmp("soak_ivfpq_maint_fresh")}/index"
+      IvfPq.writeIndex(live, "vec_id", "embedding", m, d)
+      prunedTop(d, m)
+    }
+
+    val vecs = embs.select("vec_id", "embedding")
+    val base = vecs.filter(col("vec_id") % 5 === 0)
+    val model = IvfPq.train(base, "vec_id", "embedding", nlist = 6,
+      coarseIters = 2, m = 8, k = 12, pqIters = 2)
+    val dir = s"${tmp("soak_ivfpq_maint")}/index"
+    IvfPq.writeIndex(base, "vec_id", "embedding", model, dir)
+    var corpus = base
+
+    val t = IndexLayout.MaintenanceThresholds(maxLiveSegments = 2)
+    val src = MemoryStream[(Long, Array[Float])]
+    val q = StreamingOps.streamIvfPqIndexMaintained(
+      src.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      model, dir, s"${tmp("soak_ivfpq_maint_ckpt")}/c1", thresholds = t)
+    (1L to 4L).foreach { m =>
+      val batch = vecs.filter(col("vec_id") % 5 === m)
+      src.addData(batch.as[(Long, Array[Float])].collect().toSeq: _*)
+      q.processAllAvailable()
+      corpus = corpus.unionByName(batch)
+      val live = IndexLayout.segmentDirsAt(spark, s"$dir.segments").size
+      assert(live <= 2, s"after batch $m: $live live segments")
+      assert(prunedTop(dir, model) == oracle(corpus, model),
+        s"after batch $m")
+    }
+    q.stop()
+    assert(IndexLayout.listLease(spark, dir).isEmpty,
+      "no lease leaked by in-stream folds")
+  }
+
   // ──────── planner-fired RETRAIN from the packaged drift audits ────────
 
   test("IVF measure→plan→act loop: a distribution-shifted append fires RETRAIN through maintenanceAudit; a retrain quiets it") {
