@@ -230,6 +230,76 @@ object IvfPq {
     model
   }
 
+  /** PQ-side drift measurement for the composite index, completing the
+    * audit family (coarse-quantizer drift is
+    * [[IvfIndex.maintenanceAudit]] — same layout conventions, pass
+    * `model.coarse`): mean PQ RECONSTRUCTION error (L2² between each
+    * live vector and its nearest codebook word per subspace, summed
+    * over subspaces — the standard PQ distortion, what ADC fidelity
+    * decays with) under the CURRENT codebooks vs codebooks freshly
+    * retrained on the live rows. Returns the
+    * `(currentMeanRecon, retrainedMeanRecon)` pair ×1e6 for
+    * [[IvfIndex.maintenancePlan]]'s ratio-based `drift` gate (the gate
+    * is scale-free, so reconstruction error rides the same rail as
+    * cell-assignment error). Offline read — never on a query path.
+    */
+  def maintenanceAudit(spark: SparkSession, path: String, idCol: String,
+                       embCol: String, model: Model,
+                       pqIters: Int = 2): (Long, Long) = {
+    val segs = IndexLayout.segmentDirsAt(spark, s"$path.segments")
+    val tombFiles = IndexLayout.liveTombstoneFiles(spark, s"$path.tombstones")
+    val all = (IndexLayout.resolve(spark, path) +: segs)
+      .map(spark.read.parquet(_)).reduce(_.unionByName(_)).distinct()
+    val live = IndexLayout.dropTombstonedFiles(all, idCol, tombFiles)
+      .select(col(idCol), col(embCol))
+    live.cache()
+    try {
+      val k = model.pq.codebooks.headOption.map(_.length).getOrElse(0)
+      val fresh = PqIndex.train(live, idCol, embCol,
+        m = model.pq.m, k = k, iters = pqIters)
+      (meanReconX1e6(live, embCol, model.pq),
+        meanReconX1e6(live, embCol, fresh))
+    } finally live.unpersist()
+  }
+
+  /** Mean PQ reconstruction error over `df`, ×1e6 as a long (0 for an
+    * empty table). Audit-only — see [[maintenanceAudit]].
+    */
+  private def meanReconX1e6(df: DataFrame, embCol: String,
+                            pq: PqIndex.Model): Long = {
+    val cbs = pq.codebooks
+    val sd = pq.subDim
+    val recon = udf { v: Seq[Double] =>
+      var tot = 0.0
+      var s = 0
+      while (s < cbs.length) {
+        val book = cbs(s)
+        val off = s * sd
+        var best = Double.MaxValue
+        var j = 0
+        while (j < book.length) {
+          val c = book(j)
+          var d = 0.0
+          var i = 0
+          while (i < sd && off + i < v.length) {
+            val x = v(off + i) - c(i); d += x * x; i += 1
+          }
+          if (d < best) best = d
+          j += 1
+        }
+        tot += best
+        s += 1
+      }
+      tot
+    }
+    val r = df.agg(
+      coalesce(sum(recon(col(embCol).cast("array<double>"))), lit(0.0))
+        .as("s"),
+      count(lit(1)).cast("long").as("n")).head()
+    val n = r.getLong(1)
+    if (n == 0L) 0L else math.round(r.getDouble(0) * 1e6 / n)
+  }
+
   /** Probe → prune → ADC-shortlist → exact rerank, all inside the probed
     * cells' partitions (base scan partition-pruned; streaming segments,
     * when present, contribute cheap full scans with the same cell

@@ -624,6 +624,36 @@ class LifecycleSoakSpec extends SparkSpec {
     assert(IndexLayout.listLease(spark, dir).isEmpty)
   }
 
+  test("IVF-PQ measure→plan→act loop: a distribution-shifted append fires RETRAIN through the PQ reconstruction audit; a retrain quiets it") {
+    val vecs = embs.select("vec_id", "embedding")
+    val cut = vecs.count() * 4L / 5L
+    val base = vecs.filter(col("vec_id") < cut)
+    val model = IvfPq.train(base, "vec_id", "embedding", nlist = 4,
+      coarseIters = 2, m = 8, k = 12, pqIters = 2)
+    val dir = s"${tmp("soak_ivfpq_audit")}/index"
+    IvfPq.writeIndex(base, "vec_id", "embedding", model, dir)
+
+    val shifted = vecs.filter(col("vec_id") >= cut)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x + lit(4.0f)).as("embedding"))
+    IvfPq.appendToIndex(shifted, "vec_id", "embedding", model, dir)
+
+    val drift = IvfPq.maintenanceAudit(spark, dir, "vec_id", "embedding",
+      model, pqIters = 2)
+    assert(IvfIndex.maintenancePlan(spark, dir, drift = Some(drift))
+      .recommends("retrain"),
+      s"shifted-append PQ reconstruction drift $drift must fire retrain")
+
+    val model2 = IvfPq.retrainCompact(spark, dir, "vec_id", "embedding",
+      nlist = 4, coarseIters = 2, m = 8, k = 12, pqIters = 2)
+    val drift2 = IvfPq.maintenanceAudit(spark, dir, "vec_id", "embedding",
+      model2, pqIters = 2)
+    assert((drift2._1 - drift2._2).abs <= 1L, s"post-retrain audit $drift2")
+    assert(!IvfIndex.maintenancePlan(spark, dir, drift = Some(drift2))
+      .recommends("retrain"))
+    assert(IndexLayout.listLease(spark, dir).isEmpty)
+  }
+
   test("BQ measure→plan→act loop: a distribution-shifted append fires rebuild through maintenanceAudit; the rebuild quiets it") {
     val qvecs = embs.select(col("vec_id"),
       graft.operators.PortableAnn.quant(col("embedding")).as("qv"))
