@@ -452,21 +452,6 @@ object DedupOps {
     * `Bm25.writeIndex` / `IvfIndex.writeIndex`: a new-batch check reads
     * only the batch's shingles' shards, not the corpus.
     */
-  /** Fingerprint-table shard count — FIXED, deliberately independent of
-    * the caller's shingle `nShards`: the fp shard is an internal pruning
-    * detail (md5 is uniform, so any bucket count load-balances), and a
-    * fixed modulus means writer, reader and compactor can never disagree
-    * — the silent-miss failure a caller-supplied modulus would invite
-    * (query at n=64 against a table compacted at n=256 prunes WRONG
-    * shards). At 10⁹ docs: 256 dirs × ~100 MB. Legacy fingerprint
-    * layouts (no `fpshard`) read unpruned and migrate at compaction.
-    */
-  private[graft] val FpShards: Int = 256
-
-  private def withFpShard(df: DataFrame): DataFrame =
-    df.withColumn("fpshard",
-      graft.functions.ShardExpr.javaHashMod(col("__fp"), FpShards))
-
   /** Increment-doc count at or under which [[dedupAgainstIndex]]'s
     * exact-dup check runs in the broadcast regime (increment
     * fingerprints broadcast over the pruned corpus scan — no corpus
@@ -550,22 +535,19 @@ object DedupOps {
     // fingerprints carry the doc id alongside the hash so
     // [[removeFromDedupIndex]] can tombstone a doc's exact-dup row (two
     // live docs sharing a fingerprint keep their own rows — removing one
-    // leaves the other's exact-match hit intact). Sharded by fp hash
-    // ([[FpShards]]) for the same reason the shingles are sharded: the
-    // exact-dup check prunes to the increment's fp shards instead of
-    // scanning the whole table. Segments (sharded = false) carry the
-    // shard as a data column — the Lucene small-segment shape; a
-    // zero-row partitioned write would leave no schema files, so an
-    // empty corpus writes the readable-empty unpartitioned form.
-    val fpRows = withFpShard(corpusDf
+    // leaves the other's exact-match hit intact). Deliberately
+    // UNPARTITIONED: an fp-hash-sharded layout was built and measured
+    // (round 11) and REJECTED — a realistic increment's distinct
+    // fingerprints hit essentially every shard (no pruning), while the
+    // shard-directory fan-out cost ~2× on every in-query index build
+    // and compaction (q226 4.3→8.5 s). The exact-dup check's scale
+    // story is the broadcast regime in [[dedupAgainstIndex]] (no corpus
+    // shuffle), not scan pruning of a table this narrow.
+    corpusDf
       .select(col(idCol),
         graft.functions.TextFns.fingerprint(col(textCol)).as("__fp"))
-      .distinct())
-    if (!sharded || corpusDf.isEmpty)
-      fpRows.write.mode("overwrite").parquet(s"$path/fingerprints")
-    else
-      fpRows.repartition(col("fpshard")).write.mode("overwrite")
-        .partitionBy("fpshard").parquet(s"$path/fingerprints")
+      .distinct()
+      .write.mode("overwrite").parquet(s"$path/fingerprints")
   }
 
   /** The (id, shingle, sz, shard) posting rows of the dedup index, built
@@ -629,35 +611,16 @@ object DedupOps {
       IndexLayout.assertAppendVisible(batch.sparkSession,
         s"$path/shingles", target)
     }
-    val spark = batch.sparkSession
-    val fpTarget = IndexLayout.resolve(spark, s"$path/fingerprints")
-    val fpBatch = withFpShard(batch
+    val fpTarget =
+      IndexLayout.resolve(batch.sparkSession, s"$path/fingerprints")
+    batch
       .select(col(idCol),
         graft.functions.TextFns.fingerprint(col(textCol)).as("__fp"))
-      .distinct())
-    if (IndexLayout.partitionedLayout(spark, s"$path/fingerprints",
-        "fpshard")) {
-      fpBatch.repartition(col("fpshard")).write.mode("append")
-        .partitionBy("fpshard").parquet(fpTarget)
-    } else if (!IndexLayout.hasRows(spark, s"$path/fingerprints")) {
-      // readable-empty base (empty-corpus build): a real append
-      // OVERWRITES into the pruned partitioned form — appending
-      // fpshard=… dirs next to a bare parquet file would be a mixed
-      // layout; a zero-row batch keeps the readable-empty form
-      if (!fpBatch.isEmpty)
-        fpBatch.repartition(col("fpshard")).write.mode("overwrite")
-          .partitionBy("fpshard").parquet(fpTarget)
-    } else {
-      // non-empty UNPARTITIONED layout (a segment-style base build, or
-      // a legacy pre-fpshard table): append schema-consistently — with
-      // the shard data column iff the existing files carry it (a column
-      // present in some files and absent in others reads back null and
-      // would silently drop rows from the pruned scan)
-      val hasCol = spark.read.parquet(fpTarget).columns.contains("fpshard")
-      (if (hasCol) fpBatch else fpBatch.drop("fpshard"))
-        .write.mode("append").parquet(fpTarget)
-    }
-    IndexLayout.assertAppendVisible(spark, s"$path/fingerprints", fpTarget)
+      .distinct()
+      .write.mode("append")
+      .parquet(fpTarget)
+    IndexLayout.assertAppendVisible(batch.sparkSession,
+      s"$path/fingerprints", fpTarget)
   }
 
   /** Tombstone documents OUT of the dedup index — O(batch) appended
@@ -743,29 +706,25 @@ object DedupOps {
         df => reshardShingles(
           IndexLayout.dropTombstonedFiles(df, idCol, tombFiles),
           reshardTo))
-      // fpshard recomputed unconditionally (idempotent — md5 hash mod a
-      // FIXED modulus): a legacy pre-fpshard table MIGRATES to the
-      // pruned partitioned layout on its first compaction
-      IndexLayout.rewriteInPlace(spark, s"$path/fingerprints",
-        Some("fpshard"),
-        df => withFpShard(
-          IndexLayout.dropTombstonedFiles(df, idCol, tombFiles)
-            .select(col(idCol), col("__fp"))))
+      // projection keeps the canonical (id, __fp) shape — an interim
+      // round-11 table carrying a (now-retired) fpshard column folds
+      // back to it here
+      IndexLayout.rewriteInPlace(spark, s"$path/fingerprints", None,
+        df => IndexLayout.dropTombstonedFiles(df, idCol, tombFiles)
+          .select(col(idCol), col("__fp")))
     } else {
       val shAll = IndexLayout.existingPartsOf(spark, path, segs, "shingles")
         .map(spark.read.parquet(_)).reduce(_.unionByName(_)).distinct()
       IndexLayout.writeSwap(spark, s"$path/shingles",
         reshardShingles(IndexLayout.dropTombstonedFiles(shAll, idCol, tombFiles),
           reshardTo), Some("shard"))
-      // per-part projection BEFORE the union: legacy parts lack fpshard
-      // and unionByName would reject the ragged schemas; the shard is
-      // recomputed on the merged rows (same migration as above)
+      // per-part projection BEFORE the union: ragged schemas (an interim
+      // fpshard column in some parts) would fail unionByName
       val fpAll = IndexLayout.existingPartsOf(spark, path, segs, "fingerprints")
         .map(spark.read.parquet(_).select(col(idCol), col("__fp")))
         .reduce(_.unionByName(_)).distinct()
       IndexLayout.writeSwap(spark, s"$path/fingerprints",
-        withFpShard(IndexLayout.dropTombstonedFiles(fpAll, idCol, tombFiles)),
-        Some("fpshard"))
+        IndexLayout.dropTombstonedFiles(fpAll, idCol, tombFiles), None)
     }
     // retire on BOTH branches: delete what the previous fold marked,
     // mark this fold's snapshot (empty on the segment-less branch when
@@ -821,35 +780,25 @@ object DedupOps {
     // tombstoned docs (see [[removeFromDedupIndex]]) drop from BOTH index
     // sides before any comparison; no-op when nothing was removed. The
     // fingerprint side spans base + streaming segments (duplicate rows
-    // are harmless — both regimes tolerate them), PRUNED per layout to
-    // the increment's fp shards ([[FpShards]] — the shingle-shard recipe;
-    // a legacy pre-fpshard layout scans unpruned until its first
-    // compaction migrates it). The match itself runs broadcast-side-out
-    // under [[ExactFpBroadcastMaxRows]]: increment fingerprints broadcast
-    // over the pruned corpus scan — no corpus-fingerprint shuffle, which
-    // the old corpus-on-the-build-side semi-join paid on EVERY increment
-    // check; past the cap, the shuffle semi-join fallback (regime
-    // equality spec-pinned).
+    // are harmless — both regimes tolerate them; the per-part projection
+    // keeps ragged schemas unionable). The match runs broadcast-side-out
+    // under [[ExactFpBroadcastMaxRows]]: the increment's fingerprints
+    // broadcast over ONE scan of the narrow (id, fp) table — no
+    // corpus-fingerprint shuffle, which the old corpus-on-the-build-side
+    // semi-join paid on EVERY increment check; past the cap, the shuffle
+    // semi-join fallback (regime equality spec-pinned). Scan PRUNING by
+    // fp-hash shards was built, measured and rejected: a realistic
+    // increment's fingerprints hit every shard, so it bought directory
+    // fan-out cost for no read reduction (see writeDedupIndexBody).
     val newFps = newDf.select(col(idCol),
       graft.functions.TextFns.fingerprint(col(textCol)).as("__fp"))
-    val fpShardList = newFps
-      .select(graft.functions.ShardExpr.javaHashMod(col("__fp"), FpShards)
-        .as("s"))
-      .distinct().collect().map(_.getInt(0))
     val fps = IndexLayout.existingParts(spark, path, "fingerprints") match {
       case Seq() => Seq(s"$path/fingerprints")
       case ls    => ls
     }
     val corpusFps = IndexLayout.dropTombstoned(
-      fps.map { p =>
-        val df = spark.read.parquet(p)
-        val pruned =
-          if (df.columns.contains("fpshard"))
-            df.filter(col("fpshard")
-              .isin(fpShardList.map(Integer.valueOf): _*))
-          else df
-        pruned.select(col(idCol), col("__fp"))
-      }.reduce(_.unionByName(_)), idCol, s"$path/tombstones")
+      fps.map(p => spark.read.parquet(p).select(col(idCol), col("__fp")))
+        .reduce(_.unionByName(_)), idCol, s"$path/tombstones")
     val exact =
       if (newDf.count() <= ExactFpBroadcastMaxRows)
         corpusFps

@@ -120,18 +120,15 @@ class SimilaritySpec extends SparkSpec {
     assert(pruned.select("shard").distinct().count() <= nMicroShards)
   }
 
-  test("exact-dup fingerprint scan prunes fp shards; broadcast and shuffle regimes agree") {
+  test("exact-dup check: broadcast and shuffle regimes agree and match the non-indexed oracle") {
     val corpus = docs
     val probe = corpus.filter(col("doc_id") < 25)
       .select(col("doc_id") + 300000L as "doc_id", col("text"))
-    val dir = java.nio.file.Files.createTempDirectory("dedup_fpshard").toString
+    val dir = java.nio.file.Files.createTempDirectory("dedup_fpreg").toString
     DedupOps.writeDedupIndex(corpus, "doc_id", "text", n = 3, dir)
-    // the fingerprint table is written PARTITIONED by the fixed-modulus
-    // fp shard — the exact-dup check reads only the increment's shards
-    assert(graft.operators.IndexLayout.partitionedLayout(
-      spark, s"$dir/fingerprints", "fpshard"))
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.toSeq).toSet
+    // default: increment fingerprints broadcast over one corpus scan
     val broadcastRegime = rows(DedupOps.dedupAgainstIndex(spark, dir, probe,
       "doc_id", "text", 3, 0.5))
     // force the shuffle semi-join fallback and require identical rows
@@ -146,34 +143,36 @@ class SimilaritySpec extends SparkSpec {
       "doc_id", "text", 3, 0.5)))
   }
 
-  test("legacy pre-fpshard fingerprint table reads unpruned and migrates at compaction") {
+  test("fingerprint tables with a stray extra column read and compact back to the canonical shape") {
+    // the round-11 interim format carried an fpshard column (the sharded
+    // layout was measured and rejected) — reads must project it away and
+    // a compaction must fold such a table back to (id, __fp)
     val corpus = docs
     val probe = corpus.filter(col("doc_id") < 25)
       .select(col("doc_id") + 400000L as "doc_id", col("text"))
-    val dir = java.nio.file.Files.createTempDirectory("dedup_fplegacy").toString
+    val dir = java.nio.file.Files.createTempDirectory("dedup_fpcol").toString
     DedupOps.writeDedupIndex(corpus, "doc_id", "text", n = 3, dir)
-    // rewrite the fingerprint table into the LEGACY shape: unpartitioned,
-    // no fpshard column (what a pre-round-11 index holds on disk)
     val fpDir = s"$dir/fingerprints"
-    val legacyRows = spark.read.parquet(fpDir)
-      .select("doc_id", "__fp").collect()
+    val withExtra = spark.read.parquet(fpDir)
+      .withColumn("fpshard", lit(7))
+      .collect()
     import spark.implicits._
-    val legacy = legacyRows.map(r => (r.getLong(0), r.getString(1))).toSeq
-      .toDF("doc_id", "__fp")
+    val extraDf = withExtra.map(r => (r.getLong(0), r.getString(1), 7)).toSeq
+      .toDF("doc_id", "__fp", "fpshard")
     val p = new org.apache.hadoop.fs.Path(fpDir)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-    legacy.write.mode("overwrite").parquet(fpDir)
+    extraDf.write.mode("overwrite").parquet(fpDir)
     def rows(d: String) = DedupOps.dedupAgainstIndex(spark, d, probe,
       "doc_id", "text", 3, 0.5).collect().map(_.toSeq).toSet
     val want = DedupOps.dedupAgainst(probe, corpus, "doc_id", "text", 3, 0.5)
       .collect().map(_.toSeq).toSet
-    assert(rows(dir) == want, "legacy layout must read exact (unpruned)")
-    // first compaction migrates it to the pruned partitioned form
+    assert(rows(dir) == want, "extra-column table must read exact")
     DedupOps.compactDedupIndex(spark, dir, "doc_id")
-    assert(graft.operators.IndexLayout.partitionedLayout(
-      spark, s"$dir/fingerprints", "fpshard"),
-      "compaction must migrate the legacy table")
-    assert(rows(dir) == want, "migrated layout must read exact (pruned)")
+    assert(!spark.read.parquet(
+        graft.operators.IndexLayout.resolve(spark, fpDir))
+      .columns.contains("fpshard"),
+      "compaction must restore the canonical (id, __fp) shape")
+    assert(rows(dir) == want, "compacted table must read exact")
   }
 
   test("appending a batch to the dedup index equals indexing the union") {
