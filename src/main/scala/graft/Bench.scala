@@ -148,24 +148,49 @@ object Bench {
       s""""penalty":${if (penalty.isNaN) "null" else r4(penalty)},"quotable":$quotable"""
 
     // ── per-query REGRESSION SENTINEL: ratios vs the committed
-    // min-of-all-quotable-rounds baseline, >1.25x stamped as flags.
-    // Rounds 8-10 adjudicated "q23 6.30→5.10→7.00 on untouched code" by
-    // hand each time; the flags make the record itself say which moves
-    // exceed the ambient window, so the PERF table quotes flags instead
-    // of arguing medians. Comparisons only run under the quotable
-    // preconditions (standard corpus + box — an sf0.01 dev run against
-    // an sf0.1 baseline would flag nothing and prove nothing); the
-    // baseline advances (elementwise min) only from quotable runs, so a
-    // penalized or dev run can never pollute the denominator.
+    // baseline, >1.25x AND >0.25s stamped as flags. Rounds 8-10
+    // adjudicated "q23 6.30→5.10→7.00 on untouched code" by hand each
+    // time; the flags make the record itself say which moves exceed the
+    // ambient window, so the PERF table quotes flags instead of arguing
+    // medians. The denominator is the elementwise MIN OVER THE LAST K
+    // QUOTABLE RUNS (K=5), each stamped with timestamp + git head — an
+    // all-time min only ratchets down, so as the box ages every
+    // ambient-slow run flags more (r11: 19 driver flags vs 8 builder
+    // flags on identical code, all adjudicated ambient); a rolling
+    // window tracks the box's current speed while the absolute floor
+    // keeps flags meaning "a move worth adjudicating". Comparisons run
+    // only under the FULL quotable preconditions (min-of-3+, clean
+    // sentinel, no failures, standard corpus + box): a single-rep or
+    // noisy run on the standard box used to stamp flags into the
+    // committed detail record that PERF.md quotes.
     val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
       "/root/repo/BENCH_BASELINE.json")
-    val baseline: Map[String, Double] = try {
+    val qmapRe = "\"(q[0-9][^\"]*)\":([0-9.]+)".r
+    def parseQmap(txt: String): Map[String, Double] =
+      qmapRe.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    // prior runs, oldest first: new-format files carry a "runs" list;
+    // a legacy all-time-min file becomes one synthetic run so history
+    // starts from it and it ages out after K quotable runs
+    val runRe =
+      "\\{\"ts\":\"([^\"]*)\",\"head\":\"([^\"]*)\",\"queries\":\\{([^}]*)\\}\\}".r
+    val priorRuns: Seq[(String, String, Map[String, Double])] = try {
       val src = scala.io.Source.fromFile(baselinePath, "UTF-8")
       val txt = try src.mkString finally src.close()
-      "\"(q[0-9][^\"]*)\":([0-9.]+)".r.findAllMatchIn(txt)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
-    } catch { case _: Throwable => Map.empty }
-    val comparable = cpus == 32 && sfDir.stripSuffix("/").endsWith("sf0.1")
+      val rs = runRe.findAllMatchIn(txt)
+        .map(m => (m.group(1), m.group(2), parseQmap(m.group(3)))).toSeq
+      if (rs.nonEmpty) rs
+      else {
+        val legacy = parseQmap(txt)
+        if (legacy.isEmpty) Seq.empty
+        else Seq(("legacy", "unknown", legacy))
+      }
+    } catch { case _: Throwable => Seq.empty }
+    val baseline: Map[String, Double] =
+      priorRuns.flatMap(_._3.keys).distinct.map { k =>
+        k -> priorRuns.flatMap(_._3.get(k)).min
+      }.toMap
+    val comparable = quotable
     val okMap = ok.toMap
     // flag = ratio > 1.25x AND > 0.25 s over baseline: the ratio alone
     // flags sub-second jitter by the dozen (the first flagged record
@@ -178,12 +203,25 @@ object Bench {
       }.sortBy(-_._2)
       else Seq.empty
     if (quotable) {
-      val merged = (baseline.keySet ++ okMap.keySet).toSeq.sorted.map { k =>
-        k -> r4((okMap.get(k).toSeq ++ baseline.get(k).toSeq).min)
+      val head = try {
+        val repoDir = new java.io.File(baselinePath).getAbsoluteFile.getParent
+        val proc = new ProcessBuilder("git", "-C", repoDir, "rev-parse",
+          "--short", "HEAD").redirectErrorStream(true).start()
+        val out = scala.io.Source.fromInputStream(proc.getInputStream).mkString.trim
+        if (proc.waitFor() == 0 && out.nonEmpty) out else "unknown"
+      } catch { case _: Throwable => "unknown" }
+      val ts = java.time.Instant.ofEpochMilli(System.currentTimeMillis).toString
+      val kept = (priorRuns :+ ((ts, head,
+        okMap.map { case (k, v) => k -> r4(v) }))).takeRight(5)
+      val denom = kept.flatMap(_._3.keys).distinct.sorted.map { k =>
+        k -> r4(kept.flatMap(_._3.get(k)).min)
       }
+      val runsJson = kept.map { case (t, h, qs) =>
+        s"""{"ts":"$t","head":"$h","queries":${jmap(qs.toSeq.sorted)}}"""
+      }.mkString("[", ",", "]")
       try {
         val w = new java.io.PrintWriter(baselinePath, "UTF-8")
-        try w.println(s"""{"note":"per-query min (sec) over all quotable sf0.1 min-of-3 runs - the regression sentinel's denominator; written only by quotable Bench runs","queries":${jmap(merged)}}""")
+        try w.println(s"""{"note":"regression-sentinel denominator: per-query min (sec) over the last 5 quotable sf0.1 min-of-3 runs (ts + git head stamped per run); written only by quotable Bench runs","runs":$runsJson,"queries":${jmap(denom)}}""")
         finally w.close()
       } catch { case _: Throwable => () }
     }

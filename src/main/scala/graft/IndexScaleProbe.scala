@@ -139,6 +139,28 @@ object IndexScaleProbe {
           "vec_id", "qv", qvec, shortlist = 50, topK = 10,
           excludeId = Some(0L)).count()
       }
+      // MANY unfolded segments (a caller who never compacts): the guard
+      // is code-bounded — broadcast anti-join under the byte cap,
+      // shuffle anti-join above it, never a corpus distinct — so a
+      // fixed-size segment pile must stay ~flat in c beside querySegState
+      (1 until 24).foreach { b =>
+        graft.operators.BqIndex.writeSegment(
+          embs0.filter(col("vec_id") % 10 === b % 10)
+            .select((col("vec_id") + lit(900000000L + b.toLong * 1000000L))
+              .as("vec_id"), col("qv")),
+          "vec_id", "qv", bqDir, batchId = b.toLong)
+      }
+      val bqQueryManySegs = time {
+        graft.operators.BqIndex.searchWithRerank(spark, bqDir, vectors,
+          "vec_id", "qv", qvec, shortlist = 50, topK = 10,
+          excludeId = Some(0L)).count()
+      }
+      graft.operators.IndexLayout.segmentDirsAt(spark, s"$bqDir/segments")
+        .drop(1).foreach { p => // back to the single-segment steady state
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(hp, true)
+        }
       // BATCH search, 128 queries in one scan: the two-phase rank keeps
       // every window partition input-partition-bounded, so wall time
       // tracks the ONE code-table scan (~flat per query as c grows),
@@ -158,7 +180,8 @@ object IndexScaleProbe {
         f"probedRows[n=64]=$rowsFixedShards probedRows[n=$reN]=$rowsResharded | " +
         f"dedup: build=$ddBuild%.2fs checkIncrement=$ddQuery%.2fs | " +
         f"bq: vecs=${embCorpus.count()} build=$bqBuild%.2fs query=$bqQuery%.2fs " +
-        f"querySegState=$bqQuerySeg%.2fs batch128=$bqBatch%.2fs " +
+        f"querySegState=$bqQuerySeg%.2fs query24Segs=$bqQueryManySegs%.2fs " +
+        f"batch128=$bqBatch%.2fs " +
         f"codeBytes=$codeBytes vecBytes=$vecBytes " +
         f"bytesRatio=${vecBytes.toDouble / math.max(codeBytes, 1L)}%.1f")
       spark.catalog.clearCache()

@@ -84,20 +84,26 @@ object BqIndex {
   }
 
   /** The persisted threshold model (version-resolved). */
-  def readModel(spark: SparkSession, path: String): Model = {
-    val rows = spark.read.parquet(IndexLayout.resolve(spark, s"$path/model"))
+  def readModel(spark: SparkSession, path: String): Model =
+    readModelAt(spark, IndexLayout.resolve(spark, s"$path/model"))
+
+  /** [[readModel]] over an explicit (already-resolved, possibly pinned)
+    * model directory — the [[Snapshot]] read path.
+    */
+  private def readModelAt(spark: SparkSession, path: String): Model = {
+    val rows = spark.read.parquet(path)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
       .sortBy(_._1)
-    require(rows.nonEmpty, s"$path/model holds no rows — corrupt index")
+    require(rows.nonEmpty, s"$path holds no model rows — corrupt index")
     // a duplicated or missing pos row (stray file / partial double-write)
     // would sort into a misaligned sums array that can still pass the
     // dim == query.length check downstream — fail here instead
     require(rows.map(_._1).toSeq == (0 until rows.length),
-      s"$path/model pos values are not distinct and contiguous " +
+      s"$path pos values are not distinct and contiguous " +
         s"0..${rows.length - 1} — corrupt index")
     val n = rows.head._3
     require(rows.forall(_._3 == n),
-      s"$path/model rows disagree on n — corrupt index")
+      s"$path rows disagree on n — corrupt index")
     Model(n, rows.map(_._2))
   }
 
@@ -176,26 +182,116 @@ object BqIndex {
     * always live) — the BM25 read path's "never corpus-sized" rule
     * (Bm25.topKIndexed). [[compactIndex]] keeps its full distinct: a
     * compaction is offline and pays it once, not per query.
+    *
+    * Two refinements over the first anti-join version: (1) duplicates
+    * can also be segment∩segment — an at-least-once source re-delivers
+    * the same rows under a NEW batchId (per-batch overwrite only
+    * protects replays of the SAME batchId) — so the segment union,
+    * micro-batch-sized, is `distinct()`ed when ≥2 segments are live (a
+    * single segment is distinct by per-batch overwrite); the bounded
+    * segment-side aggregate, never the base. (2) the base is resolved
+    * exactly once via `existingPartsSplit` — re-resolving to classify
+    * raced a concurrent compaction's version flip into the no-dedup
+    * branch. The broadcast is capped (`SegGuardBroadcastMaxBytes` of
+    * segment bytes, a driver-side FS metadata read) with a shuffle
+    * anti-join fallback, so an uncompacted segment pile degrades to a
+    * shuffle — never an unbounded broadcast, never a corpus distinct.
     */
   def readCodes(spark: SparkSession, path: String,
                 idCol: String): DataFrame = {
-    val parts = IndexLayout.existingParts(spark, path, "codes") match {
-      case Seq() => Seq(s"$path/codes") // raise the standard read error
-      case ps    => ps
+    val (baseOpt, segParts) =
+      IndexLayout.existingPartsSplit(spark, path, "codes")
+    IndexLayout.dropTombstoned(
+      mergedCodes(spark, path, baseOpt, segParts, idCol),
+      idCol, s"$path/tombstones")
+  }
+
+  /** [[readCodes]]'s guarded merge over an EXPLICIT base/segment split —
+    * shared with the [[Snapshot]] read path, which supplies pinned
+    * paths instead of a fresh resolve.
+    */
+  private def mergedCodes(spark: SparkSession, path: String,
+                          baseOpt: Option[String], segParts: Seq[String],
+                          idCol: String): DataFrame =
+    (baseOpt, segParts) match {
+      case (None, Seq()) =>
+        spark.read.parquet(s"$path/codes") // raise the standard read error
+      case (Some(bp), Seq()) => spark.read.parquet(bp)
+      case (bo, sps) =>
+        val seg0 = sps.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+        val segments = if (sps.length > 1) seg0.distinct() else seg0
+        bo match {
+          case None => segments
+          case Some(bp) =>
+            IndexLayout.segGuardedUnion(spark.read.parquet(bp), segments,
+              idCol, IndexLayout.dirBytes(spark, sps))
+        }
     }
-    val basePath = IndexLayout.resolve(spark, s"$path/codes")
-    val (baseParts, segParts) = parts.partition(_ == basePath)
-    val merged = (baseParts, segParts) match {
-      case (_, Seq()) | (Seq(), _) =>
-        // single layout class — no base∩segment overlap possible
-        parts.map(spark.read.parquet(_)).reduce(_.unionByName(_))
-      case (Seq(bp), sps) =>
-        val base = spark.read.parquet(bp)
-        val segments = sps.map(spark.read.parquet(_)).reduce(_.unionByName(_))
-        base.join(broadcast(segments.select(idCol)), Seq(idCol), "left_anti")
-          .unionByName(segments)
+
+  /** One pinned, internally-validated read snapshot of a BQ layout —
+    * the `Bm25.Snapshot` shape for the fifth index family: the
+    * resolved+pinned code-table base, the pinned MODEL layout (a rebuild
+    * swaps both; pinning them as a validated pair means a search can
+    * never score pre-rebuild codes against a post-rebuild model), the
+    * live segment code dirs, and the tombstone sidecar. Release with
+    * [[releaseSnapshot]] on every exit.
+    */
+  final case class Snapshot(codes: String, codesTok: String,
+                            model: String, modelTok: String,
+                            segCodes: Seq[String], tombDir: String)
+
+  /** Acquire a [[Snapshot]] optimistically — pin codes, pin model, list
+    * segments, then re-read the codes' effective version: a rebuild
+    * landing mid-snapshot flips it (versions only grow — no ABA), both
+    * pins release and the attempt retries, bounded. Same discipline as
+    * `Bm25.acquireSnapshot`; reads never take the maintenance lease.
+    */
+  def acquireSnapshot(spark: SparkSession, path: String): Snapshot = {
+    def attemptOnce(): Option[Snapshot] = {
+      val (codes, codesTok) = IndexLayout.pinResolved(spark, s"$path/codes")
+      try {
+        val (model, modelTok) = IndexLayout.pinResolved(spark, s"$path/model")
+        try {
+          val conf = spark.sparkContext.hadoopConfiguration
+          val segs = IndexLayout.segmentDirs(spark, path)
+            .map(d => s"$d/codes")
+            .filter { d =>
+              val hp = new org.apache.hadoop.fs.Path(d)
+              hp.getFileSystem(conf).exists(hp)
+            }
+          if (IndexLayout.resolve(spark, s"$path/codes") != codes) {
+            IndexLayout.unpin(spark, s"$path/model", modelTok)
+            IndexLayout.unpin(spark, s"$path/codes", codesTok)
+            None
+          } else
+            Some(Snapshot(codes, codesTok, model, modelTok, segs,
+              s"$path/tombstones"))
+        } catch {
+          case e: Throwable =>
+            IndexLayout.unpin(spark, s"$path/model", modelTok); throw e
+        }
+      } catch {
+        case e: Throwable =>
+          IndexLayout.unpin(spark, s"$path/codes", codesTok); throw e
+      }
     }
-    IndexLayout.dropTombstoned(merged, idCol, s"$path/tombstones")
+    var snap: Option[Snapshot] = None
+    var attempt = 0
+    while (snap.isEmpty) {
+      require(attempt < 5,
+        s"$path/codes version keeps flipping mid-snapshot — " +
+          "pause the compaction schedule and retry")
+      snap = attemptOnce()
+      attempt += 1
+    }
+    snap.get
+  }
+
+  /** Release a [[Snapshot]]'s pins (idempotent, token-scoped). */
+  def releaseSnapshot(spark: SparkSession, path: String,
+                      snap: Snapshot): Unit = {
+    IndexLayout.unpin(spark, s"$path/model", snap.modelTok)
+    IndexLayout.unpin(spark, s"$path/codes", snap.codesTok)
   }
 
   /** Hamming-shortlist + exact-rerank over the PERSISTED code table:
@@ -247,9 +343,43 @@ object BqIndex {
   def searchBatch(spark: SparkSession, path: String, corpus: DataFrame,
                   queries: DataFrame, idCol: String, qvCol: String,
                   shortlist: Int, topK: Int,
-                  excludeSelf: Boolean = false): DataFrame = {
+                  excludeSelf: Boolean = false): DataFrame =
+    searchBatchOn(readModel(spark, path), readCodes(spark, path, idCol),
+      corpus, queries, idCol, qvCol, shortlist, topK, excludeSelf, None)
+
+  /** [[searchBatch]] over an already-acquired [[Snapshot]] — the entry
+    * for searches that must pair with ANOTHER index's snapshot under one
+    * consistency point ([[Hybrid.searchIndexed]]). Model and codes come
+    * from the snapshot's pinned pair (they cannot tear against a
+    * concurrent rebuild); `extraExclude` drops ids beyond this index's
+    * own tombstones from the shortlist scan — the cross-index
+    * delete-union hook. The caller owns [[releaseSnapshot]].
+    */
+  def searchBatchSnapshot(spark: SparkSession, path: String, snap: Snapshot,
+                          corpus: DataFrame, queries: DataFrame,
+                          idCol: String, qvCol: String,
+                          shortlist: Int, topK: Int,
+                          excludeSelf: Boolean = false,
+                          extraExclude: Option[DataFrame] = None)
+      : DataFrame =
+    searchBatchOn(readModelAt(spark, snap.model),
+      IndexLayout.dropTombstoned(
+        mergedCodes(spark, path, Some(snap.codes), snap.segCodes, idCol),
+        idCol, snap.tombDir),
+      corpus, queries, idCol, qvCol, shortlist, topK, excludeSelf,
+      extraExclude)
+
+  /** The batch-search core shared by [[searchBatch]] (fresh resolve) and
+    * [[searchBatchSnapshot]] (pinned snapshot): model and live code
+    * table are explicit inputs, everything downstream is identical.
+    */
+  private def searchBatchOn(model: Model, liveCodes: DataFrame,
+                            corpus: DataFrame, queries: DataFrame,
+                            idCol: String, qvCol: String,
+                            shortlist: Int, topK: Int,
+                            excludeSelf: Boolean,
+                            extraExclude: Option[DataFrame]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val model = readModel(spark, path)
     // a null query vector would code to 0 (when/otherwise folds the null
     // comparison) and its rerank d2 would be null — sorting FIRST in the
     // ascending rank window and returning arbitrary rows; drop it, the
@@ -262,7 +392,8 @@ object BqIndex {
     // query vectors would multiply the N×Q shuffle ~16× for no reason;
     // they re-join from the tiny broadcast q AFTER the shortlist filter,
     // when rows are shortlist-bounded
-    val codes0 = readCodes(spark, path, idCol)
+    val codes0 = extraExclude.fold(liveCodes)(t =>
+      liveCodes.join(t.toDF(idCol), Seq(idCol), "left_anti"))
     val scored = codes0
       .crossJoin(broadcast(q.select(col("query_id"), col("__qcode"))))
     // excludeSelf: drop the query's own corpus row (the q237/q240
@@ -343,6 +474,34 @@ object BqIndex {
         count(lit(1)).cast("long").as("n")).head()
     val n = r.getLong(1)
     if (n == 0L) 0L else r.getLong(0) * 10000L / (n * persisted.dim)
+  }
+
+  /** One cron-able maintenance cycle for a BQ layout — AUDIT (the q241
+    * bit-flip measurement, [[maintenanceAudit]]) → PLAN
+    * ([[maintenancePlan]]'s `bitFlipBps` gate) → ACT: a fired retrain
+    * is a REBUILD ([[writeIndex]] over `corpus`, the caller's live
+    * vector table — the rerank's source of truth; it clears segments,
+    * tombstones and versions in its leased swap), fold/compact is
+    * [[compactIndex]]. Acting skips (reported) under a live lease.
+    * The persisted model changes on rebuild — searchers re-read it via
+    * [[readModel]], so nothing is returned beyond the outcome.
+    */
+  def maintain(spark: SparkSession, path: String, corpus: DataFrame,
+               idCol: String, qvCol: String,
+               t: IndexLayout.MaintenanceThresholds =
+                 IndexLayout.MaintenanceThresholds())
+      : IndexLayout.MaintenanceOutcome = {
+    val bps = maintenanceAudit(spark, path, corpus, qvCol)
+    val plan = maintenancePlan(spark, path, t, bitFlipBps = Some(bps))
+    if (plan.actions.isEmpty || plan.lease.isDefined)
+      IndexLayout.MaintenanceOutcome(plan, Seq.empty)
+    else if (plan.recommends("retrain")) {
+      writeIndex(corpus, idCol, qvCol, path)
+      IndexLayout.MaintenanceOutcome(plan, Seq("retrain"))
+    } else {
+      compactIndex(spark, path, idCol)
+      IndexLayout.MaintenanceOutcome(plan, Seq("compact"))
+    }
   }
 
   /** Byte sizes (code table, one segment-inclusive sweep) — the scale

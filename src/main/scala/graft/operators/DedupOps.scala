@@ -776,7 +776,8 @@ object DedupOps {
   def dedupAgainstIndex(spark: org.apache.spark.sql.SparkSession,
                         path: String, newDf: DataFrame, idCol: String,
                         textCol: String, n: Int, threshold: Double,
-                        nShards: Int = 256): DataFrame = {
+                        nShards: Int = 256,
+                        rowCountHint: Option[Long] = None): DataFrame = {
     // tombstoned docs (see [[removeFromDedupIndex]]) drop from BOTH index
     // sides before any comparison; no-op when nothing was removed. The
     // fingerprint side spans base + streaming segments (duplicate rows
@@ -790,7 +791,12 @@ object DedupOps {
     // fp-hash shards was built, measured and rejected: a realistic
     // increment's fingerprints hit every shard, so it bought directory
     // fan-out cost for no read reduction (see writeDedupIndexBody).
-    val newFps = newDf.select(col(idCol),
+    // the increment is evaluated THREE times downstream (regime count,
+    // fingerprints, shingles) — cache it once so a complex upstream
+    // pipeline (q226's cleaner chain) is not re-run per consumer; the
+    // caller-supplied rowCountHint skips even the count action
+    val newCached = newDf.cache()
+    val newFps = newCached.select(col(idCol),
       graft.functions.TextFns.fingerprint(col(textCol)).as("__fp"))
     val fps = IndexLayout.existingParts(spark, path, "fingerprints") match {
       case Seq() => Seq(s"$path/fingerprints")
@@ -799,8 +805,13 @@ object DedupOps {
     val corpusFps = IndexLayout.dropTombstoned(
       fps.map(p => spark.read.parquet(p).select(col(idCol), col("__fp")))
         .reduce(_.unionByName(_)), idCol, s"$path/tombstones")
+    // both regimes emit DISTINCT matched increment ids — without the
+    // fallback's distinct, an increment containing duplicate ids would
+    // multiply rows differently across regimes in the downstream
+    // left-join (regime equality must hold by construction, not only
+    // for unique-id increments)
     val exact =
-      if (newDf.count() <= ExactFpBroadcastMaxRows)
+      if (rowCountHint.getOrElse(newCached.count()) <= ExactFpBroadcastMaxRows)
         corpusFps
           .join(broadcast(newFps.select(col(idCol).as("__nid"), col("__fp"))),
             Seq("__fp"))
@@ -808,8 +819,8 @@ object DedupOps {
           .withColumn("__exact", lit(1L))
       else
         newFps.join(corpusFps, Seq("__fp"), "left_semi")
-          .select(col(idCol)).withColumn("__exact", lit(1L))
-    val shNew = shingles(newDf, idCol, textCol, n).cache()
+          .select(col(idCol)).distinct().withColumn("__exact", lit(1L))
+    val shNew = shingles(newCached, idCol, textCol, n).cache()
     val idx = IndexLayout.dropTombstoned(
       prunedShingleIndex(spark, path, shNew, nShards), idCol,
       s"$path/tombstones")
@@ -825,7 +836,7 @@ object DedupOps {
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
       .groupBy(col("id_a").as(idCol))
       .agg(max(col("j")).as("__mj"))
-    val out = newDf.select(col(idCol))
+    val out = newCached.select(col(idCol))
       .join(exact, Seq(idCol), "left")
       .join(near, Seq(idCol), "left")
       .select(col(idCol),
@@ -833,7 +844,7 @@ object DedupOps {
         when(coalesce(col("__mj"), lit(0.0)) >= threshold, 1L).otherwise(0L)
           .as("near_dup"),
         round(coalesce(col("__mj"), lit(0.0)), 6).as("max_jaccard"))
-    materializeAndRelease(out, shNew)
+    materializeAndRelease(out, shNew, newCached)
   }
 
   /** Verify candidate pairs with exact Jaccard over the FULL shingle sets,

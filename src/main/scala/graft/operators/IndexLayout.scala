@@ -1003,6 +1003,72 @@ object IndexLayout {
       }
   }
 
+  /** [[existingParts]] split by layout class, with the base resolved
+    * EXACTLY ONCE. Readers that must classify base-vs-segment (the
+    * crash-duplicate anti-join guards) cannot call [[resolve]] a second
+    * time to classify the listing: a concurrent compaction flipping the
+    * version between the two calls would make them classify the stale
+    * base path as a segment and fall into the no-dedup union branch —
+    * strictly worse than the corpus `distinct()` the guard replaced.
+    * Here classification IS the listing: one resolve, split by origin.
+    */
+  def existingPartsSplit(spark: SparkSession, path: String,
+                         sub: String): (Option[String], Seq[String]) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def lives(d: String): Boolean = {
+      val hp = new org.apache.hadoop.fs.Path(d)
+      hp.getFileSystem(conf).exists(hp)
+    }
+    (Some(resolve(spark, s"$path/$sub")).filter(lives),
+     segmentDirs(spark, path).map(p => s"$p/$sub").filter(lives))
+  }
+
+  /** Total on-disk bytes under `dirs` — a driver-side FS metadata read
+    * (no Spark job), the cheap proxy the segment-id guards use to pick
+    * their join regime without paying a count action on a query path.
+    */
+  def dirBytes(spark: SparkSession, dirs: Seq[String]): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    dirs.map { d =>
+      val hp = new org.apache.hadoop.fs.Path(d)
+      val fs = hp.getFileSystem(conf)
+      if (fs.exists(hp)) fs.getContentSummary(hp).getLength else 0L
+    }.sum
+  }
+
+  /** Parquet bytes across live segments above which the crash-duplicate
+    * guards (BqIndex.readCodes, IvfIndex.readCells) switch from a
+    * broadcast anti-join on the segment id set to a shuffle anti-join.
+    * The broadcast regime is the steady streaming state (segments are
+    * micro-batch-sized); the cap makes the guard CODE-bounded, not
+    * policy-bounded — a `streamBqIndex` caller who never compacts
+    * accumulates segments until an uncapped broadcast would hurt, and
+    * this regime flip (never a corpus `distinct()`) absorbs that
+    * instead. Same cap-with-fallback discipline as
+    * `DedupOps.ExactFpBroadcastMaxRows`; system-property override so the
+    * regime-equality specs can force the fallback on a small corpus.
+    */
+  private[graft] def SegGuardBroadcastMaxBytes: Long =
+    sys.props.get("graft.index.segGuardBroadcastMaxBytes").map(_.toLong)
+      .getOrElse(256L * 1024 * 1024)
+
+  /** The capped crash-duplicate guard shared by the segment-state reads:
+    * `base ANTI-JOIN segIds ∪ segments`, broadcast under
+    * [[SegGuardBroadcastMaxBytes]] of segment bytes, shuffle anti-join
+    * above it. `segBytes` is the [[dirBytes]] of the live segment dirs.
+    */
+  private[operators] def segGuardedUnion(base: DataFrame, segments: DataFrame,
+                                         idCol: String,
+                                         segBytes: Long): DataFrame = {
+    val segIds = segments.select(idCol)
+    val guarded =
+      if (segBytes <= SegGuardBroadcastMaxBytes)
+        base.join(org.apache.spark.sql.functions.broadcast(segIds),
+          Seq(idCol), "left_anti")
+      else base.join(segIds, Seq(idCol), "left_anti")
+    guarded.unionByName(segments)
+  }
+
   /** Remove the tombstone sidecar (after compaction materialized it). */
   def clearTombstones(spark: SparkSession, tombDir: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(tombDir)
@@ -1069,6 +1135,20 @@ object IndexLayout {
       pins: Int,
       actions: Seq[(String, String)]) {
     def recommends(action: String): Boolean = actions.exists(_._1 == action)
+  }
+
+  /** What one packaged audit→plan→act cycle (`IvfIndex.maintain`,
+    * `IvfPq.maintain`, `BqIndex.maintain`) measured, recommended, and
+    * actually DID. `acted` ⊆ {"compact", "retrain"} — empty when the
+    * plan recommended nothing, or when a live maintainer held the lease
+    * (the cycle then reports instead of queuing behind it; a crashed
+    * holder is a manual `releaseLease` decision by design).
+    */
+  final case class MaintenanceOutcome(
+      plan: MaintenancePlan,
+      acted: Seq[String]) {
+    def skippedOnLease: Boolean = acted.isEmpty && plan.lease.isDefined &&
+      plan.actions.nonEmpty
   }
 
   /** Threshold-gated maintenance recommendations for one index layout —

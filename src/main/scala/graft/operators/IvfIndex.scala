@@ -392,6 +392,40 @@ object IvfIndex {
     } finally live.unpersist()
   }
 
+  /** One cron-able maintenance cycle for a trained IVF layout —
+    * AUDIT (the q236 drift measurement, [[maintenanceAudit]]) → PLAN
+    * (threshold-gated, [[maintenancePlan]]) → ACT (the leased
+    * fold/compact or retrain). The soak tests hand-composed this
+    * chain; an operator's scheduler should not have to — one call per
+    * family is the whole cron job. Acting is skipped (reported in the
+    * outcome) when a live maintainer holds the lease: leases are never
+    * auto-broken, a crashed holder is a manual `releaseLease` decision.
+    * `iters` drives BOTH the audit's fresh train and a fired retrain,
+    * so the post-retrain audit degenerates to equality (the quiet
+    * state the soak loop asserts). Returns the outcome and the model
+    * to search with from here on — NEW iff "retrain" acted.
+    */
+  def maintain(spark: org.apache.spark.sql.SparkSession, path: String,
+               idCol: String, embCol: String, model: Model,
+               t: IndexLayout.MaintenanceThresholds =
+                 IndexLayout.MaintenanceThresholds(),
+               iters: Int = 2): (IndexLayout.MaintenanceOutcome, Model) = {
+    val drift = maintenanceAudit(spark, path, idCol, embCol, model, iters)
+    val plan = maintenancePlan(spark, path, t, drift = Some(drift))
+    if (plan.actions.isEmpty || plan.lease.isDefined)
+      (IndexLayout.MaintenanceOutcome(plan, Seq.empty), model)
+    else if (plan.recommends("retrain")) {
+      // retrainCompact folds segments and materializes tombstones in the
+      // same pass, so a co-recommended compact is subsumed
+      val m2 = retrainCompact(spark, path, idCol, embCol,
+        k = model.centroids.length, iters = iters)
+      (IndexLayout.MaintenanceOutcome(plan, Seq("retrain")), m2)
+    } else {
+      compactIndex(spark, path, idCol)
+      (IndexLayout.MaintenanceOutcome(plan, Seq("compact")), model)
+    }
+  }
+
   /** Mean L2²-to-nearest-centroid over `df`, ×1e6 as a long (0 for an
     * empty table). Audit-only — see [[maintenanceAudit]].
     */
@@ -471,6 +505,13 @@ object IvfIndex {
     * set. The read is therefore exactly-distinct: no double-listed row
     * ever occupies two shortlist slots in the ADC/cosine pre-ranks, and
     * the rerank needs no corpus-sized `distinct()`.
+    *
+    * Duplicates can also be segment∩segment (an at-least-once source
+    * re-delivering the same rows under a NEW batchId), so the segment
+    * union is `distinct()`ed when ≥2 segments are live — the bounded
+    * segment-side aggregate, never the base. The broadcast is capped
+    * (`IndexLayout.SegGuardBroadcastMaxBytes` of segment bytes) with a
+    * shuffle anti-join fallback for an uncompacted segment pile.
     */
   private[operators] def readCells(spark: org.apache.spark.sql.SparkSession,
                                    indexPath: String, cells: Seq[Int],
@@ -481,11 +522,13 @@ object IvfIndex {
       .filter(col("cell").isin(cellList: _*))
     if (segs.isEmpty) base
     else {
-      val segDf = segs
-        .map(p => spark.read.parquet(p).filter(col("cell").isin(cellList: _*)))
+      val seg0 = segs
+        .map(p => spark.read.parquet(p).filter(col("cell").isin(cellList: _*))
+          .select(base.columns.map(col).toIndexedSeq: _*))
         .reduce(_.unionByName(_))
-      base.join(broadcast(segDf.select(idCol)), Seq(idCol), "left_anti")
-        .unionByName(segDf.select(base.columns.map(col).toIndexedSeq: _*))
+      val segDf = if (segs.length > 1) seg0.distinct() else seg0
+      IndexLayout.segGuardedUnion(base, segDf, idCol,
+        IndexLayout.dirBytes(spark, segs))
     }
   }
 }

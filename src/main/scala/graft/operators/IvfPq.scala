@@ -262,6 +262,43 @@ object IvfPq {
     } finally live.unpersist()
   }
 
+  /** One cron-able maintenance cycle for a trained IVF-PQ layout — the
+    * `IvfIndex.maintain` shape over BOTH drift rails: the coarse
+    * quantizer's cell-assignment error (`IvfIndex.maintenanceAudit`
+    * with `model.coarse` — same layout conventions) and the PQ
+    * reconstruction error ([[maintenanceAudit]]). The planner's
+    * ratio-based gate consumes ONE pair, so the worse-relative-drift
+    * rail is passed — either decaying rail must be able to fire the
+    * retrain. Acting skips (reported) under a live lease. Returns the
+    * outcome and the model to search with — NEW iff "retrain" acted.
+    */
+  def maintain(spark: SparkSession, path: String,
+               idCol: String, embCol: String, model: Model,
+               t: IndexLayout.MaintenanceThresholds =
+                 IndexLayout.MaintenanceThresholds(),
+               iters: Int = 2): (IndexLayout.MaintenanceOutcome, Model) = {
+    val coarse = IvfIndex.maintenanceAudit(spark, path, idCol, embCol,
+      model.coarse, iters)
+    val recon = maintenanceAudit(spark, path, idCol, embCol, model, iters)
+    def rel(p: (Long, Long)): Double =
+      if (p._2 <= 0L) 0.0 else (p._1 - p._2).toDouble / p._2
+    val drift = if (rel(coarse) >= rel(recon)) coarse else recon
+    val plan = IvfIndex.maintenancePlan(spark, path, t, drift = Some(drift))
+    if (plan.actions.isEmpty || plan.lease.isDefined)
+      (IndexLayout.MaintenanceOutcome(plan, Seq.empty), model)
+    else if (plan.recommends("retrain")) {
+      val m2 = retrainCompact(spark, path, idCol, embCol,
+        nlist = model.coarse.centroids.length, coarseIters = iters,
+        m = model.pq.m,
+        k = model.pq.codebooks.headOption.map(_.length).getOrElse(0),
+        pqIters = iters)
+      (IndexLayout.MaintenanceOutcome(plan, Seq("retrain")), m2)
+    } else {
+      IvfIndex.compactIndex(spark, path, idCol) // shared (cell,id,…) shape
+      (IndexLayout.MaintenanceOutcome(plan, Seq("compact")), model)
+    }
+  }
+
   /** Mean PQ reconstruction error over `df`, ×1e6 as a long (0 for an
     * empty table). Audit-only — see [[maintenanceAudit]].
     */

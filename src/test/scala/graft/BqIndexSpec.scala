@@ -373,4 +373,51 @@ class BqIndexSpec extends SparkSpec {
     assert(codeBytes > 0 && codeBytes * 5 < vecBytes,
       s"code table $codeBytes B should be far below vectors $vecBytes B")
   }
+
+  test("at-least-once re-delivery: the same rows under a NEW batchId dedupe across segments") {
+    val dir = tmp("redeliver")
+    val c = corpus
+    val base = c.filter(col("vec_id") % 3 === 0)
+    val inc = c.filter(col("vec_id") % 3 =!= 0)
+    BqIndex.writeIndex(base, "vec_id", "qv", dir)
+    BqIndex.writeSegment(inc, "vec_id", "qv", dir, batchId = 0L)
+    // the source crashes after delivering batch 0 but before committing
+    // its offset; the SAME rows come back under batchId 1 — per-batch
+    // overwrite only protects replays of the same batchId, so the
+    // read-path segment-union distinct must absorb this
+    BqIndex.writeSegment(inc, "vec_id", "qv", dir, batchId = 1L)
+    val live = BqIndex.readCodes(spark, dir, "vec_id")
+    assert(live.count() == c.count())
+    assert(live.groupBy("vec_id").count().filter(col("count") > 1L).count() == 0,
+      "a cross-segment duplicate id survived the read")
+    // and it must not occupy two shortlist slots / appear at two ranks
+    val q = qvecOf(c, 0L)
+    val got = rows(BqIndex.searchWithRerank(spark, dir, c, "vec_id", "qv", q,
+      shortlist = 50, topK = 10, excludeId = Some(0L)))
+    val fresh = tmp("redeliver_fresh")
+    BqIndex.writeIndex(base, "vec_id", "qv", fresh)
+    BqIndex.appendToIndex(inc, "vec_id", "qv", fresh)
+    val want = rows(BqIndex.searchWithRerank(spark, fresh, c, "vec_id", "qv",
+      q, shortlist = 50, topK = 10, excludeId = Some(0L)))
+    assert(got == want)
+  }
+
+  test("segment-guard regimes are row-identical (forced shuffle fallback past the byte cap)") {
+    val dir = tmp("segguard")
+    val c = corpus
+    BqIndex.writeIndex(c.filter(col("vec_id") % 2 === 0), "vec_id", "qv", dir)
+    BqIndex.writeSegment(c.filter(col("vec_id") % 2 === 1), "vec_id", "qv",
+      dir, batchId = 0L)
+    // a crashed fold's leftover: rows present in BOTH base and segment
+    BqIndex.writeSegment(c.filter(col("vec_id") % 4 === 0), "vec_id", "qv",
+      dir, batchId = 1L)
+    def live(): Seq[Seq[Any]] = BqIndex.readCodes(spark, dir, "vec_id")
+      .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    val want = live() // broadcast regime (tiny segments, default cap)
+    assert(want.length == c.count())
+    sys.props("graft.index.segGuardBroadcastMaxBytes") = "0"
+    try assert(live() == want,
+      "shuffle-fallback regime disagrees with the broadcast regime")
+    finally sys.props -= "graft.index.segGuardBroadcastMaxBytes"
+  }
 }

@@ -302,4 +302,31 @@ class IvfIndexSpec extends SparkSpec {
         .select("query_id", "vec_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet))
   }
+
+  test("cell read dedupes cross-segment re-delivery; guard regimes row-identical past the byte cap") {
+    import graft.operators.IndexLayout
+    val queries = embs.filter(col("vec_id") < 5)
+    val parts = (0 to 1).map(r => embs.filter(col("vec_id") % 2 === r))
+    val dir = java.nio.file.Files.createTempDirectory("ivf_redeliver").toString
+    IvfIndex.writeIndex(parts(0), "vec_id", "embedding", model, dir)
+    IvfIndex.writeSegment(parts(1), "vec_id", "embedding", model, dir, 0L)
+    // at-least-once re-delivery of the same rows under a NEW batchId —
+    // the segment-union distinct must absorb it
+    IvfIndex.writeSegment(parts(1), "vec_id", "embedding", model, dir, 1L)
+    assert(IndexLayout.segmentDirsAt(spark, s"$dir.segments").size == 2)
+    def res(d: String) = IvfIndex.searchPruned(spark, d, queries, "vec_id",
+        "embedding", model, nprobe = 3, topK = 5)
+      .select(col("query_id"), col("vec_id"), round(col("sim"), 9), col("rank"))
+      .collect().map(_.toSeq).toSet
+    val fullDir = java.nio.file.Files.createTempDirectory("ivf_redeliver_full")
+      .toString
+    IvfIndex.writeIndex(embs, "vec_id", "embedding", model, fullDir)
+    val want = res(fullDir)
+    assert(res(dir) === want)
+    // forced past the cap: the shuffle anti-join fallback must agree
+    sys.props("graft.index.segGuardBroadcastMaxBytes") = "0"
+    try assert(res(dir) === want,
+      "shuffle-fallback regime disagrees with the broadcast regime")
+    finally sys.props -= "graft.index.segGuardBroadcastMaxBytes"
+  }
 }

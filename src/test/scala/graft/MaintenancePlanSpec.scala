@@ -246,4 +246,36 @@ class MaintenancePlanSpec extends SparkSpec {
       IndexLayout.MaintenanceThresholds(maxLiveSegments = 1))
     assert(ivPlan.liveSegments == 1 && ivPlan.recommends("fold"))
   }
+
+  test("packaged maintain: acts on segment pressure, reports instead of queuing behind a live lease") {
+    val dir = s"${tmp("maintain_lease")}/index"
+    val c = qvecs
+    BqIndex.writeIndex(c.filter(col("vec_id") % 5 === 0), "vec_id", "qv", dir)
+    (1L to 3L).foreach { b =>
+      BqIndex.writeSegment(c.filter(col("vec_id") % 5 === b), "vec_id",
+        "qv", dir, batchId = b)
+    }
+    // bit-flip gate disabled: this test pins the fold path, and the
+    // audit's flip rate vs a model trained on a fifth of the rows is
+    // distribution noise, not the scenario
+    val t = IndexLayout.MaintenanceThresholds(maxLiveSegments = 3,
+      maxBitFlipBps = Long.MaxValue)
+    // a live maintainer holds the lease: the cycle must report, not act
+    // (leases are never auto-broken — a crashed holder is a manual
+    // releaseLease decision)
+    IndexLayout.acquireLease(spark, dir, "someone-else")
+    val held = try BqIndex.maintain(spark, dir,
+        c.filter(col("vec_id") % 5 < 4), "vec_id", "qv", t)
+      finally IndexLayout.releaseLease(spark, dir)
+    assert(held.plan.recommends("fold") && held.acted.isEmpty)
+    assert(held.skippedOnLease)
+    assert(IndexLayout.segmentDirs(spark, dir).size == 3, "acted under lease")
+    // lease released: the same cycle folds
+    val acted = BqIndex.maintain(spark, dir,
+      c.filter(col("vec_id") % 5 < 4), "vec_id", "qv", t)
+    assert(acted.acted == Seq("compact"))
+    assert(IndexLayout.segmentDirs(spark, dir).isEmpty)
+    assert(!BqIndex.maintain(spark, dir, c.filter(col("vec_id") % 5 < 4),
+      "vec_id", "qv", t).plan.recommends("fold"))
+  }
 }

@@ -143,6 +143,36 @@ class SimilaritySpec extends SparkSpec {
       "doc_id", "text", 3, 0.5)))
   }
 
+  test("exact-dup regimes stay row-identical for a duplicate-id increment; rowCountHint skips the count") {
+    val corpus = docs
+    // an increment that REPEATS ids (a retried upstream batch glued onto
+    // itself): both regimes emit distinct matched ids, so the downstream
+    // left-join multiplies rows IDENTICALLY — without the fallback's
+    // distinct, the shuffle regime emitted one row per increment row and
+    // the regime-equality guarantee held only for unique-id increments
+    val once = corpus.filter(col("doc_id") < 15)
+      .select(col("doc_id") + 400000L as "doc_id", col("text"))
+    val probe = once.unionAll(once)
+    val dir = java.nio.file.Files.createTempDirectory("dedup_dupids").toString
+    DedupOps.writeDedupIndex(corpus, "doc_id", "text", n = 3, dir)
+    def all(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|")).toSeq
+    val broadcastRegime = all(DedupOps.dedupAgainstIndex(spark, dir, probe,
+      "doc_id", "text", 3, 0.5))
+    System.setProperty("graft.dedup.fpBroadcastMaxRows", "0")
+    try {
+      val shuffleRegime = all(DedupOps.dedupAgainstIndex(spark, dir, probe,
+        "doc_id", "text", 3, 0.5))
+      assert(broadcastRegime == shuffleRegime,
+        "regimes multiply duplicate-id rows differently")
+    } finally System.clearProperty("graft.dedup.fpBroadcastMaxRows")
+    // a caller-supplied row count picks the regime without the extra
+    // count action and must not change the rows
+    val hinted = all(DedupOps.dedupAgainstIndex(spark, dir, probe,
+      "doc_id", "text", 3, 0.5, rowCountHint = Some(probe.count())))
+    assert(hinted == broadcastRegime)
+  }
+
   test("fingerprint tables with a stray extra column read and compact back to the canonical shape") {
     // the round-11 interim format carried an fpshard column (the sharded
     // layout was measured and rejected) — reads must project it away and
