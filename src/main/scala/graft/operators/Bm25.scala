@@ -804,18 +804,58 @@ object Bm25 {
                   idCol: String, queries: Seq[(String, String)], k: Int,
                   k1: Double = 1.2, b: Double = 0.75,
                   nShards: Int = 64): DataFrame = {
+    val statsRows =
+      existingParts(spark, path, "stats").flatMap(readStatsRow(spark, _))
+    val layouts = existingParts(spark, path, "postings") match {
+      case Seq() => Seq(s"$path/postings") // raise the standard read error
+      case ls    => ls
+    }
+    // a pre-list-format stats row additionally pulls the legacy loose
+    // tombstone files (one listing, only for unmigrated indexes)
+    val legacy =
+      if (statsRows.exists(isLegacyStats)) legacyTombFiles(spark, path)
+      else Seq.empty
+    topKOverLayouts(spark, layouts, statsRows,
+      statsRows.flatMap(tombDirsOf).distinct ++ legacy, idCol, queries, k,
+      k1, b, nShards, None)
+  }
+
+  /** [[topKIndexed]] over an already-acquired [[Snapshot]] — the entry
+    * for reads that must pair with ANOTHER index's snapshot under one
+    * consistency point ([[Hybrid.searchIndexed]]) or outlast a
+    * compaction cycle. Scoring is [[topKIndexed]]'s, verbatim;
+    * `extraExclude` drops ids beyond this index's own delete set BEFORE
+    * scoring (df/idf re-derive over the remainder) — the cross-index
+    * delete-union hook. The caller owns [[releaseSnapshot]].
+    */
+  def topKIndexedSnapshot(spark: org.apache.spark.sql.SparkSession,
+                          snap: Snapshot, idCol: String,
+                          queries: Seq[(String, String)], k: Int,
+                          k1: Double = 1.2, b: Double = 0.75,
+                          nShards: Int = 64,
+                          extraExclude: Option[DataFrame] = None): DataFrame =
+    topKOverLayouts(spark, snap.base +: snap.segPostings,
+      snap.statsPaths.flatMap(readStatsRow(spark, _)), snap.tombSources,
+      idCol, queries, k, k1, b, nShards, extraExclude)
+
+  /** The shard-pruned scoring core shared by [[topKIndexed]] (fresh
+    * resolve) and [[topKIndexedSnapshot]] (pinned snapshot): the layout
+    * list, stats rows and delete-set sources are explicit, so the two
+    * entries differ ONLY in how the snapshot was acquired.
+    */
+  private def topKOverLayouts(spark: org.apache.spark.sql.SparkSession,
+                              layouts: Seq[String],
+                              statsRows: Seq[org.apache.spark.sql.Row],
+                              tombSources: Seq[String], idCol: String,
+                              queries: Seq[(String, String)], k: Int,
+                              k1: Double, b: Double, nShards: Int,
+                              extraExclude: Option[DataFrame]): DataFrame = {
     import spark.implicits._
     val terms = queries.flatMap { case (qid, q) => queryTerms(q).map(qid -> _) }
       .toDF("query_id", "term")
     val termSet = queries.flatMap { case (_, q) => queryTerms(q) }.distinct
     val shards = termSet.map(shardOf(_, nShards)).distinct
-    val statsRows =
-      existingParts(spark, path, "stats").flatMap(readStatsRow(spark, _))
     val (nDocs, avgdl) = summedStats(statsRows)
-    val layouts = existingParts(spark, path, "postings") match {
-      case Seq() => Seq(s"$path/postings") // raise the standard read error
-      case ls    => ls
-    }
     val unioned = layouts.map { p =>
       spark.read.parquet(p)
         .filter(col("shard").isin(shards.map(Integer.valueOf): _*))
@@ -831,14 +871,10 @@ object Bm25 {
     // df re-derives over live docs only; no-op when nothing was removed.
     // The delete set comes from the SAME stats rows that supplied
     // (n, avgdl) above — one resolved snapshot, so the filter and the
-    // stats can never be torn against each other. A pre-list-format
-    // stats row additionally pulls the legacy loose tombstone files
-    // (one listing, only for unmigrated indexes).
-    val legacy =
-      if (statsRows.exists(isLegacyStats)) legacyTombFiles(spark, path)
-      else Seq.empty
-    val postings = dropIds(deduped, idCol,
-      readTombIds(spark, statsRows.flatMap(tombDirsOf).distinct ++ legacy))
+    // stats can never be torn against each other.
+    val postings = dropIds(
+      dropIds(deduped, idCol, readTombIds(spark, tombSources)),
+      idCol, extraExclude)
     scoreAndRank(postings, idCol, terms, nDocs, avgdl, k, k1, b)
   }
 
@@ -883,67 +919,13 @@ object Bm25 {
   def exportLivePostings(spark: org.apache.spark.sql.SparkSession,
                          path: String, idCol: String,
                          outDir: String): Unit = {
-    // ONE acquisition attempt. Pins taken by this attempt are released on
-    // every failure path INSIDE it, and the flip-detected retry releases
-    // both and returns None through plain control flow — the retry itself
-    // happens in the loop BELOW, outside these handlers, so a stale
-    // (already-released) token can never reach an outer catch. (The old
-    // recursive form retried inside the try nests: a later exception
-    // re-ran the outer unpins on tokens the retry had already released —
-    // harmless only because unpin is a token-scoped idempotent delete.)
-    def attemptOnce(): Option[(String, String, Seq[String], Seq[String], String)] = {
-      val (base, baseTok) = IndexLayout.pinResolved(spark, s"$path/postings")
-      try {
-        val (pinnedStats, statsTok) =
-          IndexLayout.pinResolved(spark, s"$path/stats")
-        try {
-          val statsRow = readStatsRow(spark, pinnedStats)
-          val legacy =
-            if (statsRow.exists(isLegacyStats)) legacyTombFiles(spark, path)
-            else Seq.empty
-          val segs = IndexLayout.segmentDirs(spark, path)
-            .map(d => s"$d/postings")
-            .filter { d =>
-              val hp = new org.apache.hadoop.fs.Path(d)
-              hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-                .exists(hp)
-            }
-          if (IndexLayout.resolve(spark, s"$path/postings") != base) {
-            // a swap landed mid-snapshot: release both pins and signal
-            // the loop to retry on the new version (bounded — swaps are
-            // rare offline events)
-            IndexLayout.unpin(spark, s"$path/stats", statsTok)
-            IndexLayout.unpin(spark, s"$path/postings", baseTok)
-            None
-          } else
-            Some((base, baseTok,
-              statsRow.map(tombDirsOf).getOrElse(Seq.empty) ++ legacy,
-              segs, statsTok))
-        } catch {
-          case e: Throwable =>
-            IndexLayout.unpin(spark, s"$path/stats", statsTok); throw e
-        }
-      } catch {
-        case e: Throwable =>
-          IndexLayout.unpin(spark, s"$path/postings", baseTok); throw e
-      }
-    }
-    var snap: Option[(String, String, Seq[String], Seq[String], String)] = None
-    var attempt = 0
-    while (snap.isEmpty) {
-      require(attempt < 5,
-        s"$path/postings version keeps flipping mid-snapshot — " +
-          "pause the compaction schedule and re-run the export")
-      snap = attemptOnce()
-      attempt += 1
-    }
-    val (pinnedBase, baseTok, tombSources, segPostings, statsTok) = snap.get
+    val snap = acquireSnapshot(spark, path)
     try {
-      val layouts = pinnedBase +: segPostings
+      val layouts = snap.base +: snap.segPostings
       val unioned = layouts.map(spark.read.parquet(_))
         .reduce(_.unionByName(_))
       val deduped = if (layouts.length > 1) unioned.distinct() else unioned
-      dropIds(deduped, idCol, readTombIds(spark, tombSources))
+      dropIds(deduped, idCol, readTombIds(spark, snap.tombSources))
         .repartition(col("shard"))
         .write.mode("overwrite").parquet(outDir)
     } catch {
@@ -953,7 +935,7 @@ object Bm25 {
         // mid-scan — name the cause instead of surfacing a bare
         // FileNotFound from deep in the scan
         val conf = spark.sparkContext.hadoopConfiguration
-        val gone = segPostings.filterNot { d =>
+        val gone = snap.segPostings.filterNot { d =>
           val hp = new org.apache.hadoop.fs.Path(d)
           hp.getFileSystem(conf).exists(hp)
         }
@@ -962,10 +944,92 @@ object Bm25 {
             s"(e.g. ${gone.head}) — the export outlived two folds; pause " +
             "the fold schedule and re-run the export", e)
         else throw e
-    } finally {
-      IndexLayout.unpin(spark, s"$path/stats", statsTok)
-      IndexLayout.unpin(spark, s"$path/postings", baseTok)
+    } finally releaseSnapshot(spark, path, snap)
+  }
+
+  /** One pinned, internally-validated read snapshot of a [[writeIndex]]
+    * layout — the [[exportLivePostings]] acquisition REIFIED, so reads
+    * that must pair with another index's snapshot under one consistency
+    * point ([[Hybrid.searchIndexed]]) or span a long scan can hold it:
+    * the resolved+pinned postings base, the pinned base stats layout
+    * (whose pin keeps the listed tombstone batch dirs on disk —
+    * `sweepTombstoneBatches` retains every batch a still-existing stats
+    * layout lists), live segment postings/stats paths, and the delete-set
+    * sources captured from the SAME stats read as the (n, avgdl) inputs.
+    * Release with [[releaseSnapshot]] on every exit.
+    */
+  final case class Snapshot(base: String, baseTok: String, statsTok: String,
+                            statsPaths: Seq[String],
+                            segPostings: Seq[String],
+                            tombSources: Seq[String])
+
+  /** Acquire a [[Snapshot]] optimistically (a read must neither fail
+    * because an hours-long maintenance window holds the lease, nor make
+    * maintenance fail). ONE acquisition attempt per loop turn: pins
+    * taken by an attempt are released on every failure path INSIDE it,
+    * and the flip-detected retry releases both and returns None through
+    * plain control flow — the retry happens in the loop OUTSIDE the
+    * handlers, so a stale (already-released) token can never reach an
+    * outer catch. Consistency is validated, not locked: the base's
+    * effective version is re-read after everything else is pinned/listed
+    * — any fold/re-shard/retrain landing mid-snapshot flips the postings
+    * manifest (versions only grow — no ABA), both pins release and the
+    * attempt retries, bounded.
+    */
+  def acquireSnapshot(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Snapshot = {
+    def attemptOnce(): Option[Snapshot] = {
+      val (base, baseTok) = IndexLayout.pinResolved(spark, s"$path/postings")
+      try {
+        val (pinnedStats, statsTok) =
+          IndexLayout.pinResolved(spark, s"$path/stats")
+        try {
+          val conf = spark.sparkContext.hadoopConfiguration
+          def lives(d: String): Boolean = {
+            val hp = new org.apache.hadoop.fs.Path(d)
+            hp.getFileSystem(conf).exists(hp)
+          }
+          val segRoots = IndexLayout.segmentDirs(spark, path)
+          val statsPaths =
+            pinnedStats +: segRoots.map(d => s"$d/stats").filter(lives)
+          val statsRows = statsPaths.flatMap(readStatsRow(spark, _))
+          val legacy =
+            if (statsRows.exists(isLegacyStats)) legacyTombFiles(spark, path)
+            else Seq.empty
+          val segs = segRoots.map(d => s"$d/postings").filter(lives)
+          if (IndexLayout.resolve(spark, s"$path/postings") != base) {
+            IndexLayout.unpin(spark, s"$path/stats", statsTok)
+            IndexLayout.unpin(spark, s"$path/postings", baseTok)
+            None
+          } else
+            Some(Snapshot(base, baseTok, statsTok, statsPaths, segs,
+              statsRows.flatMap(tombDirsOf).distinct ++ legacy))
+        } catch {
+          case e: Throwable =>
+            IndexLayout.unpin(spark, s"$path/stats", statsTok); throw e
+        }
+      } catch {
+        case e: Throwable =>
+          IndexLayout.unpin(spark, s"$path/postings", baseTok); throw e
+      }
     }
+    var snap: Option[Snapshot] = None
+    var attempt = 0
+    while (snap.isEmpty) {
+      require(attempt < 5,
+        s"$path/postings version keeps flipping mid-snapshot — " +
+          "pause the compaction schedule and retry")
+      snap = attemptOnce()
+      attempt += 1
+    }
+    snap.get
+  }
+
+  /** Release a [[Snapshot]]'s pins (idempotent, token-scoped). */
+  def releaseSnapshot(spark: org.apache.spark.sql.SparkSession,
+                      path: String, snap: Snapshot): Unit = {
+    IndexLayout.unpin(spark, s"$path/stats", snap.statsTok)
+    IndexLayout.unpin(spark, s"$path/postings", snap.baseTok)
   }
 
   /** Exact retrieval-evaluation metrics for [[topK]]: per query, MRR,

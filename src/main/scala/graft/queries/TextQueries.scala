@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QDef, Tables}
 import graft.functions.TextFns
-import graft.operators.{Bm25, Chunking, DataSelection, DedupOps, PrefixSum, Profiling, Similarity, TextMining}
+import graft.operators.{Bm25, BqIndex, Chunking, DataSelection, DedupOps, Hybrid, PortableAnn, PrefixSum, Profiling, Similarity, TextMining}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1682,6 +1682,100 @@ object TextQueries {
              |             * sqrt(list_dot_product(qv.v, qv.v))) DESC,
              |        ce.vec_id) AS r
              |    FROM ce, qv) WHERE r <= 30),
+             |fused AS (SELECT COALESCE(l.query_id, dn.query_id) AS query_id,
+             |    COALESCE(l.doc_id, dn.doc_id) AS doc_id,
+             |    round(COALESCE(1.0 / (60 + l.r), 0)
+             |        + COALESCE(1.0 / (60 + dn.r), 0), 6) AS rrf
+             |  FROM lex l FULL OUTER JOIN den dn
+             |    ON l.query_id = dn.query_id AND l.doc_id = dn.doc_id)
+             |SELECT query_id, rank, doc_id, rrf FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY query_id
+             |    ORDER BY rrf DESC, doc_id) AS rank FROM fused)
+             |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
+    // q162's fusion as the SERVING query a production RAG stack runs —
+    // over the two PERSISTED layouts instead of in-memory scans: BM25
+    // from the term-sharded inverted index (built on 90%, the rest
+    // folded in with appendToIndex), dense from the BQ code table (90%
+    // base + one streaming segment), a delete batch tombstoned out of
+    // BOTH indexes, all read under Hybrid.searchIndexed's two-index
+    // pinned snapshot with the cross-index delete-set union.
+    // shortlist = |live| makes the dense leg exact (the q240
+    // degradation), so the WHOLE lifecycle hash-checks against a
+    // live-rows-only oracle: q162's BM25 CTEs over live docs, q240's
+    // integer-L2² rank over live quantized vectors, q162's RRF fusion.
+    QDef("q242_hybrid_indexed",
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        val ds = docs(s, d)
+        val cand = ds.join(emb.select(col("vec_id")),
+          col("doc_id") === col("vec_id"), "left_semi")
+        val delIds = cand.filter(col("doc_id") % 97 === 13)
+          .select(col("doc_id"))
+        val bmDir = graft.Scratch.dir("q242_bm25")
+        Bm25.writeIndex(cand.filter(col("doc_id") % 10 =!= 0),
+          "doc_id", "text", bmDir)
+        Bm25.appendToIndex(cand.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", bmDir)
+        Bm25.removeFromIndex(delIds, "doc_id", bmDir)
+        val corp = emb.join(ds.select(col("doc_id")),
+            col("vec_id") === col("doc_id"), "left_semi")
+          .select(col("vec_id"), PortableAnn.quant(col("embedding")).as("qv"))
+        val bqDir = graft.Scratch.dir("q242_bq")
+        BqIndex.writeIndex(corp.filter(col("vec_id") % 10 =!= 0),
+          "vec_id", "qv", bqDir)
+        BqIndex.writeSegment(corp.filter(col("vec_id") % 10 === 0),
+          "vec_id", "qv", bqDir, batchId = 0L)
+        BqIndex.removeFromIndex(delIds.select(col("doc_id").as("vec_id")),
+          "vec_id", bqDir)
+        // dense queries: s1..s3 = the quantized vectors of vec 0..2
+        // (live — the delete predicate spares them), the q162 naming
+        val qv = corp.filter(col("vec_id") < 3)
+          .select(concat(lit("s"), (col("vec_id") + 1).cast("string"))
+            .as("vec_id"), col("qv"))
+        val nLive = corp.join(delIds, col("vec_id") === col("doc_id"),
+          "left_anti").count().toInt
+        Hybrid.searchIndexed(s, bmDir, bqDir, corp, qv, bm25Queries,
+          "doc_id", "vec_id", "qv", kPerSide = 30, k = 10,
+          shortlist = nLive)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH q(query_id, term) AS (VALUES $bm25TermValues),
+             |cand AS (SELECT d.doc_id, d.text FROM documents d
+             |         JOIN embeddings e ON d.doc_id = e.vec_id
+             |         WHERE d.doc_id % 97 <> 13),
+             |tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]{3,}')) AS term
+             |        FROM cand),
+             |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+             |    avg(len(regexp_extract_all(lower(text), '[a-z]{3,}'))) AS avgdl
+             |  FROM cand),
+             |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS doc_len FROM tok GROUP BY 1),
+             |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok
+             |       WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1, 2),
+             |idf AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY 1),
+             |scored AS (SELECT q.query_id, tf.doc_id,
+             |    round(sum(ln(1.0 + (stats.n - idf.df + 0.5) / (idf.df + 0.5))
+             |      * (tf.tf * (1.2 + 1.0)
+             |         / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.doc_len / stats.avgdl)))), 6) AS score
+             |  FROM tf JOIN idf USING (term) JOIN q USING (term)
+             |    JOIN dl USING (doc_id), stats
+             |  GROUP BY 1, 2),
+             |lex AS (SELECT query_id, doc_id, r FROM (
+             |    SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+             |      ORDER BY score DESC, doc_id) AS r FROM scored) WHERE r <= 30),
+             |v AS (SELECT e.vec_id, [CAST(floor(x*1024.0 + 0.5) AS BIGINT)
+             |         for x in CAST(e.embedding AS DOUBLE[])] AS qv
+             |      FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+             |      WHERE e.vec_id % 97 <> 13),
+             |qvq AS (SELECT 's' || CAST(vec_id + 1 AS VARCHAR) AS query_id,
+             |          qv AS q FROM v WHERE vec_id < 3),
+             |den AS (SELECT query_id, doc_id, r FROM (
+             |    SELECT qvq.query_id, v.vec_id AS doc_id,
+             |      row_number() OVER (PARTITION BY qvq.query_id ORDER BY
+             |        list_sum([(v.qv[i]-qvq.q[i])*(v.qv[i]-qvq.q[i])
+             |          for i in range(1, len(v.qv)+1)]),
+             |        v.vec_id) AS r
+             |    FROM v, qvq) WHERE r <= 30),
              |fused AS (SELECT COALESCE(l.query_id, dn.query_id) AS query_id,
              |    COALESCE(l.doc_id, dn.doc_id) AS doc_id,
              |    round(COALESCE(1.0 / (60 + l.r), 0)

@@ -601,26 +601,23 @@ class LifecycleSoakSpec extends SparkSpec {
         transform(col("embedding"), x => x + lit(4.0f)).as("embedding"))
     IvfIndex.appendToIndex(shifted, "vec_id", "embedding", model, dir)
 
-    // the packaged audit produces the measurement the planner demands
-    val drift = IvfIndex.maintenanceAudit(spark, dir, "vec_id", "embedding",
-      model, iters = 2)
-    val plan = IvfIndex.maintenancePlan(spark, dir, drift = Some(drift))
-    assert(plan.recommends("retrain"),
-      s"shifted-append drift $drift must fire retrain")
+    // ONE packaged call audits, plans, AND acts — the cron entry point,
+    // so the tested path is the path an operator's scheduler runs
+    val (outcome, model2) = IvfIndex.maintain(spark, dir, "vec_id",
+      "embedding", model, iters = 2)
+    assert(outcome.plan.recommends("retrain"),
+      s"shifted-append drift must fire retrain: ${outcome.plan}")
+    assert(outcome.acted == Seq("retrain"))
+    assert(model2 ne model)
 
-    // act on the recommendation, then re-measure: the gap must close
-    // (audit retrains on the same live rows the retrain used, so the
-    // pair degenerates to equality — deterministic first-k init)
-    val model2 = IvfIndex.retrainCompact(spark, dir, "vec_id", "embedding",
-      k = 4, iters = 2)
-    val drift2 = IvfIndex.maintenanceAudit(spark, dir, "vec_id",
+    // re-measure through the same packaged call: the audit retrains on
+    // the same live rows the retrain used (deterministic first-k init),
+    // so the cycle is quiet and the model passes through untouched
+    val (outcome2, model3) = IvfIndex.maintain(spark, dir, "vec_id",
       "embedding", model2, iters = 2)
-    // same live rows, same deterministic first-k train ⇒ the same model
-    // on both sides; ±1 absorbs double-sum merge-order wobble in the
-    // ×1e6 scaling
-    assert((drift2._1 - drift2._2).abs <= 1L, s"post-retrain audit $drift2")
-    assert(!IvfIndex.maintenancePlan(spark, dir, drift = Some(drift2))
-      .recommends("retrain"))
+    assert(!outcome2.plan.recommends("retrain"),
+      s"post-retrain cycle must be quiet: ${outcome2.plan}")
+    assert(outcome2.acted.isEmpty && (model3 eq model2))
     assert(IndexLayout.listLease(spark, dir).isEmpty)
   }
 
@@ -638,19 +635,19 @@ class LifecycleSoakSpec extends SparkSpec {
         transform(col("embedding"), x => x + lit(4.0f)).as("embedding"))
     IvfPq.appendToIndex(shifted, "vec_id", "embedding", model, dir)
 
-    val drift = IvfPq.maintenanceAudit(spark, dir, "vec_id", "embedding",
-      model, pqIters = 2)
-    assert(IvfIndex.maintenancePlan(spark, dir, drift = Some(drift))
-      .recommends("retrain"),
-      s"shifted-append PQ reconstruction drift $drift must fire retrain")
+    // the packaged cycle audits BOTH rails (coarse assignment + PQ
+    // reconstruction) and acts on the worse one
+    val (outcome, model2) = IvfPq.maintain(spark, dir, "vec_id",
+      "embedding", model, iters = 2)
+    assert(outcome.plan.recommends("retrain"),
+      s"shifted-append PQ drift must fire retrain: ${outcome.plan}")
+    assert(outcome.acted == Seq("retrain"))
 
-    val model2 = IvfPq.retrainCompact(spark, dir, "vec_id", "embedding",
-      nlist = 4, coarseIters = 2, m = 8, k = 12, pqIters = 2)
-    val drift2 = IvfPq.maintenanceAudit(spark, dir, "vec_id", "embedding",
-      model2, pqIters = 2)
-    assert((drift2._1 - drift2._2).abs <= 1L, s"post-retrain audit $drift2")
-    assert(!IvfIndex.maintenancePlan(spark, dir, drift = Some(drift2))
-      .recommends("retrain"))
+    val (outcome2, model3) = IvfPq.maintain(spark, dir, "vec_id",
+      "embedding", model2, iters = 2)
+    assert(!outcome2.plan.recommends("retrain"),
+      s"post-retrain cycle must be quiet: ${outcome2.plan}")
+    assert(outcome2.acted.isEmpty && (model3 eq model2))
     assert(IndexLayout.listLease(spark, dir).isEmpty)
   }
 
@@ -670,21 +667,137 @@ class LifecycleSoakSpec extends SparkSpec {
     graft.operators.BqIndex.appendToIndex(shifted, "vec_id", "qv", dir)
     val live = base.unionByName(shifted)
 
-    val bps = graft.operators.BqIndex.maintenanceAudit(spark, dir, live, "qv")
-    val plan = graft.operators.BqIndex.maintenancePlan(spark, dir,
-      bitFlipBps = Some(bps))
-    assert(plan.recommends("retrain"),
-      s"shifted-append flip rate $bps bps must fire rebuild")
+    // the packaged cycle: audit fires the rebuild, writeIndex's leased
+    // swap over the live vector table IS the retrain for BQ
+    val outcome = graft.operators.BqIndex.maintain(spark, dir, live,
+      "vec_id", "qv")
+    assert(outcome.plan.recommends("retrain"),
+      s"shifted-append flip rate must fire rebuild: ${outcome.plan}")
+    assert(outcome.acted == Seq("retrain"))
 
-    // act: rebuild over the live rows; a fresh audit retrains on exactly
-    // the corpus the rebuild trained on, so the flip rate is 0 — the
-    // quiet state, below any threshold
-    graft.operators.BqIndex.writeIndex(live, "vec_id", "qv", dir)
-    val bps2 = graft.operators.BqIndex.maintenanceAudit(spark, dir, live,
-      "qv")
-    assert(bps2 == 0L, s"post-rebuild flip rate $bps2 bps")
-    assert(!graft.operators.BqIndex.maintenancePlan(spark, dir,
-      bitFlipBps = Some(bps2)).recommends("retrain"))
+    // a fresh cycle audits against exactly the corpus the rebuild
+    // trained on, so the flip rate is 0 — the quiet state
+    val outcome2 = graft.operators.BqIndex.maintain(spark, dir, live,
+      "vec_id", "qv")
+    assert(!outcome2.plan.recommends("retrain"),
+      s"post-rebuild cycle must be quiet: ${outcome2.plan}")
+    assert(outcome2.acted.isEmpty)
     assert(IndexLayout.listLease(spark, dir).isEmpty)
+  }
+
+  // ───────────────────────────── Hybrid ─────────────────────────────
+
+  test("HYBRID fused query mid-storm: appends, folds and PER-INDEX deletes on both layouts; exact at every step, deletes never tear") {
+    import graft.operators.{BqIndex, Hybrid, PortableAnn, Similarity}
+    import org.apache.spark.sql.expressions.Window
+    val allDocs = docs.join(embs.select("vec_id"),
+      col("doc_id") === col("vec_id"), "left_semi")
+    val corpAll = embs.join(docs.select("doc_id"),
+        col("vec_id") === col("doc_id"), "left_semi")
+      .select(col("vec_id"), PortableAnn.quant(col("embedding")).as("qv"))
+      .cache()
+    val lexQs = Seq("s1" -> "fast hash join", "s2" -> "window sort merge",
+      "s3" -> "stream filter vector")
+    val qv = corpAll.filter(col("vec_id") < 3)
+      .select(concat(lit("s"), (col("vec_id") + 1).cast("string"))
+        .as("vec_id"), col("qv"))
+    val bmDir = tmp("hybrid_bm")
+    val bqDir = tmp("hybrid_bq")
+
+    def fused(liveCount: Long): Seq[Seq[Any]] =
+      Hybrid.searchIndexed(spark, bmDir, bqDir, corpAll, qv, lexQs,
+        "doc_id", "vec_id", "qv", kPerSide = 20, k = 10,
+        shortlist = liveCount.toInt)
+        .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+
+    // the in-memory twin — q162's fusion (Bm25.topK + exact d2 rank +
+    // rrfFuse) over exactly the live rows, sharing NO index machinery
+    // with the path under test
+    def want(liveDocs: DataFrame, liveVecs: DataFrame): Seq[Seq[Any]] = {
+      val lex = Bm25.topK(liveDocs, "doc_id", "text", lexQs, k = 20)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("d2"), col("vec_id"))
+      val den = liveVecs
+        .crossJoin(broadcast(qv.select(col("vec_id").as("query_id"),
+          col("qv").as("__q"))))
+        .select(col("query_id"), col("vec_id"),
+          PortableAnn.dist2(col("qv"), col("__q")).as("d2"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 20)
+        .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
+      Similarity.rrfFuse(lex, den, k = 10)
+        .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    }
+
+    def check(liveDocs: DataFrame, liveVecs: DataFrame, step: String)
+        : Unit = {
+      val got = fused(liveVecs.count())
+      assert(got.nonEmpty && got == want(liveDocs, liveVecs), step)
+    }
+
+    val base = col("doc_id") % 4 < 2
+    val batch1 = col("doc_id") % 4 === 2
+    val batch2 = col("doc_id") % 4 === 3
+    def vecsOf(docPred: org.apache.spark.sql.Column) =
+      corpAll.join(allDocs.filter(docPred).select("doc_id"),
+        col("vec_id") === col("doc_id"), "left_semi")
+
+    // 1. build both on half the corpus
+    Bm25.writeIndex(allDocs.filter(base), "doc_id", "text", bmDir)
+    BqIndex.writeIndex(vecsOf(base), "vec_id", "qv", bqDir)
+    check(allDocs.filter(base), vecsOf(base), "fresh builds")
+
+    // 2. grow both: a direct append into BM25, a streaming segment on BQ
+    Bm25.appendToIndex(allDocs.filter(batch1), "doc_id", "text", bmDir)
+    BqIndex.writeSegment(vecsOf(batch1), "vec_id", "qv", bqDir,
+      batchId = 0L)
+    val live2 = base || batch1
+    check(allDocs.filter(live2), vecsOf(live2), "append + segment")
+
+    // 3. a delete batch rolls out to BOTH indexes
+    val del1 = col("doc_id") % 53 === 7 && col("doc_id") >= 3
+    val del1Ids = allDocs.filter(live2 && del1).select("doc_id")
+    Bm25.removeFromIndex(del1Ids, "doc_id", bmDir)
+    BqIndex.removeFromIndex(del1Ids.select(col("doc_id").as("vec_id")),
+      "vec_id", bqDir)
+    val live3 = live2 && !del1
+    check(allDocs.filter(live3), vecsOf(live3), "delete both")
+
+    // 4. fold both layouts — reads must not move
+    Bm25.compactIndex(spark, bmDir)
+    BqIndex.compactIndex(spark, bqDir)
+    check(allDocs.filter(live3), vecsOf(live3), "compact both")
+
+    // 5. the TEAR window: a second delete lands on BM25 ONLY. The fused
+    // read excludes it from BOTH legs (the delete-set union) — a doc
+    // deleted from one index must not resurface through the other's
+    // rank list mid-rollout
+    val del2 = col("doc_id") % 53 === 11 && col("doc_id") >= 3
+    val del2Ids = allDocs.filter(live3 && del2).select("doc_id")
+    Bm25.removeFromIndex(del2Ids, "doc_id", bmDir)
+    val live5 = live3 && !del2
+    check(allDocs.filter(live5), vecsOf(live5), "mid-rollout tear")
+
+    // 6. the rollout completes on BQ — same rows, now from both layouts
+    BqIndex.removeFromIndex(del2Ids.select(col("doc_id").as("vec_id")),
+      "vec_id", bqDir)
+    check(allDocs.filter(live5), vecsOf(live5), "rollout complete")
+
+    // 7. grow again (direct appends both sides), then fold both
+    Bm25.appendToIndex(allDocs.filter(batch2), "doc_id", "text", bmDir)
+    BqIndex.appendToIndex(vecsOf(batch2), "vec_id", "qv", bqDir)
+    // batch2 is disjoint from every earlier delete's id set, so the
+    // index's live set is exactly live5 ∪ batch2
+    val live7 = live5 || batch2
+    check(allDocs.filter(live7), vecsOf(live7), "second append")
+    Bm25.compactIndex(spark, bmDir)
+    BqIndex.compactIndex(spark, bqDir)
+    check(allDocs.filter(live7), vecsOf(live7), "final compact")
+
+    // no pins leak across the storm
+    assert(IndexLayout.listPins(spark, s"$bmDir/postings").isEmpty)
+    assert(IndexLayout.listPins(spark, s"$bqDir/codes").isEmpty)
+    corpAll.unpersist()
   }
 }

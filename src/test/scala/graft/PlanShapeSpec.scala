@@ -516,6 +516,51 @@ class PlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("hybrid serving query: both persisted legs stay index-pruned under the two-index snapshot") {
+    // the q242 serving path — the plan Hybrid.searchIndexed materializes
+    // under its pins, asserted pre-collect via fusedFrame: a refactor
+    // that loses the lexical shard pruning or the dense rank-limit
+    // pushdown would make the fused query corpus-shaped at 100 TB
+    import graft.operators.{Bm25, BqIndex, Hybrid, PortableAnn}
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+    val embs = Tables(spark, sf, "embeddings")
+    val cand = docs.join(embs.select(col("vec_id")),
+      col("doc_id") === col("vec_id"), "left_semi")
+    val corp = embs.join(docs.select("doc_id"),
+        col("vec_id") === col("doc_id"), "left_semi")
+      .select(col("vec_id"), PortableAnn.quant(col("embedding")).as("qv"))
+    val bmDir = java.nio.file.Files.createTempDirectory("hybrid_bm").toString
+    val bqDir = java.nio.file.Files.createTempDirectory("hybrid_bq").toString
+    Bm25.writeIndex(cand, "doc_id", "text", bmDir)
+    BqIndex.writeIndex(corp, "vec_id", "qv", bqDir)
+    val lexQs = Seq("s1" -> "fast hash join", "s2" -> "window sort merge")
+    val qv = corp.filter(col("vec_id") < 2)
+      .select(concat(lit("s"), (col("vec_id") + 1).cast("string"))
+        .as("vec_id"), col("qv"))
+    val bm = Bm25.acquireSnapshot(spark, bmDir)
+    val bq = BqIndex.acquireSnapshot(spark, bqDir)
+    try {
+      val fused = Hybrid.fusedFrame(spark, bqDir, bm, bq, corp, qv, lexQs,
+        "doc_id", "vec_id", "qv", kPerSide = 10, k = 5, shortlist = 50,
+        rrfK = 60, nShards = 64)
+      val p = fused.queryExecution.executedPlan.toString
+      // lexical leg: the query terms' shards prune the postings scan
+      assert("PartitionFilters: \\[shard#\\d+ IN \\(".r.findFirstIn(p)
+        .isDefined, p.take(4000))
+      // dense leg: rank-limit pushdown below the query-keyed exchange,
+      // over a scan that reads ONLY (id, code) — 8 B/vector
+      assert(p.contains("WindowGroupLimit"), p.take(4000))
+      assert("ReadSchema: struct<vec_id:bigint,code:bigint>".r
+        .findFirstIn(p).isDefined, p.take(4000))
+      // fusion joins two rank lists, never the corpus
+      assert(!p.contains("CartesianProduct"), p.take(4000))
+      assert(fused.count() > 0)
+    } finally {
+      BqIndex.releaseSnapshot(spark, bqDir, bq)
+      Bm25.releaseSnapshot(spark, bmDir, bm)
+    }
+  }
+
   test("typed Aggregator computes a one-pass text profile") {
     import spark.implicits._
     val texts = Tables(spark, sf, "documents").select("text").as[String]
