@@ -261,6 +261,30 @@ object Bm25 {
       s"$path/tombstones", path, t,
       tombstoneBatches = Some(tombstoneDirs(spark, path).size))
 
+  /** One cron-able maintenance cycle for a BM25 layout — the
+    * `IvfIndex.maintain` shape for a family with NO trained model (BM25
+    * has no drift rail: df/idf re-derive from the postings at query
+    * time), so the cycle is PLAN (segment/tombstone pressure,
+    * [[maintenancePlan]]) → leased ACT ([[compactIndex]] — one pass
+    * folds segments AND materializes tombstones). Acting skips
+    * (reported) under a live lease. With the vector families'
+    * `maintain`, every one of the five persisted layouts is a single
+    * scheduled call.
+    */
+  def maintain(spark: org.apache.spark.sql.SparkSession, path: String,
+               idCol: String = "doc_id",
+               t: IndexLayout.MaintenanceThresholds =
+                 IndexLayout.MaintenanceThresholds())
+      : IndexLayout.MaintenanceOutcome = {
+    val plan = maintenancePlan(spark, path, t)
+    if (plan.actions.isEmpty || plan.lease.isDefined)
+      IndexLayout.MaintenanceOutcome(plan, Seq.empty)
+    else {
+      compactIndex(spark, path, idCol)
+      IndexLayout.MaintenanceOutcome(plan, Seq("compact"))
+    }
+  }
+
   /** The tombstone batch directories the CURRENT stats row lists — the
     * reader-visible delete set (staged-but-uncommitted and
     * already-folded batches under `$path/tombstones/rm_*` are not in

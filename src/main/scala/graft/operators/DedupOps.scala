@@ -645,6 +645,27 @@ object DedupOps {
     IndexLayout.maintenancePlan(spark, s"$path/shingles", s"$path/segments",
       s"$path/tombstones", path, t)
 
+  /** One cron-able maintenance cycle for a dedup layout — the
+    * `Bm25.maintain` shape (no trained model, no drift rail): PLAN
+    * (segment/tombstone pressure, [[maintenancePlan]]) → leased ACT
+    * ([[compactDedupIndex]]). Acting skips (reported) under a live
+    * lease. Completes the one-call `maintain` family across all five
+    * persisted layouts.
+    */
+  def maintain(spark: org.apache.spark.sql.SparkSession, path: String,
+               idCol: String = "doc_id",
+               t: IndexLayout.MaintenanceThresholds =
+                 IndexLayout.MaintenanceThresholds())
+      : IndexLayout.MaintenanceOutcome = {
+    val plan = maintenancePlan(spark, path, t)
+    if (plan.actions.isEmpty || plan.lease.isDefined)
+      IndexLayout.MaintenanceOutcome(plan, Seq.empty)
+    else {
+      compactDedupIndex(spark, path, idCol)
+      IndexLayout.MaintenanceOutcome(plan, Seq("compact"))
+    }
+  }
+
   /** Segment-merge for the dedup index: rewrite the shingle postings
     * clustered by shard with tombstoned docs dropped (append small files
     * merged, removals made physical, streaming segments folded into the

@@ -35,6 +35,13 @@ import org.apache.spark.sql.functions._
   *     either index can never resurface through the other, and each
   *     side's scores re-derive (df/idf; shortlist) over the remainder.
   *
+  * Pins survive COMPACTIONS (version swaps retain pinned layouts —
+  * soak-pinned in LifecycleSoakSpec); a fresh REBUILD
+  * (`writeIndex` — leased, wholesale) clears pins with the index they
+  * pinned, so a rebuild racing a held query fails that query loudly
+  * (lost files), never silently mixes layouts — retry on the new
+  * version, the `clearVersions` contract.
+  *
   * Scale shape: both legs keep their index-pruned plans — the lexical
   * scan reads only the query terms' shards (partition filter), the
   * dense pre-rank scans only the 8-byte code table with the

@@ -800,4 +800,58 @@ class LifecycleSoakSpec extends SparkSpec {
     assert(IndexLayout.listPins(spark, s"$bqDir/codes").isEmpty)
     corpAll.unpersist()
   }
+
+  test("a HELD hybrid snapshot survives a compaction on BOTH layouts; a fresh snapshot sees the compacted state and agrees") {
+    import graft.operators.{BqIndex, Hybrid, PortableAnn}
+    val allDocs = docs.join(embs.select("vec_id"),
+      col("doc_id") === col("vec_id"), "left_semi")
+    val corp = embs.join(docs.select("doc_id"),
+        col("vec_id") === col("doc_id"), "left_semi")
+      .select(col("vec_id"), PortableAnn.quant(col("embedding")).as("qv"))
+      .cache()
+    val lexQs = Seq("s1" -> "fast hash join", "s2" -> "stream filter vector")
+    val qv = corp.filter(col("vec_id") < 2)
+      .select(concat(lit("s"), (col("vec_id") + 1).cast("string"))
+        .as("vec_id"), col("qv"))
+    val bmDir = tmp("hybsnap_bm")
+    val bqDir = tmp("hybsnap_bq")
+    Bm25.writeIndex(allDocs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", bmDir)
+    BqIndex.writeIndex(corp.filter(col("vec_id") % 2 === 0),
+      "vec_id", "qv", bqDir)
+    // live segments, so the compactions below genuinely flip both layouts
+    Bm25.writeIndex(allDocs.filter(col("doc_id") % 2 === 1), "doc_id",
+      "text", s"$bmDir/segments/batch=1", 64, sharded = false)
+    BqIndex.writeSegment(corp.filter(col("vec_id") % 2 === 1),
+      "vec_id", "qv", bqDir, batchId = 1L)
+    val n = corp.count().toInt
+    val bm = Bm25.acquireSnapshot(spark, bmDir)
+    val bq = BqIndex.acquireSnapshot(spark, bqDir)
+    val before =
+      try {
+        def fuse() = Hybrid.fusedFrame(spark, bqDir, bm, bq, corp, qv,
+            lexQs, "doc_id", "vec_id", "qv", kPerSide = 10, k = 5,
+            shortlist = n, rrfK = 60, nShards = 64)
+          .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+        val b = fuse()
+        assert(b.nonEmpty)
+        // both compactions land WHILE the snapshot is held: versions
+        // flip, segments retire (N-1 grace), but the pins keep the
+        // snapshotted layouts on disk — the held read must return the
+        // SAME rows, not FileNotFound, not the new layout
+        Bm25.compactIndex(spark, bmDir)
+        BqIndex.compactIndex(spark, bqDir)
+        assert(fuse() == b, "held snapshot moved or broke mid-compaction")
+        b
+      } finally {
+        BqIndex.releaseSnapshot(spark, bqDir, bq)
+        Bm25.releaseSnapshot(spark, bmDir, bm)
+      }
+    // same live rows, post-compaction layout — a fresh snapshot agrees
+    val after = Hybrid.searchIndexed(spark, bmDir, bqDir, corp, qv, lexQs,
+        "doc_id", "vec_id", "qv", kPerSide = 10, k = 5, shortlist = n)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(after == before)
+    corp.unpersist()
+  }
 }

@@ -247,6 +247,52 @@ class MaintenancePlanSpec extends SparkSpec {
     assert(ivPlan.liveSegments == 1 && ivPlan.recommends("fold"))
   }
 
+  test("packaged maintain for the model-less families: BM25 and dedup fold on segment pressure, report under a live lease") {
+    // BM25 — segments written exactly as streamBm25IndexMaintained does
+    val bmDir = s"${tmp("maintain_bm25")}/index"
+    val t = IndexLayout.MaintenanceThresholds(maxLiveSegments = 2)
+    Bm25.writeIndex(docs.filter(col("doc_id") % 4 === 0),
+      "doc_id", "text", bmDir)
+    (1 to 3).foreach { b =>
+      Bm25.writeIndex(docs.filter(col("doc_id") % 4 === b),
+        "doc_id", "text", s"$bmDir/segments/batch=$b", 64, sharded = false)
+    }
+    IndexLayout.acquireLease(spark, bmDir, "someone-else")
+    val bmHeld = try Bm25.maintain(spark, bmDir, "doc_id", t)
+      finally IndexLayout.releaseLease(spark, bmDir)
+    assert(bmHeld.skippedOnLease && bmHeld.plan.recommends("fold"))
+    assert(IndexLayout.segmentDirs(spark, bmDir).size == 3, "acted under lease")
+    val bmActed = Bm25.maintain(spark, bmDir, "doc_id", t)
+    assert(bmActed.acted == Seq("compact"))
+    assert(IndexLayout.segmentDirs(spark, bmDir).isEmpty)
+    // the folded index retrieves identically to a from-scratch build
+    val qs = Seq("s1" -> "fast hash join")
+    val fresh = s"${tmp("maintain_bm25_fresh")}/index"
+    Bm25.writeIndex(docs, "doc_id", "text", fresh)
+    assert(Bm25.topKIndexed(spark, bmDir, "doc_id", qs, 10).collect().toSeq
+      == Bm25.topKIndexed(spark, fresh, "doc_id", qs, 10).collect().toSeq)
+    assert(!Bm25.maintain(spark, bmDir, "doc_id", t).plan.recommends("fold"))
+
+    // dedup — same cycle through DedupOps.maintain
+    val ddDir = s"${tmp("maintain_dedup")}/index"
+    DedupOps.writeDedupIndex(docs.filter(col("doc_id") % 4 === 0),
+      "doc_id", "text", 3, ddDir)
+    (1 to 3).foreach { b =>
+      DedupOps.writeDedupIndex(docs.filter(col("doc_id") % 4 === b),
+        "doc_id", "text", 3, s"$ddDir/segments/batch=$b", 256,
+        sharded = false)
+    }
+    IndexLayout.acquireLease(spark, ddDir, "someone-else")
+    val ddHeld = try DedupOps.maintain(spark, ddDir, "doc_id", t)
+      finally IndexLayout.releaseLease(spark, ddDir)
+    assert(ddHeld.skippedOnLease && ddHeld.plan.recommends("fold"))
+    val ddActed = DedupOps.maintain(spark, ddDir, "doc_id", t)
+    assert(ddActed.acted == Seq("compact"))
+    assert(IndexLayout.segmentDirs(spark, ddDir).isEmpty)
+    assert(!DedupOps.maintain(spark, ddDir, "doc_id", t)
+      .plan.recommends("fold"))
+  }
+
   test("packaged maintain: acts on segment pressure, reports instead of queuing behind a live lease") {
     val dir = s"${tmp("maintain_lease")}/index"
     val c = qvecs
