@@ -173,44 +173,62 @@ object Bm25 {
     // same JVM hash as the driver-side shardOf, inlined into the build's
     // whole-stage-codegen pipeline instead of crossing the UDF bridge
     val shardCol = graft.functions.ShardExpr.javaHashMod(col("term"), nShards)
-    val unclustered = docs
-      .select(col(idCol), TextFns.words(col(textCol)).as("__toks"))
-      .select(col(idCol), size(col("__toks")).cast("long").as("doc_len"),
-        explode(col("__toks")).as("term"))
-      .groupBy(col(idCol), col("doc_len"), col("term"))
-      .agg(count(lit(1)).cast("double").as("tf"))
-      .withColumn("shard", shardCol)
-    // cluster by shard so the partitioned write below emits O(nShards)
-    // files instead of tasks × nShards (skipped for unpartitioned small
-    // segments, which need no clustering)
-    val postings =
-      if (sharded) unclustered.repartition(col("shard")) else unclustered
-    val w = postings.write.mode("overwrite")
-    // a zero-row partitioned write leaves no schema-bearing files and the
-    // index would be unreadable — an empty corpus writes unpartitioned
-    // (shard stays as a data column; the query-side filter still applies).
-    // `sharded = false` (streaming SEGMENTS) also writes unpartitioned —
-    // Lucene's small-segment shape: a micro-batch's postings are cheap to
-    // scan in full, while a nShards-directory partitioned write is ~all
-    // fixed cost at micro-batch size; compaction folds segments into the
-    // base's pruned partitioned form.
-    // Emptiness is probed on the map-only exploded-token scan (postings
-    // are its aggregate — empty iff it is), not on `postings` itself,
-    // which would execute the whole agg pipeline twice; lazy so the
-    // unpartitioned segment path never pays the probe job.
-    lazy val noTokens = docs
-      .select(explode(TextFns.words(col(textCol))).as("__t")).isEmpty
-    if (!sharded || noTokens) w.parquet(s"$path/postings")
-    else w.partitionBy("shard").parquet(s"$path/postings")
-    writeStats(docs, textCol, path)
-    // doc-level sidecar (id, doc_len): doc-count-sized, the lookup table
-    // [[removeFromIndex]] needs to shrink the stats EXACTLY without a
-    // full postings scan (a doc's postings touch ~every shard — deletes
-    // must never pay that read). doc_len is null for null text, mirroring
-    // the avg's skip-nulls semantics.
-    docs.select(col(idCol),
-        size(TextFns.words(col(textCol))).cast("long").as("doc_len"))
-      .write.mode("overwrite").parquet(s"$path/docs")
+    // ONE doc-level tokenize pass, cached: the (id, doc_len) projection
+    // feeds the stats aggregate, the emptiness probe (sum_len == 0 ⟺ no
+    // exploded token anywhere) and the doc sidecar below — the previous
+    // shape re-tokenized the whole corpus for each of the three (guide
+    // §1.2: fix the pass count before the per-task work). The postings
+    // build keeps its own full-token pass (it needs the terms, not just
+    // the counts).
+    val dl = docs.select(col(idCol),
+      size(TextFns.words(col(textCol))).cast("long").as("doc_len"))
+      .cache()
+    try {
+      // emptiness probe, only where it gates anything (the partitioned
+      // write): a doc with tokens exists ⟺ some doc_len > 0 — a take(1)
+      // over dl, not a corpus re-tokenize
+      lazy val noTokens = dl.filter(col("doc_len") > 0).isEmpty
+      val unclustered = docs
+        .select(col(idCol), TextFns.words(col(textCol)).as("__toks"))
+        .select(col(idCol), size(col("__toks")).cast("long").as("doc_len"),
+          explode(col("__toks")).as("term"))
+        .groupBy(col(idCol), col("doc_len"), col("term"))
+        .agg(count(lit(1)).cast("double").as("tf"))
+        .withColumn("shard", shardCol)
+      // cluster by shard so the partitioned write below emits O(nShards)
+      // files instead of tasks × nShards (skipped for unpartitioned small
+      // segments, which need no clustering)
+      val postings =
+        if (sharded) unclustered.repartition(col("shard")) else unclustered
+      val w = postings.write.mode("overwrite")
+      // a zero-row partitioned write leaves no schema-bearing files and the
+      // index would be unreadable — an empty corpus writes unpartitioned
+      // (shard stays as a data column; the query-side filter still applies).
+      // `sharded = false` (streaming SEGMENTS) also writes unpartitioned —
+      // Lucene's small-segment shape: a micro-batch's postings are cheap to
+      // scan in full, while a nShards-directory partitioned write is ~all
+      // fixed cost at micro-batch size; compaction folds segments into the
+      // base's pruned partitioned form.
+      if (!sharded || noTokens) w.parquet(s"$path/postings")
+      else w.partitionBy("shard").parquet(s"$path/postings")
+      // the stats table aggregates the CACHED dl with the same operands
+      // the raw-text aggregate used: n counts all docs, avg/sum/count of
+      // doc_len skip null-text docs exactly as avg(size(words)) did —
+      // bit-identical stats, one cached scan; same postings → stats →
+      // sidecar write order as before the restructure
+      dl.agg(count(lit(1)).cast("double").as("n"),
+          avg(col("doc_len")).as("avgdl"),
+          coalesce(sum(col("doc_len")).cast("double"), lit(0.0)).as("sum_len"),
+          count(col("doc_len")).cast("double").as("n_len"))
+        .withColumn("tomb_dirs", typedLit(Seq.empty[String]))
+        .write.mode("overwrite").parquet(s"$path/stats")
+      // doc-level sidecar (id, doc_len): doc-count-sized, the lookup table
+      // [[removeFromIndex]] needs to shrink the stats EXACTLY without a
+      // full postings scan (a doc's postings touch ~every shard — deletes
+      // must never pay that read). doc_len is null for null text, mirroring
+      // the avg's skip-nulls semantics.
+      dl.write.mode("overwrite").parquet(s"$path/docs")
+    } finally dl.unpersist()
   }
 
   /** Whether a write target is a streaming-segment mini-index path
@@ -236,16 +254,11 @@ object Bm25 {
     * visible in the same manifest flip, so a reader scores either the
     * fully-pre or the fully-post state, never filtered postings against
     * unshifted stats (see [[removeFromIndex]]).
+    *
+    * Since the round-12 single-tokenize restructure the row is written
+    * inside [[writeIndexBody]] from the cached (id, doc_len) projection —
+    * same operands, same schema, one corpus scan fewer.
     */
-  private def writeStats(docs: DataFrame, textCol: String,
-                         path: String): Unit =
-    docs.agg(count(lit(1)).cast("double").as("n"),
-        avg(size(TextFns.words(col(textCol)))).as("avgdl"),
-        coalesce(sum(size(TextFns.words(col(textCol)))).cast("double"),
-          lit(0.0)).as("sum_len"),
-        count(size(TextFns.words(col(textCol)))).cast("double").as("n_len"))
-      .withColumn("tomb_dirs", typedLit(Seq.empty[String]))
-      .write.mode("overwrite").parquet(s"$path/stats")
 
   /** Threshold-gated maintenance recommendations for a [[writeIndex]]
     * layout ([[IndexLayout.maintenancePlan]]) — pure read, no lease.
@@ -383,6 +396,17 @@ object Bm25 {
                                   nShards: Int): Unit = {
     val spark = docs.sparkSession
     val shardCol = graft.functions.ShardExpr.javaHashMod(col("term"), nShards)
+    // ONE doc-level tokenize pass, cached — feeds the stats delta, the
+    // emptiness probe (sum_len == 0) and the sidecar append; the batch
+    // was previously re-tokenized for each (the writeIndexBody
+    // restructure, applied to the append path)
+    val dl = docs.select(col(idCol),
+      size(TextFns.words(col(textCol))).cast("long").as("doc_len"))
+      .cache()
+    try {
+    val delta = dl.agg(count(lit(1)).cast("double"),
+      coalesce(sum(col("doc_len")).cast("double"), lit(0.0)),
+      count(col("doc_len")).cast("double")).head()
     val postings = docs
       .select(col(idCol), TextFns.words(col(textCol)).as("__toks"))
       .select(col(idCol), size(col("__toks")).cast("long").as("doc_len"),
@@ -391,8 +415,7 @@ object Bm25 {
       .agg(count(lit(1)).cast("double").as("tf"))
       .withColumn("shard", shardCol)
       .repartition(col("shard"))
-    val noTokens = docs
-      .select(explode(TextFns.words(col(textCol))).as("__t")).isEmpty
+    val noTokens = delta.getDouble(1) == 0.0
     if (!noTokens) {
       val mode =
         if (IndexLayout.partitionedLayout(spark, s"$path/postings", "shard"))
@@ -418,17 +441,10 @@ object Bm25 {
       IndexLayout.assertAppendVisible(spark, s"$path/postings", target)
     }
     val docsTarget = IndexLayout.resolve(spark, s"$path/docs")
-    docs.select(col(idCol),
-        size(TextFns.words(col(textCol))).cast("long").as("doc_len"))
-      .write.mode("append")
-      .parquet(docsTarget)
+    dl.write.mode("append").parquet(docsTarget)
     IndexLayout.assertAppendVisible(spark, s"$path/docs", docsTarget)
-    writeMergedStats(spark, path,
-      docs.agg(count(lit(1)).cast("double"),
-        coalesce(sum(size(TextFns.words(col(textCol)))).cast("double"),
-          lit(0.0)),
-        count(size(TextFns.words(col(textCol)))).cast("double")).head(),
-      sign = 1.0)
+    writeMergedStats(spark, path, delta, sign = 1.0)
+    } finally dl.unpersist()
   }
 
   /** Shift the persisted stats by a (n, sum_len, n_len) delta row —

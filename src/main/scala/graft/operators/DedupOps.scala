@@ -24,6 +24,23 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
+  /** Default shard count for the persisted dedup-index layout (writer and
+    * every reader share it, so pruning and layout cannot diverge within a
+    * default-parameter lifecycle). 64 — the `Bm25.writeIndex` default —
+    * rather than the original 256: a `partitionBy` write's cost is
+    * dominated by per-directory file/commit overhead, and the measured
+    * build at 256 shards paid ~2× the wall of the same build at 64
+    * (3.2–5.5 s vs 1.6 s for the q226 base corpus at sf0.1) for no read
+    * benefit at any tested scale — a realistic increment's shingles hit
+    * every shard either way, and 64 dirs still gives 2× the 32-way
+    * bench parallelism. At 100 TB per-shard volume, pass an explicit
+    * nShards at build+read time (the parameter exists everywhere) or
+    * re-bucket with `compactDedupIndex(reshardTo = ...)` — the shard
+    * count is a layout parameter, not a constant, and the default only
+    * anchors the small-corpus regime.
+    */
+  val DefaultShingleShards: Int = 64
+
   /** Tokenize for shingling: lowercase alnum runs. */
   def tokens(c: org.apache.spark.sql.Column) =
     regexp_extract_all(lower(c), lit("[a-z0-9]+"), lit(0))
@@ -352,27 +369,38 @@ object DedupOps {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double,
                         maxShingleDf: Option[Long] = None): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n).cache()
     maxShingleDf match {
       case None =>
-        val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-        // shuffle-hash hint: both sides are the same mid-sized index; SMJ's
-        // sort of the hot-key shingle column is pure overhead here
-        val inter = sh.select(col(idCol).as("id_a"), col("shingle"))
+        // each doc's distinct-shingle-set size rides on the index rows
+        // (size(__shingles) before the explode — the dedupIndexPostings
+        // move), so the old per-id size aggregate and its two closing
+        // joins are gone; the pair aggregate groups on (ids, sizes) and
+        // the Jaccard closes inline. The self-join itself STAYS: a
+        // bucket-expansion rewrite (groupBy shingle + collect_list +
+        // local pair explode, one shuffle fewer) was built and measured
+        // 0.5 s SLOWER on q24 at sf0.1 (1.88 vs 1.37 — the
+        // ObjectHashAggregate loses codegen), and was reverted.
+        // shuffle-hash hint: both sides are the same mid-sized index;
+        // SMJ's sort of the hot-key shingle column is pure overhead here.
+        val sh = shingleArrays(df, idCol, textCol, n)
+          .select(col(idCol), size(col("__shingles")).cast("long").as("sz"),
+            explode(col("__shingles")).as("shingle"))
+          .cache()
+        val out = sh.select(col(idCol).as("id_a"), col("sz").as("sz_a"),
+            col("shingle"))
           .hint("shuffle_hash")
-          .join(sh.select(col(idCol).as("id_b"), col("shingle")), Seq("shingle"))
+          .join(sh.select(col(idCol).as("id_b"), col("sz").as("sz_b"),
+            col("shingle")), Seq("shingle"))
           .filter(col("id_a") < col("id_b"))
-          .groupBy(col("id_a"), col("id_b"))
+          .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
           .agg(count(lit(1)).as("inter"))
-        val out = inter
-          .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
-          .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
           .withColumn("jaccard",
             col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
           .filter(col("jaccard") >= threshold)
           .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         materializeAndRelease(out, sh)
       case Some(cap) =>
+        val sh = shingles(df, idCol, textCol, n).cache()
         // hot-shingle set is ≤ |shingle rows|/cap entries — broadcastable
         // for any useful cap; anti-join keeps only sub-cap index rows
         val hot = sh.groupBy(col("shingle"))
@@ -464,7 +492,7 @@ object DedupOps {
       .getOrElse(2000000L)
 
   def writeDedupIndex(corpusDf: DataFrame, idCol: String, textCol: String,
-                      n: Int, path: String, nShards: Int = 256,
+                      n: Int, path: String, nShards: Int = DefaultShingleShards,
                       sharded: Boolean = true): Unit = {
     // a fresh build replaces everything — a stale tombstone sidecar OR
     // stale streaming segments from a previous index at this path must
@@ -578,7 +606,7 @@ object DedupOps {
     * see the union.
     */
   def appendToDedupIndex(batch: DataFrame, idCol: String, textCol: String,
-                         n: Int, path: String, nShards: Int = 256): Unit = {
+                         n: Int, path: String, nShards: Int = DefaultShingleShards): Unit = {
     // a no-shingle batch appends nothing (a zero-row partitioned write
     // onto the unpartitioned empty-base layout would erase its schema
     // files); a real batch onto an empty unpartitioned base OVERWRITES —
@@ -797,7 +825,7 @@ object DedupOps {
   def dedupAgainstIndex(spark: org.apache.spark.sql.SparkSession,
                         path: String, newDf: DataFrame, idCol: String,
                         textCol: String, n: Int, threshold: Double,
-                        nShards: Int = 256,
+                        nShards: Int = DefaultShingleShards,
                         rowCountHint: Option[Long] = None): DataFrame = {
     // tombstoned docs (see [[removeFromDedupIndex]]) drop from BOTH index
     // sides before any comparison; no-op when nothing was removed. The

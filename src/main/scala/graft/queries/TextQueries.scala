@@ -1708,8 +1708,15 @@ object TextQueries {
       (s, d) => {
         val emb = Tables(s, d, "embeddings")
         val ds = docs(s, d)
+        // cand feeds FOUR imperative index actions (BM25 build, append,
+        // both delete derivations) and corp SIX (BQ build/segment, the
+        // query vectors, the live count, the rerank) — cache both inside
+        // the timed region so the docs⋈embeddings semi-join and the
+        // quantization run once, not per action (guide §5: reuse +
+        // expensive recompute). Unpersisted after the search materializes
+        // (searchIndexed collects under its pins).
         val cand = ds.join(emb.select(col("vec_id")),
-          col("doc_id") === col("vec_id"), "left_semi")
+          col("doc_id") === col("vec_id"), "left_semi").cache()
         val delIds = cand.filter(col("doc_id") % 97 === 13)
           .select(col("doc_id"))
         val bmDir = graft.Scratch.dir("q242_bm25")
@@ -1721,6 +1728,7 @@ object TextQueries {
         val corp = emb.join(ds.select(col("doc_id")),
             col("vec_id") === col("doc_id"), "left_semi")
           .select(col("vec_id"), PortableAnn.quant(col("embedding")).as("qv"))
+          .cache()
         val bqDir = graft.Scratch.dir("q242_bq")
         BqIndex.writeIndex(corp.filter(col("vec_id") % 10 =!= 0),
           "vec_id", "qv", bqDir)
@@ -1735,10 +1743,12 @@ object TextQueries {
             .as("vec_id"), col("qv"))
         val nLive = corp.join(delIds, col("vec_id") === col("doc_id"),
           "left_anti").count().toInt
-        Hybrid.searchIndexed(s, bmDir, bqDir, corp, qv, bm25Queries,
-          "doc_id", "vec_id", "qv", kPerSide = 30, k = 10,
-          shortlist = nLive)
-          .orderBy(col("query_id"), col("rank"))
+        val fused =
+          try Hybrid.searchIndexed(s, bmDir, bqDir, corp, qv, bm25Queries,
+            "doc_id", "vec_id", "qv", kPerSide = 30, k = 10,
+            shortlist = nLive)
+          finally { corp.unpersist(); cand.unpersist() }
+        fused.orderBy(col("query_id"), col("rank"))
       },
       Some(s"""WITH q(query_id, term) AS (VALUES $bm25TermValues),
              |cand AS (SELECT d.doc_id, d.text FROM documents d

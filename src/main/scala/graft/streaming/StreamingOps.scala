@@ -856,7 +856,7 @@ object StreamingOps {
     */
   def streamDedupIndex(docs: DataFrame, idCol: String, textCol: String,
                        n: Int, indexDir: String, checkpointDir: String,
-                       nShards: Int = 256): StreamingQuery =
+                       nShards: Int = graft.operators.DedupOps.DefaultShingleShards): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -957,7 +957,8 @@ object StreamingOps {
     */
   def streamDedupIndexMaintained(
       docs: DataFrame, idCol: String, textCol: String, n: Int,
-      indexDir: String, checkpointDir: String, nShards: Int = 256,
+      indexDir: String, checkpointDir: String,
+      nShards: Int = graft.operators.DedupOps.DefaultShingleShards,
       thresholds: graft.operators.IndexLayout.MaintenanceThresholds =
         graft.operators.IndexLayout.MaintenanceThresholds()): StreamingQuery =
     docs.writeStream

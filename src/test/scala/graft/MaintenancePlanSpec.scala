@@ -279,7 +279,8 @@ class MaintenancePlanSpec extends SparkSpec {
       "doc_id", "text", 3, ddDir)
     (1 to 3).foreach { b =>
       DedupOps.writeDedupIndex(docs.filter(col("doc_id") % 4 === b),
-        "doc_id", "text", 3, s"$ddDir/segments/batch=$b", 256,
+        "doc_id", "text", 3, s"$ddDir/segments/batch=$b",
+        DedupOps.DefaultShingleShards,
         sharded = false)
     }
     IndexLayout.acquireLease(spark, ddDir, "someone-else")

@@ -112,8 +112,10 @@ class SimilaritySpec extends SparkSpec {
     // 2-doc micro-batch shows the selectivity (a 30-doc batch's shingles
     // legitimately cover most shards — graceful degradation)
     val micro = DedupOps.shingles(newBatch.limit(2), "doc_id", "text", 3)
-    val nMicroShards = micro.selectExpr("shingle").distinct().count().min(256L)
-    val pruned = DedupOps.prunedShingleIndex(spark, dir, micro, 256)
+    val nMicroShards = micro.selectExpr("shingle").distinct().count()
+      .min(DedupOps.DefaultShingleShards.toLong)
+    val pruned = DedupOps.prunedShingleIndex(spark, dir, micro,
+      DedupOps.DefaultShingleShards)
     val plan = pruned.queryExecution.executedPlan.toString
     assert("PartitionFilters: \\[shard#\\d+ IN".r.findFirstIn(plan).isDefined,
       plan.take(3000))
@@ -426,6 +428,50 @@ class SimilaritySpec extends SparkSpec {
         3, 0.5, nShards = 256).collect().map(_.toSeq).toSet
       === DedupOps.dedupAgainst(probe, docs, "doc_id", "text", 3, 0.5)
         .collect().map(_.toSeq).toSet)
+  }
+
+  test("size-denormalized pair join is row-identical to the sizes-join formulation") {
+    // ngramJaccardPairs' round-12 restructure rides each doc's distinct-
+    // shingle-set size on the index rows (no per-id size aggregate, no
+    // closing sizes joins); this pins row identity against the old
+    // aggregate+join shape on a corpus with exact duplicates, overlapping
+    // docs and a hot shingle shared corpus-wide. (A bucket-expansion
+    // variant — groupBy shingle + local pair explode — was also built,
+    // measured 0.5 s slower on q24, and reverted; see OPTIMIZATION_r12.)
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // exact dup of 1
+      (3L, "alpha beta gamma delta nu xi"),        // overlaps 1/2
+      (4L, "omicron pi rho sigma tau upsilon"),    // disjoint tokens
+      (5L, "alpha beta gamma phi chi psi"),        // shares the hot prefix
+      (6L, null.asInstanceOf[String]),             // null text
+      (7L, "tiny")                                 // < n tokens: no shingles
+    ).toDF("doc_id", "text")
+    val got = DedupOps.ngramJaccardPairs(corpus, "doc_id", "text",
+      n = 3, threshold = 0.1)
+    // the pre-restructure join formulation, verbatim
+    val sh = DedupOps.shingles(corpus, "doc_id", "text", 3)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val want = sh.select(col("doc_id").as("id_a"), col("shingle"))
+      .join(sh.select(col("doc_id").as("id_b"), col("shingle")), Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= 0.1)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(got) === rows(want))
+    assert(rows(got).nonEmpty)
+    // capped branch: candidate generation + exact verifier, same rows
+    val capped = DedupOps.ngramJaccardPairs(corpus, "doc_id", "text",
+      n = 3, threshold = 0.1, maxShingleDf = Some(10L))
+    assert(rows(capped) === rows(want))
   }
 
   test("minhash LSH recovers all exact-jaccard pairs on this corpus") {
