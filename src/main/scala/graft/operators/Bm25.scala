@@ -197,9 +197,16 @@ object Bm25 {
         .withColumn("shard", shardCol)
       // cluster by shard so the partitioned write below emits O(nShards)
       // files instead of tasks × nShards (skipped for unpartitioned small
-      // segments, which need no clustering)
+      // segments, which need no clustering). The partition count is
+      // EXPLICIT: a bare repartition(col) is AQE-coalescible, and the
+      // measured effect at bench scale was the whole nShards-directory
+      // write collapsing into ONE task (job-level profile: a single task
+      // reading the entire clustering exchange) — serial file creation.
+      // An explicit count is exempt from AQE coalescing, so ~nShards
+      // tasks write ~one directory each, in parallel.
       val postings =
-        if (sharded) unclustered.repartition(col("shard")) else unclustered
+        if (sharded) unclustered.repartition(nShards, col("shard"))
+        else unclustered
       val w = postings.write.mode("overwrite")
       // a zero-row partitioned write leaves no schema-bearing files and the
       // index would be unreadable — an empty corpus writes unpartitioned
@@ -414,7 +421,8 @@ object Bm25 {
       .groupBy(col(idCol), col("doc_len"), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"))
       .withColumn("shard", shardCol)
-      .repartition(col("shard"))
+      // explicit count: exempt from AQE coalescing (see writeIndexBody)
+      .repartition(nShards, col("shard"))
     val noTokens = delta.getDouble(1) == 0.0
     if (!noTokens) {
       val mode =
@@ -966,7 +974,9 @@ object Bm25 {
         .reduce(_.unionByName(_))
       val deduped = if (layouts.length > 1) unioned.distinct() else unioned
       dropIds(deduped, idCol, readTombIds(spark, snap.tombSources))
-        .repartition(col("shard"))
+        // explicit count: exempt from AQE coalescing (see writeIndexBody)
+        .repartition(spark.sessionState.conf.numShufflePartitions,
+          col("shard"))
         .write.mode("overwrite").parquet(outDir)
     } catch {
       case e: Throwable =>

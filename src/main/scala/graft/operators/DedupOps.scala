@@ -76,6 +76,16 @@ object DedupOps {
         else toks.sliding(n).map(_.mkString(" ")).toArray.distinct
       }
     }
+    // NOTE (round 12): a conditional "spread to cores" repartition was
+    // inserted here (the single-row-group bench files make every scan
+    // stage one task, so this UDF ran single-threaded), MEASURED over
+    // the full bench, and REVERTED: one-shot heavy pair queries gained
+    // ~0.1-0.4 s, but every iterative or small-input caller lost more
+    // (q222 +1.6 s, q178 +1.2 s, q142 +0.7 s — the 32-partition shape
+    // propagates into cached/checkpointed loop tables and inflates every
+    // downstream job's task count). At 100 TB the scan itself yields
+    // ≥ cores partitions, so the single-task stage is a bench-scale
+    // artifact the fix made worse, not better.
     df.select(col(idCol), gen(col(textCol)).as("__shingles"))
   }
 
@@ -595,8 +605,11 @@ object DedupOps {
         explode(col("__shingles")).as("shingle"))
       .withColumn("shard", shardCol)
     // the shard-clustering exchange only pays off for the partitioned
-    // write; unpartitioned small segments skip it
-    if (clustered) rows.repartition(col("shard")) else rows
+    // write; unpartitioned small segments skip it. Explicit partition
+    // count: a bare repartition(col) is AQE-coalescible and the whole
+    // nShards-directory write collapsed into ONE task at bench scale
+    // (see Bm25.writeIndexBody)
+    if (clustered) rows.repartition(nShards, col("shard")) else rows
   }
 
   /** Fold an accepted batch INTO the dedup index (the CDC lifecycle:

@@ -463,7 +463,15 @@ object IndexLayout {
     val target = s"$dir.v$next"
     partCol match {
       case Some(c) if !df.isEmpty =>
-        df.repartition(col(c)).write.mode("overwrite")
+        // explicit partition count: a bare repartition(col) is
+        // AQE-coalescible down to ONE task on a small exchange, which
+        // serializes the whole partition-directory fan-out write (the
+        // Bm25.writeIndexBody measurement); shuffle-partitions-many
+        // tasks each own whole partition values, so the file count
+        // stays O(distinct values) while the write runs in parallel
+        df.repartition(spark.sessionState.conf.numShufflePartitions,
+            col(c))
+          .write.mode("overwrite")
           .partitionBy(c).parquet(target)
       case _ =>
         df.write.mode("overwrite").parquet(target)

@@ -195,8 +195,9 @@ object IvfIndex {
       IndexLayout.clearVersions(corpus.sparkSession, path)
       assign(corpus, embCol, model)
         // cluster by cell: each write task owns whole cells, so the layout
-        // is O(nlist) files instead of tasks x nlist
-        .repartition(col("cell"))
+        // is O(nlist) files instead of tasks x nlist. Explicit count:
+        // exempt from AQE coalescing (see Bm25.writeIndexBody)
+        .repartition(model.centroids.length, col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(path)
     }
   }
@@ -214,7 +215,8 @@ object IvfIndex {
     // version (segments are the concurrent-safe write path)
     val target = IndexLayout.resolve(batch.sparkSession, path)
     assign(batch, embCol, model)
-      .repartition(col("cell"))
+      // explicit count: exempt from AQE coalescing (see Bm25.writeIndexBody)
+      .repartition(model.centroids.length, col("cell"))
       .write.mode("append").partitionBy("cell")
       .parquet(target)
     IndexLayout.assertAppendVisible(batch.sparkSession, path, target)
@@ -340,7 +342,8 @@ object IvfIndex {
       .drop("cell")
     val model = train(live, idCol, embCol, k, iters)
     IndexLayout.writeSwap(spark, path,
-      assign(live, embCol, model).repartition(col("cell")), Some("cell"))
+      assign(live, embCol, model)
+        .repartition(model.centroids.length, col("cell")), Some("cell"))
     IndexLayout.retireSegmentDirs(spark, s"$path.segments", segs)
     IndexLayout.retireTombstoneFiles(spark, s"$path.tombstones", tombFiles)
     model
