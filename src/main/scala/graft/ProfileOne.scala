@@ -53,7 +53,12 @@ object ProfileOne {
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
         synchronized {
           val a = stages.getOrElseUpdate(s.stageInfo.stageId, StageAgg())
-          a.name = s.stageInfo.name.takeWhile(_ != '\n')
+          // first graft.* frame of the submission stack — the code site
+          // that owns the stage (the default name is an anon lambda)
+          val site = s.stageInfo.details.linesIterator
+            .find(l => l.contains("graft.") && !l.contains("ProfileOne"))
+            .map(_.trim).getOrElse(s.stageInfo.name.takeWhile(_ != '\n'))
+          a.name = site
           a.wallMs = (for {
             st <- s.stageInfo.submissionTime
             en <- s.stageInfo.completionTime
@@ -95,7 +100,8 @@ object ProfileOne {
       val taskMs = ss.map(_.taskMs).sum
       val sr = ss.map(_.shufRead).sum; val sw = ss.map(_.shufWrite).sum
       val in = ss.map(_.input).sum
-      println(f"  job $jid%3d wall ${wall / 1000.0}%7.3f s  task ${taskMs / 1000.0}%8.2f s  in ${mb(in)}  sr ${mb(sr)}  sw ${mb(sw)}  ${desc.take(70)}")
+      val site = ss.sortBy(-_.taskMs).headOption.map(_.name).getOrElse("")
+      println(f"  job $jid%3d wall ${wall / 1000.0}%7.3f s  task ${taskMs / 1000.0}%8.2f s  in ${mb(in)}  sr ${mb(sr)}  sw ${mb(sw)}  ${(if (desc.nonEmpty) desc else site).take(90)}")
     }
     println(f"%n[profile] top stages by task time (last rep):")
     stages.toSeq.sortBy(-_._2.taskMs).take(25).foreach { case (sid, a) =>

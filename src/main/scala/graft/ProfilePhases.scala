@@ -106,6 +106,47 @@ object ProfilePhases {
             spark, dir, all.filter(col("doc_id") % 10 === 0),
             "doc_id", "text", 3, 0.5))
           ph(rep, "final.count")(res.orderBy(col("doc_id")).count())
+        case "q231" =>
+          import graft.operators._
+          val all = spark.read.parquet(s"$sfDir/documents.parquet")
+          val base = graft.Scratch.dir("q231")
+          val dir = s"$base/index"
+          ph(rep, "bm25.writeIndex")(Bm25.writeIndex(
+            all.filter(col("doc_id") % 3 === 0), "doc_id", "text", dir))
+          val incDir = s"$base/increment"
+          ph(rep, "incWrite")(
+            all.filter(col("doc_id") % 3 =!= 0).select("doc_id", "text")
+              .repartition(3).write.parquet(incDir))
+          val stream = spark.readStream
+            .schema(spark.read.parquet(incDir).schema)
+            .option("maxFilesPerTrigger", "1").parquet(incDir)
+          val lsn = new org.apache.spark.sql.streaming.StreamingQueryListener {
+            override def onQueryStarted(
+                e: org.apache.spark.sql.streaming.StreamingQueryListener
+                  .QueryStartedEvent): Unit = ()
+            override def onQueryProgress(
+                e: org.apache.spark.sql.streaming.StreamingQueryListener
+                  .QueryProgressEvent): Unit =
+              println(s"[stream] batch=${e.progress.batchId} " +
+                s"rows=${e.progress.numInputRows} " +
+                s"durations=${e.progress.durationMs}")
+            override def onQueryTerminated(
+                e: org.apache.spark.sql.streaming.StreamingQueryListener
+                  .QueryTerminatedEvent): Unit = ()
+          }
+          spark.streams.addListener(lsn)
+          val q = graft.streaming.StreamingOps.streamBm25Index(
+            stream, "doc_id", "text", dir, s"$base/ckpt")
+          ph(rep, "stream")(q.processAllAvailable())
+          q.stop()
+          spark.streams.removeListener(lsn)
+          val bm25Queries = Seq(
+            "s1" -> "fast hash join",
+            "s2" -> "window sort merge",
+            "s3" -> "stream filter vector")
+          ph(rep, "topKIndexed")(Bm25.topKIndexed(
+            spark, dir, "doc_id", bm25Queries, k = 10)
+            .orderBy(col("query_id"), col("rank")).count())
         case other => sys.error(s"unknown phase profile: $other")
       }
       println(f"[phase] rep$rep TOTAL: ${(System.nanoTime() - t0) / 1e9}%.3f s")

@@ -124,6 +124,65 @@ object ProfileSteps {
           ph(rep, "sidecar.from.dl")(
             dl.write.mode("overwrite").parquet(s"$dir/docs2"))
           dl.unpersist()
+        case "q23steps" =>
+          import graft.operators.DedupOps
+          val docs = docs0
+          val sh = DedupOps.shingles(docs, "doc_id", "text", 3).cache()
+          ph(rep, "sh.count")(sh.count())
+          val sigs = DedupOps.minhashSignatures(sh, "doc_id", 32)
+          ph(rep, "sigs.noop")(
+            sigs.write.format("noop").mode("overwrite").save())
+          val cands0 = DedupOps.prefixCandidates(sh, "doc_id", 0.5)
+          ph(rep, "prefixCands.count")(cands0.count())
+          val cands = cands0.distinct().cache()
+          ph(rep, "cands.distinct.count")(cands.count())
+          ph(rep, "full.q23")(
+            DedupOps.minhashLshPairs(docs, "doc_id", "text", 3, 0.5,
+              32, 16, exactRecallGuard = true).count())
+          // verifyCandidates internals, inlined (broadcast regime)
+          val candDocs = cands.select(col("id_a").as("doc_id"))
+            .union(cands.select(col("id_b").as("doc_id"))).distinct()
+          val candSh = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+          val nSh = ph(rep, "verify.nShingles.count")(candSh.count())
+          println(s"[step] rep$rep nShingles=$nSh cands=" + cands.count())
+          val local = ph(rep, "verify.collect.map")(
+            candSh.groupBy(col("doc_id").cast("string").as("doc_id"))
+              .agg(sort_array(collect_list(col("shingle"))).as("set"))
+              .collect()
+              .map(r => r.getString(0) -> r.getSeq[String](1).toArray)
+              .toMap)
+          val bc = spark.sparkContext.broadcast(local)
+          val stats = udf { (a: String, b: String) =>
+            val x = bc.value(a); val y = bc.value(b)
+            var i = 0; var j = 0; var c = 0L
+            while (i < x.length && j < y.length) {
+              val cmp = x(i).compareTo(y(j))
+              if (cmp == 0) { c += 1; i += 1; j += 1 }
+              else if (cmp < 0) i += 1 else j += 1
+            }
+            (c, x.length.toLong, y.length.toLong)
+          }
+          ph(rep, "verify.udf.pass")(
+            cands.withColumn("__st",
+                stats(col("id_a").cast("string"), col("id_b").cast("string")))
+              .filter(col("__st._1") > 0).count())
+          bc.destroy()
+          sh.unpersist(); cands.unpersist()
+        case "q121steps" =>
+          // q121's co-purchase edge build + kCore, timed separately
+          val lp = spark.read.parquet(s"$sfDir/lineitem.parquet")
+            .select(col("l_orderkey"), col("l_partkey")).distinct()
+          val edges = lp.groupBy(col("l_orderkey"))
+            .agg(collect_set(col("l_partkey")).as("ps"))
+            .select(explode(expr(
+              "filter(flatten(transform(ps, x -> transform(ps, y -> struct(x, y))))," +
+                " p -> p.x < p.y)")).as("p"))
+            .select(col("p.x").as("x"), col("p.y").as("y"))
+            .distinct()
+          ph(rep, "edges.noop")(
+            edges.write.format("noop").mode("overwrite").save())
+          ph(rep, "kcore.full")(
+            graft.operators.GraphOps.kCore(edges, "x", "y", 80).count())
         case other => sys.error(s"unknown: $other")
       }
       spark.catalog.clearCache()

@@ -216,7 +216,18 @@ object Bm25 {
       // scan in full, while a nShards-directory partitioned write is ~all
       // fixed cost at micro-batch size; compaction folds segments into the
       // base's pruned partitioned form.
-      if (!sharded || noTokens) w.parquet(s"$path/postings")
+      // segment path (sharded = false, streaming micro-batches): AQE is
+      // disabled inside foreachBatch, so the post-aggregate stage stays
+      // at shuffle.partitions width and the write emitted 32 tiny files
+      // per micro-batch table. coalesce(1) collapses only the final
+      // write stage (the tokenize map side keeps its parallelism) and
+      // gives the Lucene-segment shape literally: one file per segment
+      // table — segments are micro-batch-bounded by design and
+      // compaction folds them into the clustered base.
+      if (!sharded)
+        unclustered.coalesce(1).write.mode("overwrite")
+          .parquet(s"$path/postings")
+      else if (noTokens) w.parquet(s"$path/postings")
       else w.partitionBy("shard").parquet(s"$path/postings")
       // the stats table aggregates the CACHED dl with the same operands
       // the raw-text aggregate used: n counts all docs, avg/sum/count of
@@ -233,8 +244,10 @@ object Bm25 {
       // [[removeFromIndex]] needs to shrink the stats EXACTLY without a
       // full postings scan (a doc's postings touch ~every shard — deletes
       // must never pay that read). doc_len is null for null text, mirroring
-      // the avg's skip-nulls semantics.
-      dl.write.mode("overwrite").parquet(s"$path/docs")
+      // the avg's skip-nulls semantics. Segment sidecars coalesce like
+      // segment postings (micro-batch-bounded, one file).
+      (if (sharded) dl else dl.coalesce(1))
+        .write.mode("overwrite").parquet(s"$path/docs")
     } finally dl.unpersist()
   }
 
@@ -811,6 +824,28 @@ object Bm25 {
     try Some(spark.read.parquet(dir).head())
     catch { case _: Throwable => None }
 
+  /** All per-layout stats rows in ONE read (one Spark job) instead of a
+    * head() job per layout — a streamed index holds base + one stats
+    * row per live segment, and the per-layout heads were the measured
+    * fixed cost of every indexed retrieval (guide §1: fewer actions).
+    * `mergeSchema` keeps mixed legacy (2-field) and list-format rows
+    * readable with the canonical column order — legacy first merges as
+    * (n, avgdl) + appended (sum_len, n_len, tomb_dirs), new-format
+    * first is already canonical, so the positional reads in
+    * [[summedStats]]/[[tombDirsOf]] hold under both. Any failure falls
+    * back to the per-dir reads (unreadable dirs skip individually).
+    */
+  private def readStatsRows(spark: org.apache.spark.sql.SparkSession,
+                            dirs: Seq[String]): Seq[org.apache.spark.sql.Row] =
+    dirs match {
+      case Seq()  => Seq.empty
+      case Seq(d) => readStatsRow(spark, d).toSeq
+      case ds =>
+        try spark.read.option("mergeSchema", "true").parquet(ds: _*)
+          .collect().toSeq
+        catch { case _: Throwable => ds.flatMap(readStatsRow(spark, _)) }
+    }
+
   /** Exact (n, avgdl) across per-layout stats rows: the integral n /
     * sum_len / n_len components ADD exactly in doubles, and the summed
     * avgdl divides the same two exact operands a from-scratch avg over
@@ -853,7 +888,7 @@ object Bm25 {
                   k1: Double = 1.2, b: Double = 0.75,
                   nShards: Int = 64): DataFrame = {
     val statsRows =
-      existingParts(spark, path, "stats").flatMap(readStatsRow(spark, _))
+      readStatsRows(spark, existingParts(spark, path, "stats"))
     val layouts = existingParts(spark, path, "postings") match {
       case Seq() => Seq(s"$path/postings") // raise the standard read error
       case ls    => ls
@@ -883,7 +918,7 @@ object Bm25 {
                           nShards: Int = 64,
                           extraExclude: Option[DataFrame] = None): DataFrame =
     topKOverLayouts(spark, snap.base +: snap.segPostings,
-      snap.statsPaths.flatMap(readStatsRow(spark, _)), snap.tombSources,
+      readStatsRows(spark, snap.statsPaths), snap.tombSources,
       idCol, queries, k, k1, b, nShards, extraExclude)
 
   /** The shard-pruned scoring core shared by [[topKIndexed]] (fresh
@@ -1042,7 +1077,7 @@ object Bm25 {
           val segRoots = IndexLayout.segmentDirs(spark, path)
           val statsPaths =
             pinnedStats +: segRoots.map(d => s"$d/stats").filter(lives)
-          val statsRows = statsPaths.flatMap(readStatsRow(spark, _))
+          val statsRows = readStatsRows(spark, statsPaths)
           val legacy =
             if (statsRows.exists(isLegacyStats)) legacyTombFiles(spark, path)
             else Seq.empty

@@ -562,7 +562,18 @@ object DedupOps {
     // vs ~1 s unpartitioned); the shard column still rides along as data,
     // so multi-layout reads filter it identically, and compaction folds
     // segments into the base's PRUNED partitioned form.
-    if (!sharded || shingles(corpusDf, idCol, textCol, n).isEmpty)
+    if (!sharded)
+      // segment path: AQE is off inside foreachBatch, so the write
+      // emitted shuffle.partitions tiny files per micro-batch; one file
+      // per segment table is the Lucene-segment shape (batch-bounded,
+      // folded by compaction) — see Bm25.writeIndexBody. repartition(1),
+      // NOT coalesce(1): the segment posting pipeline is narrow (no
+      // exchange), so a coalesce would collapse the shingle UDF itself
+      // to one task — the explicit exchange keeps the map side parallel
+      // and only the one writer task downstream.
+      postings.repartition(1).write.mode("overwrite")
+        .parquet(s"$path/shingles")
+    else if (shingles(corpusDf, idCol, textCol, n).isEmpty)
       w.parquet(s"$path/shingles")
     // cluster rows by shard before the partitioned write: without it every
     // write task fans out to up to nShards directories (tasks × shards tiny
@@ -581,10 +592,11 @@ object DedupOps {
     // and compaction (q226 4.3→8.5 s). The exact-dup check's scale
     // story is the broadcast regime in [[dedupAgainstIndex]] (no corpus
     // shuffle), not scan pruning of a table this narrow.
-    corpusDf
+    val fps = corpusDf
       .select(col(idCol),
         graft.functions.TextFns.fingerprint(col(textCol)).as("__fp"))
       .distinct()
+    (if (sharded) fps else fps.coalesce(1))
       .write.mode("overwrite").parquet(s"$path/fingerprints")
   }
 

@@ -42,9 +42,15 @@ object GraphOps {
     var i = 0
     while (i < maxIters && !converged) {
       val lblSide = labels.withColumnRenamed("id", "a")
-      val viaNeighbor = und
-        .join(if (broadcastLabels) broadcast(lblSide) else lblSide, Seq("a"))
-        .select(col("b").as("id"), col("component"))
+      // round 1 labels are the identity (component = id), so the label
+      // join degenerates to relabeling the edge list itself — one join
+      // (and its broadcast build) saved on every call, exact by
+      // construction
+      val viaNeighbor =
+        if (i == 0) und.select(col("b").as("id"), col("a").as("component"))
+        else und
+          .join(if (broadcastLabels) broadcast(lblSide) else lblSide, Seq("a"))
+          .select(col("b").as("id"), col("component"))
       val next = labels.union(viaNeighbor)
         .groupBy("id").agg(min("component").as("component"))
         .localCheckpoint(eager = false)
@@ -167,11 +173,20 @@ object GraphOps {
     var converged = nEdges0 == 0L
     var iter = 0
     while (!converged && iter < maxIters) {
+      // ONE broadcast per round, not two: both semi-joins reference the
+      // SAME broadcast(keep) subplan (join conditions instead of
+      // renamed copies), so canonicalization makes the second
+      // BroadcastExchange a ReusedExchange — the per-round broadcast
+      // build job halves (rounds × build cost was the measured q121
+      // loop floor)
       val cur =
         if (keep == null) edges0
-        else edges0
-          .join(broadcast(keep.withColumnRenamed("v", "a")), Seq("a"), "left_semi")
-          .join(broadcast(keep.withColumnRenamed("v", "b")), Seq("b"), "left_semi")
+        else {
+          val bkeep = broadcast(keep)
+          edges0
+            .join(bkeep, col("a") === col("v"), "left_semi")
+            .join(bkeep, col("b") === col("v"), "left_semi")
+        }
       val deg = cur.select(col("a").as("v")).union(cur.select(col("b").as("v")))
         .groupBy("v").agg(count(lit(1)).as("deg"))
         .localCheckpoint(eager = false)
@@ -388,8 +403,18 @@ object GraphOps {
     var r = 0
     while (r < rounds) {
       // lazy: fixed rounds, no convergence probe — the caller's action
-      // materializes all rounds in one cascade (see pageRank)
-      labels = lpaRound(und, labels).localCheckpoint(eager = false)
+      // materializes all rounds in one cascade (see pageRank).
+      // Round 1 labels are the identity (label = id), so its label join
+      // degenerates to counting neighbors directly off the edge list —
+      // one join saved, exact by construction (the CC round-1 move).
+      // (und is a DISTINCT pair set, so round-1 neighbor-label counts
+      // are all 1 and the argmax-then-smallest winner is just min(b))
+      val roundDf =
+        if (r == 0) und.groupBy(col("a"))
+          .agg(min(col("b")).as("label"))
+          .select(col("a").as("id"), col("label"))
+        else lpaRound(und, labels)
+      labels = roundDf.localCheckpoint(eager = false)
       r += 1
     }
     labels

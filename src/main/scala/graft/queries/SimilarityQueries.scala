@@ -1314,8 +1314,13 @@ object SimilarityQueries {
     QDef("q236_ivf_drift_audit",
       (s, d) => {
         val k = 8
+        // cached: the quantized corpus feeds the cut count, two k-means
+        // trains (2 iterations of jobs each) and both audits — ~10
+        // consumers that each re-ran the quantization projection
+        // (released by the session's post-query clearCache, the shared
+        // in-query-cache convention)
         val corpus = embs(s, d).select(col("vec_id"),
-          PortableAnn.quant(col("embedding")).as("qv"))
+          PortableAnn.quant(col("embedding")).as("qv")).cache()
         // the pre-append corpus: first 80% of ids (appends arrive as new
         // ids); one bounded count fixes the cut on both engines
         val cut = corpus.count() * 4L / 5L
@@ -1324,9 +1329,11 @@ object SimilarityQueries {
         val after = PortableAnn.train(corpus, "vec_id", "qv", k = k,
           iters = 2)
         def audit(m: PortableAnn.QModel, phase: String): DataFrame = {
+          // cached per phase: the (cell, d2) assignment feeds the n/sum
+          // aggregate, the max-cell aggregate and both prefix-sum passes
           val a = corpus.select(col("vec_id"),
             PortableAnn.bestCell(col("qv"), m).as("cell"),
-            PortableAnn.bestDist2(col("qv"), m).as("d2"))
+            PortableAnn.bestDist2(col("qv"), m).as("d2")).cache()
           val nAgg = a.agg(count(lit(1)).cast("long").as("n_vectors"),
             sum(col("d2")).cast("long").as("sum_d2"))
           val cells = a.groupBy(col("cell"))
