@@ -164,7 +164,11 @@ object DataSelection {
     val spark = tok.sparkSession
     import spark.implicits._
     tok.as[PackIn]
-      .repartition(col("shard"))
+      // explicit count: exempt from AQE coalescing (Bm25.writeIndexBody);
+      // shard-contiguity within partitions (what the pack scan needs) is
+      // preserved at any partition count
+      .repartition(spark.sessionState.conf.numShufflePartitions,
+        col("shard"))
       .sortWithinPartitions("shard", "ord", "id")
       .mapPartitions { it =>
         var cur = Long.MinValue; var bin = -1L; var fill = 0L
@@ -212,7 +216,11 @@ object DataSelection {
       h.as("ord"), col(idCol).cast("long").as("id"),
       TextFns.tokenCount(col(textCol)).as("nTok"))
     val assigns = tok.as[PackIn]
-      .repartition(col("shard"))
+      // explicit count: exempt from AQE coalescing (Bm25.writeIndexBody);
+      // shard-contiguity within partitions (what the pack scan needs) is
+      // preserved at any partition count
+      .repartition(spark.sessionState.conf.numShufflePartitions,
+        col("shard"))
       .sortWithinPartitions("shard", "ord", "id")
       .mapPartitions { it =>
         val budgetsArr = bs.toArray

@@ -46,8 +46,9 @@ object IvfPq {
       IndexLayout.clearVersions(corpus.sparkSession, path)
       PqIndex.encode(IvfIndex.assign(corpus, embCol, model.coarse),
           embCol, model.pq)
-        // same clustering as IvfIndex.writeIndex: O(nlist) files
-        .repartition(col("cell"))
+        // same clustering as IvfIndex.writeIndex: O(nlist) files;
+        // explicit count — exempt from AQE coalescing (Bm25.writeIndexBody)
+        .repartition(model.coarse.centroids.length, col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(path)
     }
   }
@@ -68,7 +69,7 @@ object IvfPq {
     val target = IndexLayout.resolve(batch.sparkSession, path)
     PqIndex.encode(IvfIndex.assign(batch, embCol, model.coarse),
         embCol, model.pq)
-      .repartition(col("cell"))
+      .repartition(model.coarse.centroids.length, col("cell"))
       .write.mode("append").partitionBy("cell")
       .parquet(target)
     IndexLayout.assertAppendVisible(batch.sparkSession, path, target)
@@ -224,7 +225,8 @@ object IvfPq {
     IndexLayout.writeSwap(spark, path,
       PqIndex.encode(IvfIndex.assign(live, embCol, model.coarse),
           embCol, model.pq)
-        .repartition(col("cell")), Some("cell"))
+        .repartition(model.coarse.centroids.length, col("cell")),
+      Some("cell"))
     IndexLayout.retireSegmentDirs(spark, s"$path.segments", segs)
     IndexLayout.retireTombstoneFiles(spark, s"$path.tombstones", tombFiles)
     model

@@ -772,7 +772,9 @@ object StreamingOps {
             coalesce(col("startBin"), lit(-1L)).as("startBin"),
             coalesce(col("startFill"), lit(0L)).as("startFill"))
         val assigns = seeded.as[PackSeedIn]
-          .repartition(col("shard"))
+          // explicit count: exempt from AQE coalescing (see Bm25)
+          .repartition(
+            spark.sessionState.conf.numShufflePartitions, col("shard"))
           .sortWithinPartitions("shard", "ord", "id")
           .mapPartitions { it =>
             var cur = Long.MinValue; var bin = -1L; var fill = 0L
