@@ -183,6 +183,21 @@ object ProfileSteps {
             edges.write.format("noop").mode("overwrite").save())
           ph(rep, "kcore.full")(
             graft.operators.GraphOps.kCore(edges, "x", "y", 80).count())
+        case "tables" =>
+          // driver-side construction cost of Tables() (listing + footer
+          // schema read), amortized over 50 calls
+          val t0 = System.nanoTime()
+          (1 to 50).foreach { _ =>
+            Tables(spark, sfDir, "lineitem")
+            Tables(spark, sfDir, "documents")
+          }
+          println(f"[step] rep$rep tables.construct.100: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+          val t1 = System.nanoTime()
+          (1 to 50).foreach { _ =>
+            Tables(spark, sfDir, "lineitem").filter(col("l_orderkey") > 0)
+              .count()
+          }
+          println(f"[step] rep$rep tables.count.50: ${(System.nanoTime() - t1) / 1e9}%.3f s")
         case other => sys.error(s"unknown: $other")
       }
       spark.catalog.clearCache()

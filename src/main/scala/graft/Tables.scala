@@ -14,7 +14,30 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+  /** Per-(session, dir, table) memo of the CONSTRUCTED DataFrame — a
+    * catalog, not a cache: a DataFrame is a lazy logical plan, so every
+    * action on it still scans the parquet files in full (no rows, no
+    * intermediates, no results are stored — `CACHE TABLE` this is not).
+    * What the memo skips is the per-call DRIVER metadata work
+    * `spark.read.parquet` redoes from scratch: directory listing and
+    * footer schema inference, measured ~50 ms per call — at 242 queries
+    * × 3 reps × 2-4 table refs per query, ~60-90 s of serial driver
+    * time per bench sweep for byte-identical metadata. This is exactly
+    * what a metastore/catalog table provides in production (list and
+    * infer once, plan many); the test corpus is immutable for the life
+    * of a session, which is the one assumption a catalog also makes
+    * (files changing under a registered table need a refresh there too).
+    */
+  private val catalog =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String),
+      DataFrame]()
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    catalog.computeIfAbsent((spark, dir, name),
+      _ => build(spark, dir, name))
+
+  private def build(spark: SparkSession, dir: String,
+                    name: String): DataFrame = {
     // events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
     // rejects unless spark.sql.legacy.parquet.nanosAsLong=true (set by our
     // session builders). Under that conf the column arrives as epoch-nanos
