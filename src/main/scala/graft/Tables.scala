@@ -32,9 +32,35 @@ object Tables {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String),
       DataFrame]()
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+  /** Contexts whose end-of-application eviction hook is registered —
+    * entries for a stopped session are dropped (the memo would otherwise
+    * retain every stopped session and its plans for process lifetime in
+    * multi-session test runs). Sessions sharing one context evict
+    * together when the context stops, which is when their plans die
+    * anyway.
+    */
+  private val hooked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[org.apache.spark.SparkContext]()
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val sc = spark.sparkContext
+    if (hooked.add(sc))
+      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          hooked.remove(sc)
+          catalog.keySet.removeIf(_._1.sparkContext eq sc)
+        }
+      })
     catalog.computeIfAbsent((spark, dir, name),
       _ => build(spark, dir, name))
+  }
+
+  /** Drop every memoized entry — the refresh hook for a caller that
+    * changed files under a registered dir mid-session (the memo, like a
+    * metastore table, otherwise assumes an immutable corpus per session).
+    */
+  def invalidate(): Unit = catalog.clear()
 
   private def build(spark: SparkSession, dir: String,
                     name: String): DataFrame = {

@@ -353,7 +353,17 @@ object Bm25 {
     * extra filesystem calls for the legacy support.
     */
   private def isLegacyStats(r: org.apache.spark.sql.Row): Boolean =
-    r.schema != null && r.schema.fieldNames.indexOf("tomb_dirs") == -1
+    r.schema != null && (r.schema.fieldNames.indexOf("tomb_dirs") match {
+      case -1 => true
+      // a mergeSchema multi-layout read ([[readStatsRows]]) gives a
+      // legacy 2-field row a present-but-NULL tomb_dirs — the field
+      // exists in the MERGED schema, not in the row's file. New-format
+      // writers always stamp a non-null list (typedLit(Seq.empty)), so
+      // null ⇒ legacy; without this arm a legacy base + new segments
+      // read skipped [[legacyTombFiles]] and loose-tombstoned docs
+      // silently resurrected.
+      case i => r.isNullAt(i)
+    })
 
   /** The pre-list-format loose tombstone FILES directly under the
     * sidecar root (new-format batches are rm_* DIRECTORIES — their

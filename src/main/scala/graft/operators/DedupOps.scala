@@ -530,15 +530,35 @@ object DedupOps {
         IndexLayout.clearVersions(corpusDf.sparkSession, s"$path/fingerprints")
         writeDedupIndexBody(corpusDf, idCol, textCol, n, path, nShards,
           sharded)
+        // persist the build's shard modulus so readers/appenders derive
+        // it from the LAYOUT, not from a defaulted parameter — an index
+        // written under one DefaultShingleShards must stay correctly
+        // pruned when the default changes across versions
+        IndexLayout.writeShardCountMarker(corpusDf.sparkSession, path,
+          nShards)
       }
     else {
       // replay over a dir an offline fold marked _FOLDED must come back
       // LIVE (see Bm25.writeIndex / IndexLayout.clearFoldedMarker)
       IndexLayout.clearFoldedMarker(corpusDf.sparkSession, path)
-      writeDedupIndexBody(corpusDf, idCol, textCol, n, path, nShards,
-        sharded)
+      // a segment's shard column must share the BASE's modulus — derive
+      // it from the base marker (the passed count is just the fallback
+      // for pre-marker layouts)
+      val root = path.stripSuffix("/")
+        .replaceFirst("/segments/batch=[^/]+$", "")
+      writeDedupIndexBody(corpusDf, idCol, textCol, n, path,
+        effectiveShards(corpusDf.sparkSession, root, nShards), sharded)
     }
   }
+
+  /** The layout's persisted shard count when the index recorded one
+    * (every [[writeDedupIndex]] since the marker shipped), else the
+    * caller's value — pre-marker indexes keep the old match-your-build
+    * contract.
+    */
+  private def effectiveShards(spark: org.apache.spark.sql.SparkSession,
+                              path: String, nShards: Int): Int =
+    IndexLayout.readShardCountMarker(spark, path).getOrElse(nShards)
 
   /** The build itself — everything in [[writeDedupIndex]] after the
     * lifecycle clears; runs under the rebuild lease for base paths, bare
@@ -631,7 +651,11 @@ object DedupOps {
     * see the union.
     */
   def appendToDedupIndex(batch: DataFrame, idCol: String, textCol: String,
-                         n: Int, path: String, nShards: Int = DefaultShingleShards): Unit = {
+                         n: Int, path: String,
+                         nShards: Int = DefaultShingleShards): Unit = {
+    // appended rows must share the existing layout's modulus — derive it
+    // from the marker, not the (defaulted) parameter
+    val effShards = effectiveShards(batch.sparkSession, path, nShards)
     // a no-shingle batch appends nothing (a zero-row partitioned write
     // onto the unpartitioned empty-base layout would erase its schema
     // files); a real batch onto an empty unpartitioned base OVERWRITES —
@@ -658,7 +682,7 @@ object DedupOps {
       // stranding rows in a retired version (segments are the
       // concurrent-safe write path)
       val target = IndexLayout.resolve(batch.sparkSession, s"$path/shingles")
-      dedupIndexPostings(batch, idCol, textCol, n, nShards)
+      dedupIndexPostings(batch, idCol, textCol, n, effShards)
         .write.mode(mode).partitionBy("shard")
         .parquet(target)
       IndexLayout.assertAppendVisible(batch.sparkSession,
@@ -805,6 +829,9 @@ object DedupOps {
     // nothing was removed)
     IndexLayout.retireTombstoneFiles(spark, s"$path/tombstones", tombFiles)
     IndexLayout.retireSegmentDirs(spark, s"$path/segments", segs)
+    // a re-sharding compaction changes the layout's modulus — record it
+    reshardTo.foreach(n =>
+      IndexLayout.writeShardCountMarker(spark, path, n))
   }
 
   /** The pruned index read inside [[dedupAgainstIndex]], exposed so the
@@ -895,8 +922,12 @@ object DedupOps {
         newFps.join(corpusFps, Seq("__fp"), "left_semi")
           .select(col(idCol)).distinct().withColumn("__exact", lit(1L))
     val shNew = shingles(newCached, idCol, textCol, n).cache()
+    // prune with the modulus the index was BUILT with (the marker), not
+    // the caller's defaulted parameter — a default drift would silently
+    // filter shard=hash%new against dirs partitioned by hash%old
     val idx = IndexLayout.dropTombstoned(
-      prunedShingleIndex(spark, path, shNew, nShards), idCol,
+      prunedShingleIndex(spark, path, shNew,
+        effectiveShards(spark, path, nShards)), idCol,
       s"$path/tombstones")
     val sizesNew = shNew.groupBy(col(idCol)).agg(count(lit(1)).as("sz_a"))
     val near = shNew.select(col(idCol).as("id_a"), col("shingle"))

@@ -668,6 +668,48 @@ object IndexLayout {
     ids.select(col(idCol)).distinct()
       .write.mode("append").parquet(tombDir)
 
+  /** Shard-count marker prefix: `_NSHARDS_<n>` at an index root. */
+  private val ShardCountPrefix = "_NSHARDS_"
+
+  /** Persist a layout's shard count as a zero-byte `_NSHARDS_<n>` marker
+    * file at the index ROOT — a filesystem touch, no Spark job. Writers
+    * record the modulus the shard column was computed with; readers
+    * derive the effective count from it instead of trusting a defaulted
+    * parameter, so an index built under one default stays correctly
+    * pruned when the default changes across versions (a reader filtering
+    * `shard = hash mod 64` against data partitioned by `hash mod 256`
+    * silently misses duplicate pairs). At the root — not inside the
+    * postings dir — so compaction version swaps do not disturb it;
+    * re-sharding compactions rewrite it.
+    */
+  def writeShardCountMarker(spark: SparkSession, root: String,
+                            n: Int): Unit = {
+    val rp = new org.apache.hadoop.fs.Path(root)
+    val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(rp))
+      fs.listStatus(rp).filter(st =>
+          st.isFile && st.getPath.getName.startsWith(ShardCountPrefix))
+        .foreach(st => fs.delete(st.getPath, false))
+    fs.create(new org.apache.hadoop.fs.Path(rp, ShardCountPrefix + n),
+      true).close()
+  }
+
+  /** The persisted shard count of an index root, if the layout recorded
+    * one (pre-marker indexes return None and keep the caller's value —
+    * the old contract, unchanged for them).
+    */
+  def readShardCountMarker(spark: SparkSession,
+                           root: String): Option[Int] = {
+    val rp = new org.apache.hadoop.fs.Path(root)
+    val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rp)) None
+    else fs.listStatus(rp).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith(ShardCountPrefix))
+      .flatMap(st => scala.util.Try(
+        st.getPath.getName.stripPrefix(ShardCountPrefix).toInt).toOption)
+      .headOption
+  }
+
   /** The tombstone sidecar's parquet data files at this moment — the
     * SNAPSHOT a compaction folds and later clears. Parquet part files
     * are immutable and appends only add new ones, so file granularity

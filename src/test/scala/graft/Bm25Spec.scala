@@ -595,6 +595,48 @@ class Bm25Spec extends SparkSpec {
       loose.listFiles().forall(f => !f.getName.endsWith(".parquet")))
   }
 
+  test("a legacy base plus streaming segments still honors loose tombstones") {
+    // the mixed-layout regression: readStatsRows merges base + segment
+    // stats with mergeSchema, which gives the legacy 2-field base row a
+    // present-but-NULL tomb_dirs — isLegacyStats must treat that as
+    // legacy (new writers always stamp a non-null list) or the loose
+    // delete set is skipped and removed docs resurrect
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha delta"),
+      (3L, "beta gamma delta")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bm25_legacy_seg").toString
+    Bm25.writeIndex(docs, "doc_id", "text", dir, nShards = 8)
+    // make the base pre-list-format: loose tombstone file for doc 1 and
+    // a stats row with NO tomb_dirs column, totals already shifted
+    IndexLayout.appendTombstones(Seq(1L).toDF("doc_id"), "doc_id",
+      s"$dir/tombstones")
+    val live = docs.filter(col("doc_id") =!= 1L)
+    live.agg(count(lit(1)).cast("double").as("n"),
+        avg(size(graft.functions.TextFns.words(col("text")))).as("avgdl"),
+        sum(size(graft.functions.TextFns.words(col("text"))))
+          .cast("double").as("sum_len"),
+        count(lit(1)).cast("double").as("n_len"))
+      .write.mode("overwrite")
+      .parquet(IndexLayout.resolve(spark, s"$dir/stats"))
+    // a streaming segment lands next to the legacy base (new-format
+    // stats row with a non-null tomb_dirs) — the reader's stats read is
+    // now the multi-dir mergeSchema path
+    val segDocs = Seq((4L, "epsilon alpha")).toDF("doc_id", "text")
+    Bm25.writeIndex(segDocs, "doc_id", "text",
+      s"$dir/segments/batch=0", nShards = 8, sharded = false)
+    val queries = Seq("q" -> "alpha beta gamma delta epsilon")
+    val got = Bm25.topKIndexed(spark, dir, "doc_id", queries, k = 10,
+      nShards = 8).collect().map(_.toSeq).toSet
+    val refDir = java.nio.file.Files.createTempDirectory("bm25_lsref").toString
+    Bm25.writeIndex(live.unionByName(segDocs), "doc_id", "text", refDir,
+      nShards = 8)
+    val want = Bm25.topKIndexed(spark, refDir, "doc_id", queries, k = 10,
+      nShards = 8).collect().map(_.toSeq).toSet
+    // doc 1 stays dead, doc 4 is retrievable, scores match the rebuild
+    assert(got === want)
+  }
+
   test("appendToIndex carries a prior removal's delete set through its stats swap") {
     val docs = Seq(
       (1L, "alpha beta"),

@@ -122,6 +122,42 @@ class SimilaritySpec extends SparkSpec {
     assert(pruned.select("shard").distinct().count() <= nMicroShards)
   }
 
+  test("dedup index persists its shard count; readers and appenders derive it from the layout") {
+    // an index BUILT at one modulus must stay correct when read or
+    // appended under a DIFFERENT default — the layout records nShards
+    // (the _NSHARDS_ marker), so a cross-version default drift (256→64)
+    // can no longer silently prune shard=hash%new against dirs
+    // partitioned by hash%old and miss duplicate pairs
+    val corpus = docs.select(col("doc_id"), col("text"))
+    val probe = corpus.filter(col("doc_id") < 30)
+      .select(col("doc_id") + 500000L as "doc_id", col("text"))
+    val dir = java.nio.file.Files.createTempDirectory("dedup_nshards").toString
+    // build at 7 shards (≠ any default, coprime with nothing relevant)
+    DedupOps.writeDedupIndex(corpus, "doc_id", "text", n = 3, dir,
+      nShards = 7)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val want = rows(DedupOps.dedupAgainst(probe, corpus, "doc_id", "text",
+      3, 0.5))
+    // read with the DEFAULT parameter (64): the marker must win
+    assert(rows(DedupOps.dedupAgainstIndex(spark, dir, probe,
+      "doc_id", "text", 3, 0.5)) === want)
+    // append with the default too: rows must land under the 7-modulus
+    val extra = corpus.filter(col("doc_id") === 1)
+      .select(col("doc_id") + 600000L as "doc_id", col("text"))
+    DedupOps.appendToDedupIndex(extra, "doc_id", "text", 3, dir)
+    val wantAfter = rows(DedupOps.dedupAgainst(probe,
+      corpus.unionByName(extra), "doc_id", "text", 3, 0.5))
+    assert(rows(DedupOps.dedupAgainstIndex(spark, dir, probe,
+      "doc_id", "text", 3, 0.5)) === wantAfter)
+    // a re-sharding compaction rewrites the marker
+    DedupOps.compactDedupIndex(spark, dir, "doc_id", reshardTo = Some(5))
+    assert(graft.operators.IndexLayout.readShardCountMarker(spark, dir)
+      === Some(5))
+    assert(rows(DedupOps.dedupAgainstIndex(spark, dir, probe,
+      "doc_id", "text", 3, 0.5)) === wantAfter)
+  }
+
   test("exact-dup check: broadcast and shuffle regimes agree and match the non-indexed oracle") {
     val corpus = docs
     val probe = corpus.filter(col("doc_id") < 25)
