@@ -32,5 +32,20 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Whole-stage-codegen class cache (STATIC conf, so set at JVM level
+  // for every entry point uniformly): the default 100 entries is
+  // ~50× too small for a 242-query engine — a full interleaved sweep
+  // generates ~4.6k codegen units, so at the default EVERY query
+  // recompiled EVERY unit on EVERY pass (measured: 4558 janino
+  // compilations per warm pass, ~12 ms each ≈ 54 s/pass of pure
+  // recompilation; at 20k entries a warm pass compiles ~90). The cache
+  // holds generated classes for the JVM's lifetime only — nothing
+  // persists across invocations; ~2.6k distinct classes ≈ tens of MB.
+  "-Dspark.sql.codegen.cache.maxEntries=20000",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // dev passthrough for A/B-ing static SQL confs (e.g.
+  // -Dspark.sql.codegen.cache.maxEntries=...) without touching the
+  // session builders; empty by default
+  sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq
+    .flatMap(_.split("\\s+").filter(_.nonEmpty))

@@ -992,11 +992,17 @@ object DedupOps {
     *   `array_intersect`.
     */
   private def verifyCandidates(sh: DataFrame, cands: DataFrame,
-                               idCol: String, threshold: Double): DataFrame = {
+                               idCol: String, threshold: Double,
+                               nShinglesHint: Option[Long] = None): DataFrame = {
     val candDocs = cands.select(col("id_a").as(idCol))
       .union(cands.select(col("id_b").as(idCol))).distinct()
     val candSh = sh.join(broadcast(candDocs), Seq(idCol), "left_semi")
-    val nShingles = candSh.count()
+    // the regime gate: candidate-doc shingle volume. When the caller
+    // already knows per-doc set sizes (the prefix path carries them on
+    // every candidate row), the hint replaces a corpus-wide semi-join
+    // count with a candidate-pair-bounded aggregate — same exact value,
+    // one cheap job instead of a full pass over the shingle table.
+    val nShingles = nShinglesHint.getOrElse(candSh.count())
     // the broadcast map keys on the id's STRING CAST, computed by Spark's
     // own cast on both the collect side and the lookup side, so the regime
     // is id-type-generic (long, int, string, date, …) without a JVM-vs-
@@ -1081,9 +1087,20 @@ object DedupOps {
   def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                          n: Int, threshold: Double): DataFrame = {
     val sh = shingles(df, idCol, textCol, n).cache()
-    val cands = prefixCandidates(sh, idCol, threshold).distinct().cache()
-    val out = verifyCandidates(sh, cands, idCol, threshold)
-    materializeAndRelease(out, sh, cands)
+    // keep the per-doc set sizes the prefix filter already computed:
+    // distinct over (pair, sz_a, sz_b) is the same pair set (sz is
+    // functionally dependent on the id), and the sizes let the verify
+    // gate skip its corpus-wide count (guide §1: fewer actions)
+    val candsSz = prefixCandidatesSized(sh, idCol, threshold)
+      .distinct().cache()
+    val cands = candsSz.select(col("id_a"), col("id_b"))
+    val nShingles = candsSz
+      .select(col("id_a").as("id"), col("sz_a").as("sz"))
+      .union(candsSz.select(col("id_b").as("id"), col("sz_b").as("sz")))
+      .distinct()
+      .agg(coalesce(sum(col("sz")), lit(0L)).cast("long")).head().getLong(0)
+    val out = verifyCandidates(sh, cands, idCol, threshold, Some(nShingles))
+    materializeAndRelease(out, sh, candsSz)
   }
 
   /** Candidate (id_a, id_b) pairs from the PPJoin prefix filter over an
@@ -1095,7 +1112,18 @@ object DedupOps {
     * May contain false positives; callers verify. Output is not distinct.
     */
   private[graft] def prefixCandidates(sh: DataFrame, idCol: String,
-                                      threshold: Double): DataFrame = {
+                                      threshold: Double): DataFrame =
+    prefixCandidatesSized(sh, idCol, threshold)
+      .select(col("id_a"), col("id_b"))
+
+  /** [[prefixCandidates]] with each side's full distinct-shingle-set
+    * size carried on the pair row ((id_a, id_b, sz_a, sz_b)) — the
+    * sizes fall out of the prefix filter's own window pass, and let
+    * [[prefixJaccardPairs]] derive the verification regime gate from
+    * the pair table instead of re-scanning the corpus shingles.
+    */
+  private[graft] def prefixCandidatesSized(sh: DataFrame, idCol: String,
+                                           threshold: Double): DataFrame = {
     val shH = sh.select(col(idCol), col("shingle"),
       xxhash64(col("shingle")).as("h"))
     val freq = shH.groupBy(col("h")).agg(count(lit(1)).as("gf"))
@@ -1141,7 +1169,7 @@ object DedupOps {
           col("sz_a") >= lit(threshold) * col("sz_b") - 1e-9 &&
           lit(1) + least(col("sz_a") - col("rk_a"),
             col("sz_b") - col("rk_b")) >= minOverlap)
-      .select(col("id_a"), col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
   }
 
   /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003,

@@ -10,6 +10,26 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** Vertex-table row count at or under which the per-round loop joins
+    * (CC labels, pageRank ranks, kCore keep-sets via the edge-count
+    * dispatch below) run in the broadcast regime; past it, the shuffle
+    * fallback. System-property override so the regime-equality spec can
+    * force the fallback on a small graph.
+    */
+  private[graft] def BroadcastMaxRows: Long =
+    sys.props.get("graft.graph.broadcastMaxRows").map(_.toLong)
+      .getOrElse(5000000L)
+
+  /** Edge count at or under which [[kCore]] peels with broadcast
+    * semi-joins against the keep-set (vertices ≤ 2·edges, so the
+    * keep-set is bounded by 2× this under [[BroadcastMaxRows]]'s cap);
+    * past it, the shuffle peel that materializes the shrinking survivor
+    * graph. Same override hook as [[BroadcastMaxRows]].
+    */
+  private[graft] def KCoreBroadcastMaxEdges: Long =
+    sys.props.get("graft.graph.kcoreBroadcastMaxEdges").map(_.toLong)
+      .getOrElse(2500000L)
+
   /** Connected components by iterative min-label propagation: every node
     * starts labeled with itself; each round every node takes the minimum
     * label among itself and its neighbors; fixed point = components labeled
@@ -37,7 +57,7 @@ object GraphOps {
     // fits a broadcast, ship labels to the (checkpointed, never
     // reshuffled) edge partitions instead of shuffling the edge list every
     // round; past the guard fall back to the shuffle join.
-    val broadcastLabels = labels.count() <= 5000000L
+    val broadcastLabels = labels.count() <= BroadcastMaxRows
     var converged = false
     var i = 0
     while (i < maxIters && !converged) {
@@ -98,7 +118,7 @@ object GraphOps {
     // edge partitions instead of shuffling the edge list every round. Past
     // the threshold, fall back to a shuffle join on src (edges would then
     // best be pre-partitioned by src upstream).
-    val broadcastRanks = nodes.count() <= 5000000L
+    val broadcastRanks = nodes.count() <= BroadcastMaxRows
     var ranks = nodes.select(col("id"), lit(1.0).as("rank"))
     (1 to iters).foreach { _ =>
       val r = ranks.withColumnRenamed("id", "src")
@@ -145,7 +165,7 @@ object GraphOps {
       .distinct()
       .localCheckpoint()
     val nEdges0 = edges0.count()
-    if (nEdges0 <= 2500000L) kCoreBroadcastPeel(edges0, nEdges0, k, maxIters)
+    if (nEdges0 <= KCoreBroadcastMaxEdges) kCoreBroadcastPeel(edges0, nEdges0, k, maxIters)
     else kCoreShufflePeel(edges0, nEdges0, k, maxIters)
   }
 

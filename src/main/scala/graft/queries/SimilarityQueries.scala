@@ -1321,6 +1321,8 @@ object SimilarityQueries {
         // in-query-cache convention)
         val corpus = embs(s, d).select(col("vec_id"),
           PortableAnn.quant(col("embedding")).as("qv")).cache()
+        val phaseCaches = scala.collection.mutable.ArrayBuffer[DataFrame]()
+        try {
         // the pre-append corpus: first 80% of ids (appends arrive as new
         // ids); one bounded count fixes the cut on both engines
         val cut = corpus.count() * 4L / 5L
@@ -1334,6 +1336,7 @@ object SimilarityQueries {
           val a = corpus.select(col("vec_id"),
             PortableAnn.bestCell(col("qv"), m).as("cell"),
             PortableAnn.bestDist2(col("qv"), m).as("d2")).cache()
+          phaseCaches += a
           val nAgg = a.agg(count(lit(1)).cast("long").as("n_vectors"),
             sum(col("d2")).cast("long").as("sum_d2"))
           val cells = a.groupBy(col("cell"))
@@ -1362,9 +1365,15 @@ object SimilarityQueries {
               expr(s"CAST(max_cell_n * $k * 1000000 DIV n_vectors AS BIGINT)")
                 .as("skew_x1e6"))
         }
-        audit(before, "before_retrain")
-          .unionByName(audit(after, "after_retrain"))
-          .orderBy(col("phase"))
+        // the audit output is TWO rows — checkpoint them and release every
+        // in-query cache before returning (q242's discipline: no query
+        // relies on the harness's post-query clearCache for memory safety)
+        graft.operators.DedupOps.materializeAndRelease(
+          audit(before, "before_retrain")
+            .unionByName(audit(after, "after_retrain"))
+            .orderBy(col("phase")),
+          phaseCaches.toSeq: _*)
+        } finally corpus.unpersist()
       },
       Some(ivfDriftSql)),
 

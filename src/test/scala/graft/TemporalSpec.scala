@@ -104,6 +104,32 @@ class TemporalSpec extends SparkSpec {
     assert(GraphOps.kCore(edges, "a", "b", k = 2).count() == 0)
   }
 
+  test("graph loops: forced shuffle fallback is row-identical to the broadcast regime") {
+    import spark.implicits._
+    // the 100 TB regime guard: CC labels / pageRank ranks / kCore keeps
+    // broadcast only under the vertex-count cap; past it every loop join
+    // falls back to shuffles. Force the caps to 0 on a small graph and
+    // require identical rows — so the fallback regime's correctness is
+    // pinned, not just the broadcast path the bench exercises.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (1L, 7L), (8L, 9L)).toDF("a", "b")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val ccB = rows(GraphOps.connectedComponents(edges, "a", "b"))
+    val prB = rows(GraphOps.pageRank(edges, "a", "b", iters = 5))
+    val kcB = rows(GraphOps.kCore(edges, "a", "b", k = 3))
+    System.setProperty("graft.graph.broadcastMaxRows", "0")
+    System.setProperty("graft.graph.kcoreBroadcastMaxEdges", "0")
+    try {
+      assert(rows(GraphOps.connectedComponents(edges, "a", "b")) === ccB)
+      assert(rows(GraphOps.pageRank(edges, "a", "b", iters = 5)) === prB)
+      assert(rows(GraphOps.kCore(edges, "a", "b", k = 3)) === kcB)
+    } finally {
+      System.clearProperty("graft.graph.broadcastMaxRows")
+      System.clearProperty("graft.graph.kcoreBroadcastMaxEdges")
+    }
+  }
+
   test("asof join carries the matched right row wholesale, nulls included") {
     import spark.implicits._
     val right = Seq(
