@@ -615,8 +615,12 @@ object Bm25 {
     val listed = old.map(tombDirsOf).getOrElse(Seq.empty) ++
       (if (old.exists(isLegacyStats)) legacyTombFiles(spark, path)
        else Seq.empty)
+    // every sidecar (base and segments) is the same-writer unpartitioned
+    // (id, doc_len) table — ONE multi-path read, not one per layout
     val removed = dropIds(
-      sidecars.map(spark.read.parquet(_)).reduce(_.unionByName(_)),
+      if (sidecars.length == 1) spark.read.parquet(sidecars.head)
+      else spark.read.option("recursiveFileLookup", "true")
+        .parquet(sidecars: _*), // no partition-dir columns in sidecars
       idCol, readTombIds(spark, listed))
       .join(ids.select(col(idCol)).distinct(), Seq(idCol), "left_semi")
       .distinct() // a crashed compaction can duplicate sidecar rows
@@ -851,7 +855,13 @@ object Bm25 {
       case Seq()  => Seq.empty
       case Seq(d) => readStatsRow(spark, d).toSeq
       case ds =>
-        try spark.read.option("mergeSchema", "true").parquet(ds: _*)
+        // recursiveFileLookup: without it a multi-root read over
+        // `segments/batch=N/stats` dirs attempts partition discovery on
+        // the batch= ancestors and throws CONFLICTING_DIRECTORY_
+        // STRUCTURES into the fallback — the "one read" silently
+        // degraded to per-dir reads whenever 2+ segments were live
+        try spark.read.option("mergeSchema", "true")
+          .option("recursiveFileLookup", "true").parquet(ds: _*)
           .collect().toSeq
         catch { case _: Throwable => ds.flatMap(readStatsRow(spark, _)) }
     }
@@ -949,9 +959,24 @@ object Bm25 {
     val termSet = queries.flatMap { case (_, q) => queryTerms(q) }.distinct
     val shards = termSet.map(shardOf(_, nShards)).distinct
     val (nDocs, avgdl) = summedStats(statsRows)
-    val unioned = layouts.map { p =>
-      spark.read.parquet(p)
-        .filter(col("shard").isin(shards.map(Integer.valueOf): _*))
+    // base read + ONE multi-path read over all segments (the
+    // readStatsRows pattern): every segment is an unpartitioned table
+    // from the same writer, so N segments cost one listing/footer/scan
+    // setup instead of N — the per-segment fixed cost was the measured
+    // LSM read-amplification slope (SegProbe). The base stays its own
+    // read (partition-column layout ≠ the segments' data-column one).
+    // recursiveFileLookup: a multi-root read would otherwise attempt
+    // partition discovery over the shared `segments/batch=N` ancestors
+    // and fail with CONFLICTING_DIRECTORY_STRUCTURES; segment tables
+    // carry no partition-dir columns, so plain file listing is exact
+    val segReads = layouts.tail match {
+      case Seq()  => Seq.empty
+      case Seq(s) => Seq(spark.read.parquet(s))
+      case ss     => Seq(spark.read.option("recursiveFileLookup", "true")
+        .parquet(ss: _*))
+    }
+    val unioned = (spark.read.parquet(layouts.head) +: segReads).map { df =>
+      df.filter(col("shard").isin(shards.map(Integer.valueOf): _*))
         .filter(col("term").isInCollection(termSet))
         .drop("shard")
     }.reduce(_.unionByName(_))

@@ -218,7 +218,15 @@ object BqIndex {
         spark.read.parquet(s"$path/codes") // raise the standard read error
       case (Some(bp), Seq()) => spark.read.parquet(bp)
       case (bo, sps) =>
-        val seg0 = sps.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+        // ONE multi-path read over all segments (same-writer schema):
+        // N segments cost one listing/footer/scan setup, not N
+        val seg0 =
+          if (sps.length > 1)
+            // recursiveFileLookup: no partition discovery over the
+            // shared segments/batch=N ancestors
+            spark.read.option("recursiveFileLookup", "true")
+              .parquet(sps: _*)
+          else spark.read.parquet(sps.head)
         val segments = if (sps.length > 1) seg0.distinct() else seg0
         bo match {
           case None => segments

@@ -855,14 +855,25 @@ object DedupOps {
     val shards = shNew.select(graft.functions.ShardExpr
         .javaHashMod(col("shingle"), nShards).as("shard"))
       .distinct().collect().map(_.getInt(0))
-    val layouts = IndexLayout.existingParts(spark, path, "shingles") match {
-      case Seq() => Seq(s"$path/shingles") // raise the standard read error
-      case ls    => ls
-    }
-    layouts.map { p =>
-      spark.read.parquet(p)
-        .filter(col("shard").isin(shards.map(Integer.valueOf): _*))
-    }.reduce(_.unionByName(_))
+    // base read + ONE multi-path read over all segments (the
+    // readStatsRows pattern): segments are same-writer unpartitioned
+    // tables, so N of them cost one listing/footer/scan setup, not N
+    val (baseOpt, segParts) =
+      IndexLayout.existingPartsSplit(spark, path, "shingles")
+    val reads = (baseOpt match {
+      case None if segParts.isEmpty =>
+        Seq(spark.read.parquet(s"$path/shingles")) // standard read error
+      case bo => bo.map(spark.read.parquet(_)).toSeq
+    }) ++ (segParts match {
+      case Seq()  => Seq.empty
+      case Seq(s) => Seq(spark.read.parquet(s))
+      // recursiveFileLookup: no partition discovery over the shared
+      // segments/batch=N ancestors (CONFLICTING_DIRECTORY_STRUCTURES)
+      case ss     => Seq(spark.read.option("recursiveFileLookup", "true")
+        .parquet(ss: _*))
+    })
+    reads.map(_.filter(col("shard").isin(shards.map(Integer.valueOf): _*)))
+      .reduce(_.unionByName(_))
   }
 
   /** [[dedupAgainst]] over a [[writeDedupIndex]] layout: the batch's
@@ -899,12 +910,24 @@ object DedupOps {
     val newCached = newDf.cache()
     val newFps = newCached.select(col(idCol),
       graft.functions.TextFns.fingerprint(col(textCol)).as("__fp"))
-    val fps = IndexLayout.existingParts(spark, path, "fingerprints") match {
-      case Seq() => Seq(s"$path/fingerprints")
-      case ls    => ls
-    }
+    // base fingerprints + ONE multi-path read over all segment
+    // fingerprint tables (same-writer (id, __fp) schema); the base keeps
+    // its own read AND per-part projection — an interim round-11 base
+    // may still carry the retired fpshard column
+    val (fpBase, fpSegs) =
+      IndexLayout.existingPartsSplit(spark, path, "fingerprints")
+    val fpReads = (fpBase match {
+      case None if fpSegs.isEmpty =>
+        Seq(spark.read.parquet(s"$path/fingerprints")) // standard error
+      case bo => bo.map(spark.read.parquet(_)).toSeq
+    }) ++ (fpSegs match {
+      case Seq()  => Seq.empty
+      case Seq(s) => Seq(spark.read.parquet(s))
+      case ss     => Seq(spark.read.option("recursiveFileLookup", "true")
+        .parquet(ss: _*))
+    })
     val corpusFps = IndexLayout.dropTombstoned(
-      fps.map(p => spark.read.parquet(p).select(col(idCol), col("__fp")))
+      fpReads.map(_.select(col(idCol), col("__fp")))
         .reduce(_.unionByName(_)), idCol, s"$path/tombstones")
     // both regimes emit DISTINCT matched increment ids — without the
     // fallback's distinct, an increment containing duplicate ids would
